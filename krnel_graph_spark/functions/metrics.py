@@ -1,0 +1,151 @@
+"""Binary-classification metrics in pure numpy (no sklearn dependency).
+
+Standard textbook formulas: step-function average precision, rank-statistic
+ROC-AUC with tie correction, PR-curve threshold scans. Used by the
+classifier-evaluation operator (reference parity surface:
+``probe_implementations.py:205-322``)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+PRECISION_AT_RECALL_LEVELS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99, 0.999)
+
+
+def _sorted_desc(scores: np.ndarray, labels: np.ndarray):
+    order = np.argsort(-scores, kind="stable")
+    return scores[order], labels[order].astype(bool)
+
+
+def pr_curve(scores: np.ndarray, labels: np.ndarray):
+    """Precision/recall at every distinct descending threshold."""
+    s, y = _sorted_desc(scores, labels)
+    tp = np.cumsum(y)
+    fp = np.cumsum(~y)
+    # Collapse tied scores to the last index of each tie group.
+    distinct = np.where(np.diff(s))[0]
+    idx = np.r_[distinct, len(s) - 1]
+    tp, fp = tp[idx], fp[idx]
+    n_pos = int(labels.sum())
+    precision = tp / np.maximum(tp + fp, 1)
+    recall = tp / max(n_pos, 1)
+    thresholds = s[idx]
+    return precision, recall, thresholds, tp, fp
+
+
+def average_precision(scores: np.ndarray, labels: np.ndarray) -> float:
+    n_pos = int(labels.sum())
+    if n_pos == 0:
+        return float("nan")
+    precision, recall, _, _, _ = pr_curve(scores, labels)
+    recall_prev = np.r_[0.0, recall[:-1]]
+    return float(np.sum((recall - recall_prev) * precision))
+
+
+def roc_auc(scores: np.ndarray, labels: np.ndarray) -> float:
+    """Mann-Whitney U statistic with midrank tie handling."""
+    labels = labels.astype(bool)
+    n_pos = int(labels.sum())
+    n_neg = int((~labels).sum())
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    order = np.argsort(scores, kind="stable")
+    ranks = np.empty(len(scores), dtype=float)
+    sorted_scores = scores[order]
+    i = 0
+    while i < len(sorted_scores):
+        j = i
+        while j + 1 < len(sorted_scores) and sorted_scores[j + 1] == sorted_scores[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    rank_sum_pos = ranks[labels].sum()
+    u = rank_sum_pos - n_pos * (n_pos + 1) / 2.0
+    return float(u / (n_pos * n_neg))
+
+
+def precision_at_recall(scores: np.ndarray, labels: np.ndarray, level: float) -> float:
+    precision, recall, _, _, _ = pr_curve(scores, labels)
+    eligible = precision[recall >= level]
+    return float(eligible.max()) if len(eligible) else float("nan")
+
+
+def confusion_at_threshold(scores: np.ndarray, labels: np.ndarray, threshold: float):
+    pred = scores >= threshold
+    y = labels.astype(bool)
+    tp = int((pred & y).sum())
+    fp = int((pred & ~y).sum())
+    fn = int((~pred & y).sum())
+    tn = int((~pred & ~y).sum())
+    return {"tp": tp, "fp": fp, "fn": fn, "tn": tn}
+
+
+def threshold_metrics(scores: np.ndarray, labels: np.ndarray, threshold: float):
+    c = confusion_at_threshold(scores, labels, threshold)
+    n = len(scores)
+    precision = c["tp"] / (c["tp"] + c["fp"]) if (c["tp"] + c["fp"]) else float("nan")
+    recall = c["tp"] / (c["tp"] + c["fn"]) if (c["tp"] + c["fn"]) else float("nan")
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if precision == precision and recall == recall and (precision + recall)
+        else float("nan")
+    )
+    return {
+        "threshold": threshold,
+        "accuracy": (c["tp"] + c["tn"]) / n if n else float("nan"),
+        "confusion": c,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+    }
+
+
+def best_accuracy_threshold(scores: np.ndarray, labels: np.ndarray):
+    """Scan PR-curve thresholds for the accuracy-maximizing one."""
+    _, _, thresholds, tp, fp = pr_curve(scores, labels)
+    y = labels.astype(bool)
+    n = len(scores)
+    n_pos = int(y.sum())
+    n_neg = n - n_pos
+    # At threshold t (predict positive when score >= t): acc = (tp + tn) / n.
+    tn = n_neg - fp
+    acc = (tp + tn) / max(n, 1)
+    best = int(np.argmax(acc))
+    return {
+        "best_accuracy": float(acc[best]),
+        "most_accurate_threshold": float(thresholds[best]),
+        "best_confusion": confusion_at_threshold(scores, y, float(thresholds[best])),
+    }
+
+
+def evaluate_split(scores: np.ndarray, labels: np.ndarray, threshold=None) -> dict:
+    """Full per-split report (parity surface with the reference evaluator)."""
+    y = labels.astype(bool)
+    n = len(scores)
+    report: dict = {
+        "count": n,
+        "n_true": int(y.sum()),
+        "n_false": int((~y).sum()),
+        "avg_score": float(scores.mean()) if n else float("nan"),
+        "warnings": [],
+    }
+    if n == 0:
+        report["warnings"].append("empty split")
+        return report
+    if report["n_true"] == 0:
+        report["warnings"].append("no positive examples in split")
+    if report["n_false"] == 0:
+        report["warnings"].append("no negative examples in split")
+    if threshold is None:
+        if report["n_true"] and report["n_false"]:
+            report.update(best_accuracy_threshold(scores, y))
+    else:
+        report.update(threshold_metrics(scores, y, threshold))
+    if report["n_true"] and report["n_false"]:
+        report["average_precision"] = average_precision(scores, y)
+        report["roc_auc"] = roc_auc(scores, y)
+        report["precision_at_recall"] = {
+            str(level): precision_at_recall(scores, y, level)
+            for level in PRECISION_AT_RECALL_LEVELS
+        }
+    return report

@@ -1,0 +1,35 @@
+from .classifier_ops import (
+    ClassifierEvaluationOp,
+    ClassifierPredictOp,
+    TrainClassifierOp,
+)
+from .dataset_ops import (
+    AssignRowIDOp,
+    AssignTrainTestSplitOp,
+    BooleanLogicOp,
+    CategoryToBooleanOp,
+    JinjaTemplatizeOp,
+    JSONGetFieldOp,
+    LoadDatasetOp,
+    LoadInlineJsonDatasetOp,
+    LoadParquetDatasetOp,
+    MaskRowsOp,
+    PairwiseArithmeticOp,
+    ParseJSONColumnOp,
+    SelectBooleanColumnOp,
+    SelectCategoricalColumnOp,
+    SelectColumnOp,
+    SelectConversationColumnOp,
+    SelectJSONColumnOp,
+    SelectScoreColumnOp,
+    SelectTextColumnOp,
+    SelectTrainTestSplitColumnOp,
+    SelectVectorColumnOp,
+    TakeRowsOp,
+    VectorToScalarOp,
+)
+from .grouped_ops import GroupedOp
+from .llm_ops import LLMGenerateTextOp, LLMLayerActivationsOp, LLMLogitScoresOp
+from .viz_ops import UMAPVizOp
+
+__all__ = [name for name in dir() if not name.startswith("_")]

@@ -1,0 +1,901 @@
+"""SparkRunner: lowers content-addressed OpSpec graphs to Spark DataFrames.
+
+Execution model (Spark-first redesign of the reference's pull-based runner,
+``runners/base_runner.py:159-258`` / ``local_arrow_runner.py:307-497``):
+
+* **Ephemeral ops stay lazy.** Selects, predicates, filters, arithmetic lower
+  to unexecuted DataFrame expressions; Catalyst fuses whole chains into one
+  job with predicate pushdown and column pruning. (The reference's
+  "ephemeral = recompute on demand" policy maps exactly onto laziness.)
+* **Non-ephemeral ops are materialization barriers.** Their DataFrame is
+  written once to a UUID-keyed parquet store and re-read lazily; any process
+  sharing the store reuses results (content-addressed memoization — the one
+  optimizer feature Catalyst does not provide).
+* **Stable row ids everywhere** (see ``plan.py``): assigned at scan from
+  parquet ``_metadata.row_index``, carried through every op, used for
+  alignment and canonical export order.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import random
+from typing import Any, Optional, Union
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.dataset_ops import (
+    AssignRowIDOp,
+    AssignTrainTestSplitOp,
+    BooleanLogicOp,
+    CategoryToBooleanOp,
+    JinjaTemplatizeOp,
+    JSONGetFieldOp,
+    LoadInlineJsonDatasetOp,
+    LoadParquetDatasetOp,
+    MaskRowsOp,
+    PairwiseArithmeticOp,
+    ParseJSONColumnOp,
+    SelectColumnOp,
+    TakeRowsOp,
+    VectorToScalarOp,
+)
+from ..operators.grouped_ops import GroupedOp
+from ..plans.op_spec import OpSpec
+from ..plans.status import OpState, OpStatus, utcnow
+from ..types import DatasetType, JSONColumnType
+from .base import BaseRunner
+from .plan import ROW_ID, VALUE, ArtifactPlan, ColumnPlan, DatasetPlan
+from .store import ResultStore
+
+_FILE_ORD_SHIFT = 40  # multi-file scans: row_id = file_ordinal << 40 | row_index
+
+
+def get_spark(
+    app_name: str = "krnel-graph-spark",
+    shuffle_partitions: Optional[int] = None,
+) -> SparkSession:
+    """Build (or reuse) a session with the engine's defaults: AQE on, UTC
+    timestamps, Arrow transfer on, zstd parquet output."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or os.environ.get("SPARK_SHUFFLE_PARTITIONS", 32)),
+        )
+    )
+    if not os.environ.get("SPARK_MASTER") and not os.environ.get("MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()
+
+
+class SparkRunner(BaseRunner):
+    """Execution engine + result store + status store."""
+
+    def __init__(
+        self,
+        spark: Optional[SparkSession] = None,
+        store_path: Optional[str] = None,
+    ):
+        self.spark = spark or get_spark()
+        self.store = ResultStore(store_path) if store_path else None
+        self._plans: dict[str, Any] = {}  # uuid -> lowered plan (lazy DFs)
+
+    # ------------------------------------------------------------------ #
+    # Graph-building entry points                                         #
+    # ------------------------------------------------------------------ #
+
+    def from_parquet(self, file_path: str) -> LoadParquetDatasetOp:
+        """Dataset identified by file content (sha256), not by path — parity
+        with reference ``local_arrow_runner.py:154-198``. For directories /
+        remote URLs, identity falls back to a manifest hash of
+        (relative path, size) pairs, which a 100-TB scan can afford."""
+        return LoadParquetDatasetOp(
+            file_path=file_path, content_hash=_content_identity(file_path)
+        )
+
+    def from_inline_dataset(self, data: dict[str, list]) -> LoadInlineJsonDatasetOp:
+        return LoadInlineJsonDatasetOp(
+            data=data, content_hash=_inline_identity(data)
+        )
+
+    # ------------------------------------------------------------------ #
+    # Materialization protocol                                            #
+    # ------------------------------------------------------------------ #
+
+    def plan(self, op: OpSpec) -> Union[DatasetPlan, ColumnPlan, ArtifactPlan]:
+        """Lower ``op`` (and, transitively, its inputs) to a plan handle.
+
+        Ephemeral ops: pure lowering, no jobs triggered (beyond analysis).
+        Non-ephemeral ops: store hit → lazy parquet read; miss → compute,
+        persist, re-read (parity with ``base_runner.py:159-235``).
+        """
+        cached = self._plans.get(op.uuid)
+        if cached is not None:
+            return cached
+
+        from ..operators.dataset_ops import LoadDatasetOp
+
+        if isinstance(op, LoadDatasetOp):
+            # Sources are their own materialization: never copy the input
+            # into the result store (a 100-TB scan must stay a scan).
+            plan = self.dispatch(op)(self, op)
+        elif (
+            not op.is_ephemeral
+            and self.store is not None
+            and self.store.is_done(op.uuid)
+        ):
+            plan = self._load_from_store(op)
+        else:
+            plan = self._compute(op)
+        self._plans[op.uuid] = plan
+        return plan
+
+    def _compute(self, op: OpSpec):
+        impl = self.dispatch(op)
+        persist = not op.is_ephemeral and self.store is not None
+        if persist:
+            status = OpStatus(
+                uuid=op.uuid,
+                state=OpState.RUNNING,
+                started_at=utcnow(),
+                graph=op.to_graph(),
+            )
+            self.store.write_status(op.uuid, status.to_json())
+            try:
+                plan = impl(self, op)
+                plan = self._persist(op, plan)
+            except Exception as exc:
+                status.state = OpState.FAILED
+                status.error = f"{type(exc).__name__}: {exc}"
+                status.completed_at = utcnow()
+                self.store.write_status(op.uuid, status.to_json())
+                raise
+            status.state = OpState.COMPLETED
+            status.completed_at = utcnow()
+            self.store.write_status(op.uuid, status.to_json())
+            return plan
+        return impl(self, op)
+
+    def _persist(self, op: OpSpec, plan):
+        """Write a computed non-ephemeral result to the store and return a
+        plan backed by the stored copy (the materialization barrier)."""
+        store = self.store
+        if isinstance(plan, ArtifactPlan):
+            if plan.kind == "pickle":
+                store.write_pickle(op.uuid, plan.payload)
+            else:
+                store.write_json(op.uuid, plan.payload)
+            store.mark_done(op.uuid)
+            return plan
+        path = store.parquet_path(op.uuid)
+        df = plan.df() if isinstance(plan, ColumnPlan) else plan.df
+        df.write.mode("overwrite").parquet(path)
+        store.mark_done(op.uuid)
+        return self._load_from_store(op, plan)
+
+    def _load_from_store(self, op: OpSpec, computed=None):
+        store = self.store
+        if store.has_json(op.uuid):
+            return ArtifactPlan(payload=store.read_json(op.uuid), kind="json")
+        if store.has_pickle(op.uuid):
+            return ArtifactPlan(payload=store.read_pickle(op.uuid), kind="pickle")
+        df = self.spark.read.parquet(store.parquet_path(op.uuid))
+        dense = computed.dense if computed is not None else False
+        value_cols = [c for c in df.columns if c != ROW_ID]
+        from ..types import ColumnType
+
+        if isinstance(op, ColumnType) and len(value_cols) == 1:
+            name = value_cols[0]
+            is_json = bool(getattr(computed, "is_json", False)) or isinstance(
+                df.schema[name].dataType, T.VariantType
+            )
+            return ColumnPlan(
+                source=df,
+                expr=F.col(name),
+                name=name,
+                aligned_with=_aligned_uuid(op),
+                dense=dense,
+                is_json=is_json,
+            )
+        return DatasetPlan(df=df, dataset_uuid=op.uuid, dense=dense)
+
+    def has_result(self, op: OpSpec) -> bool:
+        """Parity with the reference's recursive ``has_result``
+        (``local_arrow_runner.py:230-248``)."""
+        from ..operators.dataset_ops import LoadDatasetOp
+
+        if isinstance(op, LoadDatasetOp):
+            return True  # sources are their own materialization
+        if op.is_ephemeral:
+            return all(self.has_result(dep) for dep in op.get_dependencies())
+        if self.store is None:
+            return op.uuid in self._plans
+        return self.store.is_done(op.uuid)
+
+    def status(self, op: OpSpec) -> OpStatus:
+        if op.is_ephemeral:
+            return OpStatus(uuid=op.uuid, state=OpState.EPHEMERAL)
+        if self.store is not None:
+            blob = self.store.read_status(op.uuid)
+            if blob is not None:
+                return OpStatus.from_json(blob)
+        return OpStatus(uuid=op.uuid, state=OpState.NEW)
+
+    def uuid_to_op(self, uuid: str) -> OpSpec:
+        """Rehydrate a full OpSpec graph from the store alone (parity:
+        ``local_arrow_runner.py:250-269``)."""
+        if self.store is None:
+            raise ValueError("uuid_to_op requires a persistent store")
+        blob = self.store.read_status(uuid)
+        if blob is None:
+            raise KeyError(f"No status record for {uuid}")
+        status = OpStatus.from_json(blob)
+        if not status.graph:
+            raise KeyError(f"Status for {uuid} has no embedded graph")
+        from ..plans.op_spec import deserialize_graph
+
+        roots = deserialize_graph(status.graph)
+        return roots[0]
+
+    # ------------------------------------------------------------------ #
+    # Exports (canonical order: sorted by __row_id)                        #
+    # ------------------------------------------------------------------ #
+
+    def dataframe(self, op: OpSpec, *, keep_row_id: bool = False) -> DataFrame:
+        """The op's result as a lazy DataFrame (unordered; Spark-native)."""
+        plan = self.plan(op)
+        if isinstance(plan, ArtifactPlan):
+            raise TypeError(f"{op.short_name()} is an artifact, not a table")
+        df = plan.df() if isinstance(plan, ColumnPlan) else plan.df
+        if isinstance(plan, ColumnPlan) and plan.is_json:
+            df = df.select(ROW_ID, F.to_json(F.col(plan.name)).alias(plan.name))
+        if not keep_row_id:
+            df = df.drop(ROW_ID)
+        return df
+
+    def to_pandas(self, op: OpSpec) -> pd.DataFrame:
+        plan = self.plan(op)
+        if isinstance(plan, ArtifactPlan):
+            raise TypeError(f"{op.short_name()} is an artifact; use to_json")
+        df = plan.df() if isinstance(plan, ColumnPlan) else plan.df
+        if isinstance(plan, ColumnPlan) and plan.is_json:
+            df = df.select(ROW_ID, F.to_json(F.col(plan.name)).alias(plan.name))
+        return df.orderBy(ROW_ID).drop(ROW_ID).toPandas()
+
+    def to_arrow(self, op: OpSpec):
+        import pyarrow as pa
+
+        pdf = self.to_pandas(op)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    def to_numpy(self, op: OpSpec):
+        import numpy as np
+
+        pdf = self.to_pandas(op)
+        if len(pdf.columns) != 1:
+            raise ValueError(
+                f"to_numpy expects a single-column result, got {list(pdf.columns)}"
+            )
+        series = pdf[pdf.columns[0]]
+        if len(series) and isinstance(series.iloc[0], (list, tuple, np.ndarray)):
+            return np.stack([np.asarray(v) for v in series])
+        return series.to_numpy()
+
+    def to_json(self, op: OpSpec) -> Any:
+        plan = self.plan(op)
+        if isinstance(plan, ArtifactPlan):
+            return plan.payload
+        return self.to_pandas(op).to_dict(orient="list")
+
+    def to_model(self, op: OpSpec) -> Any:
+        plan = self.plan(op)
+        if not isinstance(plan, ArtifactPlan):
+            raise TypeError(f"{op.short_name()} is not a model artifact")
+        return plan.payload
+
+    # ------------------------------------------------------------------ #
+    # Alignment combinators (the row-discipline core)                     #
+    # ------------------------------------------------------------------ #
+
+    def column_plan(self, op: OpSpec) -> ColumnPlan:
+        plan = self.plan(op)
+        if not isinstance(plan, ColumnPlan):
+            raise TypeError(f"Expected a column op, got {op.short_name()}")
+        return plan
+
+    def dataset_plan(self, op: OpSpec) -> DatasetPlan:
+        plan = self.plan(op)
+        if not isinstance(plan, DatasetPlan):
+            raise TypeError(f"Expected a dataset op, got {op.short_name()}")
+        return plan
+
+    def align_columns(
+        self, left: ColumnPlan, right: ColumnPlan
+    ) -> tuple[DataFrame, Any, Any, ColumnPlan]:
+        """Make two columns combinable row-by-row.
+
+        Fast path (same aligned dataset): reuse the shared source DataFrame
+        and compose raw expressions — no join, stays in one codegen stage.
+        Fallback (different datasets, reference §1.5 positional semantics):
+        zip by rank over row-id order after an equal-length check.
+        Returns (df, left_expr, right_expr, template_plan).
+        """
+        if left.aligned_with == right.aligned_with:
+            return left.source, left.expr, right.expr, left
+        return self._rank_zip(left, right)
+
+    def _rank_zip(self, left: ColumnPlan, right: ColumnPlan):
+        lc, rc = left.df(), right.df()
+        n_left, n_right = lc.count(), rc.count()
+        if n_left != n_right:
+            raise ValueError(
+                f"Positional combination of columns with different lengths: "
+                f"{n_left} vs {n_right}"
+            )
+        w = Window.orderBy(ROW_ID)
+        lr = lc.select(
+            F.col(ROW_ID), F.col(left.name).alias("__l"), F.row_number().over(w).alias("__rank")
+        )
+        rr = rc.select(F.col(right.name).alias("__r"), F.row_number().over(w).alias("__rank"))
+        joined = lr.join(rr, "__rank").drop("__rank")
+        plan = ColumnPlan(
+            source=joined,
+            expr=F.col("__l"),
+            name=left.name,
+            aligned_with=left.aligned_with,
+            dense=left.dense,
+        )
+        return joined, F.col("__l"), F.col("__r"), plan
+
+    def ranked(self, df: DataFrame) -> DataFrame:
+        """Attach a 0-based dense rank over row-id order. Correct everywhere;
+        single-partition window — used only on the slow paths where the
+        arithmetic dense-id fast path does not apply."""
+        w = Window.orderBy(ROW_ID)
+        return df.withColumn("__rank", F.row_number().over(w) - 1)
+
+
+def _aligned_uuid(op: OpSpec) -> str:
+    """The dataset node a column op is row-aligned with."""
+    for fname in ("dataset",):
+        value = getattr(op, fname, None)
+        if isinstance(value, DatasetType):
+            return value.uuid
+    return op.uuid
+
+
+def _content_identity(file_path: str) -> str:
+    if os.path.isfile(file_path):
+        h = hashlib.sha256()
+        with open(file_path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        return h.hexdigest()
+    if os.path.isdir(file_path):
+        h = hashlib.sha256()
+        for root, _dirs, files in sorted(os.walk(file_path)):
+            for name in sorted(files):
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, file_path)
+                h.update(f"{rel}:{os.path.getsize(full)};".encode())
+        return h.hexdigest()
+    if "://" not in file_path:
+        raise FileNotFoundError(f"No such file or directory: {file_path!r}")
+    # Remote URL: identity = the URL itself (documented deviation; Spark-side
+    # listing would be needed for a manifest hash).
+    return hashlib.sha256(file_path.encode()).hexdigest()
+
+
+def _inline_identity(data: dict[str, list]) -> str:
+    import json
+
+    blob = json.dumps(data, sort_keys=True, default=str)
+    return hashlib.sha256(blob.encode()).hexdigest()
+
+
+# ====================================================================== #
+# Implementations: sources                                                #
+# ====================================================================== #
+
+
+@SparkRunner.implementation
+def load_parquet(runner: SparkRunner, op: LoadParquetDatasetOp) -> DatasetPlan:
+    """Scan with stable row ids from parquet metadata: no shuffle, no window,
+    reproducible across runs (``_metadata.row_index`` is the in-file row
+    position; multi-file scans get ``file_ordinal << 40 | row_index``)."""
+    spark = runner.spark
+    df = spark.read.parquet(op.file_path)
+    files = sorted(df.inputFiles())
+    if len(files) <= 1:
+        with_id = df.select(
+            F.col("_metadata.row_index").alias(ROW_ID), *df.columns
+        )
+        dense = True
+    else:
+        mapping = F.create_map(
+            *[x for i, f in enumerate(files) for x in (F.lit(f), F.lit(i))]
+        )
+        with_id = df.select(
+            (
+                F.element_at(mapping, F.col("_metadata.file_path")).cast("long")
+                * F.lit(1 << _FILE_ORD_SHIFT)
+                + F.col("_metadata.row_index")
+            ).alias(ROW_ID),
+            *df.columns,
+        )
+        dense = False
+    return DatasetPlan(df=with_id, dataset_uuid=op.uuid, dense=dense)
+
+
+@SparkRunner.implementation
+def load_inline(runner: SparkRunner, op: LoadInlineJsonDatasetOp) -> DatasetPlan:
+    import pyarrow as pa
+
+    table = pa.table({k: pa.array(v) for k, v in op.data.items()})
+    # Arrow infers null type for empty columns; Spark needs a concrete type.
+    fields = []
+    for f in table.schema:
+        fields.append(pa.field(f.name, pa.string()) if pa.types.is_null(f.type) else f)
+    table = table.cast(pa.schema(fields))
+    ids = pa.array(range(table.num_rows), type=pa.int64())
+    table = table.add_column(0, pa.field(ROW_ID, pa.int64()), ids)
+    df = runner.spark.createDataFrame(table)
+    return DatasetPlan(df=df, dataset_uuid=op.uuid, dense=True)
+
+
+# ====================================================================== #
+# Implementations: projection / row selection                             #
+# ====================================================================== #
+
+
+@SparkRunner.implementation
+def select_column(runner: SparkRunner, op: SelectColumnOp) -> ColumnPlan:
+    """One implementation serves all nine typed selects via MRO dispatch
+    (parity: ``base_runner.py:204-231``)."""
+    ds = runner.dataset_plan(op.dataset)
+    if op.column_name not in ds.df.columns:
+        raise KeyError(
+            f"Column {op.column_name!r} not in dataset (has {ds.columns})"
+        )
+    return ColumnPlan(
+        source=ds.df,
+        expr=F.col(op.column_name),
+        name=op.column_name,
+        aligned_with=op.dataset.uuid,
+        dense=ds.dense,
+    )
+
+
+@SparkRunner.implementation
+def assign_row_id(runner: SparkRunner, op: AssignRowIDOp) -> ColumnPlan:
+    ds = runner.dataset_plan(op.dataset)
+    return ColumnPlan(
+        source=ds.df,
+        expr=F.col(ROW_ID),
+        name="row_id",
+        aligned_with=op.dataset.uuid,
+        dense=ds.dense,
+    )
+
+
+@SparkRunner.implementation
+def take_rows(runner: SparkRunner, op: TakeRowsOp) -> DatasetPlan:
+    """``rows[offset::skip][:num_rows]``. Dense inputs use pure row-id
+    arithmetic — a pushdown-friendly filter, no window, no shuffle, scales to
+    any size. Non-dense inputs (row ids with gaps, e.g. after a mask) fall
+    back to a rank window."""
+    ds = runner.dataset_plan(op.dataset)
+    df = ds.df
+    if ds.dense:
+        key = F.col(ROW_ID)
+    else:
+        df = runner.ranked(df)
+        key = F.col("__rank")
+    cond = (key >= op.offset) & ((key - op.offset) % op.skip == 0)
+    if op.num_rows is not None:
+        cond = cond & (key < op.offset + op.num_rows * op.skip)
+    out = df.filter(cond)
+    if not ds.dense:
+        out = out.drop("__rank")
+    dense = ds.dense and op.skip == 1 and op.offset == 0
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=dense)
+
+
+@SparkRunner.implementation
+def mask_rows(runner: SparkRunner, op: MaskRowsOp) -> DatasetPlan:
+    """Filter by a row-aligned boolean column. Same-dataset masks fuse into a
+    plain ``Filter`` over the scan (predicate pushdown applies); masks from a
+    *different* same-length dataset use the positional rank-zip."""
+    ds = runner.dataset_plan(op.dataset)
+    mask = runner.column_plan(op.mask)
+    _require_boolean(mask)
+    if mask.aligned_with == op.dataset.uuid:
+        out = ds.df.filter(mask.expr)
+        return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=False)
+    # Positional fallback: i-th row of the dataset pairs with i-th mask value.
+    n_ds = ds.df.count()
+    mask_df = mask.df()
+    n_mask = mask_df.count()
+    if n_ds != n_mask:
+        raise ValueError(
+            f"Mask length {n_mask} does not match dataset length {n_ds}"
+        )
+    ds_ranked = runner.ranked(ds.df)
+    mask_ranked = runner.ranked(mask_df).select(
+        F.col("__rank"), F.col(mask.name).alias("__mask")
+    )
+    out = (
+        ds_ranked.join(mask_ranked, "__rank")
+        .filter(F.col("__mask"))
+        .drop("__rank", "__mask")
+    )
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=False)
+
+
+# ====================================================================== #
+# Implementations: predicates & scalar functions                          #
+# ====================================================================== #
+
+
+@SparkRunner.implementation
+def category_to_boolean(runner: SparkRunner, op: CategoryToBooleanOp) -> ColumnPlan:
+    col = runner.column_plan(op.input_category)
+    expr = col.expr
+    if op.true_values is not None and op.false_values is not None:
+        union = sorted(set(op.true_values) | set(op.false_values))
+        bad = col.source.filter(~expr.isin(union) & expr.isNotNull()).limit(1)
+        rows = bad.collect()
+        if rows:
+            raise ValueError(
+                f"Column contains values outside true_values ∪ false_values "
+                f"(e.g. {rows[0][col.name]!r})"
+            )
+        out = expr.isin(sorted(op.true_values))
+    elif op.true_values is not None:
+        out = expr.isin(sorted(op.true_values))
+    else:
+        out = ~expr.isin(sorted(op.false_values))
+    return ColumnPlan(
+        source=col.source,
+        expr=out,
+        name=VALUE,
+        aligned_with=col.aligned_with,
+        dense=col.dense,
+    )
+
+
+def _require_boolean(plan: ColumnPlan) -> None:
+    dtype = plan.df().schema[plan.name].dataType
+    if not isinstance(dtype, T.BooleanType):
+        raise TypeError(f"Expected a boolean column, got {dtype.simpleString()}")
+
+
+@SparkRunner.implementation
+def boolean_logic(runner: SparkRunner, op: BooleanLogicOp) -> ColumnPlan:
+    left = runner.column_plan(op.left)
+    _require_boolean(left)
+    if op.operation == "not":
+        return ColumnPlan(
+            source=left.source,
+            expr=~left.expr,
+            name=VALUE,
+            aligned_with=left.aligned_with,
+            dense=left.dense,
+        )
+    right = runner.column_plan(op.right)
+    _require_boolean(right)
+    df, l, r, template = runner.align_columns(left, right)
+    combined = {"and": l & r, "or": l | r, "xor": l != r}[op.operation]
+    return ColumnPlan(
+        source=df,
+        expr=combined,
+        name=VALUE,
+        aligned_with=template.aligned_with,
+        dense=template.dense,
+    )
+
+
+@SparkRunner.implementation
+def pairwise_arithmetic(runner: SparkRunner, op: PairwiseArithmeticOp) -> ColumnPlan:
+    left = runner.column_plan(op.left)
+    right = runner.column_plan(op.right)
+    df, l, r, template = runner.align_columns(left, right)
+    l, r = l.cast("double"), r.cast("double")
+    if op.operation == "+":
+        expr = l + r
+    elif op.operation == "-":
+        expr = l - r
+    elif op.operation == "*":
+        expr = l * r
+    else:
+        # numpy float semantics: x/0 → ±inf, 0/0 → nan (Spark yields null).
+        expr = (
+            F.when(r != 0.0, l / r)
+            .when(l > 0.0, F.lit(float("inf")))
+            .when(l < 0.0, F.lit(float("-inf")))
+            .otherwise(F.lit(float("nan")))
+        )
+    return ColumnPlan(
+        source=df,
+        expr=expr,
+        name=VALUE,
+        aligned_with=template.aligned_with,
+        dense=template.dense,
+    )
+
+
+@SparkRunner.implementation
+def vector_to_scalar(runner: SparkRunner, op: VectorToScalarOp) -> ColumnPlan:
+    col = runner.column_plan(op.input)
+    # Bounds check: one aggregate over vector sizes (pushdown-friendly).
+    min_size = col.source.select(F.min(F.size(col.expr))).collect()[0][0]
+    if min_size is not None and op.col_index >= min_size:
+        raise IndexError(
+            f"col_index {op.col_index} out of bounds for vectors of size {min_size}"
+        )
+    return ColumnPlan(
+        source=col.source,
+        expr=F.element_at(col.expr, op.col_index + 1).cast("double"),
+        name=VALUE,
+        aligned_with=col.aligned_with,
+        dense=col.dense,
+    )
+
+
+@SparkRunner.implementation
+def parse_json_column(runner: SparkRunner, op: ParseJSONColumnOp) -> ColumnPlan:
+    col = runner.column_plan(op.input)
+    return ColumnPlan(
+        source=col.source,
+        expr=F.parse_json(col.expr),  # strict: invalid JSON errors (parity)
+        name=VALUE,
+        aligned_with=col.aligned_with,
+        dense=col.dense,
+        is_json=True,
+    )
+
+
+@SparkRunner.implementation
+def json_get_field(runner: SparkRunner, op: JSONGetFieldOp) -> ColumnPlan:
+    col = runner.column_plan(op.input)
+    if col.is_json:
+        expr = F.try_variant_get(col.expr, f"$.{op.path}", "string")
+    else:
+        expr = F.get_json_object(col.expr.cast("string"), f"$.{op.path}")
+    return ColumnPlan(
+        source=col.source,
+        expr=expr,
+        name=VALUE,
+        aligned_with=col.aligned_with,
+        dense=col.dense,
+    )
+
+
+@SparkRunner.implementation
+def jinja_templatize(runner: SparkRunner, op: JinjaTemplatizeOp) -> ColumnPlan:
+    """Arrow-batched pandas UDF running a real Jinja2 environment (template
+    conditionals/loops/filters make SQL translation unfaithful; parity:
+    ``local_arrow_runner.py:869-931``)."""
+    import jinja2
+
+    names = sorted(op.context)
+    plans = {k: runner.column_plan(v) for k, v in op.context.items()}
+    json_vars = {k for k, v in op.context.items() if isinstance(v, JSONColumnType)}
+
+    if not plans:
+        raise ValueError("template requires at least one column variable")
+
+    aligned = {p.aligned_with for p in plans.values()}
+    if len(aligned) == 1:
+        base = next(iter(plans.values()))
+        df = base.source
+        exprs = {
+            k: (F.to_json(p.expr) if k in json_vars and p.is_json else p.expr)
+            for k, p in plans.items()
+        }
+    else:
+        # Cross-dataset context: positional rank-zip of every column.
+        first = plans[names[0]]
+        df = runner.ranked(first.df()).withColumnRenamed(first.name, f"__v_{names[0]}")
+        n0 = df.count()
+        for k in names[1:]:
+            p = plans[k]
+            pdf_k = runner.ranked(p.df()).select(
+                F.col("__rank"), F.col(p.name).alias(f"__v_{k}")
+            )
+            if pdf_k.count() != n0:
+                raise ValueError("Template context columns have different lengths")
+            df = df.join(pdf_k, "__rank")
+        df = df.drop("__rank")
+        exprs = {
+            k: (
+                F.to_json(F.col(f"__v_{k}"))
+                if k in json_vars and plans[k].is_json
+                else F.col(f"__v_{k}")
+            )
+            for k in names
+        }
+        base = plans[names[0]]
+
+    template_src = op.template
+    constants = dict(op.constants)
+    max_length = op.max_length
+    json_var_names = set(json_vars)
+
+    @F.pandas_udf(T.StringType())
+    def render(*cols: pd.Series) -> pd.Series:
+        import json as _json
+
+        env = jinja2.Environment(undefined=jinja2.StrictUndefined)
+        env.filters["drop_nulls"] = lambda xs: [x for x in xs if x is not None]
+        env.filters["repr"] = repr
+        tmpl = env.from_string(template_src)
+        out = []
+        for row in zip(*cols):
+            ctx = dict(constants)
+            for k, v in zip(names, row):
+                ctx[k] = _json.loads(v) if k in json_var_names and v is not None else v
+            text = tmpl.render(**ctx)
+            if max_length is not None:
+                text = text[:max_length]
+            out.append(text)
+        return pd.Series(out, dtype="object")
+
+    expr = render(*[exprs[k] for k in names])
+    return ColumnPlan(
+        source=df,
+        expr=expr,
+        name=VALUE,
+        aligned_with=base.aligned_with,
+        dense=base.dense,
+    )
+
+
+# ====================================================================== #
+# Implementations: dataset preparation                                    #
+# ====================================================================== #
+
+
+@SparkRunner.implementation
+def assign_train_test_split(
+    runner: SparkRunner, op: AssignTrainTestSplitOp
+) -> ColumnPlan:
+    ds = runner.dataset_plan(op.dataset)
+
+    if op.method == "hash":
+        frac = _test_fraction(op)
+        bucket = F.pmod(
+            F.xxhash64(F.col(ROW_ID), F.lit(op.random_state)), F.lit(1_000_000)
+        )
+        expr = F.when(bucket < int(frac * 1_000_000), F.lit("test")).otherwise(
+            F.lit("train")
+        )
+        return ColumnPlan(
+            source=ds.df, expr=expr, name=VALUE,
+            aligned_with=op.dataset.uuid, dense=ds.dense,
+        )
+
+    # RNG parity mode: CPython random.Random(seed).sample over row positions
+    # (reference ``local_arrow_runner.py:538-620``). O(n) driver memory by
+    # design — use method="hash" at data scale.
+    total = ds.df.count()
+    n_train, n_test = _resolve_split_counts(op, total)
+    rng = random.Random(op.random_state)
+    test_idx = set(rng.sample(range(total), n_test)) if n_test else set()
+    labels = ["test" if i in test_idx else "train" for i in range(total)]
+
+    if total == 0:
+        empty = runner.spark.createDataFrame(
+            [], schema=T.StructType(
+                [T.StructField(ROW_ID, T.LongType()), T.StructField(VALUE, T.StringType())]
+            )
+        )
+        return ColumnPlan(
+            source=empty, expr=F.col(VALUE), name=VALUE,
+            aligned_with=op.dataset.uuid, dense=True,
+        )
+
+    if ds.dense:
+        ids = range(total)
+    else:
+        ids = [r[0] for r in ds.df.select(ROW_ID).orderBy(ROW_ID).collect()]
+    assign_pdf = pd.DataFrame({ROW_ID: list(ids), VALUE: labels})
+    assign_df = runner.spark.createDataFrame(assign_pdf)
+    joined = ds.df.select(ROW_ID).join(F.broadcast(assign_df), ROW_ID)
+    return ColumnPlan(
+        source=joined, expr=F.col(VALUE), name=VALUE,
+        aligned_with=op.dataset.uuid, dense=ds.dense,
+    )
+
+
+def _test_fraction(op: AssignTrainTestSplitOp) -> float:
+    if op.test_size is None and op.train_size is None:
+        return 0.25
+    if op.test_size is not None:
+        if isinstance(op.test_size, float):
+            if not 0 < op.test_size < 1:
+                raise ValueError("test_size as float must be in (0, 1)")
+            return op.test_size
+        raise ValueError("hash split requires float sizes")
+    if isinstance(op.train_size, float):
+        if not 0 < op.train_size < 1:
+            raise ValueError("train_size as float must be in (0, 1)")
+        return 1.0 - op.train_size
+    raise ValueError("hash split requires float sizes")
+
+
+def _resolve_split_counts(op: AssignTrainTestSplitOp, total: int) -> tuple[int, int]:
+    """Reference size semantics: float test → ceil, float train → floor;
+    ints must fit; specified train+test must equal n; default test = 0.25."""
+
+    def normalize(name: str, value) -> int:
+        if isinstance(value, bool):
+            raise TypeError(f"{name}_size must be float or int, got bool")
+        if isinstance(value, float):
+            if not 0 < value < 1:
+                raise ValueError(
+                    f"{name}_size as float must be in (0, 1); got {value}"
+                )
+            scaled = math.ceil(value * total) if name == "test" else math.floor(
+                value * total
+            )
+            return min(scaled, total)
+        if isinstance(value, int):
+            if value < 0 or value > total:
+                raise ValueError(
+                    f"{name}_size must be between 0 and {total}; got {value}"
+                )
+            return value
+        raise TypeError(f"Unsupported {name}_size type: {type(value).__name__}")
+
+    if total == 0:
+        return 0, 0
+    if op.test_size is None and op.train_size is None:
+        n_test = math.ceil(0.25 * total)
+        return total - n_test, n_test
+    n_test = normalize("test", op.test_size) if op.test_size is not None else None
+    n_train = normalize("train", op.train_size) if op.train_size is not None else None
+    if n_test is None:
+        n_test = total - n_train
+    elif n_train is None:
+        n_train = total - n_test
+    if n_test < 0 or n_train < 0:
+        raise ValueError(
+            f"Split sizes produced negative allocations (train={n_train}, test={n_test})"
+        )
+    if n_train + n_test != total:
+        if op.test_size is not None and op.train_size is not None:
+            raise ValueError(
+                f"train_size ({n_train}) + test_size ({n_test}) must equal "
+                f"dataset size ({total})"
+            )
+        n_train = total - n_test
+    return n_train, n_test
+
+
+@SparkRunner.implementation
+def grouped(runner: SparkRunner, op: GroupedOp):
+    plan = None
+    for sub in op.ops:
+        plan = runner.plan(sub)
+    return plan
+
+
+# Register the ML / LLM / viz implementation modules (import side effects).
+from . import classifier_impl as _classifier_impl  # noqa: E402,F401
+from . import llm_impl as _llm_impl  # noqa: E402,F401
+from . import viz_impl as _viz_impl  # noqa: E402,F401

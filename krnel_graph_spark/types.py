@@ -1,0 +1,377 @@
+"""Typed dataset/column node surface — the user-facing fluent API.
+
+Graph building is eager (each method constructs a frozen OpSpec node),
+execution is lazy (a Runner lowers nodes to Spark DataFrames on demand).
+
+API parity with the reference's ``src/krnel/graph/types.py:18-808`` (dataset
++ nine column types and their fluent method surfaces); implementation is
+original and Spark-first.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Optional, Union
+
+from .plans.op_spec import OpSpec
+
+if TYPE_CHECKING:  # pragma: no cover
+    pass
+
+
+class DatasetType(OpSpec):
+    """A multi-column table node; the root of most graphs."""
+
+    # -- typed column selection ------------------------------------------ #
+
+    def col_vector(self, column_name: str) -> "VectorColumnType":
+        from .operators.dataset_ops import SelectVectorColumnOp
+
+        return SelectVectorColumnOp(dataset=self, column_name=column_name)
+
+    def col_text(self, column_name: str) -> "TextColumnType":
+        from .operators.dataset_ops import SelectTextColumnOp
+
+        return SelectTextColumnOp(dataset=self, column_name=column_name)
+
+    def col_conversation(self, column_name: str) -> "ConversationColumnType":
+        from .operators.dataset_ops import SelectConversationColumnOp
+
+        return SelectConversationColumnOp(dataset=self, column_name=column_name)
+
+    def col_categorical(self, column_name: str) -> "CategoricalColumnType":
+        from .operators.dataset_ops import SelectCategoricalColumnOp
+
+        return SelectCategoricalColumnOp(dataset=self, column_name=column_name)
+
+    def col_train_test_split(self, column_name: str) -> "TrainTestSplitColumnType":
+        from .operators.dataset_ops import SelectTrainTestSplitColumnOp
+
+        return SelectTrainTestSplitColumnOp(dataset=self, column_name=column_name)
+
+    def col_score(self, column_name: str) -> "ScoreColumnType":
+        from .operators.dataset_ops import SelectScoreColumnOp
+
+        return SelectScoreColumnOp(dataset=self, column_name=column_name)
+
+    def col_boolean(self, column_name: str) -> "BooleanColumnType":
+        from .operators.dataset_ops import SelectBooleanColumnOp
+
+        return SelectBooleanColumnOp(dataset=self, column_name=column_name)
+
+    def col_json(self, column_name: str) -> "JSONColumnType":
+        from .operators.dataset_ops import SelectJSONColumnOp
+
+        return SelectJSONColumnOp(dataset=self, column_name=column_name)
+
+    # -- row selection ---------------------------------------------------- #
+
+    def take(
+        self,
+        num_rows: Optional[int] = None,
+        *,
+        skip: int = 1,
+        offset: int = 0,
+    ) -> "DatasetType":
+        """Python-slice row sampling: ``rows[offset::skip][:num_rows]``."""
+        from .operators.dataset_ops import TakeRowsOp
+
+        return TakeRowsOp(dataset=self, num_rows=num_rows, skip=skip, offset=offset)
+
+    def mask_rows(self, mask: "BooleanColumnType") -> "DatasetType":
+        """Keep rows where ``mask`` is true (mask must be row-aligned)."""
+        from .operators.dataset_ops import MaskRowsOp
+
+        return MaskRowsOp(dataset=self, mask=mask)
+
+    def assign_row_id(self) -> "RowIDColumnType":
+        """Stable per-row identifier (the engine's native ``__row_id``)."""
+        from .operators.dataset_ops import AssignRowIDOp
+
+        return AssignRowIDOp(dataset=self)
+
+    # -- dataset preparation ---------------------------------------------- #
+
+    def assign_train_test_split(
+        self,
+        test_size: Union[float, int, None] = None,
+        train_size: Union[float, int, None] = None,
+        random_state: int = 42,
+        method: str = "rng",
+    ) -> "TrainTestSplitColumnType":
+        """Deterministic "train"/"test" labels.
+
+        ``method="rng"`` reproduces CPython ``random.Random(seed).sample``
+        positional sampling (reference parity; O(n) driver memory).
+        ``method="hash"`` is the scale-out variant: a salted multiplicative
+        hash of the stable row id, fully distributed, no driver state.
+        """
+        from .operators.dataset_ops import AssignTrainTestSplitOp
+
+        return AssignTrainTestSplitOp(
+            dataset=self,
+            test_size=test_size,
+            train_size=train_size,
+            random_state=random_state,
+            method=method,
+        )
+
+    def template(
+        self,
+        template: str,
+        strip_template_whitespace: bool = True,
+        max_length: Optional[int] = None,
+        **context: "TextColumnType | JSONColumnType | float | int | str",
+    ) -> "TextColumnType":
+        """Render a Jinja2 template per row; column vars + scalar constants."""
+        from .operators.dataset_ops import JinjaTemplatizeOp
+
+        columns: dict[str, OpSpec] = {}
+        constants: dict[str, Union[float, int, str]] = {}
+        for key, value in context.items():
+            if isinstance(value, OpSpec):
+                columns[key] = value
+            else:
+                constants[key] = value
+        if strip_template_whitespace:
+            template = template.strip()
+        return JinjaTemplatizeOp(
+            template=template,
+            context=columns,
+            constants=constants,
+            max_length=max_length,
+        )
+
+
+# -------------------------------------------------------------------------- #
+# Column types                                                                #
+# -------------------------------------------------------------------------- #
+
+
+class ColumnType(OpSpec):
+    """A single-column node, row-aligned with an originating dataset."""
+
+
+class RowIDColumnType(ColumnType):
+    """Stable unique row identifiers."""
+
+
+class VectorColumnType(ColumnType):
+    """Fixed-width numeric vectors (``array<float>``)."""
+
+    def col(self, index: int) -> "ScoreColumnType":
+        from .operators.dataset_ops import VectorToScalarOp
+
+        return VectorToScalarOp(input=self, col_index=index)
+
+    def train_classifier(
+        self,
+        positives: "BooleanColumnType",
+        negatives: Optional["BooleanColumnType"] = None,
+        train_domain: Optional["BooleanColumnType"] = None,
+        model_type: str = "logistic_regression",
+        preprocessing: str = "none",
+        random_state: int = 0,
+    ) -> "ClassifierType":
+        from .operators.classifier_ops import TrainClassifierOp
+
+        return TrainClassifierOp(
+            x=self,
+            positives=positives,
+            negatives=negatives,
+            train_domain=train_domain,
+            model_type=model_type,
+            preprocessing=preprocessing,
+            random_state=random_state,
+        )
+
+    def umap_vis(self, **params) -> "VizEmbeddingColumnType":
+        from .operators.viz_ops import UMAPVizOp
+
+        return UMAPVizOp(input=self, **params)
+
+
+class VizEmbeddingColumnType(ColumnType):
+    """2-D visualization coordinates."""
+
+
+class ClassifierType(OpSpec):
+    """A trained classifier artifact."""
+
+    def predict(self, input_data: "VectorColumnType") -> "ScoreColumnType":
+        from .operators.classifier_ops import ClassifierPredictOp
+
+        return ClassifierPredictOp(classifier=self, input_data=input_data)
+
+
+class EvaluationReportType(OpSpec):
+    """A JSON-shaped metrics artifact."""
+
+
+class TextColumnType(ColumnType):
+    """String column."""
+
+    def is_in(
+        self,
+        true_values: Optional[set[str]] = None,
+        false_values: Optional[set[str]] = None,
+    ) -> "BooleanColumnType":
+        from .operators.dataset_ops import CategoryToBooleanOp
+
+        return CategoryToBooleanOp(
+            input_category=self, true_values=true_values, false_values=false_values
+        )
+
+    def not_in(self, false_values: set[str]) -> "BooleanColumnType":
+        return self.is_in(false_values=false_values)
+
+    def parse_json(self) -> "JSONColumnType":
+        from .operators.dataset_ops import ParseJSONColumnOp
+
+        return ParseJSONColumnOp(input=self)
+
+    def llm_generate_text(self, model_name: str, **params) -> "TextColumnType":
+        from .operators.llm_ops import LLMGenerateTextOp
+
+        return LLMGenerateTextOp(input=self, model_name=model_name, **params)
+
+    def llm_layer_activations(
+        self, model_name: str, layer_num: int = -1, token_mode: str = "last", **params
+    ) -> "VectorColumnType":
+        from .operators.llm_ops import LLMLayerActivationsOp
+
+        return LLMLayerActivationsOp(
+            input=self,
+            model_name=model_name,
+            layer_num=layer_num,
+            token_mode=token_mode,
+            **params,
+        )
+
+    def llm_logit_scores(self, model_name: str, tokens: list[str], **params):
+        from .operators.llm_ops import LLMLogitScoresOp
+
+        return LLMLogitScoresOp(
+            input=self, model_name=model_name, tokens=tokens, **params
+        )
+
+
+class JSONColumnType(ColumnType):
+    """Nested struct/list data (stored as Spark VARIANT)."""
+
+    def get_field(self, path: str) -> "TextColumnType":
+        """Extract a field (JSONPath-lite, e.g. ``"k"`` or ``"a.b"``) as text."""
+        from .operators.dataset_ops import JSONGetFieldOp
+
+        return JSONGetFieldOp(input=self, path=path)
+
+
+class ConversationColumnType(JSONColumnType):
+    """Chat conversations: ``array<struct<role:string, content:string>>``."""
+
+
+class CategoricalColumnType(ColumnType):
+    """Low-cardinality string column."""
+
+    def is_in(
+        self,
+        true_values: Optional[set[str]] = None,
+        false_values: Optional[set[str]] = None,
+    ) -> "BooleanColumnType":
+        from .operators.dataset_ops import CategoryToBooleanOp
+
+        return CategoryToBooleanOp(
+            input_category=self, true_values=true_values, false_values=false_values
+        )
+
+    def not_in(self, false_values: set[str]) -> "BooleanColumnType":
+        return self.is_in(false_values=false_values)
+
+
+class TrainTestSplitColumnType(ColumnType):
+    """"train"/"test" labels."""
+
+    def is_in(
+        self,
+        true_values: Optional[set[str]] = None,
+        false_values: Optional[set[str]] = None,
+    ) -> "BooleanColumnType":
+        from .operators.dataset_ops import CategoryToBooleanOp
+
+        return CategoryToBooleanOp(
+            input_category=self, true_values=true_values, false_values=false_values
+        )
+
+    @property
+    def train(self) -> "BooleanColumnType":
+        return self.is_in({"train"})
+
+    @property
+    def test(self) -> "BooleanColumnType":
+        return self.is_in({"test"})
+
+
+class ScoreColumnType(ColumnType):
+    """Float scores."""
+
+    def evaluate(
+        self,
+        gt_positives: "BooleanColumnType",
+        gt_negatives: Optional["BooleanColumnType"] = None,
+        predict_domain: Optional["BooleanColumnType"] = None,
+        split: Optional["TrainTestSplitColumnType"] = None,
+        threshold: Optional[float] = None,
+    ) -> "EvaluationReportType":
+        from .operators.classifier_ops import ClassifierEvaluationOp
+
+        return ClassifierEvaluationOp(
+            scores=self,
+            gt_positives=gt_positives,
+            gt_negatives=gt_negatives,
+            predict_domain=predict_domain,
+            split=split,
+            threshold=threshold,
+        )
+
+    def _arith(self, op: str, other: "ScoreColumnType") -> "ScoreColumnType":
+        from .operators.dataset_ops import PairwiseArithmeticOp
+
+        if not isinstance(other, ScoreColumnType):
+            raise TypeError(f"Expected ScoreColumnType, got {type(other).__name__}")
+        return PairwiseArithmeticOp(operation=op, left=self, right=other)
+
+    def __add__(self, other: "ScoreColumnType") -> "ScoreColumnType":
+        return self._arith("+", other)
+
+    def __sub__(self, other: "ScoreColumnType") -> "ScoreColumnType":
+        return self._arith("-", other)
+
+    def __mul__(self, other: "ScoreColumnType") -> "ScoreColumnType":
+        return self._arith("*", other)
+
+    def __truediv__(self, other: "ScoreColumnType") -> "ScoreColumnType":
+        return self._arith("/", other)
+
+
+class BooleanColumnType(ColumnType):
+    """Boolean column."""
+
+    def _logic(self, op: str, other: "BooleanColumnType") -> "BooleanColumnType":
+        from .operators.dataset_ops import BooleanLogicOp
+
+        if not isinstance(other, BooleanColumnType):
+            raise TypeError(f"Expected BooleanColumnType, got {type(other).__name__}")
+        return BooleanLogicOp(operation=op, left=self, right=other)
+
+    def __and__(self, other: "BooleanColumnType") -> "BooleanColumnType":
+        return self._logic("and", other)
+
+    def __or__(self, other: "BooleanColumnType") -> "BooleanColumnType":
+        return self._logic("or", other)
+
+    def __xor__(self, other: "BooleanColumnType") -> "BooleanColumnType":
+        return self._logic("xor", other)
+
+    def __invert__(self) -> "BooleanColumnType":
+        from .operators.dataset_ops import BooleanLogicOp
+
+        return BooleanLogicOp(operation="not", left=self, right=self)
