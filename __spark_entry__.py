@@ -1,38 +1,819 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator (SURVEY.md §2 reference ops +
+the beyond-reference scale operators) to a callable ``(spark, sf_dir) →
+DataFrame``; ``oracle_sql()`` gives the DuckDB-equivalent SQL where the
+operator is SQL-expressible (hash-dependent ops use a cross-engine md5-based
+hash bridge so even MinHash/SimHash/hash-splits are oracle-checked).
+Entries without an oracle (driver-RNG split, trained-model scores, UMAP,
+LSH-candidate recall, stubbed decoders) get the driver's rows-only check.
+
+Reference-parity queries run **through the OpSpec engine** (graph build →
+SparkRunner lowering), so the correctness gate exercises the engine, not
+hand-written DataFrame code.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from krnel_graph_spark import SparkRunner  # noqa: E402
+from krnel_graph_spark.functions import dedup, similarity, text as tx  # noqa: E402
+from krnel_graph_spark.functions.hashing import (  # noqa: E402
+    MERSENNE_P,
+    MOD_INPUT,
+    md5_long_sql,
+    perm_params,
+)
+from krnel_graph_spark.functions.relational import asof_join  # noqa: E402
+from krnel_graph_spark.functions.vector import cosine  # noqa: E402
+from krnel_graph_spark.streaming.events import (  # noqa: E402
+    sessionize,
+    windowed_event_counts,
+)
+
+# --------------------------------------------------------------------- #
+# helpers                                                                #
+# --------------------------------------------------------------------- #
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _runner(spark: SparkSession) -> SparkRunner:
+    return SparkRunner(spark=spark, store_path=None)
+
+
+def _ds(spark, sf_dir, name):
+    runner = _runner(spark)
+    return runner, runner.from_parquet(f"{sf_dir}/{name}.parquet")
+
+
+# DuckDB SQL fragments mirrored 1:1 against functions/text.py expressions.
+_NORM = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+def _shingle_sql(k: int = 3) -> str:
+    """toks → word-k-shingles (mirrors functions.text.shingles)."""
+    return (
+        f"CASE WHEN len(toks) < {k} THEN CAST([] AS VARCHAR[]) "
+        f"ELSE [array_to_string(toks[i:i+{k - 1}], ' ') "
+        f"for i in range(1, len(toks) - {k - 2})] END"
+    )
+
+
+def _perm_sql(expr: str, i: int) -> str:
+    a, b = perm_params(i)
+    return f"(({a} * (({expr}) % {MOD_INPUT}) + {b}) % {MERSENNE_P})"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Strict left-fold dot product (mirrors functions.vector.dot)."""
+    prods = (
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)"
+    )
+    return (
+        f"list_reduce(list_concat([0.0::DOUBLE], {prods}), (acc, x) -> acc + x)"
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"({_dot_sql(a, b)} / "
+        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+    )
+
+
+def _lexicon_sql(langs=tx.LANG_PRIORITY) -> str:
+    """Per-language stopword hit counts as SQL select items."""
+    items = []
+    for lang in langs:
+        lex = ", ".join(f"'{w}'" for w in tx.LANG_LEXICONS[lang])
+        items.append(f"len(list_filter(toks, t -> t IN ({lex}))) AS h_{lang}")
+    return ", ".join(items)
+
+
+def _lang_case_sql() -> str:
+    """Mirror of functions.text.lang_id's fold, generated textually."""
+    best = "'und'"
+    score = "0"
+    for lang in reversed(tx.LANG_PRIORITY):
+        cond = f"(h_{lang} > 0 AND h_{lang} >= ({score}))"
+        new_best = f"CASE WHEN {cond} THEN '{lang}' ELSE ({best}) END"
+        new_score = f"CASE WHEN {cond} THEN h_{lang} ELSE ({score}) END"
+        best, score = new_best, new_score
+    return best
+
+
+_QUALITY_SQL = (
+    "0.4::DOUBLE * least(n_tok::DOUBLE / 100.0, 1.0) "
+    "+ 0.3::DOUBLE * least(stop_r * 4.0, 1.0) "
+    "+ 0.15::DOUBLE * (1.0 - least(punct_r * 4.0, 1.0)) "
+    "+ 0.15::DOUBLE * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)"
+)
+
+
+# --------------------------------------------------------------------- #
+# entry: flagship pipeline through the OpSpec engine                      #
+# --------------------------------------------------------------------- #
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: scan → typed select → predicate → boolean algebra → filter,
+    all as an OpSpec graph lowered to one fused Catalyst plan."""
+    runner, ds = _ds(spark, "/root/testdata/sf0.001", "customer")
+    seg = ds.col_categorical("c_mktsegment")
+    mask = seg.is_in({"BUILDING", "AUTOMOBILE"}) & ~seg.is_in({"MACHINERY"})
+    return runner.dataframe(ds.mask_rows(mask))
+
+
+# --------------------------------------------------------------------- #
+# queries                                                                 #
+# --------------------------------------------------------------------- #
+
+
+def q_scan(spark, sf_dir):
+    runner, ds = _ds(spark, sf_dir, "region")
+    return runner.dataframe(ds)
+
+
+def q_select_column(spark, sf_dir):
+    runner, ds = _ds(spark, sf_dir, "customer")
+    return runner.dataframe(ds.col_text("c_name"))
+
+
+def q_take_rows(spark, sf_dir):
+    runner, ds = _ds(spark, sf_dir, "customer")
+    return runner.dataframe(ds.take(100, skip=7, offset=3))
+
+
+def q_mask_isin(spark, sf_dir):
+    runner, ds = _ds(spark, sf_dir, "customer")
+    mask = ds.col_categorical("c_mktsegment").is_in({"BUILDING", "MACHINERY"})
+    return runner.dataframe(ds.mask_rows(mask))
+
+
+def q_mask_not_in(spark, sf_dir):
+    runner, ds = _ds(spark, sf_dir, "orders")
+    mask = ds.col_categorical("o_orderpriority").not_in(
+        {"5-LOW", "4-NOT SPECIFIED"}
+    )
+    return runner.dataframe(ds.mask_rows(mask))
+
+
+def q_boolean_logic(spark, sf_dir):
+    runner, ds = _ds(spark, sf_dir, "customer")
+    seg = ds.col_categorical("c_mktsegment")
+    b1 = seg.is_in({"AUTOMOBILE", "BUILDING"})
+    b2 = seg.not_in({"MACHINERY"})
+    return runner.dataframe((b1 & b2) | (~b1 ^ b2))
+
+
+def q_arithmetic(spark, sf_dir):
+    runner, ds = _ds(spark, sf_dir, "customer")
+    a, b = ds.col_score("c_acctbal"), ds.col_score("c_custkey")
+    return runner.dataframe(((a + b) * (a - b)) / b)
+
+
+def q_vector_to_scalar(spark, sf_dir):
+    runner, ds = _ds(spark, sf_dir, "embeddings")
+    return runner.dataframe(ds.col_vector("embedding").col(0))
+
+
+def q_parse_json_get(spark, sf_dir):
+    runner, ds = _ds(spark, sf_dir, "events")
+    return runner.dataframe(ds.col_text("props").parse_json().get_field("k"))
+
+
+def q_template(spark, sf_dir):
+    runner, ds = _ds(spark, sf_dir, "documents")
+    op = ds.template(
+        "[{{lang}}|{{source}}] {{text}}",
+        lang=ds.col_text("lang"),
+        source=ds.col_text("source"),
+        text=ds.col_text("text"),
+        max_length=40,
+    )
+    return runner.dataframe(op)
+
+
+def q_split_hash(spark, sf_dir):
+    runner, ds = _ds(spark, sf_dir, "customer")
+    return runner.dataframe(
+        ds.assign_train_test_split(test_size=0.25, random_state=42, method="hash")
+    )
+
+
+def q_split_rng(spark, sf_dir):
+    runner, ds = _ds(spark, sf_dir, "customer")
+    return runner.dataframe(
+        ds.assign_train_test_split(test_size=0.25, random_state=42)
+    )
+
+
+def q_assign_row_id(spark, sf_dir):
+    runner, ds = _ds(spark, sf_dir, "documents")
+    return runner.dataframe(ds.assign_row_id())
+
+
+def q_classifier_predict(spark, sf_dir):
+    runner, ds = _ds(spark, sf_dir, "embeddings")
+    x = ds.col_vector("embedding")
+    pos = ds.col_categorical("label").is_in({"2"})
+    clf = x.train_classifier(positives=pos, model_type="logistic_regression")
+    return runner.dataframe(clf.predict(x)).select(F.round("value", 4).alias("value"))
+
+
+def q_llm_activations_fake(spark, sf_dir):
+    runner, ds = _ds(spark, sf_dir, "documents")
+    op = ds.col_text("text").llm_layer_activations("fake:dim8", layer_num=-1)
+    return runner.dataframe(op)
+
+
+def q_umap_pca(spark, sf_dir):
+    runner, ds = _ds(spark, sf_dir, "embeddings")
+    op = ds.col_vector("embedding").umap_vis(method="pca")
+    return runner.dataframe(op)
+
+
+# ---- beyond-reference: relational ------------------------------------- #
+
+
+def q_agg_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-12-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_join_q3(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.date_format(F.first("o_orderdate"), "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+def q_broadcast_join_region(spark, sf_dir):
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+def q_window_topk(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+def q_sort_topk(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    w = Window.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+    return (
+        part.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 100)
+        .select("p_partkey", "p_name", "p_retailprice", "rnk")
+    )
+
+
+def q_distinct(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).distinct()
+
+
+def q_set_except(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return urgent.distinct().exceptAll(low.distinct())
+
+
+def q_set_intersect(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return urgent.intersect(low)
+
+
+def q_asof_join(spark, sf_dir):
+    from krnel_graph_spark.streaming.events import with_event_time
+
+    events = with_event_time(_t(spark, sf_dir, "events"))
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    joined = asof_join(purchases, clicks, on="user_id", value_cols=["click_value"])
+    return joined.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "click_value_asof"
+    )
+
+
+# ---- beyond-reference: streaming-shared windows ------------------------ #
+
+
+def q_events_windowed(spark, sf_dir):
+    out = windowed_event_counts(_t(spark, sf_dir, "events"), "1 hour")
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    out = sessionize(_t(spark, sf_dir, "events"), gap="30 minutes")
+    return out.select(
+        F.unix_micros("session_start").alias("session_start_us"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+
+
+# ---- beyond-reference: dedup ------------------------------------------- #
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dup_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.fingerprint("text").alias("fp"))
+
+
+def q_minhash_signature(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", dedup.minhash_signature("text", num_perm=16).alias("sig")
+    )
+
+
+def q_minhash_pairs(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        num_perm=16,
+        bands=4,
+        jaccard_threshold=0.5,
+    )
+
+
+def q_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", dedup.simhash("text", bits=32).alias("sh"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.4
+    )
+
+
+def q_embedding_dups(spark, sf_dir):
+    return dedup.embedding_cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.35
+    )
+
+
+# ---- beyond-reference: similarity search -------------------------------- #
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(emb, queries_df, "embedding", "vec_id", k=10)
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_lsh(
+        emb, queries_df, "embedding", "vec_id", k=10, dim=64, multiprobe=4
+    )
+
+
+def q_ann_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries_df, "embedding", "vec_id", k=10)
+
+
+# ---- beyond-reference: text analysis ------------------------------------ #
+
+
+def q_text_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tok"),
+        tx.regex_token_count("text").alias("n_tok_bpe"),
+        F.round(tx.stopword_ratio("text"), 6).alias("stop_r"),
+        F.round(tx.punct_ratio("text"), 6).alias("punct_r"),
+        F.round(tx.mean_word_length("text"), 6).alias("mwl"),
+        F.round(tx.quality_score("text"), 6).alias("quality"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", tx.lang_id("text").alias("pred_lang"))
+
+
+# ---- beyond-reference: multimodal plumbing ------------------------------ #
+
+
+def q_multimodal_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return docs.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("byte_len"),
+        F.sha2("payload", 256).alias("sha256"),
+    )
+
+
+def q_image_features_stub(spark, sf_dir):
+    from krnel_graph_spark.functions.multimodal import extract_image_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return extract_image_features(docs, "payload", "doc_id", fake=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "scan_parquet": q_scan,
+        "select_column": q_select_column,
+        "take_rows": q_take_rows,
+        "mask_isin": q_mask_isin,
+        "mask_not_in": q_mask_not_in,
+        "boolean_logic": q_boolean_logic,
+        "pairwise_arithmetic": q_arithmetic,
+        "vector_to_scalar": q_vector_to_scalar,
+        "parse_json_get": q_parse_json_get,
+        "jinja_template": q_template,
+        "split_hash": q_split_hash,
+        "split_rng": q_split_rng,
+        "assign_row_id": q_assign_row_id,
+        "classifier_predict": q_classifier_predict,
+        "llm_activations_fake": q_llm_activations_fake,
+        "umap_pca": q_umap_pca,
+        "agg_q1": q_agg_q1,
+        "join_q3": q_join_q3,
+        "broadcast_join_region": q_broadcast_join_region,
+        "window_topk": q_window_topk,
+        "sort_topk": q_sort_topk,
+        "distinct_flags": q_distinct,
+        "set_except": q_set_except,
+        "set_intersect": q_set_intersect,
+        "asof_join": q_asof_join,
+        "events_windowed": q_events_windowed,
+        "sessionize": q_sessionize,
+        "dedup_exact": q_dedup_exact,
+        "fingerprint": q_fingerprint,
+        "minhash_signature": q_minhash_signature,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_dups": q_embedding_dups,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "multimodal_meta": q_multimodal_meta,
+        "image_features_stub": q_image_features_stub,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------- #
+# oracles                                                                 #
+# --------------------------------------------------------------------- #
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm_text = _NORM.format(c="text")
+    toks_text = _TOKS.format(c="text")
+    sh3 = _shingle_sql(3)
+
+    minhash_hs = (
+        "list_transform(sh, s -> "
+        "CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT))"
+    )
+    sig16 = ", ".join(
+        f"list_min(list_transform(hs, h -> {_perm_sql('h', i)}))" for i in range(16)
+    )
+    empty16 = ", ".join(["-1"] * 16)
+
+    simhash_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> {i}) & 1) * 2 - 1)) > 0 "
+        f"THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(32)
+    )
+
+    jaccard = (
+        "len(list_intersect(a.shd, b.shd))::DOUBLE / "
+        "len(list_distinct(list_concat(a.shd, b.shd)))::DOUBLE"
+    )
+
+    band_sql = (
+        "md5(array_to_string(list_transform("
+        "sig[band * 4 + 1 : band * 4 + 4], x -> x::VARCHAR), ','))"
+    )
+
+    shingle_cte = f"""
+WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents),
+s AS (SELECT doc_id, {sh3} AS sh FROM t),
+h AS (SELECT doc_id, sh, list_distinct(sh) AS shd, {minhash_hs} AS hs FROM s)
+"""
+
+    lang_hits = _lexicon_sql()
+    lang_case = _lang_case_sql()
+
+    cos_ab = _cosine_sql("a.embedding", "b.embedding")
+    cos_dq = _cosine_sql("d.embedding", "q.embedding")
+
+    return {
+        "scan_parquet": "SELECT * FROM region",
+        "select_column": "SELECT c_name FROM customer",
+        "take_rows": """
+WITH t AS (SELECT *, row_number() OVER (ORDER BY c_custkey) - 1 AS rn FROM customer)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM t WHERE rn >= 3 AND (rn - 3) % 7 = 0 AND rn < 3 + 100 * 7
+""",
+        "mask_isin": (
+            "SELECT * FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')"
+        ),
+        "mask_not_in": (
+            "SELECT * FROM orders WHERE o_orderpriority NOT IN "
+            "('5-LOW', '4-NOT SPECIFIED')"
+        ),
+        "boolean_logic": """
+SELECT ((c_mktsegment IN ('AUTOMOBILE', 'BUILDING'))
+        AND (c_mktsegment NOT IN ('MACHINERY')))
+       OR ((NOT (c_mktsegment IN ('AUTOMOBILE', 'BUILDING')))
+           <> (c_mktsegment NOT IN ('MACHINERY'))) AS value
+FROM customer
+""",
+        "pairwise_arithmetic": """
+WITH t AS (SELECT (c_acctbal::DOUBLE + c_custkey::DOUBLE)
+                  * (c_acctbal::DOUBLE - c_custkey::DOUBLE) AS num,
+                  c_custkey::DOUBLE AS den FROM customer)
+SELECT CASE WHEN den = 0 AND num > 0 THEN 'infinity'::DOUBLE
+            WHEN den = 0 AND num < 0 THEN '-infinity'::DOUBLE
+            WHEN den = 0 THEN 'nan'::DOUBLE
+            ELSE num / den END AS value
+FROM t
+""",
+        "vector_to_scalar": "SELECT embedding[1]::DOUBLE AS value FROM embeddings",
+        "parse_json_get": (
+            "SELECT json_extract_string(props, '$.k') AS value FROM events"
+        ),
+        "jinja_template": (
+            "SELECT substring('[' || lang || '|' || source || '] ' || text, 1, 40) "
+            "AS value FROM documents"
+        ),
+        "split_hash": f"""
+WITH t AS (SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS rn FROM customer)
+SELECT CASE WHEN ({md5_long_sql("rn::VARCHAR || ':42'")} % 1000000) < 250000
+       THEN 'test' ELSE 'train' END AS value
+FROM t
+""",
+        "assign_row_id": """
+SELECT row_number() OVER (ORDER BY doc_id) - 1 AS row_id FROM documents
+""",
+        "agg_q1": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "join_q3": """
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue,
+       strftime(min(o.o_orderdate), '%Y-%m-%d') AS orderdate
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_orderkey
+""",
+        "broadcast_join_region": """
+SELECT r.r_name, count(*) AS n_cust, round(avg(c.c_acctbal), 4) AS avg_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+        "window_topk": """
+WITH t AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk FROM orders)
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM t WHERE rnk <= 3
+""",
+        "sort_topk": """
+WITH t AS (SELECT *, row_number() OVER (ORDER BY p_retailprice DESC, p_partkey ASC)
+           AS rnk FROM part)
+SELECT p_partkey, p_name, p_retailprice, rnk FROM t WHERE rnk <= 100
+""",
+        "distinct_flags": (
+            "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+        ),
+        "set_except": """
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+""",
+        "set_intersect": """
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+""",
+        "asof_join": """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, max(value) AS click_value FROM events
+      WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       c.click_value AS click_value_asof
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+        "events_windowed": """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "sessionize": """
+WITH m AS (SELECT user_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+             THEN 1 ELSE 0 END AS new_s
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+SELECT epoch_us(min(ts)) AS session_start_us, user_id,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+        "dedup_exact": f"""
+SELECT md5({norm_text}) AS fp, count(*) AS n_dups, min(doc_id) AS keeper_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""",
+        "fingerprint": f"SELECT doc_id, md5({norm_text}) AS fp FROM documents",
+        "minhash_signature": f"""
+{shingle_cte}
+SELECT doc_id, CASE WHEN len(sh) = 0 THEN [{empty16}]::BIGINT[]
+       ELSE [{sig16}] END AS sig
+FROM h
+""",
+        "minhash_pairs": f"""
+{shingle_cte},
+sig AS (SELECT doc_id, shd,
+        CASE WHEN len(sh) = 0 THEN [{empty16}]::BIGINT[] ELSE [{sig16}] END AS sig
+        FROM h WHERE len(shd) > 0),
+bands AS (SELECT doc_id, shd, band, {band_sql} AS band_sig
+          FROM sig, (SELECT unnest(range(0, 4)) AS band)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_sig = b.band_sig
+          AND a.doc_id < b.doc_id),
+j AS (SELECT doc_a, doc_b, {jaccard} AS jac
+      FROM cand JOIN h a ON a.doc_id = doc_a JOIN h b ON b.doc_id = doc_b)
+SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5
+""",
+        "simhash": f"""
+WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents),
+h AS (SELECT doc_id,
+      list_transform(toks, s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT))
+      AS hs FROM t)
+SELECT doc_id, ({simhash_terms}) AS sh FROM h
+""",
+        "ngram_jaccard": f"""
+{shingle_cte},
+d AS (SELECT doc_id, shd FROM h WHERE len(shd) > 0)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round({jaccard}, 6) AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE {jaccard} >= 0.4
+""",
+        "embedding_dups": f"""
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, round({cos_ab}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({cos_ab}, 6) >= 0.35
+""",
+        "ann_topk": f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS doc_id, {cos_dq} AS cos
+  FROM embeddings d JOIN embeddings q
+    ON q.vec_id < 10 AND d.vec_id <> q.vec_id),
+r AS (SELECT query_id, doc_id, cos,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC)
+      AS rank FROM scored)
+SELECT query_id, doc_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10
+""",
+        "text_stats": f"""
+WITH t AS (SELECT doc_id, text, {toks_text} AS toks FROM documents),
+m AS (SELECT doc_id, text, toks,
+      CASE WHEN trim(text) = '' THEN 0
+           ELSE len(regexp_extract_all(trim(text), '\\s+')) + 1 END AS n_tok,
+      {lang_hits}
+      FROM t),
+base AS (SELECT doc_id, n_tok,
+  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_tok_bpe,
+  CASE WHEN n_tok = 0 THEN 0.0 ELSE h_en::DOUBLE / n_tok::DOUBLE END AS stop_r,
+  CASE WHEN length(text) = 0 THEN 0.0
+       ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+            / length(text)::DOUBLE END AS punct_r,
+  CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE list_reduce(list_concat([0::BIGINT],
+                list_transform(toks, x -> length(x)::BIGINT)),
+                (acc, x) -> acc + x)::DOUBLE / len(toks)::DOUBLE
+  END AS mwl
+  FROM m)
+SELECT doc_id, n_tok, n_tok_bpe, round(stop_r, 6) AS stop_r,
+       round(punct_r, 6) AS punct_r, round(mwl, 6) AS mwl,
+       round({_QUALITY_SQL}, 6) AS quality
+FROM base
+""",
+        "lang_id": f"""
+WITH t AS (SELECT doc_id, lang, {toks_text} AS toks FROM documents),
+m AS (SELECT doc_id, lang, {lang_hits} FROM t)
+SELECT doc_id, lang, {lang_case} AS pred_lang FROM m
+""",
+        "multimodal_meta": """
+SELECT doc_id, octet_length(encode(text)) AS byte_len, sha256(text) AS sha256
+FROM documents
+""",
+    }
+
+
+# --------------------------------------------------------------------- #
+# CLI smoke                                                               #
+# --------------------------------------------------------------------- #
+
+if __name__ == "__main__":
+    from krnel_graph_spark.runners.spark_runner import get_spark
+
+    spark = get_spark("spark-entry-smoke")
+    df = entry(spark)
+    print(f"entry rows: {df.count()}, schema: {df.schema.simpleString()}")

@@ -1,0 +1,336 @@
+"""Deduplication for large-scale training-data pipelines.
+
+Five strategies, all Spark-native:
+
+* **exact**            — md5-of-normalized-text group-by (one shuffle on the
+                         hash, not the text — tiny shuffle payload).
+* **MinHash + LSH**    — shingle → k-permutation MinHash signature (pure SQL
+                         higher-order functions) → banding → bucket
+                         self-join. Candidate pairs are verified with exact
+                         shingle-set Jaccard. The standard near-dup pipeline
+                         (Broder '97; used by C4/RefinedWeb-style cleanups).
+* **SimHash**          — 64-bit sign-of-weighted-bit-votes fingerprint;
+                         near-dups = small Hamming distance. Implemented with
+                         elementwise vote aggregation in SQL.
+* **n-gram Jaccard**   — exact pairwise Jaccard over shingle sets (the
+                         brute-force baseline the sketches approximate).
+* **embedding cosine** — near-dup = cosine similarity above a threshold over
+                         an embedding column.
+
+Scale notes: MinHash/SimHash signatures are computed in one scan-side pass
+(no shuffle); pair generation shuffles only (bucket-key, doc-id) tuples. The
+brute-force variants exist as correctness baselines and for small candidate
+sets — at 100 TB you run the LSH path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import md5_long, permute
+from .text import fingerprint, normalize_text, shingles
+
+# ---------------------------------------------------------------------- #
+# Exact                                                                    #
+# ---------------------------------------------------------------------- #
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of exact duplicates (after normalization): one row per
+    duplicated fingerprint with the member count and the keeper (min id)."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def drop_exact_dups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per normalized-text fingerprint.
+    Window-free formulation: an aggregate + semi-join keeps both sides
+    shuffle-partitioned on the same key."""
+    keepers = (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------- #
+# MinHash + LSH                                                            #
+# ---------------------------------------------------------------------- #
+
+
+def minhash_signature(text_col, num_perm: int = 32, shingle_k: int = 3) -> Column:
+    """MinHash signature as ``array<bigint>`` (length ``num_perm``).
+
+    Entirely Spark SQL: shingle → md5-based 60-bit hash → k universal-hash
+    permutations → array_min per permutation. Empty shingle sets get an
+    all--1 sentinel signature (never collides with real ones).
+    """
+    sh = shingles(text_col, shingle_k)
+    hashes = F.transform(sh, lambda s: md5_long(s))
+
+    def perm_fn(i: int):
+        # Single-arg lambda: a 2-arg lambda would make Spark pass the
+        # element *index* as the second argument.
+        return lambda h: permute(h, i)
+
+    sig = F.array(
+        *[F.array_min(F.transform(hashes, perm_fn(i))) for i in range(num_perm)]
+    )
+    empty = F.array(*[F.lit(-1).cast("long") for _ in range(num_perm)])
+    return F.when(F.size(sh) == 0, empty).otherwise(sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH with exact verification.
+
+    Pipeline: signature (scan-side) → explode into ``bands`` band-keys →
+    self-join on (band, band-signature) → distinct candidate pairs → exact
+    shingle-set Jaccard filter. Shuffle volume is O(rows × bands), not
+    O(rows²).
+    """
+    rows_per_band = num_perm // bands
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(text_col, num_perm, shingle_k).alias("sig"),
+        F.array_distinct(shingles(text_col, shingle_k)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+
+    banded = base.select(
+        "doc",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    # md5 of the joined band slice: engine-agnostic band key
+                    # (F.hash is Spark-only murmur; oracles recompute this).
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_sig"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc", "sh", F.col("bk.band").alias("band"), F.col("bk.band_sig").alias("band_sig"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("doc_a"),
+            F.col("r.doc").alias("doc_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        candidates.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------- #
+# SimHash                                                                  #
+# ---------------------------------------------------------------------- #
+
+_SIMHASH_BITS = 60  # md5_long yields 60-bit hashes
+
+
+def simhash(text_col, bits: int = _SIMHASH_BITS) -> Column:
+    """SimHash fingerprint: per-bit ±1 votes from each token hash, sign of
+    the vote sum becomes the output bit. Pure SQL higher-order functions:
+    one ``aggregate`` with a ``zip_with`` elementwise adder."""
+    from .text import whitespace_tokens
+
+    token_hashes = F.transform(whitespace_tokens(text_col), lambda t: md5_long(t))
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
+    # Bit positions are Python ints (shiftright/shiftleft take literal
+    # shift amounts); one pass over the token array accumulates all votes.
+    votes = F.aggregate(
+        token_hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+                    for i in range(bits)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.when(
+            F.element_at(votes, i + 1) > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    band_bits: int = 15,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 60-bit fingerprint into 4 chunks
+    (pigeonhole: any pair within Hamming distance 3 shares at least one exact
+    chunk), self-join per chunk, verify exact Hamming distance."""
+    base = df.select(
+        F.col(id_col).alias("doc"), simhash(text_col).alias("sh")
+    )
+    chunks = base.select(
+        "doc",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_SIMHASH_BITS // band_bits - 1)),
+                lambda b: F.struct(
+                    b.alias("chunk"),
+                    F.shiftright(F.col("sh"), b * band_bits)
+                    .bitwiseAND(F.lit((1 << band_bits) - 1))
+                    .alias("chunk_val"),
+                ),
+            )
+        ).alias("ck"),
+    ).select("doc", "sh", F.col("ck.chunk").alias("chunk"), F.col("ck.chunk_val").alias("chunk_val"))
+
+    l, r = chunks.alias("l"), chunks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("doc_a"),
+            F.col("r.doc").alias("doc_b"),
+            hamming64(F.col("l.sh"), F.col("r.sh")).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------- #
+# Brute-force baselines                                                    #
+# ---------------------------------------------------------------------- #
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs shingle-set Jaccard above a threshold.
+
+    Implemented as shingle-inverted-index join (pairs must share ≥1 shingle)
+    rather than a cross join, so it degrades gracefully; still the exactness
+    baseline, not the 100-TB path (that's :func:`minhash_lsh_pairs`)."""
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(shingles(text_col, shingle_k)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    inverted = base.select("doc", "sh", F.explode("sh").alias("shingle"))
+    l, r = inverted.alias("l"), inverted.alias("r")
+    candidates = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("doc_a"),
+            F.col("r.doc").alias("doc_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        candidates.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine similarity ≥ threshold.
+
+    With ``planes`` given, candidates are restricted to random-hyperplane LSH
+    bucket collisions (the scale path); without, it's the exact cross join
+    baseline."""
+    from .vector import cosine, hyperplane_signature
+
+    base = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
+    if planes is not None:
+        base = base.withColumn("bucket", hyperplane_signature("v", planes))
+        l, r = base.alias("l"), base.alias("r")
+        joined = l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+    else:
+        l, r = base.alias("l"), base.alias("r")
+        joined = l.join(r, F.col("l.doc") < F.col("r.doc"))
+    return (
+        joined.select(
+            F.col("l.doc").alias("doc_a"),
+            F.col("r.doc").alias("doc_b"),
+            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

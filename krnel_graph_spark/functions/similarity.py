@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* :func:`cosine_topk` — exact brute-force top-k: broadcast the (small) query
+  set against the corpus, window-rank per query. The correctness baseline,
+  and genuinely the right plan when |queries| is small: one corpus scan, no
+  corpus shuffle beyond the rank.
+* :func:`cosine_topk_lsh` — random-hyperplane-bucketed approximate variant:
+  corpus and queries hash to LSH buckets (with optional multi-probe on the
+  query side), candidates are bucket collisions only. The 100-TB path: the
+  join key is a 16-bit bucket id, so the shuffle carries ids+buckets, and
+  per-bucket candidate sets stay small.
+* :func:`ivf_topk` — IVF-style: k-means-ish centroids sampled
+  deterministically from the corpus; vectors assign to nearest centroid
+  (scan-side); queries probe the ``nprobe`` nearest centroid cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .vector import cosine, dot, hyperplane_signature, l2_distance
+
+
+def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Top-k per query by similarity (id tiebreak for determinism)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "cosine", "rank")
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbors per query (queries broadcast; self-matches
+    excluded when ids collide)."""
+    c = corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("dv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = c.join(F.broadcast(q), F.col("doc_id") != F.col("query_id")).select(
+        "query_id",
+        "doc_id",
+        F.round(cosine(F.col("dv"), F.col("qv")), 6).alias("cosine"),
+    )
+    return _ranked_topk(scored, k)
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    planes: list[list[float]] | None = None,
+    dim: int | None = None,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: candidates = hyperplane-bucket collisions.
+
+    ``multiprobe`` > 1 additionally probes buckets at Hamming distance 1 on
+    the query side (flipping each of the lowest ``multiprobe`` bits),
+    trading candidate volume for recall.
+    """
+    if planes is None:
+        if dim is None:
+            dim = len(corpus.select(vec_col).first()[0])
+        planes = random_hyperplanes(dim)
+    c = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("dv"),
+        hyperplane_signature(vec_col, planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        hyperplane_signature(vec_col, planes).alias("qbucket"),
+    )
+    if multiprobe > 1:
+        probes = F.array_distinct(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(multiprobe - 1)
+                ],
+            )
+        )
+        q = q.select("query_id", "qv", F.explode(probes).alias("qbucket"))
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("doc_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(cosine(F.col("dv"), F.col("qv")), 6).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "doc_id"])
+    )
+    return _ranked_topk(scored, k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-flat approximate top-k.
+
+    Centroids are a deterministic sample of corpus vectors (hash-ordered);
+    good enough for cell routing without an iterative k-means job. Corpus
+    rows assign to their nearest centroid scan-side; each query probes its
+    ``nprobe`` nearest cells.
+    """
+    centroid_rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy(F.xxhash64(F.col("cid"), F.lit(seed)))
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [(i, [float(x) for x in r["cv"]]) for i, r in enumerate(centroid_rows)]
+
+    def nearest_cells(vec_expr, n: int):
+        dists = F.array(
+            *[
+                F.struct(
+                    l2_distance(
+                        vec_expr, F.array(*[F.lit(x) for x in cv])
+                    ).alias("d"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, cv in centroids
+            ]
+        )
+        return F.slice(F.array_sort(dists), 1, n)
+
+    c = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("dv"),
+        nearest_cells(F.col(vec_col), 1)[0]["cell"].alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            F.transform(nearest_cells(F.col(vec_col), nprobe), lambda s: s["cell"])
+        ).alias("cell"),
+    )
+    scored = c.join(
+        F.broadcast(q).withColumnRenamed("cell", "qcell"),
+        (F.col("cell") == F.col("qcell")) & (F.col("doc_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "doc_id",
+        F.round(cosine(F.col("dv"), F.col("qv")), 6).alias("cosine"),
+    ).dropDuplicates(["query_id", "doc_id"])
+    return _ranked_topk(scored, k)

@@ -1,0 +1,137 @@
+"""Text-analysis building blocks for training-data pipelines.
+
+All pure Spark SQL expressions (split/filter/size/regexp — JVM-side,
+whole-stage-codegen'd, no UDFs), so they run at scan throughput on 100 TB
+and can be mirrored 1:1 in DuckDB SQL for oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lexicons for the n-gram/stopword language-ID
+# heuristic. Deliberately small: language ID at pipeline scale is a scoring
+# pass, not a model.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"),
+    "es": ("el", "los", "las", "y", "de", "un", "una", "es", "que", "para"),
+    "de": ("der", "die", "das", "und", "ein", "eine", "ist", "zu", "den", "von"),
+    "zh": ("的", "了", "是", "我", "不", "在", "他", "有", "这", "就"),
+}
+# Deterministic tie-break: earlier language wins ties.
+LANG_PRIORITY = ("en", "fr", "es", "de", "zh")
+
+TOKEN_REGEX = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"  # BPE-ish: words + punct marks
+STOPWORDS_EN = LANG_LEXICONS["en"]
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col) -> Column:
+    """Lowercase + collapse whitespace: the canonical form used by
+    fingerprinting and shingling."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def whitespace_tokens(col) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    t = F.trim(_c(col))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def regex_token_count(col) -> Column:
+    """BPE-ish token count: alphanumeric runs + individual punctuation."""
+    return F.regexp_count(_c(col), F.lit(TOKEN_REGEX))
+
+
+def lexicon_hits(col, lexicon) -> Column:
+    """How many tokens appear in ``lexicon`` (duplicates count)."""
+    return F.size(
+        F.filter(whitespace_tokens(col), lambda t: t.isin([*lexicon]))
+    )
+
+
+def stopword_ratio(col, lexicon=STOPWORDS_EN) -> Column:
+    n = token_count(col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        lexicon_hits(col, lexicon).cast("double") / n.cast("double")
+    )
+
+
+def mean_word_length(col) -> Column:
+    toks = whitespace_tokens(col)
+    n = F.size(toks)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / n.cast("double")
+    )
+
+
+def punct_ratio(col) -> Column:
+    n_chars = F.length(_c(col))
+    n_punct = F.length(F.regexp_replace(_c(col), r"[A-Za-z0-9\s]", ""))
+    return F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        n_punct.cast("double") / n_chars.cast("double")
+    )
+
+
+def quality_score(col) -> Column:
+    """Heuristic document-quality score in [0, 1]: favors mid-length docs
+    with a healthy stopword ratio, low punctuation density, and plausible
+    word lengths. Pure arithmetic → identical in any SQL engine."""
+    length_term = F.least(token_count(col).cast("double") / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(col) * F.lit(4.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * F.lit(4.0), F.lit(1.0))
+    mwl = mean_word_length(col)
+    word_term = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (
+        F.lit(0.4) * length_term
+        + F.lit(0.3) * stop_term
+        + F.lit(0.15) * punct_term
+        + F.lit(0.15) * word_term
+    )
+
+
+def lang_id(col) -> Column:
+    """Stopword-lexicon language ID: score every language, pick the argmax
+    (priority order breaks ties; 'und' when nothing matches)."""
+    hits = {lang: lexicon_hits(col, lex) for lang, lex in LANG_LEXICONS.items()}
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # Process in reverse priority with >= so the earliest language in
+    # LANG_PRIORITY (processed last) wins ties; all-zero scores stay 'und'.
+    for lang in reversed(LANG_PRIORITY):
+        cond = (hits[lang] > 0) & (hits[lang] >= best_score)
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, hits[lang]).otherwise(best_score)
+    return best
+
+
+def fingerprint(col) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    (The classic normalize→hash content fingerprint; md5 keeps it
+    cross-engine verifiable.)"""
+    return F.md5(normalize_text(col))
+
+
+def shingles(col, k: int = 3) -> Column:
+    """Word k-shingles of the normalized text (empty array when fewer than
+    ``k`` tokens)."""
+    toks = whitespace_tokens(col)
+    n = F.size(toks)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )

@@ -1,0 +1,65 @@
+"""Vector-column expression builders (embeddings as ``array<float>``).
+
+All pure Spark SQL higher-order functions — JVM-evaluated, codegen-friendly,
+no Python in the hot path. Accumulations are done in double precision in
+index order, which makes results reproducible and lets a DuckDB oracle
+(``list_inner_product`` etc.) hash-match after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a, b) -> Column:
+    """Σ aᵢ·bᵢ with a double accumulator (index order, deterministic)."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_distance(a, b) -> Column:
+    diff = F.zip_with(
+        _c(a), _c(b), lambda x, y: x.cast("double") - y.cast("double")
+    )
+    return F.sqrt(
+        F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def normalize(a) -> Column:
+    """Unit-normalize a vector (zero vectors pass through unchanged)."""
+    n = l2_norm(a)
+    return F.when(n == 0.0, _c(a).cast("array<double>")).otherwise(
+        F.transform(_c(a), lambda x: x.cast("double") / n)
+    )
+
+
+def hyperplane_signature(a, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit i = sign(a · planes[i]).
+
+    ``planes`` is a small driver-generated list (deterministic seed) embedded
+    as literals — broadcast-free, evaluated entirely JVM-side. 16 planes →
+    65k buckets; cosine-similar vectors collide with high probability.
+    """
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_arr = F.array(*[F.lit(float(v)) for v in plane])
+        bit = (dot(_c(a), plane_arr) >= 0).cast("long")
+        bucket = bucket + bit * F.lit(1 << i)
+    return bucket

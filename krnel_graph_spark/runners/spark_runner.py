@@ -67,6 +67,9 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.ui.showConsoleProgress", "false")
+        # Driver testdata carries TIMESTAMP(NANOS) parquet, which vanilla
+        # Spark rejects; read as nanosecond longs (convert at use sites).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -554,7 +557,8 @@ def mask_rows(runner: SparkRunner, op: MaskRowsOp) -> DatasetPlan:
 @SparkRunner.implementation
 def category_to_boolean(runner: SparkRunner, op: CategoryToBooleanOp) -> ColumnPlan:
     col = runner.column_plan(op.input_category)
-    expr = col.expr
+    dtype = col.df().schema[col.name].dataType
+    expr = col.expr if isinstance(dtype, T.StringType) else col.expr.cast("string")
     if op.true_values is not None and op.false_values is not None:
         union = sorted(set(op.true_values) | set(op.false_values))
         bad = col.source.filter(~expr.isin(union) & expr.isNotNull()).limit(1)
@@ -777,9 +781,16 @@ def assign_train_test_split(
     ds = runner.dataset_plan(op.dataset)
 
     if op.method == "hash":
+        from ..functions.hashing import md5_long
+
         frac = _test_fraction(op)
+        # md5-based salted hash (not xxhash64) so the split is reproducible
+        # in any engine — the DuckDB oracle recomputes it exactly.
         bucket = F.pmod(
-            F.xxhash64(F.col(ROW_ID), F.lit(op.random_state)), F.lit(1_000_000)
+            md5_long(
+                F.concat(F.col(ROW_ID).cast("string"), F.lit(f":{op.random_state}"))
+            ),
+            F.lit(1_000_000),
         )
         expr = F.when(bucket < int(frac * 1_000_000), F.lit("test")).otherwise(
             F.lit("train")

@@ -1,0 +1,102 @@
+"""Structured Streaming operators over event streams.
+
+Transformations are defined once as DataFrame functions and reused by both
+``spark.read`` (batch backfill — how the oracle checks them) and
+``spark.readStream`` (incremental). This batch/streaming unification is the
+core Structured Streaming design and the reason the correctness gate can
+validate streaming semantics with a plain SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def with_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to a Spark TIMESTAMP.
+
+    The testdata `events` parquet stores TIMESTAMP(NANOS), which Spark can
+    only read as a nanosecond-epoch BIGINT (``spark.sql.legacy.parquet
+    .nanosAsLong``). Convert with integer `div` (not float division — epoch
+    nanos ~1.7e18 exceed double's 53-bit mantissa) to microsecond precision,
+    Spark's native timestamp resolution.
+    """
+    if dict(df.dtypes).get(ts_col) in ("bigint", "long"):
+        df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    return df
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event type. With a watermark
+    (streaming mode), late rows beyond the bound are dropped and window
+    state is evicted — bounded state at any scale."""
+    df = with_event_time(events)
+    if watermark is not None and events.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user (gap-based). Streaming-native via
+    ``session_window``; batch mode runs the same expression."""
+    df = with_event_time(events)
+    if events.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_events_from_parquet(
+    spark: SparkSession, path: str, schema=None
+) -> DataFrame:
+    """File-source stream over a parquet path (tests drive it with
+    ``trigger(availableNow=True)`` into a memory sink)."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+):
+    """Drain all available input into an in-memory table and stop — the
+    standard batch-equivalence test harness for streaming queries."""
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -1,0 +1,133 @@
+"""Local emulation of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry and its ``oracle_sql()`` twin
+(DuckDB) at a given scale factor, compares row count + schema-insensitive
+sorted-column value hash, and prints a per-query verdict. Queries without an
+oracle get a rows-only check.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from krnel_graph_spark.runners.spark_runner import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon_value(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "∅"
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isinf(f):
+            return "inf" if f > 0 else "-inf"
+        if f == int(f) and abs(f) < 1e15:
+            return str(int(f))
+        return f"{f:.10g}"
+    if isinstance(v, (np.integer, int)):
+        return str(int(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canon_table(pdf: pd.DataFrame) -> tuple[int, list[str], int]:
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(canon_value(row[c]) for c in cols)
+        for _, row in pdf[cols].iterrows()
+    ]
+    rows.sort()
+    return len(pdf), cols, hash(tuple(rows))
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    spark = get_spark("correctness-check")
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+
+    n_pass = n_fail = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:
+            print(f"FAIL {name}: spark error: {type(exc).__name__}: {exc}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ROWS {name}: {len(spark_pdf)} rows ({dt:.1f}s) [no oracle]")
+            n_pass += 1
+            continue
+        try:
+            oracle_pdf = con.execute(oracles[name]).df()
+        except Exception as exc:
+            print(f"FAIL {name}: oracle error: {type(exc).__name__}: {exc}")
+            n_fail += 1
+            continue
+        sn, sc, sh = canon_table(spark_pdf)
+        on_, oc, oh = canon_table(oracle_pdf)
+        if sn != on_:
+            print(f"FAIL {name}: rows {sn} vs {on_} ({dt:.1f}s)")
+            n_fail += 1
+        elif sc != oc:
+            print(f"FAIL {name}: columns {sc} vs {oc}")
+            n_fail += 1
+        elif sh != oh:
+            print(f"FAIL {name}: value hash mismatch ({sn} rows)")
+            _debug_mismatch(name, spark_pdf, oracle_pdf)
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {sn} rows ({dt:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+def _debug_mismatch(name, spark_pdf, oracle_pdf, limit=3):
+    cols = sorted(spark_pdf.columns)
+    s_rows = sorted(
+        tuple(canon_value(r[c]) for c in cols) for _, r in spark_pdf[cols].iterrows()
+    )
+    o_rows = sorted(
+        tuple(canon_value(r[c]) for c in cols) for _, r in oracle_pdf[cols].iterrows()
+    )
+    s_only = [r for r in s_rows if r not in set(o_rows)][:limit]
+    o_only = [r for r in o_rows if r not in set(s_rows)][:limit]
+    for r in s_only:
+        print(f"    spark-only:  {r}")
+    for r in o_only:
+        print(f"    oracle-only: {r}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
