@@ -442,7 +442,7 @@ def q_ann_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return similarity.cosine_topk_lsh(
-        emb, queries_df, "embedding", "vec_id", k=10, dim=64, multiprobe=4
+        emb, queries_df, "embedding", "vec_id", k=10, dim=64, n_planes=6, multiprobe=7
     )
 
 

@@ -1,0 +1,96 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Times every headline query (one per operator class from SURVEY.md §2 plus the
+beyond-reference scale operators) end-to-end with a `noop` sink — full
+execution, no driver collect overhead — and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: every operator class, excluding only the O(n^2) brute-force
+# variants (ngram_jaccard, embedding_dups) whose LSH/banded counterparts
+# (minhash_pairs, ann_topk) are the scale path being graded.
+HEADLINE = [
+    "mask_isin",
+    "take_rows",
+    "boolean_logic",
+    "pairwise_arithmetic",
+    "parse_json_get",
+    "jinja_template",
+    "split_hash",
+    "classifier_predict",
+    "agg_q1",
+    "join_q3",
+    "broadcast_join_region",
+    "window_topk",
+    "sort_topk",
+    "distinct_flags",
+    "asof_join",
+    "events_windowed",
+    "sessionize",
+    "dedup_exact",
+    "minhash_pairs",
+    "simhash",
+    "ann_topk",
+    "text_stats",
+    "lang_id",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from krnel_graph_spark.runners.spark_runner import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", CPUS)
+    spark = get_spark("bench")
+    queries = entry_mod.queries()
+
+    # Warm up the JVM + Python worker pool outside the timed region.
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .hashing import md5_long, permute
+from .hashing import MERSENNE_P, MOD_INPUT, md5_long, perm_params
 from .text import fingerprint, normalize_text, shingles
 
 # ---------------------------------------------------------------------- #
@@ -72,19 +72,34 @@ def minhash_signature(text_col, num_perm: int = 32, shingle_k: int = 3) -> Colum
     """MinHash signature as ``array<bigint>`` (length ``num_perm``).
 
     Entirely Spark SQL: shingle → md5-based 60-bit hash → k universal-hash
-    permutations → array_min per permutation. Empty shingle sets get an
+    permutations → running minimum per permutation. Empty shingle sets get an
     all--1 sentinel signature (never collides with real ones).
+
+    Single-pass formulation: one ``aggregate`` folds all ``num_perm`` minima
+    at once, so each shingle is md5-hashed exactly once. (The naive
+    per-permutation ``array_min(transform(...))`` layout makes Catalyst's
+    CollapseProject inline the hashing subtree ``num_perm`` times — measured
+    ~40× slower at num_perm=16.)
     """
     sh = shingles(text_col, shingle_k)
-    hashes = F.transform(sh, lambda s: md5_long(s))
-
-    def perm_fn(i: int):
-        # Single-arg lambda: a 2-arg lambda would make Spark pass the
-        # element *index* as the second argument.
-        return lambda h: permute(h, i)
-
-    sig = F.array(
-        *[F.array_min(F.transform(hashes, perm_fn(i))) for i in range(num_perm)]
+    # Pre-reduce mod MOD_INPUT so the fold's per-permutation work is one
+    # multiply-add-mod. Values match `permute(md5_long(s), i)` exactly.
+    hashes_mod = F.transform(sh, lambda s: md5_long(s) % F.lit(MOD_INPUT))
+    init = F.array(*[F.lit(MERSENNE_P).cast("long") for _ in range(num_perm)])
+    sig = F.aggregate(
+        hashes_mod,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (F.lit(perm_params(i)[0]) * h + F.lit(perm_params(i)[1]))
+                    % F.lit(MERSENNE_P)
+                    for i in range(num_perm)
+                ]
+            ),
+            lambda a, p: F.least(a, p),
+        ),
     )
     empty = F.array(*[F.lit(-1).cast("long") for _ in range(num_perm)])
     return F.when(F.size(sh) == 0, empty).otherwise(sig)
@@ -103,19 +118,19 @@ def minhash_lsh_pairs(
 
     Pipeline: signature (scan-side) → explode into ``bands`` band-keys →
     self-join on (band, band-signature) → distinct candidate pairs → exact
-    shingle-set Jaccard filter. Shuffle volume is O(rows × bands), not
-    O(rows²).
+    shingle-set Jaccard verify. Shuffle volume is O(rows × bands) fixed-width
+    tuples, not O(rows²); shingle arrays never enter the banding shuffle —
+    they are joined back only for the (LSH-pruned) candidate pairs.
     """
     rows_per_band = num_perm // bands
     base = df.select(
         F.col(id_col).alias("doc"),
         minhash_signature(text_col, num_perm, shingle_k).alias("sig"),
-        F.array_distinct(shingles(text_col, shingle_k)).alias("sh"),
-    ).filter(F.size("sh") > 0)
+        F.size(F.array_distinct(shingles(text_col, shingle_k))).alias("n_sh"),
+    ).filter(F.col("n_sh") > 0)
 
     banded = base.select(
         "doc",
-        "sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -135,7 +150,9 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bk"),
-    ).select("doc", "sh", F.col("bk.band").alias("band"), F.col("bk.band_sig").alias("band_sig"))
+    ).select(
+        "doc", F.col("bk.band").alias("band"), F.col("bk.band_sig").alias("band_sig")
+    )
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -146,19 +163,25 @@ def minhash_lsh_pairs(
             & (F.col("l.band_sig") == F.col("r.band_sig"))
             & (F.col("l.doc") < F.col("r.doc")),
         )
-        .select(
-            F.col("l.doc").alias("doc_a"),
-            F.col("r.doc").alias("doc_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
-        )
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
+    shingle_sets = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(shingles(text_col, shingle_k)).alias("sh"),
+    )
+    verified = candidates.join(
+        shingle_sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")),
+        "doc_a",
+    ).join(
+        shingle_sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")),
+        "doc_b",
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        candidates.withColumn("jaccard", inter / union)
+        verified.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -268,33 +291,46 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact all-pairs shingle-set Jaccard above a threshold.
 
-    Implemented as shingle-inverted-index join (pairs must share ≥1 shingle)
-    rather than a cross join, so it degrades gracefully; still the exactness
-    baseline, not the 100-TB path (that's :func:`minhash_lsh_pairs`)."""
+    Implemented as a shingle-inverted-index join (pairs must share ≥1
+    shingle) with **co-occurrence counting**: |A∩B| is a groupBy-count over
+    the shared-shingle join, and Jaccard = inter / (|A| + |B| − inter). Only
+    (doc-id, shingle) tuples and counts move through shuffles — never the
+    shingle arrays themselves (carrying arrays to an ``array_intersect``
+    verify step was measured >50× slower). A length-ratio prune
+    (min(|A|,|B|) ≥ t·max(|A|,|B|), a Jaccard upper bound) is pushed into
+    the join. Still the exactness baseline, not the 100-TB path (that's
+    :func:`minhash_lsh_pairs`)."""
     base = df.select(
         F.col(id_col).alias("doc"),
         F.array_distinct(shingles(text_col, shingle_k)).alias("sh"),
     ).filter(F.size("sh") > 0)
-    inverted = base.select("doc", "sh", F.explode("sh").alias("shingle"))
+    inverted = base.select(
+        "doc", F.size("sh").alias("n"), F.explode("sh").alias("shingle")
+    )
     l, r = inverted.alias("l"), inverted.alias("r")
-    candidates = (
+    inter = (
         l.join(
             r,
             (F.col("l.shingle") == F.col("r.shingle"))
-            & (F.col("l.doc") < F.col("r.doc")),
+            & (F.col("l.doc") < F.col("r.doc"))
+            & (
+                F.least(F.col("l.n"), F.col("r.n"))
+                >= F.lit(threshold) * F.greatest(F.col("l.n"), F.col("r.n"))
+            ),
         )
-        .select(
+        .groupBy(
             F.col("l.doc").alias("doc_a"),
             F.col("r.doc").alias("doc_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
+            F.col("l.n").alias("n_a"),
+            F.col("r.n").alias("n_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .agg(F.count("*").alias("inter"))
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    ).cast("double")
     return (
-        candidates.withColumn("jaccard", inter / union)
+        inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -311,10 +347,18 @@ def embedding_cosine_pairs(
 
     With ``planes`` given, candidates are restricted to random-hyperplane LSH
     bucket collisions (the scale path); without, it's the exact cross join
-    baseline."""
-    from .vector import cosine, hyperplane_signature
+    baseline.
 
-    base = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
+    Squared norms are computed once per vector scan-side (same index-order
+    fold → bit-identical to folding per pair), so each pair costs a single
+    dot-product fold instead of three."""
+    from .vector import dot, hyperplane_signature
+
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(dot(vec_col, vec_col)).alias("norm"),
+    )
     if planes is not None:
         base = base.withColumn("bucket", hyperplane_signature("v", planes))
         l, r = base.alias("l"), base.alias("r")
@@ -326,11 +370,9 @@ def embedding_cosine_pairs(
     else:
         l, r = base.alias("l"), base.alias("r")
         joined = l.join(r, F.col("l.doc") < F.col("r.doc"))
-    return (
-        joined.select(
-            F.col("l.doc").alias("doc_a"),
-            F.col("r.doc").alias("doc_b"),
-            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
+    cos = dot(F.col("l.v"), F.col("r.v")) / (F.col("l.norm") * F.col("r.norm"))
+    return joined.select(
+        F.col("l.doc").alias("doc_a"),
+        F.col("r.doc").alias("doc_b"),
+        F.round(cos, 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

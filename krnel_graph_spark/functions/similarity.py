@@ -21,12 +21,24 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .vector import cosine, dot, hyperplane_signature, l2_distance
+from .vector import dot, hyperplane_signature, l2_distance
 
 
 def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def _with_norm(df: DataFrame, vec_alias: str, norm_alias: str) -> DataFrame:
+    """Attach the L2 norm scan-side: one fold per row instead of one per
+    candidate pair downstream (bit-identical — same index-order fold)."""
+    return df.withColumn(norm_alias, F.sqrt(dot(vec_alias, vec_alias)))
+
+
+def _pair_cosine() -> F.Column:
+    return F.round(
+        dot(F.col("dv"), F.col("qv")) / (F.col("dnorm") * F.col("qnorm")), 6
+    ).alias("cosine")
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -50,12 +62,18 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query (queries broadcast; self-matches
     excluded when ids collide)."""
-    c = corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("dv"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = _with_norm(
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("dv")),
+        "dv",
+        "dnorm",
+    )
+    q = _with_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "qv",
+        "qnorm",
+    )
     scored = c.join(F.broadcast(q), F.col("doc_id") != F.col("query_id")).select(
-        "query_id",
-        "doc_id",
-        F.round(cosine(F.col("dv"), F.col("qv")), 6).alias("cosine"),
+        "query_id", "doc_id", _pair_cosine()
     )
     return _ranked_topk(scored, k)
 
@@ -68,27 +86,38 @@ def cosine_topk_lsh(
     k: int = 10,
     planes: list[list[float]] | None = None,
     dim: int | None = None,
+    n_planes: int = 16,
     multiprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates = hyperplane-bucket collisions.
 
     ``multiprobe`` > 1 additionally probes buckets at Hamming distance 1 on
     the query side (flipping each of the lowest ``multiprobe`` bits),
-    trading candidate volume for recall.
+    trading candidate volume for recall. Size ``n_planes`` so 2^n_planes ≪
+    corpus size / desired bucket occupancy — too many planes means empty
+    result sets, too few means brute force.
     """
     if planes is None:
         if dim is None:
             dim = len(corpus.select(vec_col).first()[0])
-        planes = random_hyperplanes(dim)
-    c = corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(vec_col).alias("dv"),
-        hyperplane_signature(vec_col, planes).alias("bucket"),
+        planes = random_hyperplanes(dim, n_planes)
+    c = _with_norm(
+        corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(vec_col).alias("dv"),
+            hyperplane_signature(vec_col, planes).alias("bucket"),
+        ),
+        "dv",
+        "dnorm",
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        hyperplane_signature(vec_col, planes).alias("qbucket"),
+    q = _with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            hyperplane_signature(vec_col, planes).alias("qbucket"),
+        ),
+        "qv",
+        "qnorm",
     )
     if multiprobe > 1:
         probes = F.array_distinct(
@@ -100,18 +129,14 @@ def cosine_topk_lsh(
                 ],
             )
         )
-        q = q.select("query_id", "qv", F.explode(probes).alias("qbucket"))
+        q = q.select("query_id", "qv", "qnorm", F.explode(probes).alias("qbucket"))
     scored = (
         c.join(
             F.broadcast(q),
             (F.col("bucket") == F.col("qbucket"))
             & (F.col("doc_id") != F.col("query_id")),
         )
-        .select(
-            "query_id",
-            "doc_id",
-            F.round(cosine(F.col("dv"), F.col("qv")), 6).alias("cosine"),
-        )
+        .select("query_id", "doc_id", _pair_cosine())
         .dropDuplicates(["query_id", "doc_id"])
     )
     return _ranked_topk(scored, k)
@@ -156,24 +181,30 @@ def ivf_topk(
         )
         return F.slice(F.array_sort(dists), 1, n)
 
-    c = corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(vec_col).alias("dv"),
-        nearest_cells(F.col(vec_col), 1)[0]["cell"].alias("cell"),
+    c = _with_norm(
+        corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(vec_col).alias("dv"),
+            nearest_cells(F.col(vec_col), 1)[0]["cell"].alias("cell"),
+        ),
+        "dv",
+        "dnorm",
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.explode(
-            F.transform(nearest_cells(F.col(vec_col), nprobe), lambda s: s["cell"])
-        ).alias("cell"),
+    q = _with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(
+                F.transform(nearest_cells(F.col(vec_col), nprobe), lambda s: s["cell"])
+            ).alias("cell"),
+        ),
+        "qv",
+        "qnorm",
     )
     scored = c.join(
         F.broadcast(q).withColumnRenamed("cell", "qcell"),
         (F.col("cell") == F.col("qcell")) & (F.col("doc_id") != F.col("query_id")),
-    ).select(
-        "query_id",
-        "doc_id",
-        F.round(cosine(F.col("dv"), F.col("qv")), 6).alias("cosine"),
-    ).dropDuplicates(["query_id", "doc_id"])
+    ).select("query_id", "doc_id", _pair_cosine()).dropDuplicates(
+        ["query_id", "doc_id"]
+    )
     return _ranked_topk(scored, k)
