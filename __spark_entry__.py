@@ -234,6 +234,50 @@ def q_classifier_predict(spark, sf_dir):
     return runner.dataframe(clf.predict(x)).select(F.round("value", 4).alias("value"))
 
 
+def q_inline_dataset(spark, sf_dir):
+    runner = _runner(spark)
+    ds = runner.from_inline_dataset(
+        {"k": [1, 2, 3, 4], "name": ["a", "b", "c", "d"], "score": [0.5, 1.5, -2.0, 0.0]}
+    )
+    return runner.dataframe(ds)
+
+
+def q_split_train_mask(spark, sf_dir):
+    runner, ds = _ds(spark, sf_dir, "customer")
+    split = ds.assign_train_test_split(test_size=0.25, random_state=42, method="hash")
+    return runner.dataframe(ds.mask_rows(split.train))
+
+
+def q_classifier_evaluate(spark, sf_dir):
+    runner, ds = _ds(spark, sf_dir, "embeddings")
+    x = ds.col_vector("embedding")
+    pos = ds.col_categorical("label").is_in({"2"})
+    split = ds.assign_train_test_split(
+        test_size=0.25, random_state=42, method="hash"
+    )
+    clf = x.train_classifier(positives=pos, model_type="logistic_regression")
+    report = runner.to_json(clf.predict(x).evaluate(gt_positives=pos, split=split))
+    rows = [
+        (split_name, metric, float(val))
+        for split_name, metrics in sorted(report.items())
+        for metric, val in sorted(metrics.items())
+        if isinstance(val, (int, float)) and not isinstance(val, bool)
+    ]
+    return spark.createDataFrame(rows, "split string, metric string, value double")
+
+
+def q_llm_logit_scores_fake(spark, sf_dir):
+    runner, ds = _ds(spark, sf_dir, "documents")
+    op = ds.col_text("text").llm_logit_scores("fake:dim4", tokens=["yes", "no"])
+    return runner.dataframe(op)
+
+
+def q_llm_generate_fake(spark, sf_dir):
+    runner, ds = _ds(spark, sf_dir, "documents")
+    op = ds.col_text("text").llm_generate_text("fake:dim8", max_tokens=24)
+    return runner.dataframe(op)
+
+
 def q_llm_activations_fake(spark, sf_dir):
     runner, ds = _ds(spark, sf_dir, "documents")
     op = ds.col_text("text").llm_layer_activations("fake:dim8", layer_num=-1)
@@ -511,7 +555,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_hash": q_split_hash,
         "split_rng": q_split_rng,
         "assign_row_id": q_assign_row_id,
+        "inline_dataset": q_inline_dataset,
+        "split_train_mask": q_split_train_mask,
         "classifier_predict": q_classifier_predict,
+        "classifier_evaluate": q_classifier_evaluate,
+        "llm_logit_scores_fake": q_llm_logit_scores_fake,
+        "llm_generate_fake": q_llm_generate_fake,
         "llm_activations_fake": q_llm_activations_fake,
         "umap_pca": q_umap_pca,
         "agg_q1": q_agg_q1,
@@ -638,6 +687,19 @@ FROM t
         "assign_row_id": """
 SELECT row_number() OVER (ORDER BY doc_id) - 1 AS row_id FROM documents
 """,
+        "inline_dataset": """
+SELECT * FROM (VALUES (1, 'a', 0.5), (2, 'b', 1.5), (3, 'c', -2.0), (4, 'd', 0.0))
+AS t(k, name, score)
+""",
+        "split_train_mask": f"""
+WITH t AS (SELECT *, row_number() OVER (ORDER BY c_custkey) - 1 AS rn FROM customer)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM t WHERE ({md5_long_sql("rn::VARCHAR || ':42'")} % 1000000) >= 250000
+""",
+        "llm_generate_fake": (
+            "SELECT 'echo[dim8]: ' || substring(text, 1, 24) AS value "
+            "FROM documents"
+        ),
         "agg_q1": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,
