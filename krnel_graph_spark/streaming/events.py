@@ -80,10 +80,20 @@ def stream_events_from_parquet(
     spark: SparkSession, path: str, schema=None
 ) -> DataFrame:
     """File-source stream over a parquet path (tests drive it with
-    ``trigger(availableNow=True)`` into a memory sink)."""
+    ``trigger(availableNow=True)`` into a memory sink).
+
+    ``FileStreamSource`` only accepts directories; a single-file path is
+    served as parent-dir + ``pathGlobFilter`` so callers can stream any
+    layout."""
+    import os
+
     if schema is None:
         schema = spark.read.parquet(path).schema
-    return spark.readStream.schema(schema).parquet(path)
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.parquet(path)
 
 
 def run_stream_to_memory(
