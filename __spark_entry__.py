@@ -48,6 +48,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents table widened to full parallelism: the expression-heavy
+    text queries (shingles, hash folds) are CPU-bound per row, and a small
+    parquet file otherwise arrives as one input split (= one busy core)."""
+    from krnel_graph_spark.functions.partitioning import ensure_min_partitions
+
+    return ensure_min_partitions(_t(spark, sf_dir, "documents"))
+
+
 def _runner(spark: SparkSession) -> SparkRunner:
     return SparkRunner(spark=spark, store_path=None)
 
@@ -434,12 +443,12 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_fingerprint(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", tx.fingerprint("text").alias("fp"))
 
 
 def q_minhash_signature(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id", dedup.minhash_signature("text", num_perm=16).alias("sig")
     )
@@ -457,7 +466,7 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", dedup.simhash("text", bits=32).alias("sh"))
 
 
@@ -500,7 +509,7 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_text_stats(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         tx.token_count("text").alias("n_tok"),
@@ -513,7 +522,7 @@ def q_text_stats(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", "lang", tx.lang_id("text").alias("pred_lang"))
 
 

@@ -4,14 +4,14 @@ Five strategies, all Spark-native:
 
 * **exact**            — md5-of-normalized-text group-by (one shuffle on the
                          hash, not the text — tiny shuffle payload).
-* **MinHash + LSH**    — shingle → k-permutation MinHash signature (pure SQL
-                         higher-order functions) → banding → bucket
-                         self-join. Candidate pairs are verified with exact
-                         shingle-set Jaccard. The standard near-dup pipeline
-                         (Broder '97; used by C4/RefinedWeb-style cleanups).
-* **SimHash**          — 64-bit sign-of-weighted-bit-votes fingerprint;
-                         near-dups = small Hamming distance. Implemented with
-                         elementwise vote aggregation in SQL.
+* **MinHash + LSH**    — shingle → k-permutation MinHash signature
+                         (Arrow-batched numpy kernel, see ``kernels``) →
+                         banding → bucket self-join. Candidate pairs are
+                         verified with exact shingle-set Jaccard. The
+                         standard near-dup pipeline (Broder '97; used by
+                         C4/RefinedWeb-style cleanups).
+* **SimHash**          — sign-of-weighted-bit-votes fingerprint; near-dups =
+                         small Hamming distance (numpy kernel).
 * **n-gram Jaccard**   — exact pairwise Jaccard over shingle sets (the
                          brute-force baseline the sketches approximate).
 * **embedding cosine** — near-dup = cosine similarity above a threshold over
@@ -28,8 +28,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .hashing import MERSENNE_P, MOD_INPUT, md5_long, perm_params
-from .text import fingerprint, normalize_text, shingles
+from .kernels import dot_udf, norm_udf, shingle_set_udf
+from .partitioning import ensure_min_partitions
+from .text import fingerprint
 
 # ---------------------------------------------------------------------- #
 # Exact                                                                    #
@@ -69,40 +70,18 @@ def drop_exact_dups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def minhash_signature(text_col, num_perm: int = 32, shingle_k: int = 3) -> Column:
-    """MinHash signature as ``array<bigint>`` (length ``num_perm``).
+    """MinHash signature as ``array<bigint>`` (length ``num_perm``):
+    shingle → md5-based 60-bit hash → k universal-hash permutations →
+    minimum per permutation. Empty shingle sets get an all--1 sentinel
+    signature (never collides with real ones).
 
-    Entirely Spark SQL: shingle → md5-based 60-bit hash → k universal-hash
-    permutations → running minimum per permutation. Empty shingle sets get an
-    all--1 sentinel signature (never collides with real ones).
+    Computed by an Arrow-batched numpy kernel — see ``kernels`` for why the
+    pure-SQL higher-order-function formulation does not parallelize (values
+    are bit-identical; the DuckDB oracle still checks this column)."""
+    from .kernels import minhash_signature_udf
 
-    Single-pass formulation: one ``aggregate`` folds all ``num_perm`` minima
-    at once, so each shingle is md5-hashed exactly once. (The naive
-    per-permutation ``array_min(transform(...))`` layout makes Catalyst's
-    CollapseProject inline the hashing subtree ``num_perm`` times — measured
-    ~40× slower at num_perm=16.)
-    """
-    sh = shingles(text_col, shingle_k)
-    # Pre-reduce mod MOD_INPUT so the fold's per-permutation work is one
-    # multiply-add-mod. Values match `permute(md5_long(s), i)` exactly.
-    hashes_mod = F.transform(sh, lambda s: md5_long(s) % F.lit(MOD_INPUT))
-    init = F.array(*[F.lit(MERSENNE_P).cast("long") for _ in range(num_perm)])
-    sig = F.aggregate(
-        hashes_mod,
-        init,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    (F.lit(perm_params(i)[0]) * h + F.lit(perm_params(i)[1]))
-                    % F.lit(MERSENNE_P)
-                    for i in range(num_perm)
-                ]
-            ),
-            lambda a, p: F.least(a, p),
-        ),
-    )
-    empty = F.array(*[F.lit(-1).cast("long") for _ in range(num_perm)])
-    return F.when(F.size(sh) == 0, empty).otherwise(sig)
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return minhash_signature_udf(num_perm, shingle_k)(c)
 
 
 def minhash_lsh_pairs(
@@ -123,10 +102,11 @@ def minhash_lsh_pairs(
     they are joined back only for the (LSH-pruned) candidate pairs.
     """
     rows_per_band = num_perm // bands
+    df = ensure_min_partitions(df)
     base = df.select(
         F.col(id_col).alias("doc"),
         minhash_signature(text_col, num_perm, shingle_k).alias("sig"),
-        F.size(F.array_distinct(shingles(text_col, shingle_k))).alias("n_sh"),
+        F.size(shingle_set_udf(shingle_k)(F.col(text_col))).alias("n_sh"),
     ).filter(F.col("n_sh") > 0)
 
     banded = base.select(
@@ -169,7 +149,7 @@ def minhash_lsh_pairs(
 
     shingle_sets = df.select(
         F.col(id_col).alias("doc"),
-        F.array_distinct(shingles(text_col, shingle_k)).alias("sh"),
+        shingle_set_udf(shingle_k)(F.col(text_col)).alias("sh"),
     )
     verified = candidates.join(
         shingle_sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")),
@@ -195,35 +175,14 @@ _SIMHASH_BITS = 60  # md5_long yields 60-bit hashes
 
 
 def simhash(text_col, bits: int = _SIMHASH_BITS) -> Column:
-    """SimHash fingerprint: per-bit ±1 votes from each token hash, sign of
-    the vote sum becomes the output bit. Pure SQL higher-order functions:
-    one ``aggregate`` with a ``zip_with`` elementwise adder."""
-    from .text import whitespace_tokens
+    """SimHash fingerprint: per-bit ±1 votes from each md5 token hash, sign
+    of the vote sum becomes the output bit. Arrow-batched numpy kernel (see
+    ``kernels`` for the HOF-contention rationale); bit-identical to the SQL
+    formulation the DuckDB oracle runs."""
+    from .kernels import simhash_udf
 
-    token_hashes = F.transform(whitespace_tokens(text_col), lambda t: md5_long(t))
-    zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
-    # Bit positions are Python ints (shiftright/shiftleft take literal
-    # shift amounts); one pass over the token array accumulates all votes.
-    votes = F.aggregate(
-        token_hashes,
-        zero,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
-                    for i in range(bits)
-                ]
-            ),
-            lambda a, v: a + v,
-        ),
-    )
-    out = F.lit(0).cast("long")
-    for i in range(bits):
-        out = out + F.when(
-            F.element_at(votes, i + 1) > 0, F.lit(1 << i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return out
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return simhash_udf(bits)(c)
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -240,7 +199,7 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: band the 60-bit fingerprint into 4 chunks
     (pigeonhole: any pair within Hamming distance 3 shares at least one exact
     chunk), self-join per chunk, verify exact Hamming distance."""
-    base = df.select(
+    base = ensure_min_partitions(df).select(
         F.col(id_col).alias("doc"), simhash(text_col).alias("sh")
     )
     chunks = base.select(
@@ -300,9 +259,9 @@ def ngram_jaccard_pairs(
     (min(|A|,|B|) ≥ t·max(|A|,|B|), a Jaccard upper bound) is pushed into
     the join. Still the exactness baseline, not the 100-TB path (that's
     :func:`minhash_lsh_pairs`)."""
-    base = df.select(
+    base = ensure_min_partitions(df).select(
         F.col(id_col).alias("doc"),
-        F.array_distinct(shingles(text_col, shingle_k)).alias("sh"),
+        shingle_set_udf(shingle_k)(F.col(text_col)).alias("sh"),
     ).filter(F.size("sh") > 0)
     inverted = base.select(
         "doc", F.size("sh").alias("n"), F.explode("sh").alias("shingle")
@@ -352,12 +311,12 @@ def embedding_cosine_pairs(
     Squared norms are computed once per vector scan-side (same index-order
     fold → bit-identical to folding per pair), so each pair costs a single
     dot-product fold instead of three."""
-    from .vector import dot, hyperplane_signature
+    from .vector import hyperplane_signature
 
-    base = df.select(
+    base = ensure_min_partitions(df).select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).alias("v"),
-        F.sqrt(dot(vec_col, vec_col)).alias("norm"),
+        norm_udf(F.col(vec_col)).alias("norm"),
     )
     if planes is not None:
         base = base.withColumn("bucket", hyperplane_signature("v", planes))
@@ -370,7 +329,7 @@ def embedding_cosine_pairs(
     else:
         l, r = base.alias("l"), base.alias("r")
         joined = l.join(r, F.col("l.doc") < F.col("r.doc"))
-    cos = dot(F.col("l.v"), F.col("r.v")) / (F.col("l.norm") * F.col("r.norm"))
+    cos = dot_udf(F.col("l.v"), F.col("r.v")) / (F.col("l.norm") * F.col("r.norm"))
     return joined.select(
         F.col("l.doc").alias("doc_a"),
         F.col("r.doc").alias("doc_b"),

@@ -184,8 +184,14 @@ def _run_batched(
 ) -> ColumnPlan:
     """Stream (row_id, text) through mapInPandas, batching per
     ``batch_size``, with the per-executor provider cache."""
+    from ..functions.partitioning import ensure_min_partitions
+
     text_expr = F.to_json(col.expr) if col.is_json else col.expr.cast("string")
-    src = col.source.select(F.col(ROW_ID), text_expr.alias("__text"))
+    # Inference is the most compute-heavy op in the engine: widen narrow
+    # scans so every executor core hosts a model replica and a batch stream.
+    src = ensure_min_partitions(
+        col.source.select(F.col(ROW_ID), text_expr.alias("__text"))
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         provider = get_provider(model_name)

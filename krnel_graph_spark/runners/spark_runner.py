@@ -67,6 +67,14 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.ui.showConsoleProgress", "false")
+        # local[N] runs all executor threads inside the driver JVM; the 1g
+        # default heap GC-thrashes 32 concurrent tasks, while a huge heap
+        # makes full GCs take tens of seconds late in long sessions — 16g
+        # balances both. (No-op if the JVM is already up, e.g. on a real
+        # cluster via spark-submit.)
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+        )
         # Driver testdata carries TIMESTAMP(NANOS) parquet, which vanilla
         # Spark rejects; read as nanosecond longs (convert at use sites).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
