@@ -18,6 +18,7 @@ Three layers (see SURVEY.md §7.0):
 from .plans import (
     EphemeralOpMixin,
     ExcludeFromUUID,
+    GraphDiff,
     GraphError,
     OpSpec,
     OpState,

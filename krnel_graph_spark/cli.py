@@ -1,0 +1,268 @@
+"""Batch-materialization CLI — entry point B of the reference's query
+lifecycle (``src/krnel/graph/cli.py:37-113``), re-expressed for the Spark
+engine.
+
+A user writes a pipeline module that binds OpSpecs (and one ``SparkRunner``)
+to module-level variables; the CLI imports it, *scavenges* every op reachable
+from those variables, filters, and materializes each into the runner's
+content-addressed store:
+
+    python -m krnel_graph_spark run -f pipeline.py -t JinjaTemplatize
+    python -m krnel_graph_spark summary -f pipeline.py
+    python -m krnel_graph_spark print -f pipeline.py
+    python -m krnel_graph_spark status -f pipeline.py
+    python -m krnel_graph_spark diff old_pipeline.py new_pipeline.py
+
+The reference's manual shard flags (``--shard-idx/--shard-count``,
+``cli.py:541-580``) are kept for fleets of independent driver-heavy ops
+(e.g. many GPU inference graphs); *within* one op, Spark parallelizes, so
+sharding is no longer the primary scale-out mechanism.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import random
+import sys
+import traceback
+from collections import Counter
+from pathlib import Path
+from typing import Optional
+
+from .plans.diff import GraphDiff
+from .plans.op_spec import OpSpec
+
+# ---------------------------------------------------------------------- #
+# Module scavenging                                                        #
+# ---------------------------------------------------------------------- #
+
+
+def load_pipeline_module(path: str):
+    """Import a user pipeline file as a throwaway module."""
+    p = Path(path)
+    spec = importlib.util.spec_from_file_location(p.stem, p)
+    if spec is None or spec.loader is None:
+        raise SystemExit(f"cannot import {path}")
+    module = importlib.util.module_from_spec(spec)
+    sys.modules[p.stem] = module
+    spec.loader.exec_module(module)
+    return module
+
+
+def scavenge(module) -> tuple[dict[str, OpSpec], Optional[object]]:
+    """Collect module-level OpSpec bindings (roots) and the runner instance.
+
+    Mirrors the reference's scavenging pass (``cli.py:226-259``): every
+    OpSpec bound to a module-level name is a root; dependencies are reached
+    through the roots. The unique runner instance (if any) rides along.
+    """
+    from .runners.spark_runner import SparkRunner
+
+    roots: dict[str, OpSpec] = {}
+    runner = None
+    for name, value in vars(module).items():
+        if name.startswith("_"):
+            continue
+        if isinstance(value, OpSpec):
+            roots[name] = value
+        elif isinstance(value, SparkRunner):
+            if runner is not None and value is not runner:
+                print("warning: multiple runners in module; using the first",
+                      file=sys.stderr)
+            else:
+                runner = value
+    return roots, runner
+
+
+def all_ops(roots: dict[str, OpSpec]) -> dict[str, OpSpec]:
+    """Every distinct op reachable from the roots, keyed by UUID."""
+    seen: dict[str, OpSpec] = {}
+    for root in roots.values():
+        for node in root.iter_graph():
+            seen.setdefault(node.uuid, node)
+    return seen
+
+
+def select_ops(
+    roots: dict[str, OpSpec],
+    type_filter: Optional[str],
+    uuid_filter: Optional[str],
+    name_filter: Optional[str],
+) -> list[OpSpec]:
+    """Apply the reference's filter surface (``cli.py:143-191``): type-name
+    substring, UUID substring, variable-name substring. No filter = every
+    reachable op."""
+    if name_filter:
+        picked = {
+            n: op for n, op in roots.items() if name_filter in n
+        }
+        ops = list(all_ops(picked).values()) if not (type_filter or uuid_filter) \
+            else list(picked.values())
+    else:
+        ops = list(all_ops(roots).values())
+    if type_filter:
+        tf = type_filter.lower()
+        ops = [op for op in ops if tf in type(op).__name__.lower()]
+    if uuid_filter:
+        ops = [op for op in ops if uuid_filter in op.uuid]
+    return ops
+
+
+def _runner_for(args, module_runner):
+    from .runners.spark_runner import SparkRunner
+
+    if getattr(args, "store", None):
+        return SparkRunner(store_path=args.store)
+    if module_runner is not None:
+        return module_runner
+    raise SystemExit(
+        "no runner: bind a SparkRunner in the pipeline module or pass --store"
+    )
+
+
+# ---------------------------------------------------------------------- #
+# Subcommands                                                              #
+# ---------------------------------------------------------------------- #
+
+
+def cmd_run(args) -> int:
+    module = load_pipeline_module(args.file)
+    roots, module_runner = scavenge(module)
+    runner = _runner_for(args, module_runner)
+    if runner.store is None:
+        raise SystemExit("run requires a persistent store (--store PATH)")
+    ops = select_ops(roots, args.type, args.uuid, args.name)
+    if args.shard_count:
+        ops = [
+            op
+            for op in ops
+            if int(op.uuid_hash, 16) % args.shard_count == args.shard_idx
+        ]
+    if args.shuffle:
+        random.Random(args.shard_idx or 0).shuffle(ops)
+
+    n_ok = n_skip = n_fail = 0
+    for op in ops:
+        label = op.short_name()
+        if op.is_ephemeral:
+            print(f"SKIP {label} (ephemeral)")
+            n_skip += 1
+            continue
+        if runner.has_result(op):
+            print(f"DONE {label} (cached)")
+            n_ok += 1
+            continue
+        try:
+            runner.plan(op)  # computes + persists non-ephemeral results
+            print(f"OK   {label}")
+            n_ok += 1
+        except Exception:
+            n_fail += 1
+            print(f"FAIL {label}")
+            traceback.print_exc()
+    print(f"\n{n_ok} ok, {n_skip} ephemeral-skipped, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
+def cmd_status(args) -> int:
+    module = load_pipeline_module(args.file)
+    roots, module_runner = scavenge(module)
+    runner = _runner_for(args, module_runner)
+    for op in select_ops(roots, args.type, args.uuid, args.name):
+        st = runner.status(op)
+        print(f"{st.state.value:10s} {op.short_name()}")
+    return 0
+
+
+def cmd_summary(args) -> int:
+    """Per-op-type state counts (reference ``cli.py:417-489``)."""
+    module = load_pipeline_module(args.file)
+    roots, module_runner = scavenge(module)
+    runner = _runner_for(args, module_runner)
+    counts: Counter[tuple[str, str]] = Counter()
+    for op in all_ops(roots).values():
+        counts[(type(op).__name__, runner.status(op).state.value)] += 1
+    for (type_name, state), n in sorted(counts.items()):
+        print(f"{type_name:35s} {state:10s} {n}")
+    return 0
+
+
+def cmd_print(args) -> int:
+    module = load_pipeline_module(args.file)
+    roots, _ = scavenge(module)
+    for name, op in roots.items():
+        print(f"# {name} = {op.short_name()}")
+        print(op.to_code())
+        print()
+    return 0
+
+
+def cmd_diff(args) -> int:
+    mod_a = load_pipeline_module(args.file_a)
+    mod_b = load_pipeline_module(args.file_b)
+    roots_a, _ = scavenge(mod_a)
+    roots_b, _ = scavenge(mod_b)
+    shared_names = [n for n in roots_a if n in roots_b]
+    if not shared_names:
+        raise SystemExit("no shared module-level op names to diff")
+    identical = True
+    for name in shared_names:
+        d = GraphDiff(roots_a[name], roots_b[name])
+        identical = identical and d.identical
+        print(f"## {name}")
+        print(d)
+        print()
+    return 0 if identical else 1
+
+
+# ---------------------------------------------------------------------- #
+# Parser                                                                   #
+# ---------------------------------------------------------------------- #
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-f", "--file", required=True, help="pipeline module path")
+    p.add_argument("-t", "--type", help="op type-name substring filter")
+    p.add_argument("-u", "--uuid", help="op UUID substring filter")
+    p.add_argument("-n", "--name", help="module variable-name substring filter")
+    p.add_argument("--store", help="result-store path override")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="krnel-graph-spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_run = sub.add_parser("run", help="materialize ops into the store")
+    _add_common(p_run)
+    p_run.add_argument("--shard-idx", type=int, default=0)
+    p_run.add_argument("--shard-count", type=int, default=0)
+    p_run.add_argument("--shuffle", action="store_true")
+    p_run.set_defaults(fn=cmd_run)
+
+    p_status = sub.add_parser("status", help="per-op materialization state")
+    _add_common(p_status)
+    p_status.set_defaults(fn=cmd_status)
+
+    p_summary = sub.add_parser("summary", help="state counts per op type")
+    _add_common(p_summary)
+    p_summary.set_defaults(fn=cmd_summary)
+
+    p_print = sub.add_parser("print", help="pseudocode of module pipelines")
+    p_print.add_argument("-f", "--file", required=True)
+    p_print.set_defaults(fn=cmd_print)
+
+    p_diff = sub.add_parser("diff", help="diff two pipeline modules")
+    p_diff.add_argument("file_a")
+    p_diff.add_argument("file_b")
+    p_diff.set_defaults(fn=cmd_diff)
+    return parser
+
+
+def main(argv: Optional[list[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -7,6 +7,8 @@ and can be mirrored 1:1 in DuckDB SQL for oracle checks.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -53,10 +55,18 @@ def regex_token_count(col) -> Column:
 
 
 def lexicon_hits(col, lexicon) -> Column:
-    """How many tokens appear in ``lexicon`` (duplicates count)."""
-    return F.size(
-        F.filter(whitespace_tokens(col), lambda t: t.isin([*lexicon]))
-    )
+    """How many tokens appear in ``lexicon`` (duplicates count).
+
+    One ``regexp_count`` pass over the space-padded normalized text with a
+    token-anchored alternation. Zero-width lookarounds keep the delimiting
+    spaces unconsumed, so consecutive duplicates ("the the") all count —
+    exactly the semantics of filtering the whitespace-token array, without
+    building an array per row or leaving whole-stage codegen (higher-order
+    functions are interpreted, and their eval path serializes under many
+    concurrent tasks; see ``kernels``)."""
+    alternation = "|".join(re.escape(w) for w in lexicon)
+    padded = F.concat(F.lit(" "), normalize_text(col), F.lit(" "))
+    return F.regexp_count(padded, F.lit(f"(?<= )(?:{alternation})(?= )"))
 
 
 def stopword_ratio(col, lexicon=STOPWORDS_EN) -> Column:
@@ -67,11 +77,13 @@ def stopword_ratio(col, lexicon=STOPWORDS_EN) -> Column:
 
 
 def mean_word_length(col) -> Column:
-    toks = whitespace_tokens(col)
-    n = F.size(toks)
-    total = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-    )
+    """Mean whitespace-token length, computed arithmetically: the normalized
+    text has exactly one space between tokens (and none at the ends), so
+    total token characters = length(norm) - (n_tokens - 1). Same value as
+    summing per-token lengths, with no array or fold."""
+    norm = normalize_text(col)
+    n = F.size(F.split(norm, " "))
+    total = F.length(norm) - (n - F.lit(1))
     return F.when(n == 0, F.lit(0.0)).otherwise(
         total.cast("double") / n.cast("double")
     )

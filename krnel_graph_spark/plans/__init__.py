@@ -8,11 +8,13 @@ from .op_spec import (
     op_class,
     serialize_graph,
 )
+from .diff import GraphDiff
 from .status import OpState, OpStatus
 from .transforms import graph_substitute, map_fields
 
 __all__ = [
     "EphemeralOpMixin",
+    "GraphDiff",
     "ExcludeFromUUID",
     "GraphError",
     "OpSpec",

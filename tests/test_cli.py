@@ -1,0 +1,96 @@
+"""CLI (entry point B) and GraphDiff tests.
+
+Mirrors the reference's CLI workflow (``src/krnel/graph/cli.py:37-113``):
+scavenge a pipeline module, filter, materialize into the store, inspect
+status/summary/pseudocode, diff two pipelines.
+"""
+
+import textwrap
+
+import pytest
+
+from krnel_graph_spark.cli import main
+from krnel_graph_spark.plans.diff import GraphDiff
+
+
+PIPELINE = """
+    from krnel_graph_spark import SparkRunner
+
+    runner = SparkRunner(store_path={store!r})
+    ds = runner.from_inline_dataset(
+        {{"name": ["a", "b", "c"], "score": [1.0, 2.0, 3.0]}}
+    )
+    greeting = ds.template("hi {{{{n}}}}!", n=ds.col_text("name"))
+    flag = ds.col_categorical("name").is_in({{"a", "b"}})
+"""
+
+
+def _write_pipeline(tmp_path, store, fname="pipe.py"):
+    p = tmp_path / fname
+    p.write_text(textwrap.dedent(PIPELINE.format(store=store)))
+    return str(p)
+
+
+def test_cli_run_and_status(tmp_path, spark, capsys):
+    store = str(tmp_path / "store")
+    pipe = _write_pipeline(tmp_path, store)
+
+    assert main(["run", "-f", pipe]) == 0
+    out = capsys.readouterr().out
+    # Jinja template is non-ephemeral -> materialized; is_in is ephemeral.
+    assert "OK   JinjaTemplatizeOp" in out
+    assert "SKIP CategoryToBooleanOp" in out
+    assert "0 failed" in out
+
+    # Second run: cached (cross-process memoization via the store).
+    assert main(["run", "-f", pipe, "-t", "Jinja"]) == 0
+    assert "DONE JinjaTemplatizeOp" in capsys.readouterr().out
+
+    assert main(["status", "-f", pipe, "-t", "Jinja"]) == 0
+    assert "completed" in capsys.readouterr().out
+
+    assert main(["summary", "-f", pipe]) == 0
+    summary = capsys.readouterr().out
+    assert "JinjaTemplatizeOp" in summary and "completed" in summary
+
+
+def test_cli_print(tmp_path, spark, capsys):
+    pipe = _write_pipeline(tmp_path, str(tmp_path / "store"))
+    assert main(["print", "-f", pipe]) == 0
+    out = capsys.readouterr().out
+    assert "JinjaTemplatizeOp(" in out and "LoadInlineJsonDatasetOp(" in out
+
+
+def test_cli_diff(tmp_path, spark, capsys):
+    store = str(tmp_path / "store")
+    pipe_a = _write_pipeline(tmp_path, store, "a.py")
+    pipe_b = _write_pipeline(tmp_path, store, "b.py")
+    assert main(["diff", pipe_a, pipe_b]) == 0  # identical graphs
+
+    p = tmp_path / "c.py"
+    p.write_text(
+        textwrap.dedent(PIPELINE.format(store=store)).replace("hi", "yo")
+    )
+    assert main(["diff", pipe_a, str(p)]) == 1
+    out = capsys.readouterr().out
+    assert "-" in out and "+" in out  # unified diff rendered
+
+
+def test_graph_diff_after_subs(runner):
+    """The signature subs() workflow: swap the dataset, diff the pipelines."""
+    ds1 = runner.from_inline_dataset({"t": ["x"]})
+    ds2 = runner.from_inline_dataset({"t": ["y"]})
+    tpl1 = ds1.template("v={{v}}", v=ds1.col_text("t"))
+    tpl2 = tpl1.subs({ds1: ds2})
+
+    d = GraphDiff(tpl1, tpl2)
+    assert not d.identical
+    # Every node differs (the dataset swap rewrites the whole downstream).
+    assert len(d.common) == 0
+    assert {type(n).__name__ for n in d.only_a} == {
+        "LoadInlineJsonDatasetOp",
+        "SelectTextColumnOp",
+        "JinjaTemplatizeOp",
+    }
+    d_same = GraphDiff(tpl1, tpl1)
+    assert d_same.identical and "identical" in str(d_same)
