@@ -366,11 +366,15 @@ def q_window_topk(spark, sf_dir):
 
 def q_sort_topk(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
+    # orderBy + limit lowers to TakeOrderedAndProject: per-partition top-k
+    # then a driver merge — no global single-partition window (ranking the
+    # 100 surviving rows afterwards is trivially cheap).
     w = Window.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
     return (
-        part.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 100)
-        .select("p_partkey", "p_name", "p_retailprice", "rnk")
+        part.select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+        .limit(100)
+        .withColumn("rnk", F.row_number().over(w))
     )
 
 

@@ -357,11 +357,10 @@ class SparkRunner(BaseRunner):
                 f"Positional combination of columns with different lengths: "
                 f"{n_left} vs {n_right}"
             )
-        w = Window.orderBy(ROW_ID)
-        lr = lc.select(
-            F.col(ROW_ID), F.col(left.name).alias("__l"), F.row_number().over(w).alias("__rank")
-        )
-        rr = rc.select(F.col(right.name).alias("__r"), F.row_number().over(w).alias("__rank"))
+        lr = self.ranked(lc.select(F.col(ROW_ID), F.col(left.name).alias("__l")))
+        rr = self.ranked(
+            rc.select(F.col(ROW_ID), F.col(right.name).alias("__r"))
+        ).select("__r", "__rank")
         joined = lr.join(rr, "__rank").drop("__rank")
         plan = ColumnPlan(
             source=joined,
@@ -373,11 +372,41 @@ class SparkRunner(BaseRunner):
         return joined, F.col("__l"), F.col("__r"), plan
 
     def ranked(self, df: DataFrame) -> DataFrame:
-        """Attach a 0-based dense rank over row-id order. Correct everywhere;
-        single-partition window — used only on the slow paths where the
-        arithmetic dense-id fast path does not apply."""
-        w = Window.orderBy(ROW_ID)
-        return df.withColumn("__rank", F.row_number().over(w) - 1)
+        """Attach a 0-based global rank ``__rank`` in ROW_ID order,
+        distributed: range-partition by ROW_ID (increasing ranges get
+        increasing partition ids), rank within each partition, add
+        per-partition offsets gathered by one tiny count job — the moral
+        equivalent of ``RDD.zipWithIndex``, kept JVM-side. No
+        single-partition global window, so the rank-zip slow path (reference
+        §1.5 positional semantics across datasets) survives 100-TB inputs.
+        Costs one extra pass over ``df`` for the counts."""
+        n_part = max(df.rdd.getNumPartitions(), 1)
+        parted = df.repartitionByRange(n_part, F.col(ROW_ID)).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+        sizes = {
+            row["__pid"]: row["count"]
+            for row in parted.groupBy("__pid").count().collect()
+        }
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(sizes):
+            offsets[pid] = acc
+            acc += sizes[pid]
+        if not offsets:
+            return df.withColumn("__rank", F.lit(0).cast("long"))
+        offmap = F.create_map(
+            *[F.lit(v) for kv in offsets.items() for v in kv]
+        )
+        w = Window.partitionBy("__pid").orderBy(ROW_ID)
+        return (
+            parted.withColumn(
+                "__rank",
+                (F.row_number().over(w) - 1).cast("long")
+                + offmap[F.col("__pid")],
+            )
+            .drop("__pid")
+        )
 
 
 def _aligned_uuid(op: OpSpec) -> str:
