@@ -145,11 +145,29 @@ def minhash_lsh_pairs(
         )
         .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+        # Three consumers below (id-prune + two verify joins): checkpoint so
+        # the banding self-join runs once, not three times. Candidate pairs
+        # are the LSH-pruned set — tiny relative to the corpus.
+        .localCheckpoint()
     )
 
-    shingle_sets = df.select(
-        F.col(id_col).alias("doc"),
-        shingle_set_udf(shingle_k)(F.col(text_col)).alias("sh"),
+    # Verification cost must scale with |candidates|, not |corpus|: semi-join
+    # the corpus down to docs that appear in some candidate pair before
+    # running the shingle UDF (AQE broadcasts the id list when small), so at
+    # 100 TB the full text is never re-shingled or shuffled for docs LSH
+    # already ruled out.
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc"))
+        .union(candidates.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    shingle_sets = (
+        df.alias("src")
+        .join(cand_ids.alias("c"), F.col(f"src.{id_col}") == F.col("c.doc"), "left_semi")
+        .select(
+            F.col(id_col).alias("doc"),
+            shingle_set_udf(shingle_k)(F.col(text_col)).alias("sh"),
+        )
     )
     verified = candidates.join(
         shingle_sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")),
