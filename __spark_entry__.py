@@ -481,7 +481,7 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_embedding_dups(spark, sf_dir):
-    return dedup.embedding_cosine_pairs(
+    return dedup.embedding_cosine_pairs_blocked(
         _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.35
     )
 

@@ -360,3 +360,78 @@ def embedding_cosine_pairs(
         F.col("r.doc").alias("doc_b"),
         F.round(cos, 6).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
+
+
+def embedding_cosine_pairs_blocked(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dups via block matrix products — the
+    scalable exact path (``embedding_cosine_pairs`` with ``planes`` is the
+    approximate one; without, it is the per-pair-row baseline).
+
+    Vectors are hashed into ``num_blocks`` blocks, blocks are gathered into
+    single rows (executor-side ``collect_list``), block *pairs* are formed
+    by a tiny self-join — B(B+1)/2 rows — and each task computes one
+    ``L @ R.T`` dgemm, emitting only pairs at or above the threshold. Pair
+    enumeration therefore never materializes as Spark rows: per-task work is
+    one BLAS call over ~|corpus|/B-sized chunks, shuffle volume is
+    O(B × corpus) vectors, and B scales as corpus_rows / target_block_rows
+    at 100 TB. Cosines are rounded to 6 places before thresholding,
+    matching the per-pair formulation and the DuckDB oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = df.select(
+        F.col(id_col).alias("doc"), F.col(vec_col).alias("v")
+    ).withColumn("bi", F.pmod(F.xxhash64(F.col("doc")), F.lit(num_blocks)))
+    blocks = base.groupBy("bi").agg(
+        F.collect_list(F.struct("doc", "v")).alias("rows")
+    )
+    pairs = (
+        blocks.alias("l")
+        .join(blocks.alias("r"), F.col("l.bi") <= F.col("r.bi"))
+        .select(
+            F.col("l.bi").alias("bi"),
+            F.col("r.bi").alias("bj"),
+            F.col("l.rows").alias("lrows"),
+            F.col("r.rows").alias("rrows"),
+        )
+        # One dgemm per task: spread the B(B+1)/2 block pairs over the
+        # cluster (the blocks join itself has only B rows).
+        .repartition(num_blocks * (num_blocks + 1) // 2)
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"doc_a {id_type}, doc_b {id_type}, cosine double"
+
+    def compute(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                same = row.bi == row.bj
+                ldocs = np.array([x["doc"] for x in row.lrows])
+                rdocs = ldocs if same else np.array([x["doc"] for x in row.rrows])
+                L = np.array([x["v"] for x in row.lrows], dtype=np.float64)
+                R = L if same else np.array([x["v"] for x in row.rrows], dtype=np.float64)
+                ln = np.sqrt(np.einsum("ij,ij->i", L, L))
+                rn = ln if same else np.sqrt(np.einsum("ij,ij->i", R, R))
+                C = np.round((L @ R.T) / np.outer(ln, rn), 6)
+                ii, jj = np.nonzero(C >= threshold)
+                if same:  # upper triangle only, else each pair emits twice
+                    m = ii < jj
+                    ii, jj = ii[m], jj[m]
+                da, db, cs = ldocs[ii], rdocs[jj], C[ii, jj]
+                keep = da < db  # canonical orientation; drops self-pairs
+                flip = db < da  # cross-block pairs may arrive either way
+                yield pd.DataFrame(
+                    {
+                        "doc_a": np.concatenate([da[keep], db[flip]]),
+                        "doc_b": np.concatenate([db[keep], da[flip]]),
+                        "cosine": np.concatenate([cs[keep], cs[flip]]),
+                    }
+                )
+
+    return pairs.mapInPandas(compute, schema=out_schema)

@@ -1,0 +1,54 @@
+"""Blocked (dgemm) exact cosine pairs must equal the per-pair baseline."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from krnel_graph_spark.functions import dedup
+
+
+@pytest.fixture()
+def vectors(spark):
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, base))
+        if i % 5 == 0:  # planted near-dups
+            rows.append((1000 + i, [x + rng.uniform(-0.01, 0.01) for x in base]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _collect(df):
+    return {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in df.collect()
+    }
+
+
+def test_blocked_matches_baseline(vectors):
+    baseline = _collect(
+        dedup.embedding_cosine_pairs(vectors, "embedding", "vec_id", threshold=0.8)
+    )
+    blocked = _collect(
+        dedup.embedding_cosine_pairs_blocked(
+            vectors, "embedding", "vec_id", threshold=0.8, num_blocks=4
+        )
+    )
+    assert set(blocked) == set(baseline)
+    assert len(baseline) > 0  # planted dups actually matched
+    for key, cos in baseline.items():
+        assert math.isclose(blocked[key], cos, abs_tol=1e-6)
+
+
+def test_blocked_no_duplicate_or_self_pairs(vectors):
+    out = dedup.embedding_cosine_pairs_blocked(
+        vectors, "embedding", "vec_id", threshold=-1.0, num_blocks=3
+    )
+    pairs = [(r["doc_a"], r["doc_b"]) for r in out.collect()]
+    assert len(pairs) == len(set(pairs))  # each unordered pair exactly once
+    assert all(a < b for a, b in pairs)
+    n = vectors.count()
+    assert len(pairs) == n * (n - 1) // 2  # threshold -1 keeps every pair
