@@ -44,8 +44,19 @@ from krnel_graph_spark.streaming.events import (  # noqa: E402
 # --------------------------------------------------------------------- #
 
 
+def _conf(spark: SparkSession) -> SparkSession:
+    """Runtime confs the queries rely on, applied here so they hold even on a
+    vanilla driver-built session (the repo's own ``get_spark`` also sets them
+    at build time).  ``nanosAsLong`` is required to read the driver-generated
+    ``events.parquet`` (TIMESTAMP(NANOS), which Spark's vectorized reader
+    otherwise rejects); it is a runtime-settable SQL conf."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _conf(spark).read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,7 +69,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _runner(spark: SparkSession) -> SparkRunner:
-    return SparkRunner(spark=spark, store_path=None)
+    return SparkRunner(spark=_conf(spark), store_path=None)
 
 
 def _ds(spark, sf_dir, name):
@@ -452,9 +463,13 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_minhash_signature(spark, sf_dir):
+    # Emit the signature as a comma-joined string: the driver's pandas
+    # canonicalizer cannot sort raw array columns (unhashable list).
     docs = _docs(spark, sf_dir)
+    sig = dedup.minhash_signature("text", num_perm=16)
     return docs.select(
-        "doc_id", dedup.minhash_signature("text", num_perm=16).alias("sig")
+        "doc_id",
+        F.array_join(F.transform(sig, lambda x: x.cast("string")), ",").alias("sig"),
     )
 
 
@@ -550,7 +565,17 @@ def q_image_features_stub(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    return extract_image_features(docs, "payload", "doc_id", fake=True)
+    out = extract_image_features(docs, "payload", "doc_id", fake=True)
+    # Rounded comma-joined features: sortable by the driver's canonicalizer
+    # (raw array<float> is unhashable in pandas sort), stable across runs.
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        F.array_join(
+            F.transform("features", lambda x: F.round(x, 4).cast("string")), ","
+        ).alias("features"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -798,8 +823,9 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
         "fingerprint": f"SELECT doc_id, md5({norm_text}) AS fp FROM documents",
         "minhash_signature": f"""
 {shingle_cte}
-SELECT doc_id, CASE WHEN len(sh) = 0 THEN [{empty16}]::BIGINT[]
-       ELSE [{sig16}] END AS sig
+SELECT doc_id, array_to_string(list_transform(
+       CASE WHEN len(sh) = 0 THEN [{empty16}]::BIGINT[]
+            ELSE [{sig16}] END, x -> x::VARCHAR), ',') AS sig
 FROM h
 """,
         "minhash_pairs": f"""

@@ -22,7 +22,7 @@ import pandas as pd
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import __spark_entry__ as entry_mod  # noqa: E402
-from krnel_graph_spark.runners.spark_runner import get_spark  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -68,7 +68,14 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    spark = get_spark("correctness-check")
+    # Vanilla session on purpose: the driver's gate does NOT use our
+    # get_spark(), so queries must set any conf they need themselves.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("correctness-check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
 
