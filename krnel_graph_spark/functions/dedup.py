@@ -25,6 +25,7 @@ sets — at 100 TB you run the LSH path.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -145,10 +146,13 @@ def minhash_lsh_pairs(
         )
         .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
-        # Three consumers below (id-prune + two verify joins): checkpoint so
+        # Three consumers below (id-prune + two verify joins): persist so
         # the banding self-join runs once, not three times. Candidate pairs
         # are the LSH-pruned set — tiny relative to the corpus.
-        .localCheckpoint()
+        # MEMORY_AND_DISK (not localCheckpoint): a checkpoint stored in
+        # executor-local storage dies with the executor on a real cluster;
+        # persisted blocks are recomputable from lineage after a loss.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # Verification cost must scale with |candidates|, not |corpus|: semi-join
@@ -367,7 +371,8 @@ def embedding_cosine_pairs_blocked(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
-    num_blocks: int = 8,
+    num_blocks: int | None = None,
+    target_block_rows: int = 8192,
 ) -> DataFrame:
     """Exact all-pairs cosine near-dups via block matrix products — the
     scalable exact path (``embedding_cosine_pairs`` with ``planes`` is the
@@ -379,12 +384,25 @@ def embedding_cosine_pairs_blocked(
     ``L @ R.T`` dgemm, emitting only pairs at or above the threshold. Pair
     enumeration therefore never materializes as Spark rows: per-task work is
     one BLAS call over ~|corpus|/B-sized chunks, shuffle volume is
-    O(B × corpus) vectors, and B scales as corpus_rows / target_block_rows
-    at 100 TB. Cosines are rounded to 6 places before thresholding,
-    matching the per-pair formulation and the DuckDB oracle.
+    O(B × corpus) vectors. Cosines are rounded to 6 places before
+    thresholding, matching the per-pair formulation and the DuckDB oracle.
+
+    ``num_blocks`` defaults to ``ceil(count / target_block_rows)`` (one
+    cheap count job), so a gathered block stays ~target_block_rows vectors
+    regardless of corpus size — callers no longer have to size B to dodge
+    the 2 GB single-row / Arrow batch limits. Shrink ``target_block_rows``
+    for very wide vectors (a block row holds rows × dim × 8 bytes). Exact
+    all-pairs is inherently O(n²) compute; past ~10M vectors use the LSH /
+    IVF approximate paths instead.
     """
+    import math
+
     import numpy as np
     import pandas as pd
+
+    if num_blocks is None:
+        n_rows = df.count()
+        num_blocks = min(max(1, math.ceil(n_rows / target_block_rows)), 4096)
 
     base = df.select(
         F.col(id_col).alias("doc"), F.col(vec_col).alias("v")
@@ -418,6 +436,10 @@ def embedding_cosine_pairs_blocked(
                 R = L if same else np.array([x["v"] for x in row.rrows], dtype=np.float64)
                 ln = np.sqrt(np.einsum("ij,ij->i", L, L))
                 rn = ln if same else np.sqrt(np.einsum("ij,ij->i", R, R))
+                # Zero-norm guard: zero vectors get cosine 0 (below any
+                # positive threshold) instead of a noisy divide-by-zero NaN.
+                ln = np.where(ln == 0.0, 1.0, ln)
+                rn = np.where(rn == 0.0, 1.0, rn)
                 C = np.round((L @ R.T) / np.outer(ln, rn), 6)
                 ii, jj = np.nonzero(C >= threshold)
                 if same:  # upper triangle only, else each pair emits twice

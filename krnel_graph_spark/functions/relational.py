@@ -26,25 +26,37 @@ def asof_join(
     DuckDB/kdb ASOF JOIN).
 
     Plan: tag and union both sides, then one window pass per key ordered by
-    (ts, right-before-left on ties) carrying the last seen right values
+    (ts, right-before-left on ties) carrying the last seen right row
     forward. One shuffle on the key — no range cross-join, no point-in-time
     self-join explosion; this is the scalable formulation.
+
+    The carried payload is ONE ``struct(*value_cols)`` per right row (never
+    per-column ``last(ignorenulls)``): all attached fields come from the
+    same — latest — right row, exactly like DuckDB/kdb ASOF JOIN, even when
+    that row legitimately holds NULL in some value column.
     """
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
+    r_struct_type = (
+        "struct<"
+        + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+        )
+        + ">"
+    )
     l_tag = left.select(
         F.col(on),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(r_struct_type).alias("__r"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
     )
     r_tag = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__r"),
         F.lit(None).cast(
             "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields) + ">"
         ).alias("__l"),
@@ -58,14 +70,11 @@ def asof_join(
     )
     carried = unioned.select(
         "*",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__carry_{c}")
-            for c in value_cols
-        ],
+        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__carry"),
     ).filter(F.col("__is_left") == 1)
     return carried.select(
         F.col("__l.*"),
-        *[F.col(f"__carry_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        *[F.col(f"__carry.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )
 
 

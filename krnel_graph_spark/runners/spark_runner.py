@@ -285,7 +285,12 @@ class SparkRunner(BaseRunner):
         df = plan.df() if isinstance(plan, ColumnPlan) else plan.df
         if isinstance(plan, ColumnPlan) and plan.is_json:
             df = df.select(ROW_ID, F.to_json(F.col(plan.name)).alias(plan.name))
-        return df.orderBy(ROW_ID).drop(ROW_ID).toPandas()
+        try:
+            return df.orderBy(ROW_ID).drop(ROW_ID).toPandas()
+        except Exception as exc:  # translate inline raise_error guards
+            if "out of bounds for vector" in str(exc):
+                raise IndexError(str(exc).split("SQLSTATE")[0].strip()) from None
+            raise
 
     def to_arrow(self, op: OpSpec):
         import pyarrow as pa
@@ -339,29 +344,52 @@ class SparkRunner(BaseRunner):
     ) -> tuple[DataFrame, Any, Any, ColumnPlan]:
         """Make two columns combinable row-by-row.
 
-        Fast path (same aligned dataset): reuse the shared source DataFrame
-        and compose raw expressions — no join, stays in one codegen stage.
+        Fast path (same aligned dataset AND same physical DataFrame):
+        compose raw expressions — no join, stays in one codegen stage.
+        Same row-id domain but a *different* physical DataFrame (a
+        mapInPandas/driver-side op replaced the source, e.g. LLM outputs,
+        UMAP coords): equi-join on ``__row_id`` — cheap, no rank pass.
         Fallback (different datasets, reference §1.5 positional semantics):
         zip by rank over row-id order after an equal-length check.
         Returns (df, left_expr, right_expr, template_plan).
         """
         if left.aligned_with == right.aligned_with:
-            return left.source, left.expr, right.expr, left
+            if left.source is right.source:
+                return left.source, left.expr, right.expr, left
+            return self._id_zip(left, right)
         return self._rank_zip(left, right)
+
+    def _id_zip(self, left: ColumnPlan, right: ColumnPlan):
+        """Join two columns from the same row-id domain on ``__row_id``.
+        Fusing their expressions would be an AnalysisException (they live on
+        different DataFrames); a rank pass is unnecessary (ids already
+        correspond)."""
+        lc = left.df().select(F.col(ROW_ID), F.col(left.name).alias("__l"))
+        rc = right.df().select(F.col(ROW_ID), F.col(right.name).alias("__r"))
+        joined = lc.join(rc, ROW_ID)
+        plan = ColumnPlan(
+            source=joined,
+            expr=F.col("__l"),
+            name=left.name,
+            aligned_with=left.aligned_with,
+            dense=left.dense,
+        )
+        return joined, F.col("__l"), F.col("__r"), plan
 
     def _rank_zip(self, left: ColumnPlan, right: ColumnPlan):
         lc, rc = left.df(), right.df()
-        n_left, n_right = lc.count(), rc.count()
+        lr, n_left = self._ranked_with_count(
+            lc.select(F.col(ROW_ID), F.col(left.name).alias("__l"))
+        )
+        rr, n_right = self._ranked_with_count(
+            rc.select(F.col(ROW_ID), F.col(right.name).alias("__r"))
+        )
         if n_left != n_right:
             raise ValueError(
                 f"Positional combination of columns with different lengths: "
                 f"{n_left} vs {n_right}"
             )
-        lr = self.ranked(lc.select(F.col(ROW_ID), F.col(left.name).alias("__l")))
-        rr = self.ranked(
-            rc.select(F.col(ROW_ID), F.col(right.name).alias("__r"))
-        ).select("__r", "__rank")
-        joined = lr.join(rr, "__rank").drop("__rank")
+        joined = lr.join(rr.select("__r", "__rank"), "__rank").drop("__rank")
         plan = ColumnPlan(
             source=joined,
             expr=F.col("__l"),
@@ -372,41 +400,61 @@ class SparkRunner(BaseRunner):
         return joined, F.col("__l"), F.col("__r"), plan
 
     def ranked(self, df: DataFrame) -> DataFrame:
-        """Attach a 0-based global rank ``__rank`` in ROW_ID order,
-        distributed: range-partition by ROW_ID (increasing ranges get
-        increasing partition ids), rank within each partition, add
-        per-partition offsets gathered by one tiny count job — the moral
-        equivalent of ``RDD.zipWithIndex``, kept JVM-side. No
-        single-partition global window, so the rank-zip slow path (reference
-        §1.5 positional semantics across datasets) survives 100-TB inputs.
-        Costs one extra pass over ``df`` for the counts."""
-        n_part = max(df.rdd.getNumPartitions(), 1)
-        parted = df.repartitionByRange(n_part, F.col(ROW_ID)).withColumn(
-            "__pid", F.spark_partition_id()
-        )
+        """Attach a 0-based global rank ``__rank`` in ROW_ID order — the
+        moral equivalent of ``RDD.zipWithIndex``, kept JVM-side."""
+        return self._ranked_with_count(df)[0]
+
+    def _ranked_with_count(self, df: DataFrame) -> tuple[DataFrame, int]:
+        """Distributed global rank with a DETERMINISTIC partitioning.
+
+        ``repartitionByRange`` is unusable here: its range boundaries come
+        from reservoir sampling seeded per-job, so the tiny count job and
+        the consuming job could place rows in different partitions —
+        silently corrupting every positional path (rank-zip joins, masks,
+        non-dense takes). Instead the bucket id is a pure *function of the
+        row-id value* (fixed-width ranges over [min, max], width sized so
+        bucket count ≈ cluster parallelism): every job recomputes the same
+        bucket for the same row. One cheap agg pass gets min/max/count, one
+        pass gets per-bucket counts → offsets, and the final plan ranks
+        within buckets (Catalyst hash-clusters on the bucket, which is
+        value-deterministic) and adds the offset. No single-partition
+        global window, so this survives 100-TB inputs; skew is bounded
+        because row-ids are dense at scan and only thinned by masks.
+
+        Returns ``(ranked_df, row_count)`` so callers needing the length
+        (equal-length checks) don't pay another pass."""
+        stats = df.agg(
+            F.min(ROW_ID).alias("lo"),
+            F.max(ROW_ID).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        n_rows = int(stats["n"])
+        if n_rows == 0:
+            return df.withColumn("__rank", F.lit(0).cast("long")), 0
+        lo, hi = int(stats["lo"]), int(stats["hi"])
+        n_part = max(self.spark.sparkContext.defaultParallelism, 1)
+        width = max(1, math.ceil((hi - lo + 1) / n_part))
+        bucket = F.floor((F.col(ROW_ID) - F.lit(lo)) / F.lit(width)).cast("long")
         sizes = {
-            row["__pid"]: row["count"]
-            for row in parted.groupBy("__pid").count().collect()
+            int(row["__b"]): int(row["count"])
+            for row in df.select(bucket.alias("__b")).groupBy("__b").count().collect()
         }
         offsets: dict[int, int] = {}
         acc = 0
-        for pid in sorted(sizes):
-            offsets[pid] = acc
-            acc += sizes[pid]
-        if not offsets:
-            return df.withColumn("__rank", F.lit(0).cast("long"))
-        offmap = F.create_map(
-            *[F.lit(v) for kv in offsets.items() for v in kv]
-        )
-        w = Window.partitionBy("__pid").orderBy(ROW_ID)
-        return (
-            parted.withColumn(
+        for b in sorted(sizes):
+            offsets[b] = acc
+            acc += sizes[b]
+        offmap = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
+        w = Window.partitionBy("__b").orderBy(ROW_ID)
+        out = (
+            df.withColumn("__b", bucket)
+            .withColumn(
                 "__rank",
-                (F.row_number().over(w) - 1).cast("long")
-                + offmap[F.col("__pid")],
+                (F.row_number().over(w) - 1).cast("long") + offmap[F.col("__b")],
             )
-            .drop("__pid")
+            .drop("__b")
         )
+        return out, n_rows
 
 
 def _aligned_uuid(op: OpSpec) -> str:
@@ -564,7 +612,14 @@ def mask_rows(runner: SparkRunner, op: MaskRowsOp) -> DatasetPlan:
     mask = runner.column_plan(op.mask)
     _require_boolean(mask)
     if mask.aligned_with == op.dataset.uuid:
-        out = ds.df.filter(mask.expr)
+        if mask.source is ds.df:
+            # Same physical DataFrame: fuse into a plain Filter.
+            out = ds.df.filter(mask.expr)
+        else:
+            # Same row-id domain, different physical DataFrame (mask built
+            # from a mapInPandas/driver-side column): semi-join on row id.
+            keep = mask.df().filter(F.col(mask.name)).select(ROW_ID)
+            out = ds.df.join(keep, ROW_ID, "left_semi")
         return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=False)
     # Positional fallback: i-th row of the dataset pairs with i-th mask value.
     n_ds = ds.df.count()
@@ -682,15 +737,23 @@ def pairwise_arithmetic(runner: SparkRunner, op: PairwiseArithmeticOp) -> Column
 @SparkRunner.implementation
 def vector_to_scalar(runner: SparkRunner, op: VectorToScalarOp) -> ColumnPlan:
     col = runner.column_plan(op.input)
-    # Bounds check: one aggregate over vector sizes (pushdown-friendly).
-    min_size = col.source.select(F.min(F.size(col.expr))).collect()[0][0]
-    if min_size is not None and op.col_index >= min_size:
-        raise IndexError(
-            f"col_index {op.col_index} out of bounds for vectors of size {min_size}"
-        )
+    # Bounds check rides the real job as an inline raise_error guard —
+    # building the plan must trigger NO Spark job (an eager min(size)
+    # aggregate here would force a full column scan per .col(i) call at
+    # graph-build time, a driver-blocking pass at 100-TB scale).
+    idx = op.col_index
+    guarded = F.when(
+        F.size(col.expr) <= F.lit(idx),
+        F.raise_error(
+            F.concat(
+                F.lit(f"col_index {idx} out of bounds for vector of size "),
+                F.size(col.expr).cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(F.element_at(col.expr, idx + 1).cast("double"))
     return ColumnPlan(
         source=col.source,
-        expr=F.element_at(col.expr, op.col_index + 1).cast("double"),
+        expr=guarded,
         name=VALUE,
         aligned_with=col.aligned_with,
         dense=col.dense,

@@ -1,0 +1,63 @@
+"""Cross-DataFrame alignment: columns whose physical source was replaced
+(mapInPandas LLM outputs, driver-side UMAP coords) must still combine with
+sibling columns of the originating dataset — via a row-id equi-join, not
+expression fusion (which would reference columns across two DataFrames and
+fail analysis)."""
+
+import pytest
+
+
+@pytest.fixture()
+def text_ds(lazy_runner):
+    ds = lazy_runner.from_inline_dataset(
+        {
+            "text": ["alpha beta", "gamma", "delta epsilon zeta", "eta"],
+            "score": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    return lazy_runner, ds
+
+
+def test_llm_column_combines_with_sibling(text_ds):
+    runner, ds = text_ds
+    logit = ds.col_text("text").llm_logit_scores("fake:dim4", tokens=["yes"])
+    combined = logit.col(0) + ds.col_score("score")
+    out = runner.to_pandas(combined)
+    base = runner.to_pandas(logit.col(0))
+    assert len(out) == 4
+    expect = [v + s for v, s in zip(base["value"], [1.0, 2.0, 3.0, 4.0])]
+    assert out["value"].tolist() == pytest.approx(expect)
+
+
+def test_mask_rows_with_llm_derived_mask(text_ds):
+    runner, ds = text_ds
+    gen = ds.col_text("text").llm_generate_text("fake:dim4", max_tokens=24)
+    generated = runner.to_pandas(gen)["value"].tolist()
+    mask = gen.is_in({generated[0], generated[2]})
+    kept = runner.to_pandas(ds.mask_rows(mask))
+    assert kept["text"].tolist() == ["alpha beta", "delta epsilon zeta"]
+
+
+def test_activations_col_combines_with_sibling(text_ds):
+    runner, ds = text_ds
+    acts = ds.col_text("text").llm_layer_activations("fake:dim4", layer_num=-1)
+    combined = acts.col(1) + ds.col_score("score")
+    out = runner.to_pandas(combined)
+    base = runner.to_pandas(acts.col(1))
+    expect = [v + s for v, s in zip(base["value"], [1.0, 2.0, 3.0, 4.0])]
+    assert out["value"].tolist() == pytest.approx(expect)
+
+
+def test_umap_on_masked_dataset(lazy_runner):
+    runner = lazy_runner
+    ds = runner.from_inline_dataset(
+        {
+            "vec": [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0], [2.0, 0.5]],
+            "name": ["a", "b", "c", "d"],
+        }
+    )
+    kept = ds.mask_rows(ds.col_categorical("name").is_in({"a", "c", "d"}))
+    coords = kept.col_vector("vec").umap_vis(method="pca")
+    out = runner.to_pandas(coords)
+    assert len(out) == 3
+    assert all(len(v) == 2 for v in out["value"])

@@ -52,3 +52,36 @@ def test_blocked_no_duplicate_or_self_pairs(vectors):
     assert all(a < b for a, b in pairs)
     n = vectors.count()
     assert len(pairs) == n * (n - 1) // 2  # threshold -1 keeps every pair
+
+
+def test_blocked_derives_num_blocks(vectors):
+    """num_blocks=None derives B from the corpus count; results unchanged."""
+    explicit = _collect(
+        dedup.embedding_cosine_pairs_blocked(
+            vectors, "embedding", "vec_id", threshold=0.8, num_blocks=4
+        )
+    )
+    derived = _collect(
+        dedup.embedding_cosine_pairs_blocked(
+            vectors, "embedding", "vec_id", threshold=0.8, target_block_rows=16
+        )
+    )
+    assert derived == explicit
+
+
+def test_blocked_zero_norm_vectors(spark):
+    """Zero vectors must not NaN-poison the block: they simply never pass a
+    positive threshold, and other pairs are unaffected."""
+    rows = [
+        (0, [0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0]),
+        (3, [0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = _collect(
+        dedup.embedding_cosine_pairs_blocked(
+            df, "embedding", "vec_id", threshold=0.5, num_blocks=2
+        )
+    )
+    assert set(out) == {(1, 2)}

@@ -1,0 +1,53 @@
+"""as-of join semantics (DuckDB/kdb parity) and bucketed range join."""
+
+from pyspark.sql import functions as F
+
+from krnel_graph_spark.functions.relational import asof_join, range_join_buckets
+
+
+def _left(spark):
+    return spark.createDataFrame(
+        [(1, 100, "a"), (1, 205, "b"), (2, 50, "c"), (3, 10, "d")],
+        "k long, ts long, tag string",
+    )
+
+
+def test_asof_basic_latest_match(spark):
+    right = spark.createDataFrame(
+        [(1, 90, 1.0), (1, 200, 2.0), (2, 50, 3.0)], "k long, ts long, v double"
+    )
+    out = asof_join(_left(spark), right, on="k", value_cols=["v"])
+    got = {r["tag"]: r["v_asof"] for r in out.collect()}
+    # ts=100 → right@90; ts=205 → right@200; ts=50 → right@50 (inclusive);
+    # k=3 has no right rows → NULL.
+    assert got == {"a": 1.0, "b": 2.0, "c": 3.0, "d": None}
+
+
+def test_asof_whole_row_null_fields(spark):
+    """A matched right row with NULL in one value column must attach that
+    NULL — never inherit the field from an older right row."""
+    right = spark.createDataFrame(
+        [(1, 90, 1.0, "old"), (1, 199, None, "new")],
+        "k long, ts long, v double, label string",
+    )
+    out = asof_join(_left(spark), right, on="k", value_cols=["v", "label"])
+    row = {r["tag"]: (r["v_asof"], r["label_asof"]) for r in out.collect()}
+    # ts=100 matches the 90 row; ts=205 matches the 199 row whose v is NULL.
+    assert row["a"] == (1.0, "old")
+    assert row["b"] == (None, "new")
+
+
+def test_asof_no_future_leak(spark):
+    right = spark.createDataFrame([(1, 300, 9.0)], "k long, ts long, v double")
+    out = asof_join(_left(spark), right, on="k", value_cols=["v"])
+    assert all(r["v_asof"] is None for r in out.collect() if r["k"] == 1)
+
+
+def test_range_join_buckets(spark):
+    pts = spark.createDataFrame([(1, 5), (2, 35), (3, 99)], "pid long, x long")
+    ivs = spark.createDataFrame(
+        [(10, 0, 10), (20, 30, 40), (30, 90, 95)], "iid long, lo long, hi long"
+    )
+    out = range_join_buckets(pts, ivs, "x", "lo", "hi", bucket_width=16)
+    got = {(r["pid"], r["iid"]) for r in out.collect()}
+    assert got == {(1, 10), (2, 20)}
