@@ -514,14 +514,15 @@ def q_ann_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return similarity.cosine_topk_lsh(
-        emb, queries_df, "embedding", "vec_id", k=10, dim=64, n_planes=6, multiprobe=7
+        emb, queries_df, "embedding", "vec_id",
+        k=10, dim=64, n_planes=6, multiprobe=7, n_tables=8,
     )
 
 
 def q_ann_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_topk(emb, queries_df, "embedding", "vec_id", k=10)
+    return similarity.ivf_topk(emb, queries_df, "embedding", "vec_id", k=10, nprobe=8)
 
 
 # ---- beyond-reference: text analysis ------------------------------------ #

@@ -95,24 +95,53 @@ def cosine_topk_lsh(
     dim: int | None = None,
     n_planes: int = 16,
     multiprobe: int = 1,
+    n_tables: int = 1,
+    seed: int = 7,
 ) -> DataFrame:
     """Approximate top-k: candidates = hyperplane-bucket collisions.
 
     ``multiprobe`` > 1 additionally probes buckets at Hamming distance 1 on
-    the query side (flipping each of the lowest ``multiprobe`` bits),
-    trading candidate volume for recall. Size ``n_planes`` so 2^n_planes ≪
-    corpus size / desired bucket occupancy — too many planes means empty
-    result sets, too few means brute force.
+    the query side (flipping each of the lowest ``multiprobe - 1`` bits),
+    trading candidate volume for recall. ``n_tables`` > 1 is the standard
+    LSH amplification: L independent plane sets, a candidate collides in
+    ANY table — per-neighbor miss probability decays as ``(1 - p)^L``.
+    Queries stay broadcast, so the corpus is never shuffled: the per-table
+    explode multiplies map-side candidate checks (L × rows), not shuffle
+    volume — L is the recall knob that survives 100 TB. Size ``n_planes``
+    so 2^n_planes ≪ corpus size / desired bucket occupancy.
     """
-    if planes is None:
+    if planes is not None:
+        tables = [planes]
+    else:
         if dim is None:
             dim = len(corpus.select(vec_col).first()[0])
-        planes = random_hyperplanes(dim, n_planes)
+        tables = [
+            random_hyperplanes(dim, n_planes, seed + 131 * t)
+            for t in range(max(1, n_tables))
+        ]
+
+    def bucket_entries(vec_col_name: str, probe: bool):
+        """(table_id, bucket) structs for every table (queries also probe
+        Hamming-1 buckets when multiprobe > 1)."""
+        entries = []
+        for t, pl in enumerate(tables):
+            sig = hyperplane_signature(vec_col_name, pl)
+            entries.append(F.struct(F.lit(t).alias("t"), sig.alias("b")))
+            if probe and multiprobe > 1:
+                for i in range(multiprobe - 1):
+                    entries.append(
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            sig.bitwiseXOR(F.lit(1 << i)).alias("b"),
+                        )
+                    )
+        return F.array_distinct(F.array(*entries))
+
     c = _with_norm(
         ensure_min_partitions(corpus).select(
             F.col(id_col).alias("doc_id"),
             F.col(vec_col).alias("dv"),
-            hyperplane_signature(vec_col, planes).alias("bucket"),
+            F.explode(bucket_entries(vec_col, probe=False)).alias("bk"),
         ),
         "dv",
         "dnorm",
@@ -121,27 +150,15 @@ def cosine_topk_lsh(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            hyperplane_signature(vec_col, planes).alias("qbucket"),
+            F.explode(bucket_entries(vec_col, probe=True)).alias("qbk"),
         ),
         "qv",
         "qnorm",
     )
-    if multiprobe > 1:
-        probes = F.array_distinct(
-            F.array(
-                F.col("qbucket"),
-                *[
-                    F.col("qbucket").bitwiseXOR(F.lit(1 << i))
-                    for i in range(multiprobe - 1)
-                ],
-            )
-        )
-        q = q.select("query_id", "qv", "qnorm", F.explode(probes).alias("qbucket"))
     scored = (
         c.join(
             F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket"))
-            & (F.col("doc_id") != F.col("query_id")),
+            (F.col("bk") == F.col("qbk")) & (F.col("doc_id") != F.col("query_id")),
         )
         .select("query_id", "doc_id", _pair_cosine())
         .dropDuplicates(["query_id", "doc_id"])

@@ -1,0 +1,119 @@
+"""Recall of the approximate ANN paths vs the exact brute-force baseline.
+
+ann_lsh / ann_ivf have no SQL oracle by design (bucketing is engine-
+internal); these tests are their guardrail. Two layers:
+
+* mechanism tests on *clustered* vectors (the workload ANN indexes are
+  for): near-neighbors are genuinely close, so bucketing must recover
+  them — recall ≥ 0.8 or the signature/probing/cell-routing broke;
+* canary floors on the driver's embeddings table at the exact gate-query
+  parameters. Those vectors are near-random (weak neighbor structure —
+  the hard case), so the floors sit at the measured deterministic values
+  minus a safety margin.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from krnel_graph_spark.functions import similarity
+
+K = 10
+N_QUERIES = 10
+
+
+def _recall(approx_df, exact_pairs):
+    approx = {(r["query_id"], r["doc_id"]) for r in approx_df.collect()}
+    return len(approx & exact_pairs) / len(exact_pairs)
+
+
+def _exact(emb, queries):
+    out = similarity.cosine_topk(emb, queries, "embedding", "vec_id", k=K)
+    return {(r["query_id"], r["doc_id"]) for r in out.collect()}
+
+
+# ------------------------- clustered mechanism ------------------------- #
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """40 well-separated cluster centers × 12 members with small noise:
+    each vector's true top-k are its cluster-mates."""
+    rng = random.Random(3)
+    rows = []
+    vid = 0
+    for _ in range(40):
+        center = [rng.gauss(0, 1) for _ in range(32)]
+        for _ in range(12):
+            rows.append(
+                (vid, [x + rng.gauss(0, 0.05) for x in center])
+            )
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df.cache()
+
+
+def test_lsh_recall_clustered(clustered):
+    queries = clustered.filter(F.col("vec_id") % 120 == 0)
+    exact = _exact(clustered, queries)
+    out = similarity.cosine_topk_lsh(
+        clustered, queries, "embedding", "vec_id",
+        k=K, dim=32, n_planes=6, multiprobe=7, n_tables=2,
+    )
+    r = _recall(out, exact)
+    assert r >= 0.8, f"LSH recall@{K} on clustered data collapsed to {r:.2f}"
+
+
+def test_ivf_recall_clustered(clustered):
+    queries = clustered.filter(F.col("vec_id") % 120 == 0)
+    exact = _exact(clustered, queries)
+    out = similarity.ivf_topk(
+        clustered, queries, "embedding", "vec_id", k=K, n_cells=16, nprobe=4
+    )
+    r = _recall(out, exact)
+    assert r >= 0.8, f"IVF recall@{K} on clustered data collapsed to {r:.2f}"
+
+
+# --------------------- gate-parameter canary floors --------------------- #
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def test_lsh_recall_gate_params(emb):
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = _exact(emb, queries)
+    out = similarity.cosine_topk_lsh(
+        emb, queries, "embedding", "vec_id",
+        k=K, dim=64, n_planes=6, multiprobe=7, n_tables=8,  # ann_lsh gate params
+    )
+    r = _recall(out, exact)
+    assert r >= 0.75, f"gate-param LSH recall@{K} fell to {r:.2f} (was 0.82)"
+
+
+def test_ivf_recall_gate_params(emb):
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = _exact(emb, queries)
+    out = similarity.ivf_topk(
+        emb, queries, "embedding", "vec_id", k=K, nprobe=8  # ann_ivf gate params
+    )
+    r = _recall(out, exact)
+    assert r >= 0.7, f"gate-param IVF recall@{K} fell to {r:.2f} (was 0.76)"
+
+
+def test_lsh_results_validly_ranked(emb):
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = similarity.cosine_topk_lsh(
+        emb, queries, "embedding", "vec_id", k=K, dim=64, n_planes=6
+    )
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        cosines = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert cosines == sorted(cosines, reverse=True)

@@ -1,0 +1,160 @@
+"""Differential tests for functions/metrics.py.
+
+The metrics are hand-rolled numpy (the reference uses sklearn, which is not
+installed in this container). Each vectorized implementation is checked
+against a transparent brute-force definitional oracle on seeded random
+draws, including tie-heavy and degenerate distributions; an sklearn parity
+test runs additionally wherever sklearn is available.
+"""
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from krnel_graph_spark.functions import metrics
+
+try:
+    import sklearn.metrics as skm
+
+    HAVE_SKLEARN = True
+except ImportError:
+    HAVE_SKLEARN = False
+
+
+# ------------------------ definitional oracles ------------------------- #
+
+
+def brute_auc(scores, labels):
+    """P(random positive ranks above random negative), ties count 1/2."""
+    pos = [s for s, y in zip(scores, labels) if y]
+    neg = [s for s, y in zip(scores, labels) if not y]
+    if not pos or not neg:
+        return float("nan")
+    wins = sum((p > n_) + 0.5 * (p == n_) for p in pos for n_ in neg)
+    return wins / (len(pos) * len(neg))
+
+
+def _pr_at(scores, labels, t):
+    pred = [s >= t for s in scores]
+    tp = sum(p and y for p, y in zip(pred, labels))
+    fp = sum(p and not y for p, y in zip(pred, labels))
+    n_pos = sum(labels)
+    precision = tp / (tp + fp) if (tp + fp) else 1.0
+    recall = tp / n_pos if n_pos else 0.0
+    return precision, recall
+
+
+def brute_ap(scores, labels):
+    if not sum(labels):
+        return float("nan")
+    prev_r, ap = 0.0, 0.0
+    for t in sorted(set(scores), reverse=True):
+        p, r = _pr_at(scores, labels, t)
+        ap += (r - prev_r) * p
+        prev_r = r
+    return ap
+
+
+def brute_precision_at_recall(scores, labels, level):
+    cands = [
+        p
+        for t in set(scores)
+        for p, r in [_pr_at(scores, labels, t)]
+        if r >= level
+    ]
+    return max(cands) if cands else float("nan")
+
+
+def brute_best_accuracy(scores, labels):
+    n = len(scores)
+    best = -1.0
+    for t in sorted(set(scores), reverse=True):
+        pred = [s >= t for s in scores]
+        acc = sum(p == bool(y) for p, y in zip(pred, labels)) / n
+        best = max(best, acc)
+    return best
+
+
+# ------------------------------ scenarios ------------------------------ #
+
+
+def _draws():
+    rng = random.Random(1234)
+    out = []
+    for n in (10, 57, 200):
+        # continuous, informative scores
+        labels = [rng.random() < 0.4 for _ in range(n)]
+        scores = [rng.gauss(1.0 if y else 0.0, 1.0) for y in labels]
+        out.append((scores, labels))
+        # heavy ties: scores quantized to 4 levels
+        out.append(([round(s * 2) / 2 for s in scores], labels))
+        # uninformative constant scores
+        out.append(([0.5] * n, labels))
+        # perfectly separable
+        out.append(([float(y) for y in labels], labels))
+        # inverted
+        out.append(([-s for s in scores], labels))
+    return out
+
+
+DRAWS = _draws()
+
+
+@pytest.mark.parametrize("i", range(len(DRAWS)))
+def test_roc_auc_matches_u_statistic(i):
+    scores, labels = DRAWS[i]
+    got = metrics.roc_auc(np.array(scores), np.array(labels))
+    want = brute_auc(scores, labels)
+    assert math.isclose(got, want, abs_tol=1e-12) or (
+        math.isnan(got) and math.isnan(want)
+    )
+
+
+@pytest.mark.parametrize("i", range(len(DRAWS)))
+def test_average_precision_matches_step_sum(i):
+    scores, labels = DRAWS[i]
+    got = metrics.average_precision(np.array(scores), np.array(labels))
+    want = brute_ap(scores, labels)
+    assert math.isclose(got, want, abs_tol=1e-12) or (
+        math.isnan(got) and math.isnan(want)
+    )
+
+
+@pytest.mark.parametrize("i", range(0, len(DRAWS), 3))
+@pytest.mark.parametrize("level", (0.1, 0.5, 0.9, 0.999))
+def test_precision_at_recall_matches_scan(i, level):
+    scores, labels = DRAWS[i]
+    got = metrics.precision_at_recall(np.array(scores), np.array(labels), level)
+    want = brute_precision_at_recall(scores, labels, level)
+    assert math.isclose(got, want, abs_tol=1e-12) or (
+        math.isnan(got) and math.isnan(want)
+    )
+
+
+@pytest.mark.parametrize("i", range(0, len(DRAWS), 3))
+def test_best_accuracy_matches_scan(i):
+    scores, labels = DRAWS[i]
+    if not any(labels) or all(labels):
+        pytest.skip("degenerate split")
+    got = metrics.best_accuracy_threshold(np.array(scores), np.array(labels))
+    want = brute_best_accuracy(scores, labels)
+    assert math.isclose(got["best_accuracy"], want, abs_tol=1e-12)
+
+
+@pytest.mark.skipif(not HAVE_SKLEARN, reason="sklearn not installed")
+@pytest.mark.parametrize("i", range(len(DRAWS)))
+def test_sklearn_parity(i):
+    scores, labels = DRAWS[i]
+    s, y = np.array(scores), np.array(labels, dtype=int)
+    if y.sum() in (0, len(y)):
+        pytest.skip("degenerate split")
+    assert math.isclose(
+        metrics.roc_auc(s, y), skm.roc_auc_score(y, s), abs_tol=1e-9
+    )
+    assert math.isclose(
+        metrics.average_precision(s, y),
+        skm.average_precision_score(y, s),
+        abs_tol=1e-9,
+    )
