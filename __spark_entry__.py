@@ -304,6 +304,42 @@ def q_llm_activations_fake(spark, sf_dir):
     return runner.dataframe(op)
 
 
+# Fixed conversation fixture for the chat-template gate query. The fake
+# provider renders the deterministic ChatML-style template, so the oracle can
+# reproduce the expected strings as literals.
+_CHAT_CONVS = [
+    [("system", "Be terse."), ("user", "hello world")],
+    [("user", "what is spark")],
+    [
+        ("system", "talk like a pirate"),
+        ("user", "tell me about ships"),
+        ("assistant", "arr"),
+        ("user", "more"),
+    ],
+    [("user", "final prompt")],
+]
+
+
+def _render_chatml(conv) -> str:
+    """Independent mirror of the provider-side default template (kept
+    textual here so the oracle stays differential)."""
+    s = "".join(f"<|im_start|>{r}\n{c}<|im_end|>\n" for r, c in conv)
+    return s + "<|im_start|>assistant\n"
+
+
+def q_llm_chat_generate(spark, sf_dir):
+    runner = _runner(spark)
+    ds = runner.from_inline_dataset(
+        {
+            "conv": [
+                [{"role": r, "content": c} for r, c in conv] for conv in _CHAT_CONVS
+            ]
+        }
+    )
+    op = ds.col_conversation("conv").llm_generate_text("fake:dim8", max_tokens=400)
+    return runner.dataframe(op)
+
+
 def q_umap_pca(spark, sf_dir):
     runner, ds = _ds(spark, sf_dir, "embeddings")
     op = ds.col_vector("embedding").umap_vis(method="pca")
@@ -600,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_evaluate": q_classifier_evaluate,
         "llm_logit_scores_fake": q_llm_logit_scores_fake,
         "llm_generate_fake": q_llm_generate_fake,
+        "llm_chat_generate": q_llm_chat_generate,
         "llm_activations_fake": q_llm_activations_fake,
         "umap_pca": q_umap_pca,
         "agg_q1": q_agg_q1,
@@ -739,6 +776,16 @@ FROM t WHERE ({md5_long_sql("rn::VARCHAR || ':42'")} % 1000000) >= 250000
             "SELECT 'echo[dim8]: ' || substring(text, 1, 24) AS value "
             "FROM documents"
         ),
+        "llm_chat_generate": "SELECT * FROM (VALUES "
+        + ", ".join(
+            "('"
+            + ("echo[dim8]: " + _render_chatml(conv)[:400]).replace(
+                "\n", "' || chr(10) || '"
+            )
+            + "')"
+            for conv in _CHAT_CONVS
+        )
+        + ") AS t(value)",
         "agg_q1": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,

@@ -39,6 +39,23 @@ from .spark_runner import SparkRunner
 
 _CLASSIFIER_REGISTRY: dict[str, Callable[[int], Any]] = {}
 
+#: The reference's full model-name surface (probe_implementations.py:63-120).
+#: With sklearn installed every name is registered; the dependency-free
+#: fallback branch registers the numpy subset.
+ALL_CLASSIFIER_MODELS = (
+    "logistic_regression",
+    "linear_svc",
+    "passive_aggressive",
+    "rbf_nusvm",
+    "rbf_svc",
+    "calibrated_rbf_nusvm",
+    "sgd",
+    "sgd_nystroem",
+    "sgd_nystroem_one_class_svm",
+    "random_forest",
+    "naive_bayes",
+)
+
 
 def register_classifier_model(name: str):
     def decorator(factory: Callable[[int], Any]):
@@ -188,6 +205,34 @@ try:  # Prefer sklearn's estimators when the library is installed.
     def _nb(random_state: int):
         return GaussianNB()
 
+    from sklearn.calibration import CalibratedClassifierCV
+    from sklearn.kernel_approximation import Nystroem
+    from sklearn.linear_model import SGDOneClassSVM
+    from sklearn.pipeline import make_pipeline
+
+    @register_classifier_model("calibrated_rbf_nusvm")
+    def _cal_nusvm(random_state: int):
+        # Parity: probe_implementations.py:90-96.
+        return CalibratedClassifierCV(
+            NuSVC(kernel="rbf", random_state=random_state)
+        )
+
+    @register_classifier_model("sgd_nystroem")
+    def _sgd_nystroem(random_state: int):
+        # Parity: probe_implementations.py:102-107.
+        return make_pipeline(
+            Nystroem(random_state=random_state),
+            SGDClassifier(random_state=random_state),
+        )
+
+    @register_classifier_model("sgd_nystroem_one_class_svm")
+    def _sgd_nystroem_ocsvm(random_state: int):
+        # Parity: probe_implementations.py:109-114.
+        return make_pipeline(
+            Nystroem(random_state=random_state),
+            SGDOneClassSVM(random_state=random_state),
+        )
+
 except ImportError:  # dependency-free fallbacks
 
     @register_classifier_model("logistic_regression")
@@ -256,7 +301,9 @@ def _gather(runner: SparkRunner, primary: ColumnPlan, extras: dict[str, ColumnPl
     cols = [F.col(ROW_ID), primary.expr.alias("__x")]
     pending = {}
     for key, plan in extras.items():
-        if plan.aligned_with == primary.aligned_with:
+        # Fusion requires the SAME physical DataFrame, not just the same
+        # row-id domain (a mapInPandas-derived column lives elsewhere).
+        if plan.aligned_with == primary.aligned_with and plan.source is df:
             cols.append(plan.expr.alias(key))
         else:
             pending[key] = plan
@@ -324,24 +371,61 @@ def train_classifier(runner: SparkRunner, op: TrainClassifierOp) -> ArtifactPlan
 
 
 def _train_spark_ml(runner: SparkRunner, op: TrainClassifierOp, selected):
-    """Distributed fit with pyspark.ml — the path that survives 100 TB."""
+    """Distributed fit with pyspark.ml — the path that survives 100 TB.
+
+    ``op.preprocessing`` is honored (it is part of the op's content-addressed
+    identity, so silently skipping it would cache a wrong artifact):
+    standardize fits a distributed ``StandardScaler`` whose mean/std are then
+    carried into the persisted :class:`TrainedProbe` so prediction applies
+    the identical transform; normalize is stateless L2 row scaling.
+    ``op.random_state`` needs no plumbing here — Spark ML's LBFGS logistic
+    regression is deterministic."""
     from pyspark.ml.classification import LogisticRegression as MLLogisticRegression
+    from pyspark.ml.feature import Normalizer as MLNormalizer
+    from pyspark.ml.feature import StandardScaler as MLStandardScaler
     from pyspark.ml.functions import array_to_vector
+
+    if op.model_type != "logistic_regression":
+        raise ValueError(
+            f"mode='spark' currently supports logistic_regression, got {op.model_type!r}"
+        )
 
     train_df = selected.select(
         array_to_vector(F.col("__x").cast("array<double>")).alias("features"),
         F.col("__y").cast("double").alias("label"),
     )
-    if op.model_type != "logistic_regression":
+
+    preprocessor = None
+    fit_col = "features"
+    if op.preprocessing == "standardize":
+        scaler = MLStandardScaler(
+            withMean=True, withStd=True, inputCol="features", outputCol="__scaled"
+        ).fit(train_df)
+        train_df = scaler.transform(train_df)
+        fit_col = "__scaled"
+        preprocessor = _Standardizer()
+        preprocessor.mean = np.array(scaler.mean.toArray())
+        # Spark's scaler divides by the sample std; reuse ITS values so the
+        # persisted predict-side transform is bit-identical to training.
+        std = np.array(scaler.std.toArray())
+        preprocessor.std = np.where(std == 0, 1.0, std)
+    elif op.preprocessing == "normalize":
+        train_df = MLNormalizer(
+            p=2.0, inputCol="features", outputCol="__scaled"
+        ).transform(train_df)
+        fit_col = "__scaled"
+        preprocessor = _Normalizer()
+    elif op.preprocessing not in (None, "none"):
         raise ValueError(
-            f"mode='spark' currently supports logistic_regression, got {op.model_type!r}"
+            f"mode='spark' does not support preprocessing={op.preprocessing!r}"
         )
-    ml_model = MLLogisticRegression(maxIter=100).fit(train_df)
+
+    ml_model = MLLogisticRegression(maxIter=100, featuresCol=fit_col).fit(train_df)
     coef = np.array(ml_model.coefficients.toArray())
     intercept = float(ml_model.intercept)
     probe = NumpyLogisticRegression()
     probe.coef_, probe.intercept_ = coef, intercept
-    return ArtifactPlan(payload=TrainedProbe(probe, None), kind="pickle")
+    return ArtifactPlan(payload=TrainedProbe(probe, preprocessor), kind="pickle")
 
 
 @SparkRunner.implementation

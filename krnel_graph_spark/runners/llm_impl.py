@@ -71,6 +71,25 @@ class ModelProvider:
     def __init__(self, name: str):
         self.name = name
 
+    def apply_chat_template(
+        self, conversation: list[dict], append: Optional[str] = None
+    ) -> str:
+        """Render a ``[{"role", "content"}, ...]`` conversation to the
+        provider's prompt format, with a trailing generation prompt.
+        ``append`` is tacked onto the rendered template (the reference's
+        ``append_to_chat_template`` knob for logit scoring,
+        ``model_registry_implementations.py:291-300``). The default is a
+        deterministic ChatML-style rendering; model-backed providers
+        override with their tokenizer's own template."""
+        parts = [
+            f"<|im_start|>{m.get('role', 'user')}\n{m.get('content', '')}<|im_end|>\n"
+            for m in conversation
+        ]
+        out = "".join(parts) + "<|im_start|>assistant\n"
+        if append:
+            out += append
+        return out
+
     def layer_activations(
         self, texts: list[str], layer_num: int, token_mode: str
     ) -> np.ndarray:
@@ -133,6 +152,16 @@ class HuggingFaceProvider(ModelProvider):
         self.model = transformers.AutoModel.from_pretrained(name)
         self.model.eval()
 
+    def apply_chat_template(self, conversation, append=None):  # pragma: no cover
+        """The tokenizer's own template (reference appends raw template
+        text after rendering — ``model_registry_implementations.py:291``)."""
+        rendered = self.tokenizer.apply_chat_template(
+            conversation, tokenize=False, add_generation_prompt=True
+        )
+        if append:
+            rendered += append
+        return rendered
+
     def layer_activations(self, texts, layer_num, token_mode):  # pragma: no cover
         import torch
 
@@ -167,6 +196,118 @@ class SentenceTransformerProvider(ModelProvider):  # pragma: no cover
         return np.asarray(self.model.encode(texts), dtype=np.float32)
 
 
+@register_model_provider("ollama")
+class OllamaProvider(ModelProvider):
+    """Local Ollama server (parity surface:
+    ``model_registry_implementations.py:22-78``). Stdlib HTTP — no client
+    dependency; each executor process keeps one provider and talks to the
+    server at ``OLLAMA_HOST`` (default ``http://localhost:11434``).
+    Embeddings only expose the final layer / last token, and logit scores
+    are unsupported, matching the reference's constraints."""
+
+    def __init__(self, name: str):
+        super().__init__(name)
+        import os
+
+        self.server_url = os.environ.get(
+            "OLLAMA_HOST", "http://localhost:11434"
+        ).rstrip("/")
+
+    def _post(self, path: str, payload: dict) -> dict:
+        import json
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{self.server_url}{path}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60.0) as resp:  # pragma: no cover
+            return json.loads(resp.read())
+
+    def layer_activations(self, texts, layer_num, token_mode):
+        if layer_num != -1:
+            raise ValueError(
+                "Ollama does not support layer_num; it always returns the last layer."
+            )
+        if token_mode != "last":
+            raise ValueError("Ollama only supports 'last' token mode for embeddings.")
+        out = self._post(
+            "/api/embed", {"model": self.name, "input": [str(t) for t in texts]}
+        )
+        return np.asarray(out["embeddings"], dtype=np.float32)  # pragma: no cover
+
+    def logit_scores(self, texts, tokens):
+        raise NotImplementedError("Ollama does not support logit scores.")
+
+    def generate(self, texts, max_tokens, temperature):  # pragma: no cover
+        results = []
+        for t in texts:
+            out = self._post(
+                "/api/generate",
+                {
+                    "model": self.name,
+                    "prompt": str(t),
+                    "stream": False,
+                    "options": {"num_predict": max_tokens, "temperature": temperature},
+                },
+            )
+            results.append(out.get("response", ""))
+        return results
+
+
+@register_model_provider("transformerlens", "tl")
+class TransformerLensProvider(ModelProvider):  # pragma: no cover
+    """TransformerLens hooked activations (parity surface:
+    ``model_registry_implementations.py:81-242``): resid_pre of the chosen
+    layer, last/mean pooling over the attention mask. Import-gated — needs
+    torch + transformer_lens."""
+
+    def __init__(self, name: str):
+        super().__init__(name)
+        try:
+            import torch  # noqa: F401
+            from transformer_lens import HookedTransformer
+        except ImportError as exc:
+            raise NotImplementedError(
+                "transformerlens provider requires `torch` and "
+                "`transformer_lens`; not installed in this environment"
+            ) from exc
+        self.model = HookedTransformer.from_pretrained_no_processing(name)
+        self.model.eval()
+
+    def layer_activations(self, texts, layer_num, token_mode):
+        import torch
+        from transformer_lens import utils
+
+        n_layers = self.model.cfg.n_layers
+        if layer_num < 0:
+            layer_num = n_layers + layer_num
+        if not 0 <= layer_num < n_layers:
+            raise ValueError(
+                f"layer_num {layer_num} out of range for {n_layers}-layer model"
+            )
+        tok = self.model.to_tokens(list(texts), padding_side="right")
+        mask = utils.get_attention_mask(
+            self.model.tokenizer, tok, self.model.cfg.default_prepend_bos
+        )
+        layer_key = f"blocks.{layer_num}.hook_resid_pre"
+        with torch.no_grad():
+            _, cache = self.model.run_with_cache(
+                tok, names_filter=lambda name: name == layer_key
+            )
+        acts = cache[layer_key].float()
+        if token_mode == "last":
+            idx = mask.sum(dim=1) - 1
+            pooled = acts[torch.arange(acts.shape[0]), idx]
+        elif token_mode == "mean":
+            m = mask.unsqueeze(-1).float()
+            pooled = (acts * m).sum(dim=1) / m.sum(dim=1)
+        else:
+            raise ValueError(f"Unsupported token_mode: {token_mode!r}")
+        return pooled.cpu().numpy().astype(np.float32)
+
+
 # ---------------------------------------------------------------------- #
 # mapInPandas plumbing shared by the three ops                            #
 # ---------------------------------------------------------------------- #
@@ -180,10 +321,21 @@ def _run_batched(
     model_name: str,
     batch_size: int,
     out_is_text: bool,
+    is_conversation: bool = False,
+    use_chat_template: bool = False,
+    append_to_chat_template: Optional[str] = None,
     **kwargs,
 ) -> ColumnPlan:
     """Stream (row_id, text) through mapInPandas, batching per
-    ``batch_size``, with the per-executor provider cache."""
+    ``batch_size``, with the per-executor provider cache.
+
+    Conversation inputs (``is_conversation``) arrive as JSON and are
+    rendered through the provider's chat template executor-side before
+    inference; plain text with ``use_chat_template`` wraps as a single
+    user turn first (parity: ``model_registry_implementations.py:291-350``).
+    """
+    import json
+
     from ..functions.partitioning import ensure_min_partitions
 
     text_expr = F.to_json(col.expr) if col.is_json else col.expr.cast("string")
@@ -192,14 +344,29 @@ def _run_batched(
     src = ensure_min_partitions(
         col.source.select(F.col(ROW_ID), text_expr.alias("__text"))
     )
+    render_chat = is_conversation or use_chat_template or bool(append_to_chat_template)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         provider = get_provider(model_name)
         fn = getattr(provider, batch_fn_name)
+
+        def prep(texts: list[str]) -> list[str]:
+            if not render_chat:
+                return texts
+            convs = (
+                [json.loads(t) for t in texts]
+                if is_conversation
+                else [[{"role": "user", "content": t}] for t in texts]
+            )
+            return [
+                provider.apply_chat_template(c, append_to_chat_template)
+                for c in convs
+            ]
+
         for pdf in batches:
             for start in range(0, len(pdf), batch_size):
                 chunk = pdf.iloc[start : start + batch_size]
-                result = fn(chunk["__text"].tolist(), **kwargs)
+                result = fn(prep(chunk["__text"].tolist()), **kwargs)
                 if out_is_text:
                     values = list(result)
                 else:
@@ -216,6 +383,12 @@ def _run_batched(
     )
 
 
+def _is_conversation(op) -> bool:
+    from ..types import ConversationColumnType
+
+    return isinstance(op.input, ConversationColumnType)
+
+
 @SparkRunner.implementation
 def llm_layer_activations(
     runner: SparkRunner, op: LLMLayerActivationsOp
@@ -229,6 +402,8 @@ def llm_layer_activations(
         op.model_name,
         op.batch_size,
         out_is_text=False,
+        is_conversation=_is_conversation(op),
+        use_chat_template=op.use_chat_template,
         layer_num=op.layer_num,
         token_mode=op.token_mode,
     )
@@ -245,6 +420,8 @@ def llm_logit_scores(runner: SparkRunner, op: LLMLogitScoresOp) -> ColumnPlan:
         op.model_name,
         op.batch_size,
         out_is_text=False,
+        is_conversation=_is_conversation(op),
+        append_to_chat_template=op.append_to_chat_template,
         tokens=list(op.tokens),
     )
 
@@ -260,6 +437,7 @@ def llm_generate_text(runner: SparkRunner, op: LLMGenerateTextOp) -> ColumnPlan:
         op.model_name,
         op.batch_size,
         out_is_text=True,
+        is_conversation=_is_conversation(op),
         max_tokens=op.max_tokens,
         temperature=op.temperature,
     )

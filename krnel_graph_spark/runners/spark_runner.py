@@ -565,6 +565,9 @@ def select_column(runner: SparkRunner, op: SelectColumnOp) -> ColumnPlan:
         name=op.column_name,
         aligned_with=op.dataset.uuid,
         dense=ds.dense,
+        # JSON-ish selects (incl. conversations) export via to_json and are
+        # serialized to JSON text before entering LLM providers.
+        is_json=isinstance(op, JSONColumnType),
     )
 
 

@@ -171,6 +171,7 @@ class VectorColumnType(ColumnType):
         model_type: str = "logistic_regression",
         preprocessing: str = "none",
         random_state: int = 0,
+        mode: str = "driver",
     ) -> "ClassifierType":
         from .operators.classifier_ops import TrainClassifierOp
 
@@ -182,6 +183,7 @@ class VectorColumnType(ColumnType):
             model_type=model_type,
             preprocessing=preprocessing,
             random_state=random_state,
+            mode=mode,
         )
 
     def umap_vis(self, **params) -> "VizEmbeddingColumnType":
@@ -266,7 +268,36 @@ class JSONColumnType(ColumnType):
 
 
 class ConversationColumnType(JSONColumnType):
-    """Chat conversations: ``array<struct<role:string, content:string>>``."""
+    """Chat conversations: ``array<struct<role:string, content:string>>``.
+
+    Carries the same LLM entry points as text columns — providers render
+    conversations through their chat template before inference (reference:
+    LLM ops accept ``Union[TextColumnType, ConversationColumnType]``)."""
+
+    def llm_generate_text(self, model_name: str, **params) -> "TextColumnType":
+        from .operators.llm_ops import LLMGenerateTextOp
+
+        return LLMGenerateTextOp(input=self, model_name=model_name, **params)
+
+    def llm_layer_activations(
+        self, model_name: str, layer_num: int = -1, token_mode: str = "last", **params
+    ) -> "VectorColumnType":
+        from .operators.llm_ops import LLMLayerActivationsOp
+
+        return LLMLayerActivationsOp(
+            input=self,
+            model_name=model_name,
+            layer_num=layer_num,
+            token_mode=token_mode,
+            **params,
+        )
+
+    def llm_logit_scores(self, model_name: str, tokens: list[str], **params):
+        from .operators.llm_ops import LLMLogitScoresOp
+
+        return LLMLogitScoresOp(
+            input=self, model_name=model_name, tokens=tokens, **params
+        )
 
 
 class CategoricalColumnType(ColumnType):
