@@ -1,5 +1,6 @@
 from .base import BaseRunner, DispatchError
 from .plan import ROW_ID, VALUE, ArtifactPlan, ColumnPlan, DatasetPlan
+from .cached_runner import CachedResultStore, LocalCachedRunner
 from .spark_runner import SparkRunner, get_spark
 from .store import ResultStore
 
@@ -12,6 +13,8 @@ __all__ = [
     "ColumnPlan",
     "DatasetPlan",
     "SparkRunner",
+    "LocalCachedRunner",
+    "CachedResultStore",
     "get_spark",
     "ResultStore",
 ]

@@ -123,6 +123,24 @@ class SparkRunner(BaseRunner):
             data=data, content_hash=_inline_identity(data)
         )
 
+    def prepare(self, op: OpSpec) -> None:
+        """Push local parquet sources referenced by ``op``'s graph into the
+        store, so runners on machines without the source files (remote
+        workers sharing the store) can still materialize the graph (parity:
+        reference ``local_arrow_runner.py:200-217``). The copy keeps the
+        scan-assigned row ids, so a store-served source is row-identical to
+        the original scan."""
+        if self.store is None:
+            raise ValueError("prepare() requires a runner with a store")
+        for dep in [op, *op.get_dependencies(recursive=True)]:
+            if not isinstance(dep, LoadParquetDatasetOp):
+                continue
+            if self.store.is_done(dep.uuid):
+                continue
+            df = self.dataset_plan(dep).df  # includes ROW_ID
+            df.write.mode("overwrite").parquet(self.store.parquet_path(dep.uuid))
+            self.store.mark_done(dep.uuid)
+
     # ------------------------------------------------------------------ #
     # Materialization protocol                                            #
     # ------------------------------------------------------------------ #
@@ -506,6 +524,15 @@ def load_parquet(runner: SparkRunner, op: LoadParquetDatasetOp) -> DatasetPlan:
     reproducible across runs (``_metadata.row_index`` is the in-file row
     position; multi-file scans get ``file_ordinal << 40 | row_index``)."""
     spark = runner.spark
+    if not os.path.exists(op.file_path) and "://" not in op.file_path:
+        # Source not on this machine: fall back to a store copy pushed by
+        # prepare() (it already carries the scan-assigned row ids).
+        if runner.store is not None and runner.store.is_done(op.uuid):
+            df = spark.read.parquet(runner.store.parquet_path(op.uuid))
+            return DatasetPlan(df=df, dataset_uuid=op.uuid, dense=False)
+        raise FileNotFoundError(
+            f"{op.file_path!r} not found locally and not prepared into the store"
+        )
     df = spark.read.parquet(op.file_path)
     files = sorted(df.inputFiles())
     if len(files) <= 1:
