@@ -29,7 +29,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .kernels import norm_udf, shingle_set_udf
+from .kernels import minhash_sig_count_udf, norm_udf, shingle_set_udf
 from .partitioning import ensure_min_partitions
 from .text import fingerprint
 
@@ -104,11 +104,12 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     df = ensure_min_partitions(df)
-    base = df.select(
-        F.col(id_col).alias("doc"),
-        minhash_signature(text_col, num_perm, shingle_k).alias("sig"),
-        F.size(shingle_set_udf(shingle_k)(F.col(text_col))).alias("n_sh"),
-    ).filter(F.col("n_sh") > 0)
+    sc = minhash_sig_count_udf(num_perm, shingle_k)(F.col(text_col))
+    base = (
+        df.select(F.col(id_col).alias("doc"), sc.alias("__sc"))
+        .select("doc", F.col("__sc.sig").alias("sig"), F.col("__sc.n_sh").alias("n_sh"))
+        .filter(F.col("n_sh") > 0)
+    )
 
     banded = base.select(
         "doc",

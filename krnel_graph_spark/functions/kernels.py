@@ -90,6 +90,32 @@ def minhash_signature_udf(num_perm: int, shingle_k: int) -> Column:
     return sig
 
 
+def minhash_sig_count_udf(num_perm: int, shingle_k: int) -> Column:
+    """Factory: one pandas UDF yielding ``struct<sig, n_sh>`` — signature
+    and shingle count from a single shingling pass (the LSH pipeline needs
+    both; computing them separately re-normalizes and re-shingles every
+    document)."""
+    A = np.array([perm_params(i)[0] for i in range(num_perm)], dtype=np.int64)
+    B = np.array([perm_params(i)[1] for i in range(num_perm)], dtype=np.int64)
+    empty = [-1] * num_perm
+
+    @F.pandas_udf("sig array<long>, n_sh int")
+    def sig_count(texts: pd.Series) -> pd.DataFrame:
+        sigs, counts = [], []
+        for text in texts:
+            sh = set(shingles_py(tokens_py(text), shingle_k))
+            counts.append(len(sh))
+            if not sh:
+                sigs.append(empty)
+                continue
+            hm = _hashes64(list(sh)) % MOD_INPUT
+            mins = ((A[:, None] * hm[None, :] + B[:, None]) % MERSENNE_P).min(axis=1)
+            sigs.append(mins.tolist())
+        return pd.DataFrame({"sig": sigs, "n_sh": counts})
+
+    return sig_count
+
+
 def simhash_udf(bits: int) -> Column:
     """Factory: pandas UDF computing the SimHash fingerprint column (±1
     bit votes over md5 token hashes, sign of the vote sum per bit)."""

@@ -834,12 +834,32 @@ def jinja_templatize(runner: SparkRunner, op: JinjaTemplatizeOp) -> ColumnPlan:
         raise ValueError("template requires at least one column variable")
 
     aligned = {p.aligned_with for p in plans.values()}
-    if len(aligned) == 1:
+    sources = {id(p.source) for p in plans.values()}
+    if len(aligned) == 1 and len(sources) == 1:
         base = next(iter(plans.values()))
         df = base.source
         exprs = {
             k: (F.to_json(p.expr) if k in json_vars and p.is_json else p.expr)
             for k, p in plans.items()
+        }
+    elif len(aligned) == 1:
+        # Same row-id domain, different physical DataFrames (e.g. an
+        # LLM-generated variable next to a plain column): equi-join the
+        # single-column frames on ROW_ID — no rank pass needed.
+        base = plans[names[0]]
+        df = base.df().withColumnRenamed(base.name, f"__v_{names[0]}")
+        for k in names[1:]:
+            p = plans[k]
+            df = df.join(
+                p.df().withColumnRenamed(p.name, f"__v_{k}"), ROW_ID
+            )
+        exprs = {
+            k: (
+                F.to_json(F.col(f"__v_{k}"))
+                if k in json_vars and plans[k].is_json
+                else F.col(f"__v_{k}")
+            )
+            for k in names
         }
     else:
         # Cross-dataset context: positional rank-zip of every column.

@@ -61,3 +61,13 @@ def test_umap_on_masked_dataset(lazy_runner):
     out = runner.to_pandas(coords)
     assert len(out) == 3
     assert all(len(v) == 2 for v in out["value"])
+
+
+def test_template_with_llm_generated_variable(text_ds):
+    runner, ds = text_ds
+    gen = ds.col_text("text").llm_generate_text("fake:dim4", max_tokens=6)
+    tmpl = ds.template("{{orig}}::{{gen}}", orig=ds.col_text("text"), gen=gen)
+    out = runner.to_pandas(tmpl)["value"].tolist()
+    gen_vals = runner.to_pandas(gen)["value"].tolist()
+    origs = ["alpha beta", "gamma", "delta epsilon zeta", "eta"]
+    assert out == [f"{o}::{g}" for o, g in zip(origs, gen_vals)]
