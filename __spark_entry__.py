@@ -346,6 +346,43 @@ def q_umap_pca(spark, sf_dir):
     return runner.dataframe(op)
 
 
+# ---- beyond-reference: sources & sinks --------------------------------- #
+
+
+def q_csv_roundtrip(spark, sf_dir):
+    """Engine-written CSV read back through the CSV source: write nation to
+    a caller-chosen path (row ids ride along), reload via from_csv (ids
+    re-adopted), export. Must equal the parquet table exactly."""
+    import hashlib as _h
+
+    runner = _runner(spark)
+    nat = runner.from_parquet(f"{sf_dir}/nation.parquet")
+    tag = _h.sha256(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_gate_{tag}/nation.csv"
+    runner.write_csv(nat, path, sort_by_row_id=True)
+    back = runner.from_csv(
+        path,
+        schema="__row_id long, n_nationkey int, n_name string, n_regionkey int",
+    )
+    return runner.dataframe(back)
+
+
+def q_jsonl_roundtrip(spark, sf_dir):
+    import hashlib as _h
+
+    runner = _runner(spark)
+    sup = runner.from_parquet(f"{sf_dir}/supplier.parquet")
+    tag = _h.sha256(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_gate_{tag}/supplier.jsonl"
+    runner.write_json_lines(sup, path, sort_by_row_id=True)
+    cols = ", ".join(
+        f"{name} {dtype}"
+        for name, dtype in spark.read.parquet(f"{sf_dir}/supplier.parquet").dtypes
+    )
+    back = runner.from_json_lines(path, schema=f"__row_id long, {cols}")
+    return runner.dataframe(back)
+
+
 # ---- beyond-reference: relational ------------------------------------- #
 
 
@@ -484,6 +521,12 @@ def q_sessionize(spark, sf_dir):
         "n_events",
         "sum_value",
     )
+
+
+def q_running_user_totals(spark, sf_dir):
+    from krnel_graph_spark.streaming.events import running_user_totals
+
+    return running_user_totals(_t(spark, sf_dir, "events"))
 
 
 # ---- beyond-reference: dedup ------------------------------------------- #
@@ -639,6 +682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_chat_generate": q_llm_chat_generate,
         "llm_activations_fake": q_llm_activations_fake,
         "umap_pca": q_umap_pca,
+        "csv_roundtrip": q_csv_roundtrip,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "agg_q1": q_agg_q1,
         "join_q3": q_join_q3,
         "broadcast_join_region": q_broadcast_join_region,
@@ -650,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "events_windowed": q_events_windowed,
         "sessionize": q_sessionize,
+        "running_user_totals": q_running_user_totals,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "minhash_signature": q_minhash_signature,
@@ -786,6 +832,8 @@ FROM t WHERE ({md5_long_sql("rn::VARCHAR || ':42'")} % 1000000) >= 250000
             for conv in _CHAT_CONVS
         )
         + ") AS t(value)",
+        "csv_roundtrip": "SELECT * FROM nation",
+        "jsonl_roundtrip": "SELECT * FROM supplier",
         "agg_q1": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,
@@ -863,6 +911,10 @@ s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
 SELECT epoch_us(min(ts)) AS session_start_us, user_id,
        count(*) AS n_events, round(sum(value), 4) AS sum_value
 FROM s GROUP BY user_id, sid
+""",
+        "running_user_totals": """
+SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY user_id
 """,
         "dedup_exact": f"""
 SELECT md5({norm_text}) AS fp, count(*) AS n_dups, min(doc_id) AS keeper_id

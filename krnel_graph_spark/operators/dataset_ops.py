@@ -53,6 +53,29 @@ class LoadInlineJsonDatasetOp(LoadDatasetOp):
     data: dict[str, list]
 
 
+class LoadCSVDatasetOp(LoadDatasetOp):
+    """Read a CSV file/directory (beyond-reference source; the reference
+    supports only parquet + inline — ``base_runner.py:122-157``).
+
+    ``schema_ddl`` (e.g. ``"id long, name string"``) skips Spark's
+    inference pass — at 100 TB an inferSchema read is a full extra scan, so
+    production callers pass the schema; identity still includes it so the
+    same file with different schemas caches separately."""
+
+    file_path: Annotated[str, ExcludeFromUUID()]
+    schema_ddl: Optional[str] = None
+    header: bool = True
+    delimiter: str = ","
+
+
+class LoadJSONLinesDatasetOp(LoadDatasetOp):
+    """Read newline-delimited JSON (beyond-reference source).
+    ``schema_ddl`` skips inference, as with CSV."""
+
+    file_path: Annotated[str, ExcludeFromUUID()]
+    schema_ddl: Optional[str] = None
+
+
 # ---------------------------------------------------------------------- #
 # Projections (ephemeral: a select is just a column expression)           #
 # ---------------------------------------------------------------------- #

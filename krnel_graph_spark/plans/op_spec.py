@@ -265,6 +265,13 @@ class OpSpec(BaseModel):
     def __repr__(self) -> str:  # keep reprs short; graphs can be deep
         return self.short_name()
 
+    def _repr_mimebundle_(self, include=None, exclude=None):
+        """Notebook display: mermaid flowchart of the dependency graph
+        (parity: reference ``repr_html.py``)."""
+        from ..repr_html import graph_mimebundle
+
+        return graph_mimebundle(self)
+
 
 class EphemeralOpMixin:
     """Marker: results of this op are cheap to recompute and are never

@@ -37,7 +37,9 @@ from ..operators.dataset_ops import (
     CategoryToBooleanOp,
     JinjaTemplatizeOp,
     JSONGetFieldOp,
+    LoadCSVDatasetOp,
     LoadInlineJsonDatasetOp,
+    LoadJSONLinesDatasetOp,
     LoadParquetDatasetOp,
     MaskRowsOp,
     PairwiseArithmeticOp,
@@ -122,6 +124,76 @@ class SparkRunner(BaseRunner):
         return LoadInlineJsonDatasetOp(
             data=data, content_hash=_inline_identity(data)
         )
+
+    def from_csv(
+        self,
+        file_path: str,
+        schema: Optional[str] = None,
+        header: bool = True,
+        delimiter: str = ",",
+    ) -> "LoadCSVDatasetOp":
+        from ..operators.dataset_ops import LoadCSVDatasetOp
+
+        return LoadCSVDatasetOp(
+            file_path=file_path,
+            content_hash=_content_identity(file_path),
+            schema_ddl=schema,
+            header=header,
+            delimiter=delimiter,
+        )
+
+    def from_json_lines(
+        self, file_path: str, schema: Optional[str] = None
+    ) -> "LoadJSONLinesDatasetOp":
+        from ..operators.dataset_ops import LoadJSONLinesDatasetOp
+
+        return LoadJSONLinesDatasetOp(
+            file_path=file_path,
+            content_hash=_content_identity(file_path),
+            schema_ddl=schema,
+        )
+
+    # ------------------------------------------------------------------ #
+    # User-directed sinks (beyond-reference: the reference can only write  #
+    # into its result store)                                               #
+    # ------------------------------------------------------------------ #
+
+    def write_parquet(
+        self, op: OpSpec, path: str, sort_by_row_id: bool = False
+    ) -> None:
+        """Write an op's result to a caller-chosen parquet path.
+        ``sort_by_row_id`` forces deterministic file order at the cost of a
+        global sort — leave off for large outputs (row ids still ride along
+        in the data for downstream alignment)."""
+        self._sink_df(op, sort_by_row_id).write.mode("overwrite").parquet(path)
+
+    def write_csv(
+        self,
+        op: OpSpec,
+        path: str,
+        sort_by_row_id: bool = False,
+        header: bool = True,
+    ) -> None:
+        df = self._sink_df(op, sort_by_row_id)
+        # CSV has no nested types: arrays/structs/variants export as JSON text.
+        cols = [
+            F.to_json(F.col(f.name)).alias(f.name)
+            if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType, T.VariantType))
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+        df.select(*cols).write.mode("overwrite").option("header", header).csv(path)
+
+    def write_json_lines(
+        self, op: OpSpec, path: str, sort_by_row_id: bool = False
+    ) -> None:
+        self._sink_df(op, sort_by_row_id).write.mode("overwrite").json(path)
+
+    def _sink_df(self, op: OpSpec, sort_by_row_id: bool) -> DataFrame:
+        df = self.dataframe(op, keep_row_id=True)
+        if sort_by_row_id:
+            df = df.orderBy(ROW_ID)
+        return df
 
     def prepare(self, op: OpSpec) -> None:
         """Push local parquet sources referenced by ``op``'s graph into the
@@ -534,6 +606,20 @@ def load_parquet(runner: SparkRunner, op: LoadParquetDatasetOp) -> DatasetPlan:
             f"{op.file_path!r} not found locally and not prepared into the store"
         )
     df = spark.read.parquet(op.file_path)
+    return _scan_with_row_ids(df, op.uuid)
+
+
+def _scan_with_row_ids(df: DataFrame, uuid: str) -> DatasetPlan:
+    """Attach stable scan-time row ids from file metadata (works for every
+    Spark file source: parquet, csv, json). Single file → in-file row index
+    (dense); multi-file → ``file_ordinal << 40 | row_index``.
+
+    A file that already carries a ``__row_id`` column (written by
+    ``write_parquet``/``write_csv``/``write_json_lines``) re-adopts those
+    ids, so round-tripping through a user-directed sink preserves row
+    identity."""
+    if ROW_ID in df.columns:
+        return DatasetPlan(df=df, dataset_uuid=uuid, dense=False)
     files = sorted(df.inputFiles())
     if len(files) <= 1:
         with_id = df.select(
@@ -553,7 +639,47 @@ def load_parquet(runner: SparkRunner, op: LoadParquetDatasetOp) -> DatasetPlan:
             *df.columns,
         )
         dense = False
-    return DatasetPlan(df=with_id, dataset_uuid=op.uuid, dense=dense)
+    return DatasetPlan(df=with_id, dataset_uuid=uuid, dense=dense)
+
+
+def _text_scan_with_row_ids(df: DataFrame, uuid: str) -> DatasetPlan:
+    """Row ids for text sources (csv/json), which expose no per-file row
+    index in ``_metadata``: ``monotonically_increasing_id`` — unique and
+    stable for a fixed file set + session conf. When the scan is a single
+    partition (one small file, the interactive case) the ids are dense
+    0..n-1 in file order; split scans get stable-but-not-file-ordered ids
+    (Spark schedules splits largest-first). Pipelines that need strictly
+    file-ordered positional semantics at scale should convert to parquet
+    first (``runner.write_parquet``) — parquet scans carry exact in-file
+    row indexes."""
+    if ROW_ID in df.columns:  # sink round-trip: re-adopt written ids
+        return DatasetPlan(df=df, dataset_uuid=uuid, dense=False)
+    with_id = df.select(F.monotonically_increasing_id().alias(ROW_ID), *df.columns)
+    dense = with_id.rdd.getNumPartitions() <= 1
+    return DatasetPlan(df=with_id, dataset_uuid=uuid, dense=dense)
+
+
+@SparkRunner.implementation
+def load_csv(runner: SparkRunner, op: LoadCSVDatasetOp) -> DatasetPlan:
+    """CSV scan. An explicit ``schema_ddl`` avoids the inference pre-scan
+    (a full extra read at scale); without one, inference runs once at
+    lowering."""
+    reader = runner.spark.read.option("header", op.header).option(
+        "delimiter", op.delimiter
+    )
+    if op.schema_ddl:
+        reader = reader.schema(op.schema_ddl)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return _text_scan_with_row_ids(reader.csv(op.file_path), op.uuid)
+
+
+@SparkRunner.implementation
+def load_json_lines(runner: SparkRunner, op: LoadJSONLinesDatasetOp) -> DatasetPlan:
+    reader = runner.spark.read
+    if op.schema_ddl:
+        reader = reader.schema(op.schema_ddl)
+    return _text_scan_with_row_ids(reader.json(op.file_path), op.uuid)
 
 
 @SparkRunner.implementation

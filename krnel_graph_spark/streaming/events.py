@@ -110,3 +110,68 @@ def run_stream_to_memory(
     )
     query.awaitTermination()
     return query
+
+
+def dedup_events(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exact streaming deduplication by key.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` — the state store keeps one
+    entry per key only until the watermark passes it, so state stays bounded
+    no matter how long the stream runs (the un-watermarked variant grows
+    forever — never deploy that on an unbounded stream). Batch: plain
+    ``dropDuplicates`` over the same expression.
+
+    Which physical row survives per key is engine-chosen (same as Spark
+    semantics); downstream logic must only rely on the key set."""
+    df = with_event_time(events)
+    if events.isStreaming:
+        df = df.withWatermark("ts", watermark)
+        return df.dropDuplicatesWithinWatermark(list(keys))
+    return df.dropDuplicates(list(keys))
+
+
+def running_user_totals(
+    events: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user running totals — the custom-stateful-operator template.
+
+    Streaming: ``applyInPandasWithState`` keeps (count, sum) per user in the
+    state store and emits the updated total each micro-batch; state size is
+    O(distinct users). Batch: one ``groupBy().agg()`` produces the same
+    final totals (the availableNow-drain equivalence the tests pin)."""
+    df = with_event_time(events)
+    if not events.isStreaming:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+        )
+
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, sum_value double",
+            stateStructType="n long, s double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -63,3 +63,43 @@ def test_stream_is_incremental(spark):
     """The streaming plan really is a streaming plan (not silently batch)."""
     stream = stream_events_from_parquet(spark, EVENTS)
     assert stream.isStreaming
+
+
+def test_dedup_stream_equals_batch_keys(spark):
+    from krnel_graph_spark.streaming.events import dedup_events
+
+    batch = dedup_events(spark.read.parquet(EVENTS), keys=("user_id", "event_type"))
+    stream = dedup_events(
+        stream_events_from_parquet(spark, EVENTS), keys=("user_id", "event_type")
+    )
+    query = run_stream_to_memory(stream, "dedup_ev", output_mode="append")
+    try:
+        got = spark.table("dedup_ev")
+        # The surviving row per key is engine-chosen; the key SET is the contract.
+        keys = ["user_id", "event_type"]
+        assert _sorted_rows(got, keys) == _sorted_rows(batch, keys)
+        assert got.count() == got.select(keys).distinct().count()
+        assert got.count() > 0
+    finally:
+        query.stop()
+
+
+def test_running_totals_stream_equals_batch(spark):
+    from krnel_graph_spark.streaming.events import running_user_totals
+
+    batch = running_user_totals(spark.read.parquet(EVENTS))
+    stream = running_user_totals(stream_events_from_parquet(spark, EVENTS))
+    query = run_stream_to_memory(stream, "run_totals", output_mode="update")
+    try:
+        got = spark.table("run_totals")
+        # update mode may emit a row per micro-batch; the LAST per user is the total
+        import pandas as pd
+
+        gp = got.toPandas().groupby("user_id").last()
+        bp = batch.toPandas().set_index("user_id")
+        assert sorted(gp.index) == sorted(bp.index)
+        for uid in bp.index:
+            assert int(gp.loc[uid, "n_events"]) == int(bp.loc[uid, "n_events"])
+            assert abs(gp.loc[uid, "sum_value"] - bp.loc[uid, "sum_value"]) < 1e-3
+    finally:
+        query.stop()
