@@ -173,6 +173,10 @@ def minhash_lsh_pairs(
             F.col(id_col).alias("doc"),
             shingle_set_udf(shingle_k)(F.col(text_col)).alias("sh"),
         )
+        # Two consumers (doc_a and doc_b joins): persist so the candidate
+        # docs are re-shingled once, and the raw text scanned once, not
+        # twice — this is the only remaining full-text touch after banding.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     verified = candidates.join(
         shingle_sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")),

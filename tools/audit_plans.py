@@ -1,0 +1,71 @@
+"""Plan-quality audit over every __spark_entry__ query.
+
+For each query's executed plan, report: number of Exchange (shuffle)
+operators, broadcast vs sort-merge joins, whether filters reached the scan
+(PushedFilters), and scan column pruning (ReadSchema width). A query is
+flagged when it shuffles more than expected or reads columns it doesn't
+need — the signals that matter at 100 TB.
+
+Usage: python tools/audit_plans.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from krnel_graph_spark.runners.spark_runner import get_spark  # noqa: E402
+
+
+def audit(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "exchanges": len(re.findall(r"\bExchange (?:hash|range|Single)", plan)),
+        "broadcasts": plan.count("BroadcastExchange"),
+        "smj": plan.count("SortMergeJoin"),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "pushed": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
+        "scans": plan.count("FileScan"),
+        "scan_cols": [
+            len(s.split(","))
+            for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        ],
+        "python_evals": plan.count("BatchEvalPython"),
+        "arrow_evals": plan.count("ArrowEvalPython") + plan.count("MapInPandas")
+        + plan.count("FlatMapGroupsInPandas"),
+    }
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("plan-audit")
+    for name, fn in entry_mod.queries().items():
+        if only and name not in only:
+            continue
+        try:
+            info = audit(fn(spark, sf_dir))
+        except Exception as exc:
+            print(f"{name}: ERROR {type(exc).__name__}: {exc}")
+            continue
+        flags = []
+        if info["python_evals"]:
+            flags.append("ROW-PYTHON-UDF")
+        if info["smj"] and info["bhj"] == 0 and info["exchanges"] > 2:
+            flags.append("SMJ-HEAVY")
+        print(
+            f"{name}: shuffles={info['exchanges']} bcast={info['broadcasts']} "
+            f"bhj={info['bhj']} smj={info['smj']} scans={info['scans']}"
+            f"{info['scan_cols']} codegen={info['codegen_spans']} "
+            f"pushed={info['pushed']} arrowUDF={info['arrow_evals']} "
+            f"{' '.join(flags)}"
+        )
+
+
+if __name__ == "__main__":
+    main()
