@@ -529,6 +529,31 @@ def q_running_user_totals(spark, sf_dir):
     return running_user_totals(_t(spark, sf_dir, "events"))
 
 
+def q_rollup_counts(spark, sf_dir):
+    from krnel_graph_spark.streaming.events import rollup_event_counts
+
+    out = rollup_event_counts(
+        _t(spark, sf_dir, "events"), durations=("1 minute", "1 hour", "1 day")
+    )
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+        "resolution",
+    )
+
+
+def q_sql_entry(spark, sf_dir):
+    runner, orders = _ds(spark, sf_dir, "orders")
+    return runner.sql(
+        "SELECT o_orderpriority, count(*) AS n_orders, "
+        "round(sum(o_totalprice), 4) AS total_price "
+        "FROM {o} GROUP BY o_orderpriority",
+        o=orders,
+    )
+
+
 # ---- beyond-reference: dedup ------------------------------------------- #
 
 
@@ -696,6 +721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "sessionize": q_sessionize,
         "running_user_totals": q_running_user_totals,
+        "rollup_counts": q_rollup_counts,
+        "sql_entry": q_sql_entry,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "minhash_signature": q_minhash_signature,
@@ -915,6 +942,24 @@ FROM s GROUP BY user_id, sid
         "running_user_totals": """
 SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
 FROM events GROUP BY user_id
+""",
+        "rollup_counts": """
+WITH raw AS (SELECT date_trunc('minute', ts) AS m, event_type,
+                    count(*) AS n, sum(value) AS s
+             FROM events GROUP BY 1, 2)
+SELECT epoch_us(m) AS window_start_us, event_type, n AS n_events,
+       round(s, 4) AS sum_value, '1 minute' AS resolution FROM raw
+UNION ALL
+SELECT epoch_us(date_trunc('hour', m)), event_type, sum(n),
+       round(sum(s), 4), '1 hour' FROM raw GROUP BY 1, 2
+UNION ALL
+SELECT epoch_us(date_trunc('day', m)), event_type, sum(n),
+       round(sum(s), 4), '1 day' FROM raw GROUP BY 1, 2
+""",
+        "sql_entry": """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS total_price
+FROM orders GROUP BY o_orderpriority
 """,
         "dedup_exact": f"""
 SELECT md5({norm_text}) AS fp, count(*) AS n_dups, min(doc_id) AS keeper_id

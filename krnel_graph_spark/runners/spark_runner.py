@@ -195,6 +195,25 @@ class SparkRunner(BaseRunner):
             df = df.orderBy(ROW_ID)
         return df
 
+    def sql(self, query: str, **datasets: OpSpec) -> DataFrame:
+        """ANSI-SQL entry point over materialized op graphs (additive: the
+        reference has no SQL surface — SURVEY §2.9).
+
+        Dataset ops bind as ``{name}`` template references::
+
+            runner.sql("SELECT k, count(*) n FROM {d} GROUP BY k", d=ds)
+
+        Spark's parameterized ``sql()`` does the binding, so Catalyst sees
+        one plan (pushdown/pruning cross the SQL boundary). Returns a plain
+        DataFrame: arbitrary SQL output has no stable row identity, so this
+        is an exit from the content-addressed graph — feed results back in
+        via ``write_parquet`` + ``from_parquet`` when memoization matters."""
+        frames = {
+            name: self.dataframe(op_, keep_row_id=False)
+            for name, op_ in datasets.items()
+        }
+        return self.spark.sql(query, **frames)
+
     def prepare(self, op: OpSpec) -> None:
         """Push local parquet sources referenced by ``op``'s graph into the
         store, so runners on machines without the source files (remote

@@ -175,3 +175,57 @@ def running_user_totals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def rollup_event_counts(
+    events: DataFrame,
+    durations: tuple[str, ...] = ("1 minute", "1 hour", "1 day"),
+) -> DataFrame:
+    """Multi-resolution tumbling rollup (hypertable-style continuous
+    aggregate): counts + value sums per event type at each duration.
+
+    The raw table is scanned ONCE, at the finest resolution; every coarser
+    level re-aggregates the previous level's output (windows must nest,
+    i.e. each duration an integer multiple of the finer one). Each level is
+    persisted — they are aggregate-sized, and without pinning, the union's
+    branches would re-run the whole lineage (Spark's exchange reuse does
+    not fire across the differing branch tails). At 100 TB the cascade
+    touches raw data once and then reduces rollup-sized frames — the
+    standard continuous-aggregate design (TimescaleDB/Druid style).
+    Output: one union frame tagged with a ``resolution`` column."""
+    from pyspark import StorageLevel
+
+    finest = (
+        with_event_time(events)
+        .groupBy(F.window("ts", durations[0]).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    levels = [finest.withColumn("resolution", F.lit(durations[0]))]
+    prev = finest
+    for dur in durations[1:]:
+        prev = (
+            prev.groupBy(F.window("window_start", dur).alias("w"), "event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        levels.append(prev.withColumn("resolution", F.lit(dur)))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.withColumn("sum_value", F.round("sum_value", 4))

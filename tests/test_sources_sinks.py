@@ -84,3 +84,28 @@ def test_write_json_lines_roundtrip(lazy_runner, tmp_path):
     lazy_runner.write_json_lines(ds, out_path)
     back = lazy_runner.to_pandas(lazy_runner.from_json_lines(out_path))
     assert sorted(back["v"].tolist()) == ["a", "b"]
+
+
+def test_sql_entry_point(lazy_runner):
+    ds = lazy_runner.from_inline_dataset(
+        {"k": ["a", "b", "a", "a"], "v": [1.0, 2.0, 3.0, 4.0]}
+    )
+    out = lazy_runner.sql(
+        "SELECT k, count(*) AS n, sum(v) AS total FROM {d} GROUP BY k ORDER BY k",
+        d=ds,
+    ).collect()
+    assert [(r["k"], r["n"], r["total"]) for r in out] == [
+        ("a", 3, 8.0),
+        ("b", 1, 2.0),
+    ]
+
+
+def test_sql_entry_joins_two_graphs(lazy_runner):
+    left = lazy_runner.from_inline_dataset({"k": [1, 2], "x": ["p", "q"]})
+    right = lazy_runner.from_inline_dataset({"k": [1, 2], "y": [10, 20]})
+    out = lazy_runner.sql(
+        "SELECT l.k, l.x, r.y FROM {l} l JOIN {r} r ON l.k = r.k ORDER BY l.k",
+        l=left,
+        r=right,
+    ).collect()
+    assert [(r["k"], r["x"], r["y"]) for r in out] == [(1, "p", 10), (2, "q", 20)]

@@ -103,3 +103,26 @@ def test_running_totals_stream_equals_batch(spark):
             assert abs(gp.loc[uid, "sum_value"] - bp.loc[uid, "sum_value"]) < 1e-3
     finally:
         query.stop()
+
+
+def test_rollup_levels_consistent(spark):
+    from pyspark.sql import functions as F
+
+    from krnel_graph_spark.streaming.events import rollup_event_counts
+
+    out = rollup_event_counts(
+        spark.read.parquet(EVENTS), durations=("1 minute", "1 hour", "1 day")
+    ).cache()
+    # Every level must total to the same global counts.
+    totals = (
+        out.groupBy("resolution").agg(F.sum("n_events").alias("n")).collect()
+    )
+    ns = {r["resolution"]: r["n"] for r in totals}
+    assert len(set(ns.values())) == 1 and all(n > 0 for n in ns.values())
+    # The hour level must equal a direct hour aggregation of the raw data.
+    from krnel_graph_spark.streaming.events import windowed_event_counts
+
+    direct = windowed_event_counts(spark.read.parquet(EVENTS), "1 hour")
+    hour = out.filter(F.col("resolution") == "1 hour")
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _sorted_rows(hour, cols) == _sorted_rows(direct, cols)
