@@ -544,6 +544,14 @@ def q_rollup_counts(spark, sf_dir):
     )
 
 
+def q_heavy_hitters(spark, sf_dir):
+    from krnel_graph_spark.functions import sketches
+
+    return sketches.heavy_hitters(
+        _t(spark, sf_dir, "events"), "event_type", k=5, support=1e-4
+    )
+
+
 def q_sql_entry(spark, sf_dir):
     runner, orders = _ds(spark, sf_dir, "orders")
     return runner.sql(
@@ -722,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "running_user_totals": q_running_user_totals,
         "rollup_counts": q_rollup_counts,
+        "heavy_hitters": q_heavy_hitters,
         "sql_entry": q_sql_entry,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
@@ -955,6 +964,12 @@ SELECT epoch_us(date_trunc('hour', m)), event_type, sum(n),
 UNION ALL
 SELECT epoch_us(date_trunc('day', m)), event_type, sum(n),
        round(sum(s), 4), '1 day' FROM raw GROUP BY 1, 2
+""",
+        "heavy_hitters": """
+WITH c AS (SELECT event_type AS value, count(*) AS n FROM events
+           GROUP BY event_type
+           HAVING count(*) >= greatest(1, (SELECT count(*) FROM events) / 10000))
+SELECT value, n FROM c ORDER BY n DESC, value ASC LIMIT 5
 """,
         "sql_entry": """
 SELECT o_orderpriority, count(*) AS n_orders,

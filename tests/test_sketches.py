@@ -1,0 +1,48 @@
+"""Error-bound tests for the approximate sketches (no SQL oracle by design:
+sketch internals differ across engines; exact answers bound them instead)."""
+
+import random
+
+import pytest
+
+from krnel_graph_spark.functions import sketches
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    rng = random.Random(5)
+    rows = []
+    # Zipf-ish: value i appears ~ 3000 / (i + 1) times
+    for i in range(200):
+        rows += [(f"v{i}", float(i))] * max(1, 3000 // (i + 1))
+    rng.shuffle(rows)
+    return spark.createDataFrame(rows, "k string, x double").repartition(16).cache()
+
+
+def test_approx_distinct_within_rsd(skewed):
+    row = sketches.approx_distinct(skewed, ["k"], rsd=0.02).collect()[0]
+    exact = skewed.select("k").distinct().count()
+    assert abs(row["k_distinct"] - exact) / exact < 0.08
+
+
+def test_heavy_hitters_exact_top(skewed):
+    top = sketches.heavy_hitters(skewed, "k", k=5).collect()
+    assert [r["value"] for r in top] == ["v0", "v1", "v2", "v3", "v4"]
+    assert top[0]["n"] == 3000
+
+
+def test_approx_quantiles_rank_error(skewed):
+    got = sketches.approx_quantiles(skewed, "x", [0.5, 0.9], accuracy=10000)
+    import numpy as np
+
+    xs = np.array([r["x"] for r in skewed.select("x").collect()])
+    for q, est in zip([0.5, 0.9], got):
+        rank = (xs <= est).mean()
+        assert abs(rank - q) < 0.01
+
+
+def test_column_profile_single_job(skewed):
+    row = sketches.column_profile(skewed, ["k", "x"]).collect()[0]
+    assert row["k_nonnull"] == skewed.count()
+    assert row["x_min"] == "0.0"
+    assert float(row["x_max"]) == 199.0
