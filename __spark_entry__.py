@@ -436,6 +436,85 @@ def q_broadcast_join_region(spark, sf_dir):
     )
 
 
+def q_local_supply_q5(spark, sf_dir):
+    """TPC-H Q5 shape: revenue by nation for one region+year, customer and
+    supplier in the same nation. Small dims broadcast; lineitem only
+    shuffles for the final aggregate."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def q_selective_agg_q6(spark, sf_dir):
+    """TPC-H Q6 shape: the pushdown showcase — every predicate reaches the
+    parquet scan, the agg is a single partial+final sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_anti_join(spark, sf_dir):
+    """Customers with no URGENT order (left_anti — no row materializes per
+    match, the build side streams)."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_lead_lag(spark, sf_dir):
+    """Per-customer order sequencing with lag(): days since the previous
+    order. One shuffle on the partition key."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("days_since_prev"),
+    )
+
+
 def q_window_topk(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
@@ -720,6 +799,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_q1": q_agg_q1,
         "join_q3": q_join_q3,
         "broadcast_join_region": q_broadcast_join_region,
+        "local_supply_q5": q_local_supply_q5,
+        "selective_agg_q6": q_selective_agg_q6,
+        "anti_join": q_anti_join,
+        "lead_lag": q_lead_lag,
         "window_topk": q_window_topk,
         "sort_topk": q_sort_topk,
         "distinct_flags": q_distinct,
@@ -899,6 +982,41 @@ FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name
+""",
+        "local_supply_q5": """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+        "selective_agg_q6": """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+        "anti_join": """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+""",
+        "lead_lag": """
+SELECT o_custkey, o_orderkey,
+       date_diff('day', lag(o_orderdate) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+         o_orderdate) AS days_since_prev
+FROM orders
 """,
         "window_topk": """
 WITH t AS (SELECT *, row_number() OVER (PARTITION BY o_custkey

@@ -110,3 +110,39 @@ def range_join_buckets(
         )
         .drop("__bucket")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to heavy key skew.
+
+    A plain shuffle join sends every row of a hot key to ONE reducer; with
+    a 100-TB table whose top key holds 1% of rows, that task runs 100× the
+    median and dominates the stage. Salting splits each left key across
+    ``num_salts`` sub-partitions (deterministic hash of the whole row) and
+    replicates the matching right rows across all salts, so the hot key's
+    work spreads over ``num_salts`` tasks at the cost of a ``num_salts``×
+    fan-out of the right side — use when right is the smaller relation.
+    Results are identical to the unsalted join.
+
+    AQE's skew-join handles moderate skew automatically; this is the
+    explicit tool for the pathological keys AQE splits can't fix (e.g. a
+    single key larger than executor memory)."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        # Right/full outer would emit one null-extended row PER SALT for
+        # unmatched right rows — not equivalent to the unsalted join.
+        raise ValueError(f"salted_join supports left-preserving joins, not {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    lsalt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(num_salts)
+    ).alias("__salt")
+    l_s = left.select("*", lsalt)
+    r_s = right.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))).alias("__salt")
+    )
+    return l_s.join(r_s, keys + ["__salt"], how).drop("__salt")

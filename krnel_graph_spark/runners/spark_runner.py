@@ -189,6 +189,32 @@ class SparkRunner(BaseRunner):
     ) -> None:
         self._sink_df(op, sort_by_row_id).write.mode("overwrite").json(path)
 
+    def write_bucketed(
+        self,
+        op: OpSpec,
+        table: str,
+        bucket_cols: list[str],
+        num_buckets: int = 32,
+        sort_cols: Optional[list[str]] = None,
+    ) -> None:
+        """Persist a result as a bucketed catalog table.
+
+        Bucketing is the pre-shuffle investment for repeated joins/aggs on
+        the same key: two tables bucketed on the join key with the same
+        bucket count join with ZERO Exchange on either side (verified in
+        tests), so at 100 TB the shuffle is paid once at write time, not
+        per query. Spark bucketed tables require the catalog
+        (``saveAsTable``), not a bare path."""
+        writer = (
+            self.dataframe(op, keep_row_id=True)
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(num_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(table)
+
     def _sink_df(self, op: OpSpec, sort_by_row_id: bool) -> DataFrame:
         df = self.dataframe(op, keep_row_id=True)
         if sort_by_row_id:

@@ -51,3 +51,22 @@ def test_range_join_buckets(spark):
     out = range_join_buckets(pts, ivs, "x", "lo", "hi", bucket_width=16)
     got = {(r["pid"], r["iid"]) for r in out.collect()}
     assert got == {(1, 10), (2, 20)}
+
+
+def test_salted_join_matches_plain_join(spark):
+    import random
+
+    rng = random.Random(9)
+    # skewed: key 0 holds half the rows
+    left = spark.createDataFrame(
+        [(0 if rng.random() < 0.5 else rng.randrange(1, 50), i) for i in range(2000)],
+        "k long, payload long",
+    )
+    right = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(50)], "k long, tag string"
+    )
+    from krnel_graph_spark.functions.relational import salted_join
+
+    plain = left.join(right, "k").select("k", "payload", "tag")
+    salted = salted_join(left, right, "k", num_salts=8).select("k", "payload", "tag")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))

@@ -109,3 +109,26 @@ def test_sql_entry_joins_two_graphs(lazy_runner):
         r=right,
     ).collect()
     assert [(r["k"], r["x"], r["y"]) for r in out] == [(1, "p", 10), (2, "q", 20)]
+
+
+def test_bucketed_tables_join_without_shuffle(lazy_runner):
+    spark = lazy_runner.spark
+    left = lazy_runner.from_inline_dataset(
+        {"k": list(range(100)), "x": [float(i) for i in range(100)]}
+    )
+    right = lazy_runner.from_inline_dataset(
+        {"k": list(range(100)), "y": [i * 2 for i in range(100)]}
+    )
+    try:
+        lazy_runner.write_bucketed(left, "t_bleft", ["k"], num_buckets=8)
+        lazy_runner.write_bucketed(right, "t_bright", ["k"], num_buckets=8)
+        # Disable broadcast so the join would otherwise shuffle both sides.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_bleft").join(spark.table("t_bright"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hash" not in plan, plan[:800]
+        assert joined.count() == 100
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")
