@@ -38,6 +38,10 @@ HEADLINE = [
     "classifier_predict",
     "agg_q1",
     "join_q3",
+    "local_supply_q5",
+    "selective_agg_q6",
+    "anti_join",
+    "lead_lag",
     "broadcast_join_region",
     "window_topk",
     "sort_topk",
@@ -45,6 +49,8 @@ HEADLINE = [
     "asof_join",
     "events_windowed",
     "sessionize",
+    "rollup_counts",
+    "heavy_hitters",
     "dedup_exact",
     "minhash_pairs",
     "simhash",
