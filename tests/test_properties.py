@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) for the semantics most prone to
+off-by-one/encoding drift: take-slicing vs Python list slicing, boolean
+algebra vs Python eval, and graph identity/serialization invariants.
+
+Spark-backed properties keep ``max_examples`` small (each example is a
+real job); the pure-graph properties run at full default rates."""
+
+import string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from krnel_graph_spark.plans.op_spec import deserialize_graph, serialize_graph
+
+# ---------------------------- pure graph ------------------------------- #
+
+_words = st.lists(
+    st.text(alphabet=string.ascii_lowercase, min_size=0, max_size=8),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(words=_words)
+def test_uuid_deterministic_and_content_sensitive(words):
+    from krnel_graph_spark.operators.dataset_ops import LoadInlineJsonDatasetOp
+
+    a = LoadInlineJsonDatasetOp(data={"w": words}, content_hash="h")
+    b = LoadInlineJsonDatasetOp(data={"w": list(words)}, content_hash="h")
+    assert a.uuid == b.uuid
+    c = LoadInlineJsonDatasetOp(data={"w": words + ["extra"]}, content_hash="h")
+    assert c.uuid != a.uuid
+
+
+@given(
+    words=_words,
+    true_vals=st.sets(st.sampled_from(["a", "b", "c", "d"]), min_size=1),
+    offset=st.integers(0, 5),
+    skip=st.integers(1, 4),
+)
+def test_graph_roundtrip_preserves_uuids(words, true_vals, offset, skip):
+    from krnel_graph_spark.operators.dataset_ops import LoadInlineJsonDatasetOp
+
+    ds = LoadInlineJsonDatasetOp(data={"w": words}, content_hash="h")
+    graph = ds.take(10, skip=skip, offset=offset).mask_rows(
+        ds.col_categorical("w").is_in(true_vals)
+    )
+    blob = serialize_graph([graph])
+    [back] = deserialize_graph(blob)
+    assert back.uuid == graph.uuid
+    assert [d.uuid for d in back.get_dependencies(recursive=True)] == [
+        d.uuid for d in graph.get_dependencies(recursive=True)
+    ]
+
+
+# --------------------------- spark-backed ------------------------------ #
+
+_spark_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_spark_settings
+@given(
+    n=st.integers(0, 40),
+    num=st.one_of(st.none(), st.integers(0, 20)),
+    skip=st.integers(1, 5),
+    offset=st.integers(0, 8),
+)
+def test_take_rows_matches_python_slicing(lazy_runner, n, num, skip, offset):
+    ds = lazy_runner.from_inline_dataset({"v": list(range(n))})
+    out = lazy_runner.to_pandas(ds.take(num, skip=skip, offset=offset))
+    expect = list(range(n))[offset::skip]
+    if num is not None:
+        expect = expect[:num]
+    assert out["v"].tolist() == expect
+
+
+@_spark_settings
+@given(
+    labels=st.lists(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=12),
+    s1=st.sets(st.sampled_from(["x", "y", "z"]), min_size=1),
+    s2=st.sets(st.sampled_from(["x", "y", "z"]), min_size=1),
+)
+def test_boolean_algebra_matches_python(lazy_runner, labels, s1, s2):
+    ds = lazy_runner.from_inline_dataset({"lab": labels})
+    col = ds.col_categorical("lab")
+    op = (col.is_in(s1) & ~col.is_in(s2)) ^ col.is_in(s2)
+    got = lazy_runner.to_pandas(op)["value"].tolist()
+    expect = [((l in s1) and not (l in s2)) != (l in s2) for l in labels]
+    assert got == expect
