@@ -623,6 +623,17 @@ def q_rollup_counts(spark, sf_dir):
     )
 
 
+def q_embedding_quantize(spark, sf_dir):
+    from krnel_graph_spark.functions.vector import quantize_embeddings
+
+    out = quantize_embeddings(_t(spark, sf_dir, "embeddings"), "embedding", "vec_id")
+    return out.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.array_join(F.transform("q", lambda x: x.cast("string")), ",").alias("q"),
+    )
+
+
 def q_heavy_hitters(spark, sf_dir):
     from krnel_graph_spark.functions import sketches
 
@@ -813,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "running_user_totals": q_running_user_totals,
         "rollup_counts": q_rollup_counts,
+        "embedding_quantize": q_embedding_quantize,
         "heavy_hitters": q_heavy_hitters,
         "sql_entry": q_sql_entry,
         "dedup_exact": q_dedup_exact,
@@ -1082,6 +1094,18 @@ SELECT epoch_us(date_trunc('hour', m)), event_type, sum(n),
 UNION ALL
 SELECT epoch_us(date_trunc('day', m)), event_type, sum(n),
        round(sum(s), 4), '1 day' FROM raw GROUP BY 1, 2
+""",
+        "embedding_quantize": """
+WITH t AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM t)
+SELECT vec_id, round(scale, 6) AS scale,
+       array_to_string(list_transform(v, x ->
+         (CASE WHEN scale = 0 THEN 0
+               ELSE CAST(floor(x / scale + 0.5) AS BIGINT) END)::VARCHAR), ',')
+       AS q
+FROM s
 """,
         "heavy_hitters": """
 WITH c AS (SELECT event_type AS value, count(*) AS n FROM events

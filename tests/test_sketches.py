@@ -46,3 +46,33 @@ def test_column_profile_single_job(skewed):
     assert row["k_nonnull"] == skewed.count()
     assert row["x_min"] == "0.0"
     assert float(row["x_max"]) == 199.0
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    import numpy as np
+
+    from krnel_graph_spark.functions.vector import dequantize, quantize_embeddings
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    orig = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    q = quantize_embeddings(emb, "embedding", "vec_id")
+    back = q.select("vec_id", dequantize("q", "scale").alias("d"), "scale").collect()
+    assert len(back) == len(orig)
+    for r in back:
+        x = orig[r["vec_id"]]
+        d = np.asarray(r["d"])
+        assert np.abs(x - d).max() <= r["scale"] / 2 + 1e-12
+
+
+def test_quantize_zero_vector(spark):
+    from krnel_graph_spark.functions.vector import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, -2.0])], "vec_id long, embedding array<double>"
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df, "embedding", "vec_id").collect()}
+    assert rows[1]["q"] == [0, 0] and rows[1]["scale"] == 0.0
+    assert rows[2]["q"] == [64, -127]
