@@ -781,6 +781,22 @@ def q_image_features_stub(spark, sf_dir):
     )
 
 
+def q_audio_features_stub(spark, sf_dir):
+    from krnel_graph_spark.functions.multimodal import extract_audio_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    out = extract_audio_features(docs, "payload", "doc_id", fake=True)
+    return out.select(
+        "doc_id",
+        "duration_s",
+        F.array_join(
+            F.transform("features", lambda x: F.round(x, 4).cast("string")), ","
+        ).alias("features"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_parquet": q_scan,
@@ -841,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "multimodal_meta": q_multimodal_meta,
         "image_features_stub": q_image_features_stub,
+        "audio_features_stub": q_audio_features_stub,
     }
 
 

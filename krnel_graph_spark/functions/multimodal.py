@@ -127,3 +127,81 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(run, schema="doc_id long, frame_idx int, frame_sha256 string")
+
+
+def _fake_resize(data: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real thumbnail: content-derived bytes of
+    a size proportional to the target area (so size-based partition math in
+    tests is realistic)."""
+    digest = hashlib.sha256(data + f"{width}x{height}".encode()).digest()
+    n = max(16, (width * height) // 64)
+    return (digest * (n // len(digest) + 1))[:n]
+
+
+def resize_images(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    width: int = 224,
+    height: int = 224,
+    fake: bool = False,
+) -> DataFrame:
+    """Re-encode images to a target size via ``mapInPandas`` — the
+    normalization step before feature extraction. Decode/encode is stubbed
+    (see module docstring); the Spark-side contract — binary in, binary
+    out, bytes never on the driver, output partitions sized by
+    ``maxPartitionBytes`` — is real."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("data"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "data": [], "width": [], "height": []}
+            for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+                if not fake:
+                    _require_codec("image")
+                rows["doc_id"].append(doc_id)
+                rows["data"].append(_fake_resize(bytes(data), width, height))
+                rows["width"].append(width)
+                rows["height"].append(height)
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        run, schema="doc_id long, data binary, width int, height int"
+    )
+
+
+def _fake_decode_audio(data: bytes, feat_dim: int) -> tuple[float, np.ndarray]:
+    digest = hashlib.sha256(data).digest()
+    duration = 1.0 + (digest[0] % 120)  # seconds
+    seed = int.from_bytes(digest[4:12], "big") % (2**32)
+    rng = np.random.RandomState(seed)
+    return duration, rng.standard_normal(feat_dim).astype(np.float32)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    feat_dim: int = 16,
+    fake: bool = False,
+) -> DataFrame:
+    """Audio → (duration, embedding) rows via ``mapInPandas``. The codec
+    (torchaudio/librosa) is stubbed behind ``_require_codec``; batch shape
+    and schema are production-real, mirroring the image path."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("data"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "duration_s": [], "features": []}
+            for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+                if not fake:
+                    _require_codec("audio")
+                dur, feats = _fake_decode_audio(bytes(data), feat_dim)
+                rows["doc_id"].append(doc_id)
+                rows["duration_s"].append(dur)
+                rows["features"].append(feats)
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        run, schema="doc_id long, duration_s double, features array<float>"
+    )
