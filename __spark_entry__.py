@@ -1127,7 +1127,8 @@ FROM s
         "heavy_hitters": """
 WITH c AS (SELECT event_type AS value, count(*) AS n FROM events
            GROUP BY event_type
-           HAVING count(*) >= greatest(1, (SELECT count(*) FROM events) / 10000))
+           HAVING count(*) >= greatest(1, CAST(ceil(
+             (SELECT count(*) FROM events) * 0.0001) AS BIGINT)))
 SELECT value, n FROM c ORDER BY n DESC, value ASC LIMIT 5
 """,
         "sql_entry": """

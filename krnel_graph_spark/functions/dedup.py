@@ -21,6 +21,12 @@ Scale notes: MinHash/SimHash signatures are computed in one scan-side pass
 (no shuffle); pair generation shuffles only (bucket-key, doc-id) tuples. The
 brute-force variants exist as correctness baselines and for small candidate
 sets — at 100 TB you run the LSH path.
+
+The LSH pipeline persists two candidate-scale frames per invocation
+(MEMORY_AND_DISK — recomputable, LRU-evicted under memory pressure, never
+explicitly unpersisted because consumers are lazy). Drivers running dedup
+over MANY corpora in one long session should call
+``spark.catalog.clearCache()`` between corpora.
 """
 
 from __future__ import annotations

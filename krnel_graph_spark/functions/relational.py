@@ -38,13 +38,19 @@ def asof_join(
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
-    r_struct_type = (
-        "struct<"
-        + ",".join(
-            f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+    if not value_cols:
+        raise ValueError(
+            "asof_join: right side has no value columns to attach "
+            f"(columns {right.columns} are all join/time keys)"
         )
-        + ">"
+    from pyspark.sql import types as T
+
+    # StructType objects, not DDL strings: column names with spaces/dashes
+    # would break a parsed "struct<...>" literal.
+    r_struct_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in value_cols]
     )
+    l_struct_type = T.StructType(list(left.schema.fields))
     l_tag = left.select(
         F.col(on),
         F.col(left_ts).alias("__ts"),
@@ -57,9 +63,7 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__r"),
-        F.lit(None).cast(
-            "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields) + ">"
-        ).alias("__l"),
+        F.lit(None).cast(l_struct_type).alias("__l"),
     )
     unioned = l_tag.unionByName(r_tag)
     # Right rows sort before left rows at equal ts → inclusive (<=) matching.
@@ -138,9 +142,12 @@ def salted_join(
         # unmatched right rows — not equivalent to the unsalted join.
         raise ValueError(f"salted_join supports left-preserving joins, not {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
-    lsalt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(num_salts)
-    ).alias("__salt")
+    # Salt by row position, NOT by row content: the pathological hot key is
+    # often a billion IDENTICAL rows, which any content hash sends to the
+    # same salt (defeating the split). Which salt a row gets never affects
+    # results (the right side is replicated into every salt), so the
+    # position-based assignment's run-to-run instability is harmless.
+    lsalt = F.pmod(F.monotonically_increasing_id(), F.lit(num_salts)).alias("__salt")
     l_s = left.select("*", lsalt)
     r_s = right.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))).alias("__salt")

@@ -36,13 +36,26 @@ def heavy_hitters(
     """Top-k most frequent values. Exact counts via hash aggregation (one
     shuffle of (value, partial_count) pairs — already mergeable), then a
     TakeOrderedAndProject for the top k; ``support`` prunes the long tail
-    before the ordering so the rank input stays heavy-hitter-sized."""
-    total = df.count()
-    min_count = max(1, int(total * support))
-    return (
+    before the ordering so the rank input stays heavy-hitter-sized.
+
+    The support threshold (``ceil(total × support)``) derives from the
+    counts aggregate itself — the raw table is scanned exactly once (the
+    counts frame is persisted for its two consumers; it is
+    value-cardinality-sized, already reduced)."""
+    from pyspark import StorageLevel
+
+    counts = (
         df.groupBy(F.col(col).alias("value"))
         .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= min_count)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # total from the aggregate (value-cardinality-sized), not a second scan
+    threshold = counts.agg(
+        F.greatest(F.lit(1).cast("long"), F.ceil(F.sum("n") * support)).alias("t")
+    )
+    return (
+        counts.join(F.broadcast(threshold), F.col("n") >= F.col("t"))
+        .select("value", "n")
         .orderBy(F.col("n").desc(), F.col("value").asc())
         .limit(k)
     )

@@ -146,6 +146,16 @@ class CachedResultStore(ResultStore):
         self.shared.write_status(uuid, status_json)
         if self._state_of(status_json) in _CACHEABLE_STATES:
             super().write_status(uuid, status_json)
+        else:
+            # An op moving back to running/failed invalidates anything this
+            # cache previously held for it (a re-queued op must not be
+            # served a stale completed result by THIS instance; other
+            # instances' caches follow the content-addressing immutability
+            # assumption, as in the reference).
+            for name in (self.STATUS, self.DONE):
+                path = self._side_path(uuid, name)
+                if os.path.exists(path):
+                    os.remove(path)
 
     def read_status(self, uuid: str) -> Optional[str]:
         local = super().read_status(uuid)

@@ -18,6 +18,7 @@ Execution model (Spark-first redesign of the reference's pull-based runner,
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import math
 import os
@@ -95,6 +96,23 @@ def get_spark(
     return builder.getOrCreate()
 
 
+
+@contextlib.contextmanager
+def _translate_runtime_errors():
+    """Map inline raise_error guards (lazy bounds checks) back to the
+    documented Python exception, on every materialization path — exports
+    AND user-directed sinks — so the error contract does not depend on
+    which sink ran the plan."""
+    try:
+        yield
+    except IndexError:
+        raise
+    except Exception as exc:
+        if "out of bounds for vector" in str(exc):
+            raise IndexError(str(exc).split("SQLSTATE")[0].strip()) from None
+        raise
+
+
 class SparkRunner(BaseRunner):
     """Execution engine + result store + status store."""
 
@@ -165,7 +183,8 @@ class SparkRunner(BaseRunner):
         ``sort_by_row_id`` forces deterministic file order at the cost of a
         global sort — leave off for large outputs (row ids still ride along
         in the data for downstream alignment)."""
-        self._sink_df(op, sort_by_row_id).write.mode("overwrite").parquet(path)
+        with _translate_runtime_errors():
+            self._sink_df(op, sort_by_row_id).write.mode("overwrite").parquet(path)
 
     def write_csv(
         self,
@@ -176,18 +195,23 @@ class SparkRunner(BaseRunner):
     ) -> None:
         df = self._sink_df(op, sort_by_row_id)
         # CSV has no nested types: arrays/structs/variants export as JSON text.
+        # (error translation below)
         cols = [
             F.to_json(F.col(f.name)).alias(f.name)
             if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType, T.VariantType))
             else F.col(f.name)
             for f in df.schema.fields
         ]
-        df.select(*cols).write.mode("overwrite").option("header", header).csv(path)
+        with _translate_runtime_errors():
+            df.select(*cols).write.mode("overwrite").option("header", header).csv(
+                path
+            )
 
     def write_json_lines(
         self, op: OpSpec, path: str, sort_by_row_id: bool = False
     ) -> None:
-        self._sink_df(op, sort_by_row_id).write.mode("overwrite").json(path)
+        with _translate_runtime_errors():
+            self._sink_df(op, sort_by_row_id).write.mode("overwrite").json(path)
 
     def write_bucketed(
         self,
@@ -213,7 +237,8 @@ class SparkRunner(BaseRunner):
         )
         if sort_cols:
             writer = writer.sortBy(*sort_cols)
-        writer.saveAsTable(table)
+        with _translate_runtime_errors():
+            writer.saveAsTable(table)
 
     def _sink_df(self, op: OpSpec, sort_by_row_id: bool) -> DataFrame:
         df = self.dataframe(op, keep_row_id=True)
@@ -420,12 +445,8 @@ class SparkRunner(BaseRunner):
         df = plan.df() if isinstance(plan, ColumnPlan) else plan.df
         if isinstance(plan, ColumnPlan) and plan.is_json:
             df = df.select(ROW_ID, F.to_json(F.col(plan.name)).alias(plan.name))
-        try:
+        with _translate_runtime_errors():
             return df.orderBy(ROW_ID).drop(ROW_ID).toPandas()
-        except Exception as exc:  # translate inline raise_error guards
-            if "out of bounds for vector" in str(exc):
-                raise IndexError(str(exc).split("SQLSTATE")[0].strip()) from None
-            raise
 
     def to_arrow(self, op: OpSpec):
         import pyarrow as pa
@@ -546,30 +567,38 @@ class SparkRunner(BaseRunner):
         from reservoir sampling seeded per-job, so the tiny count job and
         the consuming job could place rows in different partitions —
         silently corrupting every positional path (rank-zip joins, masks,
-        non-dense takes). Instead the bucket id is a pure *function of the
-        row-id value* (fixed-width ranges over [min, max], width sized so
-        bucket count ≈ cluster parallelism): every job recomputes the same
-        bucket for the same row. One cheap agg pass gets min/max/count, one
-        pass gets per-bucket counts → offsets, and the final plan ranks
-        within buckets (Catalyst hash-clusters on the bucket, which is
-        value-deterministic) and adds the offset. No single-partition
-        global window, so this survives 100-TB inputs; skew is bounded
-        because row-ids are dense at scan and only thinned by masks.
+        non-dense takes). Instead, bucket boundaries are QUANTILES of the
+        row-id distribution, collected ONCE on the driver and embedded as
+        literals: every job then recomputes the same bucket for the same
+        row-id value by construction, regardless of how the boundaries
+        were estimated. Quantile boundaries (not fixed-width ranges over
+        [min, max]) matter because multi-file row ids are sparse —
+        ``file_ordinal << 40 | row_index`` — where equal-width buckets
+        collapse to ~one bucket per file and would hand a whole file's
+        rows to one window task. One quantile pass, one per-bucket count
+        pass → offsets; the final plan ranks within buckets (Catalyst
+        hash-clusters on the bucket expression, value-deterministic) and
+        adds the offset. No single-partition global window and no bucket
+        larger than ~2× the balanced share, at any id distribution.
 
         Returns ``(ranked_df, row_count)`` so callers needing the length
         (equal-length checks) don't pay another pass."""
-        stats = df.agg(
-            F.min(ROW_ID).alias("lo"),
-            F.max(ROW_ID).alias("hi"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
-        n_rows = int(stats["n"])
+        n_rows = df.count()
         if n_rows == 0:
             return df.withColumn("__rank", F.lit(0).cast("long")), 0
-        lo, hi = int(stats["lo"]), int(stats["hi"])
         n_part = max(self.spark.sparkContext.defaultParallelism, 1)
-        width = max(1, math.ceil((hi - lo + 1) / n_part))
-        bucket = F.floor((F.col(ROW_ID) - F.lit(lo)) / F.lit(width)).cast("long")
+        probs = [i / n_part for i in range(1, n_part)]
+        # Cast to double for approxQuantile; cut points need only be
+        # monotonic, so the double rounding of >2^53 ids is harmless —
+        # comparisons below happen on exact longs.
+        bounds = sorted(
+            {
+                int(b)
+                for b in df.select(F.col(ROW_ID).cast("double").alias("__d"))
+                .approxQuantile("__d", probs, 1.0 / (4 * n_part))
+            }
+        )
+        bucket = _bucket_of(F.col(ROW_ID), bounds)
         sizes = {
             int(row["__b"]): int(row["count"])
             for row in df.select(bucket.alias("__b")).groupBy("__b").count().collect()
@@ -590,6 +619,20 @@ class SparkRunner(BaseRunner):
             .drop("__b")
         )
         return out, n_rows
+
+
+def _bucket_of(col, bounds: list[int], lo: int = 0, hi: Optional[int] = None):
+    """``#{i : bounds[i] <= value}`` as a balanced comparison tree over the
+    sorted literal boundaries — depth ``log2(len(bounds))`` whens, fully
+    codegen-able, no higher-order functions."""
+    if hi is None:
+        hi = len(bounds)
+    if lo == hi:
+        return F.lit(lo).cast("long")
+    mid = (lo + hi) // 2
+    return F.when(col < F.lit(bounds[mid]), _bucket_of(col, bounds, lo, mid)).otherwise(
+        _bucket_of(col, bounds, mid + 1, hi)
+    )
 
 
 def _aligned_uuid(op: OpSpec) -> str:

@@ -30,6 +30,7 @@ def _mk(spark, ids, n_part=16):
         [i * 97 + 13 for i in range(1000)],  # strided
         [i for i in range(5000) if i % 7 != 0],  # masked-out subset
         list(range(100)) + [10_000_000 + i for i in range(100)],  # skewed band
+        [f << 40 | i for f in range(4) for i in range(500)],  # multi-file shape
         [42],  # single row
     ],
 )

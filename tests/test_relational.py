@@ -70,3 +70,21 @@ def test_salted_join_matches_plain_join(spark):
     plain = left.join(right, "k").select("k", "payload", "tag")
     salted = salted_join(left, right, "k", num_salts=8).select("k", "payload", "tag")
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_asof_join_weird_column_names(spark):
+    left = spark.createDataFrame([(1, 100, "a")], "k long, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, 90, 1.5)], ["k", "ts", "bid price"]
+    )
+    out = asof_join(left, right, on="k", value_cols=["bid price"])
+    assert out.collect()[0]["bid price_asof"] == 1.5
+
+
+def test_asof_join_no_value_cols_rejected(spark):
+    left = spark.createDataFrame([(1, 100)], "k long, ts long")
+    right = spark.createDataFrame([(1, 90)], "k long, ts long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no value columns"):
+        asof_join(left, right, on="k")

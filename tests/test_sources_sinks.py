@@ -132,3 +132,12 @@ def test_bucketed_tables_join_without_shuffle(lazy_runner):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_bleft")
         spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+def test_sink_translates_bounds_error(lazy_runner, tmp_path):
+    import pytest as _pytest
+
+    ds = lazy_runner.from_inline_dataset({"v": [[1.0, 2.0]]})
+    bad = ds.col_vector("v").col(7)
+    with _pytest.raises(IndexError):
+        lazy_runner.write_parquet(bad, str(tmp_path / "bad.parquet"))

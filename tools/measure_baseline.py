@@ -227,18 +227,9 @@ def reference_queries(runner, sf):
 
 
 def spark_queries(runner, sf):
-    cust = runner.from_parquet(f"{sf}/customer.parquet")
-    docs = runner.from_parquet(f"{sf}/documents.parquet")
-    emb = runner.from_parquet(f"{sf}/embeddings.parquet")
-    events = runner.from_parquet(f"{sf}/events.parquet")
-    seg = cust.col_categorical("c_mktsegment")
-    ref = reference_queries  # same shapes; rebuild with this runner's ops
-
-    # The graph API is parity-identical, so reuse the same builders.
-    return {
-        name: fn
-        for name, fn in ref(runner, sf).items()
-    }
+    # The graph API is parity-identical, so the same builders serve both
+    # engines; this alias exists only for readability at the call site.
+    return reference_queries(runner, sf)
 
 
 def _time(fn, repeat):
