@@ -686,6 +686,17 @@ def q_minhash_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_drop_near(spark, sf_dir):
+    return dedup.drop_near_dups(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        num_perm=16,
+        bands=4,
+        jaccard_threshold=0.5,
+    )
+
+
 def q_simhash(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select("doc_id", dedup.simhash("text", bits=32).alias("sh"))
@@ -847,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "minhash_signature": q_minhash_signature,
         "minhash_pairs": q_minhash_pairs,
+        "dedup_drop_near": q_dedup_drop_near,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_dups": q_embedding_dups,
@@ -907,6 +919,38 @@ h AS (SELECT doc_id, sh, list_distinct(sh) AS shd, {minhash_hs} AS hs FROM s)
 
     cos_ab = _cosine_sql("a.embedding", "b.embedding")
     cos_dq = _cosine_sql("d.embedding", "q.embedding")
+
+    minhash_pairs_sql = f"""
+{shingle_cte},
+sig AS (SELECT doc_id, shd,
+        CASE WHEN len(sh) = 0 THEN [{empty16}]::BIGINT[] ELSE [{sig16}] END AS sig
+        FROM h WHERE len(shd) > 0),
+bands AS (SELECT doc_id, shd, band, {band_sql} AS band_sig
+          FROM sig, (SELECT unnest(range(0, 4)) AS band)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_sig = b.band_sig
+          AND a.doc_id < b.doc_id),
+j AS (SELECT doc_a, doc_b, {jaccard} AS jac
+      FROM cand JOIN h a ON a.doc_id = doc_a JOIN h b ON b.doc_id = doc_b)
+SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5
+"""
+
+    # Connected components over the pair graph via transitive closure
+    # (pair graphs are candidate-scale, so the recursion is tiny).
+    drop_near_sql = f"""
+WITH RECURSIVE pairs AS ({minhash_pairs_sql}),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(s, d) AS (
+    SELECT a, a FROM und
+    UNION
+    SELECT r.s, u.b FROM reach r JOIN und u ON r.d = u.a
+),
+comp AS (SELECT s AS doc, min(d) AS keeper FROM reach GROUP BY s),
+removal AS (SELECT doc FROM comp WHERE keeper < doc)
+SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc FROM removal)
+"""
 
     return {
         "scan_parquet": "SELECT * FROM region",
@@ -1148,21 +1192,8 @@ SELECT doc_id, array_to_string(list_transform(
             ELSE [{sig16}] END, x -> x::VARCHAR), ',') AS sig
 FROM h
 """,
-        "minhash_pairs": f"""
-{shingle_cte},
-sig AS (SELECT doc_id, shd,
-        CASE WHEN len(sh) = 0 THEN [{empty16}]::BIGINT[] ELSE [{sig16}] END AS sig
-        FROM h WHERE len(shd) > 0),
-bands AS (SELECT doc_id, shd, band, {band_sql} AS band_sig
-          FROM sig, (SELECT unnest(range(0, 4)) AS band)),
-cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM bands a JOIN bands b
-           ON a.band = b.band AND a.band_sig = b.band_sig
-          AND a.doc_id < b.doc_id),
-j AS (SELECT doc_a, doc_b, {jaccard} AS jac
-      FROM cand JOIN h a ON a.doc_id = doc_a JOIN h b ON b.doc_id = doc_b)
-SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5
-""",
+        "minhash_pairs": minhash_pairs_sql,
+        "dedup_drop_near": drop_near_sql,
         "simhash": f"""
 WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents),
 h AS (SELECT doc_id,

@@ -468,3 +468,53 @@ def embedding_cosine_pairs_blocked(
                 )
 
     return pairs.mapInPandas(compute, schema=out_schema)
+
+
+def drop_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Remove near-duplicates: keep one representative (min id) per
+    connected component of the verified MinHash-LSH pair graph.
+
+    The pair list is orders of magnitude smaller than the corpus (it IS
+    the point of LSH), so components are computed driver-side with
+    union-find over the collected pairs — the standard pragmatic design; a
+    corpus whose pair graph itself is huge indicates the threshold is too
+    low, not that the engine needs distributed connected components. The
+    removal set broadcasts back as a left_anti join, so the corpus is
+    never collected."""
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col,
+        num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, jaccard_threshold=jaccard_threshold,
+    ).select("doc_a", "doc_b").collect()
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(r["doc_a"]), find(r["doc_b"])
+        if a != b:
+            # union by value: smaller id becomes the root = the keeper
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+
+    removals = [x for x in parent if find(x) != x]
+    if not removals:
+        return df
+    spark = df.sparkSession
+    removal_df = spark.createDataFrame(
+        [(x,) for x in removals], f"{id_col} {df.schema[id_col].dataType.simpleString()}"
+    )
+    return df.join(F.broadcast(removal_df), id_col, "left_anti")

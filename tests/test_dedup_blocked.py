@@ -85,3 +85,24 @@ def test_blocked_zero_norm_vectors(spark):
         )
     )
     assert set(out) == {(1, 2)}
+
+
+def test_drop_near_dups_removes_planted_clusters(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "completely different text about spark execution engines at scale",
+        "a third unrelated document mentioning neither foxes nor engines",
+    ]
+    rows = []
+    doc_id = 0
+    for text in base:
+        for variant in (text, text + " extra", text + " extra tail"):
+            rows.append((doc_id, variant))
+            doc_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.drop_near_dups(
+        df, "text", "doc_id", num_perm=16, bands=8, jaccard_threshold=0.3
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # one keeper (min id) per planted cluster of three variants
+    assert kept == [0, 3, 6]
