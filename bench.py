@@ -68,8 +68,22 @@ def main() -> None:
     spark = get_spark("bench")
     queries = entry_mod.queries()
 
-    # Warm up the JVM + Python worker pool outside the timed region.
+    # Warm up outside the timed region: JVM JIT, parquet reader init, AND
+    # the Python UDF worker pool (local[32] forks 32 workers on the first
+    # pandas-UDF job — ~1-2s that otherwise lands on whichever query
+    # happens to run a kernel first).
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    warm = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    warm.filter(warm.c_custkey > 0).write.format("noop").mode("overwrite").save()
+    from pyspark.sql import functions as F  # noqa: N812
+
+    @F.pandas_udf("long")
+    def _warm_udf(s):
+        return s
+
+    spark.range(10_000).select(_warm_udf("id")).write.format("noop").mode(
         "overwrite"
     ).save()
 
