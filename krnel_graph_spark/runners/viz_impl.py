@@ -1,11 +1,16 @@
 """UMAP / PCA 2-D visualization embedding.
 
-Neighbor-embedding algorithms are not distributable; the reference runs UMAP
-on the full in-memory matrix (``local_arrow_runner.py:632-645``). Here the
-vectors are collected to the driver (sampled collection would be the next
-step at scale), reduced, and the coordinates re-joined to stable row ids so
-downstream ops keep alignment. ``method="pca"`` is a deterministic numpy-SVD
-fallback for environments without ``umap-learn``."""
+``method="pca"`` (the dependency-free default) is fully distributed: the
+Gram matrix accumulates as per-partition d×d partials (one ``mapInPandas``
+pass — kilobytes per partition regardless of row count), the 2-component
+eigenbasis solves on the driver, and the projection runs as a broadcast
+matmul pandas UDF. No vector ever reaches the driver, so this path
+survives 100-TB inputs.
+
+``method="umap"`` keeps the reference's semantics (neighbor embeddings are
+not distributable): collect the matrix, run ``umap-learn``
+(``local_arrow_runner.py:632-645``), re-join on stable row ids.
+"""
 
 from __future__ import annotations
 
@@ -19,23 +24,60 @@ from .plan import ROW_ID, VALUE, ColumnPlan
 from .spark_runner import SparkRunner
 
 
-def _pca_2d(X: np.ndarray) -> np.ndarray:
-    centered = X - X.mean(axis=0)
-    _, _, vt = np.linalg.svd(centered, full_matrices=False)
-    components = vt[:2]
-    # Deterministic sign convention: largest-|loading| entry positive.
+def _sign_convention(components: np.ndarray) -> np.ndarray:
+    """Deterministic sign: largest-|loading| entry positive per component."""
     for i in range(components.shape[0]):
         j = int(np.argmax(np.abs(components[i])))
         if components[i, j] < 0:
             components[i] = -components[i]
-    return centered @ components.T
+    return components
+
+
+def _pca_2d(X: np.ndarray) -> np.ndarray:
+    """Driver-side reference implementation (kept for tests/parity)."""
+    centered = X - X.mean(axis=0)
+    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+    return centered @ _sign_convention(vt[:2]).T
+
+
+def _distributed_pca_components(df, name: str):
+    """(mean, 2-component basis) from one distributed pass.
+
+    Per-partition partials: (count, Σx, Σxxᵀ) — d and d×d arrays, tiny for
+    embedding dims; combined on the driver, the centered covariance is
+    ``Σxxᵀ/n − μμᵀ`` and its top eigenvectors are the SVD components of the
+    centered data (same basis, fixed by the sign convention)."""
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[name]])
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    rows = df.select(name).mapInPandas(
+        partials, schema="n long, s array<double>, g array<double>"
+    ).collect()
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    d = len(s)
+    g = np.sum([np.asarray(r["g"]).reshape(d, d) for r in rows], axis=0)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    components = _sign_convention(eigvecs[:, ::-1][:, :2].T.copy())
+    return mean, components
 
 
 @SparkRunner.implementation
 def umap_vis(runner: SparkRunner, op: UMAPVizOp) -> ColumnPlan:
     col = runner.column_plan(op.input)
-    pdf = col.df().toPandas()
-    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[col.name]])
 
     if op.method == "umap":
         try:
@@ -45,6 +87,8 @@ def umap_vis(runner: SparkRunner, op: UMAPVizOp) -> ColumnPlan:
                 "umap-learn is not installed; use method='pca' for the "
                 "dependency-free fallback"
             ) from exc
+        pdf = col.df().toPandas()
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[col.name]])
         reducer = umap.UMAP(
             n_components=2,
             n_neighbors=op.n_neighbors,
@@ -53,13 +97,33 @@ def umap_vis(runner: SparkRunner, op: UMAPVizOp) -> ColumnPlan:
             random_state=op.random_state,
         )
         coords = reducer.fit_transform(X)
-    else:
-        coords = _pca_2d(X)
+        out_pdf = pd.DataFrame(
+            {ROW_ID: pdf[ROW_ID].values, VALUE: [list(map(float, c)) for c in coords]}
+        )
+        out = runner.spark.createDataFrame(out_pdf)
+        return ColumnPlan(
+            source=out,
+            expr=F.col(VALUE),
+            name=VALUE,
+            aligned_with=col.aligned_with,
+            dense=col.dense,
+        )
 
-    out_pdf = pd.DataFrame(
-        {ROW_ID: pdf[ROW_ID].values, VALUE: [list(map(float, c)) for c in coords]}
-    )
-    out = runner.spark.createDataFrame(out_pdf)
+    # Distributed PCA: stats pass + broadcast projection; vectors stay put.
+    src = col.df()
+    mean, components = _distributed_pca_components(src, col.name)
+    b_mean = mean.tolist()
+    b_comp = components.tolist()
+
+    @F.pandas_udf("array<double>")
+    def project(vs: pd.Series) -> pd.Series:
+        mu = np.asarray(b_mean)
+        comp = np.asarray(b_comp)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        Y = (X - mu) @ comp.T
+        return pd.Series([row.tolist() for row in Y])
+
+    out = src.select(F.col(ROW_ID), project(F.col(col.name)).alias(VALUE))
     return ColumnPlan(
         source=out,
         expr=F.col(VALUE),

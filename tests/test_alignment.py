@@ -71,3 +71,30 @@ def test_template_with_llm_generated_variable(text_ds):
     gen_vals = runner.to_pandas(gen)["value"].tolist()
     origs = ["alpha beta", "gamma", "delta epsilon zeta", "eta"]
     assert out == [f"{o}::{g}" for o, g in zip(origs, gen_vals)]
+
+
+def test_distributed_pca_matches_driver_svd(lazy_runner):
+    import numpy as np
+    import random
+
+    from krnel_graph_spark.runners.viz_impl import _pca_2d
+
+    rng = random.Random(21)
+    vecs = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(300)]
+    ds = lazy_runner.from_inline_dataset({"v": vecs})
+    got = lazy_runner.to_pandas(ds.col_vector("v").umap_vis(method="pca"))
+    got_m = np.stack([np.asarray(r) for r in got["value"]])
+    want = _pca_2d(np.asarray(vecs, dtype=np.float64))
+    np.testing.assert_allclose(got_m, want, atol=1e-8)
+
+
+def test_distributed_pca_no_vector_collect(lazy_runner):
+    """The PCA plan's driver-visible side is only the d×d stats partials;
+    projection happens executor-side (pandas UDF in the plan)."""
+    ds = lazy_runner.from_inline_dataset(
+        {"v": [[float(i), float(i % 3)] for i in range(50)]}
+    )
+    plan = lazy_runner.dataframe(ds.col_vector("v").umap_vis(method="pca"))
+    text = plan._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in text or "Project" in text
+    assert "Scan ExistingRDD" not in text or "python" in text.lower()
