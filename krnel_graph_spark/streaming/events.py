@@ -229,3 +229,39 @@ def rollup_event_counts(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out.withColumn("sum_value", F.round("sum_value", 4))
+
+
+def dedup_stream_near(
+    stream_df: DataFrame,
+    text_col: str,
+    ts_col: str = "ts",
+    num_perm: int = 16,
+    shingle_k: int = 3,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming NEAR-duplicate filter: key the watermarked dedup on the
+    MinHash signature instead of raw text.
+
+    Two documents sharing the full signature are near-identical with high
+    probability (the batch pipeline's band-collision + verify relaxes
+    this; a stream cannot run the verify join against unbounded history).
+    State = one signature per surviving doc within the watermark horizon —
+    bounded, like ``dedup_events``. Batch mode applies the same expression
+    via ``dropDuplicates`` for oracle checks."""
+    from ..functions.dedup import minhash_signature
+
+    sig = F.array_join(
+        F.transform(
+            minhash_signature(text_col, num_perm, shingle_k),
+            lambda x: x.cast("string"),
+        ),
+        ",",
+    )
+    df = with_event_time(stream_df, ts_col).withColumn("__sig", sig)
+    if stream_df.isStreaming:
+        out = df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["__sig"]
+        )
+    else:
+        out = df.dropDuplicates(["__sig"])
+    return out.drop("__sig")

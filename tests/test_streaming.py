@@ -126,3 +126,37 @@ def test_rollup_levels_consistent(spark):
     hour = out.filter(F.col("resolution") == "1 hour")
     cols = ["window_start", "event_type", "n_events", "sum_value"]
     assert _sorted_rows(hour, cols) == _sorted_rows(direct, cols)
+
+
+def test_stream_near_dedup_bounded_state(spark):
+    import pandas as pd
+
+    from krnel_graph_spark.streaming.events import dedup_stream_near
+
+    # documents table has no ts; synthesize a doc stream with duplicates
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import pyspark.sql.functions as F
+
+    with_ts = docs.select(
+        "doc_id",
+        "text",
+        F.timestamp_micros((F.col("doc_id") * 1_000_000).cast("long")).alias("ts"),
+    )
+    tmp = "/tmp/stream_near_dedup_src.parquet"
+    with_ts.write.mode("overwrite").parquet(tmp)
+
+    from krnel_graph_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_events_from_parquet,
+    )
+
+    batch = dedup_stream_near(spark.read.parquet(tmp), "text")
+    stream = dedup_stream_near(stream_events_from_parquet(spark, tmp), "text")
+    query = run_stream_to_memory(stream, "near_dedup", output_mode="append")
+    try:
+        got = spark.table("near_dedup")
+        # engine picks the surviving row; the signature-distinct COUNT is the contract
+        assert got.count() == batch.count()
+        assert got.count() > 0
+    finally:
+        query.stop()
