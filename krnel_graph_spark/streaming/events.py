@@ -247,7 +247,9 @@ def dedup_stream_near(
     this; a stream cannot run the verify join against unbounded history).
     State = one signature per surviving doc within the watermark horizon —
     bounded, like ``dedup_events``. Batch mode applies the same expression
-    via ``dropDuplicates`` for oracle checks."""
+    via ``dropDuplicates`` for oracle checks. Note Spark's late-row rule:
+    an event at-or-before the current watermark (including epoch-0 rows
+    against the initial watermark) is dropped before dedup state lookup."""
     from ..functions.dedup import minhash_signature
 
     sig = F.array_join(

@@ -140,7 +140,9 @@ def test_stream_near_dedup_bounded_state(spark):
     with_ts = docs.select(
         "doc_id",
         "text",
-        F.timestamp_micros((F.col("doc_id") * 1_000_000).cast("long")).alias("ts"),
+        # +1: an epoch-0 event time equals the initial watermark and is
+        # dropped as late by dropDuplicatesWithinWatermark
+        F.timestamp_micros(((F.col("doc_id") + 1) * 1_000_000).cast("long")).alias("ts"),
     )
     tmp = "/tmp/stream_near_dedup_src.parquet"
     with_ts.write.mode("overwrite").parquet(tmp)
