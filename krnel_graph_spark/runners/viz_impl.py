@@ -43,34 +43,46 @@ def _pca_2d(X: np.ndarray) -> np.ndarray:
 def _distributed_pca_components(df, name: str):
     """(mean, 2-component basis) from one distributed pass.
 
-    Per-partition partials: (count, Σx, Σxxᵀ) — d and d×d arrays, tiny for
-    embedding dims; combined on the driver, the centered covariance is
-    ``Σxxᵀ/n − μμᵀ`` and its top eigenvectors are the SVD components of the
-    centered data (same basis, fixed by the sign convention)."""
+    Per-partition partials are CENTERED at the partition's own mean:
+    (count, partition mean, Σ(x−μᵢ)(x−μᵢ)ᵀ). The driver merges with the
+    standard parallel-scatter formula — total scatter = Σ Sᵢ +
+    Σ nᵢ(μᵢ−μ)(μᵢ−μ)ᵀ — which is numerically stable; the naive
+    ``E[xxᵀ] − μμᵀ`` form cancels catastrophically when the data's common
+    offset dwarfs its spread (e.g. vectors ~1e8 ± 1, where both terms are
+    ~1e16 and double precision leaves O(1) error against a true variance
+    of 1). Partials are d and d×d arrays — kilobytes per partition for
+    embedding dims, regardless of row count."""
 
     def partials(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[name]])
+            mu = X.mean(axis=0)
+            C = X - mu
             yield pd.DataFrame(
                 {
                     "n": [len(X)],
-                    "s": [X.sum(axis=0).tolist()],
-                    "g": [(X.T @ X).ravel().tolist()],
+                    "m": [mu.tolist()],
+                    "sc": [(C.T @ C).ravel().tolist()],
                 }
             )
 
     rows = df.select(name).mapInPandas(
-        partials, schema="n long, s array<double>, g array<double>"
+        partials, schema="n long, m array<double>, sc array<double>"
     ).collect()
+    if not rows:
+        raise ValueError("umap_vis: empty input (no vectors to embed)")
     n = sum(r["n"] for r in rows)
-    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
-    d = len(s)
-    g = np.sum([np.asarray(r["g"]).reshape(d, d) for r in rows], axis=0)
-    mean = s / n
-    cov = g / n - np.outer(mean, mean)
-    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    d = len(rows[0]["m"])
+    mean = np.sum(
+        [r["n"] * np.asarray(r["m"]) for r in rows], axis=0
+    ) / n
+    scatter = np.zeros((d, d))
+    for r in rows:
+        delta = np.asarray(r["m"]) - mean
+        scatter += np.asarray(r["sc"]).reshape(d, d) + r["n"] * np.outer(delta, delta)
+    eigvals, eigvecs = np.linalg.eigh(scatter / n)  # ascending
     components = _sign_convention(eigvecs[:, ::-1][:, :2].T.copy())
     return mean, components
 
@@ -110,7 +122,11 @@ def umap_vis(runner: SparkRunner, op: UMAPVizOp) -> ColumnPlan:
         )
 
     # Distributed PCA: stats pass + broadcast projection; vectors stay put.
-    src = col.df()
+    # Persisted: the stats collect and the projection job would otherwise
+    # each re-run the (possibly expensive) upstream vector pipeline.
+    from pyspark import StorageLevel
+
+    src = col.df().persist(StorageLevel.MEMORY_AND_DISK)
     mean, components = _distributed_pca_components(src, col.name)
     b_mean = mean.tolist()
     b_comp = components.tolist()

@@ -259,7 +259,15 @@ def dedup_stream_near(
         ),
         ",",
     )
-    df = with_event_time(stream_df, ts_col).withColumn("__sig", sig)
+    # Docs too short to shingle all share the all--1 sentinel signature
+    # (the batch pipeline filters them out before banding); keying dedup on
+    # the sentinel would collapse every short doc into one. They fall back
+    # to exact-text keys instead.
+    sentinel = ",".join(["-1"] * num_perm)
+    key = F.when(
+        sig == sentinel, F.concat(F.lit("raw:"), F.coalesce(F.col(text_col), F.lit("")))
+    ).otherwise(sig)
+    df = with_event_time(stream_df, ts_col).withColumn("__sig", key)
     if stream_df.isStreaming:
         out = df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             ["__sig"]

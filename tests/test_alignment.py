@@ -98,3 +98,20 @@ def test_distributed_pca_no_vector_collect(lazy_runner):
     text = plan._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in text or "Project" in text
     assert "Scan ExistingRDD" not in text or "python" in text.lower()
+
+
+def test_distributed_pca_large_offset_stable(lazy_runner):
+    """Covariance via E[xx^T]-mumu^T cancels catastrophically for data with
+    a huge common offset; the parallel-scatter merge must not."""
+    import numpy as np
+    import random
+
+    from krnel_graph_spark.runners.viz_impl import _pca_2d
+
+    rng = random.Random(33)
+    vecs = [[1e8 + rng.gauss(0, 1) for _ in range(6)] for _ in range(200)]
+    ds = lazy_runner.from_inline_dataset({"v": vecs})
+    got = lazy_runner.to_pandas(ds.col_vector("v").umap_vis(method="pca"))
+    got_m = np.stack([np.asarray(r) for r in got["value"]])
+    want = _pca_2d(np.asarray(vecs, dtype=np.float64))
+    np.testing.assert_allclose(got_m, want, atol=1e-4)

@@ -129,8 +129,6 @@ def test_rollup_levels_consistent(spark):
 
 
 def test_stream_near_dedup_bounded_state(spark):
-    import pandas as pd
-
     from krnel_graph_spark.streaming.events import dedup_stream_near
 
     # documents table has no ts; synthesize a doc stream with duplicates
@@ -162,3 +160,21 @@ def test_stream_near_dedup_bounded_state(spark):
         assert got.count() > 0
     finally:
         query.stop()
+
+
+def test_stream_near_dedup_short_docs_not_collapsed(spark):
+    import pyspark.sql.functions as F
+
+    from krnel_graph_spark.streaming.events import dedup_stream_near
+
+    rows = [(1, "hi"), (2, "ok"), (3, "ok"), (4, "a much longer document here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", "text",
+        F.timestamp_micros(((F.col("doc_id") + 1) * 1_000_000).cast("long")).alias("ts"),
+    )
+    kept = dedup_stream_near(df, "text")
+    # 'hi' and 'ok' are unshingleable (sentinel signature) but distinct text:
+    # both survive; the duplicate 'ok' collapses by exact text.
+    assert sorted(r["text"] for r in kept.collect()) == [
+        "a much longer document here", "hi", "ok",
+    ]
