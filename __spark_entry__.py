@@ -357,7 +357,7 @@ def q_csv_roundtrip(spark, sf_dir):
 
     runner = _runner(spark)
     nat = runner.from_parquet(f"{sf_dir}/nation.parquet")
-    tag = _h.sha256(sf_dir.encode()).hexdigest()[:10]
+    tag = f"{_h.sha256(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}"
     path = f"/tmp/spark_graft_gate_{tag}/nation.csv"
     runner.write_csv(nat, path, sort_by_row_id=True)
     back = runner.from_csv(
@@ -372,7 +372,7 @@ def q_jsonl_roundtrip(spark, sf_dir):
 
     runner = _runner(spark)
     sup = runner.from_parquet(f"{sf_dir}/supplier.parquet")
-    tag = _h.sha256(sf_dir.encode()).hexdigest()[:10]
+    tag = f"{_h.sha256(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}"
     path = f"/tmp/spark_graft_gate_{tag}/supplier.jsonl"
     runner.write_json_lines(sup, path, sort_by_row_id=True)
     cols = ", ".join(

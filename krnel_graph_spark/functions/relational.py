@@ -45,6 +45,11 @@ def asof_join(
         )
     from pyspark.sql import types as T
 
+    def _q(c: str):
+        # Backtick-quoted reference: plain names (df[c] / F.col(c)) parse
+        # dots as nested-field paths.
+        return F.col("`" + c.replace("`", "``") + "`")
+
     # StructType objects, not DDL strings: column names with spaces/dashes
     # would break a parsed "struct<...>" literal.
     r_struct_type = T.StructType(
@@ -56,13 +61,13 @@ def asof_join(
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         F.lit(None).cast(r_struct_type).alias("__r"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.struct(*[_q(c) for c in left.columns]).alias("__l"),
     )
     r_tag = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
-        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__r"),
+        F.struct(*[_q(c).alias(c) for c in value_cols]).alias("__r"),
         F.lit(None).cast(l_struct_type).alias("__l"),
     )
     unioned = l_tag.unionByName(r_tag)
@@ -76,9 +81,11 @@ def asof_join(
         "*",
         F.last(F.col("__r"), ignorenulls=True).over(w).alias("__carry"),
     ).filter(F.col("__is_left") == 1)
+    # getField (not dotted-path parsing): value column names may contain
+    # dots/spaces.
     return carried.select(
         F.col("__l.*"),
-        *[F.col(f"__carry.{c}").alias(f"{c}{suffix}") for c in value_cols],
+        *[F.col("__carry").getField(c).alias(f"{c}{suffix}") for c in value_cols],
     )
 
 

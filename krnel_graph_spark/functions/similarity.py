@@ -137,23 +137,26 @@ def cosine_topk_lsh(
                     )
         return F.array_distinct(F.array(*entries))
 
+    # Norms attach BEFORE the per-table explode — one fold per vector, not
+    # one per (vector, table) row.
     c = _with_norm(
         ensure_min_partitions(corpus).select(
-            F.col(id_col).alias("doc_id"),
-            F.col(vec_col).alias("dv"),
-            F.explode(bucket_entries(vec_col, probe=False)).alias("bk"),
+            F.col(id_col).alias("doc_id"), F.col(vec_col).alias("dv")
         ),
         "dv",
         "dnorm",
+    ).select(
+        "doc_id", "dv", "dnorm", F.explode(bucket_entries("dv", probe=False)).alias("bk")
     )
     q = _with_norm(
         queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            F.explode(bucket_entries(vec_col, probe=True)).alias("qbk"),
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
         ),
         "qv",
         "qnorm",
+    ).select(
+        "query_id", "qv", "qnorm",
+        F.explode(bucket_entries("qv", probe=True)).alias("qbk"),
     )
     scored = (
         c.join(

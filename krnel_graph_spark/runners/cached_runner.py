@@ -186,7 +186,16 @@ class LocalCachedRunner(SparkRunner):
         if store_path is None:
             raise ValueError("LocalCachedRunner requires a store_path")
         super().__init__(spark=spark, store_path=None)
-        cache_path = cache_path or os.path.join(
-            tempfile.gettempdir(), "krnel_graph_spark_cache"
-        )
+        if cache_path is None:
+            # Per-store cache namespace: a single shared cache directory
+            # would leak done markers across DIFFERENT shared stores (op X
+            # completed against store A must not look done against store B).
+            import hashlib
+
+            store_key = hashlib.sha256(
+                os.path.abspath(store_path).encode()
+            ).hexdigest()[:16]
+            cache_path = os.path.join(
+                tempfile.gettempdir(), "krnel_graph_spark_cache", store_key
+            )
         self.store = CachedResultStore(store_path, cache_path)

@@ -353,10 +353,14 @@ def _run_batched(
         def prep(texts: list[str]) -> list[str]:
             if not render_chat:
                 return texts
+            # NULL rows arrive as None (to_json(NULL) is NULL): render as an
+            # empty conversation / empty user turn instead of crashing the
+            # executor on json.loads(None).
             convs = (
-                [json.loads(t) for t in texts]
+                [json.loads(t) if t is not None else [] for t in texts]
                 if is_conversation
-                else [[{"role": "user", "content": t}] for t in texts]
+                else [[{"role": "user", "content": t if t is not None else ""}]
+                      for t in texts]
             )
             return [
                 provider.apply_chat_template(c, append_to_chat_template)

@@ -177,6 +177,23 @@ def running_user_totals(
     )
 
 
+_DURATION_UNITS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _duration_seconds(spec: str) -> int:
+    try:
+        num, unit = spec.split()
+        return int(num) * _DURATION_UNITS[unit.lower()]
+    except (ValueError, KeyError):
+        raise ValueError(f"Unparseable duration {spec!r} (expected 'N unit')")
+
+
 def rollup_event_counts(
     events: DataFrame,
     durations: tuple[str, ...] = ("1 minute", "1 hour", "1 day"),
@@ -185,15 +202,34 @@ def rollup_event_counts(
     aggregate): counts + value sums per event type at each duration.
 
     The raw table is scanned ONCE, at the finest resolution; every coarser
-    level re-aggregates the previous level's output (windows must nest,
-    i.e. each duration an integer multiple of the finer one). Each level is
-    persisted — they are aggregate-sized, and without pinning, the union's
-    branches would re-run the whole lineage (Spark's exchange reuse does
-    not fire across the differing branch tails). At 100 TB the cascade
-    touches raw data once and then reduces rollup-sized frames — the
-    standard continuous-aggregate design (TimescaleDB/Druid style).
-    Output: one union frame tagged with a ``resolution`` column."""
+    level re-aggregates the previous level's output. Durations MUST nest
+    (each an integer multiple of the finer one) — validated, because a
+    non-nesting cascade silently assigns a straddling fine bucket wholly
+    to one coarse window. Each level is persisted — they are
+    aggregate-sized, and without pinning, the union's branches would
+    re-run the whole lineage (Spark's exchange reuse does not fire across
+    the differing branch tails). At 100 TB the cascade touches raw data
+    once and then reduces rollup-sized frames — the standard
+    continuous-aggregate design (TimescaleDB/Druid style). Output: one
+    union frame tagged with a ``resolution`` column.
+
+    Batch-only (persisted cascades are illegal on streams): for streaming,
+    run ``windowed_event_counts`` at the finest grain and roll up from its
+    sink downstream."""
     from pyspark import StorageLevel
+
+    if events.isStreaming:
+        raise ValueError(
+            "rollup_event_counts is batch-only; stream the finest grain via "
+            "windowed_event_counts and roll up from its sink"
+        )
+    secs = [_duration_seconds(d) for d in durations]
+    for finer, coarser in zip(secs, secs[1:]):
+        if coarser % finer != 0:
+            raise ValueError(
+                f"rollup durations must nest: {durations} "
+                f"({coarser}s is not a multiple of {finer}s)"
+            )
 
     finest = (
         with_event_time(events)

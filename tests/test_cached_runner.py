@@ -106,3 +106,9 @@ def test_unprepared_missing_source_fails_clearly(spark, roots, tmp_path):
     fresh = SparkRunner(spark=spark, store_path=shared_root)
     with pytest.raises(Exception, match="not prepared|does not exist|No such file"):
         fresh.to_pandas(ds)
+
+
+def test_default_cache_is_per_store(spark, tmp_path):
+    a = LocalCachedRunner(spark=spark, store_path=str(tmp_path / "storeA"))
+    b = LocalCachedRunner(spark=spark, store_path=str(tmp_path / "storeB"))
+    assert a.store.root != b.store.root

@@ -88,3 +88,10 @@ def test_asof_join_no_value_cols_rejected(spark):
 
     with _pytest.raises(ValueError, match="no value columns"):
         asof_join(left, right, on="k")
+
+
+def test_asof_join_dotted_column_names(spark):
+    left = spark.createDataFrame([(1, 100, "a")], "k long, ts long, tag string")
+    right = spark.createDataFrame([(1, 90, 2.5)], ["k", "ts", "bid.price"])
+    out = asof_join(left, right, on="k", value_cols=["bid.price"])
+    assert out.collect()[0]["bid.price_asof"] == 2.5

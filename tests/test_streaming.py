@@ -178,3 +178,20 @@ def test_stream_near_dedup_short_docs_not_collapsed(spark):
     assert sorted(r["text"] for r in kept.collect()) == [
         "a much longer document here", "hi", "ok",
     ]
+
+
+def test_rollup_rejects_non_nesting_and_streams(spark):
+    import pytest as _pytest
+
+    from krnel_graph_spark.streaming.events import (
+        rollup_event_counts,
+        stream_events_from_parquet,
+    )
+
+    ev = spark.read.parquet(EVENTS)
+    with _pytest.raises(ValueError, match="must nest"):
+        rollup_event_counts(ev, durations=("90 seconds", "2 minutes"))
+    with _pytest.raises(ValueError, match="batch-only"):
+        rollup_event_counts(
+            stream_events_from_parquet(spark, EVENTS), durations=("1 minute", "1 hour")
+        )
