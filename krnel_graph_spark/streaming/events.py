@@ -231,10 +231,18 @@ def rollup_event_counts(
                 f"({coarser}s is not a multiple of {finer}s)"
             )
 
+    # Accumulate ``value`` as DECIMAL(30,10): decimal addition is exact and
+    # associative, so the cascade's level-by-level re-aggregation yields the
+    # bit-identical total regardless of partitioning / summation order (a
+    # double-sum cascade can land a ULP away from a direct sum and flip the
+    # final round()). Rounding to 4 happens once, on the decimal, at the end.
     finest = (
         with_event_time(events)
         .groupBy(F.window("ts", durations[0]).alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,10)")).alias("sum_value"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
@@ -264,7 +272,12 @@ def rollup_event_counts(
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
-    return out.withColumn("sum_value", F.round("sum_value", 4))
+    # Round on the exact decimal (HALF_UP, same as the SQL oracle), THEN
+    # convert to double — rounding after a decimal->double conversion could
+    # flip on values a ULP from a .00005 boundary.
+    return out.withColumn(
+        "sum_value", F.round("sum_value", 4).cast("double")
+    )
 
 
 def dedup_stream_near(
