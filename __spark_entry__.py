@@ -47,9 +47,11 @@ from krnel_graph_spark.streaming.events import (  # noqa: E402
 def _conf(spark: SparkSession) -> SparkSession:
     """Runtime confs the queries rely on, applied here so they hold even on a
     vanilla driver-built session (the repo's own ``get_spark`` also sets them
-    at build time).  ``nanosAsLong`` is required to read the driver-generated
-    ``events.parquet`` (TIMESTAMP(NANOS), which Spark's vectorized reader
-    otherwise rejects); it is a runtime-settable SQL conf."""
+    at build time).  The session tz is pinned UTC so event-time normalization
+    (``with_event_time``'s TIMESTAMP_NTZ → TIMESTAMP cast) preserves instants
+    and ``unix_micros`` output matches the DuckDB oracle's ``epoch_us``.
+    ``nanosAsLong`` is kept for back-compat with TIMESTAMP(NANOS) parquet
+    (harmless on µs files, and lets the same code read either shape)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark

@@ -78,8 +78,8 @@ def get_spark(
         .config(
             "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g")
         )
-        # Driver testdata carries TIMESTAMP(NANOS) parquet, which vanilla
-        # Spark rejects; read as nanosecond longs (convert at use sites).
+        # Back-compat for TIMESTAMP(NANOS) parquet (read as nanosecond longs,
+        # converted at use sites by with_event_time); harmless on µs files.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

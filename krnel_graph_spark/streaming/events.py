@@ -14,16 +14,30 @@ from pyspark.sql import functions as F
 
 
 def with_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """Normalize the event-time column to a Spark TIMESTAMP.
+    """Normalize the event-time column to a Spark TIMESTAMP, dtype-driven.
 
-    The testdata `events` parquet stores TIMESTAMP(NANOS), which Spark can
-    only read as a nanosecond-epoch BIGINT (``spark.sql.legacy.parquet
-    .nanosAsLong``). Convert with integer `div` (not float division — epoch
-    nanos ~1.7e18 exceed double's 53-bit mantissa) to microsecond precision,
-    Spark's native timestamp resolution.
+    Lake data arrives in several physical shapes; every event-time consumer
+    (watermarks, ``F.window``, ``F.unix_micros``) requires TIMESTAMP (with
+    local-tz semantics), so convert by the column's actual dtype:
+
+    - ``timestamp``: already canonical, passthrough.
+    - ``timestamp_ntz`` (e.g. parquet TIMESTAMP(isAdjustedToUTC=false), which
+      Spark's reader surfaces as NTZ): ``cast("timestamp")`` reinterprets the
+      wall-clock in the session timezone — callers pin the session tz to UTC
+      so instants are preserved exactly.
+    - ``bigint``: epoch **nanoseconds** (the shape a TIMESTAMP(NANOS) parquet
+      takes under ``spark.sql.legacy.parquet.nanosAsLong``). Convert with
+      integer `div` (not float division — epoch nanos ~1.7e18 exceed double's
+      53-bit mantissa) to microseconds, Spark's native resolution.
+    - ``date``: midnight cast.
     """
-    if dict(df.dtypes).get(ts_col) in ("bigint", "long"):
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype in ("bigint", "long"):
         df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    elif dtype == "date":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 
 
