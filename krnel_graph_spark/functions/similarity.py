@@ -17,12 +17,13 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .partitioning import ensure_min_partitions
-from .vector import dot, hyperplane_signature, l2_distance
+from .vector import dot, hyperplane_signature
 
 
 def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> list[list[float]]:
@@ -185,34 +186,50 @@ def ivf_topk(
     good enough for cell routing without an iterative k-means job. Corpus
     rows assign to their nearest centroid scan-side; each query probes its
     ``nprobe`` nearest cells.
+
+    The centroid matrix rides to executors as a Spark broadcast consumed by
+    an Arrow-batched cell-assignment UDF (one BLAS GEMM per batch), so the
+    physical plan is the same size at 16 cells or 16k — embedding centroids
+    as per-component plan literals would blow up Catalyst/codegen at
+    realistic cell counts.
     """
+    from pyspark.sql.types import ArrayType, IntegerType
+
     centroid_rows = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
         .orderBy(F.xxhash64(F.col("cid"), F.lit(seed)))
         .limit(n_cells)
         .collect()
     )
-    centroids = [(i, [float(x) for x in r["cv"]]) for i, r in enumerate(centroid_rows)]
+    cmat = np.asarray([r["cv"] for r in centroid_rows], dtype=np.float64)
+    bc = corpus.sparkSession.sparkContext.broadcast(cmat)
 
-    def nearest_cells(vec_expr, n: int):
-        dists = F.array(
-            *[
-                F.struct(
-                    l2_distance(
-                        vec_expr, F.array(*[F.lit(x) for x in cv])
-                    ).alias("d"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, cv in centroids
-            ]
-        )
-        return F.slice(F.array_sort(dists), 1, n)
+    def _make_assigner(n: int):
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def assign(vecs: pd.Series) -> pd.Series:
+            cm = bc.value
+            if len(vecs) == 0:
+                return pd.Series([], dtype=object)
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+            # Squared L2 via GEMM; monotone with distance, so the cell
+            # ranking matches an explicit per-centroid l2_distance. Stable
+            # argsort ties break toward the lower cell id, matching the
+            # (distance, cell) struct-sort this replaced.
+            d2 = (
+                (v * v).sum(axis=1)[:, None]
+                - 2.0 * (v @ cm.T)
+                + (cm * cm).sum(axis=1)[None, :]
+            )
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :n]
+            return pd.Series(list(idx.astype("int32")))
+
+        return assign
 
     c = _with_norm(
         ensure_min_partitions(corpus).select(
             F.col(id_col).alias("doc_id"),
             F.col(vec_col).alias("dv"),
-            nearest_cells(F.col(vec_col), 1)[0]["cell"].alias("cell"),
+            _make_assigner(1)(F.col(vec_col))[0].alias("cell"),
         ),
         "dv",
         "dnorm",
@@ -221,9 +238,7 @@ def ivf_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            F.explode(
-                F.transform(nearest_cells(F.col(vec_col), nprobe), lambda s: s["cell"])
-            ).alias("cell"),
+            F.explode(_make_assigner(nprobe)(F.col(vec_col))).alias("cell"),
         ),
         "qv",
         "qnorm",

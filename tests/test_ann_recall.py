@@ -65,6 +65,39 @@ def test_lsh_recall_clustered(clustered):
     assert r >= 0.8, f"LSH recall@{K} on clustered data collapsed to {r:.2f}"
 
 
+def test_lsh_recall_adversarial_sparse_buckets(clustered):
+    """n_planes=12 / multiprobe=1 / one table: 4096 buckets over 480
+    vectors. Recall must visibly degrade from the generous-parameter ≥0.8
+    (so a bucketing bug can't hide behind multiprobe amplification) while
+    the hyperplane locality itself still holds a 0.5 floor. Deterministic:
+    fixed planes seed, fixed data."""
+    queries = clustered.filter(F.col("vec_id") % 120 == 0)
+    exact = _exact(clustered, queries)
+    out = similarity.cosine_topk_lsh(
+        clustered, queries, "embedding", "vec_id",
+        k=K, dim=32, n_planes=12, multiprobe=1, n_tables=1,
+    )
+    r = _recall(out, exact)
+    assert r < 0.8, f"sparse-bucket LSH recall {r:.2f} suspiciously high"
+    assert r >= 0.5, f"sparse-bucket LSH recall collapsed to {r:.2f}"
+
+
+def test_ivf_plan_size_independent_of_n_cells(clustered):
+    """The centroid matrix must ride as a broadcast, not as plan literals:
+    the physical plan at 256 cells must be the same size as at 16 (a
+    literal-embedding regression scales the plan by n_cells × dim)."""
+    queries = clustered.filter(F.col("vec_id") % 120 == 0)
+
+    def plan_chars(n_cells):
+        df = similarity.ivf_topk(
+            clustered, queries, "embedding", "vec_id",
+            k=K, n_cells=n_cells, nprobe=4,
+        )
+        return len(df._jdf.queryExecution().executedPlan().toString())
+
+    assert plan_chars(256) == plan_chars(16)
+
+
 def test_ivf_recall_clustered(clustered):
     queries = clustered.filter(F.col("vec_id") % 120 == 0)
     exact = _exact(clustered, queries)
