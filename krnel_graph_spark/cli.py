@@ -12,6 +12,8 @@ content-addressed store:
     python -m krnel_graph_spark print -f pipeline.py
     python -m krnel_graph_spark status -f pipeline.py
     python -m krnel_graph_spark diff old_pipeline.py new_pipeline.py
+    python -m krnel_graph_spark make_group -f pipeline.py -t LLM
+    python -m krnel_graph_spark config --store-uri /shared/results
 
 The reference's manual shard flags (``--shard-idx/--shard-count``,
 ``cli.py:541-580``) are kept for fleets of independent driver-heavy ops
@@ -198,6 +200,62 @@ def cmd_print(args) -> int:
     return 0
 
 
+def cmd_make_group(args) -> int:
+    """Bundle filtered ops into one GroupedOp and register it with the
+    store, so a later ``run -u <uuid>`` materializes the whole batch
+    (reference ``cli.py:520-535``)."""
+    from .operators.grouped_ops import GroupedOp
+
+    module = load_pipeline_module(args.file)
+    roots, module_runner = scavenge(module)
+    runner = _runner_for(args, module_runner)
+    ops = select_ops(roots, args.type, args.uuid, args.name)
+    if not ops:
+        raise SystemExit("no ops matched the filter")
+    if len(ops) == 1:
+        op = ops[0]
+    else:
+        op = GroupedOp(ops=sorted(ops, key=lambda o: o.uuid))
+    runner.prepare(op)
+    print(op.uuid)
+    return 0
+
+
+def cmd_config(args) -> int:
+    """Get or set engine configuration (reference ``cli.py:608-646``).
+
+    With no options: print the config-file path and every field (with its
+    description and current effective value). With options: merge them over
+    the current config, save, and print the result."""
+    from .config import KrnelGraphSparkConfig, default_config_file
+
+    def print_config(cfg: KrnelGraphSparkConfig) -> None:
+        for field, info in type(cfg).model_fields.items():
+            if info.description:
+                print(f"    # {info.description}")
+            val = getattr(cfg, field)
+            print(f"    {field}: {str(val) if hasattr(val, '__fspath__') else val!r}")
+
+    updates = {
+        field: getattr(args, field)
+        for field in KrnelGraphSparkConfig.model_fields
+        if getattr(args, field, None) is not None
+    }
+    if not updates:
+        print(f"Path to config file: {default_config_file()}")
+        print("Current config:")
+        print_config(KrnelGraphSparkConfig())
+        return 0
+    merged = KrnelGraphSparkConfig().model_dump()
+    merged.update(updates)
+    cfg = KrnelGraphSparkConfig(**merged)
+    path = cfg.save()
+    print("New config:")
+    print_config(cfg)
+    print(f"Configuration saved in config file: {path}")
+    return 0
+
+
 def cmd_diff(args) -> int:
     mod_a = load_pipeline_module(args.file_a)
     mod_b = load_pipeline_module(args.file_b)
@@ -256,6 +314,22 @@ def build_parser() -> argparse.ArgumentParser:
     p_diff.add_argument("file_a")
     p_diff.add_argument("file_b")
     p_diff.set_defaults(fn=cmd_diff)
+
+    p_group = sub.add_parser(
+        "make_group", help="bundle filtered ops into one GroupedOp"
+    )
+    _add_common(p_group)
+    p_group.set_defaults(fn=cmd_make_group)
+
+    p_config = sub.add_parser("config", help="get or set engine configuration")
+    p_config.add_argument("--runner-type", dest="runner_type")
+    p_config.add_argument("--store-uri", dest="store_uri")
+    p_config.add_argument("--cache-path", dest="cache_path")
+    p_config.add_argument("--spark-master", dest="spark_master")
+    p_config.add_argument(
+        "--shuffle-partitions", dest="shuffle_partitions", type=int
+    )
+    p_config.set_defaults(fn=cmd_config)
     return parser
 
 

@@ -22,7 +22,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import tempfile
 from typing import Optional
 
 from .spark_runner import SparkRunner
@@ -190,12 +189,17 @@ class LocalCachedRunner(SparkRunner):
             # Per-store cache namespace: a single shared cache directory
             # would leak done markers across DIFFERENT shared stores (op X
             # completed against store A must not look done against store B).
+            # The base dir comes from config (per-user under the temp dir —
+            # a fixed world-readable path would let any other account on a
+            # shared box pre-create and poison the cache).
             import hashlib
+
+            from ..config import KrnelGraphSparkConfig
 
             store_key = hashlib.sha256(
                 os.path.abspath(store_path).encode()
             ).hexdigest()[:16]
             cache_path = os.path.join(
-                tempfile.gettempdir(), "krnel_graph_spark_cache", store_key
+                str(KrnelGraphSparkConfig().cache_path), store_key
             )
         self.store = CachedResultStore(store_path, cache_path)

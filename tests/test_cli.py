@@ -94,3 +94,60 @@ def test_graph_diff_after_subs(runner):
     }
     d_same = GraphDiff(tpl1, tpl1)
     assert d_same.identical and "identical" in str(d_same)
+
+
+def test_cli_make_group(tmp_path, spark, capsys):
+    store = str(tmp_path / "store")
+    pipe = _write_pipeline(tmp_path, store)
+
+    assert main(["make_group", "-f", pipe]) == 0
+    uuid = capsys.readouterr().out.strip()
+    assert uuid.startswith("GroupedOp_")
+
+    # Single-op filter degenerates to that op's own uuid (reference
+    # semantics: no one-element group wrapper).
+    assert main(["make_group", "-f", pipe, "-t", "Jinja"]) == 0
+    assert capsys.readouterr().out.strip().startswith("JinjaTemplatizeOp_")
+
+    with pytest.raises(SystemExit):
+        main(["make_group", "-f", pipe, "-t", "NoSuchOpType"])
+
+
+def test_cli_config_get_and_set(tmp_path, capsys, monkeypatch):
+    cfg_file = tmp_path / "cfg" / "config.json"
+    monkeypatch.setenv("KRNEL_SPARK_CONFIG_FILE", str(cfg_file))
+
+    # Get: prints path + defaults without creating the file.
+    assert main(["config"]) == 0
+    out = capsys.readouterr().out
+    assert str(cfg_file) in out and "store_uri" in out
+    assert not cfg_file.exists()
+
+    # Set: persists only the overridden fields.
+    assert main(["config", "--store-uri", "/tmp/ktest", "--shuffle-partitions", "7"]) == 0
+    out = capsys.readouterr().out
+    assert "/tmp/ktest" in out and cfg_file.exists()
+    saved = cfg_file.read_text()
+    assert "store_uri" in saved and "runner_type" not in saved
+
+    # A later set of a different field preserves the earlier one.
+    assert main(["config", "--runner-type", "LocalCachedRunner"]) == 0
+    capsys.readouterr()
+    from krnel_graph_spark.config import KrnelGraphSparkConfig
+
+    cfg = KrnelGraphSparkConfig()
+    assert cfg.store_uri == "/tmp/ktest"
+    assert cfg.shuffle_partitions == 7
+    assert cfg.runner_type == "LocalCachedRunner"
+
+    # Env beats file (reference precedence).
+    monkeypatch.setenv("KRNEL_SPARK_STORE_URI", "/tmp/env-wins")
+    assert KrnelGraphSparkConfig().store_uri == "/tmp/env-wins"
+
+
+def test_config_defaults_are_per_user():
+    from krnel_graph_spark.config import KrnelGraphSparkConfig, _user_suffix
+
+    cfg = KrnelGraphSparkConfig()
+    assert _user_suffix() in str(cfg.cache_path)
+    assert _user_suffix() in cfg.store_uri
