@@ -148,6 +148,12 @@ def salted_join(
         # Right/full outer would emit one null-extended row PER SALT for
         # unmatched right rows — not equivalent to the unsalted join.
         raise ValueError(f"salted_join supports left-preserving joins, not {how!r}")
+    if "__salt" in left.columns or "__salt" in right.columns:
+        # Silently shadowing a caller's __salt column would join on the
+        # wrong thing and then drop their data.
+        raise ValueError(
+            "salted_join: input already has a __salt column; rename it first"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     # Salt by row position, NOT by row content: the pathological hot key is
     # often a billion IDENTICAL rows, which any content hash sends to the

@@ -112,6 +112,14 @@ def cosine_topk_lsh(
     so 2^n_planes ≪ corpus size / desired bucket occupancy.
     """
     if planes is not None:
+        if n_tables > 1 or seed != 7:
+            # Explicit planes define the single table entirely; accepting
+            # amplification/seed knobs alongside them and silently ignoring
+            # both would misreport the index actually built.
+            raise ValueError(
+                "cosine_topk_lsh: explicit `planes` are incompatible with "
+                "`n_tables`/`seed` — pass one or the other"
+            )
         tables = [planes]
     else:
         if dim is None:

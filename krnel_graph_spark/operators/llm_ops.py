@@ -40,6 +40,7 @@ class LLMLogitScoresOp(VectorColumnType):
     model_name: str
     tokens: list[str]
     batch_size: int = 32
+    use_chat_template: bool = False
     append_to_chat_template: Optional[str] = None
 
 
@@ -52,3 +53,4 @@ class LLMGenerateTextOp(TextColumnType):
     max_tokens: int = 256
     temperature: float = 0.0
     batch_size: int = 32
+    use_chat_template: bool = False

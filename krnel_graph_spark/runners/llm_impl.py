@@ -425,6 +425,7 @@ def llm_logit_scores(runner: SparkRunner, op: LLMLogitScoresOp) -> ColumnPlan:
         op.batch_size,
         out_is_text=False,
         is_conversation=_is_conversation(op),
+        use_chat_template=op.use_chat_template,
         append_to_chat_template=op.append_to_chat_template,
         tokens=list(op.tokens),
     )
@@ -442,6 +443,7 @@ def llm_generate_text(runner: SparkRunner, op: LLMGenerateTextOp) -> ColumnPlan:
         op.batch_size,
         out_is_text=True,
         is_conversation=_is_conversation(op),
+        use_chat_template=op.use_chat_template,
         max_tokens=op.max_tokens,
         temperature=op.temperature,
     )

@@ -150,3 +150,17 @@ def test_lsh_results_validly_ranked(emb):
         assert ranks == list(range(1, len(rs) + 1))
         cosines = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_lsh_explicit_planes_reject_table_knobs(clustered):
+    planes = similarity.random_hyperplanes(32, 6)
+    with pytest.raises(ValueError, match="planes"):
+        similarity.cosine_topk_lsh(
+            clustered, clustered.limit(1), "embedding", "vec_id",
+            planes=planes, n_tables=4,
+        )
+    with pytest.raises(ValueError, match="planes"):
+        similarity.cosine_topk_lsh(
+            clustered, clustered.limit(1), "embedding", "vec_id",
+            planes=planes, seed=11,
+        )

@@ -104,3 +104,29 @@ def test_gated_providers_raise_cleanly():
     p = get_provider("ollama:llama3")
     with pytest.raises(NotImplementedError, match="logit"):
         p.logit_scores(["x"], ["yes"])
+
+
+def test_text_use_chat_template_on_generate_and_logits(lazy_runner):
+    """The knob exists on all three LLM ops, not just activations: templated
+    generation must see the rendered user turn, and templated logit scores
+    must differ from the raw-text ones."""
+    import numpy as np
+
+    runner = lazy_runner
+    ds = runner.from_inline_dataset({"t": ["hello"]})
+    text = ds.col_text("t")
+
+    gen = runner.to_pandas(
+        text.llm_generate_text("fake:dim8", use_chat_template=True)
+    )["value"].tolist()
+    assert gen[0] == (
+        "echo[dim8]: <|im_start|>user\nhello<|im_end|>\n<|im_start|>assistant\n"
+    )
+    plain_gen = runner.to_pandas(text.llm_generate_text("fake:dim8"))["value"]
+    assert plain_gen.tolist() == ["echo[dim8]: hello"]
+
+    plain = runner.to_numpy(text.llm_logit_scores("fake:dim4", tokens=["yes"]))
+    templated = runner.to_numpy(
+        text.llm_logit_scores("fake:dim4", tokens=["yes"], use_chat_template=True)
+    )
+    assert not np.allclose(plain, templated)

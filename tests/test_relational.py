@@ -1,5 +1,6 @@
 """as-of join semantics (DuckDB/kdb parity) and bucketed range join."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from krnel_graph_spark.functions.relational import asof_join, range_join_buckets
@@ -95,3 +96,14 @@ def test_asof_join_dotted_column_names(spark):
     right = spark.createDataFrame([(1, 90, 2.5)], ["k", "ts", "bid.price"])
     out = asof_join(left, right, on="k", value_cols=["bid.price"])
     assert out.collect()[0]["bid.price_asof"] == 2.5
+
+
+def test_salted_join_rejects_existing_salt_column(spark):
+    from krnel_graph_spark.functions.relational import salted_join
+
+    left = spark.createDataFrame([(1, 0)], "k long, __salt long")
+    right = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(left, right, on="k")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(right, left, on="k")
