@@ -115,6 +115,15 @@ def minhash_lsh_pairs(
         df.select(F.col(id_col).alias("doc"), sc.alias("__sc"))
         .select("doc", F.col("__sc.sig").alias("sig"), F.col("__sc.n_sh").alias("n_sh"))
         .filter(F.col("n_sh") > 0)
+        # Both sides of the banding self-join consume this frame, and Spark
+        # does not plan a ReusedExchange across the differently-aliased
+        # branches — without pinning, the raw text is scanned and the
+        # signature kernel run TWICE over the whole corpus (measured, not
+        # hypothetical). The persisted frame is narrow — id + num_perm
+        # longs + a count, ~300 B/doc regardless of document size — so at
+        # 100 TB of text this is the classic "signature table" a dedup
+        # pipeline would checkpoint anyway.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     banded = base.select(
