@@ -1099,6 +1099,13 @@ def jinja_templatize(runner: SparkRunner, op: JinjaTemplatizeOp) -> ColumnPlan:
         }
         base = plans[names[0]]
 
+    # Per-row Jinja rendering is CPU-bound: a small parquet source arrives
+    # as one input split (= one busy core across the whole cluster), so
+    # widen narrow scans before the UDF. No-op on already-parallel inputs.
+    from ..functions.partitioning import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
+
     template_src = op.template
     constants = dict(op.constants)
     max_length = op.max_length
