@@ -168,31 +168,57 @@ def cmd_run(args) -> int:
 
 
 def cmd_status(args) -> int:
+    """Per-op state; ``--json`` emits one status document per line
+    (reference ``cli.py:373-414``)."""
     module = load_pipeline_module(args.file)
     roots, module_runner = scavenge(module)
     runner = _runner_for(args, module_runner)
-    for op in select_ops(roots, args.type, args.uuid, args.name):
+    for op in sorted(
+        select_ops(roots, args.type, args.uuid, args.name), key=lambda o: o.uuid
+    ):
         st = runner.status(op)
-        print(f"{st.state.value:10s} {op.short_name()}")
+        if args.json:
+            print(st.to_json())
+        else:
+            print(f"{st.state.value:10s} {op.short_name()}")
     return 0
 
 
 def cmd_summary(args) -> int:
-    """Per-op-type state counts (reference ``cli.py:417-489``)."""
+    """Per-op-type state counts; ``--json`` emits the nested counter dict
+    (reference ``cli.py:417-489``)."""
+    import json as json_lib
+
     module = load_pipeline_module(args.file)
     roots, module_runner = scavenge(module)
     runner = _runner_for(args, module_runner)
     counts: Counter[tuple[str, str]] = Counter()
     for op in all_ops(roots).values():
         counts[(type(op).__name__, runner.status(op).state.value)] += 1
+    if args.json:
+        nested: dict[str, dict[str, int]] = {}
+        for (type_name, state), n in counts.items():
+            nested.setdefault(type_name, {})[state] = n
+        print(json_lib.dumps(nested, indent=2, sort_keys=True))
+        return 0
     for (type_name, state), n in sorted(counts.items()):
         print(f"{type_name:35s} {state:10s} {n}")
     return 0
 
 
 def cmd_print(args) -> int:
+    """Pipeline pseudocode; ``--json`` emits one ``{"uuid", **fields}``
+    document per reachable op (reference ``cli.py:492-518``)."""
+    import json as json_lib
+
     module = load_pipeline_module(args.file)
     roots, _ = scavenge(module)
+    if getattr(args, "json", False):
+        for op in sorted(all_ops(roots).values(), key=lambda o: o.uuid):
+            doc = {"uuid": op.uuid}
+            doc.update(op.model_dump(mode="json"))
+            print(json_lib.dumps(doc, sort_keys=True, default=str))
+        return 0
     for name, op in roots.items():
         print(f"# {name} = {op.short_name()}")
         print(op.to_code())
@@ -300,14 +326,20 @@ def build_parser() -> argparse.ArgumentParser:
 
     p_status = sub.add_parser("status", help="per-op materialization state")
     _add_common(p_status)
+    p_status.add_argument("-j", "--json", action="store_true",
+                          help="JSON machine-readable output")
     p_status.set_defaults(fn=cmd_status)
 
     p_summary = sub.add_parser("summary", help="state counts per op type")
     _add_common(p_summary)
+    p_summary.add_argument("-j", "--json", action="store_true",
+                           help="JSON machine-readable output")
     p_summary.set_defaults(fn=cmd_summary)
 
     p_print = sub.add_parser("print", help="pseudocode of module pipelines")
     p_print.add_argument("-f", "--file", required=True)
+    p_print.add_argument("-j", "--json", action="store_true",
+                         help="JSONL op dump (uuid + fields per line)")
     p_print.set_defaults(fn=cmd_print)
 
     p_diff = sub.add_parser("diff", help="diff two pipeline modules")

@@ -151,3 +151,25 @@ def test_config_defaults_are_per_user():
     cfg = KrnelGraphSparkConfig()
     assert _user_suffix() in str(cfg.cache_path)
     assert _user_suffix() in cfg.store_uri
+
+
+def test_cli_json_outputs(tmp_path, spark, capsys):
+    import json
+
+    store = str(tmp_path / "store")
+    pipe = _write_pipeline(tmp_path, store)
+
+    assert main(["print", "-f", pipe, "--json"]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    assert all("uuid" in d for d in lines)
+    assert any(d["uuid"].startswith("JinjaTemplatizeOp_") for d in lines)
+
+    assert main(["status", "-f", pipe, "-t", "Jinja", "--json"]) == 0
+    (doc,) = [json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    assert doc["state"] == "new" and doc["uuid"].startswith("JinjaTemplatizeOp_")
+
+    assert main(["run", "-f", pipe, "-t", "Jinja"]) == 0
+    capsys.readouterr()
+    assert main(["summary", "-f", pipe, "--json"]) == 0
+    nested = json.loads(capsys.readouterr().out)
+    assert nested["JinjaTemplatizeOp"] == {"completed": 1}
