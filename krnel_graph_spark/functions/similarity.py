@@ -178,6 +178,80 @@ def cosine_topk_lsh(
     return _ranked_topk(scored, k)
 
 
+def kmeans_refine_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    cmat: "np.ndarray",
+    n_iter: int = 2,
+) -> "np.ndarray":
+    """Distributed Lloyd iterations over a seed centroid matrix.
+
+    Each iteration is one corpus pass: an Arrow-batched ``mapInPandas``
+    assigns every vector to its nearest centroid (GEMM) and pre-aggregates
+    per-PARTITION (cell, count, component-sum) partials, so what leaves an
+    executor is O(cells × dim) per partition regardless of rows. Partials
+    explode to (cell, idx, val) scalars and tree-reduce through a regular
+    ``groupBy`` — nothing corpus-sized ever reaches the driver; the driver
+    collects exactly cells × dim cell means. Empty cells keep their previous
+    centroid (standard Lloyd degeneracy handling).
+    """
+    import pandas as pd  # noqa: F811 (module-level alias shadows fine)
+
+    spark = corpus.sparkSession
+    vecs = ensure_min_partitions(corpus.select(F.col(vec_col).alias("v")))
+    n_cells, dim = cmat.shape
+    for _ in range(n_iter):
+        bc_it = spark.sparkContext.broadcast(cmat)
+
+        def partials(batches):
+            cm = bc_it.value
+            counts = np.zeros(len(cm), dtype=np.int64)
+            sums = np.zeros_like(cm)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+                d2 = (
+                    (v * v).sum(axis=1)[:, None]
+                    - 2.0 * (v @ cm.T)
+                    + (cm * cm).sum(axis=1)[None, :]
+                )
+                cells = np.argmin(d2, axis=1)
+                np.add.at(counts, cells, 1)
+                np.add.at(sums, cells, v)
+            hit = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "cell": hit.astype("int32"),
+                    "n": counts[hit],
+                    "s": list(sums[hit]),
+                }
+            )
+
+        # Each partition emits ONE partial row per non-empty cell, so after
+        # posexplode, sum(n) within a (cell, idx) group is the cell's total
+        # count (identical for every idx of that cell).
+        agg = (
+            vecs.mapInPandas(partials, "cell int, n long, s array<double>")
+            .select("cell", "n", F.posexplode("s").alias("idx", "val"))
+            .groupBy("cell", "idx")
+            .agg(F.sum("val").alias("sv"), F.sum("n").alias("n"))
+            .collect()
+        )
+        new = cmat.copy()
+        comp: dict[int, np.ndarray] = {}
+        cnt: dict[int, int] = {}
+        for r in agg:
+            comp.setdefault(r["cell"], np.zeros(dim))[r["idx"]] = r["sv"]
+            cnt[r["cell"]] = r["n"]
+        for cell, s in comp.items():
+            if cnt.get(cell, 0) > 0:
+                new[cell] = s / cnt[cell]
+        cmat = new
+        bc_it.destroy()
+    return cmat
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -187,13 +261,17 @@ def ivf_topk(
     n_cells: int = 16,
     nprobe: int = 4,
     seed: int = 7,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat approximate top-k.
 
-    Centroids are a deterministic sample of corpus vectors (hash-ordered);
-    good enough for cell routing without an iterative k-means job. Corpus
-    rows assign to their nearest centroid scan-side; each query probes its
-    ``nprobe`` nearest cells.
+    Centroids are a deterministic sample of corpus vectors (hash-ordered) —
+    good cell routing without an index-training job; ``refine_iters`` > 0
+    additionally runs that many distributed Lloyd iterations
+    (:func:`kmeans_refine_centroids`) to rebalance cells, the standard IVF
+    training step when corpus geometry is clustered. Corpus rows assign to
+    their nearest centroid scan-side; each query probes its ``nprobe``
+    nearest cells.
 
     The centroid matrix rides to executors as a Spark broadcast consumed by
     an Arrow-batched cell-assignment UDF (one BLAS GEMM per batch), so the
@@ -210,6 +288,8 @@ def ivf_topk(
         .collect()
     )
     cmat = np.asarray([r["cv"] for r in centroid_rows], dtype=np.float64)
+    if refine_iters > 0:
+        cmat = kmeans_refine_centroids(corpus, vec_col, cmat, refine_iters)
     bc = corpus.sparkSession.sparkContext.broadcast(cmat)
 
     def _make_assigner(n: int):

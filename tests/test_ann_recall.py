@@ -164,3 +164,45 @@ def test_lsh_explicit_planes_reject_table_knobs(clustered):
             clustered, clustered.limit(1), "embedding", "vec_id",
             planes=planes, seed=11,
         )
+
+
+def test_ivf_kmeans_refinement_reduces_quantization_error(clustered):
+    """Lloyd iterations must reduce mean squared distance-to-assigned-
+    centroid (the k-means objective) on clustered data, and the refined
+    index must not lose recall."""
+    import numpy as np
+
+    vecs = np.stack([r["embedding"] for r in clustered.collect()])
+
+    def seed_cmat():
+        from pyspark.sql import functions as F2
+
+        rows = (
+            clustered.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+            .orderBy(F2.xxhash64(F2.col("cid"), F2.lit(7)))
+            .limit(16)
+            .collect()
+        )
+        return np.asarray([r["cv"] for r in rows], dtype=np.float64)
+
+    def qerr(cm):
+        d2 = (
+            (vecs * vecs).sum(axis=1)[:, None]
+            - 2.0 * (vecs @ cm.T)
+            + (cm * cm).sum(axis=1)[None, :]
+        )
+        return float(d2.min(axis=1).mean())
+
+    cm0 = seed_cmat()
+    cm2 = similarity.kmeans_refine_centroids(clustered, "embedding", cm0, n_iter=2)
+    assert qerr(cm2) < qerr(cm0) * 0.9, (
+        f"refinement did not reduce quantization error: {qerr(cm0):.4f} -> {qerr(cm2):.4f}"
+    )
+
+    queries = clustered.filter(F.col("vec_id") % 120 == 0)
+    exact = _exact(clustered, queries)
+    out = similarity.ivf_topk(
+        clustered, queries, "embedding", "vec_id",
+        k=K, n_cells=16, nprobe=4, refine_iters=2,
+    )
+    assert _recall(out, exact) >= 0.8
