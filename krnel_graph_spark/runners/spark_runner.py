@@ -1099,12 +1099,13 @@ def jinja_templatize(runner: SparkRunner, op: JinjaTemplatizeOp) -> ColumnPlan:
         }
         base = plans[names[0]]
 
-    # Per-row Jinja rendering is CPU-bound: a small parquet source arrives
-    # as one input split (= one busy core across the whole cluster), so
-    # widen narrow scans before the UDF. No-op on already-parallel inputs.
-    from ..functions.partitioning import ensure_min_partitions
+    # Per-row Jinja rendering is CPU-bound: a sizeable parquet source can
+    # still arrive as ONE input split (= one busy core across the whole
+    # cluster), so widen narrow scans before the UDF — size-gated, because
+    # repartitioning a tiny table costs more than the parallelism buys.
+    from ..functions.partitioning import widen_if_heavy
 
-    df = ensure_min_partitions(df)
+    df = widen_if_heavy(df)
 
     template_src = op.template
     constants = dict(op.constants)
