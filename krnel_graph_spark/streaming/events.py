@@ -30,14 +30,18 @@ def with_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
       integer `div` (not float division — epoch nanos ~1.7e18 exceed double's
       53-bit mantissa) to microseconds, Spark's native resolution.
     - ``date``: midnight cast.
+    - ``string``: ``try_to_timestamp`` default parse (ISO-8601-ish);
+      unparseable rows become NULL (not an ANSI error), which every
+      downstream window/watermark drops — the lenient-ingest convention
+      for raw lake exports.
     """
     dtype = dict(df.dtypes).get(ts_col)
     if dtype in ("bigint", "long"):
         df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
-    elif dtype == "timestamp_ntz":
+    elif dtype in ("timestamp_ntz", "date"):
         df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    elif dtype == "date":
-        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    elif dtype == "string":
+        df = df.withColumn(ts_col, F.try_to_timestamp(F.col(ts_col)))
     return df
 
 

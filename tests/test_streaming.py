@@ -195,3 +195,46 @@ def test_rollup_rejects_non_nesting_and_streams(spark):
         rollup_event_counts(
             stream_events_from_parquet(spark, EVENTS), durations=("1 minute", "1 hour")
         )
+
+
+def test_with_event_time_normalizes_every_dtype(spark):
+    """Dtype-driven ingestion: every physical shape lake data arrives in
+    lands on TIMESTAMP with the same instant (session tz pinned UTC)."""
+    from pyspark.sql import functions as F
+
+    from krnel_graph_spark.streaming.events import with_event_time
+
+    epoch_us = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z
+
+    base = spark.range(1).select(
+        F.timestamp_micros(F.lit(epoch_us)).alias("canon")
+    )
+    shapes = {
+        "timestamp": base.select(F.col("canon").alias("ts")),
+        "timestamp_ntz": base.select(F.col("canon").cast("timestamp_ntz").alias("ts")),
+        "bigint-nanos": base.select(
+            (F.unix_micros("canon") * 1000).alias("ts")
+        ),
+        "string": base.select(
+            F.date_format("canon", "yyyy-MM-dd HH:mm:ss").alias("ts")
+        ),
+    }
+    for shape, df in shapes.items():
+        out = with_event_time(df)
+        assert dict(out.dtypes)["ts"] == "timestamp", shape
+        got = out.select(F.unix_micros("ts").alias("us")).first()["us"]
+        assert got == epoch_us, f"{shape}: {got} != {epoch_us}"
+
+    # date → midnight of that day
+    d = with_event_time(base.select(F.col("canon").cast("date").alias("ts")))
+    assert dict(d.dtypes)["ts"] == "timestamp"
+    assert (
+        d.select(F.date_format("ts", "HH:mm:ss").alias("hms")).first()["hms"]
+        == "00:00:00"
+    )
+
+    # unparseable strings null out (lenient ingest), not crash
+    bad = with_event_time(
+        spark.createDataFrame([("not a time",)], "ts string")
+    )
+    assert bad.first()["ts"] is None
