@@ -28,7 +28,7 @@ from .plans import (
     graph_substitute,
     serialize_graph,
 )
-from .runners import LocalCachedRunner, SparkRunner, get_spark
+from .runners import LocalCachedRunner, Runner, SparkRunner, get_spark
 from .types import (
     BooleanColumnType,
     CategoricalColumnType,

@@ -173,3 +173,34 @@ def test_cli_json_outputs(tmp_path, spark, capsys):
     assert main(["summary", "-f", pipe, "--json"]) == 0
     nested = json.loads(capsys.readouterr().out)
     assert nested["JinjaTemplatizeOp"] == {"completed": 1}
+
+
+def test_runner_factory(tmp_path, spark, monkeypatch):
+    """Config-driven Runner(): type resolution, config-default store,
+    instance caching, unknown-type error."""
+    import krnel_graph_spark as kg
+    from krnel_graph_spark.runners import _RUNNER_REGISTRY
+
+    cfg_file = tmp_path / "cfg.json"
+    monkeypatch.setenv("KRNEL_SPARK_CONFIG_FILE", str(cfg_file))
+    monkeypatch.setenv("KRNEL_SPARK_STORE_URI", str(tmp_path / "factory-store"))
+    _RUNNER_REGISTRY.clear()
+
+    r1 = kg.Runner(spark=spark)
+    assert isinstance(r1, kg.SparkRunner)
+    assert r1.store is not None
+    assert str(tmp_path / "factory-store") in r1.store.root
+
+    # Same params -> same cached instance; different -> different.
+    assert kg.Runner(spark=spark) is r1
+    r2 = kg.Runner(type="LocalCachedRunner", spark=spark,
+                   store_path=str(tmp_path / "shared"))
+    assert isinstance(r2, kg.LocalCachedRunner) and r2 is not r1
+
+    with pytest.raises(ValueError, match="Unknown runner type"):
+        kg.Runner(type="NoSuchRunner")
+
+    # env var beats config-file default for the store location
+    monkeypatch.setenv("KRNEL_SPARK_RUNNER_TYPE", "LocalCachedRunner")
+    r3 = kg.Runner(spark=spark, store_path=str(tmp_path / "shared2"))
+    assert isinstance(r3, kg.LocalCachedRunner)
