@@ -4,6 +4,7 @@ import weakref
 from .base import BaseRunner, DispatchError
 from .plan import ROW_ID, VALUE, ArtifactPlan, ColumnPlan, DatasetPlan
 from .cached_runner import CachedResultStore, LocalCachedRunner
+from .llm_impl import ModelProvider, get_provider, register_model_provider
 from .spark_runner import SparkRunner, get_spark
 from .store import ResultStore
 
@@ -21,6 +22,9 @@ __all__ = [
     "get_spark",
     "ResultStore",
     "Runner",
+    "ModelProvider",
+    "register_model_provider",
+    "get_provider",
 ]
 
 # Weak refs: a dropped runner (and its SparkSession handle) must be
