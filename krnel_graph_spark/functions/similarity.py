@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .partitioning import ensure_min_partitions
-from .vector import dot, hyperplane_signature
+from .vector import dot
 
 
 def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> list[list[float]]:
@@ -129,22 +129,54 @@ def cosine_topk_lsh(
             for t in range(max(1, n_tables))
         ]
 
-    def bucket_entries(vec_col_name: str, probe: bool):
-        """(table_id, bucket) structs for every table (queries also probe
-        Hamming-1 buckets when multiprobe > 1)."""
-        entries = []
-        for t, pl in enumerate(tables):
-            sig = hyperplane_signature(vec_col_name, pl)
-            entries.append(F.struct(F.lit(t).alias("t"), sig.alias("b")))
-            if probe and multiprobe > 1:
-                for i in range(multiprobe - 1):
-                    entries.append(
-                        F.struct(
-                            F.lit(t).alias("t"),
-                            sig.bitwiseXOR(F.lit(1 << i)).alias("b"),
-                        )
-                    )
-        return F.array_distinct(F.array(*entries))
+    # All tables' signatures in one Arrow-batched GEMM per batch, planes
+    # riding as a broadcast — an expression formulation embeds
+    # n_tables × n_planes × dim literals in the plan (measured 2 MB task
+    # binaries at the 8-table gate parameters and Catalyst blowup beyond).
+    # Bit semantics identical to vector.hyperplane_signature:
+    # bit i = (v · plane_i >= 0), bucket = Σ bit·2^i.
+    tmat = np.asarray(tables, dtype=np.float64)  # (L, P, dim)
+    bc_planes = corpus.sparkSession.sparkContext.broadcast(tmat)
+    n_flips = max(0, multiprobe - 1)
+
+    def bucket_entries_udf(probe: bool):
+        from pyspark.sql.types import (
+            ArrayType,
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        entry_type = ArrayType(
+            StructType(
+                [StructField("t", IntegerType()), StructField("b", LongType())]
+            )
+        )
+
+        @F.pandas_udf(entry_type)
+        def entries(vecs: pd.Series) -> pd.Series:
+            tm = bc_planes.value
+            n_planes_ = tm.shape[1]
+            if len(vecs) == 0:
+                return pd.Series([], dtype=object)
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+            bits = (np.einsum("nd,lpd->nlp", v, tm) >= 0).astype(np.int64)
+            weights = (1 << np.arange(n_planes_)).astype(np.int64)
+            buckets = bits @ weights  # (n, L)
+            out = []
+            for row in buckets:
+                ents = [(int(t), int(b)) for t, b in enumerate(row)]
+                if probe:
+                    ents += [
+                        (int(t), int(b) ^ (1 << i))
+                        for t, b in enumerate(row)
+                        for i in range(n_flips)
+                    ]
+                out.append(ents)
+            return pd.Series(out)
+
+        return entries
 
     # Norms attach BEFORE the per-table explode — one fold per vector, not
     # one per (vector, table) row.
@@ -155,7 +187,8 @@ def cosine_topk_lsh(
         "dv",
         "dnorm",
     ).select(
-        "doc_id", "dv", "dnorm", F.explode(bucket_entries("dv", probe=False)).alias("bk")
+        "doc_id", "dv", "dnorm",
+        F.explode(bucket_entries_udf(probe=False)(F.col("dv"))).alias("bk"),
     )
     q = _with_norm(
         queries.select(
@@ -165,7 +198,7 @@ def cosine_topk_lsh(
         "qnorm",
     ).select(
         "query_id", "qv", "qnorm",
-        F.explode(bucket_entries("qv", probe=True)).alias("qbk"),
+        F.explode(bucket_entries_udf(probe=True)(F.col("qv"))).alias("qbk"),
     )
     scored = (
         c.join(

@@ -206,3 +206,21 @@ def test_ivf_kmeans_refinement_reduces_quantization_error(clustered):
         k=K, n_cells=16, nprobe=4, refine_iters=2,
     )
     assert _recall(out, exact) >= 0.8
+
+
+def test_lsh_plan_size_independent_of_tables_and_planes(clustered):
+    """Hyperplanes must ride as a broadcast, not plan literals: the plan at
+    8 tables × 16 planes must match 1 table × 6 planes in size."""
+    queries = clustered.filter(F.col("vec_id") % 120 == 0)
+
+    def plan_chars(n_planes, n_tables):
+        df = similarity.cosine_topk_lsh(
+            clustered, queries, "embedding", "vec_id",
+            k=K, dim=32, n_planes=n_planes, n_tables=n_tables,
+        )
+        return len(df._jdf.queryExecution().executedPlan().toString())
+
+    small, big = plan_chars(6, 1), plan_chars(16, 8)
+    # expr-id digits drift a few chars between plans; the literal-embedding
+    # failure mode this guards against scales the plan by tables×planes×dim.
+    assert big < small * 1.1
