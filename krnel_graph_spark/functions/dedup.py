@@ -31,6 +31,9 @@ over MANY corpora in one long session should call
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -358,15 +361,29 @@ def embedding_cosine_pairs(
     Squared norms are computed once per vector scan-side (same index-order
     fold → bit-identical to folding per pair), so each pair costs a single
     dot-product fold instead of three."""
-    from .vector import hyperplane_signature
-
     base = ensure_min_partitions(df).select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).alias("v"),
         norm_udf(F.col(vec_col)).alias("norm"),
     )
     if planes is not None:
-        base = base.withColumn("bucket", hyperplane_signature("v", planes))
+        # Broadcast the plane matrix into a batch-GEMM bucket UDF rather
+        # than embedding n_planes × dim literals in the plan (same
+        # rationale and bit semantics as similarity.cosine_topk_lsh).
+        pm_bc = df.sparkSession.sparkContext.broadcast(
+            np.asarray(planes, dtype=np.float64)
+        )
+
+        @F.pandas_udf("long")
+        def bucket_of(vecs: pd.Series) -> pd.Series:
+            pm = pm_bc.value
+            if len(vecs) == 0:
+                return pd.Series([], dtype="int64")
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+            bits = (v @ pm.T >= 0).astype(np.int64)
+            return pd.Series(bits @ (1 << np.arange(pm.shape[0])).astype(np.int64))
+
+        base = base.withColumn("bucket", bucket_of(F.col("v")))
         l, r = base.alias("l"), base.alias("r")
         joined = l.join(
             r,
@@ -421,9 +438,6 @@ def embedding_cosine_pairs_blocked(
     IVF approximate paths instead.
     """
     import math
-
-    import numpy as np
-    import pandas as pd
 
     if num_blocks is None:
         n_rows = df.count()

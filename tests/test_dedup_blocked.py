@@ -106,3 +106,26 @@ def test_drop_near_dups_removes_planted_clusters(spark):
     kept = sorted(r["doc_id"] for r in out.collect())
     # one keeper (min id) per planted cluster of three variants
     assert kept == [0, 3, 6]
+
+
+def test_lsh_bucketed_pairs_subset_of_exact(vectors):
+    """The hyperplane-bucketed approximate path returns a subset of the
+    exact pair set (bucketing only prunes, never invents), recovers most
+    planted near-dups, and its plan stays free of plane literals."""
+    from krnel_graph_spark.functions.similarity import random_hyperplanes
+
+    exact = _collect(
+        dedup.embedding_cosine_pairs(vectors, "embedding", "vec_id", threshold=0.8)
+    )
+    approx_df = dedup.embedding_cosine_pairs(
+        vectors, "embedding", "vec_id", threshold=0.8,
+        planes=random_hyperplanes(8, 4),
+    )
+    approx = _collect(approx_df)
+    assert set(approx) <= set(exact)
+    assert len(approx) >= 0.5 * len(exact)  # 4 planes: coarse but working
+    for key, cos in approx.items():
+        assert math.isclose(exact[key], cos, abs_tol=1e-6)
+
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan  # bucket UDF, not literal expressions
