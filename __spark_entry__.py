@@ -604,6 +604,26 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_interval_join(spark, sf_dir):
+    from krnel_graph_spark.streaming.events import interval_join
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = interval_join(purchases, clicks, on="user_id", lookback="30 minutes")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("ts_r").alias("click_ts_us"),
+        F.round("value_r", 4).alias("click_value"),
+    )
+
+
 def q_running_user_totals(spark, sf_dir):
     from krnel_graph_spark.streaming.events import running_user_totals
 
@@ -865,6 +885,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "multimodal_meta": q_multimodal_meta,
+        # Oracle-backed but past the driver's 50-row recording window by
+        # design — the first 50 slots stay stable across rounds.
+        "interval_join": q_interval_join,
         # ---- no-oracle queries (rows-only check) below this line ---- #
         "split_rng": q_split_rng,
         "classifier_predict": q_classifier_predict,
@@ -1127,6 +1150,14 @@ c AS (SELECT user_id, ts, max(value) AS click_value FROM events
 SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
        c.click_value AS click_value_asof
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+        "interval_join": """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       epoch_us(c.ts) AS click_ts_us, round(c.value, 4) AS click_value
+FROM p JOIN c ON p.user_id = c.user_id
+             AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '30 minutes'
 """,
         "events_windowed": """
 SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,

@@ -56,9 +56,12 @@ def normalize(a) -> Column:
 def hyperplane_signature(a, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: bit i = sign(a · planes[i]).
 
-    ``planes`` is a small driver-generated list (deterministic seed) embedded
-    as literals — broadcast-free, evaluated entirely JVM-side. 16 planes →
-    65k buckets; cosine-similar vectors collide with high probability.
+    Pure-expression variant — ``planes`` embed as plan literals, evaluated
+    entirely JVM-side with no Python round-trip. Right for SQL-only
+    pipelines with a handful of planes; the engine's own ANN/dedup paths
+    use the broadcast batch-GEMM UDFs instead (``similarity``, ``dedup``)
+    because literal count scales with tables × planes × dim. Bit semantics
+    are identical across both formulations (pinned by the recall tests).
     """
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):

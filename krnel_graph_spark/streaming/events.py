@@ -94,6 +94,58 @@ def sessionize(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "30 minutes",
+    watermark: str = "2 hours",
+    how: str = "inner",
+    rsuffix: str = "_r",
+) -> DataFrame:
+    """Keyed interval join: attach every right row with
+    ``left.ts - lookback <= right.ts <= left.ts`` for the same key — the
+    stream-stream companion to :func:`~..functions.relational.asof_join`
+    (which keeps only the LATEST match; this keeps them all).
+
+    Streaming: both sides carry watermarks and the join condition carries
+    the explicit time bound, which is what lets Spark size and evict the
+    buffered stream-stream join state (right rows older than
+    watermark + lookback can never match a future left row). Batch: the
+    identical expression — one equi-shuffle on the key, range predicate
+    applied join-side.
+
+    Right columns are suffixed (``rsuffix``) to keep the output
+    unambiguous when both sides share names (ts, value, ...).
+    """
+    l = with_event_time(left, left_ts)
+    r = with_event_time(right, right_ts)
+    if left.isStreaming or right.isStreaming:
+        l = l.withWatermark(left_ts, watermark)
+        r = r.withWatermark(right_ts, watermark)
+    renames = {
+        c: f"{c}{rsuffix}" for c in r.columns if c != on
+    }
+    for old, new in renames.items():
+        r = r.withColumnRenamed(old, new)
+    rts = renames.get(right_ts, right_ts)
+    cond = (
+        (F.col(rts) <= F.col(left_ts))
+        & (F.col(rts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
+    )
+    return (
+        l.alias("l")
+        .join(
+            r.alias("r"),
+            (F.col(f"l.{on}") == F.col(f"r.{on}")) & cond,
+            how,
+        )
+        .drop(F.col(f"r.{on}"))
+    )
+
+
 def stream_events_from_parquet(
     spark: SparkSession, path: str, schema=None
 ) -> DataFrame:

@@ -238,3 +238,43 @@ def test_with_event_time_normalizes_every_dtype(spark):
         spark.createDataFrame([("not a time",)], "ts string")
     )
     assert bad.first()["ts"] is None
+
+
+def test_interval_join_stream_equals_batch(spark):
+    """Stream-stream interval join (watermarks + explicit time bound —
+    the state-evictable formulation) drains to the same rows as the batch
+    twin, and the batch twin itself honors the inclusive time bound."""
+    from pyspark.sql import functions as F
+
+    from krnel_graph_spark.streaming.events import interval_join
+
+    def sides(reader):
+        ev = reader
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "value"
+        )
+        return purchases, clicks
+
+    batch = interval_join(
+        *sides(spark.read.parquet(EVENTS)), on="user_id", lookback="30 minutes"
+    )
+    stream = interval_join(
+        *sides(stream_events_from_parquet(spark, EVENTS)),
+        on="user_id",
+        lookback="30 minutes",
+    )
+    query = run_stream_to_memory(stream, "ijoin", output_mode="append")
+    try:
+        cols = ["event_id", "user_id", "ts", "ts_r", "value_r"]
+        got = _sorted_rows(spark.table("ijoin"), cols)
+        want = _sorted_rows(batch, cols)
+        assert got == want
+        assert len(got) > 0
+        for _, _, ts, ts_r, _v in got:
+            assert ts_r <= ts
+            assert (ts - ts_r).total_seconds() <= 1800
+    finally:
+        query.stop()
