@@ -604,6 +604,16 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_profile_table(spark, sf_dir):
+    from krnel_graph_spark.functions.sketches import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_returnflag"],
+        exact_distinct=True,
+    )
+
+
 def q_interval_join(spark, sf_dir):
     from krnel_graph_spark.streaming.events import interval_join
 
@@ -888,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Oracle-backed but past the driver's 50-row recording window by
         # design — the first 50 slots stay stable across rounds.
         "interval_join": q_interval_join,
+        "profile_table": q_profile_table,
         # ---- no-oracle queries (rows-only check) below this line ---- #
         "split_rng": q_split_rng,
         "classifier_predict": q_classifier_predict,
@@ -1150,6 +1161,21 @@ c AS (SELECT user_id, ts, max(value) AS click_value FROM events
 SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
        c.click_value AS click_value_asof
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+        "profile_table": """
+SELECT 'l_quantity' AS "column", count(*) AS n_rows,
+       count(l_quantity) AS n_nonnull, count(DISTINCT l_quantity) AS n_distinct,
+       min(l_quantity)::DOUBLE AS min_num, max(l_quantity)::DOUBLE AS max_num
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*), count(l_extendedprice),
+       count(DISTINCT l_extendedprice),
+       min(l_extendedprice)::DOUBLE, max(l_extendedprice)::DOUBLE
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(*), count(l_returnflag),
+       count(DISTINCT l_returnflag), NULL::DOUBLE, NULL::DOUBLE
+FROM lineitem
 """,
         "interval_join": """
 WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

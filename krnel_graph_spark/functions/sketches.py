@@ -81,3 +81,56 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
             F.max(c).cast("string").alias(f"{c}_max"),
         ]
     return df.agg(*aggs)
+
+
+def profile_table(
+    df: DataFrame, cols: list[str], exact_distinct: bool = False
+) -> DataFrame:
+    """Long-format table profile: one output row per column with row count,
+    non-null count, distinct count, and numeric min/max (NULL for
+    non-numeric columns).
+
+    The whole profile is ONE aggregation pass over the table; the
+    long-format pivot happens on the single result row, so its cost is
+    nil. ``exact_distinct=False`` (default) uses HLL — the 100-TB mode;
+    ``True`` swaps in exact ``count(DISTINCT)`` (Spark plans an Expand of
+    |cols| replicas — fine for profiling passes, and what a SQL oracle can
+    reproduce bit-for-bit).
+    """
+    from pyspark.sql.types import NumericType
+
+    numeric = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+    }
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        distinct = (
+            F.countDistinct(c) if exact_distinct else F.approx_count_distinct(c)
+        )
+        aggs += [
+            F.count(c).alias(f"__nonnull_{c}"),
+            distinct.alias(f"__distinct_{c}"),
+            (
+                F.min(c).cast("double")
+                if c in numeric
+                else F.lit(None).cast("double")
+            ).alias(f"__min_{c}"),
+            (
+                F.max(c).cast("double")
+                if c in numeric
+                else F.lit(None).cast("double")
+            ).alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n_rows").alias("n_rows"),
+            F.col(f"__nonnull_{c}").alias("n_nonnull"),
+            F.col(f"__distinct_{c}").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_num"),
+            F.col(f"__max_{c}").alias("max_num"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")

@@ -76,3 +76,27 @@ def test_quantize_zero_vector(spark):
     rows = {r["vec_id"]: r for r in quantize_embeddings(df, "embedding", "vec_id").collect()}
     assert rows[1]["q"] == [0, 0] and rows[1]["scale"] == 0.0
     assert rows[2]["q"] == [64, -127]
+
+
+def test_profile_table_long_format(spark):
+    from krnel_graph_spark.functions.sketches import profile_table
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, None, "b"), (2, 4.0, None)],
+        "k long, v double, s string",
+    )
+    rows = {
+        r["column"]: r
+        for r in profile_table(df, ["k", "v", "s"], exact_distinct=True).collect()
+    }
+    assert rows["k"]["n_rows"] == 3 and rows["k"]["n_nonnull"] == 3
+    assert rows["k"]["n_distinct"] == 2
+    assert rows["k"]["min_num"] == 1.0 and rows["k"]["max_num"] == 2.0
+    assert rows["v"]["n_nonnull"] == 2 and rows["v"]["max_num"] == 4.0
+    assert rows["s"]["n_nonnull"] == 2 and rows["s"]["min_num"] is None
+
+    # approx mode still one row per column with sane counts
+    approx = {
+        r["column"]: r for r in profile_table(df, ["k", "s"]).collect()
+    }
+    assert set(approx) == {"k", "s"} and approx["k"]["n_distinct"] >= 1

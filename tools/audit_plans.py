@@ -38,6 +38,12 @@ def audit(df):
         "python_evals": plan.count("BatchEvalPython"),
         "arrow_evals": plan.count("ArrowEvalPython") + plan.count("MapInPandas")
         + plan.count("FlatMapGroupsInPandas"),
+        # Reuse signals: cached frames / deduplicated exchanges. A plan that
+        # recomputes an expensive subtree on both sides of a self-join shows
+        # 0 for both (the minhash signature-persist regression mode).
+        "reused_exchanges": plan.count("ReusedExchange"),
+        "inmem_scans": plan.count("InMemoryTableScan"),
+        "plan_chars": len(plan),
     }
 
 
@@ -58,11 +64,14 @@ def main():
             flags.append("ROW-PYTHON-UDF")
         if info["smj"] and info["bhj"] == 0 and info["exchanges"] > 2:
             flags.append("SMJ-HEAVY")
+        if info["plan_chars"] > 200_000:
+            flags.append("PLAN-BLOAT")  # literal-embedding smell
         print(
             f"{name}: shuffles={info['exchanges']} bcast={info['broadcasts']} "
             f"bhj={info['bhj']} smj={info['smj']} scans={info['scans']}"
             f"{info['scan_cols']} codegen={info['codegen_spans']} "
             f"pushed={info['pushed']} arrowUDF={info['arrow_evals']} "
+            f"reuse={info['reused_exchanges']}+{info['inmem_scans']} "
             f"{' '.join(flags)}"
         )
 
