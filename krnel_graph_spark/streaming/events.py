@@ -182,6 +182,36 @@ def run_stream_to_memory(
     return query
 
 
+def run_stream_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    available_now: bool = True,
+):
+    """Durable file sink: exactly-once parquet output via the checkpointed
+    file-sink commit log (Spark records committed files in ``_spark_metadata``;
+    a restarted query resumes from the checkpoint and never double-writes a
+    batch). ``available_now=True`` drains current input and stops — the
+    batch-backfill mode; ``False`` runs continuously until ``stop()``.
+
+    This is the production counterpart to :func:`run_stream_to_memory`
+    (tests/debug only — memory sinks are driver-resident and not
+    fault-tolerant)."""
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now:
+        query.awaitTermination()
+    return query
+
+
 def dedup_events(
     events: DataFrame,
     keys: tuple[str, ...] = ("user_id", "event_type"),

@@ -278,3 +278,37 @@ def test_interval_join_stream_equals_batch(spark):
             assert (ts - ts_r).total_seconds() <= 1800
     finally:
         query.stop()
+
+
+def test_stream_to_parquet_exactly_once(spark, tmp_path):
+    """Checkpointed file sink: the drained output equals the batch plan,
+    and re-running the SAME query against the SAME checkpoint writes
+    nothing new (the commit log already covers the input)."""
+    from pyspark.sql import functions as F
+
+    from krnel_graph_spark.streaming.events import run_stream_to_parquet
+
+    out = str(tmp_path / "out.parquet")
+    ckpt = str(tmp_path / "ckpt")
+
+    def build():
+        return (
+            stream_events_from_parquet(spark, EVENTS)
+            .filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "value")
+        )
+
+    run_stream_to_parquet(build(), out, ckpt)
+    batch = (
+        spark.read.parquet(EVENTS)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+    cols = ["event_id", "user_id", "value"]
+    first = _sorted_rows(spark.read.parquet(out), cols)
+    assert first == _sorted_rows(batch, cols)
+    assert len(first) > 0
+
+    # Same checkpoint, same input: nothing to process, no duplicates.
+    run_stream_to_parquet(build(), out, ckpt)
+    assert _sorted_rows(spark.read.parquet(out), cols) == first
