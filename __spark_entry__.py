@@ -604,6 +604,21 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_clean_corpus(spark, sf_dir):
+    out = dedup.clean_corpus(
+        _docs(spark, sf_dir),
+        "text",
+        "doc_id",
+        num_perm=16,
+        bands=4,
+        jaccard_threshold=0.5,
+        min_quality=0.5,
+    )
+    return out.select(
+        "doc_id", F.round(tx.quality_score("text"), 6).alias("quality")
+    )
+
+
 def q_profile_table(spark, sf_dir):
     from krnel_graph_spark.functions.sketches import profile_table
 
@@ -899,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # design — the first 50 slots stay stable across rounds.
         "interval_join": q_interval_join,
         "profile_table": q_profile_table,
+        "clean_corpus": q_clean_corpus,
         # ---- no-oracle queries (rows-only check) below this line ---- #
         "split_rng": q_split_rng,
         "classifier_predict": q_classifier_predict,
@@ -974,6 +990,59 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 j AS (SELECT doc_a, doc_b, {jaccard} AS jac
       FROM cand JOIN h a ON a.doc_id = doc_a JOIN h b ON b.doc_id = doc_b)
 SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5
+"""
+
+    # End-to-end cleanup: exact dedup → near dedup over survivors →
+    # quality floor. Same stage SQL as the individual oracles, re-rooted
+    # on each previous stage's output.
+    clean_corpus_sql = f"""
+WITH RECURSIVE
+keep0 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({norm_text})),
+d0 AS (SELECT d.* FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM keep0)),
+t AS (SELECT doc_id, {toks_text} AS toks FROM d0),
+s AS (SELECT doc_id, {sh3} AS sh FROM t),
+h AS (SELECT doc_id, sh, list_distinct(sh) AS shd, {minhash_hs} AS hs FROM s),
+sig AS (SELECT doc_id, shd,
+        CASE WHEN len(sh) = 0 THEN [{empty16}]::BIGINT[] ELSE [{sig16}] END AS sig
+        FROM h WHERE len(shd) > 0),
+bands AS (SELECT doc_id, band, {band_sql} AS band_sig
+          FROM sig, (SELECT unnest(range(0, 4)) AS band)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_sig = b.band_sig
+          AND a.doc_id < b.doc_id),
+j AS (SELECT doc_a, doc_b, {jaccard} AS jac
+      FROM cand JOIN h a ON a.doc_id = doc_a JOIN h b ON b.doc_id = doc_b),
+prs AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.5),
+und AS (SELECT doc_a AS a, doc_b AS b FROM prs
+        UNION SELECT doc_b, doc_a FROM prs),
+reach(src, dst) AS (
+    SELECT a, a FROM und
+    UNION
+    SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+),
+comp AS (SELECT src AS doc, min(dst) AS keeper FROM reach GROUP BY src),
+removal AS (SELECT doc FROM comp WHERE keeper < doc),
+d1 AS (SELECT * FROM d0 WHERE doc_id NOT IN (SELECT doc FROM removal)),
+tq AS (SELECT doc_id, text, {toks_text} AS toks FROM d1),
+mq AS (SELECT doc_id, text, toks,
+      CASE WHEN trim(text) = '' THEN 0
+           ELSE len(regexp_extract_all(trim(text), '\\s+')) + 1 END AS n_tok,
+      {lang_hits}
+      FROM tq),
+bq AS (SELECT doc_id, n_tok,
+  CASE WHEN n_tok = 0 THEN 0.0 ELSE h_en::DOUBLE / n_tok::DOUBLE END AS stop_r,
+  CASE WHEN length(text) = 0 THEN 0.0
+       ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+            / length(text)::DOUBLE END AS punct_r,
+  CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE list_reduce(list_concat([0::BIGINT],
+                list_transform(toks, x -> length(x)::BIGINT)),
+                (acc, x) -> acc + x)::DOUBLE / len(toks)::DOUBLE
+  END AS mwl
+  FROM mq)
+SELECT doc_id, round({_QUALITY_SQL}, 6) AS quality
+FROM bq WHERE round({_QUALITY_SQL}, 6) >= 0.5
 """
 
     # Connected components over the pair graph via transitive closure
@@ -1257,6 +1326,7 @@ FROM h
 """,
         "minhash_pairs": minhash_pairs_sql,
         "dedup_drop_near": drop_near_sql,
+        "clean_corpus": clean_corpus_sql,
         "simhash": f"""
 WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents),
 h AS (SELECT doc_id,

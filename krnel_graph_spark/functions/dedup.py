@@ -546,3 +546,40 @@ def drop_near_dups(
         [(x,) for x in removals], f"{id_col} {df.schema[id_col].dataType.simpleString()}"
     )
     return df.join(F.broadcast(removal_df), id_col, "left_anti")
+
+
+def clean_corpus(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """End-to-end corpus cleanup: exact dedup → MinHash-LSH near dedup →
+    heuristic quality floor — the canonical pretraining-data pipeline
+    (C4/RefinedWeb shape), composed from this module's stages so each
+    keeps its own scale properties (hash-only shuffles, banded candidate
+    join, codegen'd quality expressions).
+
+    The quality comparison happens on the score ROUNDED to 6 places, so a
+    SQL oracle reproducing the filter boundary cannot disagree over a
+    float ULP.
+    """
+    from .text import quality_score
+
+    out = drop_exact_dups(df, text_col, id_col)
+    out = drop_near_dups(
+        out,
+        text_col,
+        id_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        jaccard_threshold=jaccard_threshold,
+    )
+    return out.filter(
+        F.round(quality_score(F.col(text_col)), 6) >= F.lit(min_quality)
+    )

@@ -129,3 +129,29 @@ def test_lsh_bucketed_pairs_subset_of_exact(vectors):
 
     plan = approx_df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan  # bucket UDF, not literal expressions
+
+
+def test_clean_corpus_stages_monotone(spark):
+    """Each cleanup stage only removes rows, survivors are a subset of the
+    input ids, and every survivor clears the quality floor."""
+    from pyspark.sql import functions as F
+
+    from krnel_graph_spark.functions.text import quality_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = dedup.drop_exact_dups(docs, "text", "doc_id")
+    near = dedup.drop_near_dups(exact, "text", "doc_id", num_perm=16, bands=4)
+    clean = dedup.clean_corpus(
+        docs, "text", "doc_id", num_perm=16, bands=4, min_quality=0.5
+    )
+    n_docs, n_exact, n_near, n_clean = (
+        docs.count(), exact.count(), near.count(), clean.count()
+    )
+    assert n_docs >= n_exact >= n_near >= n_clean > 0
+
+    ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    clean_rows = clean.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("q")
+    ).collect()
+    assert {r["doc_id"] for r in clean_rows} <= ids
+    assert all(r["q"] >= 0.5 for r in clean_rows)
