@@ -604,6 +604,42 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_cube_agg(spark, sf_dir):
+    """CUBE grouping sets: all 4 (returnflag × linestatus) subtotal
+    combinations in one pass — Spark plans a single Expand + aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+def q_pivot_priority(spark, sf_dir):
+    """Pivot: order counts per status × priority. Fixed pivot value list →
+    stable output schema (dynamic pivots need a distinct-scan first)."""
+    priorities = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", priorities)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {p: f"p{p[0]}" for p in priorities}
+    return out.select(
+        F.col("o_orderstatus").alias("status"),
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(renames[p]) for p in priorities],
+    )
+
+
 def q_clean_corpus(spark, sf_dir):
     out = dedup.clean_corpus(
         _docs(spark, sf_dir),
@@ -915,6 +951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "profile_table": q_profile_table,
         "clean_corpus": q_clean_corpus,
+        "cube_agg": q_cube_agg,
+        "pivot_priority": q_pivot_priority,
         # ---- no-oracle queries (rows-only check) below this line ---- #
         "split_rng": q_split_rng,
         "classifier_predict": q_classifier_predict,
@@ -1230,6 +1268,21 @@ c AS (SELECT user_id, ts, max(value) AS click_value FROM events
 SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
        c.click_value AS click_value_asof
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+        "cube_agg": """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+        "pivot_priority": """
+SELECT o_orderstatus AS status,
+       count(*) FILTER (o_orderpriority = '1-URGENT') AS "p1",
+       count(*) FILTER (o_orderpriority = '2-HIGH') AS "p2",
+       count(*) FILTER (o_orderpriority = '3-MEDIUM') AS "p3",
+       count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "p4",
+       count(*) FILTER (o_orderpriority = '5-LOW') AS "p5"
+FROM orders GROUP BY o_orderstatus
 """,
         "profile_table": """
 SELECT 'l_quantity' AS "column", count(*) AS n_rows,
