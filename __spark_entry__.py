@@ -604,6 +604,18 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark ``percentile`` =
+    SQL percentile_cont semantics, single sort-based aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
 def q_cube_agg(spark, sf_dir):
     """CUBE grouping sets: all 4 (returnflag × linestatus) subtotal
     combinations in one pass — Spark plans a single Expand + aggregate."""
@@ -953,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "cube_agg": q_cube_agg,
         "pivot_priority": q_pivot_priority,
+        "percentiles": q_percentiles,
         # ---- no-oracle queries (rows-only check) below this line ---- #
         "split_rng": q_split_rng,
         "classifier_predict": q_classifier_predict,
@@ -1268,6 +1281,14 @@ c AS (SELECT user_id, ts, max(value) AS click_value FROM events
 SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
        c.click_value AS click_value_asof
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+        "percentiles": """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem GROUP BY l_returnflag
 """,
         "cube_agg": """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
