@@ -146,3 +146,44 @@ def test_asof_ntz_timestamp_input(spark):
         assert _canon(row["val_asof"]) == _canon(
             None if pd.isna(orow["val"]) else float(orow["val"])
         )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_interval_join_matches_pandas_oracle(spark, seed):
+    """interval_join vs a pandas merge+filter oracle: every (left, right)
+    pair with the same key and right.ts in [left.ts - W, left.ts] appears
+    exactly once, inner-join semantics."""
+    from krnel_graph_spark.streaming.events import interval_join
+
+    from pyspark.sql import functions as F
+
+    W = 5
+    left, right = _draw(seed)
+    # integer draws become real TIMESTAMPs (interval_join normalizes event
+    # time for watermark compatibility, so raw bigints would be read as
+    # epoch nanos)
+    ldf = spark.createDataFrame(left, "key long, ts long, lid long").withColumn(
+        "ts", F.timestamp_seconds("ts")
+    )
+    rdf = spark.createDataFrame(
+        right, "key long, ts long, val double, tag string"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    got = sorted(
+        (r["lid"], int(r["ts_r"].timestamp()), _canon(r["val_r"]))
+        for r in interval_join(
+            ldf, rdf, on="key", lookback=f"{W} seconds"
+        ).collect()
+    )
+
+    lpdf = pd.DataFrame(left, columns=["key", "ts", "lid"])
+    rpdf = pd.DataFrame(right, columns=["key", "ts", "val", "tag"])
+    merged = lpdf.merge(rpdf, on="key", suffixes=("", "_r"))
+    merged = merged[
+        (merged["ts_r"] <= merged["ts"]) & (merged["ts_r"] >= merged["ts"] - W)
+    ]
+    want = sorted(
+        (int(r["lid"]), int(r["ts_r"]),
+         _canon(None if pd.isna(r["val"]) else float(r["val"])))
+        for _, r in merged.iterrows()
+    )
+    assert got == want
