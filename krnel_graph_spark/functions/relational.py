@@ -15,15 +15,16 @@ from pyspark.sql import functions as F
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: str | list[str],
     left_ts: str = "ts",
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
     suffix: str = "_asof",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
-    ``right.ts <= left.ts`` within the same ``on`` key (inclusive, like
-    DuckDB/kdb ASOF JOIN).
+    ``right.ts <= left.ts`` within the same ``on`` key(s) (inclusive, like
+    DuckDB/kdb ASOF JOIN). ``on`` may be one column name or a composite
+    key list.
 
     Plan: tag and union both sides, then one window pass per key ordered by
     (ts, right-before-left on ties) carrying the last seen right row
@@ -35,8 +36,9 @@ def asof_join(
     same — latest — right row, exactly like DuckDB/kdb ASOF JOIN, even when
     that row legitimately holds NULL in some value column.
     """
+    keys = [on] if isinstance(on, str) else list(on)
     value_cols = value_cols or [
-        c for c in right.columns if c not in (on, right_ts)
+        c for c in right.columns if c not in (*keys, right_ts)
     ]
     if not value_cols:
         raise ValueError(
@@ -57,14 +59,14 @@ def asof_join(
     )
     l_struct_type = T.StructType(list(left.schema.fields))
     l_tag = left.select(
-        F.col(on),
+        *[F.col(k) for k in keys],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         F.lit(None).cast(r_struct_type).alias("__r"),
         F.struct(*[_q(c) for c in left.columns]).alias("__l"),
     )
     r_tag = right.select(
-        F.col(on),
+        *[F.col(k) for k in keys],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         F.struct(*[_q(c).alias(c) for c in value_cols]).alias("__r"),
@@ -73,7 +75,7 @@ def asof_join(
     unioned = l_tag.unionByName(r_tag)
     # Right rows sort before left rows at equal ts → inclusive (<=) matching.
     w = (
-        Window.partitionBy(on)
+        Window.partitionBy(*keys)
         .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

@@ -187,3 +187,47 @@ def test_interval_join_matches_pandas_oracle(spark, seed):
         for _, r in merged.iterrows()
     )
     assert got == want
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_asof_composite_key_matches_merge_asof(spark, seed):
+    """Composite (k1, k2) as-of keys against merge_asof(by=[k1, k2])."""
+    rng = random.Random(1000 + seed)
+    left = [
+        (rng.randrange(3), rng.randrange(2), rng.randrange(TS_RANGE), lid)
+        for lid in range(40)
+    ]
+    pairs = set()
+    while len(pairs) < 40:
+        pairs.add(
+            (rng.randrange(3), rng.randrange(2), rng.randrange(TS_RANGE))
+        )
+    right = [
+        (k1, k2, ts, round(rng.uniform(-5, 5), 3)) for (k1, k2, ts) in sorted(pairs)
+    ]
+    ldf = spark.createDataFrame(left, "k1 long, k2 long, ts long, lid long")
+    rdf = spark.createDataFrame(right, "k1 long, k2 long, ts long, val double")
+    got = (
+        asof_join(ldf, rdf, on=["k1", "k2"], value_cols=["val"])
+        .orderBy("lid")
+        .collect()
+    )
+    lpdf = pd.DataFrame(left, columns=["k1", "k2", "ts", "lid"])
+    rpdf = pd.DataFrame(right, columns=["k1", "k2", "ts", "val"])
+    want = (
+        pd.merge_asof(
+            lpdf.sort_values("ts", kind="stable"),
+            rpdf.sort_values("ts", kind="stable"),
+            on="ts",
+            by=["k1", "k2"],
+            direction="backward",
+        )
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for row, (_, orow) in zip(got, want.iterrows()):
+        assert row["lid"] == orow["lid"]
+        assert _canon(row["val_asof"]) == _canon(
+            None if pd.isna(orow["val"]) else float(orow["val"])
+        )
