@@ -604,6 +604,23 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_ntile_quartiles(spark, sf_dir):
+    """ntile window: per-customer spend quartile within their nation-key
+    group. Unique-key tiebreak (c_custkey) keeps the tiling deterministic
+    across engines."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+    )
+
+
 def q_percentiles(spark, sf_dir):
     """Exact interpolated percentiles per group (Spark ``percentile`` =
     SQL percentile_cont semantics, single sort-based aggregate)."""
@@ -966,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": q_cube_agg,
         "pivot_priority": q_pivot_priority,
         "percentiles": q_percentiles,
+        "ntile_quartiles": q_ntile_quartiles,
         # ---- no-oracle queries (rows-only check) below this line ---- #
         "split_rng": q_split_rng,
         "classifier_predict": q_classifier_predict,
@@ -1281,6 +1299,12 @@ c AS (SELECT user_id, ts, max(value) AS click_value FROM events
 SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
        c.click_value AS click_value_asof
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+        "ntile_quartiles": """
+SELECT c_custkey, c_nationkey,
+       ntile(4) OVER (PARTITION BY c_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+FROM customer
 """,
         "percentiles": """
 SELECT l_returnflag,
