@@ -57,7 +57,13 @@ HEADLINE = [
     "ann_topk",
     "text_stats",
     "lang_id",
+    "profile_table_hll",
 ]
+
+# Each query is timed RUNS times and the min reported: a single run folds
+# whatever else the box is doing into the number (r4 recorded 7x phantom
+# regressions on 0.4s queries that judge re-timing showed unchanged).
+RUNS = 3
 
 
 def main() -> None:
@@ -90,9 +96,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+            # Queries that persist() intermediates (rollup cascade, minhash
+            # signatures) would otherwise accumulate cached copies across
+            # reps — drop them so every rep pays the full cost.
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -60,7 +60,12 @@ def windowed_event_counts(
         df.groupBy(F.window("ts", window_duration).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # Exact decimal accumulation (order-independent), round once,
+            # then convert — same contract as rollup_event_counts, so the
+            # result cannot flip on a .00005 boundary under reordering.
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 4)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -83,7 +88,12 @@ def sessionize(
         df = df.withWatermark("ts", watermark)
     return (
         df.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
         .select(
             F.col("s.start").alias("session_start"),
             F.col("s.end").alias("session_end"),
@@ -248,7 +258,9 @@ def running_user_totals(
     if not events.isStreaming:
         return df.groupBy("user_id").agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 4)
+            .cast("double")
+            .alias("sum_value"),
         )
 
     import pandas as pd
