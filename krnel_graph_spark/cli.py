@@ -86,15 +86,41 @@ def all_ops(roots: dict[str, OpSpec]) -> dict[str, OpSpec]:
     return seen
 
 
+def _matches(pattern: str, test: str) -> bool:
+    """Reference filter semantics (``cli.py:276-281``): exact or
+    case-insensitive substring."""
+    return pattern == test or pattern.lower() in test.lower()
+
+
+def _op_own_code(op: OpSpec) -> str:
+    """One-line pseudocode for THIS op only (deps shown as short names) —
+    the pickaxe search target, matching the reference's
+    ``to_code(include_deps=False)`` (``cli.py:333-341``)."""
+    params = []
+    for fname in sorted(type(op).model_fields):
+        value = getattr(op, fname)
+        if isinstance(value, OpSpec):
+            params.append(f"{fname}={value.short_name()}")
+        else:
+            params.append(f"{fname}={value!r}")
+    return f"{type(op).__name__}({', '.join(params)})"
+
+
 def select_ops(
     roots: dict[str, OpSpec],
     type_filter: Optional[str],
     uuid_filter: Optional[str],
     name_filter: Optional[str],
+    param_filters: Optional[list[str]] = None,
+    pickaxe_filters: Optional[list[str]] = None,
+    state_filters: Optional[list[str]] = None,
+    count: Optional[int] = None,
+    runner=None,
 ) -> list[OpSpec]:
-    """Apply the reference's filter surface (``cli.py:143-191``): type-name
-    substring, UUID substring, variable-name substring. No filter = every
-    reachable op."""
+    """Apply the reference's filter surface (``cli.py:143-191,261-352``):
+    type-name substring, UUID substring, variable-name substring, parameter
+    value (``-p``), pseudocode pickaxe (``-S``), runtime state (``--state``),
+    and result count cap (``--count``). No filter = every reachable op."""
     if name_filter:
         picked = {
             n: op for n, op in roots.items() if name_filter in n
@@ -104,11 +130,50 @@ def select_ops(
     else:
         ops = list(all_ops(roots).values())
     if type_filter:
-        tf = type_filter.lower()
-        ops = [op for op in ops if tf in type(op).__name__.lower()]
+        ops = [op for op in ops if _matches(type_filter, type(op).__name__)]
     if uuid_filter:
         ops = [op for op in ops if uuid_filter in op.uuid]
+    if param_filters:
+        # An op survives if ANY of its parameter values matches ANY pattern
+        # (reference ``cli.py:314-331``). Dep-valued fields are compared by
+        # their repr, same as the reference's model_dump stringification.
+        ops = [
+            op
+            for op in ops
+            if any(
+                _matches(pat, str(val))
+                for val in op.model_dump().values()
+                for pat in param_filters
+            )
+        ]
+    if pickaxe_filters:
+        ops = [
+            op
+            for op in ops
+            if any(_matches(pat, _op_own_code(op)) for pat in pickaxe_filters)
+        ]
+    if state_filters:
+        if runner is None:
+            raise SystemExit("--state filtering requires a runner")
+        wanted = {s.lower() for s in state_filters}
+        ops = [op for op in ops if runner.status(op).state.value in wanted]
+    if count is not None:
+        ops = sorted(ops, key=lambda o: o.uuid)[:count]
     return ops
+
+
+def _select_from_args(roots, args, runner=None) -> list[OpSpec]:
+    return select_ops(
+        roots,
+        args.type,
+        args.uuid,
+        args.name,
+        param_filters=getattr(args, "param", None),
+        pickaxe_filters=getattr(args, "pickaxe", None),
+        state_filters=getattr(args, "state", None),
+        count=getattr(args, "count", None),
+        runner=runner,
+    )
 
 
 def _runner_for(args, module_runner):
@@ -134,7 +199,7 @@ def cmd_run(args) -> int:
     runner = _runner_for(args, module_runner)
     if runner.store is None:
         raise SystemExit("run requires a persistent store (--store PATH)")
-    ops = select_ops(roots, args.type, args.uuid, args.name)
+    ops = _select_from_args(roots, args, runner)
     if args.shard_count:
         ops = [
             op
@@ -174,7 +239,7 @@ def cmd_status(args) -> int:
     roots, module_runner = scavenge(module)
     runner = _runner_for(args, module_runner)
     for op in sorted(
-        select_ops(roots, args.type, args.uuid, args.name), key=lambda o: o.uuid
+        _select_from_args(roots, args, runner), key=lambda o: o.uuid
     ):
         st = runner.status(op)
         if args.json:
@@ -235,7 +300,7 @@ def cmd_make_group(args) -> int:
     module = load_pipeline_module(args.file)
     roots, module_runner = scavenge(module)
     runner = _runner_for(args, module_runner)
-    ops = select_ops(roots, args.type, args.uuid, args.name)
+    ops = _select_from_args(roots, args, runner)
     if not ops:
         raise SystemExit("no ops matched the filter")
     if len(ops) == 1:
@@ -310,6 +375,26 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("-t", "--type", help="op type-name substring filter")
     p.add_argument("-u", "--uuid", help="op UUID substring filter")
     p.add_argument("-n", "--name", help="module variable-name substring filter")
+    p.add_argument(
+        "-p", "--param", action="append",
+        help="keep ops with ANY parameter value matching this substring "
+             "(repeatable; reference -p)",
+    )
+    p.add_argument(
+        "-S", "--pickaxe", action="append",
+        help="pickaxe: keep ops whose own pseudocode line matches this "
+             "substring (repeatable; reference -S)",
+    )
+    p.add_argument(
+        "--state", action="append",
+        choices=["new", "pending", "running", "completed", "failed",
+                 "ephemeral"],
+        help="keep ops in this runtime state (repeatable)",
+    )
+    p.add_argument(
+        "-c", "--count", type=int,
+        help="cap the number of ops after all other filters (reference -n)",
+    )
     p.add_argument("--store", help="result-store path override")
 
 

@@ -113,6 +113,79 @@ def test_cli_make_group(tmp_path, spark, capsys):
         main(["make_group", "-f", pipe, "-t", "NoSuchOpType"])
 
 
+def test_cli_param_filter(tmp_path, spark, capsys):
+    """-p keeps ops with ANY parameter value matching the substring
+    (reference ``cli.py:314-331``)."""
+    store = str(tmp_path / "store")
+    pipe = _write_pipeline(tmp_path, store)
+
+    # The Jinja op's template parameter contains "hi {{n}}!".
+    assert main(["status", "-f", pipe, "-p", "hi {{n}}"]) == 0
+    out = capsys.readouterr().out
+    assert "JinjaTemplatizeOp" in out
+    assert "LoadInlineJsonDatasetOp" not in out
+
+    # Case-insensitive substring, reference _matches semantics.
+    assert main(["status", "-f", pipe, "-p", "HI {{N}}"]) == 0
+    assert "JinjaTemplatizeOp" in capsys.readouterr().out
+
+    # Repeatable: OR across patterns.
+    assert main(["status", "-f", pipe, "-p", "no-such-value",
+                 "-p", "BUILDING", "-p", "hi {{n}}"]) == 0
+    assert "JinjaTemplatizeOp" in capsys.readouterr().out
+
+    assert main(["status", "-f", pipe, "-p", "zzz-no-match"]) == 0
+    assert capsys.readouterr().out.strip() == ""
+
+
+def test_cli_pickaxe_filter(tmp_path, spark, capsys):
+    """-S searches each op's own pseudocode line (reference -S pickaxe)."""
+    store = str(tmp_path / "store")
+    pipe = _write_pipeline(tmp_path, store)
+
+    # Matches the op's own rendered line: type name + params.
+    assert main(["status", "-f", pipe, "-S", "template='hi"]) == 0
+    out = capsys.readouterr().out
+    assert "JinjaTemplatizeOp" in out and "SelectTextColumnOp" not in out
+
+    # Pickaxe over a column name reaches the select op, not the dataset.
+    assert main(["status", "-f", pipe, "-S", "column_name='name'"]) == 0
+    out = capsys.readouterr().out
+    assert "SelectTextColumnOp" in out
+    assert "JinjaTemplatizeOp" not in out.replace("SelectTextColumnOp", "")
+
+
+def test_cli_state_filter_and_count(tmp_path, spark, capsys):
+    store = str(tmp_path / "store")
+    pipe = _write_pipeline(tmp_path, store)
+
+    # Nothing materialized yet: everything non-ephemeral is "new".
+    assert main(["status", "-f", pipe, "--state", "completed"]) == 0
+    assert capsys.readouterr().out.strip() == ""
+
+    assert main(["run", "-f", pipe, "-t", "Jinja"]) == 0
+    capsys.readouterr()
+
+    assert main(["status", "-f", pipe, "--state", "completed"]) == 0
+    out = capsys.readouterr().out
+    assert "JinjaTemplatizeOp" in out and "LoadInlineJsonDatasetOp" not in out
+
+    # Repeatable states OR together; ephemeral ops surface too.
+    assert main(["status", "-f", pipe, "--state", "completed",
+                 "--state", "ephemeral"]) == 0
+    out = capsys.readouterr().out
+    assert "JinjaTemplatizeOp" in out and "CategoryToBooleanOp" in out
+
+    # --count caps after all other filters (deterministic by uuid sort).
+    assert main(["status", "-f", pipe, "-c", "1"]) == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 1
+
+    # run honors the same filters: only completed ops -> all cached.
+    assert main(["run", "-f", pipe, "--state", "completed"]) == 0
+    out = capsys.readouterr().out
+    assert "DONE JinjaTemplatizeOp" in out and "0 failed" in out
+
+
 def test_cli_config_get_and_set(tmp_path, capsys, monkeypatch):
     cfg_file = tmp_path / "cfg" / "config.json"
     monkeypatch.setenv("KRNEL_SPARK_CONFIG_FILE", str(cfg_file))
