@@ -669,6 +669,23 @@ def q_pivot_priority(spark, sf_dir):
     )
 
 
+def q_pivot_dynamic(spark, sf_dir):
+    """Dynamic pivot under an explicit distinct-scan budget: order counts per
+    priority × status, with the status list discovered (bounded) at runtime.
+    TPC-H o_orderstatus has exactly {F, O, P} at every SF, so the discovered
+    schema — and the SQL oracle — are deterministic."""
+    from krnel_graph_spark.functions.relational import pivot_dynamic
+
+    orders = _t(spark, sf_dir, "orders")
+    out = pivot_dynamic(
+        orders, "o_orderpriority", "o_orderstatus", max_values=10, prefix="s_"
+    )
+    return out.select(
+        F.col("o_orderpriority").alias("priority"),
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("s_F", "s_O", "s_P")],
+    )
+
+
 def q_clean_corpus(spark, sf_dir):
     out = dedup.clean_corpus(
         _docs(spark, sf_dir),
@@ -963,7 +980,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_topk": q_sort_topk,
         "distinct_flags": q_distinct,
         "set_except": q_set_except,
-        "set_intersect": q_set_intersect,
         "asof_join": q_asof_join,
         "events_windowed": q_events_windowed,
         "sessionize": q_sessionize,
@@ -989,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "cube_agg": q_cube_agg,
         "pivot_priority": q_pivot_priority,
+        "pivot_dynamic": q_pivot_dynamic,
         "percentiles": q_percentiles,
         "ntile_quartiles": q_ntile_quartiles,
         # Oracle-backed but past the driver's 50-row recording window by
@@ -996,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_parquet": q_scan,
         "select_column": q_select_column,
         "take_rows": q_take_rows,
+        "set_intersect": q_set_intersect,
         "assign_row_id": q_assign_row_id,
         "inline_dataset": q_inline_dataset,
         "csv_roundtrip": q_csv_roundtrip,
@@ -1345,6 +1363,13 @@ SELECT o_orderstatus AS status,
        count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "p4",
        count(*) FILTER (o_orderpriority = '5-LOW') AS "p5"
 FROM orders GROUP BY o_orderstatus
+""",
+        "pivot_dynamic": """
+SELECT o_orderpriority AS priority,
+       count(*) FILTER (o_orderstatus = 'F') AS "s_F",
+       count(*) FILTER (o_orderstatus = 'O') AS "s_O",
+       count(*) FILTER (o_orderstatus = 'P') AS "s_P"
+FROM orders GROUP BY o_orderpriority
 """,
         "profile_table": """
 SELECT 'l_quantity' AS "column", count(*) AS n_rows,

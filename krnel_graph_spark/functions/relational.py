@@ -8,7 +8,7 @@ from union+window / bucketed-join plans that avoid O(n·m) comparisons.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -168,3 +168,48 @@ def salted_join(
         "*", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))).alias("__salt")
     )
     return l_s.join(r_s, keys + ["__salt"], how).drop("__salt")
+
+
+def pivot_dynamic(
+    df: DataFrame,
+    group_cols: str | list[str],
+    pivot_col: str,
+    agg: Column | None = None,
+    max_values: int = 100,
+    prefix: str = "v_",
+) -> DataFrame:
+    """Pivot without a caller-supplied value list, under an explicit
+    distinct-scan budget.
+
+    Spark's ``pivot(col)`` with no values runs a hidden distinct-scan job
+    and will happily build a 2-million-column plan from a high-cardinality
+    key. This wrapper makes that scan explicit and bounded: it collects at
+    most ``max_values + 1`` distinct values (a ``limit`` bounds the driver
+    transfer no matter the table size), raises if the budget is exceeded,
+    and then reuses the fixed-list pivot path — one Expand + single-shuffle
+    aggregate, stable sorted column order, no surprise second job at plan
+    time.
+
+    Output columns are ``{prefix}{value}`` (sorted by value, NULL last as
+    ``{prefix}null``) so downstream code and SQL oracles see a
+    deterministic schema. At 100 TB the distinct scan is one full-column
+    pass — acceptable for a profiling-grade operation and strictly better
+    than the same scan hidden inside ``pivot()`` with an unbounded result.
+    """
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    rows = df.select(pivot_col).distinct().limit(max_values + 1).collect()
+    if len(rows) > max_values:
+        raise ValueError(
+            f"pivot_dynamic: {pivot_col!r} has more than {max_values} "
+            f"distinct values; raise max_values or pre-bucket the column"
+        )
+    values = sorted((r[0] for r in rows), key=lambda v: (v is None, str(v)))
+    out = df.groupBy(*gcols).pivot(pivot_col, values).agg(
+        agg if agg is not None else F.count(F.lit(1))
+    )
+    renamed = [
+        F.col(f"`{v}`").alias(f"{prefix}{v}") if v is not None
+        else F.col("null").alias(f"{prefix}null")
+        for v in values
+    ]
+    return out.select(*gcols, *renamed)

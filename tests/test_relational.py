@@ -107,3 +107,56 @@ def test_salted_join_rejects_existing_salt_column(spark):
         salted_join(left, right, on="k")
     with pytest.raises(ValueError, match="__salt"):
         salted_join(right, left, on="k")
+
+
+# --------------------------------------------------------------------- #
+# pivot_dynamic                                                           #
+# --------------------------------------------------------------------- #
+
+
+def _sales(spark):
+    return spark.createDataFrame(
+        [("us", "red", 2.0), ("us", "blue", 3.0), ("eu", "red", 5.0),
+         ("eu", None, 7.0), ("ap", "blue", 11.0)],
+        "region string, color string, amt double",
+    )
+
+
+def test_pivot_dynamic_golden(spark):
+    from krnel_graph_spark.functions.relational import pivot_dynamic
+
+    out = pivot_dynamic(_sales(spark), "region", "color", max_values=10)
+    # Deterministic schema: values sorted, NULL pivot value last.
+    assert out.columns == ["region", "v_blue", "v_red", "v_null"]
+    rows = {r["region"]: r for r in out.collect()}
+    assert (rows["us"]["v_red"], rows["us"]["v_blue"], rows["us"]["v_null"]) == (1, 1, None)
+    assert rows["eu"]["v_null"] == 1
+    assert rows["ap"]["v_blue"] == 1 and rows["ap"]["v_red"] is None
+
+
+def test_pivot_dynamic_custom_agg_and_budget(spark):
+    from krnel_graph_spark.functions.relational import pivot_dynamic
+
+    out = pivot_dynamic(
+        _sales(spark), "region", "color",
+        agg=F.round(F.sum("amt"), 4), max_values=3, prefix="amt_",
+    )
+    rows = {r["region"]: r for r in out.collect()}
+    assert rows["eu"]["amt_red"] == 5.0 and rows["eu"]["amt_null"] == 7.0
+
+    # Budget exceeded -> explicit error, not a runaway wide plan.
+    with pytest.raises(ValueError, match="more than 2 distinct"):
+        pivot_dynamic(_sales(spark), "region", "color", max_values=2)
+
+
+def test_pivot_dynamic_matches_fixed_pivot(spark):
+    """Dynamic discovery must reuse the fixed-list path exactly."""
+    from krnel_graph_spark.functions.relational import pivot_dynamic
+
+    df = _sales(spark).where(F.col("color").isNotNull())
+    dyn = pivot_dynamic(df, "region", "color", max_values=5)
+    fixed = (
+        df.groupBy("region").pivot("color", ["blue", "red"]).count()
+        .select("region", F.col("blue").alias("v_blue"), F.col("red").alias("v_red"))
+    )
+    assert sorted(map(tuple, dyn.collect())) == sorted(map(tuple, fixed.collect()))
