@@ -1130,8 +1130,8 @@ removal AS (SELECT doc FROM comp WHERE keeper < doc),
 d1 AS (SELECT * FROM d0 WHERE doc_id NOT IN (SELECT doc FROM removal)),
 tq AS (SELECT doc_id, text, {toks_text} AS toks FROM d1),
 mq AS (SELECT doc_id, text, toks,
-      CASE WHEN trim(text) = '' THEN 0
-           ELSE len(regexp_extract_all(trim(text), '\\s+')) + 1 END AS n_tok,
+      CASE WHEN len(toks) = 1 AND toks[1] = '' THEN 0
+           ELSE len(toks) END AS n_tok,
       {lang_hits}
       FROM tq),
 bq AS (SELECT doc_id, n_tok,
@@ -1502,8 +1502,8 @@ SELECT query_id, doc_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10
         "text_stats": f"""
 WITH t AS (SELECT doc_id, text, {toks_text} AS toks FROM documents),
 m AS (SELECT doc_id, text, toks,
-      CASE WHEN trim(text) = '' THEN 0
-           ELSE len(regexp_extract_all(trim(text), '\\s+')) + 1 END AS n_tok,
+      CASE WHEN len(toks) = 1 AND toks[1] = '' THEN 0
+           ELSE len(toks) END AS n_tok,
       {lang_hits}
       FROM t),
 base AS (SELECT doc_id, n_tok,

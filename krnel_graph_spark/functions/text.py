@@ -44,9 +44,15 @@ def whitespace_tokens(col) -> Column:
 
 
 def token_count(col) -> Column:
-    """Whitespace token count (0 for empty/blank strings)."""
-    t = F.trim(_c(col))
-    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    """Whitespace token count (0 for empty/blank strings).
+
+    Counted on the NORMALIZED text: Spark's ``trim`` strips only ASCII
+    spaces, so testing ``trim(text) = ''`` misses tab/newline-only docs and
+    would count their separator runs as tokens (caught by the pandas
+    differential test). Normalization collapses every ``\\s`` run to one
+    space first, making the blank test exact."""
+    norm = normalize_text(col)
+    return F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
 
 
 def regex_token_count(col) -> Column:
@@ -106,12 +112,17 @@ def quality_score(col) -> Column:
     punct_term = F.lit(1.0) - F.least(punct_ratio(col) * F.lit(4.0), F.lit(1.0))
     mwl = mean_word_length(col)
     word_term = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
-    return (
+    score = (
         F.lit(0.4) * length_term
         + F.lit(0.3) * stop_term
         + F.lit(0.15) * punct_term
         + F.lit(0.15) * word_term
     )
+    # NULL text must score NULL: ``least`` SKIPS null arguments (it returns
+    # the least non-null value), so without the guard a null doc scores a
+    # healthy 0.775 and sails through quality floors (caught by the pandas
+    # differential test).
+    return F.when(_c(col).isNull(), F.lit(None).cast("double")).otherwise(score)
 
 
 def lang_id(col) -> Column:

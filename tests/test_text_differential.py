@@ -1,0 +1,185 @@
+"""Differential test: ``quality_score`` (and its component terms) against an
+independent pandas/pure-Python reimplementation over a 1k-doc corpus of
+random + adversarial documents (empty, whitespace-only, unicode-heavy,
+punctuation walls, 100+-token long docs).
+
+The gate only exercises the score through ``clean_corpus``'s >= 0.5 filter
+boundary; this pins the full real-valued score. The reference
+implementation mirrors the ENGINE'S spec, which uses Java regex semantics:
+``\\s`` is ASCII-only (`` \\t\\n\\x0B\\f\\r``) — Python's unicode ``\\s``
+would silently diverge on NBSP et al., so the mirror spells the class out.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from krnel_graph_spark.functions import text as tx
+
+_WS = " \t\n\x0b\f\r"
+_WS_RE = re.compile(f"[{re.escape(_WS)}]+")
+_PUNCT_RE = re.compile(f"[^A-Za-z0-9{re.escape(_WS)}]")
+STOP_EN = set(tx.STOPWORDS_EN)
+
+
+def _normalize(s: str) -> str:
+    return _WS_RE.sub(" ", s.lower()).strip(_WS)
+
+
+def _token_count(s: str) -> int:
+    t = s.strip(_WS)
+    return 0 if t == "" else len(_WS_RE.split(t))
+
+
+def _stopword_ratio(s: str) -> float:
+    n = _token_count(s)
+    if n == 0:
+        return 0.0
+    hits = sum(1 for t in _normalize(s).split(" ") if t in STOP_EN)
+    return hits / n
+
+
+def _punct_ratio(s: str) -> float:
+    if len(s) == 0:
+        return 0.0
+    return len(_PUNCT_RE.findall(s)) / len(s)
+
+
+def _mean_word_length(s: str) -> float:
+    norm = _normalize(s)
+    toks = norm.split(" ")
+    n = len(toks)
+    total = len(norm) - (n - 1)
+    return 0.0 if n == 0 else total / n
+
+
+def quality_score_ref(s: str | None) -> float | None:
+    if s is None:
+        return None
+    length_term = min(_token_count(s) / 100.0, 1.0)
+    stop_term = min(_stopword_ratio(s) * 4.0, 1.0)
+    punct_term = 1.0 - min(_punct_ratio(s) * 4.0, 1.0)
+    mwl = _mean_word_length(s)
+    word_term = 1.0 if 3.0 <= mwl <= 10.0 else 0.5
+    return (
+        0.4 * length_term + 0.3 * stop_term + 0.15 * punct_term + 0.15 * word_term
+    )
+
+
+def _corpus() -> list[str | None]:
+    rng = random.Random(20260814)
+    words = (
+        "the a and of to in is it that for quick brown fox jumps lazy dog "
+        "data spark engine pipeline token quality score corpus document "
+        "aaaa bb ccccccccccc supercalifragilistic x 42 3141"
+    ).split()
+    punct = list("!?.,;:()[]{}#$%&*@~^|\\/\"'`<>=+-_")
+    unicode_bits = ["héllo", "naïve", "日本語のテキスト", "中文文档", "😀🚀",
+                    "café", "Привет мир", "ñandú", "über"]
+    docs: list[str | None] = [
+        None, "", "   ", " \t\n\x0b\f\r ", ".", "!!!", "a", "the",
+        "the the the", "...!!!???", " ", "x y",  # NBSP: non-space in Java \s
+        " ".join(["the"] * 250),                            # long, all stopwords
+        " ".join(["zzz"] * 150),                            # long, no stopwords
+        "".join(punct) * 10,                                # punct wall
+    ]
+    while len(docs) < 1000:
+        n = rng.randint(1, 120)
+        parts = []
+        for _ in range(n):
+            roll = rng.random()
+            if roll < 0.70:
+                parts.append(rng.choice(words))
+            elif roll < 0.85:
+                parts.append(rng.choice(punct))
+            elif roll < 0.95:
+                parts.append(rng.choice(unicode_bits))
+            else:
+                parts.append(rng.choice(["  ", "\t", "\n"]))  # odd spacing
+        docs.append(rng.choice(["", " ", ""]).join(parts) if rng.random() < 0.1
+                    else " ".join(parts))
+    return docs
+
+
+def test_quality_score_differential(spark):
+    docs = _corpus()
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["q"]
+        for r in df.select(
+            "i", tx.quality_score("text").alias("q")
+        ).collect()
+    }
+    n_checked = 0
+    for i, d in enumerate(docs):
+        want = quality_score_ref(d)
+        if want is None:
+            assert got[i] is None, f"doc {i}: expected null, got {got[i]}"
+            continue
+        assert got[i] == pytest.approx(want, abs=1e-9), (
+            f"doc {i} {d[:60]!r}: spark={got[i]} ref={want}"
+        )
+        n_checked += 1
+    assert n_checked >= 990  # the corpus is really exercised
+
+
+def test_quality_component_terms_differential(spark):
+    """Pin the building blocks individually so a future drift localizes."""
+    docs = _corpus()[:300]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs) if d is not None],
+        "i long, text string",
+    )
+    rows = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            tx.token_count("text").alias("tc"),
+            tx.stopword_ratio("text").alias("sr"),
+            tx.punct_ratio("text").alias("pr"),
+            tx.mean_word_length("text").alias("mwl"),
+        ).collect()
+    }
+    for i, d in enumerate(docs):
+        if d is None:
+            continue
+        r = rows[i]
+        assert r["tc"] == _token_count(d), f"token_count doc {i} {d[:40]!r}"
+        assert r["sr"] == pytest.approx(_stopword_ratio(d), abs=1e-9), (
+            f"stopword_ratio doc {i} {d[:40]!r}"
+        )
+        assert r["pr"] == pytest.approx(_punct_ratio(d), abs=1e-9), (
+            f"punct_ratio doc {i} {d[:40]!r}"
+        )
+        assert r["mwl"] == pytest.approx(_mean_word_length(d), abs=1e-9), (
+            f"mean_word_length doc {i} {d[:40]!r}"
+        )
+
+
+def test_quality_score_on_real_documents(spark):
+    """Full-score differential over the driver-generated documents table."""
+    import os
+
+    import pandas as pd
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["doc_id"]: r["q"]
+        for r in df.select("doc_id", tx.quality_score("text").alias("q")).collect()
+    }
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        want = quality_score_ref(text)
+        g = got[doc_id]
+        if want is None:
+            assert g is None or (isinstance(g, float) and math.isnan(g))
+        else:
+            assert g == pytest.approx(want, abs=1e-9), f"doc {doc_id}"
