@@ -312,3 +312,94 @@ def test_stream_to_parquet_exactly_once(spark, tmp_path):
     # Same checkpoint, same input: nothing to process, no duplicates.
     run_stream_to_parquet(build(), out, ckpt)
     assert _sorted_rows(spark.read.parquet(out), cols) == first
+
+
+def test_interval_join_state_eviction(spark, tmp_path):
+    """Pins the docstring's scale claim: watermark + explicit time bound let
+    Spark EVICT buffered stream-stream join state. Four micro-batches, each
+    6 hours later than the last, with watermark 1h + lookback 10m: rows from
+    early batches can never match future input, so the final micro-batch's
+    state must hold far fewer rows than the total fed. Without the time
+    bound, state would grow monotonically to every row ever seen."""
+    import os
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from krnel_graph_spark.streaming.events import interval_join
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    users_per_batch = 300
+    n_batches = 4
+    for b in range(n_batches):
+        tb = t0 + pd.Timedelta(hours=6 * b)
+        rows = []
+        for u in range(users_per_batch):
+            uid = b * users_per_batch + u
+            rows.append(("click", None, uid, tb, 1.0))
+            rows.append(
+                ("purchase", f"p{uid}", uid, tb + pd.Timedelta(minutes=5), None)
+            )
+        pdf = pd.DataFrame(
+            rows, columns=["event_type", "event_id", "user_id", "ts", "value"]
+        )
+        path = src / f"batch_{b}.parquet"
+        pdf.to_parquet(path)
+        # FileStreamSource with maxFilesPerTrigger orders by mod time; make
+        # the intended batch order unambiguous.
+        mtime = time.time() - (n_batches - b) * 100
+        os.utime(path, (mtime, mtime))
+
+    schema = spark.read.parquet(str(src)).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    joined = interval_join(
+        purchases, clicks, on="user_id", lookback="10 minutes", watermark="1 hour"
+    )
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("ijoin_evict")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    try:
+        progresses = [p for p in query.recentProgress if p["stateOperators"]]
+        assert len(progresses) >= n_batches, (
+            f"expected one micro-batch per file, saw {len(progresses)}"
+        )
+        state_rows = [
+            p["stateOperators"][0]["numRowsTotal"] for p in progresses
+        ]
+        removed = sum(
+            p["stateOperators"][0]["numRowsRemoved"] for p in progresses
+        )
+        total_fed = 2 * users_per_batch * n_batches  # both join sides
+        # Eviction happened at all...
+        assert removed > 0, f"no state rows ever evicted: {state_rows}"
+        # ...and kept the high-water mark bounded: with eviction the store
+        # holds at most ~2 batches of live rows (current + not-yet-past
+        # watermark), far under the unevicted total.
+        assert max(state_rows) < total_fed, state_rows
+        assert state_rows[-1] <= 2 * 2 * users_per_batch, (
+            f"final state {state_rows[-1]} rows — eviction not bounding state: "
+            f"{state_rows}"
+        )
+        # Correctness alongside eviction: every within-batch pair joined.
+        got = spark.table("ijoin_evict").count()
+        assert got == users_per_batch * n_batches
+    finally:
+        query.stop()
