@@ -1,0 +1,133 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+The post-dedup, pre-tokenization stages: per-group caps (domain balancing),
+PII redaction, URL/domain analytics, and deterministic sequence packing.
+All pure Spark SQL expressions / single-window plans — no UDFs — so they
+run at scan throughput and mirror 1:1 into ANSI SQL for oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def group_cap(
+    df: DataFrame,
+    key_cols: str | list[str],
+    n: int,
+    order_by: str | list[str],
+) -> DataFrame:
+    """Keep at most ``n`` rows per key — the corpus-balancing primitive
+    ("at most N documents per domain/source").
+
+    Deterministic: rows within a key are ranked by ``order_by`` (ties
+    broken by the full ordering given, so pass a unique column last). One
+    shuffle on the key; the filter runs inside the window stage, so the
+    output never materializes more than the window buffers. At 100 TB the
+    shuffle is unavoidable (capping is a per-key global decision); skewed
+    hot keys stay bounded because only ``n`` rows per key survive the
+    stage — AQE handles the read-side skew of the shuffle itself.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB): no backreferences, no lookbehind, ASCII classes only.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+}
+# Application order matters (SSN before phone: a bare NNN-NN-NNNN must not
+# be half-eaten by the phone pattern). Dict order IS the contract.
+assert list(PII_PATTERNS) == ["email", "phone", "ipv4", "ssn"]
+
+
+def pii_scrub(col, kinds: tuple[str, ...] = ("email", "ssn", "phone", "ipv4")) -> Column:
+    """Redact common PII shapes with typed placeholder tokens.
+
+    A chain of ``regexp_replace`` — JVM-side, codegen'd, one pass per
+    pattern over the already-in-memory string. Patterns are deliberately
+    engine-portable (same matches in Java regex and RE2) so SQL oracles can
+    replay them verbatim. Applied in the order given; the default order
+    scrubs SSNs before phones so ``123-45-6789`` becomes ``<SSN>`` rather
+    than a mangled ``<PHONE>`` suffix."""
+    out = F.col(col) if isinstance(col, str) else col
+    for kind in kinds:
+        pattern, token = PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+_DOMAIN_RE = r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/:?#\s]+)"
+
+
+def url_domain(col) -> Column:
+    """Registrable host part of a URL (scheme optional), lowercased.
+    Regex-based (identical under RE2) rather than ``parse_url`` so oracles
+    can reproduce it; empty string for non-URL input."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_extract(c, _DOMAIN_RE, 1))
+
+
+def domain_stats(df: DataFrame, url_col: str) -> DataFrame:
+    """Per-domain page counts — the crawl-analytics staple. One hash
+    aggregation; at 100 TB, partial aggregation happens map-side so the
+    shuffle carries one row per (partition, domain)."""
+    return (
+        df.select(url_domain(url_col).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+def sequence_pack(
+    df: DataFrame,
+    order_by: str,
+    token_col: Column | str,
+    budget: int,
+    partition_by: str | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences
+    (offset packing): documents are laid out in ``order_by`` order and cut
+    into packs every ``budget`` tokens — ``pack_id = floor(tokens_before /
+    budget)``, where ``tokens_before`` is the running token total of all
+    previous documents.
+
+    Semantics (deliberately the *offset* formulation, not greedy
+    first-fit): a document straddling a boundary belongs to the pack its
+    FIRST token falls in, so a pack may exceed ``budget`` by at most one
+    document's tail; downstream token-level packing handles the overflow.
+    Greedy reset-at-boundary packing is inherently sequential (each cut
+    depends on the last) and cannot be expressed as one window pass —
+    offset packing gives deterministic, single-shuffle packing with
+    identical results in any engine, which is what a 100-TB run and a SQL
+    oracle both need.
+
+    With ``partition_by`` (the scale path), packing is independent per
+    partition key (e.g. per source shard) and the window never funnels the
+    corpus through one task; without it, the global ordering is exact but
+    single-task — fine for result-set-sized frames only.
+
+    Output: input columns + ``n_tokens``, ``pack_id``.
+    """
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    part = [partition_by] if partition_by else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return df.withColumn("n_tokens", tok.cast("long")).withColumn(
+        "pack_id", F.floor(before / F.lit(budget))
+    )

@@ -1,0 +1,116 @@
+"""Corpus-curation operators: group caps, PII scrubbing, domain stats,
+sequence packing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from krnel_graph_spark.functions.curation import (
+    domain_stats,
+    group_cap,
+    pii_scrub,
+    sequence_pack,
+    url_domain,
+)
+
+
+def test_group_cap_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("b", i) for i in range(3)],
+        "k string, v long",
+    )
+    out = group_cap(df, "k", 5, "v")
+    got = sorted((r["k"], r["v"]) for r in out.collect())
+    assert got == [("a", i) for i in range(5)] + [("b", i) for i in range(3)]
+
+    # Descending order via a second run on negated order column.
+    out2 = group_cap(df.withColumn("neg", -F.col("v")), "k", 2, "neg")
+    assert sorted(r["v"] for r in out2.filter("k='a'").collect()) == [8, 9]
+
+
+def test_group_cap_no_internal_column_leak(spark):
+    df = spark.createDataFrame([("a", 1)], "k string, v long")
+    assert group_cap(df, "k", 1, "v").columns == ["k", "v"]
+
+
+@pytest.mark.parametrize(
+    "raw,want",
+    [
+        ("mail me at john.doe+spam@sub.example.co.uk now",
+         "mail me at <EMAIL> now"),
+        ("call (415) 555-2671 or 415.555.2671",
+         "call <PHONE> or <PHONE>"),
+        ("ssn 123-45-6789 leaked", "ssn <SSN> leaked"),
+        ("server 192.168.0.1 and 10.0.0.7", "server <IP> and <IP>"),
+        ("no pii here 12345", "no pii here 12345"),
+        ("a@b.io,9 weird", "<EMAIL>,9 weird"),
+        # SSN-before-phone order: the 3-2-4 shape must NOT become <PHONE>.
+        ("id 123-45-6789", "id <SSN>"),
+    ],
+)
+def test_pii_scrub_patterns(spark, raw, want):
+    df = spark.createDataFrame([(raw,)], "text string")
+    assert df.select(pii_scrub("text").alias("c")).first()["c"] == want
+
+
+def test_url_domain_and_stats(spark):
+    df = spark.createDataFrame(
+        [("https://WWW.Example.COM/a/b?q=1",),
+         ("http://sub.site.org:8080/path",),
+         ("ftp://files.example.com/x",),
+         ("www.example.com/bare",),
+         ("not a url",)],
+        "url string",
+    )
+    doms = [r["d"] for r in df.select(url_domain("url").alias("d")).collect()]
+    assert doms == [
+        "www.example.com", "sub.site.org", "files.example.com",
+        "www.example.com", "not",  # regex takes first path-free token
+    ]
+    stats = {r["domain"]: r["n_pages"] for r in domain_stats(df, "url").collect()}
+    assert stats["www.example.com"] == 2
+
+
+def test_sequence_pack_offsets(spark):
+    # tokens: 800, 800, 800, 100 -> offsets 0, 800, 1600, 2400
+    # budget 1000 -> packs 0, 0, 1, 2
+    df = spark.createDataFrame(
+        [(1, 800), (2, 800), (3, 800), (4, 100)], "doc long, tok long"
+    )
+    out = sequence_pack(df, "doc", "tok", budget=1000)
+    got = {r["doc"]: r["pack_id"] for r in out.collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 2}
+
+
+def test_sequence_pack_partitioned_independent(spark):
+    df = spark.createDataFrame(
+        [("x", 1, 600), ("x", 2, 600), ("y", 3, 600), ("y", 4, 600)],
+        "src string, doc long, tok long",
+    )
+    out = sequence_pack(df, "doc", "tok", budget=1000, partition_by="src")
+    got = {r["doc"]: r["pack_id"] for r in out.collect()}
+    # Each src packs from offset 0: second doc of each starts at 600 -> pack 0.
+    assert got == {1: 0, 2: 0, 3: 0, 4: 0}
+    out2 = sequence_pack(df, "doc", "tok", budget=500, partition_by="src")
+    got2 = {r["doc"]: r["pack_id"] for r in out2.collect()}
+    assert got2 == {1: 0, 2: 1, 3: 0, 4: 1}
+
+
+def test_sequence_pack_total_conservation(spark):
+    """Every document lands in exactly one pack; pack ids are dense from 0
+    per partition."""
+    import random
+
+    rng = random.Random(7)
+    rows = [("s%d" % (i % 3), i, rng.randint(1, 400)) for i in range(200)]
+    df = spark.createDataFrame(rows, "src string, doc long, tok long")
+    out = sequence_pack(df, "doc", "tok", budget=1000, partition_by="src").cache()
+    assert out.count() == 200
+    for src in ("s0", "s1", "s2"):
+        packs = sorted(
+            r["pack_id"] for r in out.filter(F.col("src") == src)
+            .select("pack_id").distinct().collect()
+        )
+        assert packs == list(range(len(packs)))  # dense, starts at 0
+    out.unpersist()
