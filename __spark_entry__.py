@@ -469,6 +469,134 @@ def q_local_supply_q5(spark, sf_dir):
     )
 
 
+def q_semi_join_q4(spark, sf_dir):
+    """TPC-H Q4 adapted to the generated schema (no commitdate): count
+    orders per priority having >=1 line shipped more than 30 days after the
+    order date. LEFT SEMI join — each order counted once no matter how many
+    late lines; the cross-side date predicate rides inside the join."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+def q_returned_topk_q10(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by revenue on returned items.
+    Decimal-exact revenue (per-row double product cast to DECIMAL, exact
+    sum) so the top-20 CUTOFF cannot flip on summation order; global top-k
+    via sort+limit (Spark plans TakeOrderedAndProject — no full sort)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                    .cast("decimal(30,10)")
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+
+
+def q_promo_share_q14(spark, sf_dir):
+    """TPC-H Q14 shape: monthly % of revenue from PROMO parts. Broadcast
+    the part dim; both sums decimal-exact, ratio computed on the exact
+    sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    disc = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(30,10)"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("m"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0))).alias(
+                "promo"
+            ),
+            F.sum(disc).alias("total"),
+        )
+        .select(
+            F.unix_micros("m").alias("month_us"),
+            F.round(
+                F.lit(100.0) * F.col("promo").cast("double")
+                / F.col("total").cast("double"),
+                4,
+            ).alias("promo_pct"),
+        )
+    )
+
+
+def q_large_orders_q18(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity exceeds 300, with
+    customer attribution. The HAVING filter runs on the lineitem aggregate
+    BEFORE the joins, so only qualifying orderkeys shuffle into them."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("totalprice"),
+            F.round("sum_qty", 4).alias("sum_qty"),
+        )
+    )
+
+
+def q_rich_no_orders_q22(spark, sf_dir):
+    """TPC-H Q22 shape: per-segment count/balance of customers whose
+    balance beats the positive-balance average and who placed no RECENT
+    order (the generated data gives every customer at least one order
+    ever, so 'never ordered' would be vacuously empty — same plan shape,
+    non-trivial result). The average is decimal-exact (then one double
+    division), broadcast as a 1-row frame — no collect; the no-recent-
+    orders test is a LEFT ANTI join against the date-filtered orders."""
+    cust = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2001-01-01"
+    )
+    avg_df = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(30,10)")).cast("double")
+            / F.count("*")
+        ).alias("avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_df)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    alone = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return alone.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_cust"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(30,10)")), 4)
+        .cast("double")
+        .alias("total_bal"),
+    )
+
+
 def q_selective_agg_q6(spark, sf_dir):
     """TPC-H Q6 shape: the pushdown showcase — every predicate reaches the
     parquet scan, the agg is a single partial+final sum."""
@@ -1035,9 +1163,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_json_get": q_parse_json_get,
         "jinja_template": q_template,
         "split_hash": q_split_hash,
-        "split_train_mask": q_split_train_mask,
         "llm_generate_fake": q_llm_generate_fake,
         "agg_q1": q_agg_q1,
+        "semi_join_q4": q_semi_join_q4,
+        "returned_topk_q10": q_returned_topk_q10,
+        "promo_share_q14": q_promo_share_q14,
+        "large_orders_q18": q_large_orders_q18,
+        "rich_no_orders_q22": q_rich_no_orders_q22,
         "join_q3": q_join_q3,
         "broadcast_join_region": q_broadcast_join_region,
         "local_supply_q5": q_local_supply_q5,
@@ -1045,8 +1177,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "lead_lag": q_lead_lag,
         "window_topk": q_window_topk,
-        "sort_topk": q_sort_topk,
-        "distinct_flags": q_distinct,
         "set_except": q_set_except,
         "asof_join": q_asof_join,
         "events_windowed": q_events_windowed,
@@ -1059,8 +1189,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "dedup_drop_near": q_dedup_drop_near,
         "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "embedding_dups": q_embedding_dups,
         "ann_topk": q_ann_topk,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1085,6 +1213,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "minhash_signature": q_minhash_signature,
         "llm_chat_generate": q_llm_chat_generate,
+        "split_train_mask": q_split_train_mask,
+        "sort_topk": q_sort_topk,
+        "distinct_flags": q_distinct,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_dups": q_embedding_dups,
         "scan_parquet": q_scan,
         "select_column": q_select_column,
         "take_rows": q_take_rows,
@@ -1366,6 +1499,59 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
   AND l_discount BETWEEN 0.03 AND 0.07
   AND l_quantity < 24
+""",
+        "semi_join_q4": """
+SELECT o_orderpriority AS priority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+""",
+        "returned_topk_q10": """
+SELECT c_custkey, c_name, c_mktsegment,
+       round(sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(30,10)),
+             4)::DOUBLE AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+        "promo_share_q14": """
+WITH m AS (
+  SELECT date_trunc('month', l_shipdate) AS mo,
+         sum(CASE WHEN p_type = 'PROMO'
+                  THEN (l_extendedprice * (1.0 - l_discount))::DECIMAL(30,10)
+                  ELSE 0::DECIMAL(30,10) END) AS promo,
+         sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(30,10)) AS total
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1)
+SELECT epoch_us(mo) AS month_us,
+       round(100.0 * promo::DOUBLE / total::DOUBLE, 4) AS promo_pct
+FROM m
+""",
+        "large_orders_q18": """
+WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+             FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+SELECT c_custkey, o_orderkey, round(o_totalprice, 4) AS totalprice,
+       round(sum_qty, 4) AS sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+""",
+        "rich_no_orders_q22": """
+WITH avg_bal AS (
+  SELECT sum(c_acctbal::DECIMAL(30,10))::DOUBLE / count(*) AS a
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_mktsegment AS segment, count(*) AS n_cust,
+       round(sum(c_acctbal::DECIMAL(30,10)), 4)::DOUBLE AS total_bal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY c_mktsegment
 """,
         "anti_join": """
 SELECT c_custkey, c_name FROM customer
