@@ -1036,6 +1036,26 @@ def q_dedup_drop_near(spark, sf_dir):
     )
 
 
+def q_connected_components(spark, sf_dir):
+    """Distributed connected components (large-star/small-star,
+    functions/graph.py) over the verified MinHash-LSH pair graph — the
+    scale path behind drop_near_dups(components="distributed")."""
+    from krnel_graph_spark.functions.graph import connected_components
+
+    pairs = dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        num_perm=16,
+        bands=4,
+        jaccard_threshold=0.5,
+    ).select("doc_a", "doc_b")
+    return (
+        connected_components(pairs, src="doc_a", dst="doc_b")
+        .select(F.col("node").alias("doc_id"), "component")
+    )
+
+
 def q_simhash(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select("doc_id", dedup.simhash("text", bits=32).alias("sh"))
@@ -1209,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # design — hash-green for 2+ rounds, trivially stable or subsumed by
         # an in-window sibling (fingerprint/minhash_signature feed
         # dedup_exact/minhash_pairs), judge-checkable.
+        "connected_components": q_connected_components,
         "embedding_quantize": q_embedding_quantize,
         "fingerprint": q_fingerprint,
         "minhash_signature": q_minhash_signature,
@@ -1371,6 +1392,18 @@ reach(s, d) AS (
 comp AS (SELECT s AS doc, min(d) AS keeper FROM reach GROUP BY s),
 removal AS (SELECT doc FROM comp WHERE keeper < doc)
 SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc FROM removal)
+"""
+
+    connected_components_sql = f"""
+WITH RECURSIVE pairs AS ({minhash_pairs_sql}),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(s, d) AS (
+    SELECT a, a FROM und
+    UNION
+    SELECT r.s, u.b FROM reach r JOIN und u ON r.d = u.a
+)
+SELECT s AS doc_id, min(d) AS component FROM reach GROUP BY s
 """
 
     return {
@@ -1777,6 +1810,7 @@ FROM h
 """,
         "minhash_pairs": minhash_pairs_sql,
         "dedup_drop_near": drop_near_sql,
+        "connected_components": connected_components_sql,
         "clean_corpus": clean_corpus_sql,
         "simhash": f"""
 WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents),

@@ -506,22 +506,46 @@ def drop_near_dups(
     bands: int = 8,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
+    components: str = "driver",
 ) -> DataFrame:
     """Remove near-duplicates: keep one representative (min id) per
     connected component of the verified MinHash-LSH pair graph.
 
-    The pair list is orders of magnitude smaller than the corpus (it IS
-    the point of LSH), so components are computed driver-side with
-    union-find over the collected pairs — the standard pragmatic design; a
-    corpus whose pair graph itself is huge indicates the threshold is too
-    low, not that the engine needs distributed connected components. The
-    removal set broadcasts back as a left_anti join, so the corpus is
-    never collected."""
-    pairs = minhash_lsh_pairs(
+    ``components="driver"`` (default): the pair list is orders of
+    magnitude smaller than the corpus (it IS the point of LSH), so
+    components are computed driver-side with union-find over the
+    collected pairs — the standard pragmatic design. The removal set
+    broadcasts back as a left_anti join, so the corpus is never
+    collected.
+
+    ``components="distributed"``: the pair graph never leaves the
+    cluster — alternating large-star/small-star contraction
+    (``functions/graph.py``) labels each node with its component min in
+    O(log n) rounds. Use when the pair graph itself is too large for the
+    driver (boilerplate-heavy web corpora where LSH still emits billions
+    of true pairs); identical output, pair-graph-sized shuffles instead
+    of a driver round-trip."""
+    pair_df = minhash_lsh_pairs(
         df, text_col, id_col,
         num_perm=num_perm, bands=bands,
         shingle_k=shingle_k, jaccard_threshold=jaccard_threshold,
-    ).select("doc_a", "doc_b").collect()
+    ).select("doc_a", "doc_b")
+
+    if components == "distributed":
+        from .graph import connected_components
+
+        removal_df = (
+            connected_components(pair_df, src="doc_a", dst="doc_b")
+            .filter(F.col("component") < F.col("node"))
+            .select(F.col("node").alias(id_col))
+        )
+        # Removal set ≤ pair-graph node count; broadcast is still right
+        # for LSH-scale graphs, and AQE demotes it if the estimate blows.
+        return df.join(F.broadcast(removal_df), id_col, "left_anti")
+    if components != "driver":
+        raise ValueError(f"components must be 'driver' or 'distributed': {components!r}")
+
+    pairs = pair_df.collect()
 
     parent: dict = {}
 

@@ -1,0 +1,102 @@
+"""Differential tests for distributed connected components.
+
+The large-star/small-star implementation (functions/graph.py) must agree
+with a driver-side union-find on every graph shape we can throw at it:
+chains, stars, cycles, disconnected singleton-free sets, and seeded
+random graphs. The reference engine has no graph operator — this backs
+the distributed mode of drop_near_dups.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from krnel_graph_spark.functions.graph import connected_components
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in sorted(nodes)}
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    out = connected_components(df).collect()
+    return {r["node"]: r["component"] for r in out}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(1, 2)],
+        [(1, 2), (2, 3), (3, 4), (4, 5)],          # chain
+        [(10, 1), (10, 2), (10, 3), (10, 4)],       # star, center largest
+        [(1, 2), (2, 3), (3, 1)],                   # cycle
+        [(1, 2), (3, 4), (5, 6)],                   # three components
+        [(2, 1), (1, 2), (2, 2)],                   # dupes + self-loop
+        [(7, 3), (3, 9), (9, 7), (100, 50)],        # cycle + pair
+    ],
+)
+def test_small_graphs(spark, edges):
+    assert _run(spark, edges) == _union_find(edges)
+
+
+@pytest.mark.parametrize("seed,n,m", [(0, 60, 40), (1, 200, 150), (2, 500, 700)])
+def test_random_graphs(spark, seed, n, m):
+    rng = random.Random(seed)
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _run(spark, edges) == _union_find(edges)
+
+
+def test_long_chain_converges_within_log_rounds(spark):
+    # 256-node chain: worst case for label propagation (O(n) rounds),
+    # but star contraction converges in O(log n).
+    edges = [(i, i + 1) for i in range(255)]
+    out = _run(spark, edges)
+    assert set(out.values()) == {0}
+    assert len(out) == 256
+
+
+def test_string_node_ids(spark):
+    edges = [("b", "a"), ("b", "c"), ("x", "y")]
+    df = spark.createDataFrame(edges, "src STRING, dst STRING")
+    out = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_distributed_drop_near_dups_matches_driver_mode(spark):
+    from krnel_graph_spark.functions import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kw = dict(num_perm=16, bands=4, jaccard_threshold=0.5)
+    driver = dedup.drop_near_dups(docs, "text", "doc_id", **kw)
+    dist = dedup.drop_near_dups(docs, "text", "doc_id", components="distributed", **kw)
+    a = sorted(r["doc_id"] for r in driver.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in dist.select("doc_id").collect())
+    assert a == b and len(a) > 0
+
+
+def test_custom_column_names(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "doc_a BIGINT, doc_b BIGINT")
+    out = connected_components(df, src="doc_a", dst="doc_b")
+    assert out.columns == ["node", "component"]
+    assert {tuple(r) for r in out.collect()} == {(1, 1), (2, 1), (3, 1)}
