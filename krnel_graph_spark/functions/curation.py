@@ -90,6 +90,52 @@ def domain_stats(df: DataFrame, url_col: str) -> DataFrame:
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    broadcast_test: bool = True,
+) -> DataFrame:
+    """Train/test contamination check: flag every training document that
+    shares at least one word ``n``-gram with a held-out evaluation set —
+    the GPT-3/PaLM-style 13-gram decontamination sweep, with ``n``
+    configurable.
+
+    Returns ``(id_col, n_hits)`` for contaminated training docs, where
+    ``n_hits`` counts the DISTINCT overlapping n-grams. Dropping (or
+    auditing) the flagged docs is a left_anti join the caller composes.
+
+    Scale shape: both sides shingle at scan (single pass, let-bound token
+    array — see ``text.shingles``), then join on the md5 digest of the
+    n-gram, so the shuffle carries fixed-width 32-char keys instead of
+    raw n-gram strings. The test side collapses to its distinct gram set
+    first; eval suites are tiny next to a 100-TB corpus, so it broadcasts
+    by default (``broadcast_test=False`` for giant held-out sets falls
+    back to a hash join). md5, not xxhash64, so ANSI-SQL oracles can
+    replay the digest byte-for-byte."""
+    from .text import shingles
+
+    test_grams = (
+        test.select(F.explode(shingles(F.col(text_col), n)).alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+    if broadcast_test:
+        test_grams = F.broadcast(test_grams)
+    train_grams = (
+        train.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("g"))
+        .select(id_col, F.md5("g").alias("gh"))
+        .distinct()
+    )
+    return (
+        train_grams.join(test_grams, "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 def sequence_pack(
     df: DataFrame,
     order_by: str,

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lexicons for the n-gram/stopword language-ID
@@ -169,4 +169,53 @@ def shingles(col, k: int = 3) -> Column:
                 )
             ),
         )
+    )
+
+
+def repetition_stats(df: "DataFrame", text_col: str, id_col: str) -> "DataFrame":
+    """Gopher-style repetition signals (Rae et al. 2021, table A1-style
+    filters): the within-document repetition measures used to drop
+    boilerplate- and spam-heavy web pages before training.
+
+    Output, one row per input doc:
+      * ``n_lines``         — non-empty line count
+      * ``dup_line_frac``   — fraction of non-empty lines that are copies
+                              of an earlier line (0.0 for line-less docs)
+      * ``top_bigram_frac`` — occurrences of the most frequent word bigram
+                              over total bigram count (0.0 when < 2 tokens)
+
+    Line stats are pure array expressions on the scan (no shuffle). The
+    bigram mode is computed by explode → two-level aggregation rather than
+    a per-row quadratic array scan: a 100-TB corpus has pathological docs
+    (megabyte spam pages) whose distinct×total array walk would stall a
+    task, while explode+count keys the work on (doc, bigram) and
+    partial-aggregates map-side. Docs with no bigrams re-enter via left
+    join with a 0.0 default."""
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != "")
+    base = df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.when(F.size(lines) == 0, F.lit(0.0))
+        .otherwise(
+            (F.size(lines) - F.size(F.array_distinct(lines))).cast("double")
+            / F.size(lines).cast("double")
+        )
+        .alias("dup_line_frac"),
+    )
+    bg = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), 2)).alias("bg"))
+    top = (
+        bg.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+                "top_bigram_frac"
+            )
+        )
+    )
+    return base.join(top, id_col, "left").select(
+        F.col(id_col),
+        "n_lines",
+        "dup_line_frac",
+        F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias("top_bigram_frac"),
     )

@@ -114,3 +114,116 @@ def test_sequence_pack_total_conservation(spark):
         )
         assert packs == list(range(len(packs)))  # dense, starts at 0
     out.unpersist()
+
+
+# ---------------------------------------------------------------- #
+# decontaminate                                                     #
+# ---------------------------------------------------------------- #
+
+
+def test_decontaminate_known_overlap(spark):
+    from krnel_graph_spark.functions.curation import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text with no overlap at all here"),
+            (3, "quick brown fox jumps again and again and again today"),
+            (4, None),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    test = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps high")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontaminate(train, test, "text", "doc_id", n=4).collect()
+    }
+    # test 4-grams include "the quick brown fox", "quick brown fox jumps"
+    # -> doc 1 shares both; doc 3 shares only "quick brown fox jumps".
+    assert out == {1: 2, 3: 1}
+
+
+def test_decontaminate_no_broadcast_path_same_result(spark):
+    from krnel_graph_spark.functions.curation import decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    test = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    a = sorted(
+        map(tuple, decontaminate(train, test, "text", "doc_id", n=3).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            decontaminate(
+                train, test, "text", "doc_id", n=3, broadcast_test=False
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------- #
+# repetition_stats (Gopher signals) — pandas differential           #
+# ---------------------------------------------------------------- #
+
+
+def _py_repetition(rows):
+    import re
+
+    out = {}
+    for doc_id, text in rows:
+        if text is None:
+            out[doc_id] = (None, None, 0.0)
+            continue
+        lines = [l for l in text.split("\n") if l != ""]
+        n_lines = len(lines)
+        dup = 0.0 if n_lines == 0 else (n_lines - len(set(lines))) / n_lines
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        toks = norm.split(" ") if norm else [""]
+        bgs = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        if not bgs:
+            top = 0.0
+        else:
+            from collections import Counter
+
+            top = max(Counter(bgs).values()) / len(bgs)
+        out[doc_id] = (n_lines, dup, top)
+    return out
+
+
+def test_repetition_stats_differential(spark):
+    from krnel_graph_spark.functions.text import repetition_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    extra = spark.createDataFrame(
+        [
+            (9001, ""),
+            (9002, "\n\n\n"),
+            (9003, "same line\nsame line\nsame line\nother"),
+            (9004, "word"),
+            (9005, "a b a b a b a b"),
+            (9006, None),
+            (9007, "  \t spaced\nout \n"),
+        ],
+        "doc_id BIGINT, text STRING",
+    ).select("doc_id", "text")
+    both = docs.select("doc_id", "text").unionByName(extra)
+    got = {
+        r["doc_id"]: (r["n_lines"], r["dup_line_frac"], r["top_bigram_frac"])
+        for r in repetition_stats(both, "text", "doc_id").collect()
+    }
+    want = _py_repetition([(r["doc_id"], r["text"]) for r in both.collect()])
+    assert set(got) == set(want)
+    for k in want:
+        gn, gd, gt = got[k]
+        wn, wd, wt = want[k]
+        assert gn == wn, (k, got[k], want[k])
+        for g, w in ((gd, wd), (gt, wt)):
+            if w is None:
+                assert g is None, (k, got[k], want[k])
+            else:
+                assert abs(g - w) < 1e-12, (k, got[k], want[k])
