@@ -1,0 +1,97 @@
+"""Deterministic sampling and shuffle for training-data export.
+
+Spark's built-in ``df.sample`` / ``sampleBy`` draw from a partition-seeded
+RNG: results change with partitioning, retries, and engine version — all
+poison for reproducible 100-TB pipeline runs (and for oracle checks). The
+operators here key every decision off the md5 of (seed, row id), so any
+engine — and any re-run on any cluster layout — selects the identical rows.
+
+Beyond-reference surface: the reference engine only has the train/test
+split assigner (reference ``ops/dataset_ops.py`` AssignTrainTestSplitOp);
+corpus-rate sampling, per-stratum sampling, and export shuffling are the
+missing pieces a pretraining pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .hashing import md5_long
+
+# Hash-rate denominator: rates are quantized to 1e-6 (a millionth), plenty
+# for corpus sampling and exactly representable in both engines' integers.
+RATE_DENOM = 1_000_000
+
+
+def _rate_bucket(id_col: str, seed: int) -> Column:
+    """Uniform bucket in [0, RATE_DENOM) from md5(seed:id) — deterministic
+    across engines, partitionings, and retries."""
+    return md5_long(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    ) % F.lit(RATE_DENOM)
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float, seed: int = 0) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff its hash bucket falls
+    below ``fraction``. A pure scan-side filter — no shuffle, no RNG state,
+    pushes down past column pruning; re-running on different partitioning
+    (or in a SQL oracle) selects the same rows."""
+    threshold = int(round(fraction * RATE_DENOM))
+    return df.filter(_rate_bucket(id_col, seed) < F.lit(threshold))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    seed: int = 0,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — ``sampleBy`` semantics (keep
+    fraction f_s of each stratum) without its RNG nondeterminism. The
+    language-balancing / domain-rebalancing primitive: downsample the
+    over-represented strata of a corpus in one scan-side filter, no
+    shuffle, no per-stratum jobs. Strata absent from ``fractions`` keep
+    ``default_fraction`` of their rows."""
+    thr = F.lit(int(round(default_fraction * RATE_DENOM)))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == F.lit(value),
+            F.lit(int(round(frac * RATE_DENOM))),
+        ).otherwise(thr)
+    return df.filter(_rate_bucket(id_col, seed) < thr)
+
+
+def shuffle_key(id_col: str, seed: int = 0) -> Column:
+    """Deterministic per-row shuffle key: md5 of (seed, id). Sorting by it
+    is a reproducible global permutation of the corpus."""
+    return F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+
+
+def shuffle_export(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Deterministically shuffle a corpus for training export.
+
+    Adds ``shuffle_key`` (md5 of seed:id) and, when ``num_shards`` is
+    given, a balanced ``shard`` assignment, then range-partitions on the
+    key and sorts within each shard — a total order across output files
+    without ever funneling data through one task (range exchange + local
+    sort, the same plan shape as a global ORDER BY, never a single-task
+    window). Write the result with ``partitionBy("shard")`` or directly;
+    file N holds keys that all sort before file N+1's."""
+    key = shuffle_key(id_col, seed)
+    out = df.withColumn("shuffle_key", key)
+    if num_shards is not None:
+        out = out.withColumn(
+            "shard",
+            (md5_long(F.col("shuffle_key")) % F.lit(num_shards)).cast("int"),
+        )
+        return out.repartition(num_shards, "shard").sortWithinPartitions("shuffle_key")
+    return out.repartitionByRange(F.col("shuffle_key")).sortWithinPartitions(
+        "shuffle_key"
+    )

@@ -1,0 +1,83 @@
+"""Deterministic sampling / shuffle-export tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from krnel_graph_spark.functions.sampling import (
+    hash_sample,
+    shuffle_export,
+    stratified_sample,
+)
+
+
+def test_hash_sample_rate_and_determinism(spark):
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    n = orders.count()
+    s1 = hash_sample(orders, "o_orderkey", 0.2, seed=1)
+    k1 = sorted(r["o_orderkey"] for r in s1.select("o_orderkey").collect())
+    # rate is approximately honored (binomial tolerance)
+    assert abs(len(k1) / n - 0.2) < 0.06
+    # identical selection under a different partitioning
+    s2 = hash_sample(orders.repartition(13), "o_orderkey", 0.2, seed=1)
+    k2 = sorted(r["o_orderkey"] for r in s2.select("o_orderkey").collect())
+    assert k1 == k2
+    # different seed -> different selection
+    k3 = sorted(
+        r["o_orderkey"]
+        for r in hash_sample(orders, "o_orderkey", 0.2, seed=2)
+        .select("o_orderkey")
+        .collect()
+    )
+    assert k1 != k3
+    # fraction edges
+    assert hash_sample(orders, "o_orderkey", 0.0).count() == 0
+    assert hash_sample(orders, "o_orderkey", 1.0).count() == n
+
+
+def test_stratified_sample_rates(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = stratified_sample(
+        docs, "source", {"src0": 1.0, "src1": 0.0}, "doc_id",
+        seed=0, default_fraction=0.5,
+    )
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    totals = {r["source"]: r["n"] for r in
+              docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per["src0"] == totals["src0"]      # fraction 1.0 keeps all
+    assert "src1" not in per                  # fraction 0.0 drops all
+    others = sum(v for k, v in per.items() if k not in ("src0", "src1"))
+    others_total = sum(v for k, v in totals.items() if k not in ("src0", "src1"))
+    assert 0 < others < others_total          # default rate in between
+
+
+def test_shuffle_export_is_permutation_and_sorted(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    out = shuffle_export(docs, "doc_id", seed=9, num_shards=4)
+    rows = out.collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in docs.collect()
+    )
+    assert set(r["shard"] for r in rows) <= set(range(4))
+    # every shard gets a reasonable share (hash balance)
+    from collections import Counter
+
+    c = Counter(r["shard"] for r in rows)
+    assert min(c.values()) > len(rows) / 4 / 3
+
+
+def test_shuffle_export_total_order_plan(spark):
+    """Without shards: range partition + local sort — a distributed total
+    order, never a single-task global sort or window."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    out = shuffle_export(docs, "doc_id", seed=9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    # range partitioning + per-partition sort = global order across
+    # partitions; assert the local sort actually happened
+    def check(it):
+        ks = [r["shuffle_key"] for r in it]
+        yield (ks == sorted(ks),)
+
+    assert all(x[0] for x in out.rdd.mapPartitions(check).collect())
