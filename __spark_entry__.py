@@ -597,6 +597,213 @@ def q_rich_no_orders_q22(spark, sf_dir):
     )
 
 
+def q_volume_q7(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    year. Nation dims broadcast twice (supplier side, customer side);
+    lineitem shuffles once for the orders join, then aggregates."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    disc = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(30,10)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(disc), 4).cast("double").alias("revenue"))
+    )
+
+
+def q_market_share_q8(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_3's supplier share of LARGE-part revenue to
+    ASIA customers, by order year. Numerator and denominator summed
+    decimal-exact; one double division at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    disc = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(30,10)"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", disc).otherwise(F.lit(0))
+            ).alias("nat"),
+            F.sum(disc).alias("tot"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("nat").cast("double") / F.col("tot").cast("double"), 6
+            ).alias("mkt_share"),
+        )
+    )
+
+
+def q_late_lines_q12(spark, sf_dir):
+    """TPC-H Q12 shape (no shipmode column in the generated schema): for
+    lines shipped >60 days after order date, split order counts by
+    high/low priority per ship year. The CASE rides inside the aggregate;
+    one join shuffle, one agg shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return late.groupBy(F.year("l_shipdate").alias("ship_year")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+def q_order_dist_q13(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of per-customer order counts (urgent
+    orders excluded), zero-order customers included via LEFT join. Two
+    aggregations; the second runs on customer-count-sized data."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_supplier_cnt_q16(spark, sf_dir):
+    """TPC-H Q16 shape (lineitem stands in for partsupp): distinct
+    supplier count per (brand, type, size) for selected sizes, excluding
+    Brand#1 parts and negative-balance suppliers (NOT-IN subquery → left
+    anti join). The distinct runs inside the aggregate after two
+    broadcast-pruned joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(10, 20, 30, 40)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_small_qty_q17(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from small-quantity lines of Brand#2
+    parts. The correlated per-part average is a broadcast-joined
+    aggregate, and the boundary test is rewritten integer/decimal-exact:
+    qty < 0.2·avg(qty) ⟺ 5·qty·cnt < sum(qty) — no float average, so the
+    filter cannot flip on summation order."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    li = _t(spark, sf_dir, "lineitem")
+    li_b2 = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    per_part = li_b2.groupBy(F.col("p_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(30,10)")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li_b2.join(F.broadcast(per_part), F.col("p_partkey") == F.col("pk"))
+        .filter(
+            (F.col("l_quantity").cast("decimal(30,10)") * 5 * F.col("cnt"))
+            < F.col("sum_qty")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(30,10)")) / 7, 4
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+def q_disjunct_q19(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive brand/size/quantity predicates. The
+    whole OR-of-ANDs is one codegen'd filter after a broadcast part join —
+    Catalyst extracts the common l_partkey equi-condition; no union of
+    three scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 35))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                    ).cast("decimal(30,10)")
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
 def q_selective_agg_q6(spark, sf_dir):
     """TPC-H Q6 shape: the pushdown showcase — every predicate reaches the
     parquet scan, the agg is a single partial+final sum."""
@@ -1245,6 +1452,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_share_q14": q_promo_share_q14,
         "large_orders_q18": q_large_orders_q18,
         "rich_no_orders_q22": q_rich_no_orders_q22,
+        "volume_q7": q_volume_q7,
+        "market_share_q8": q_market_share_q8,
+        "late_lines_q12": q_late_lines_q12,
+        "order_dist_q13": q_order_dist_q13,
+        "supplier_cnt_q16": q_supplier_cnt_q16,
+        "small_qty_q17": q_small_qty_q17,
+        "disjunct_q19": q_disjunct_q19,
         "join_q3": q_join_q3,
         "broadcast_join_region": q_broadcast_join_region,
         "local_supply_q5": q_local_supply_q5,
@@ -1683,6 +1897,88 @@ WHERE c_acctbal > a
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '2001-01-01')
 GROUP BY c_mktsegment
+""",
+        "volume_q7": """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       round(sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(30,10)), 4)::DOUBLE
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+""",
+        "market_share_q8": """
+SELECT year(o_orderdate) AS o_year,
+       round(
+         sum(CASE WHEN sn.n_name = 'NATION_3'
+             THEN (l_extendedprice * (1.0 - l_discount))::DECIMAL(30,10)
+             ELSE 0 END)::DOUBLE
+         / sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(30,10))::DOUBLE,
+         6) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'LARGE'
+GROUP BY year(o_orderdate)
+""",
+        "late_lines_q12": """
+SELECT year(l_shipdate) AS ship_year,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY year(l_shipdate)
+""",
+        "order_dist_q13": """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority != '1-URGENT'
+  GROUP BY c_custkey)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count
+""",
+        "supplier_cnt_q16": """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand != 'Brand#1' AND p_size IN (10, 20, 30, 40)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+        "small_qty_q17": """
+WITH b2 AS (SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#2'),
+pp AS (SELECT l_partkey AS pk, sum(l_quantity::DECIMAL(30,10)) AS sum_qty,
+              count(*) AS cnt
+       FROM b2 GROUP BY l_partkey)
+SELECT round(sum(l_extendedprice::DECIMAL(30,10)) / 7, 4)::DOUBLE AS avg_yearly
+FROM b2 JOIN pp ON l_partkey = pk
+WHERE l_quantity::DECIMAL(30,10) * 5 * cnt < sum_qty
+""",
+        "disjunct_q19": """
+SELECT round(sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(30,10)), 4)::DOUBLE
+         AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
 """,
         "anti_join": """
 SELECT c_custkey, c_name FROM customer
