@@ -58,3 +58,36 @@ def widen_if_heavy(
     if size is not None and size < min_bytes:
         return df
     return ensure_min_partitions(df, target)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: str | list[str],
+    num_buckets: int,
+    sort_cols: str | list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a hash-bucketed (optionally per-bucket-sorted)
+    parquet table.
+
+    Bucketing is THE 100-TB co-location strategy for hot join/agg keys:
+    both sides of a join written with the same bucket spec join with ZERO
+    exchange on either side (the hash partitioning is baked into the file
+    layout and survives restarts), and sorted buckets also skip the
+    sort-merge-join sort. A 100-TB fact table re-joined against fresh
+    snapshots daily amortizes one bucketing write against every future
+    shuffle of that table.
+
+    Must go through ``saveAsTable`` — plain ``.save(path)`` drops the
+    bucket metadata (Spark reads it back from the catalog, not the files).
+    """
+    buckets = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *buckets)
+    if sort_cols is not None:
+        sorts = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        writer = writer.sortBy(*sorts)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

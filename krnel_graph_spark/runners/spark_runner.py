@@ -229,16 +229,16 @@ class SparkRunner(BaseRunner):
         tests), so at 100 TB the shuffle is paid once at write time, not
         per query. Spark bucketed tables require the catalog
         (``saveAsTable``), not a bare path."""
-        writer = (
-            self.dataframe(op, keep_row_id=True)
-            .write.mode("overwrite")
-            .format("parquet")
-            .bucketBy(num_buckets, *bucket_cols)
-        )
-        if sort_cols:
-            writer = writer.sortBy(*sort_cols)
+        from ..functions.partitioning import write_bucketed
+
         with _translate_runtime_errors():
-            writer.saveAsTable(table)
+            write_bucketed(
+                self.dataframe(op, keep_row_id=True),
+                table,
+                bucket_cols,
+                num_buckets,
+                sort_cols=sort_cols,
+            )
 
     def _sink_df(self, op: OpSpec, sort_by_row_id: bool) -> DataFrame:
         df = self.dataframe(op, keep_row_id=True)
