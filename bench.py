@@ -58,6 +58,14 @@ HEADLINE = [
     "text_stats",
     "lang_id",
     "profile_table_hll",
+    # r5 additions: graph contraction, curation sweep, deterministic
+    # shuffle, and two new join/agg shapes.
+    "connected_components",
+    "decontaminate",
+    "repetition_stats",
+    "shuffle_export",
+    "order_dist_q13",
+    "disjunct_q19",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

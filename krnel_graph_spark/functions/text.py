@@ -219,3 +219,35 @@ def repetition_stats(df: "DataFrame", text_col: str, id_col: str) -> "DataFrame"
         "dup_line_frac",
         F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias("top_bigram_frac"),
     )
+
+
+def term_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Corpus term statistics: per normalized whitespace token, total
+    occurrences (``tf``) and document frequency (``df``) — the vocabulary
+    / IDF-table builder.
+
+    One explode + one aggregation: ``df`` is counted with
+    ``count(DISTINCT doc)`` inside the same groupBy as ``tf``, so the
+    corpus shuffles once on the term. Blank docs contribute nothing. At
+    100 TB the shuffle payload is (term, id) pairs; partial aggregation
+    collapses per-partition repeats of hot terms map-side."""
+    toks = F.when(
+        normalize_text(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(whitespace_tokens(F.col(text_col)))
+    pairs = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    return pairs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct(id_col).alias("df"),
+    )
+
+
+def top_terms(df: DataFrame, text_col: str, id_col: str, k: int = 100) -> DataFrame:
+    """Top-``k`` vocabulary terms by total frequency, ties broken by term
+    text (deterministic). Plans as TakeOrderedAndProject over the
+    term_stats aggregate — per-partition top-k, driver merge of k rows
+    per partition, never a global sort."""
+    return (
+        term_stats(df, text_col, id_col)
+        .orderBy(F.col("tf").desc(), F.col("term").asc())
+        .limit(k)
+    )

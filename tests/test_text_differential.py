@@ -183,3 +183,50 @@ def test_quality_score_on_real_documents(spark):
             assert g is None or (isinstance(g, float) and math.isnan(g))
         else:
             assert g == pytest.approx(want, abs=1e-9), f"doc {doc_id}"
+
+
+def test_term_stats_differential(spark):
+    import re
+    from collections import Counter
+
+    from krnel_graph_spark.functions.text import term_stats, top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "THE  cat\n\truns"),
+            (3, ""),
+            (4, None),
+            (5, "   \t\n "),
+            (6, "cat cat cat"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {
+        r["term"]: (r["tf"], r["df"])
+        for r in term_stats(docs, "text", "doc_id").collect()
+    }
+    tf, df = Counter(), Counter()
+    for _id, text in [(1, "the cat sat on the mat"), (2, "THE  cat\n\truns"),
+                      (6, "cat cat cat")]:
+        toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        tf.update(toks)
+        df.update(set(toks))
+    assert got == {t: (tf[t], df[t]) for t in tf}
+
+    top = top_terms(docs, "text", "doc_id", k=2).collect()
+    # cat: tf=5, the: tf=3
+    assert [(r["term"], r["tf"], r["df"]) for r in top] == [
+        ("cat", 5, 3),
+        ("the", 3, 2),
+    ]
+
+
+def test_top_terms_tie_break_deterministic(spark):
+    from krnel_graph_spark.functions.text import top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "b a c"), (2, "c a b")], "doc_id BIGINT, text STRING"
+    )
+    top = top_terms(docs, "text", "doc_id", k=2).collect()
+    assert [r["term"] for r in top] == ["a", "b"]  # tf all 2; term asc
