@@ -38,7 +38,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.environ.get("SPARK_GRAFT_SCALEUP_DIR", "/tmp/krnel_scaleup")
 SCALES = {"events": 20, "lineitem": 20, "documents": 40}
-QUERIES = ["agg_q1", "asof_join", "sessionize", "dedup_exact", "minhash_pairs"]
+QUERIES = [
+    "agg_q1",
+    "asof_join",
+    "sessionize",
+    "dedup_exact",
+    "minhash_pairs",
+    # r5 documents-only additions (the scaled-up dir has events/lineitem/
+    # documents; queries touching other tables can't run here).
+    "connected_components",
+    "decontaminate",
+    "repetition_stats",
+    "top_terms",
+]
 ID_STRIDE = 10**9  # > any source id; keeps per-copy ids disjoint
 
 
