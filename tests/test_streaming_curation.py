@@ -1,0 +1,84 @@
+"""Streaming-readiness of the curation / sampling surface.
+
+The scrub, sample, and vocabulary operators are pure expressions or
+stateless filters (plus standard aggregations), so the SAME code must run
+unchanged on a readStream source and agree with the batch plan — the
+batch/stream unification that makes a 100-TB backfill and its live
+continuation one pipeline.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from krnel_graph_spark.functions.curation import pii_scrub
+from krnel_graph_spark.functions.sampling import hash_sample
+from krnel_graph_spark.functions.text import normalize_text, whitespace_tokens
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from krnel_graph_spark.runners.spark_runner import get_spark
+
+    return get_spark("test-streaming-curation")
+
+
+def _stream_docs(spark):
+    from krnel_graph_spark.streaming.events import stream_events_from_parquet
+
+    return stream_events_from_parquet(spark, DOCS)
+
+
+def _drain(df, name, mode="append"):
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def test_scrub_and_sample_stream_equals_batch(spark):
+    def pipeline(df):
+        return hash_sample(df, "doc_id", 0.3, seed=11).select(
+            "doc_id", pii_scrub("text").alias("clean")
+        )
+
+    batch = sorted(tuple(r) for r in pipeline(spark.read.parquet(DOCS)).collect())
+    q = _drain(pipeline(_stream_docs(spark)), "scrub_sample")
+    try:
+        q.awaitTermination(60)
+        got = sorted(
+            tuple(r) for r in spark.table("scrub_sample").collect()
+        )
+        assert got == batch and len(got) > 0
+    finally:
+        q.stop()
+
+
+def test_streaming_term_counts_equals_batch(spark):
+    """Vocabulary counting as a streaming aggregation (complete mode):
+    explode + groupBy runs incrementally with partial state per term."""
+
+    def terms(df):
+        toks = F.when(
+            normalize_text(F.col("text")) == "", F.array().cast("array<string>")
+        ).otherwise(whitespace_tokens(F.col("text")))
+        return (
+            df.select(F.explode(toks).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+
+    batch = sorted(tuple(r) for r in terms(spark.read.parquet(DOCS)).collect())
+    q = _drain(terms(_stream_docs(spark)), "stream_terms", mode="complete")
+    try:
+        q.awaitTermination(60)
+        got = sorted(tuple(r) for r in spark.table("stream_terms").collect())
+        assert got == batch and len(got) > 0
+    finally:
+        q.stop()
