@@ -81,3 +81,44 @@ def test_shuffle_export_total_order_plan(spark):
         yield (ks == sorted(ks),)
 
     assert all(x[0] for x in out.rdd.mapPartitions(check).collect())
+
+
+def test_hash_sample_fractions_are_nested(spark):
+    """Deterministic thresholding gives NESTED samples: every row kept at
+    fraction f is also kept at any f' > f — growing a sample never churns
+    previously selected rows (the reproducibility property RNG sampling
+    cannot offer)."""
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    keys = [
+        set(
+            r["o_orderkey"]
+            for r in hash_sample(orders, "o_orderkey", f, seed=4)
+            .select("o_orderkey")
+            .collect()
+        )
+        for f in (0.1, 0.3, 0.6, 1.0)
+    ]
+    for smaller, larger in zip(keys, keys[1:]):
+        assert smaller <= larger
+    assert len(keys[0]) > 0 and len(keys[-1]) == orders.count()
+
+
+def test_stratified_matches_hash_sample_per_stratum(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = stratified_sample(
+        docs, "source", {"src0": 0.4}, "doc_id", seed=6, default_fraction=0.2
+    )
+    # stratum src0 must equal a plain hash_sample at 0.4 over that stratum
+    a = sorted(
+        r["doc_id"]
+        for r in out.filter(F.col("source") == "src0").select("doc_id").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in hash_sample(
+            docs.filter(F.col("source") == "src0"), "doc_id", 0.4, seed=6
+        )
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b
