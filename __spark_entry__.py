@@ -597,6 +597,194 @@ def q_rich_no_orders_q22(spark, sf_dir):
     )
 
 
+def q_min_cost_supplier_q2(spark, sf_dir):
+    """TPC-H Q2 shape (lineitem unit price stands in for partsupp
+    supplycost; ref has no joins at all — SURVEY §2.9): for SMALL-type
+    parts of size ≤ 5, each part's cheapest EUROPE-region offer and the
+    suppliers making it. The correlated MIN subquery becomes a broadcast
+    per-part aggregate joined back on raw-double equality (no arithmetic,
+    so both engines compare identical bit patterns). Dims broadcast;
+    lineitem shuffles once for the per-part MIN."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 5)
+    )
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(_t(spark, sf_dir, "region")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_brand", "s_name", "s_acctbal", "n_name",
+                F.col("l_extendedprice").alias("cost"))
+    )
+    mins = offers.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        offers.join(F.broadcast(mins),
+                    (F.col("p_partkey") == F.col("mk"))
+                    & (F.col("cost") == F.col("min_cost")))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+                "min_cost")
+        .distinct()
+    )
+
+
+def q_product_profit_q9(spark, sf_dir):
+    """TPC-H Q9 shape (p_retailprice·l_quantity/10 stands in for the
+    partsupp supplycost term): profit by supplier nation and order year
+    over parts named like '%red%'. Part/supplier/nation broadcast;
+    lineitem shuffles once against orders; per-row double products are
+    decimal-cast before the SUM so summation order cannot flip the
+    rounded result (volume_q7 idiom)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    li = _t(spark, sf_dir, "lineitem")
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    ).cast("decimal(30,10)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(_t(spark, sf_dir, "supplier")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(_t(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(_t(spark, sf_dir, "orders"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 4).cast("double").alias("sum_profit"))
+    )
+
+
+def q_important_stock_q11(spark, sf_dir):
+    """TPC-H Q11 shape (lineitem value stands in for availqty·supplycost):
+    per-part shipped value from NATION_3 suppliers, kept when it exceeds
+    1/1000 of that nation's total. The scalar subquery is a 1-row
+    decimal aggregate broadcast into a cross join — no collect — and the
+    threshold test multiplies by 1000 in exact decimal instead of
+    comparing against a float fraction, so the boundary cannot flip."""
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_3")
+        .select("s_suppkey")
+    )
+    val = F.col("l_extendedprice").cast("decimal(30,10)")
+    offers = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    per_part = offers.groupBy("l_partkey").agg(F.sum(val).alias("value"))
+    total = per_part.agg(F.sum("value").alias("total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") * 1000 > F.col("total"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("value"), 4).cast("double").alias("value"),
+        )
+    )
+
+
+def q_top_supplier_q15(spark, sf_dir):
+    """TPC-H Q15 shape: revenue per supplier over a quarter; return the
+    supplier(s) achieving the maximum. The CREATE VIEW + scalar MAX of
+    the reference SQL becomes a broadcast 1-row aggregate joined on
+    decimal equality — sums are exact DECIMAL(30,10), so 'equals the
+    max' is unambiguous under any summation order."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    disc = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(30,10)"
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(disc).alias("total_revenue")
+    )
+    best = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(_t(spark, sf_dir, "supplier")),
+              F.col("suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            F.round(F.col("total_revenue"), 4).cast("double")
+            .alias("total_revenue"),
+        )
+    )
+
+
+def q_excess_supply_q20(spark, sf_dir):
+    """TPC-H Q20 shape (per-(supplier, part) shipped quantity stands in
+    for availqty): NATION_1 suppliers who, for some 'blue' part, shipped
+    more than half of that part's 1996 volume. The nested half-of-total
+    test is 2·supp_qty > part_qty in exact decimal; the EXISTS collapses
+    to a LEFT SEMI join, so supplier rows are never duplicated."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("blue"))
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= "1996-01-01")
+                & (F.col("l_shipdate") < "1997-01-01"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    qty = F.col("l_quantity").cast("decimal(30,10)")
+    per_sp = li.groupBy("l_suppkey", "l_partkey").agg(F.sum(qty).alias("sq"))
+    per_p = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty).alias("pq")
+    )
+    big = per_sp.join(F.broadcast(per_p), F.col("l_partkey") == F.col("pk")).filter(
+        F.col("sq") * 2 > F.col("pq")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_1")
+        .join(big, F.col("s_suppkey") == big.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+def q_waiting_supplier_q21(spark, sf_dir):
+    """TPC-H Q21 shape (shipped >60 days after order date stands in for
+    receipt>commit; no LIMIT so the result is a deterministic set): for
+    finished multi-supplier orders where exactly one supplier was late,
+    count such orders per late supplier. The EXISTS/NOT-EXISTS pair of
+    correlated self-joins becomes ONE per-order aggregate (distinct
+    suppliers, distinct late suppliers) re-joined to the late lines —
+    lineitem is scanned once and shuffled once on l_orderkey."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem").join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    late = F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS")
+    stats = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+    )
+    blamed = (
+        li.filter(late)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(stats, F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        blamed.join(F.broadcast(_t(spark, sf_dir, "supplier")),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 def q_volume_q7(spark, sf_dir):
     """TPC-H Q7 shape: bilateral shipping volume between two nations by
     year. Nation dims broadcast twice (supplier side, customer side);
@@ -1478,14 +1666,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders_q18": q_large_orders_q18,
         "disjunct_q19": q_disjunct_q19,
         "rich_no_orders_q22": q_rich_no_orders_q22,
+        # -- never driver-recorded: r5 TPC-H completion (all 22 shapes) -- #
+        "min_cost_supplier_q2": q_min_cost_supplier_q2,
+        "product_profit_q9": q_product_profit_q9,
+        "important_stock_q11": q_important_stock_q11,
+        "top_supplier_q15": q_top_supplier_q15,
+        "excess_supply_q20": q_excess_supply_q20,
+        "waiting_supplier_q21": q_waiting_supplier_q21,
         # -- stable core (hash-green in r4's recorded gate) -- #
         "rollup_counts": q_rollup_counts,
-        "mask_isin": q_mask_isin,
-        "boolean_logic": q_boolean_logic,
-        "parse_json_get": q_parse_json_get,
-        "jinja_template": q_template,
-        "split_hash": q_split_hash,
-        "llm_generate_fake": q_llm_generate_fake,
         "agg_q1": q_agg_q1,
         "join_q3": q_join_q3,
         "local_supply_q5": q_local_supply_q5,
@@ -1505,6 +1694,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fingerprint/minhash_signature feed dedup_exact/minhash_pairs) and
         # stays judge-checkable via its oracle.
         "text_stats": q_text_stats,
+        "mask_isin": q_mask_isin,
+        "boolean_logic": q_boolean_logic,
+        "parse_json_get": q_parse_json_get,
+        "jinja_template": q_template,
+        "split_hash": q_split_hash,
+        "llm_generate_fake": q_llm_generate_fake,
         "mask_not_in": q_mask_not_in,
         "pairwise_arithmetic": q_arithmetic,
         "vector_to_scalar": q_vector_to_scalar,
@@ -1911,6 +2106,97 @@ WHERE c_acctbal > a
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '2001-01-01')
 GROUP BY c_mktsegment
+""",
+        "min_cost_supplier_q2": """
+WITH eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+offers AS (
+  SELECT p_partkey, p_brand, s_name, s_acctbal, n_name,
+         l_extendedprice AS cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN eu ON l_suppkey = s_suppkey
+  WHERE p_type = 'SMALL' AND p_size <= 5),
+mins AS (
+  SELECT p_partkey AS mk, min(cost) AS min_cost FROM offers GROUP BY p_partkey)
+SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_brand, min_cost
+FROM offers JOIN mins ON p_partkey = mk AND cost = min_cost
+""",
+        "product_profit_q9": """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(sum((l_extendedprice * (1.0 - l_discount)
+                  - p_retailprice * l_quantity * 0.1)::DECIMAL(30,10)), 4)::DOUBLE
+         AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+""",
+        "important_stock_q11": """
+WITH offers AS (
+  SELECT l_partkey, l_extendedprice::DECIMAL(30,10) AS v
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'),
+per_part AS (
+  SELECT l_partkey, sum(v) AS value FROM offers GROUP BY l_partkey),
+total AS (SELECT sum(value) AS t FROM per_part)
+SELECT l_partkey AS partkey, round(value, 4)::DOUBLE AS value
+FROM per_part, total WHERE value * 1000 > t
+""",
+        "top_supplier_q15": """
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+         sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(30,10))
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, round(total_revenue, 4)::DOUBLE AS total_revenue
+FROM rev JOIN supplier ON suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+""",
+        "excess_supply_q20": """
+WITH li AS (
+  SELECT l_suppkey, l_partkey, l_quantity::DECIMAL(30,10) AS q
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%blue%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'),
+per_sp AS (
+  SELECT l_suppkey, l_partkey, sum(q) AS sq FROM li
+  GROUP BY l_suppkey, l_partkey),
+per_p AS (SELECT l_partkey AS pk, sum(q) AS pq FROM li GROUP BY l_partkey)
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+  AND s_suppkey IN (SELECT l_suppkey FROM per_sp JOIN per_p ON l_partkey = pk
+                    WHERE sq * 2 > pq)
+""",
+        "waiting_supplier_q21": """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+stats AS (
+  SELECT l_orderkey AS ok, count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late
+  FROM li GROUP BY l_orderkey),
+blamed AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE is_late)
+SELECT s_name, count(*) AS numwait
+FROM blamed JOIN stats ON l_orderkey = ok
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp > 1 AND n_late = 1
+GROUP BY s_name
 """,
         "volume_q7": """
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
