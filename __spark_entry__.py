@@ -1557,6 +1557,25 @@ def q_top_terms(spark, sf_dir):
     return tx.top_terms(_docs(spark, sf_dir), "text", "doc_id", k=100)
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Token-window chunking (size 32, overlap 8): the context-window
+    pre-pass of a training pipeline. Pure codegen expressions, zero
+    shuffle — see functions/text.py:chunk_documents."""
+    return tx.chunk_documents(
+        _docs(spark, sf_dir), "text", "doc_id", chunk_size=32, overlap=8
+    )
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 top-20 for a 3-term keyword query: corpus stats and per-term
+    document frequencies ride broadcast joins; the explode is pruned to
+    query terms before its one shuffle; decimal-exact per-doc score sum
+    keeps the ranking unambiguous."""
+    return tx.bm25_search(
+        _docs(spark, sf_dir), "text", "doc_id", "hash join spark", k=20
+    )
+
+
 def q_text_stats(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select(
@@ -1673,17 +1692,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier_q15": q_top_supplier_q15,
         "excess_supply_q20": q_excess_supply_q20,
         "waiting_supplier_q21": q_waiting_supplier_q21,
+        # -- never driver-recorded: r5 text-pipeline additions -- #
+        "chunk_docs": q_chunk_docs,
+        "bm25_search": q_bm25_search,
         # -- stable core (hash-green in r4's recorded gate) -- #
         "rollup_counts": q_rollup_counts,
         "agg_q1": q_agg_q1,
         "join_q3": q_join_q3,
         "local_supply_q5": q_local_supply_q5,
-        "selective_agg_q6": q_selective_agg_q6,
         "window_topk": q_window_topk,
         "asof_join": q_asof_join,
         "events_windowed": q_events_windowed,
         "sessionize": q_sessionize,
-        "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "dedup_drop_near": q_dedup_drop_near,
         "top_terms": q_top_terms,
@@ -1694,6 +1714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fingerprint/minhash_signature feed dedup_exact/minhash_pairs) and
         # stays judge-checkable via its oracle.
         "text_stats": q_text_stats,
+        "selective_agg_q6": q_selective_agg_q6,
+        "dedup_exact": q_dedup_exact,
         "mask_isin": q_mask_isin,
         "boolean_logic": q_boolean_logic,
         "parse_json_get": q_parse_json_get,
@@ -2521,6 +2543,42 @@ WITH k AS (SELECT doc_id, md5('5:' || doc_id::VARCHAR) AS shuffle_key
 SELECT doc_id, shuffle_key,
        CAST({md5_long_sql("shuffle_key")} % 8 AS INT) AS shard
 FROM k
+""",
+        "chunk_docs": f"""
+WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents
+           WHERE {norm_text} != ''),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+c AS (SELECT doc_id, n, toks,
+             unnest(generate_series(0,
+               CASE WHEN n <= 32 THEN 0
+                    ELSE ((n - 8 + 23) // 24) - 1 END)) AS chunk_id
+      FROM s)
+SELECT doc_id, chunk_id, least(32, n - chunk_id * 24) AS n_tokens,
+       array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+         AS chunk_text
+FROM c
+""",
+        "bm25_search": f"""
+WITH docs AS (SELECT doc_id, {toks_text} AS toks,
+                     len({toks_text}) AS dl
+              FROM documents WHERE {norm_text} != ''),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM docs),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf
+       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+       WHERE term IN ('hash', 'join', 'spark')
+       GROUP BY doc_id, dl, term),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id,
+         sum((ln(1.0 + ((n_docs - df_t) + 0.5) / (df_t + 0.5))
+              * ((tf * 2.2)
+                 / (tf + 1.2 * (0.25 + (0.75 * dl)
+                                / (total_len::DOUBLE / n_docs)))))
+             ::DECIMAL(30,10)) AS s
+  FROM tf JOIN dft USING (term), stats
+  GROUP BY doc_id)
+SELECT doc_id, round(s, 6)::DOUBLE AS score
+FROM scored ORDER BY s DESC, doc_id ASC LIMIT 20
 """,
         "top_terms": f"""
 WITH t AS (SELECT doc_id,

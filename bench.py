@@ -66,6 +66,11 @@ HEADLINE = [
     "shuffle_export",
     "order_dist_q13",
     "disjunct_q19",
+    # r5: the two heaviest shapes of the completed 22-query TPC-H set —
+    # q9 (5-way join + decimal profit agg) and q21 (per-order distinct
+    # aggregate replacing the EXISTS/NOT-EXISTS self-join pair).
+    "product_profit_q9",
+    "waiting_supplier_q21",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

@@ -251,3 +251,119 @@ def top_terms(df: DataFrame, text_col: str, id_col: str, k: int = 100) -> DataFr
         .orderBy(F.col("tf").desc(), F.col("term").asc())
         .limit(k)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_size: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    standard pre-tokenization step for context-window-bounded training
+    and retrieval corpora.
+
+    Chunks start every ``stride = chunk_size - overlap`` tokens; a doc
+    with ``n <= chunk_size`` tokens yields one chunk, longer docs yield
+    ``ceil((n - overlap) / stride)`` (integer arithmetic — no float
+    boundary). Blank docs yield nothing.
+
+    Scale: tokenize → ``posexplode`` over the start sequence →
+    ``slice``/``array_join``, all JVM codegen expressions; no shuffle at
+    all — chunking is embarrassingly parallel per input partition, and
+    the output carries (id, chunk_id) so downstream dedup/pack steps can
+    re-key however they need.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    toks = whitespace_tokens(F.col(text_col))
+    base = (
+        df.select(F.col(id_col), toks.alias("toks"))
+        .filter(normalize_text(F.col(text_col)) != "")
+        .withColumn("n", F.size("toks"))
+    )
+    n_chunks = F.when(F.col("n") <= chunk_size, F.lit(1)).otherwise(
+        F.expr(f"(n - {overlap} + {stride - 1}) div {stride}")
+    )
+    return base.select(
+        F.col(id_col),
+        F.col("n"),
+        F.col("toks"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "_s"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.least(F.lit(chunk_size), F.col("n") - F.col("chunk_id") * stride)
+        .cast("long")
+        .alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("chunk_id") * stride + 1, chunk_size), " "
+        ).alias("chunk_text"),
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """BM25 keyword ranking of documents against ``query``; top-``k``
+    (score desc, id asc) with columns ``(id, score)``.
+
+    The classic probabilistic idf: ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+    Per-term partial scores are computed as doubles from integer inputs
+    (tf, dl, df, N) — bit-identical across engines — then decimal-cast
+    before the per-doc SUM so summation order can't move the rounded
+    score or the top-k cut.
+
+    Scale: one corpus scan computes doc lengths; corpus stats (N, total
+    length) are a 1-row broadcast, per-term document frequencies a
+    ``len(query)``-row broadcast. The only shuffle is the per-(doc,term)
+    tf aggregate over exploded QUERY TERMS ONLY (the isin filter prunes
+    the explode before it shuffles), then TakeOrderedAndProject for the
+    top-k — never a global sort.
+    """
+    terms = sorted(set(t for t in re.split(r"\s+", query.lower().strip()) if t))
+    if not terms:
+        raise ValueError("query has no terms")
+    docs = df.select(
+        F.col(id_col), whitespace_tokens(F.col(text_col)).alias("toks")
+    ).filter(normalize_text(F.col(text_col)) != "").withColumn(
+        "dl", F.size("toks")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    tf = (
+        docs.select(F.col(id_col), F.col("dl"), F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    part = idf * (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
+    )
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(part.cast("decimal(30,10)")).alias("_s"))
+        .orderBy(F.col("_s").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.col(id_col), F.round(F.col("_s"), 6).cast("double").alias("score")
+        )
+    )

@@ -1,0 +1,144 @@
+"""Differential tests for ``chunk_documents`` and ``bm25_search`` against
+independent pure-Python reimplementations over random + adversarial corpora
+(blank docs, single-token docs, docs exactly at / one-off the chunk
+boundary, repeated-term docs).
+
+The gate checks both ops against DuckDB SQL oracles at sf0.01; these tests
+pin the semantics on hand-built corpora where every edge case is present by
+construction, and check invariants (coverage, overlap, monotonicity) that a
+hash comparison can't express.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import re
+
+import pytest
+
+from krnel_graph_spark.functions import text as tx
+
+_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _tokens(s: str) -> list[str]:
+    t = _WS_RE.sub(" ", s.lower()).strip()
+    return [] if t == "" else t.split(" ")
+
+
+def _ref_chunks(docs, chunk_size, overlap):
+    stride = chunk_size - overlap
+    out = []
+    for doc_id, text in docs:
+        toks = _tokens(text)
+        n = len(toks)
+        if n == 0:
+            continue
+        n_chunks = 1 if n <= chunk_size else -((n - overlap) // -stride)
+        for c in range(n_chunks):
+            w = toks[c * stride : c * stride + chunk_size]
+            out.append((doc_id, c, len(w), " ".join(w)))
+    return sorted(out)
+
+
+def _ref_bm25(docs, query, k1=1.2, b=0.75, k=20):
+    terms = sorted(set(_tokens(query)))
+    lens = {d: len(_tokens(t)) for d, t in docs if _tokens(t)}
+    n_docs = len(lens)
+    avgdl = sum(lens.values()) / n_docs
+    tf: dict[tuple[int, str], int] = {}
+    for d, t in docs:
+        for w in _tokens(t):
+            if w in terms:
+                tf[(d, w)] = tf.get((d, w), 0) + 1
+    df = {t: sum(1 for (_, w) in tf if w == t) for t in terms}
+    scores: dict[int, float] = {}
+    for (d, t), f in tf.items():
+        idf = math.log(1 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+        part = idf * (f * (k1 + 1) / (f + k1 * (1 - b + b * lens[d] / avgdl)))
+        scores[d] = scores.get(d, 0.0) + part
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(d, round(s, 6)) for d, s in ranked]
+
+
+WORDS = "spark hash join scan merge the a of fast slow table row batch".split()
+
+
+def _corpus(seed=7, n=300):
+    rng = random.Random(seed)
+    docs = [
+        (0, ""),
+        (1, "   \t\n  "),
+        (2, "solo"),
+        (3, " ".join(WORDS[:4]) * 1),
+        # exactly chunk_size, one over, one under (chunk_size=8 below)
+        (4, " ".join(rng.choices(WORDS, k=8))),
+        (5, " ".join(rng.choices(WORDS, k=9))),
+        (6, " ".join(rng.choices(WORDS, k=7))),
+        (7, "hash " * 50),  # pathological repetition
+    ]
+    for i in range(8, n):
+        docs.append((i, " ".join(rng.choices(WORDS, k=rng.randint(0, 40)))))
+    return docs
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(_corpus(), "doc_id long, text string")
+
+
+def test_chunk_documents_differential(spark, docs_df):
+    got = sorted(
+        tuple(r)
+        for r in tx.chunk_documents(
+            docs_df, "text", "doc_id", chunk_size=8, overlap=3
+        ).collect()
+    )
+    assert got == _ref_chunks(_corpus(), 8, 3)
+
+
+def test_chunk_documents_invariants(spark, docs_df):
+    rows = tx.chunk_documents(
+        docs_df, "text", "doc_id", chunk_size=8, overlap=3
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    toks_by_doc = {d: _tokens(t) for d, t in _corpus()}
+    for d, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        # chunk ids dense from 0; every chunk non-empty and <= chunk_size
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        assert all(1 <= c.n_tokens <= 8 for c in chunks)
+        # consecutive chunks overlap by exactly `overlap` tokens (until tail)
+        for a, nxt in zip(chunks, chunks[1:]):
+            assert a.chunk_text.split(" ")[5:] == nxt.chunk_text.split(" ")[:3]
+        # concatenating de-overlapped chunks reconstructs the document
+        recon = chunks[0].chunk_text.split(" ")
+        for c in chunks[1:]:
+            recon += c.chunk_text.split(" ")[3:]
+        assert recon == toks_by_doc[d]
+    # blank docs chunk to nothing
+    assert 0 not in by_doc and 1 not in by_doc
+
+
+def test_bm25_differential(spark, docs_df):
+    got = [
+        (r.doc_id, r.score)
+        for r in tx.bm25_search(
+            docs_df, "text", "doc_id", "spark hash join", k=20
+        ).collect()
+    ]
+    ref = _ref_bm25(_corpus(), "spark hash join", k=20)
+    assert [d for d, _ in got] == [d for d, _ in ref]
+    for (_, a), (_, e) in zip(got, ref):
+        assert a == pytest.approx(e, abs=2e-6)
+
+
+def test_bm25_repetition_saturates(spark, docs_df):
+    """tf saturation: the 50x'hash' doc must not dominate a doc matching
+    all three query terms — BM25's k1 bounds the per-term contribution."""
+    got = tx.bm25_search(docs_df, "text", "doc_id", "spark hash join", k=300)
+    scores = {r.doc_id: r.score for r in got.collect()}
+    assert scores[7] < max(scores.values())
