@@ -71,6 +71,9 @@ HEADLINE = [
     # aggregate replacing the EXISTS/NOT-EXISTS self-join pair).
     "product_profit_q9",
     "waiting_supplier_q21",
+    # r5: text-pipeline additions — zero-shuffle chunking, broadcast BM25.
+    "chunk_docs",
+    "bm25_search",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

@@ -50,6 +50,8 @@ QUERIES = [
     "decontaminate",
     "repetition_stats",
     "top_terms",
+    "chunk_docs",
+    "bm25_search",
 ]
 ID_STRIDE = 10**9  # > any source id; keeps per-copy ids disjoint
 
