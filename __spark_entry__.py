@@ -1576,6 +1576,13 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+def q_tfidf(spark, sf_dir):
+    """Sparse TF-IDF features, long format, top-20 vocabulary: the
+    classic bag-of-words featurizer. Vocabulary + doc count broadcast;
+    the (id, term) explode is the only shuffle."""
+    return tx.tfidf(_docs(spark, sf_dir), "text", "doc_id", vocab_size=20)
+
+
 def q_text_stats(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select(
@@ -1695,11 +1702,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-recorded: r5 text-pipeline additions -- #
         "chunk_docs": q_chunk_docs,
         "bm25_search": q_bm25_search,
+        "tfidf": q_tfidf,
         # -- stable core (hash-green in r4's recorded gate) -- #
         "rollup_counts": q_rollup_counts,
         "agg_q1": q_agg_q1,
         "join_q3": q_join_q3,
-        "local_supply_q5": q_local_supply_q5,
         "window_topk": q_window_topk,
         "asof_join": q_asof_join,
         "events_windowed": q_events_windowed,
@@ -1714,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fingerprint/minhash_signature feed dedup_exact/minhash_pairs) and
         # stays judge-checkable via its oracle.
         "text_stats": q_text_stats,
+        "local_supply_q5": q_local_supply_q5,
         "selective_agg_q6": q_selective_agg_q6,
         "dedup_exact": q_dedup_exact,
         "mask_isin": q_mask_isin,
@@ -2579,6 +2587,21 @@ scored AS (
   GROUP BY doc_id)
 SELECT doc_id, round(s, 6)::DOUBLE AS score
 FROM scored ORDER BY s DESC, doc_id ASC LIMIT 20
+""",
+        "tfidf": f"""
+WITH t AS (SELECT doc_id,
+        CASE WHEN {norm_text} = '' THEN CAST([] AS VARCHAR[])
+             ELSE {toks_text} END AS toks
+      FROM documents),
+p AS (SELECT doc_id, unnest(toks) AS term FROM t),
+nd AS (SELECT count(*) AS n_docs FROM documents WHERE {norm_text} != ''),
+v AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM p GROUP BY term
+      ORDER BY df_t DESC, term ASC LIMIT 20),
+tf AS (SELECT doc_id, term, df_t, count(*) AS tf
+       FROM p JOIN v USING (term) GROUP BY doc_id, term, df_t)
+SELECT doc_id, term,
+       round(tf * (ln((n_docs + 1.0) / (df_t + 1.0)) + 1.0), 6)::DOUBLE AS tfidf
+FROM tf, nd
 """,
         "top_terms": f"""
 WITH t AS (SELECT doc_id,

@@ -367,3 +367,65 @@ def bm25_search(
             F.col(id_col), F.round(F.col("_s"), 6).cast("double").alias("score")
         )
     )
+
+
+def tfidf(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab_size: int = 1000,
+    normalize: bool = False,
+) -> DataFrame:
+    """Sparse TF-IDF features in long format ``(id, term, tfidf)`` over
+    the top-``vocab_size`` vocabulary — the classic bag-of-words
+    featurizer feeding classifiers/clustering.
+
+    Smoothed idf (``ln((N+1)/(df+1)) + 1``, sklearn convention) computed
+    from integer corpus stats, so weights are bit-identical across
+    engines. With ``normalize=True`` rows are L2-unit per document; the
+    norm's sum-of-squares is decimal-cast so summation order can't move
+    it.
+
+    Scale: the vocabulary (``vocab_size`` rows + the 1-row doc count) is
+    built once and broadcast; per-doc tf is the only real shuffle —
+    (id, term) pairs pruned to vocabulary terms map-side. Long format IS
+    the scalable representation: a dense 1M-wide vector column would be
+    ~8 MB/row, while long rows stay proportional to nnz and feed
+    groupBy/pivot/ML assemblers downstream.
+    """
+    toks = F.when(
+        normalize_text(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(whitespace_tokens(F.col(text_col)))
+    pairs = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    n_docs = df.select(
+        F.count(F.when(normalize_text(F.col(text_col)) != "", 1)).alias("n_docs")
+    )
+    vocab = (
+        pairs.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df_t"))
+        .orderBy(F.col("df_t").desc(), F.col("term").asc())
+        .limit(vocab_size)
+    )
+    tf = pairs.join(F.broadcast(vocab), "term").groupBy(id_col, "term", "df_t").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    idf = (
+        F.log((F.col("n_docs") + 1.0) / (F.col("df_t") + 1.0)) + 1.0
+    )
+    w = tf.crossJoin(F.broadcast(n_docs)).select(
+        F.col(id_col), F.col("term"), (F.col("tf") * idf).alias("w")
+    )
+    if not normalize:
+        return w.select(
+            id_col, "term", F.round("w", 6).cast("double").alias("tfidf")
+        )
+    norms = w.groupBy(F.col(id_col).alias("_nid")).agg(
+        F.sqrt(F.sum((F.col("w") * F.col("w")).cast("decimal(30,10)"))).alias(
+            "_norm"
+        )
+    )
+    return w.join(norms, F.col(id_col) == F.col("_nid")).select(
+        id_col,
+        "term",
+        F.round(F.col("w") / F.col("_norm"), 6).cast("double").alias("tfidf"),
+    )

@@ -142,3 +142,48 @@ def test_bm25_repetition_saturates(spark, docs_df):
     got = tx.bm25_search(docs_df, "text", "doc_id", "spark hash join", k=300)
     scores = {r.doc_id: r.score for r in got.collect()}
     assert scores[7] < max(scores.values())
+
+
+def _ref_tfidf(docs, vocab_size, normalize=False):
+    from collections import Counter
+
+    tok = {d: _tokens(t) for d, t in docs}
+    n_docs = sum(1 for t in tok.values() if t)
+    dfc = Counter()
+    for toks in tok.values():
+        dfc.update(set(toks))
+    vocab = sorted(dfc.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    out = {}
+    for d, toks in tok.items():
+        tfc = Counter(toks)
+        row = {
+            t: tfc[t] * (math.log((n_docs + 1.0) / (dfv + 1.0)) + 1.0)
+            for t, dfv in vocab
+            if tfc[t]
+        }
+        if normalize and row:
+            nrm = math.sqrt(sum(w * w for w in row.values()))
+            row = {t: w / nrm for t, w in row.items()}
+        for t, w in row.items():
+            out[(d, t)] = round(w, 6)
+    return out
+
+
+@pytest.mark.parametrize("normalize", [False, True])
+def test_tfidf_differential(spark, docs_df, normalize):
+    got = {
+        (r.doc_id, r.term): r.tfidf
+        for r in tx.tfidf(
+            docs_df, "text", "doc_id", vocab_size=6, normalize=normalize
+        ).collect()
+    }
+    ref = _ref_tfidf(_corpus(), 6, normalize)
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k], abs=2e-6)
+    if normalize:
+        by_doc: dict[int, float] = {}
+        for (d, _), w in got.items():
+            by_doc[d] = by_doc.get(d, 0.0) + w * w
+        for d, ss in by_doc.items():
+            assert ss == pytest.approx(1.0, abs=1e-4)
