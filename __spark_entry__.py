@@ -1547,6 +1547,16 @@ def q_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(emb, queries_df, "embedding", "vec_id", k=10, nprobe=8)
 
 
+def q_embedding_clusters(spark, sf_dir):
+    """Distributed k-means (seed sample + Lloyd passes, broadcast-GEMM
+    assignment): per-vector cluster id + distance. No SQL oracle —
+    iterative float means aren't cross-engine reproducible — so the gate
+    records rows; the pytest pins nearest-centroid consistency and
+    label-recovery on separated blobs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kmeans_assign(emb, "embedding", "vec_id", k=8, n_iter=3)
+
+
 # ---- beyond-reference: text analysis ------------------------------------ #
 
 
@@ -1769,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "umap_pca": q_umap_pca,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "embedding_clusters": q_embedding_clusters,
         "image_features_stub": q_image_features_stub,
         "audio_features_stub": q_audio_features_stub,
         "profile_table_hll": q_profile_table_hll,

@@ -371,3 +371,74 @@ def ivf_topk(
         ["query_id", "doc_id"]
     )
     return _ranked_topk(scored, k)
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    n_iter: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """Distributed k-means clustering: returns ``(id, cluster, dist)`` —
+    the semantic-bucketing primitive behind topic balancing, per-cluster
+    sampling quotas, and cluster-local near-dup sweeps.
+
+    Seeds are a deterministic hash-ordered sample of corpus vectors (the
+    same trick ``ivf_topk`` uses — no RNG state to ship), refined by
+    ``n_iter`` distributed Lloyd passes (:func:`kmeans_refine_centroids`:
+    one corpus scan per pass, O(k × dim) partials per partition). The
+    final assignment is one more scan through the broadcast-centroid GEMM
+    assigner, so the whole fit-and-assign touches the corpus ``n_iter+1``
+    times and never shuffles vectors at all.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    seed_rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy(F.xxhash64(F.col("cid"), F.lit(seed)))
+        .limit(k)
+        .collect()
+    )
+    cmat = np.asarray([r["cv"] for r in seed_rows], dtype=np.float64)
+    if n_iter > 0:
+        cmat = kmeans_refine_centroids(corpus, vec_col, cmat, n_iter)
+    bc = corpus.sparkSession.sparkContext.broadcast(cmat)
+
+    out_t = StructType(
+        [
+            StructField("cluster", IntegerType()),
+            StructField("dist", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        cm = bc.value
+        if len(vecs) == 0:
+            return pd.DataFrame({"cluster": [], "dist": []})
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+        d2 = (
+            (v * v).sum(axis=1)[:, None]
+            - 2.0 * (v @ cm.T)
+            + (cm * cm).sum(axis=1)[None, :]
+        )
+        cells = np.argmin(d2, axis=1)
+        best = np.sqrt(np.maximum(d2[np.arange(len(v)), cells], 0.0))
+        return pd.DataFrame(
+            {"cluster": cells.astype("int32"), "dist": best}
+        )
+
+    widened = ensure_min_partitions(corpus)
+    res = widened.withColumn("_a", assign(F.col(vec_col)))
+    return res.select(
+        F.col(id_col),
+        F.col("_a.cluster").alias("cluster"),
+        F.round(F.col("_a.dist"), 6).alias("dist"),
+    )
