@@ -174,3 +174,44 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 << 20,
+    sort_within: str | list[str] | None = None,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into files of
+    roughly ``target_file_bytes`` each.
+
+    Streaming sinks and fine-grained incremental jobs strew thousands of
+    KB-sized files; at 100 TB the resulting open/seek/footer overhead
+    dominates scan time and driver memory (file listings). Compaction
+    reads once and writes ``ceil(bytes / target)`` files via ``coalesce``
+    — a NARROW dependency, no shuffle: input splits are merged, never
+    redistributed. Pass ``sort_within`` to locally sort each output file
+    (tighter row-group stats) at the cost of an in-partition sort.
+
+    Returns ``{"files_before", "files_after", "bytes"}``. Writes to a
+    separate ``dst_path`` (atomic swap is the caller's move — table
+    formats, not file tools, own in-place transactionality).
+    """
+    df = spark.read.parquet(src_path)
+    size = plan_size_bytes(df) or 0
+    n_files = max(1, -(-size // target_file_bytes)) if size else 1
+    files_before = df.rdd.getNumPartitions()
+    out = df.coalesce(n_files)
+    if sort_within is not None:
+        cols = [sort_within] if isinstance(sort_within, str) else list(sort_within)
+        out = out.sortWithinPartitions(*cols)
+    out.write.mode("overwrite").parquet(dst_path)
+    import glob as _glob
+
+    files_after = len(_glob.glob(f"{dst_path}/part-*.parquet"))
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": size,
+    }
