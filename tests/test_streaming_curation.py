@@ -82,3 +82,22 @@ def test_streaming_term_counts_equals_batch(spark):
         assert got == batch and len(got) > 0
     finally:
         q.stop()
+
+
+def test_chunk_documents_stream_equals_batch(spark):
+    """chunk_documents is pure expressions (tokenize -> posexplode ->
+    slice), so the identical call must run on a readStream source and
+    emit exactly the batch chunks."""
+    from krnel_graph_spark.functions.text import chunk_documents
+
+    def pipeline(df):
+        return chunk_documents(df, "text", "doc_id", chunk_size=16, overlap=4)
+
+    batch = sorted(tuple(r) for r in pipeline(spark.read.parquet(DOCS)).collect())
+    q = _drain(pipeline(_stream_docs(spark)), "chunk_stream")
+    try:
+        q.awaitTermination(60)
+        got = sorted(tuple(r) for r in spark.table("chunk_stream").collect())
+        assert got == batch and len(got) > 0
+    finally:
+        q.stop()
