@@ -385,6 +385,21 @@ def q_jsonl_roundtrip(spark, sf_dir):
     return runner.dataframe(back)
 
 
+def q_orc_roundtrip(spark, sf_dir):
+    """Engine-written ORC read back through the ORC source (self-describing
+    columnar format — no schema plumbing): write part, reload via
+    from_orc (row ids re-adopted), export. Must equal the parquet table
+    exactly."""
+    import hashlib as _h
+
+    runner = _runner(spark)
+    part = runner.from_parquet(f"{sf_dir}/part.parquet")
+    tag = f"{_h.sha256(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}"
+    path = f"/tmp/spark_graft_gate_{tag}/part.orc"
+    runner.write_orc(part, path, sort_by_row_id=True)
+    return runner.dataframe(runner.from_orc(path))
+
+
 # ---- beyond-reference: relational ------------------------------------- #
 
 
@@ -1770,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inline_dataset": q_inline_dataset,
         "csv_roundtrip": q_csv_roundtrip,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
         # ---- no-oracle queries (rows-only check) below this line ---- #
         "split_rng": q_split_rng,
         "classifier_predict": q_classifier_predict,
@@ -2042,6 +2058,7 @@ FROM t WHERE ({md5_long_sql("rn::VARCHAR || ':42'")} % 1000000) >= 250000
         + ") AS t(value)",
         "csv_roundtrip": "SELECT * FROM nation",
         "jsonl_roundtrip": "SELECT * FROM supplier",
+        "orc_roundtrip": "SELECT * FROM part",
         "agg_q1": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,

@@ -76,6 +76,14 @@ class LoadJSONLinesDatasetOp(LoadDatasetOp):
     schema_ddl: Optional[str] = None
 
 
+class LoadORCDatasetOp(LoadDatasetOp):
+    """Read an ORC file/directory (beyond-reference source). ORC is
+    self-describing like parquet — no schema/inference knobs needed; the
+    content hash keys identity exactly as for parquet sources."""
+
+    file_path: Annotated[str, ExcludeFromUUID()]
+
+
 # ---------------------------------------------------------------------- #
 # Projections (ephemeral: a select is just a column expression)           #
 # ---------------------------------------------------------------------- #

@@ -41,6 +41,7 @@ from ..operators.dataset_ops import (
     LoadCSVDatasetOp,
     LoadInlineJsonDatasetOp,
     LoadJSONLinesDatasetOp,
+    LoadORCDatasetOp,
     LoadParquetDatasetOp,
     MaskRowsOp,
     PairwiseArithmeticOp,
@@ -171,6 +172,13 @@ class SparkRunner(BaseRunner):
             schema_ddl=schema,
         )
 
+    def from_orc(self, file_path: str) -> "LoadORCDatasetOp":
+        from ..operators.dataset_ops import LoadORCDatasetOp
+
+        return LoadORCDatasetOp(
+            file_path=file_path, content_hash=_content_identity(file_path)
+        )
+
     # ------------------------------------------------------------------ #
     # User-directed sinks (beyond-reference: the reference can only write  #
     # into its result store)                                               #
@@ -212,6 +220,12 @@ class SparkRunner(BaseRunner):
     ) -> None:
         with _translate_runtime_errors():
             self._sink_df(op, sort_by_row_id).write.mode("overwrite").json(path)
+
+    def write_orc(
+        self, op: OpSpec, path: str, sort_by_row_id: bool = False
+    ) -> None:
+        with _translate_runtime_errors():
+            self._sink_df(op, sort_by_row_id).write.mode("overwrite").orc(path)
 
     def write_bucketed(
         self,
@@ -768,6 +782,14 @@ def load_json_lines(runner: SparkRunner, op: LoadJSONLinesDatasetOp) -> DatasetP
     if op.schema_ddl:
         reader = reader.schema(op.schema_ddl)
     return _text_scan_with_row_ids(reader.json(op.file_path), op.uuid)
+
+
+@SparkRunner.implementation
+def load_orc(runner: SparkRunner, op: LoadORCDatasetOp) -> DatasetPlan:
+    """ORC scan (columnar, vectorized, predicate-pushdown-capable like
+    parquet). Row ids follow the text-source policy: written ids are
+    re-adopted on round-trips, fresh scans get stable monotonic ids."""
+    return _text_scan_with_row_ids(runner.spark.read.orc(op.file_path), op.uuid)
 
 
 @SparkRunner.implementation

@@ -141,3 +141,19 @@ def test_sink_translates_bounds_error(lazy_runner, tmp_path):
     bad = ds.col_vector("v").col(7)
     with _pytest.raises(IndexError):
         lazy_runner.write_parquet(bad, str(tmp_path / "bad.parquet"))
+
+
+def test_orc_roundtrip(lazy_runner, spark, tmp_path):
+    """ORC source/sink: engine-written ORC reads back row-identical
+    (written row ids re-adopted), and engine ops compose on the scan."""
+    p = str(tmp_path / "nation.orc")
+    src = lazy_runner.from_parquet("/root/testdata/sf0.001/nation.parquet")
+    lazy_runner.write_orc(src, p, sort_by_row_id=True)
+    back = lazy_runner.from_orc(p)
+    a = lazy_runner.to_pandas(src)
+    b = lazy_runner.to_pandas(back)
+    assert a.equals(b)
+    masked = back.mask_rows(
+        back.col_categorical("n_name").is_in({"NATION_1", "NATION_2"})
+    )
+    assert len(lazy_runner.to_pandas(masked)) == 2
