@@ -312,6 +312,43 @@ def cmd_make_group(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Table maintenance: rewrite a parquet directory into ~target-sized
+    files (beyond-reference; the streaming sink's many small files need
+    periodic compaction at scale)."""
+    import json as _json
+
+    from .functions.partitioning import compact_parquet
+    from .runners.spark_runner import get_spark
+
+    stats = compact_parquet(
+        get_spark("cli-compact"),
+        args.src,
+        args.dst,
+        target_file_bytes=args.target_mb << 20,
+        sort_within=args.sort_by.split(",") if args.sort_by else None,
+    )
+    print(_json.dumps(stats))
+    return 0
+
+
+def cmd_zorder(args) -> int:
+    """Table maintenance: rewrite a parquet directory z-ordered on the
+    given columns for multi-column row-group skipping."""
+    from .functions.partitioning import write_zordered
+    from .runners.spark_runner import get_spark
+
+    spark = get_spark("cli-zorder")
+    write_zordered(
+        spark.read.parquet(args.src),
+        args.dst,
+        args.cols.split(","),
+        n_files=args.n_files,
+    )
+    print(args.dst)
+    return 0
+
+
 def cmd_config(args) -> int:
     """Get or set engine configuration (reference ``cli.py:608-646``).
 
@@ -447,6 +484,26 @@ def build_parser() -> argparse.ArgumentParser:
         "--shuffle-partitions", dest="shuffle_partitions", type=int
     )
     p_config.set_defaults(fn=cmd_config)
+
+    p_compact = sub.add_parser(
+        "compact", help="rewrite a parquet dir into ~target-sized files"
+    )
+    p_compact.add_argument("src")
+    p_compact.add_argument("dst")
+    p_compact.add_argument("--target-mb", type=int, default=128)
+    p_compact.add_argument(
+        "--sort-by", help="comma-separated columns for per-file local sort"
+    )
+    p_compact.set_defaults(fn=cmd_compact)
+
+    p_zorder = sub.add_parser(
+        "zorder", help="rewrite a parquet dir z-ordered on columns"
+    )
+    p_zorder.add_argument("src")
+    p_zorder.add_argument("dst")
+    p_zorder.add_argument("cols", help="comma-separated columns to z-order on")
+    p_zorder.add_argument("--n-files", type=int, default=32)
+    p_zorder.set_defaults(fn=cmd_zorder)
     return parser
 
 

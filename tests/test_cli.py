@@ -277,3 +277,28 @@ def test_runner_factory(tmp_path, spark, monkeypatch):
     monkeypatch.setenv("KRNEL_SPARK_RUNNER_TYPE", "LocalCachedRunner")
     r3 = kg.Runner(spark=spark, store_path=str(tmp_path / "shared2"))
     assert isinstance(r3, kg.LocalCachedRunner)
+
+
+def test_cli_compact_and_zorder(tmp_path, capsys):
+    import glob
+    import json
+
+    from krnel_graph_spark.cli import main
+    from krnel_graph_spark.runners.spark_runner import get_spark
+
+    spark = get_spark("test-cli-maint")
+    src = str(tmp_path / "src")
+    spark.range(20_000).selectExpr("id", "id % 50 as k").repartition(
+        40
+    ).write.parquet(src)
+
+    dst = str(tmp_path / "compacted")
+    assert main(["compact", src, dst, "--target-mb", "1"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["files_after"] < 40
+    assert spark.read.parquet(dst).count() == 20_000
+
+    zdst = str(tmp_path / "zordered")
+    assert main(["zorder", src, zdst, "id,k", "--n-files", "4"]) == 0
+    assert len(glob.glob(f"{zdst}/part-*.parquet")) <= 4
+    assert spark.read.parquet(zdst).count() == 20_000
