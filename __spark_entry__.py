@@ -1562,6 +1562,22 @@ def q_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(emb, queries_df, "embedding", "vec_id", k=10, nprobe=8)
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantized ANN with exact re-rank: train codebooks
+    (bounded deterministic sample), encode the corpus to 8-byte codes,
+    ADC-search, refine the shortlist against raw vectors. No SQL oracle
+    (k-means codebooks aren't cross-engine reproducible); recall is
+    pinned by test_pq.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(emb, "embedding", m=8, n_codes=64, n_iter=5)
+    enc = similarity.pq_encode(emb, "embedding", "vec_id", books)
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return similarity.pq_topk(
+        enc, queries_df, books, "embedding", "vec_id", k=10,
+        refine=emb, refine_factor=4,
+    )
+
+
 def q_embedding_clusters(spark, sf_dir):
     """Distributed k-means (seed sample + Lloyd passes, broadcast-GEMM
     assignment): per-vector cluster id + distance. No SQL oracle —
@@ -1796,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_clusters": q_embedding_clusters,
+        "ann_pq": q_ann_pq,
         "image_features_stub": q_image_features_stub,
         "audio_features_stub": q_audio_features_stub,
         "profile_table_hll": q_profile_table_hll,

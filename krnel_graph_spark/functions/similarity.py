@@ -12,6 +12,13 @@
 * :func:`ivf_topk` — IVF-style: k-means-ish centroids sampled
   deterministically from the corpus; vectors assign to nearest centroid
   (scan-side); queries probe the ``nprobe`` nearest centroid cells.
+* :func:`pq_train` / :func:`pq_encode` / :func:`pq_topk` — product
+  quantization: vectors compress to ``m`` one-byte codes (32× smaller
+  scans at the defaults); search is table-lookup ADC with an optional
+  exact re-rank of the shortlist. The memory/IO answer when even ids+
+  vectors no longer fit the scan budget.
+* :func:`kmeans_assign` — distributed k-means clustering (semantic
+  bucketing for quota sampling and cluster-local dedup).
 """
 
 from __future__ import annotations
@@ -441,4 +448,228 @@ def kmeans_assign(
         F.col(id_col),
         F.col("_a.cluster").alias("cluster"),
         F.round(F.col("_a.dist"), 6).alias("dist"),
+    )
+
+
+# ---------------------------------------------------------------------- #
+# Product quantization (PQ): compressed ANN for corpora whose raw vectors #
+# no longer fit the cluster's memory/scan budget.                         #
+# ---------------------------------------------------------------------- #
+
+
+def pq_train(
+    corpus: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    n_codes: int = 256,
+    sample_rows: int = 4096,
+    seed: int = 7,
+    n_iter: int = 10,
+) -> "np.ndarray":
+    """Train product-quantization codebooks: split vectors into ``m``
+    subspaces, k-means each to ``n_codes`` centroids. Returns an
+    ``(m, n_codes, dim/m)`` array.
+
+    Training runs driver-side numpy over a DETERMINISTIC hash-ordered
+    sample (``sample_rows`` vectors — a bounded collect, the same policy
+    as the IVF centroid seed): PQ codebooks are a fixed-size model
+    (m·n_codes·sub_dim floats, e.g. 8·256·8 = 16k) whose quality
+    saturates at a few thousand training points regardless of corpus
+    size, so at 100 TB the sample — not the corpus — is still what any
+    index-training job reads.
+    """
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .withColumn("_h", F.xxhash64(F.col("v").cast("array<double>").cast("string"), F.lit(seed)))
+        .orderBy("_h")
+        .limit(sample_rows)
+        .collect()
+    )
+    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_codes, sub))
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        k = min(n_codes, len(xs))
+        cm = xs[rng.choice(len(xs), size=k, replace=False)]
+        for _ in range(n_iter):
+            d2 = (
+                (xs * xs).sum(1)[:, None]
+                - 2 * (xs @ cm.T)
+                + (cm * cm).sum(1)[None, :]
+            )
+            a = d2.argmin(1)
+            for c in range(k):
+                pts = xs[a == c]
+                if len(pts):
+                    cm[c] = pts.mean(0)
+        if k < n_codes:  # degenerate tiny corpora: repeat last centroid
+            cm = np.vstack([cm, np.repeat(cm[-1:], n_codes - k, axis=0)])
+        books[j] = cm
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    codebooks: "np.ndarray",
+) -> DataFrame:
+    """Encode each vector as ``m`` one-byte codes — 8 bytes/vector at
+    the default (m=8, 256 codes) vs 256 bytes of float32: a 32× smaller
+    scan for every downstream search. One corpus pass through a
+    broadcast-codebook Arrow UDF (per-subspace GEMM argmin)."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def enc(vecs: pd.Series) -> pd.Series:
+        books = bc.value
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+        m, _, sub = books.shape
+        codes = np.empty((len(v), m), dtype=np.int32)
+        for j in range(m):
+            xs = v[:, j * sub : (j + 1) * sub]
+            cm = books[j]
+            d2 = (
+                (xs * xs).sum(1)[:, None]
+                - 2 * (xs @ cm.T)
+                + (cm * cm).sum(1)[None, :]
+            )
+            codes[:, j] = d2.argmin(1)
+        return pd.Series(list(codes))
+
+    widened = ensure_min_partitions(corpus)
+    return widened.select(
+        F.col(id_col).alias("doc_id"), enc(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: "np.ndarray",
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    refine: DataFrame | None = None,
+    refine_factor: int = 4,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance (ADC): per query, a
+    ``(m, n_codes)`` lookup table of subspace distances; a candidate's
+    distance is ``m`` table lookups summed — no float vectors are read
+    at search time at all.
+
+    Queries (collected — the broadcast-side small relation, as in
+    ``cosine_topk``) and codebooks ride one broadcast; each scan
+    partition emits only its local top-k per query, so the shuffle into
+    the final ranking window is |partitions|·|queries|·k rows no matter
+    how big the corpus is.
+
+    Pass ``refine`` (the raw-vector corpus) to exact-re-rank the ADC
+    shortlist: the top ``k·refine_factor`` ADC candidates per query join
+    back against their float vectors (a broadcast semi-join touching only
+    shortlist rows) and the final top-k uses true L2 — the standard
+    two-stage PQ design that buys back quantization recall for a
+    constant amount of exact work per query.
+    """
+    shortlist = k * refine_factor if refine is not None else k
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    qids = np.asarray([r["qid"] for r in q_rows])
+    qmat = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
+    m, n_codes, sub = codebooks.shape
+    # LUT[q, j, c] = ||q_sub_j - codebook[j, c]||^2
+    luts = np.empty((len(qmat), m, n_codes))
+    for j in range(m):
+        qs = qmat[:, j * sub : (j + 1) * sub]
+        cm = codebooks[j]
+        luts[:, j, :] = (
+            (qs * qs).sum(1)[:, None]
+            - 2 * (qs @ cm.T)
+            + (cm * cm).sum(1)[None, :]
+        )
+    bc = encoded.sparkSession.sparkContext.broadcast((qids, luts))
+
+    def score(batches):
+        qi, lt = bc.value
+        nq, mm, _ = lt.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # (B, m)
+            # dist[q, b] = sum_j LUT[q, j, codes[b, j]]
+            d = np.zeros((nq, len(codes)))
+            for j in range(mm):
+                d += lt[:, j, :][:, codes[:, j]]
+            ids = pdf["doc_id"].to_numpy()
+            kk = min(shortlist, len(codes))
+            top = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            out_q, out_id, out_d = [], [], []
+            for qi_idx in range(nq):
+                sel = top[qi_idx]
+                out_q.extend([qi[qi_idx]] * len(sel))
+                out_id.extend(ids[sel])
+                out_d.extend(d[qi_idx, sel])
+            yield pd.DataFrame(
+                {"query_id": out_q, "doc_id": out_id, "approx_l2": out_d}
+            )
+
+    cand = encoded.mapInPandas(
+        score, "query_id long, doc_id long, approx_l2 double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_l2").asc(), F.col("doc_id").asc()
+    )
+    if refine is None:
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "doc_id",
+                F.round(
+                    F.sqrt(F.greatest(F.col("approx_l2"), F.lit(0.0))), 6
+                ).alias("approx_l2"),
+                "rank",
+            )
+        )
+    # Exact re-rank: shortlist ids (|queries|·k·factor rows) pull their
+    # float vectors; true L2 against broadcast query vectors decides.
+    short = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist)
+        .select("query_id", "doc_id")
+    )
+    corp = refine.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("dv")
+    )
+    qv = refine.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(qids, qmat)],
+        "qid long, qv array<double>",
+    )
+    from .vector import l2_distance
+
+    exact = (
+        corp.join(F.broadcast(short), F.col("cid") == F.col("doc_id"))
+        .join(F.broadcast(qv), F.col("query_id") == F.col("qid"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(l2_distance(F.col("dv").cast("array<double>"), "qv"), 6)
+            .alias("approx_l2"),
+        )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "approx_l2", "rank")
     )

@@ -1,0 +1,94 @@
+"""Product-quantization ANN tests: reconstruction quality scales with
+codebook size, ADC recall against exact L2 top-k, and deterministic
+training/encoding."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from krnel_graph_spark.functions.similarity import pq_encode, pq_topk, pq_train
+
+
+@pytest.fixture(scope="module")
+def vecs_df(spark):
+    rng = np.random.default_rng(5)
+    # 12 loose clusters in 16-dim so neighbors are meaningful but not trivial
+    centers = rng.normal(0, 5, (12, 16))
+    rows = []
+    for i in range(800):
+        v = centers[i % 12] + rng.normal(0, 1.0, 16)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _exact_topk(rows, qids, k):
+    ids = np.array([r[0] for r in rows])
+    mat = np.stack([np.array(r[1]) for r in rows])
+    out = {}
+    for q in qids:
+        qv = mat[ids == q][0]
+        d = ((mat - qv) ** 2).sum(1)
+        order = np.lexsort((ids, d))
+        out[q] = set(ids[order][:k])
+    return out
+
+
+def test_pq_recall_against_exact(spark, vecs_df):
+    books = pq_train(vecs_df, "embedding", m=4, n_codes=64, n_iter=8)
+    enc = pq_encode(vecs_df, "embedding", "vec_id", books)
+    queries = vecs_df.filter("vec_id < 8")
+    exact = _exact_topk(
+        [(r.vec_id, r.embedding) for r in vecs_df.collect()], list(range(8)), 10
+    )
+
+    def recall(rows):
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, set()).add(r.doc_id)
+        assert len(by_q) == 8 and all(len(v) == 10 for v in by_q.values())
+        return sum(len(by_q[q] & exact[q]) / 10 for q in by_q) / len(by_q)
+
+    adc = recall(
+        pq_topk(enc, queries, books, "embedding", "vec_id", k=10).collect()
+    )
+    assert adc >= 0.4  # raw 8-byte codes: coarse but useful
+    refined = recall(
+        pq_topk(
+            enc, queries, books, "embedding", "vec_id", k=10,
+            refine=vecs_df, refine_factor=6,
+        ).collect()
+    )
+    assert refined >= 0.9  # exact re-rank of the ADC shortlist
+    assert refined >= adc
+
+
+def test_pq_reconstruction_improves_with_codes(spark, vecs_df):
+    x = np.stack([np.array(r.embedding) for r in vecs_df.collect()])
+
+    def recon_err(books):
+        m, _, sub = books.shape
+        err = 0.0
+        for j in range(m):
+            xs = x[:, j * sub : (j + 1) * sub]
+            cm = books[j]
+            d2 = ((xs * xs).sum(1)[:, None] - 2 * (xs @ cm.T)
+                  + (cm * cm).sum(1)[None, :])
+            err += d2.min(1).sum()
+        return err
+
+    small = pq_train(vecs_df, "embedding", m=4, n_codes=8, n_iter=6)
+    big = pq_train(vecs_df, "embedding", m=4, n_codes=128, n_iter=6)
+    assert recon_err(big) < recon_err(small) * 0.5
+
+
+def test_pq_deterministic(spark, vecs_df):
+    b1 = pq_train(vecs_df, "embedding", m=4, n_codes=16, n_iter=4)
+    b2 = pq_train(vecs_df, "embedding", m=4, n_codes=16, n_iter=4)
+    assert np.array_equal(b1, b2)
+    e1 = {r.doc_id: tuple(r.codes)
+          for r in pq_encode(vecs_df, "embedding", "vec_id", b1).collect()}
+    e2 = {r.doc_id: tuple(r.codes)
+          for r in pq_encode(vecs_df, "embedding", "vec_id", b2).collect()}
+    assert e1 == e2
+    assert all(len(c) == 4 and all(0 <= x < 16 for x in c) for c in e1.values())
