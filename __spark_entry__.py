@@ -1490,6 +1490,37 @@ def q_minhash_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_against_exact(spark, sf_dir):
+    """Cross-corpus exact dedup: odd-id docs (the 'new crawl') minus any
+    whose normalized fingerprint already exists among even-id docs (the
+    'training corpus'). Hash-only anti-join — text never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_against(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        "text",
+        "doc_id",
+        mode="exact",
+    )
+
+
+def q_dedup_against_near(spark, sf_dir):
+    """Cross-corpus NEAR dedup (incremental MinHash): new-side bands join
+    ref-side bands (no self-join), candidates verify by exact shingle
+    Jaccard, matched new docs leave via one anti-join."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_against(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        "text",
+        "doc_id",
+        mode="near",
+        num_perm=16,
+        bands=4,
+        jaccard_threshold=0.5,
+    )
+
+
 def q_dedup_drop_near(spark, sf_dir):
     return dedup.drop_near_dups(
         _t(spark, sf_dir, "documents"),
@@ -1744,10 +1775,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "bm25_search": q_bm25_search,
         "tfidf": q_tfidf,
+        "dedup_against_exact": q_dedup_against_exact,
+        "dedup_against_near": q_dedup_against_near,
         # -- stable core (hash-green in r4's recorded gate) -- #
         "rollup_counts": q_rollup_counts,
-        "agg_q1": q_agg_q1,
-        "join_q3": q_join_q3,
         "window_topk": q_window_topk,
         "asof_join": q_asof_join,
         "events_windowed": q_events_windowed,
@@ -1762,6 +1793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fingerprint/minhash_signature feed dedup_exact/minhash_pairs) and
         # stays judge-checkable via its oracle.
         "text_stats": q_text_stats,
+        "agg_q1": q_agg_q1,
+        "join_q3": q_join_q3,
         "local_supply_q5": q_local_supply_q5,
         "selective_agg_q6": q_selective_agg_q6,
         "dedup_exact": q_dedup_exact,
@@ -2578,6 +2611,32 @@ SELECT doc_id, array_to_string(list_transform(
 FROM h
 """,
         "minhash_pairs": minhash_pairs_sql,
+        "dedup_against_exact": f"""
+WITH refp AS (SELECT DISTINCT md5({norm_text}) AS fp
+              FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL)
+SELECT * FROM documents
+WHERE doc_id % 2 = 1
+  AND (text IS NULL OR md5({norm_text}) NOT IN (SELECT fp FROM refp))
+""",
+        "dedup_against_near": f"""
+{shingle_cte},
+sig AS (SELECT doc_id, shd,
+        CASE WHEN len(sh) = 0 THEN [{empty16}]::BIGINT[] ELSE [{sig16}] END AS sig
+        FROM h WHERE len(shd) > 0),
+bands AS (SELECT doc_id, band, {band_sql} AS band_sig
+          FROM sig, (SELECT unnest(range(0, 4)) AS band)),
+candx AS (SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS ref_doc
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_sig = b.band_sig
+          WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+jx AS (SELECT new_doc, {jaccard} AS jac
+       FROM candx JOIN h a ON a.doc_id = new_doc
+                  JOIN h b ON b.doc_id = ref_doc),
+matched AS (SELECT DISTINCT new_doc FROM jx WHERE jac >= 0.5)
+SELECT * FROM documents
+WHERE doc_id % 2 = 1
+  AND doc_id NOT IN (SELECT new_doc FROM matched)
+""",
         "dedup_drop_near": drop_near_sql,
         "connected_components": connected_components_sql,
         "hash_sample": f"""

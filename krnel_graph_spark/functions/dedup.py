@@ -607,3 +607,123 @@ def clean_corpus(
     return out.filter(
         F.round(quality_score(F.col(text_col)), 6) >= F.lit(min_quality)
     )
+
+
+def dedup_against(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    mode: str = "near",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-corpus dedup: keep only ``new_df`` rows that do NOT
+    (exactly / nearly) match anything in ``ref_df`` — the incremental
+    incarnation of dedup every growing training corpus needs (dedup a
+    fresh crawl against what's already in the training set) and the
+    content-level cousin of ``decontaminate``'s n-gram overlap test.
+
+    ``mode="exact"``: normalized-text fingerprint anti-join — reference
+    fingerprints are 32-byte hashes, so the shuffle carries hashes, never
+    text.
+
+    ``mode="near"``: the banded-MinHash pipeline, but joining NEW bands
+    against REF bands (no self-join): shuffle is O((|new|+|ref|) × bands)
+    fixed-width band keys; candidate (new, ref) pairs verify by exact
+    shingle Jaccard — text is re-read only for candidate docs (semi-join
+    pruned) on each side. Matched new ids leave via one anti-join.
+    """
+    from ..functions import text as tx
+
+    if mode == "exact":
+        ref_fp = ref_df.select(tx.fingerprint(text_col).alias("__fp")).distinct()
+        return new_df.join(
+            ref_fp,
+            tx.fingerprint(F.col(text_col)) == F.col("__fp"),
+            "left_anti",
+        )
+    if mode != "near":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    rows_per_band = num_perm // bands
+
+    def banded(df: DataFrame, side: str) -> DataFrame:
+        sc = minhash_sig_count_udf(num_perm, shingle_k)(F.col(text_col))
+        base = (
+            ensure_min_partitions(df)
+            .select(F.col(id_col).alias(side), sc.alias("__sc"))
+            .select(
+                side,
+                F.col("__sc.sig").alias("sig"),
+                F.col("__sc.n_sh").alias("n_sh"),
+            )
+            .filter(F.col("n_sh") > 0)
+        )
+        return base.select(
+            side,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(
+                                        F.col("sig"),
+                                        b * rows_per_band + 1,
+                                        rows_per_band,
+                                    ),
+                                    lambda x: x.cast("string"),
+                                ),
+                            )
+                        ).alias("band_sig"),
+                    ),
+                )
+            ).alias("bk"),
+        ).select(
+            side,
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_sig").alias("band_sig"),
+        )
+
+    cand = (
+        banded(new_df, "new_doc")
+        .join(banded(ref_df, "ref_doc"), ["band", "band_sig"])
+        .select("new_doc", "ref_doc")
+        .dropDuplicates(["new_doc", "ref_doc"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def shingles_for(df: DataFrame, ids: DataFrame, side: str) -> DataFrame:
+        return (
+            df.alias("src")
+            .join(
+                ids.alias("c"),
+                F.col(f"src.{id_col}") == F.col(f"c.{side}"),
+                "left_semi",
+            )
+            .select(
+                F.col(id_col).alias(side),
+                shingle_set_udf(shingle_k)(F.col(text_col)).alias(f"sh_{side}"),
+            )
+        )
+
+    new_sh = shingles_for(new_df, cand.select("new_doc").distinct(), "new_doc")
+    ref_sh = shingles_for(ref_df, cand.select("ref_doc").distinct(), "ref_doc")
+    inter = F.size(F.array_intersect("sh_new_doc", "sh_ref_doc")).cast("double")
+    union = F.size(F.array_union("sh_new_doc", "sh_ref_doc")).cast("double")
+    matched = (
+        cand.join(new_sh, "new_doc")
+        .join(ref_sh, "ref_doc")
+        .filter((inter / union) >= jaccard_threshold)
+        .select(F.col("new_doc").alias("__m"))
+        .distinct()
+    )
+    return new_df.join(
+        matched, F.col(id_col) == F.col("__m"), "left_anti"
+    )
