@@ -71,9 +71,13 @@ HEADLINE = [
     # aggregate replacing the EXISTS/NOT-EXISTS self-join pair).
     "product_profit_q9",
     "waiting_supplier_q21",
-    # r5: text-pipeline additions — zero-shuffle chunking, broadcast BM25.
+    # r5: text-pipeline additions — zero-shuffle chunking, broadcast BM25,
+    # TF-IDF featurizer, cross-corpus near dedup, compressed-ANN search.
     "chunk_docs",
     "bm25_search",
+    "tfidf",
+    "dedup_against_near",
+    "ann_pq",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds
