@@ -101,3 +101,34 @@ def test_chunk_documents_stream_equals_batch(spark):
         assert got == batch and len(got) > 0
     finally:
         q.stop()
+
+
+def test_dedup_against_stream_new_static_ref(spark):
+    """Incremental dedup in its natural habitat: the 'new docs' side is a
+    STREAM, the reference corpus is static. Exact mode is a stream-static
+    LEFT ANTI join on fingerprints — supported natively, same code path
+    as batch."""
+    from krnel_graph_spark.functions.dedup import dedup_against
+
+    ref = spark.read.parquet(DOCS).filter("doc_id % 2 = 0")
+
+    def pipeline(new_df):
+        return dedup_against(new_df, ref, "text", "doc_id", mode="exact").select(
+            "doc_id"
+        )
+
+    batch = sorted(
+        r.doc_id
+        for r in pipeline(
+            spark.read.parquet(DOCS).filter("doc_id % 2 = 1")
+        ).collect()
+    )
+    q = _drain(
+        pipeline(_stream_docs(spark).filter("doc_id % 2 = 1")), "dedup_stream"
+    )
+    try:
+        q.awaitTermination(60)
+        got = sorted(r.doc_id for r in spark.table("dedup_stream").collect())
+        assert got == batch and len(got) > 0
+    finally:
+        q.stop()
