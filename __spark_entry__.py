@@ -1648,6 +1648,15 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+def q_tokenize_ids(spark, sf_dir):
+    """Vocabulary-id encoding, long format (doc_id, pos, token_id): the
+    text→integers bridge into sequence packing. Vocab (top-50, total
+    order) broadcasts into the lookup join; strings end here."""
+    return tx.tokenize_ids(
+        _docs(spark, sf_dir), "text", "doc_id", vocab_size=50
+    )
+
+
 def q_tfidf(spark, sf_dir):
     """Sparse TF-IDF features, long format, top-20 vocabulary: the
     classic bag-of-words featurizer. Vocabulary + doc count broadcast;
@@ -1777,9 +1786,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": q_tfidf,
         "dedup_against_exact": q_dedup_against_exact,
         "dedup_against_near": q_dedup_against_near,
+        "tokenize_ids": q_tokenize_ids,
         # -- stable core (hash-green in r4's recorded gate) -- #
         "rollup_counts": q_rollup_counts,
-        "window_topk": q_window_topk,
         "asof_join": q_asof_join,
         "events_windowed": q_events_windowed,
         "sessionize": q_sessionize,
@@ -1793,6 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fingerprint/minhash_signature feed dedup_exact/minhash_pairs) and
         # stays judge-checkable via its oracle.
         "text_stats": q_text_stats,
+        "window_topk": q_window_topk,
         "agg_q1": q_agg_q1,
         "join_q3": q_join_q3,
         "local_supply_q5": q_local_supply_q5,
@@ -2691,6 +2701,22 @@ scored AS (
   GROUP BY doc_id)
 SELECT doc_id, round(s, 6)::DOUBLE AS score
 FROM scored ORDER BY s DESC, doc_id ASC LIMIT 20
+""",
+        "tokenize_ids": f"""
+WITH t AS (SELECT doc_id,
+        CASE WHEN {norm_text} = '' THEN CAST([] AS VARCHAR[])
+             ELSE {toks_text} END AS toks
+      FROM documents),
+p AS (SELECT doc_id, unnest(toks) AS term FROM t),
+g AS (SELECT term, count(*) AS tf FROM p GROUP BY term),
+v AS (SELECT term,
+             row_number() OVER (ORDER BY tf DESC, term ASC) AS token_id
+      FROM (SELECT * FROM g ORDER BY tf DESC, term ASC LIMIT 50)),
+pos AS (SELECT doc_id, i - 1 AS pos, toks[i] AS term
+        FROM t CROSS JOIN LATERAL
+             (SELECT unnest(range(1, len(toks) + 1)) AS i) r)
+SELECT doc_id, pos, coalesce(token_id, 0) AS token_id
+FROM pos LEFT JOIN v USING (term)
 """,
         "tfidf": f"""
 WITH t AS (SELECT doc_id,

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lexicons for the n-gram/stopword language-ID
@@ -428,4 +428,63 @@ def tfidf(
         id_col,
         "term",
         F.round(F.col("w") / F.col("_norm"), 6).cast("double").alias("tfidf"),
+    )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab_size: int = 32768,
+) -> DataFrame:
+    """Frequency-ranked vocabulary ``(term, token_id)`` with ids 1..k
+    (0 is reserved for unknown): ``term_stats`` top-``vocab_size`` by
+    (tf desc, term asc) — a total order, so ids are deterministic.
+
+    The rank window runs over the ALREADY-LIMITED k-row frame (top-k via
+    TakeOrderedAndProject first), so the single-partition window touches
+    ``vocab_size`` rows, never the corpus."""
+    top = (
+        term_stats(df, text_col, id_col)
+        .orderBy(F.col("tf").desc(), F.col("term").asc())
+        .limit(vocab_size)
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("term").asc())
+    return top.select(
+        "term", F.row_number().over(w).cast("long").alias("token_id")
+    )
+
+
+def tokenize_ids(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab: DataFrame | None = None,
+    vocab_size: int = 32768,
+) -> DataFrame:
+    """Encode documents as vocabulary token ids, long format
+    ``(id, pos, token_id)`` — the bridge from raw text to
+    ``sequence_pack``-able integer sequences. Out-of-vocabulary tokens
+    map to 0.
+
+    Long format IS the distributed representation: each row is
+    independent, re-keyable, and the (term → id) map is a broadcast
+    lookup join — the corpus explodes once and never carries strings
+    past this point (downstream shuffles move longs, ~10× narrower than
+    the text)."""
+    if vocab is None:
+        vocab = build_vocab(df, text_col, id_col, vocab_size)
+    toks = F.when(
+        normalize_text(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(whitespace_tokens(F.col(text_col)))
+    pairs = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "term")
+    )
+    return (
+        pairs.join(F.broadcast(vocab), "term", "left")
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("long").alias("pos"),
+            F.coalesce(F.col("token_id"), F.lit(0)).cast("long").alias("token_id"),
+        )
     )

@@ -187,3 +187,32 @@ def test_tfidf_differential(spark, docs_df, normalize):
             by_doc[d] = by_doc.get(d, 0.0) + w * w
         for d, ss in by_doc.items():
             assert ss == pytest.approx(1.0, abs=1e-4)
+
+
+def test_tokenize_ids_differential(spark, docs_df):
+    from collections import Counter
+
+    got = sorted(
+        (r.doc_id, r.pos, r.token_id)
+        for r in tx.tokenize_ids(docs_df, "text", "doc_id", vocab_size=5).collect()
+    )
+    # reference: top-5 terms by (tf desc, term asc), ids 1..5, OOV -> 0
+    tfc = Counter()
+    for _, t in _corpus():
+        tfc.update(_tokens(t))
+    vocab = {
+        t: i + 1
+        for i, (t, _) in enumerate(
+            sorted(tfc.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        )
+    }
+    ref = sorted(
+        (d, p, vocab.get(tok, 0))
+        for d, t in _corpus()
+        for p, tok in enumerate(_tokens(t))
+    )
+    assert got == ref
+    # round-trip property: id sequences preserve document length
+    lens = Counter(d for d, _, _ in got)
+    for d, t in _corpus():
+        assert lens[d] == len(_tokens(t))
