@@ -1657,6 +1657,31 @@ def q_tokenize_ids(spark, sf_dir):
     )
 
 
+def q_chunk_pack(spark, sf_dir):
+    """End-to-end sequence preparation: chunk documents into token
+    windows, then offset-pack the chunks into 256-token training
+    sequences per source shard — the composed chunk→pack pipeline a
+    training-data run actually executes. Chunking is shuffle-free; the
+    pack window partitions by source, so no global funnel."""
+    from krnel_graph_spark.functions import curation
+
+    chunks = tx.chunk_documents(
+        _docs(spark, sf_dir), "text", "doc_id", chunk_size=32, overlap=8
+    )
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    joined = chunks.join(src, "doc_id").withColumn(
+        "seq_key", F.col("doc_id") * F.lit(1000) + F.col("chunk_id")
+    )
+    packed = curation.sequence_pack(
+        joined,
+        order_by="seq_key",
+        token_col="n_tokens",
+        budget=256,
+        partition_by="source",
+    )
+    return packed.select("doc_id", "chunk_id", "source", "n_tokens", "pack_id")
+
+
 def q_tfidf(spark, sf_dir):
     """Sparse TF-IDF features, long format, top-20 vocabulary: the
     classic bag-of-words featurizer. Vocabulary + doc count broadcast;
@@ -1787,9 +1812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against_exact": q_dedup_against_exact,
         "dedup_against_near": q_dedup_against_near,
         "tokenize_ids": q_tokenize_ids,
+        "chunk_pack": q_chunk_pack,
         # -- stable core (hash-green in r4's recorded gate) -- #
         "rollup_counts": q_rollup_counts,
-        "asof_join": q_asof_join,
         "events_windowed": q_events_windowed,
         "sessionize": q_sessionize,
         "minhash_pairs": q_minhash_pairs,
@@ -1802,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fingerprint/minhash_signature feed dedup_exact/minhash_pairs) and
         # stays judge-checkable via its oracle.
         "text_stats": q_text_stats,
+        "asof_join": q_asof_join,
         "window_topk": q_window_topk,
         "agg_q1": q_agg_q1,
         "join_q3": q_join_q3,
@@ -2701,6 +2727,30 @@ scored AS (
   GROUP BY doc_id)
 SELECT doc_id, round(s, 6)::DOUBLE AS score
 FROM scored ORDER BY s DESC, doc_id ASC LIMIT 20
+""",
+        "chunk_pack": f"""
+WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents
+           WHERE {norm_text} != ''),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+c AS (SELECT doc_id, n,
+             unnest(generate_series(0,
+               CASE WHEN n <= 32 THEN 0
+                    ELSE ((n - 8 + 23) // 24) - 1 END)) AS chunk_id
+      FROM s),
+ch AS (SELECT doc_id, chunk_id,
+              least(32, n - chunk_id * 24)::BIGINT AS n_tokens FROM c),
+j AS (SELECT ch.doc_id, ch.chunk_id, d.source, ch.n_tokens,
+             ch.doc_id * 1000 + ch.chunk_id AS seq_key
+      FROM ch JOIN documents d ON ch.doc_id = d.doc_id),
+p AS (SELECT doc_id, chunk_id, source, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+                 PARTITION BY source ORDER BY seq_key
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS tokens_before
+      FROM j)
+SELECT doc_id, chunk_id, source, n_tokens,
+       CAST(floor(tokens_before / 256.0) AS BIGINT) AS pack_id
+FROM p
 """,
         "tokenize_ids": f"""
 WITH t AS (SELECT doc_id,
