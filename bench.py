@@ -76,6 +76,8 @@ HEADLINE = [
     "chunk_docs",
     "bm25_search",
     "tfidf",
+    "tokenize_ids",
+    "chunk_pack",
     "dedup_against_near",
     "ann_pq",
 ]

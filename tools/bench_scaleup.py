@@ -52,6 +52,10 @@ QUERIES = [
     "top_terms",
     "chunk_docs",
     "bm25_search",
+    "tfidf",
+    "tokenize_ids",
+    "chunk_pack",
+    "dedup_against_near",
 ]
 ID_STRIDE = 10**9  # > any source id; keeps per-copy ids disjoint
 
