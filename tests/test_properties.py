@@ -91,3 +91,57 @@ def test_boolean_algebra_matches_python(lazy_runner, labels, s1, s2):
     got = lazy_runner.to_pandas(op)["value"].tolist()
     expect = [((l in s1) and not (l in s2)) != (l in s2) for l in labels]
     assert got == expect
+
+
+# ----------------- chunking / packing (pure reference math) ------------- #
+
+
+@given(
+    n_tokens=st.integers(0, 500),
+    chunk_size=st.integers(2, 64),
+    overlap_frac=st.floats(0.0, 0.9),
+)
+def test_chunk_count_formula_covers_every_token(n_tokens, chunk_size, overlap_frac):
+    """The chunk-count formula used by chunk_documents (and mirrored in its
+    DuckDB oracle) must tile every token with starts every `stride`: last
+    chunk reaches the end, no start is past the end, consecutive chunks
+    overlap by exactly `overlap` until the tail."""
+    overlap = min(int(chunk_size * overlap_frac), chunk_size - 1)
+    stride = chunk_size - overlap
+    if n_tokens == 0:
+        return
+    n_chunks = 1 if n_tokens <= chunk_size else -((n_tokens - overlap) // -stride)
+    starts = [c * stride for c in range(n_chunks)]
+    assert starts[0] == 0
+    assert all(s < n_tokens for s in starts)
+    # full coverage: the last chunk's window reaches the final token
+    assert starts[-1] + chunk_size >= n_tokens
+    # minimality: dropping the last chunk loses tokens (when > 1 chunk)
+    if n_chunks > 1:
+        assert starts[-2] + chunk_size < n_tokens
+
+
+@given(
+    lens=st.lists(st.integers(0, 50), min_size=1, max_size=60),
+    budget=st.integers(1, 200),
+)
+def test_offset_packing_invariants(lens, budget):
+    """sequence_pack's offset formulation: pack ids are nondecreasing in
+    layout order, start at 0, only skip ids across docs that span whole
+    budgets themselves, and each pack's token total stays under budget +
+    the straddling doc's length (the documented overflow)."""
+    before = 0
+    packs = {}
+    prev_pid = 0
+    prev_len = 0
+    for n in lens:
+        pid = before // budget
+        assert pid >= prev_pid  # nondecreasing in layout order
+        # an id gap is only created by the PREVIOUS doc spanning budgets
+        assert pid - prev_pid <= prev_len // budget + 1
+        packs.setdefault(pid, []).append(n)
+        before += n
+        prev_pid, prev_len = pid, n
+    assert sorted(packs)[0] == 0
+    for members in packs.values():
+        assert sum(members) < budget + max(members)
