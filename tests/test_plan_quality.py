@@ -1,0 +1,63 @@
+"""Plan-quality regression tests: pin the physical-plan properties that
+make the headline operators 100-TB-safe, so a refactor that silently
+introduces a row-Python UDF, drops a broadcast, or loses filter pushdown
+fails CI instead of only showing up in a bench regression."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import __spark_entry__ as e
+
+    return e
+
+
+def _plan(spark, entry, name):
+    df = entry.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges(plan):
+    return len(re.findall(r"\bExchange (?:hash|range|Single)", plan))
+
+
+def test_no_row_python_udfs_in_headline(spark, entry):
+    """Row-at-a-time Python (BatchEvalPython) is banned from every
+    headline query — Arrow-batched (ArrowEvalPython/MapInPandas) only."""
+    import bench
+
+    for name in bench.HEADLINE:
+        assert "BatchEvalPython" not in _plan(spark, entry, name), name
+
+
+def test_chunk_docs_is_shuffle_free(spark, entry):
+    assert _exchanges(_plan(spark, entry, "chunk_docs")) == 0
+
+
+def test_broadcast_join_region_broadcasts(spark, entry):
+    plan = _plan(spark, entry, "broadcast_join_region")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_selective_agg_pushes_filters(spark, entry):
+    plan = _plan(spark, entry, "selective_agg_q6")
+    assert re.search(r"PushedFilters: \[[^\]]", plan)
+
+
+def test_tpch_shapes_prefer_broadcast_dims(spark, entry):
+    """The new TPC-H shapes must keep their dims broadcast (q9) and their
+    single-fact-shuffle structure (q21 <= 5 exchanges incl. window)."""
+    q9 = _plan(spark, entry, "product_profit_q9")
+    assert q9.count("BroadcastHashJoin") >= 3
+    assert _exchanges(_plan(spark, entry, "waiting_supplier_q21")) <= 5
+
+
+def test_sort_topk_avoids_global_sort(spark, entry):
+    assert "TakeOrderedAndProject" in _plan(spark, entry, "sort_topk")
