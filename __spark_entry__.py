@@ -1682,6 +1682,40 @@ def q_chunk_pack(spark, sf_dir):
     return packed.select("doc_id", "chunk_id", "source", "n_tokens", "pack_id")
 
 
+def q_corpus_sequences(spark, sf_dir):
+    """THE end-to-end pretraining-data pipeline in one query: exact dedup
+    → MinHash-LSH near dedup → quality floor (clean_corpus) → token-window
+    chunking → per-source offset packing into 256-token sequences. Every
+    stage keeps its own scale property (hash shuffles, banded candidate
+    join, codegen expressions, shuffle-free chunking, partitioned pack
+    window); the oracle replays the identical chain in one recursive-CTE
+    SQL statement."""
+    from krnel_graph_spark.functions import curation
+
+    kept = dedup.clean_corpus(
+        _docs(spark, sf_dir),
+        "text",
+        "doc_id",
+        num_perm=16,
+        bands=4,
+        jaccard_threshold=0.5,
+        min_quality=0.5,
+    )
+    chunks = tx.chunk_documents(kept, "text", "doc_id", chunk_size=32, overlap=8)
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    joined = chunks.join(src, "doc_id").withColumn(
+        "seq_key", F.col("doc_id") * F.lit(1000) + F.col("chunk_id")
+    )
+    packed = curation.sequence_pack(
+        joined,
+        order_by="seq_key",
+        token_col="n_tokens",
+        budget=256,
+        partition_by="source",
+    )
+    return packed.select("doc_id", "chunk_id", "source", "n_tokens", "pack_id")
+
+
 def q_tfidf(spark, sf_dir):
     """Sparse TF-IDF features, long format, top-20 vocabulary: the
     classic bag-of-words featurizer. Vocabulary + doc count broadcast;
@@ -1813,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against_near": q_dedup_against_near,
         "tokenize_ids": q_tokenize_ids,
         "chunk_pack": q_chunk_pack,
+        "corpus_sequences": q_corpus_sequences,
         # -- stable core (hash-green in r4's recorded gate) -- #
         "rollup_counts": q_rollup_counts,
         "events_windowed": q_events_windowed,
@@ -1820,13 +1855,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "dedup_drop_near": q_dedup_drop_near,
         "top_terms": q_top_terms,
-        "ann_topk": q_ann_topk,
         # Oracle-backed but past the driver's 50-row recording window by
         # design — every row below was hash-green in a prior round's
         # recorded gate (or is subsumed by an in-window sibling:
         # fingerprint/minhash_signature feed dedup_exact/minhash_pairs) and
         # stays judge-checkable via its oracle.
         "text_stats": q_text_stats,
+        "ann_topk": q_ann_topk,
         "asof_join": q_asof_join,
         "window_topk": q_window_topk,
         "agg_q1": q_agg_q1,
@@ -2003,6 +2038,42 @@ bq AS (SELECT doc_id, n_tok,
 SELECT doc_id, round({_QUALITY_SQL}, 6) AS quality
 FROM bq WHERE round({_QUALITY_SQL}, 6) >= 0.5
 """
+
+    # corpus_sequences: clean_corpus's oracle with the final SELECT swapped
+    # for the chunk -> per-source offset-pack chain (same CTE machinery as
+    # the chunk_docs / chunk_pack oracles, re-rooted on the kept docs).
+    _cc_final = f"""SELECT doc_id, round({_QUALITY_SQL}, 6) AS quality
+FROM bq WHERE round({_QUALITY_SQL}, 6) >= 0.5
+"""
+    assert _cc_final in clean_corpus_sql
+    corpus_sequences_sql = clean_corpus_sql.replace(
+        _cc_final,
+        f""", kept AS (SELECT doc_id FROM bq WHERE round({_QUALITY_SQL}, 6) >= 0.5),
+ct AS (SELECT doc_id, {toks_text} AS toks
+       FROM documents JOIN kept USING (doc_id)
+       WHERE {norm_text} != ''),
+cs AS (SELECT doc_id, toks, len(toks) AS n FROM ct),
+cc AS (SELECT doc_id, n,
+             unnest(generate_series(0,
+               CASE WHEN n <= 32 THEN 0
+                    ELSE ((n - 8 + 23) // 24) - 1 END)) AS chunk_id
+      FROM cs),
+ch AS (SELECT doc_id, chunk_id,
+              least(32, n - chunk_id * 24)::BIGINT AS n_tokens FROM cc),
+cj AS (SELECT ch.doc_id, ch.chunk_id, d.source, ch.n_tokens,
+             ch.doc_id * 1000 + ch.chunk_id AS seq_key
+      FROM ch JOIN documents d ON ch.doc_id = d.doc_id),
+cp AS (SELECT doc_id, chunk_id, source, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+                 PARTITION BY source ORDER BY seq_key
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS tokens_before
+      FROM cj)
+SELECT doc_id, chunk_id, source, n_tokens,
+       CAST(floor(tokens_before / 256.0) AS BIGINT) AS pack_id
+FROM cp
+""",
+    )
 
     # Connected components over the pair graph via transitive closure
     # (pair graphs are candidate-scale, so the recursion is tiny).
@@ -2796,6 +2867,7 @@ SELECT term, tf, df FROM g ORDER BY tf DESC, term ASC LIMIT 100
         "decontaminate": decontaminate_sql,
         "repetition_stats": repetition_stats_sql,
         "clean_corpus": clean_corpus_sql,
+        "corpus_sequences": corpus_sequences_sql,
         "simhash": f"""
 WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents),
 h AS (SELECT doc_id,
