@@ -1266,6 +1266,18 @@ def q_repetition_stats(spark, sf_dir):
     )
 
 
+def q_dup_windows(spark, sf_dir):
+    """Exact repeated-window substring-dedup signal (Lee-et-al-style): per
+    doc, how many fixed-width token windows also occur elsewhere in the
+    corpus. dup_frac is emitted as integer numerator/denominator (the
+    ratio itself would be the only float in the row — integers make the
+    hash comparison trivially exact)."""
+    out = dedup.duplicate_window_stats(
+        _docs(spark, sf_dir), "text", "doc_id", width=8, stride=4
+    )
+    return out.select("doc_id", "n_windows", "dup_windows")
+
+
 def q_ntile_quartiles(spark, sf_dir):
     """ntile window: per-customer spend quartile within their nation-key
     group. Unique-key tiebreak (c_custkey) keeps the tiling deterministic
@@ -1848,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_ids": q_tokenize_ids,
         "chunk_pack": q_chunk_pack,
         "corpus_sequences": q_corpus_sequences,
+        "dup_windows": q_dup_windows,
         # -- stable core (hash-green in r4's recorded gate) -- #
         "rollup_counts": q_rollup_counts,
         "events_windowed": q_events_windowed,
@@ -2118,6 +2131,29 @@ teg AS (SELECT DISTINCT md5(g) AS gh
         FROM (SELECT unnest(sh) AS g FROM tes))
 SELECT doc_id, count(*) AS n_hits
 FROM trg JOIN teg USING (gh)
+GROUP BY doc_id
+"""
+
+    # duplicate_window_stats(width=8, stride=4): full-width token windows
+    # every 4 tokens (one whole-doc window when shorter than 8 tokens),
+    # md5-hashed; a window is duplicated when its hash occurs >1 time
+    # corpus-wide (other docs or other positions of the same doc).
+    dup_windows_sql = f"""
+WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents
+           WHERE {_NORM.format(c="text")} != ''),
+b AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+w AS (SELECT doc_id,
+        CASE WHEN n <= 8 THEN [md5(array_to_string(toks, ' '))]
+             ELSE [md5(array_to_string(toks[s*4+1 : s*4+8], ' '))
+                   for s in range(0, ((n - 8) // 4) + 1)] END AS whs
+      FROM b),
+u AS (SELECT doc_id, unnest(whs) AS wh FROM w),
+p AS (SELECT doc_id, wh, count(*) AS k FROM u GROUP BY doc_id, wh),
+c AS (SELECT wh, sum(k) AS tot FROM p GROUP BY wh)
+SELECT doc_id,
+       sum(k)::BIGINT AS n_windows,
+       sum(CASE WHEN tot > 1 THEN k ELSE 0 END)::BIGINT AS dup_windows
+FROM p JOIN c USING (wh)
 GROUP BY doc_id
 """
 
@@ -2865,6 +2901,7 @@ g AS (SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
 SELECT term, tf, df FROM g ORDER BY tf DESC, term ASC LIMIT 100
 """,
         "decontaminate": decontaminate_sql,
+        "dup_windows": dup_windows_sql,
         "repetition_stats": repetition_stats_sql,
         "clean_corpus": clean_corpus_sql,
         "corpus_sequences": corpus_sequences_sql,

@@ -80,6 +80,7 @@ HEADLINE = [
     "chunk_pack",
     "dedup_against_near",
     "ann_pq",
+    "dup_windows",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

@@ -727,3 +727,90 @@ def dedup_against(
     return new_df.join(
         matched, F.col(id_col) == F.col("__m"), "left_anti"
     )
+
+
+def duplicate_window_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    width: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """Exact repeated-substring signal: tile each document into fixed-width
+    token windows (starting every ``stride`` tokens), hash each window, and
+    count how many of a document's windows ALSO occur anywhere else in the
+    corpus — another document, or another position in the same document.
+    This is the window-granular form of suffix-array substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): a doc-level MinHash pass misses boilerplate paragraphs pasted
+    into otherwise-distinct pages, while a high ``dup_windows / n_windows``
+    ratio flags exactly those.
+
+    Returns ``(id_col, n_windows, dup_windows, dup_frac)`` — one row per
+    non-blank document. Window occurrences that collapse to the same
+    (doc, hash) pair count each occurrence, so within-doc self-repetition
+    is also surfaced. Docs shorter than ``width`` tokens contribute one
+    whole-doc window, so short exact dupes are still caught.
+
+    Scale shape (100 TB): windows are generated scan-side with codegen
+    expressions (tokenize once per row, ``posexplode`` over the start
+    sequence, ``slice``/``md5``) — no shuffle, no UDF, and the shuffle
+    payload downstream is fixed-width 32-char digests, never text.
+    Occurrence counting is a two-stage aggregation: a partial-combined
+    ``groupBy(id, hash)`` collapses within-doc repeats map-side, then
+    per-hash totals come from a second partial-aggregated ``groupBy(hash)``
+    — a boilerplate window repeated a billion times arrives at its reducer
+    as per-partition partial counts, not a billion rows. The per-(doc,
+    window) frame (bounded by distinct windows per doc, ~n_tokens/stride
+    rows of 40 bytes) is persisted so the corpus text is scanned exactly
+    once; the totals re-join it on the digest, where AQE's skew-join
+    splitting handles pathological boilerplate keys.
+    """
+    if width <= 0 or stride <= 0:
+        raise ValueError("width and stride must be positive")
+    from .text import normalize_text, whitespace_tokens
+
+    toks = whitespace_tokens(F.col(text_col))
+    # Blank docs are excluded (not given a vacuous empty window that would
+    # cross-match every other blank doc) — same blank test as chunking.
+    base = (
+        df.filter(normalize_text(F.col(text_col)) != "")
+        .select(F.col(id_col), toks.alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+    )
+    # Full-width starts only (plus one whole-doc window for short docs):
+    # ragged tails would hash differently on every page and dilute the
+    # duplicate signal with guaranteed-unique windows.
+    n_wins = F.when(F.col("__n") <= width, F.lit(1)).otherwise(
+        F.expr(f"(__n - {width}) div {stride} + 1")
+    )
+    wins = base.select(
+        F.col(id_col),
+        F.posexplode(F.sequence(F.lit(0), n_wins - 1)).alias("__w", "__s"),
+        F.col("__toks"),
+    ).select(
+        F.col(id_col),
+        F.md5(
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__w") * stride + 1, width), " "
+            )
+        ).alias("__wh"),
+    )
+    per = (
+        wins.groupBy(id_col, "__wh")
+        .agg(F.count(F.lit(1)).alias("__k"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    totals = per.groupBy("__wh").agg(F.sum("__k").alias("__tot"))
+    dup_k = F.when(F.col("__tot") > 1, F.col("__k")).otherwise(F.lit(0))
+    return (
+        per.join(totals, "__wh")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__k").cast("long").alias("n_windows"),
+            F.sum(dup_k).cast("long").alias("dup_windows"),
+        )
+        .withColumn(
+            "dup_frac", F.col("dup_windows") / F.col("n_windows")
+        )
+    )
