@@ -1621,6 +1621,18 @@ def q_ann_pq(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: k-means bucketing + intra-cluster cosine collapse (min-id
+    representative). No SQL oracle — the cluster assignment is iterative
+    float k-means — so the gate records rows; the pytest pins the result
+    against a global numpy union-find on duplicate-seeded blobs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = dedup.semantic_dedup(
+        emb, "embedding", "vec_id", n_clusters=8, threshold=0.35, n_iter=3
+    )
+    return out.select("vec_id", "label")
+
+
 def q_embedding_clusters(spark, sf_dir):
     """Distributed k-means (seed sample + Lloyd passes, broadcast-GEMM
     assignment): per-vector cluster id + distance. No SQL oracle —
@@ -1929,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_clusters": q_embedding_clusters,
+        "semantic_dedup": q_semantic_dedup,
         "ann_pq": q_ann_pq,
         "image_features_stub": q_image_features_stub,
         "audio_features_stub": q_audio_features_stub,

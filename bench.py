@@ -81,6 +81,7 @@ HEADLINE = [
     "dedup_against_near",
     "ann_pq",
     "dup_windows",
+    "semantic_dedup",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

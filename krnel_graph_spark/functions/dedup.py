@@ -814,3 +814,93 @@ def duplicate_window_stats(
             "dup_frac", F.col("dup_windows") / F.col("n_windows")
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_clusters: int = 64,
+    threshold: float = 0.95,
+    n_iter: int = 5,
+    seed: int = 7,
+    block: int = 4096,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding
+    space with k-means, then inside each cluster collapse every group of
+    vectors whose pairwise cosine exceeds ``threshold`` down to one
+    representative (the min-id member of the connected similarity group —
+    the same keeper rule as the text dedups here). Catches paraphrased /
+    re-rendered / translated near-duplicates that token-level MinHash
+    can't see.
+
+    Returns the surviving rows of ``df`` (all columns).
+
+    Deterministic end-to-end: k-means seeds by hash order (no RNG state),
+    Lloyd refinement and assignment are fixed-order float reductions, and
+    the keeper rule is pure min-id — so reruns and retried tasks agree.
+
+    Scale shape (100 TB): clustering never shuffles vectors (seed sample +
+    broadcast-centroid GEMM scans, see :func:`~krnel_graph_spark.functions
+    .similarity.kmeans_assign`); the ONE vector shuffle is the
+    cluster-keyed ``applyInPandas`` grouping, whose task size is
+    corpus/n_clusters — size ``n_clusters`` so a cluster fits an executor
+    (the paper runs ~100k clusters for web scale; the O(c²) intra-cluster
+    similarity work is SemDeDup's intended cost and ``block`` rows per
+    GEMM tile bounds its working set). The removal set (ids only) comes
+    back through a broadcast anti-join, so corpus rows are never
+    collected.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    from .similarity import kmeans_assign
+
+    id_dtype = df.schema[id_col].dataType.simpleString()
+    assigned = kmeans_assign(
+        df.select(id_col, vec_col),
+        vec_col,
+        id_col,
+        k=n_clusters,
+        n_iter=n_iter,
+        seed=seed,
+        keep_all=True,
+    )
+
+    def drop_ids(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({id_col: pdf[id_col][:0]})
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        v = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+        )[order]
+        norms = np.linalg.norm(v, axis=1)
+        norms[norms == 0.0] = 1.0
+        x = v / norms[:, None]
+        n = len(x)
+        parent = list(range(n))
+
+        def find(a: int) -> int:
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            sims = x[lo:hi] @ x.T
+            for i_off, j in zip(*np.nonzero(sims > threshold)):
+                i = lo + i_off
+                if j <= i:
+                    continue
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        removal = [ids[i] for i in range(n) if find(i) != i]
+        return pd.DataFrame({id_col: removal})
+
+    removals = assigned.groupBy("cluster").applyInPandas(
+        drop_ids, schema=f"{id_col} {id_dtype}"
+    )
+    return df.join(F.broadcast(removals), id_col, "left_anti")

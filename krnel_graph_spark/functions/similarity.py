@@ -260,13 +260,17 @@ def kmeans_refine_centroids(
                 np.add.at(counts, cells, 1)
                 np.add.at(sums, cells, v)
             hit = np.nonzero(counts)[0]
-            yield pd.DataFrame(
-                {
-                    "cell": hit.astype("int32"),
-                    "n": counts[hit],
-                    "s": list(sums[hit]),
-                }
-            )
+            # Empty partitions yield nothing: a zero-row frame would give
+            # the "s" column float64 dtype (pandas' empty-list inference),
+            # which Arrow refuses to cast to list<double>.
+            if len(hit):
+                yield pd.DataFrame(
+                    {
+                        "cell": hit.astype("int32"),
+                        "n": counts[hit],
+                        "s": list(sums[hit]),
+                    }
+                )
 
         # Each partition emits ONE partial row per non-empty cell, so after
         # posexplode, sum(n) within a (cell, idx) group is the cell's total
@@ -387,10 +391,15 @@ def kmeans_assign(
     k: int = 8,
     n_iter: int = 5,
     seed: int = 7,
+    keep_all: bool = False,
 ) -> DataFrame:
     """Distributed k-means clustering: returns ``(id, cluster, dist)`` —
     the semantic-bucketing primitive behind topic balancing, per-cluster
-    sampling quotas, and cluster-local near-dup sweeps.
+    sampling quotas, and cluster-local near-dup sweeps. With
+    ``keep_all=True`` the input columns ride along instead (``(*corpus
+    columns, cluster)``) so callers that need the vectors cluster-keyed
+    (e.g. :func:`~krnel_graph_spark.functions.dedup.semantic_dedup`)
+    don't pay a second join-on-id vector shuffle.
 
     Seeds are a deterministic hash-ordered sample of corpus vectors (the
     same trick ``ivf_topk`` uses — no RNG state to ship), refined by
@@ -444,6 +453,10 @@ def kmeans_assign(
 
     widened = ensure_min_partitions(corpus)
     res = widened.withColumn("_a", assign(F.col(vec_col)))
+    if keep_all:
+        return res.select(
+            *corpus.columns, F.col("_a.cluster").alias("cluster")
+        )
     return res.select(
         F.col(id_col),
         F.col("_a.cluster").alias("cluster"),
