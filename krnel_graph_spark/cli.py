@@ -349,6 +349,27 @@ def cmd_zorder(args) -> int:
     return 0
 
 
+def cmd_upsert(args) -> int:
+    """Table maintenance: key-based SCD-1 merge of a parquet delta into a
+    parquet table (writes the merged table to dst; caller swaps)."""
+    import json as _json
+
+    from .functions.partitioning import upsert_parquet
+    from .runners.spark_runner import get_spark
+
+    spark = get_spark("cli-upsert")
+    stats = upsert_parquet(
+        spark,
+        args.target,
+        spark.read.parquet(args.updates),
+        args.keys.split(","),
+        args.dst,
+        delete_col=args.delete_col,
+    )
+    print(_json.dumps(stats))
+    return 0
+
+
 def cmd_config(args) -> int:
     """Get or set engine configuration (reference ``cli.py:608-646``).
 
@@ -504,6 +525,19 @@ def build_parser() -> argparse.ArgumentParser:
     p_zorder.add_argument("cols", help="comma-separated columns to z-order on")
     p_zorder.add_argument("--n-files", type=int, default=32)
     p_zorder.set_defaults(fn=cmd_zorder)
+
+    p_upsert = sub.add_parser(
+        "upsert", help="merge a parquet delta into a parquet table by key"
+    )
+    p_upsert.add_argument("target", help="existing table dir")
+    p_upsert.add_argument("updates", help="delta dir (replace/insert rows)")
+    p_upsert.add_argument("dst", help="output dir for the merged table")
+    p_upsert.add_argument("keys", help="comma-separated key columns")
+    p_upsert.add_argument(
+        "--delete-col",
+        help="boolean column in the delta marking tombstone rows",
+    )
+    p_upsert.set_defaults(fn=cmd_upsert)
     return parser
 
 

@@ -11,6 +11,7 @@ case: thousands of splits), so large inputs never pay a gratuitous shuffle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
@@ -214,4 +215,70 @@ def compact_parquet(
         "files_before": files_before,
         "files_after": files_after,
         "bytes": size,
+    }
+
+
+def upsert_parquet(
+    spark,
+    target_path: str,
+    updates: "DataFrame",
+    key_cols: str | list[str],
+    dst_path: str,
+    delete_col: str | None = None,
+) -> dict:
+    """Key-based merge (SCD-1 upsert) for a parquet-backed corpus: the
+    incremental-maintenance primitive behind "refresh these documents /
+    drop these ids" on a growing training set without rewriting history
+    by hand.
+
+    Semantics: rows of ``updates`` replace target rows sharing the same
+    key; unmatched update rows insert; target rows with no update pass
+    through. If ``delete_col`` names a boolean column in ``updates``,
+    rows where it is true act as tombstones — the key is removed from the
+    output and the tombstone row itself is not written.
+
+    Scale shape: the only wide op is one left_anti join of the target on
+    the distinct update keys. Updates are a delta — orders of magnitude
+    smaller than the table — so the key set broadcasts (AQE demotes to a
+    shuffle join if the delta is huge); the surviving target rows are
+    NEVER shuffled, just unioned with the delta and written. Like
+    ``compact_parquet``, output goes to a separate ``dst_path`` — atomic
+    swap/rename is the caller's move (table formats, not file tools, own
+    in-place transactionality), and reading the path being overwritten
+    mid-job is never safe.
+
+    Returns ``{"rows_before", "rows_upserted", "rows_deleted",
+    "rows_after"}``.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    target = spark.read.parquet(target_path)
+    if delete_col is not None:
+        tombstones = updates.filter(F.col(delete_col))
+        upserts = updates.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+        n_deleted = tombstones.count()
+    else:
+        tombstones = None
+        upserts = updates
+        n_deleted = 0
+    if set(upserts.columns) != set(target.columns):
+        raise ValueError(
+            f"updates columns {sorted(upserts.columns)} != target columns "
+            f"{sorted(target.columns)}"
+        )
+    dead_keys = upserts.select(*keys)
+    if tombstones is not None:
+        dead_keys = dead_keys.unionByName(tombstones.select(*keys))
+    survivors = target.join(
+        F.broadcast(dead_keys.distinct()), keys, "left_anti"
+    )
+    merged = survivors.unionByName(upserts.select(*target.columns))
+    merged.write.mode("overwrite").parquet(dst_path)
+    out = spark.read.parquet(dst_path)
+    return {
+        "rows_before": target.count(),
+        "rows_upserted": upserts.count(),
+        "rows_deleted": n_deleted,
+        "rows_after": out.count(),
     }

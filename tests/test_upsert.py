@@ -1,0 +1,93 @@
+"""``upsert_parquet`` (SCD-1 merge) tests: replace/insert/pass-through
+semantics, tombstone deletes, composite keys, schema mismatch errors, and
+the CLI subcommand.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from krnel_graph_spark.functions.partitioning import upsert_parquet
+
+
+def _write(spark, path, rows, schema):
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(path)
+
+
+def test_replace_insert_passthrough(spark, tmp_path):
+    tgt = str(tmp_path / "tgt")
+    dst = str(tmp_path / "dst")
+    _write(spark, tgt, [(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    updates = spark.createDataFrame(
+        [(2, "B2"), (4, "d")], "id long, v string"
+    )
+    stats = upsert_parquet(spark, tgt, updates, "id", dst)
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(dst).collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+    assert stats == {
+        "rows_before": 3,
+        "rows_upserted": 2,
+        "rows_deleted": 0,
+        "rows_after": 4,
+    }
+
+
+def test_tombstones(spark, tmp_path):
+    tgt = str(tmp_path / "tgt")
+    dst = str(tmp_path / "dst")
+    _write(spark, tgt, [(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    updates = spark.createDataFrame(
+        [(1, "A1", False), (3, None, True), (9, None, True)],
+        "id long, v string, deleted boolean",
+    )
+    stats = upsert_parquet(
+        spark, tgt, updates, "id", dst, delete_col="deleted"
+    )
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(dst).collect()}
+    assert got == {(1, "A1"), (2, "b")}
+    assert stats["rows_deleted"] == 2 and stats["rows_after"] == 2
+
+
+def test_composite_keys(spark, tmp_path):
+    tgt = str(tmp_path / "tgt")
+    dst = str(tmp_path / "dst")
+    _write(
+        spark,
+        tgt,
+        [(1, "x", 10.0), (1, "y", 20.0), (2, "x", 30.0)],
+        "a long, b string, v double",
+    )
+    updates = spark.createDataFrame(
+        [(1, "y", 99.0)], "a long, b string, v double"
+    )
+    upsert_parquet(spark, tgt, updates, ["a", "b"], dst)
+    got = {
+        (r["a"], r["b"], r["v"]) for r in spark.read.parquet(dst).collect()
+    }
+    assert got == {(1, "x", 10.0), (1, "y", 99.0), (2, "x", 30.0)}
+
+
+def test_schema_mismatch_raises(spark, tmp_path):
+    tgt = str(tmp_path / "tgt")
+    _write(spark, tgt, [(1, "a")], "id long, v string")
+    updates = spark.createDataFrame([(1, "a", 0)], "id long, v string, extra int")
+    with pytest.raises(ValueError, match="columns"):
+        upsert_parquet(spark, tgt, updates, "id", str(tmp_path / "dst"))
+
+
+def test_cli_upsert(spark, tmp_path, capsys):
+    from krnel_graph_spark.cli import main
+
+    tgt = str(tmp_path / "tgt")
+    upd = str(tmp_path / "upd")
+    dst = str(tmp_path / "dst")
+    _write(spark, tgt, [(1, "a"), (2, "b")], "id long, v string")
+    _write(spark, upd, [(2, "B")], "id long, v string")
+    rc = main(["upsert", tgt, upd, dst, "id"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows_after"] == 2
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(dst).collect()}
+    assert got == {(1, "a"), (2, "B")}
