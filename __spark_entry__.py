@@ -1211,6 +1211,48 @@ def q_sequence_pack(spark, sf_dir):
     ).select("doc_id", "source", "n_tokens", "pack_id")
 
 
+def q_mix_corpus(spark, sf_dir):
+    """Target-proportion corpus mixing: largest 5:3:2 src0/src1/src2 mix
+    the corpus supports, via integer-exact per-stratum md5 sampling (no
+    float rounding boundary for the oracle to disagree over)."""
+    from krnel_graph_spark.functions.sampling import mix_to_weights
+
+    out = mix_to_weights(
+        _t(spark, sf_dir, "documents"),
+        "source",
+        {"src0": 5, "src1": 3, "src2": 2},
+        "doc_id",
+        seed=0,
+    )
+    return out.select("doc_id", "source")
+
+
+def q_canonical_urls(spark, sf_dir):
+    """URL canonicalization + URL-level dedup over deterministic synthetic
+    URLs (mixed-case scheme/host, www., fragments, utm/ref tracking
+    params): survivors = min doc_id per canonical URL."""
+    from krnel_graph_spark.functions.curation import canonical_url, dedup_by_url
+
+    docs = _docs(spark, sf_dir)
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.col("source"),
+            F.lit(".Example.COM/doc/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=x&page=1"))
+            .when(F.col("doc_id") % 4 == 1, F.lit("/?ref=feed"))
+            .when(F.col("doc_id") % 4 == 2, F.lit("#frag"))
+            .otherwise(F.lit("/")),
+        ).alias("url"),
+    )
+    out = dedup_by_url(urls, "url", "doc_id")
+    return out.select(
+        "doc_id", canonical_url(F.col("url")).alias("curl")
+    )
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic 10% Bernoulli sample of orders (md5-keyed, so the
     same rows survive on any partitioning / engine / retry)."""
@@ -1873,13 +1915,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_pack": q_chunk_pack,
         "corpus_sequences": q_corpus_sequences,
         "dup_windows": q_dup_windows,
-        # -- stable core (hash-green in r4's recorded gate) -- #
+        "mix_corpus": q_mix_corpus,
+        "canonical_urls": q_canonical_urls,
+        # -- stable core (the remaining window slots: rollup_counts was
+        # r4's one red hash — its oracle is decimal-exact now and needs a
+        # recorded green; top_terms is r5-new, never recorded;
+        # events_windowed re-verifies the shared decimal-sum fix) -- #
         "rollup_counts": q_rollup_counts,
+        "top_terms": q_top_terms,
         "events_windowed": q_events_windowed,
+        # below: r4-recorded hash-green rows, past the window by design
         "sessionize": q_sessionize,
         "minhash_pairs": q_minhash_pairs,
         "dedup_drop_near": q_dedup_drop_near,
-        "top_terms": q_top_terms,
         # Oracle-backed but past the driver's 50-row recording window by
         # design — every row below was hash-green in a prior round's
         # recorded gate (or is subsumed by an in-window sibling:
@@ -2915,6 +2963,48 @@ SELECT term, tf, df FROM g ORDER BY tf DESC, term ASC LIMIT 100
 """,
         "decontaminate": decontaminate_sql,
         "dup_windows": dup_windows_sql,
+        # mix_to_weights: same integer arithmetic as the engine — T =
+        # min_s floor(n_s * w_total / w_s), per-stratum bucket threshold
+        # floor(T * w_s * 1e6 / (w_total * n_s)) — so no float boundary.
+        "mix_corpus": f"""
+WITH w AS (SELECT * FROM (VALUES ('src0', 5), ('src1', 3), ('src2', 2))
+           AS t(source, wt)),
+cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+j AS (SELECT w.source, wt, n FROM w JOIN cnt USING (source)),
+tot AS (SELECT min(n * 10 // wt) AS T FROM j),
+thr AS (SELECT source, (SELECT T FROM tot) * wt * 1000000 // (10 * n)
+          AS thr FROM j)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr USING (source)
+WHERE {md5_long_sql("'0:' || doc_id::VARCHAR")} % 1000000 < thr
+""",
+        # canonical_url: the exact regex chain of functions/curation.py
+        # (DuckDB RE2 'g' flag = Spark's always-global regexp_replace;
+        # the ?-re-anchor step is deliberately first-match-only).
+        "canonical_urls": r"""
+WITH raw AS (SELECT doc_id,
+    'HTTPS://WWW.' || source || '.Example.COM/doc/' ||
+    (doc_id % 50)::VARCHAR ||
+    CASE doc_id % 4 WHEN 0 THEN '?utm_source=x&page=1'
+                    WHEN 1 THEN '/?ref=feed'
+                    WHEN 2 THEN '#frag' ELSE '/' END AS url
+  FROM documents),
+c0 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u FROM raw),
+c1 AS (SELECT doc_id,
+    CASE WHEN regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)(.*)$', 1) != ''
+         THEN lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)(.*)$', 1))
+              || regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)(.*)$', 2)
+         ELSE u END AS u FROM c0),
+c2 AS (SELECT doc_id, regexp_replace(u, '^(https?://)www\.', '\1', 'g') AS u FROM c1),
+c3 AS (SELECT doc_id,
+    regexp_replace(u, '[?&](utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*', '', 'g') AS u
+  FROM c2),
+c4 AS (SELECT doc_id, regexp_replace(u, '^([^?]*)&', '\1?') AS u FROM c3),
+c5 AS (SELECT doc_id, regexp_replace(u, '[?&]+$', '', 'g') AS u FROM c4),
+canon AS (SELECT doc_id, regexp_replace(u, '/+$', '', 'g') AS curl FROM c5),
+keep AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY curl)
+SELECT c.doc_id, c.curl FROM canon c JOIN keep USING (doc_id)
+""",
         "repetition_stats": repetition_stats_sql,
         "clean_corpus": clean_corpus_sql,
         "corpus_sequences": corpus_sequences_sql,

@@ -82,6 +82,8 @@ HEADLINE = [
     "ann_pq",
     "dup_windows",
     "semantic_dedup",
+    "mix_corpus",
+    "canonical_urls",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

@@ -177,3 +177,54 @@ def sequence_pack(
     return df.withColumn("n_tokens", tok.cast("long")).withColumn(
         "pack_id", F.floor(before / F.lit(budget))
     )
+
+
+# URL canonicalization: the pattern set is deliberately regex-only (no
+# parse_url) so a DuckDB/ANSI oracle replays it byte-for-byte.
+_SCHEME_HOST_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)(.*)$"
+_TRACKING_RE = r"[?&](utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*"
+
+
+def canonical_url(col) -> Column:
+    """Canonical form of a URL for URL-level dedup — the cheap first pass
+    every crawl pipeline runs before any content hashing: lowercase the
+    scheme+host, strip a leading ``www.``, drop the fragment, drop
+    tracking query params (``utm_*``, ``fbclid``, ``gclid``, ``ref``),
+    then tidy separators (re-anchor the first surviving param on ``?``,
+    drop dangling ``?``/``&`` and trailing slashes).
+
+    Pure codegen expression chain (regex extract/replace) — runs in the
+    scan projection, and each pattern has an exact DuckDB twin (the
+    engine-vs-oracle gate pins the semantics). URLs without a scheme
+    pass through the host-lowering step unchanged rather than being
+    mangled.
+    """
+    u = col if isinstance(col, Column) else F.col(col)
+    u = F.regexp_replace(u, r"#.*$", "")                 # fragment
+    head = F.regexp_extract(u, _SCHEME_HOST_RE, 1)
+    tail = F.regexp_extract(u, _SCHEME_HOST_RE, 2)
+    u = F.when(head != "", F.concat(F.lower(head), tail)).otherwise(u)
+    u = F.regexp_replace(u, r"^(https?://)www\.", r"$1")  # www.
+    u = F.regexp_replace(u, _TRACKING_RE, "")             # tracking params
+    u = F.regexp_replace(u, r"^([^?]*)&", r"$1?")         # re-anchor ? once
+    u = F.regexp_replace(u, r"[?&]+$", "")                # dangling sep
+    u = F.regexp_replace(u, r"/+$", "")                   # trailing slash
+    return u
+
+
+def dedup_by_url(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per canonical URL. Same window-free
+    aggregate + semi-join shape as ``drop_exact_dups`` — the shuffle
+    carries (canonical-url, id), and both sides stay partitioned on the
+    same key. Null URLs are all kept (no URL evidence = no dedup)."""
+    canon = canonical_url(F.col(url_col)).alias("__curl")
+    keepers = (
+        df.select(F.col(id_col), canon)
+        .filter(F.col("__curl").isNotNull())
+        .groupBy("__curl")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keepers, id_col, "left_semi").unionByName(
+        df.filter(F.col(url_col).isNull())
+    )

@@ -95,3 +95,56 @@ def shuffle_export(
     return out.repartitionByRange(F.col("shuffle_key")).sortWithinPartitions(
         "shuffle_key"
     )
+
+
+def mix_to_weights(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, int],
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Rebalance a corpus to target mixture proportions — the
+    data-mixing step of a pretraining pipeline ("70% web / 20% code /
+    10% books"), downsampling-only: the output is the LARGEST corpus
+    achievable at the requested mix given what each stratum has.
+
+    ``weights`` are integer parts (e.g. ``{"web": 7, "code": 2,
+    "books": 1}``); strata not listed (or weighted 0) are dropped. All
+    rate arithmetic is integer floor-division, so a SQL oracle (or a
+    rerun on another engine) reproduces the kept-row set bit-exactly —
+    no float rounding boundary anywhere.
+
+    Scale shape: one count-per-stratum aggregation (collects #strata
+    rows — the mixture spec is human-sized), then a single scan-side
+    deterministic md5-bucket filter (:func:`stratified_sample`'s rule):
+    no shuffle of corpus rows, no RNG state, safe under retries.
+
+    Proportions are exact in expectation (md5 buckets are uniform);
+    realized counts wobble like any Bernoulli sample — by design, so
+    the filter stays a pure per-row predicate.
+    """
+    if not weights or all(w <= 0 for w in weights.values()):
+        raise ValueError("weights must contain a positive integer part")
+    if any(w < 0 or int(w) != w for w in weights.values()):
+        raise ValueError(f"weights must be non-negative integers: {weights}")
+    active = {s: int(w) for s, w in weights.items() if w > 0}
+    w_total = sum(active.values())
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    present = {s: w for s, w in active.items() if counts.get(s, 0) > 0}
+    if not present:
+        return df.filter(F.lit(False))
+    # Largest total T with T * w_s / w_total <= n_s for every stratum,
+    # in integers: T = min_s floor(n_s * w_total / w_s).
+    total = min(counts[s] * w_total // w for s, w in present.items())
+    fractions = {}
+    for s, w in present.items():
+        # threshold in RATE_DENOM-ths, floor'd exactly
+        thr = total * w * RATE_DENOM // (w_total * counts[s])
+        fractions[s] = thr / RATE_DENOM
+    return stratified_sample(
+        df, strata_col, fractions, id_col, seed=seed, default_fraction=0.0
+    )

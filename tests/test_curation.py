@@ -227,3 +227,50 @@ def test_repetition_stats_differential(spark):
                 assert g is None, (k, got[k], want[k])
             else:
                 assert abs(g - w) < 1e-12, (k, got[k], want[k])
+
+
+# --------------------------------------------------------------------- #
+# canonical_url / dedup_by_url                                            #
+# --------------------------------------------------------------------- #
+
+
+def test_canonical_url_cases(spark):
+    from krnel_graph_spark.functions.curation import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Site.COM/Path/", "https://site.com/Path"),
+        ("http://site.com/a?utm_source=x&b=1", "http://site.com/a?b=1"),
+        ("http://site.com/a?utm_a=1&utm_b=2", "http://site.com/a"),
+        ("http://site.com/a?b=1&fbclid=xyz#frag", "http://site.com/a?b=1"),
+        ("http://site.com/a?ref=feed", "http://site.com/a"),
+        ("http://site.com/#x", "http://site.com"),
+        ("https://www.x.org", "https://x.org"),
+        # path case preserved; params other than tracking preserved
+        ("https://A.B/Q?page=2&utm_c=3", "https://a.b/Q?page=2"),
+        # no scheme: host-lowering skipped, other steps still apply
+        ("WWW.Site.com/a/#f", "WWW.Site.com/a"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "id long, url string"
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", canonical_url("url").alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_dedup_by_url(spark):
+    from krnel_graph_spark.functions.curation import dedup_by_url
+
+    rows = [
+        (1, "https://www.a.com/x"),
+        (2, "HTTPS://A.com/x/"),      # canonical dup of 1
+        (3, "https://a.com/y"),
+        (4, None),                     # null urls always kept
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r["id"] for r in dedup_by_url(df, "url", "id").collect()}
+    assert got == {1, 3, 4, 5}

@@ -122,3 +122,59 @@ def test_stratified_matches_hash_sample_per_stratum(spark):
         .collect()
     )
     assert a == b
+
+
+# --------------------------------------------------------------------- #
+# mix_to_weights                                                          #
+# --------------------------------------------------------------------- #
+
+
+def test_mix_to_weights_proportions(spark):
+    import pytest as _pytest
+
+    from krnel_graph_spark.functions.sampling import mix_to_weights
+
+    rows = (
+        [(i, "web") for i in range(0, 7000)]
+        + [(i, "code") for i in range(7000, 8000)]
+        + [(i, "books") for i in range(8000, 11000)]
+    )
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = mix_to_weights(df, "src", {"web": 7, "code": 2, "books": 1}, "id")
+    counts = {r["src"]: r["n"] for r in out.groupBy("src").count().withColumnRenamed("count", "n").collect()}
+    # binding stratum: code has 1000 rows for weight 2 -> T = 5000
+    # targets: web 3500, code 1000, books 500 (Bernoulli wobble ~ sqrt(n))
+    assert counts["code"] == _pytest.approx(1000, rel=0.12)
+    assert counts["web"] == _pytest.approx(3500, rel=0.12)
+    assert counts["books"] == _pytest.approx(500, rel=0.2)
+    # realized mix close to 7:2:1
+    total = sum(counts.values())
+    assert counts["web"] / total == _pytest.approx(0.7, abs=0.05)
+
+
+def test_mix_to_weights_deterministic_and_drops_unlisted(spark):
+    from krnel_graph_spark.functions.sampling import mix_to_weights
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    a = {r["id"] for r in mix_to_weights(df, "src", {"a": 1, "b": 1}, "id").collect()}
+    b = {r["id"] for r in mix_to_weights(df, "src", {"a": 1, "b": 1}, "id").collect()}
+    assert a == b
+    srcs = {r["src"] for r in mix_to_weights(df, "src", {"a": 1, "b": 1}, "id").collect()}
+    assert "c" not in srcs
+
+
+def test_mix_to_weights_validation(spark):
+    import pytest as _pytest
+
+    from krnel_graph_spark.functions.sampling import mix_to_weights
+
+    df = spark.createDataFrame([(1, "a")], "id long, src string")
+    with _pytest.raises(ValueError):
+        mix_to_weights(df, "src", {}, "id")
+    with _pytest.raises(ValueError):
+        mix_to_weights(df, "src", {"a": 0}, "id")
+    with _pytest.raises(ValueError):
+        mix_to_weights(df, "src", {"a": -1}, "id")
+    # weights naming only absent strata -> empty result, no crash
+    assert mix_to_weights(df, "src", {"zz": 1}, "id").count() == 0

@@ -56,6 +56,7 @@ QUERIES = [
     "tokenize_ids",
     "chunk_pack",
     "dedup_against_near",
+    "dup_windows",
 ]
 ID_STRIDE = 10**9  # > any source id; keeps per-copy ids disjoint
 
