@@ -507,9 +507,15 @@ def drop_near_dups(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
     components: str = "driver",
+    keep_by: str | None = None,
 ) -> DataFrame:
-    """Remove near-duplicates: keep one representative (min id) per
-    connected component of the verified MinHash-LSH pair graph.
+    """Remove near-duplicates: keep one representative per connected
+    component of the verified MinHash-LSH pair graph — the min id by
+    default, or with ``keep_by=<numeric column>`` the member with the
+    LARGEST value of that column (ties -> min id): the RefinedWeb-style
+    "keep the best page of the cluster" rule (longest / highest quality
+    score), at the cost of one extra (id, value) lookup over the
+    pair-graph nodes only — never the corpus.
 
     ``components="driver"`` (default): the pair list is orders of
     magnitude smaller than the corpus (it IS the point of LSH), so
@@ -534,11 +540,26 @@ def drop_near_dups(
     if components == "distributed":
         from .graph import connected_components
 
-        removal_df = (
-            connected_components(pair_df, src="doc_a", dst="doc_b")
-            .filter(F.col("component") < F.col("node"))
-            .select(F.col("node").alias(id_col))
-        )
+        comp = connected_components(pair_df, src="doc_a", dst="doc_b")
+        if keep_by is None:
+            removal_df = comp.filter(
+                F.col("component") < F.col("node")
+            ).select(F.col("node").alias(id_col))
+        else:
+            # keeper = max keep_by, tie -> min id, via one min_by over the
+            # component (struct compare; negation needs a numeric column).
+            vals = df.select(
+                F.col(id_col).alias("node"), F.col(keep_by).alias("__kv")
+            )
+            labeled = comp.join(vals, "node")
+            keepers = labeled.groupBy("component").agg(
+                F.expr("min_by(node, struct(-__kv, node))").alias("__keep")
+            )
+            removal_df = (
+                labeled.join(keepers, "component")
+                .filter(F.col("node") != F.col("__keep"))
+                .select(F.col("node").alias(id_col))
+            )
         # Removal set ≤ pair-graph node count; broadcast is still right
         # for LSH-scale graphs, and AQE demotes it if the estimate blows.
         return df.join(F.broadcast(removal_df), id_col, "left_anti")
@@ -562,7 +583,33 @@ def drop_near_dups(
             lo, hi = (a, b) if a < b else (b, a)
             parent[hi] = lo
 
-    removals = [x for x in parent if find(x) != x]
+    if keep_by is None:
+        removals = [x for x in parent if find(x) != x]
+    else:
+        # Fetch keep_by for pair-graph nodes only (semi-join prune, then a
+        # node-count-bounded collect — same budget as the pair collect).
+        nodes = set(parent)
+        for x in list(parent):
+            nodes.add(find(x))
+        spark = df.sparkSession
+        nodes_df = spark.createDataFrame(
+            [(x,) for x in nodes],
+            f"{id_col} {df.schema[id_col].dataType.simpleString()}",
+        )
+        vals = {
+            r[id_col]: r[keep_by]
+            for r in df.select(id_col, keep_by)
+            .join(F.broadcast(nodes_df), id_col, "left_semi")
+            .collect()
+        }
+        best: dict = {}
+        for x in nodes:
+            root = find(x)
+            cand = (-vals[x], x) if vals[x] is not None else (float("inf"), x)
+            if root not in best or cand < best[root]:
+                best[root] = cand
+        keepers = {b[1] for b in best.values()}
+        removals = [x for x in nodes if x not in keepers]
     if not removals:
         return df
     spark = df.sparkSession

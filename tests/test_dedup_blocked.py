@@ -155,3 +155,76 @@ def test_clean_corpus_stages_monotone(spark):
     ).collect()
     assert {r["doc_id"] for r in clean_rows} <= ids
     assert all(r["q"] >= 0.5 for r in clean_rows)
+
+
+# --------------------------------------------------------------------- #
+# drop_near_dups keep_by (quality-keeper rule)                            #
+# --------------------------------------------------------------------- #
+
+
+def _near_dup_corpus(spark):
+    base_a = "the quick brown fox jumps over the lazy dog again and again"
+    base_b = "shuffle partitions broadcast hints adaptive execution skew salting bucketed scans"
+    rows = [
+        # near-dup group A (ids 1..3): id 2 has the best quality
+        (1, base_a + " alpha", 0.2),
+        (2, base_a + " beta", 0.9),
+        (3, base_a + " gamma", 0.5),
+        # unique docs
+        (4, "completely different text about spark physical plans", 0.1),
+        (5, "yet another unrelated document mentioning broadcast joins", 0.8),
+        # near-dup group B (ids 6..7): tie on quality -> min id wins
+        (6, base_b + " delta one", 0.7),
+        (7, base_b + " delta two", 0.7),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, q double")
+
+
+def test_keep_by_quality_driver(spark):
+    from krnel_graph_spark.functions.dedup import drop_near_dups
+
+    df = _near_dup_corpus(spark)
+    kept = {
+        r["doc_id"]
+        for r in drop_near_dups(
+            df, "text", "doc_id", num_perm=16, bands=8,
+            jaccard_threshold=0.5, keep_by="q",
+        ).collect()
+    }
+    # group A -> 2 (best q), group B -> 6 (tie, min id), uniques kept
+    assert 2 in kept and 1 not in kept and 3 not in kept
+    assert 6 in kept and 7 not in kept
+    assert {4, 5} <= kept
+
+
+def test_keep_by_quality_distributed_matches_driver(spark):
+    from krnel_graph_spark.functions.dedup import drop_near_dups
+
+    df = _near_dup_corpus(spark)
+    kw = dict(num_perm=16, bands=8, jaccard_threshold=0.5, keep_by="q")
+    a = {
+        r["doc_id"]
+        for r in drop_near_dups(df, "text", "doc_id", components="driver", **kw).collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in drop_near_dups(
+            df, "text", "doc_id", components="distributed", **kw
+        ).collect()
+    }
+    assert a == b
+
+
+def test_keep_by_none_unchanged(spark):
+    from krnel_graph_spark.functions.dedup import drop_near_dups
+
+    df = _near_dup_corpus(spark)
+    kept = {
+        r["doc_id"]
+        for r in drop_near_dups(
+            df, "text", "doc_id", num_perm=16, bands=8, jaccard_threshold=0.5
+        ).collect()
+    }
+    # min-id rule: group A -> 1, group B -> 6
+    assert 1 in kept and 2 not in kept and 3 not in kept
+    assert 6 in kept and 7 not in kept
