@@ -1132,6 +1132,22 @@ def q_events_windowed(spark, sf_dir):
     )
 
 
+def q_events_hopping(spark, sf_dir):
+    """Hopping-window counts (1 h window, 30 min slide): every event in 2
+    overlapping epoch-aligned windows."""
+    from krnel_graph_spark.streaming.events import hopping_event_counts
+
+    out = hopping_event_counts(
+        _t(spark, sf_dir, "events"), "1 hour", "30 minutes"
+    )
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_sessionize(spark, sf_dir):
     out = sessionize(_t(spark, sf_dir, "events"), gap="30 minutes")
     return out.select(
@@ -1923,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events_windowed re-verifies the shared decimal-sum fix) -- #
         "rollup_counts": q_rollup_counts,
         "top_terms": q_top_terms,
+        "events_hopping": q_events_hopping,
         "events_windowed": q_events_windowed,
         # below: r4-recorded hash-green rows, past the window by design
         "sessionize": q_sessionize,
@@ -2740,6 +2757,17 @@ SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
        epoch_us(c.ts) AS click_ts_us, round(c.value, 4) AS click_value
 FROM p JOIN c ON p.user_id = c.user_id
              AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '30 minutes'
+""",
+        # hopping windows: each event maps to size/slide = 2 epoch-aligned
+        # window starts, all-integer microsecond arithmetic on both sides.
+        "events_hopping": """
+WITH e AS (SELECT event_type, value, epoch_us(ts) AS tus FROM events),
+x AS (SELECT event_type, value,
+             1800000000 * (tus // 1800000000) - k.k * 1800000000 AS ws
+      FROM e CROSS JOIN (VALUES (0), (1)) AS k(k))
+SELECT ws AS window_start_us, event_type, count(*) AS n_events,
+       round(sum(value::DECIMAL(30,10)), 4)::DOUBLE AS sum_value
+FROM x GROUP BY 1, 2
 """,
         "events_windowed": """
 SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,

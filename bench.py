@@ -84,6 +84,7 @@ HEADLINE = [
     "semantic_dedup",
     "mix_corpus",
     "canonical_urls",
+    "events_hopping",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

@@ -76,6 +76,46 @@ def windowed_event_counts(
     )
 
 
+def hopping_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide_duration: str = "30 minutes",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Hopping (sliding) window counts + value sums per event type: every
+    event lands in ``size/slide`` overlapping epoch-aligned windows — the
+    moving-average / rolling-rate companion to the tumbling
+    ``windowed_event_counts``, streaming-capable through the same
+    ``F.window`` operator (state per OPEN window, evicted by watermark).
+
+    Scale: the window expansion is a codegen Expand (size/slide rows per
+    event) feeding one partial-aggregated groupBy — shuffle carries
+    (window, type) partial sums, not events. Decimal-exact value sums,
+    same contract as the tumbling/rollup ops.
+    """
+    df = with_event_time(events)
+    if watermark is not None and events.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(
+            F.window("ts", window_duration, slide_duration).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap: str = "30 minutes",

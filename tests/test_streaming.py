@@ -403,3 +403,39 @@ def test_interval_join_state_eviction(spark, tmp_path):
         assert got == users_per_batch * n_batches
     finally:
         query.stop()
+
+
+def test_hopping_counts_stream_equals_batch(spark):
+    from krnel_graph_spark.streaming.events import hopping_event_counts
+
+    batch = hopping_event_counts(
+        spark.read.parquet(EVENTS), "1 hour", "30 minutes"
+    )
+    stream = hopping_event_counts(
+        stream_events_from_parquet(spark, EVENTS), "1 hour", "30 minutes"
+    )
+    query = run_stream_to_memory(stream, "hop_counts", output_mode="complete")
+    try:
+        got = spark.table("hop_counts")
+        cols = ["window_start", "event_type", "n_events", "sum_value"]
+        assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
+        assert len(_sorted_rows(got, cols)) > 0
+    finally:
+        query.stop()
+
+
+def test_hopping_counts_overlap_factor(spark):
+    """Every event lands in exactly size/slide windows: total n_events
+    across hopping windows = 2x the tumbling total at 1h/30min."""
+    from krnel_graph_spark.streaming.events import (
+        hopping_event_counts,
+        windowed_event_counts,
+    )
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(EVENTS)
+    hop = hopping_event_counts(ev, "1 hour", "30 minutes")
+    tum = windowed_event_counts(ev, "1 hour")
+    n_hop = hop.agg(F.sum("n_events")).collect()[0][0]
+    n_tum = tum.agg(F.sum("n_events")).collect()[0][0]
+    assert n_hop == 2 * n_tum
