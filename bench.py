@@ -85,6 +85,8 @@ HEADLINE = [
     "mix_corpus",
     "canonical_urls",
     "events_hopping",
+    "histogram_price",
+    "unigram_logprob",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

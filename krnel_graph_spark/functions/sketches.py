@@ -134,3 +134,53 @@ def profile_table(
         for c in cols
     ]
     return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
+def histogram_fixed(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """Equal-width histogram with CALLER-provided edges — the profiling
+    companion to ``approx_quantiles`` when you want exact counts over a
+    known range (score distributions, length distributions).
+
+    Returns ``(bin, lo, hi, n)`` for every bin 0..bins-1 (empty bins
+    included, n=0). Values outside [lo, hi) clamp into the edge bins
+    (standard histogram tail-bucket behavior); nulls are dropped.
+
+    Caller-fixed edges keep the op ONE aggregation pass (no min/max
+    pre-scan) and make the bin arithmetic — ``floor((x-lo)*bins/(hi-lo))``
+    — a fixed IEEE expression any SQL oracle evaluates identically. The
+    shuffle carries at most ``bins`` partial counts per partition.
+    """
+    if bins <= 0:
+        raise ValueError("bins must be positive")
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    x = F.col(col).cast("double")
+    raw = F.floor((x - F.lit(float(lo))) * bins / F.lit(float(hi) - float(lo)))
+    b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw)).cast("int")
+    counts = (
+        df.filter(x.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    width = (float(hi) - float(lo)) / bins
+    frame = spark.range(bins).select(
+        F.col("id").cast("int").alias("bin"),
+        (F.lit(float(lo)) + F.col("id") * F.lit(width)).alias("lo"),
+        (F.lit(float(lo)) + (F.col("id") + 1) * F.lit(width)).alias("hi"),
+    )
+    return (
+        frame.join(counts, "bin", "left")
+        .select(
+            "bin",
+            "lo",
+            "hi",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )

@@ -488,3 +488,53 @@ def tokenize_ids(
             F.coalesce(F.col("token_id"), F.lit(0)).cast("long").alias("token_id"),
         )
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document unigram language-model score — the CCNet-style
+    "perplexity filter" signal, self-trained on the corpus itself: every
+    token scores ``log10(count(token) / total_tokens)``, and a document's
+    ``logprob_sum`` / ``n_tokens`` is its mean token log-probability
+    (outlier-low = gibberish / unseen-vocabulary docs; outlier-high =
+    degenerate repetition of common words).
+
+    Returns ``(id, n_tokens, logprob_sum)`` for non-blank documents.
+    Each term is rounded to 6 places BEFORE the per-doc sum, and the sum
+    accumulates in exact decimal — so summation order cannot move the
+    result and a SQL oracle reproduces it bit-for-bit (an engine-ulp
+    difference inside ``log10`` itself would have to land within 5e-7 of
+    a rounding boundary to matter).
+
+    Scale: token counts are one partial-aggregated groupBy (the unigram
+    table is vocabulary-sized); the table broadcasts into the scoring
+    join by default — pass ``broadcast_vocab=False`` for open-vocabulary
+    corpora where it outgrows executor memory (plain hash join, AQE
+    handles the skewed head tokens).
+    """
+    toks = F.when(
+        normalize_text(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(whitespace_tokens(F.col(text_col)))
+    pairs = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    counts = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("ct"))
+    total = counts.agg(F.sum("ct").alias("tot"))
+    scored = counts.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(F.log10(F.col("ct") / F.col("tot")), 6)
+        .cast("decimal(20,6)")
+        .alias("lp"),
+    )
+    if broadcast_vocab:
+        scored = F.broadcast(scored)
+    return (
+        pairs.join(scored, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp").cast("double").alias("logprob_sum"),
+        )
+    )

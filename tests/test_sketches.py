@@ -100,3 +100,45 @@ def test_profile_table_long_format(spark):
         r["column"]: r for r in profile_table(df, ["k", "s"]).collect()
     }
     assert set(approx) == {"k", "s"} and approx["k"]["n_distinct"] >= 1
+
+
+# --------------------------------------------------------------------- #
+# histogram_fixed                                                         #
+# --------------------------------------------------------------------- #
+
+
+def test_histogram_fixed_counts_and_clamping(spark):
+    from krnel_graph_spark.functions.sketches import histogram_fixed
+
+    rows = [(float(v),) for v in [-5, 0, 1, 9, 10, 11, 19, 25, 100]] + [(None,)]
+    df = spark.createDataFrame(rows, "x double")
+    out = {
+        r["bin"]: (r["lo"], r["hi"], r["n"])
+        for r in histogram_fixed(df, "x", 0.0, 20.0, 2).collect()
+    }
+    # bins: [0,10) and [10,20); -5 clamps into 0, 25/100 clamp into 1
+    assert out[0] == (0.0, 10.0, 4)   # -5, 0, 1, 9
+    assert out[1] == (10.0, 20.0, 5)  # 10, 11, 19, 25, 100
+    assert len(out) == 2
+
+
+def test_histogram_fixed_empty_bins_present(spark):
+    from krnel_graph_spark.functions.sketches import histogram_fixed
+
+    df = spark.createDataFrame([(5.0,)], "x double")
+    out = histogram_fixed(df, "x", 0.0, 100.0, 10).collect()
+    assert len(out) == 10
+    assert sum(r["n"] for r in out) == 1
+    assert sum(1 for r in out if r["n"] == 0) == 9
+
+
+def test_histogram_fixed_validation(spark):
+    import pytest as _pytest
+
+    from krnel_graph_spark.functions.sketches import histogram_fixed
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with _pytest.raises(ValueError):
+        histogram_fixed(df, "x", 0.0, 10.0, 0)
+    with _pytest.raises(ValueError):
+        histogram_fixed(df, "x", 10.0, 10.0, 4)

@@ -230,3 +230,63 @@ def test_top_terms_tie_break_deterministic(spark):
     )
     top = top_terms(docs, "text", "doc_id", k=2).collect()
     assert [r["term"] for r in top] == ["a", "b"]  # tf all 2; term asc
+
+
+# --------------------------------------------------------------------- #
+# unigram_logprob                                                         #
+# --------------------------------------------------------------------- #
+
+
+def test_unigram_logprob_differential(spark):
+    """Spark unigram LM score vs a pure-Python reimplementation."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from krnel_graph_spark.functions.text import unigram_logprob
+
+    docs = {
+        0: "a a b c",
+        1: "a b",
+        2: "c c c z",
+        3: "",            # blank -> excluded
+        4: "  \t ",       # blank -> excluded
+        5: "A a B",       # normalized
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logprob_sum"])
+        for r in unigram_logprob(df, "text", "doc_id").collect()
+    }
+    # reference
+    toks = {i: t.lower().split() for i, t in docs.items() if t.strip()}
+    counts = Counter(w for ts in toks.values() for w in ts)
+    total = sum(counts.values())
+    lp = {
+        w: Decimal(str(round(math.log10(c / total), 6)))
+        for w, c in counts.items()
+    }
+    exp = {
+        i: (len(ts), float(sum(lp[w] for w in ts)))
+        for i, ts in toks.items()
+    }
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i][0] == exp[i][0], i
+        assert got[i][1] == pytest.approx(exp[i][1], abs=1e-9), i
+
+
+def test_unigram_logprob_ranking_sanity(spark):
+    """A doc of corpus-common tokens scores higher (less negative) per
+    token than a doc of rare tokens."""
+    from krnel_graph_spark.functions.text import unigram_logprob
+
+    rows = [(i, "common " * 20) for i in range(10)] + [(99, "rareword")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["logprob_sum"] / r["n_tokens"]
+        for r in unigram_logprob(df, "text", "doc_id").collect()
+    }
+    assert got[0] > got[99]
