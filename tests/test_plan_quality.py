@@ -61,3 +61,45 @@ def test_tpch_shapes_prefer_broadcast_dims(spark, entry):
 
 def test_sort_topk_avoids_global_sort(spark, entry):
     assert "TakeOrderedAndProject" in _plan(spark, entry, "sort_topk")
+
+
+def test_mix_corpus_is_scan_side_filter(spark, entry):
+    """Corpus mixing must stay a pure scan-side filter: zero exchanges
+    (the count-per-stratum agg runs eagerly at build time, not in the
+    output plan)."""
+    assert _exchanges(_plan(spark, entry, "mix_corpus")) == 0
+
+
+def test_dup_windows_no_udf_and_reuses_persist(spark, entry):
+    plan = _plan(spark, entry, "dup_windows")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the per-(doc,window) frame is persisted: both consumers must read
+    # the InMemoryRelation, not re-scan the parquet twice at runtime
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_canonical_urls_semi_join_broadcasts(spark, entry):
+    plan = _plan(spark, entry, "canonical_urls")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_semantic_dedup_broadcast_antijoin(spark, entry):
+    plan = _plan(spark, entry, "semantic_dedup")
+    assert "FlatMapGroupsInPandas" in plan        # cluster-keyed dedup
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_histogram_price_single_agg_pass(spark, entry):
+    plan = _plan(spark, entry, "histogram_price")
+    # one shuffle for the count aggregation; bins frame joins broadcast
+    assert _exchanges(plan) <= 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_events_hopping_partial_aggregates(spark, entry):
+    """The window Expand must feed a partial HashAggregate before the one
+    shuffle (map-side combine on (window, type))."""
+    plan = _plan(spark, entry, "events_hopping")
+    assert _exchanges(plan) == 1
+    assert plan.index("HashAggregate") < plan.index("Exchange")
