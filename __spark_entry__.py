@@ -1854,6 +1854,18 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_video_frames_stub(spark, sf_dir):
+    """Video frame-sampling plumbing (stub decode): per-doc frame explode
+    via mapInPandas, deterministic fake frame hashes. Completes the
+    image/audio/video multimodal trio at the gate."""
+    from krnel_graph_spark.functions.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return sample_frames(docs, "payload", "doc_id", every_n=5, fake=True)
+
+
 def q_image_features_stub(spark, sf_dir):
     from krnel_graph_spark.functions.multimodal import extract_image_features
 
@@ -2029,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": q_ann_pq,
         "image_features_stub": q_image_features_stub,
         "audio_features_stub": q_audio_features_stub,
+        "video_frames_stub": q_video_frames_stub,
         "profile_table_hll": q_profile_table_hll,
     }
 
