@@ -1324,6 +1324,26 @@ def q_repetition_stats(spark, sf_dir):
     )
 
 
+def q_pagerank(spark, sf_dir):
+    """Deterministic 5-iteration PageRank over a synthetic link graph
+    (doc_id -> two hash-derived hub targets): the link-graph curation
+    signal. Decimal contribution sums + per-iteration rounding make the
+    unrolled SQL oracle bit-exact."""
+    from krnel_graph_spark.functions.graph import pagerank
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 500).alias("dst"),
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 13 + 1) % 500).alias("dst"),
+    )
+    out = pagerank(e1.union(e2), damping=0.85, n_iter=5)
+    return out.select("node", F.col("rank").alias("pr"))
+
+
 def q_histogram_price(spark, sf_dir):
     """Exact fixed-edge histogram of l_extendedprice: 22 bins over
     [0, 110000) — width 5000 exactly, so bin edges are the same IEEE
@@ -1971,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and top_terms are new-but-simple (strong judge-run evidence);
         # the rest were r4-recorded hash-green.
         "histogram_price": q_histogram_price,
+        "pagerank": q_pagerank,
         "top_terms": q_top_terms,
         "events_windowed": q_events_windowed,
         "sessionize": q_sessionize,
@@ -2049,6 +2070,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------- #
 # oracles                                                                 #
 # --------------------------------------------------------------------- #
+
+
+def _pagerank_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank CTE chain mirroring
+    ``functions/graph.py:pagerank`` (decimal contribution sums,
+    per-iteration round to 10 places, dangling mass not redistributed)."""
+    parts = [
+        """e AS (
+  SELECT doc_id AS src, (doc_id * 7 + 3) % 500 AS dst FROM documents
+  UNION
+  SELECT doc_id, (doc_id * 13 + 1) % 500 FROM documents)""",
+        "nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e)",
+        "cnt AS (SELECT count(*)::BIGINT AS N FROM nodes)",
+        "od AS (SELECT src, count(*) AS od FROM e GROUP BY src)",
+        "r0 AS (SELECT n, round(1.0 / (SELECT N FROM cnt), 10) AS r FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""c{i} AS (SELECT e.dst AS n,
+    sum((r.r / od.od)::DECIMAL(38,12)) AS s
+  FROM e JOIN od USING (src) JOIN r{i - 1} r ON r.n = e.src
+  GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""r{i} AS (SELECT nodes.n,
+    round((1.0 - {damping}) / (SELECT N FROM cnt)
+          + {damping} * coalesce(c.s::DOUBLE, 0.0), 10) AS r
+  FROM nodes LEFT JOIN c{i} c USING (n))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT n AS node, r AS pr FROM r{n_iter}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3035,6 +3090,9 @@ SELECT b.bin, 0.0 + b.bin * 5000.0 AS lo, 0.0 + (b.bin + 1) * 5000.0 AS hi,
        coalesce(n, 0)::BIGINT AS n
 FROM b LEFT JOIN c USING (bin)
 """,
+        # pagerank: 5 unrolled iterations; decimal contribution sums +
+        # per-iteration rounding mirror functions/graph.py exactly.
+        "pagerank": _pagerank_sql(),
         # unigram_logprob: per-term log10 rounded to 6 places BEFORE the
         # decimal per-doc sum, so summation order can't move the result.
         "unigram_logprob": f"""

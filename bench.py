@@ -87,6 +87,7 @@ HEADLINE = [
     "events_hopping",
     "histogram_price",
     "unigram_logprob",
+    "pagerank",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

@@ -113,3 +113,84 @@ def connected_components(
         .groupBy("node")
         .agg(F.min("component").alias("component"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 5,
+    round_to: int = 10,
+) -> DataFrame:
+    """Deterministic fixed-iteration PageRank over a directed edge list —
+    the classic link-graph quality/spam signal a web-crawl curation
+    pipeline feeds into its document scoring (alongside content-level
+    signals like ``text.quality_score``).
+
+    Returns ``(node, rank)`` for every node appearing in the edge set.
+    Simplified dangling-mass handling: rank flowing into sink nodes is
+    not redistributed, so ranks sum to < 1 — the RANKING, which is the
+    curation signal, is unaffected, and the recurrence stays a pure
+    join+aggregate any SQL oracle can unroll.
+
+    Determinism: every iteration rounds ranks to ``round_to`` decimals
+    and accumulates contributions in exact decimal, so partition order
+    and engine cannot move the result; a fixed ``n_iter`` (no float
+    convergence test) keeps reruns identical.
+
+    Scale shape: per iteration one shuffle joins ranks to edges on src
+    (both sides hash-partitioned on the same key round over round) and
+    one partial-aggregated groupBy(dst) sums contributions — edge-count
+    shuffle volume, rank-table-sized results. ``localCheckpoint`` per
+    iteration breaks the lineage (same pitfall note as
+    ``connected_components``).
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
+    e_od = e.join(outdeg, "src").localCheckpoint(eager=True)
+
+    rank = nodes.withColumn(
+        "rank", F.round(F.lit(1.0) / n_nodes, round_to)
+    )
+    for _ in range(n_iter):
+        contrib = (
+            e_od.join(rank, F.col("src") == F.col("node"))
+            .select(
+                F.col("dst"),
+                (F.col("rank") / F.col("__od"))
+                .cast("decimal(38,12)")
+                .alias("__c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        rank = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(1.0 - damping) / n_nodes
+                    + F.lit(damping)
+                    * F.coalesce(F.col("__s").cast("double"), F.lit(0.0)),
+                    round_to,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return rank

@@ -100,3 +100,63 @@ def test_custom_column_names(spark):
     out = connected_components(df, src="doc_a", dst="doc_b")
     assert out.columns == ["node", "component"]
     assert {tuple(r) for r in out.collect()} == {(1, 1), (2, 1), (3, 1)}
+
+
+# --------------------------------------------------------------------- #
+# pagerank                                                                #
+# --------------------------------------------------------------------- #
+
+
+def _py_pagerank(edges, damping=0.85, n_iter=5):
+    """Pure-Python mirror: decimal contribution sums, round-10 ranks,
+    dangling mass not redistributed."""
+    from decimal import Decimal
+
+    edges = sorted(set(edges))
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    od = {}
+    for a, _ in edges:
+        od[a] = od.get(a, 0) + 1
+    r = {v: round(1.0 / n, 10) for v in nodes}
+    for _ in range(n_iter):
+        s = {v: Decimal(0) for v in nodes}
+        for a, b in edges:
+            c = r[a] / od[a]
+            s[b] += Decimal(str(round(c, 12)))  # decimal(38,12) cast
+        r = {
+            v: round((1.0 - damping) / n + damping * float(s[v]), 10)
+            for v in nodes
+        }
+    return r
+
+
+def test_pagerank_matches_reference(spark):
+    from krnel_graph_spark.functions.graph import pagerank
+
+    edges = [(i, (i * 3 + 1) % 20) for i in range(60)] + [(5, 7), (7, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=5).collect()}
+    exp = _py_pagerank(edges)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-9), v
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    from krnel_graph_spark.functions.graph import pagerank
+
+    # star: everyone links to 0
+    edges = [(i, 0) for i in range(1, 30)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ranks = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    assert ranks[0] == max(ranks.values())
+    assert ranks[0] > 10 * ranks[1]
+
+
+def test_pagerank_validation(spark):
+    from krnel_graph_spark.functions.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.0)
