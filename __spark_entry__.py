@@ -369,6 +369,21 @@ def q_csv_roundtrip(spark, sf_dir):
     return runner.dataframe(back)
 
 
+def q_text_roundtrip(spark, sf_dir):
+    """Raw-line text sink + source roundtrip: write documents.text as one
+    doc per line (row-id order), read back via from_text. Content must
+    equal the parquet column exactly."""
+    import hashlib as _h
+
+    runner = _runner(spark)
+    docs = runner.from_parquet(f"{sf_dir}/documents.parquet")
+    tag = f"{_h.sha256(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}"
+    path = f"/tmp/spark_graft_gate_{tag}/docs.txt"
+    runner.write_text(docs, path, column="text", sort_by_row_id=True)
+    back = runner.from_text(path, column="text")
+    return runner.dataframe(back).select("text")
+
+
 def q_jsonl_roundtrip(spark, sf_dir):
     import hashlib as _h
 
@@ -2048,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": q_csv_roundtrip,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "orc_roundtrip": q_orc_roundtrip,
+        "text_roundtrip": q_text_roundtrip,
         # ---- no-oracle queries (rows-only check) below this line ---- #
         "split_rng": q_split_rng,
         "classifier_predict": q_classifier_predict,
@@ -2416,6 +2432,7 @@ FROM t WHERE ({md5_long_sql("rn::VARCHAR || ':42'")} % 1000000) >= 250000
         + ") AS t(value)",
         "csv_roundtrip": "SELECT * FROM nation",
         "jsonl_roundtrip": "SELECT * FROM supplier",
+        "text_roundtrip": "SELECT text FROM documents",
         "orc_roundtrip": "SELECT * FROM part",
         "agg_q1": """
 SELECT l_returnflag, l_linestatus,

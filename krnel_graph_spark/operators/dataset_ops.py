@@ -84,6 +84,17 @@ class LoadORCDatasetOp(LoadDatasetOp):
     file_path: Annotated[str, ExcludeFromUUID()]
 
 
+class LoadTextLinesDatasetOp(LoadDatasetOp):
+    """Read raw line-oriented text: one row per line, a single string
+    column (beyond-reference source — the rawest corpus-ingestion format,
+    one document per line). ``column`` names the output column; it is part
+    of identity (the same file projected under two names is two logical
+    datasets)."""
+
+    file_path: Annotated[str, ExcludeFromUUID()]
+    column: str = "text"
+
+
 # ---------------------------------------------------------------------- #
 # Projections (ephemeral: a select is just a column expression)           #
 # ---------------------------------------------------------------------- #

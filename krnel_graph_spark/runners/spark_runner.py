@@ -42,6 +42,7 @@ from ..operators.dataset_ops import (
     LoadInlineJsonDatasetOp,
     LoadJSONLinesDatasetOp,
     LoadORCDatasetOp,
+    LoadTextLinesDatasetOp,
     LoadParquetDatasetOp,
     MaskRowsOp,
     PairwiseArithmeticOp,
@@ -179,6 +180,17 @@ class SparkRunner(BaseRunner):
             file_path=file_path, content_hash=_content_identity(file_path)
         )
 
+    def from_text(
+        self, file_path: str, column: str = "text"
+    ) -> "LoadTextLinesDatasetOp":
+        from ..operators.dataset_ops import LoadTextLinesDatasetOp
+
+        return LoadTextLinesDatasetOp(
+            file_path=file_path,
+            content_hash=_content_identity(file_path),
+            column=column,
+        )
+
     # ------------------------------------------------------------------ #
     # User-directed sinks (beyond-reference: the reference can only write  #
     # into its result store)                                               #
@@ -226,6 +238,23 @@ class SparkRunner(BaseRunner):
     ) -> None:
         with _translate_runtime_errors():
             self._sink_df(op, sort_by_row_id).write.mode("overwrite").orc(path)
+
+    def write_text(
+        self,
+        op: OpSpec,
+        path: str,
+        column: str,
+        sort_by_row_id: bool = False,
+    ) -> None:
+        """Write ONE string column as raw lines (one row per line). Text
+        files carry no other columns, so row ids cannot ride along — a
+        round-trip re-reads with fresh positional ids; use parquet when
+        alignment must survive the trip."""
+        df = self._sink_df(op, sort_by_row_id)
+        with _translate_runtime_errors():
+            df.select(F.col(column).cast("string").alias("value")).write.mode(
+                "overwrite"
+            ).text(path)
 
     def write_bucketed(
         self,
@@ -790,6 +819,20 @@ def load_orc(runner: SparkRunner, op: LoadORCDatasetOp) -> DatasetPlan:
     parquet). Row ids follow the text-source policy: written ids are
     re-adopted on round-trips, fresh scans get stable monotonic ids."""
     return _text_scan_with_row_ids(runner.spark.read.orc(op.file_path), op.uuid)
+
+
+@SparkRunner.implementation
+def load_text_lines(
+    runner: SparkRunner, op: LoadTextLinesDatasetOp
+) -> DatasetPlan:
+    """Raw line scan: spark.read.text — one row per line, renamed to
+    ``op.column``. Splittable like any text source; row ids follow the
+    text-source policy (monotonic, dense only for single-partition
+    scans)."""
+    df = runner.spark.read.text(op.file_path).withColumnRenamed(
+        "value", op.column
+    )
+    return _text_scan_with_row_ids(df, op.uuid)
 
 
 @SparkRunner.implementation

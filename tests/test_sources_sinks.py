@@ -157,3 +157,29 @@ def test_orc_roundtrip(lazy_runner, spark, tmp_path):
         back.col_categorical("n_name").is_in({"NATION_1", "NATION_2"})
     )
     assert len(lazy_runner.to_pandas(masked)) == 2
+
+
+# --------------------------------------------------------------------- #
+# raw text lines source/sink                                              #
+# --------------------------------------------------------------------- #
+
+
+def test_text_roundtrip(runner, tmp_path):
+    ds = runner.from_inline_dataset(
+        {"doc": ["alpha beta", "gamma", "delta epsilon zeta"]}
+    )
+    path = str(tmp_path / "lines.txt")
+    runner.write_text(ds, path, column="doc", sort_by_row_id=True)
+    back = runner.from_text(path, column="doc")
+    got = runner.to_pandas(back)["doc"].tolist()
+    assert got == ["alpha beta", "gamma", "delta epsilon zeta"]
+
+
+def test_text_column_in_identity(runner, tmp_path):
+    ds = runner.from_inline_dataset({"doc": ["x"]})
+    path = str(tmp_path / "l.txt")
+    runner.write_text(ds, path, column="doc")
+    a = runner.from_text(path, column="text")
+    b = runner.from_text(path, column="line")
+    assert a.uuid != b.uuid
+    assert runner.to_pandas(b).columns.tolist()[-1] == "line"
