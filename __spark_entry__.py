@@ -1772,6 +1772,23 @@ def q_chunk_docs(spark, sf_dir):
     )
 
 
+def q_bm25_many(spark, sf_dir):
+    """Batch BM25: per-query top-5 over a 3-query table — one corpus
+    scan for doc lengths, one pruned-explode tf pass, qid-partitioned
+    window for the cut."""
+    queries = spark.createDataFrame(
+        [
+            ("q1", "hash join spark"),
+            ("q2", "key value table"),
+            ("q3", "fast merge batch"),
+        ],
+        "query_id string, query_text string",
+    )
+    return tx.bm25_search_many(
+        _docs(spark, sf_dir), "text", "doc_id", queries, k=5
+    )
+
+
 def q_bm25_search(spark, sf_dir):
     """BM25 top-20 for a 3-term keyword query: corpus stats and per-term
     document frequencies ride broadcast joins; the explode is pruned to
@@ -1988,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-recorded: r5 text-pipeline additions -- #
         "chunk_docs": q_chunk_docs,
         "bm25_search": q_bm25_search,
+        "bm25_many": q_bm25_many,
         "tfidf": q_tfidf,
         "dedup_against_exact": q_dedup_against_exact,
         "dedup_against_near": q_dedup_against_near,
@@ -3027,6 +3045,36 @@ scored AS (
   GROUP BY doc_id)
 SELECT doc_id, round(s, 6)::DOUBLE AS score
 FROM scored ORDER BY s DESC, doc_id ASC LIMIT 20
+""",
+        "bm25_many": f"""
+WITH q(qid, qtext) AS (VALUES ('q1', 'hash join spark'),
+                              ('q2', 'key value table'),
+                              ('q3', 'fast merge batch')),
+qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS term FROM q),
+docs AS (SELECT doc_id, {toks_text} AS toks,
+                len({toks_text}) AS dl
+         FROM documents WHERE {norm_text} != ''),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM docs),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf
+       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+       WHERE term IN (SELECT term FROM qt)
+       GROUP BY doc_id, dl, term),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY term),
+scored AS (
+  SELECT qt.qid, doc_id,
+         sum((ln(1.0 + ((n_docs - df_t) + 0.5) / (df_t + 0.5))
+              * ((tf * 2.2)
+                 / (tf + 1.2 * (0.25 + (0.75 * dl)
+                                / (total_len::DOUBLE / n_docs)))))
+             ::DECIMAL(30,10)) AS s
+  FROM tf JOIN dft USING (term) JOIN qt USING (term), stats
+  GROUP BY qt.qid, doc_id),
+ranked AS (SELECT qid, doc_id, s,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY s DESC, doc_id ASC) AS rn
+           FROM scored)
+SELECT qid AS query_id, doc_id, round(s, 6)::DOUBLE AS score
+FROM ranked WHERE rn <= 5
 """,
         "chunk_pack": f"""
 WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents

@@ -88,6 +88,7 @@ HEADLINE = [
     "histogram_price",
     "unigram_logprob",
     "pagerank",
+    "bm25_many",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

@@ -370,6 +370,22 @@ def cmd_upsert(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Table profiling: one-pass long-format column profile of a parquet
+    dir (HLL distinct by default; --exact plans the Expand)."""
+    import json as _json
+
+    from .functions.sketches import profile_table
+    from .runners.spark_runner import get_spark
+
+    spark = get_spark("cli-profile")
+    df = spark.read.parquet(args.src)
+    cols = args.cols.split(",") if args.cols else list(df.columns)
+    rows = profile_table(df, cols, exact_distinct=args.exact).collect()
+    print(_json.dumps([r.asDict() for r in rows]))
+    return 0
+
+
 def cmd_config(args) -> int:
     """Get or set engine configuration (reference ``cli.py:608-646``).
 
@@ -538,6 +554,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="boolean column in the delta marking tombstone rows",
     )
     p_upsert.set_defaults(fn=cmd_upsert)
+
+    p_profile = sub.add_parser(
+        "profile", help="one-pass column profile of a parquet dir (JSON)"
+    )
+    p_profile.add_argument("src")
+    p_profile.add_argument(
+        "--cols", help="comma-separated columns (default: all)"
+    )
+    p_profile.add_argument(
+        "--exact", action="store_true", help="exact distinct counts"
+    )
+    p_profile.set_defaults(fn=cmd_profile)
     return parser
 
 

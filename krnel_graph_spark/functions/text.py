@@ -538,3 +538,83 @@ def unigram_logprob(
             F.sum("lp").cast("double").alias("logprob_sum"),
         )
     )
+
+
+def bm25_search_many(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """Batch BM25: top-``k`` documents for EVERY query in a query table —
+    the retrieval shape of eval-suite scoring and hard-negative mining,
+    where running :func:`bm25_search` per query would re-scan the corpus
+    |queries| times.
+
+    Returns ``(query_id, id, score)``; ties cut by id ascending, scores
+    decimal-summed from integer inputs like the single-query op, so the
+    per-query ranking is engine-exact.
+
+    Scale: ONE corpus scan builds doc lengths; a second builds the pruned
+    tf table — the explode is semi-joined against the distinct query-term
+    set (broadcast: query tables are human-sized) BEFORE its shuffle, so
+    tf volume tracks matched terms, not the corpus vocabulary. Scoring
+    joins tf to the (query, term) pairs map-side (broadcast again) and
+    the per-query top-k is a qid-partitioned window — no global sort.
+    """
+    from pyspark.sql import Window
+
+    q_terms = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.explode(whitespace_tokens(F.col(query_text_col))).alias("term"),
+    ).distinct()
+    term_set = q_terms.select("term").distinct()
+
+    docs = (
+        df.select(F.col(id_col), whitespace_tokens(F.col(text_col)).alias("toks"))
+        .filter(normalize_text(F.col(text_col)) != "")
+        .withColumn("dl", F.size("toks"))
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    tf = (
+        docs.select(F.col(id_col), F.col("dl"), F.explode("toks").alias("term"))
+        .join(F.broadcast(term_set), "term", "left_semi")
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    part = idf * (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(q_terms), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("__qid", id_col)
+        .agg(F.sum(part.cast("decimal(30,10)")).alias("_s"))
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("_s").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col(id_col),
+            F.round(F.col("_s"), 6).cast("double").alias("score"),
+        )
+    )

@@ -216,3 +216,62 @@ def test_tokenize_ids_differential(spark, docs_df):
     lens = Counter(d for d, _, _ in got)
     for d, t in _corpus():
         assert lens[d] == len(_tokens(t))
+
+
+# --------------------------------------------------------------------- #
+# bm25_search_many                                                        #
+# --------------------------------------------------------------------- #
+
+
+def test_bm25_many_matches_single(spark):
+    """Per-query results of the batch op equal the single-query op."""
+    from krnel_graph_spark.functions.text import bm25_search, bm25_search_many
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark hash join tuning"),
+            (2, "hash tables and hash maps"),
+            (3, "broadcast join hints in spark"),
+            (4, "completely unrelated prose"),
+            (5, "spark spark spark hash"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [("a", "spark hash"), ("b", "broadcast join")],
+        "query_id string, query_text string",
+    )
+    many = bm25_search_many(docs, "text", "doc_id", queries, k=3)
+    got = {
+        (r["query_id"], r["doc_id"]): r["score"] for r in many.collect()
+    }
+    for qid, qtext in [("a", "spark hash"), ("b", "broadcast join")]:
+        single = bm25_search(docs, "text", "doc_id", qtext, k=3)
+        for r in single.collect():
+            assert got[(qid, r["doc_id"])] == r["score"], (qid, r["doc_id"])
+    # every query got results, capped at k
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in got)
+    assert set(per_q) == {"a", "b"} and all(v <= 3 for v in per_q.values())
+
+
+def test_cli_profile(spark, capsys):
+    import json
+
+    from krnel_graph_spark.cli import main
+
+    rc = main(
+        [
+            "profile",
+            "/root/testdata/sf0.001/nation.parquet",
+            "--cols",
+            "n_nationkey,n_name",
+            "--exact",
+        ]
+    )
+    assert rc == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    byc = {r["column"]: r for r in rows}
+    assert byc["n_nationkey"]["n_distinct"] == byc["n_nationkey"]["n_rows"]
+    assert byc["n_name"]["min_num"] is None
