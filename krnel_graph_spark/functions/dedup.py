@@ -666,6 +666,7 @@ def dedup_against(
     bands: int = 8,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
+    bloom_bits_per_key: int = 0,
 ) -> DataFrame:
     """Cross-corpus dedup: keep only ``new_df`` rows that do NOT
     (exactly / nearly) match anything in ``ref_df`` — the incremental
@@ -687,6 +688,24 @@ def dedup_against(
 
     if mode == "exact":
         ref_fp = ref_df.select(tx.fingerprint(text_col).alias("__fp")).distinct()
+        if bloom_bits_per_key > 0:
+            # Map-side bloom prefilter — the 100-TB shape: the huge NEW
+            # crawl never shuffles its fingerprints at all; only rows the
+            # bloom says MIGHT match reach the anti-join, and false
+            # positives are caught there, so output is identical.
+            bloom = build_bloom(ref_fp, "__fp", bits_per_key=bloom_bits_per_key)
+            maybe = new_df.filter(
+                bloom_might_contain(bloom, tx.fingerprint(F.col(text_col)))
+            )
+            clean = new_df.join(
+                maybe.select(id_col), id_col, "left_anti"
+            )
+            deduped_maybe = maybe.join(
+                ref_fp,
+                tx.fingerprint(F.col(text_col)) == F.col("__fp"),
+                "left_anti",
+            )
+            return clean.unionByName(deduped_maybe)
         return new_df.join(
             ref_fp,
             tx.fingerprint(F.col(text_col)) == F.col("__fp"),
@@ -951,3 +970,84 @@ def semantic_dedup(
         drop_ids, schema=f"{id_col} {id_dtype}"
     )
     return df.join(F.broadcast(removals), id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------- #
+# Bloom prefilter (map-side membership pruning)                            #
+# ---------------------------------------------------------------------- #
+
+
+def build_bloom(
+    df: DataFrame,
+    col: str,
+    bits_per_key: int = 10,
+    n_hashes: int = 4,
+    max_bits: int = 1 << 27,
+) -> bytes:
+    """Build a bloom filter over a string column: double-hashing over the
+    JVM-side ``xxhash64`` of each value, k index derivations and bit sets
+    fully numpy-vectorized, per-partition partial bit arrays OR-combined
+    on the driver (bloom-sized, not data-sized).
+
+    Spark doesn't expose ``bloom_filter_agg`` to SQL, so this is the
+    engine's own: ~``bits_per_key``/key (10 -> ~1% FP at k=4), capped at
+    ``max_bits`` (16 MiB default — past that prefer the plain hash
+    anti-join or raise the cap). Returns the filter as bytes, cheap to
+    broadcast."""
+    n_keys = df.count() or 1
+    m_bits = min(max(64, n_keys * bits_per_key), max_bits)
+    n_bytes = (m_bits + 7) // 8
+    # The probe side recovers m from len(bloom) * 8, so the modulus MUST
+    # be the byte-rounded bit count — a 500-bit request probes at 504.
+    m_bits = n_bytes * 8
+    hashed = df.select(F.xxhash64(F.col(col)).alias("__h"))
+
+    def partials(batches):
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            h = pdf["__h"].to_numpy(dtype=np.uint64)
+            h1 = h >> np.uint64(32)
+            h2 = (h & np.uint64(0xFFFFFFFF)) | np.uint64(1)
+            for i in range(n_hashes):
+                idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+                np.bitwise_or.at(
+                    bits, (idx >> np.uint64(3)).astype(np.int64),
+                    (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)),
+                )
+        if seen:
+            yield pd.DataFrame({"b": [bits.tobytes()]})
+
+    parts = hashed.mapInPandas(partials, "b binary").collect()
+    acc = np.zeros(n_bytes, dtype=np.uint8)
+    for r in parts:
+        acc |= np.frombuffer(r["b"], dtype=np.uint8)
+    return acc.tobytes()
+
+
+def bloom_might_contain(bloom: bytes, col, n_hashes: int = 4) -> Column:
+    """Membership-test column for a :func:`build_bloom` filter: true when
+    the value MIGHT be in the builder's key set (false positives at the
+    filter's FP rate, never false negatives). The filter rides to
+    executors as a broadcast; the probe is an Arrow-batched numpy kernel
+    over JVM-side ``xxhash64`` values — no per-row Python."""
+    m_bits = len(bloom) * 8
+    c = F.col(col) if isinstance(col, str) else col
+
+    @F.pandas_udf("boolean")
+    def probe(h: pd.Series) -> pd.Series:
+        bits = np.frombuffer(bloom, dtype=np.uint8)
+        hv = h.to_numpy(dtype=np.uint64)
+        h1 = hv >> np.uint64(32)
+        h2 = (hv & np.uint64(0xFFFFFFFF)) | np.uint64(1)
+        hit = np.ones(len(hv), dtype=bool)
+        for i in range(n_hashes):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+            byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
+            hit &= (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1 == 1
+        return pd.Series(hit)
+
+    return probe(F.xxhash64(c))
