@@ -1772,6 +1772,18 @@ def q_chunk_docs(spark, sf_dir):
     )
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Subword tokenization end-to-end: train 20 BPE merges from the
+    corpus word-frequency table (one scan; the merge loop runs on the
+    vocabulary-sized type table), then encode every document. No SQL
+    oracle — the merge loop isn't SQL-expressible — so the gate records
+    rows; pytest pins the classic Sennrich example and a reconstruction
+    property."""
+    docs = _docs(spark, sf_dir)
+    merges = tx.train_bpe(docs, "text", n_merges=20, min_freq=2)
+    return tx.bpe_encode(docs, "text", "doc_id", merges)
+
+
 def q_bm25_many(spark, sf_dir):
     """Batch BM25: per-query top-5 over a 3-query table — one corpus
     scan for doc lengths, one pruned-explode tf pass, qid-partitioned
@@ -2097,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features_stub": q_image_features_stub,
         "audio_features_stub": q_audio_features_stub,
         "video_frames_stub": q_video_frames_stub,
+        "bpe_encode": q_bpe_encode,
         "profile_table_hll": q_profile_table_hll,
     }
 

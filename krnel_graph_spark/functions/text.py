@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -618,3 +620,128 @@ def bm25_search_many(
             F.round(F.col("_s"), 6).cast("double").alias("score"),
         )
     )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 50,
+    min_freq: int = 2,
+    max_word_types: int = 1_000_000,
+) -> list[tuple[str, str]]:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016, word-level
+    variant): learn ``n_merges`` symbol merges from corpus statistics —
+    the step that turns ``tokenize_ids``'s whitespace vocabulary into a
+    real subword tokenizer.
+
+    Returns the ordered merge list ``[(left, right), ...]``; feed it to
+    :func:`bpe_encode` to tokenize. Deterministic: merge choice is
+    (count desc, pair lexicographic asc) — a total order.
+
+    Scale shape (the standard design): the ONE data-sized step is the
+    word-frequency aggregation (single scan, partial-agg'd groupBy); the
+    merge loop then iterates on the word-TYPE table, which is
+    vocabulary-sized (``max_word_types`` guards the driver collect —
+    1M types × ~40 B ≈ 40 MB; raise it or pre-truncate the corpus's long
+    tail with ``min_freq`` for bigger type inventories). The corpus is
+    never rescanned, so the loop costs the same at 100 TB as at 100 MB.
+    """
+    wf_rows = (
+        df.select(F.explode(whitespace_tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_freq)
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(max_word_types)
+        .collect()
+    )
+    # word -> (symbol tuple, freq); '</w>' marks word end per the paper
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["w"]) + ("</w>",): r["n"] for r in wf_rows
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + n
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_counts[best] < max(min_freq, 2):
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply a :func:`train_bpe` merge list: long-format
+    ``(id, pos, piece)`` subword tokenization. The merge table is tiny
+    and broadcasts into an Arrow-batched kernel; encoding is
+    embarrassingly parallel per document (no shuffle — the output
+    carries (id, pos) for downstream packing)."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(ranks)
+
+    @F.pandas_udf("array<string>")
+    def encode(texts: pd.Series) -> pd.Series:
+        rk = bc.value
+
+        def enc_word(word: str) -> list[str]:
+            syms = list(word) + ["</w>"]
+            while len(syms) > 1:
+                pairs = [
+                    (rk.get((a, b)), i)
+                    for i, (a, b) in enumerate(zip(syms, syms[1:]))
+                    if (a, b) in rk
+                ]
+                if not pairs:
+                    break
+                r, i = min(pairs)
+                syms[i : i + 2] = [syms[i] + syms[i + 1]]
+            return syms
+
+        out = []
+        for t in texts:
+            t = " ".join((t or "").lower().split())
+            pieces: list[str] = []
+            for w in t.split(" "):
+                if w:
+                    pieces.extend(enc_word(w))
+            out.append(pieces)
+        return pd.Series(out)
+
+    from .partitioning import ensure_min_partitions
+
+    base = ensure_min_partitions(df).select(
+        F.col(id_col), encode(F.col(text_col)).alias("__p")
+    )
+    return base.select(
+        F.col(id_col),
+        F.posexplode("__p").alias("pos", "piece"),
+    ).withColumn("pos", F.col("pos").cast("long"))
