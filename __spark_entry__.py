@@ -1370,6 +1370,18 @@ def q_histogram_price(spark, sf_dir):
     )
 
 
+def q_corr_matrix(spark, sf_dir):
+    """One-pass Pearson correlation matrix over three lineitem measures:
+    all moments in a single aggregation, decimal-exact sums, closed-form
+    correlations on the 1-row result."""
+    from krnel_graph_spark.functions.sketches import corr_matrix
+
+    return corr_matrix(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
 def q_unigram_logprob(spark, sf_dir):
     """Self-trained unigram LM score per document (CCNet-style quality
     signal): mean token log10-probability, decimal-exact per-doc sums."""
@@ -2036,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and top_terms are new-but-simple (strong judge-run evidence);
         # the rest were r4-recorded hash-green.
         "histogram_price": q_histogram_price,
+        "corr_matrix": q_corr_matrix,
         "pagerank": q_pagerank,
         "top_terms": q_top_terms,
         "events_windowed": q_events_windowed,
@@ -3167,6 +3180,37 @@ b AS (SELECT unnest(generate_series(0, 21))::INT AS bin)
 SELECT b.bin, 0.0 + b.bin * 5000.0 AS lo, 0.0 + (b.bin + 1) * 5000.0 AS hi,
        coalesce(n, 0)::BIGINT AS n
 FROM b LEFT JOIN c USING (bin)
+""",
+        # corr_matrix: identical moment pipeline — double products cast
+        # DECIMAL(38,12) before summing, closed form in double, round 8.
+        "corr_matrix": """
+WITH t AS (SELECT l_quantity::DOUBLE AS q, l_extendedprice::DOUBLE AS e,
+                  l_discount::DOUBLE AS d
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+             AND l_discount IS NOT NULL),
+m AS (SELECT count(*)::DOUBLE AS n,
+             sum((q)::DECIMAL(38,12))::DOUBLE AS sq,
+             sum((e)::DECIMAL(38,12))::DOUBLE AS se,
+             sum((d)::DECIMAL(38,12))::DOUBLE AS sd,
+             sum((q*q)::DECIMAL(38,12))::DOUBLE AS sqq,
+             sum((e*e)::DECIMAL(38,12))::DOUBLE AS see,
+             sum((d*d)::DECIMAL(38,12))::DOUBLE AS sdd,
+             sum((q*e)::DECIMAL(38,12))::DOUBLE AS sqe,
+             sum((q*d)::DECIMAL(38,12))::DOUBLE AS sqd,
+             sum((e*d)::DECIMAL(38,12))::DOUBLE AS sed
+      FROM t)
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+       round((n*sqe - sq*se) / sqrt((n*sqq - sq*sq) * (n*see - se*se)), 8)
+         AS corr FROM m
+UNION ALL
+SELECT 'l_quantity', 'l_discount',
+       round((n*sqd - sq*sd) / sqrt((n*sqq - sq*sq) * (n*sdd - sd*sd)), 8)
+  FROM m
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount',
+       round((n*sed - se*sd) / sqrt((n*see - se*se) * (n*sdd - sd*sd)), 8)
+  FROM m
 """,
         # pagerank: 5 unrolled iterations; decimal contribution sums +
         # per-iteration rounding mirror functions/graph.py exactly.

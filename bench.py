@@ -89,6 +89,7 @@ HEADLINE = [
     "unigram_logprob",
     "pagerank",
     "bm25_many",
+    "corr_matrix",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

@@ -184,3 +184,53 @@ def histogram_fixed(
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         )
     )
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations over numeric columns, long format
+    ``(col_a, col_b, corr)`` for every a < b — the feature-analysis
+    companion to ``profile_table``.
+
+    ONE aggregation pass computes all moments (counts, sums, cross
+    products); the pairwise formula then runs on the single result row,
+    so cost is one scan regardless of pair count. Complete-case: rows
+    with a null in ANY requested column are dropped first (so every pair
+    sees the same n — and so does a SQL oracle).
+
+    Exactness: each product is computed in IEEE double (identical in any
+    engine) then cast to DECIMAL(38,12) before the SUM, so accumulation
+    order cannot move the moments; the closed-form correlation is
+    evaluated in double from those exact moments and rounded to 8.
+    """
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    base = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    for c in cols:
+        base = base.filter(F.col(c).isNotNull())
+
+    def dsum(expr):
+        return F.sum(expr.cast("decimal(38,12)")).cast("double")
+
+    aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
+    for c in cols:
+        aggs.append(dsum(F.col(c)).alias(f"__s_{c}"))
+        aggs.append(dsum(F.col(c) * F.col(c)).alias(f"__ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(dsum(F.col(a) * F.col(b)).alias(f"__sp_{a}_{b}"))
+    wide = base.agg(*aggs)
+
+    out = []
+    n = F.col("__n")
+    for a, b in pairs:
+        cov = n * F.col(f"__sp_{a}_{b}") - F.col(f"__s_{a}") * F.col(f"__s_{b}")
+        va = n * F.col(f"__ss_{a}") - F.col(f"__s_{a}") * F.col(f"__s_{a}")
+        vb = n * F.col(f"__ss_{b}") - F.col(f"__s_{b}") * F.col(f"__s_{b}")
+        out.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(cov / F.sqrt(va * vb), 8).alias("corr"),
+            )
+        )
+    return wide.select(F.explode(F.array(*out)).alias("p")).select("p.*")

@@ -142,3 +142,40 @@ def test_histogram_fixed_validation(spark):
         histogram_fixed(df, "x", 0.0, 10.0, 0)
     with _pytest.raises(ValueError):
         histogram_fixed(df, "x", 10.0, 10.0, 4)
+
+
+def test_corr_matrix_differential(spark):
+    """corr_matrix vs numpy corrcoef on random data incl. nulls."""
+    import numpy as np
+
+    from krnel_graph_spark.functions.sketches import corr_matrix
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(0, 1, 300)
+    y = 2 * x + rng.normal(0, 0.5, 300)   # strongly correlated
+    z = rng.normal(0, 1, 300)              # independent
+    rows = [
+        (float(a), float(b), float(c)) for a, b, c in zip(x, y, z)
+    ] + [(None, 1.0, 1.0), (1.0, None, 1.0)]  # complete-case drops these
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in corr_matrix(df, ["x", "y", "z"]).collect()
+    }
+    exp = np.corrcoef(np.vstack([x, y, z]))
+    import pytest as _pytest
+
+    assert got[("x", "y")] == _pytest.approx(exp[0, 1], abs=1e-6)
+    assert got[("x", "z")] == _pytest.approx(exp[0, 2], abs=1e-6)
+    assert got[("y", "z")] == _pytest.approx(exp[1, 2], abs=1e-6)
+    assert got[("x", "y")] > 0.9 and abs(got[("x", "z")]) < 0.2
+
+
+def test_corr_matrix_validation(spark):
+    import pytest as _pytest
+
+    from krnel_graph_spark.functions.sketches import corr_matrix
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with _pytest.raises(ValueError):
+        corr_matrix(df, ["x"])
