@@ -1721,6 +1721,18 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_ann_recall(spark, sf_dir):
+    """Per-query recall@10 of the LSH index against brute force — the
+    ANN acceptance metric as a first-class query (both inputs are
+    deterministic, so the recall table is too)."""
+    return similarity.recall_at_k(
+        q_ann_lsh(spark, sf_dir).select("query_id", "doc_id"),
+        q_ann_topk(spark, sf_dir).select("query_id", "doc_id"),
+        query_col="query_id",
+        id_col="doc_id",
+    )
+
+
 def q_ann_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
@@ -2115,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_activations_fake": q_llm_activations_fake,
         "umap_pca": q_umap_pca,
         "ann_lsh": q_ann_lsh,
+        "ann_recall": q_ann_recall,
         "ann_ivf": q_ann_ivf,
         "embedding_clusters": q_embedding_clusters,
         "semantic_dedup": q_semantic_dedup,

@@ -686,3 +686,34 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "approx_l2", "rank")
     )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query recall of an approximate top-k result against the exact
+    one: ``|approx ∩ exact| / |exact|`` — the acceptance metric for every
+    ANN variant here (LSH / IVF / PQ vs brute force).
+
+    Pure joins/aggregates: a semi-join counts hits per query, the exact
+    side provides denominators; both shuffles carry (query, id) pairs.
+    """
+    hits = (
+        approx.select(query_col, id_col)
+        .join(exact.select(query_col, id_col), [query_col, id_col], "left_semi")
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    denom = exact.groupBy(query_col).agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        denom.join(hits, query_col, "left")
+        .select(
+            query_col,
+            (
+                F.coalesce(F.col("__hits"), F.lit(0)) / F.col("__n")
+            ).alias("recall"),
+        )
+    )

@@ -224,3 +224,19 @@ def test_lsh_plan_size_independent_of_tables_and_planes(clustered):
     # expr-id digits drift a few chars between plans; the literal-embedding
     # failure mode this guards against scales the plan by tables×planes×dim.
     assert big < small * 1.1
+
+
+def test_recall_at_k_function(spark):
+    from krnel_graph_spark.functions.similarity import recall_at_k
+
+    exact = spark.createDataFrame(
+        [("q1", 1), ("q1", 2), ("q1", 3), ("q2", 4), ("q2", 5)],
+        "query_id string, vec_id long",
+    )
+    approx = spark.createDataFrame(
+        [("q1", 1), ("q1", 3), ("q1", 99), ("q2", 8)],
+        "query_id string, vec_id long",
+    )
+    got = {r["query_id"]: r["recall"] for r in recall_at_k(approx, exact).collect()}
+    assert got["q1"] == pytest.approx(2 / 3)
+    assert got["q2"] == pytest.approx(0.0)
