@@ -145,3 +145,75 @@ def test_offset_packing_invariants(lens, budget):
     assert sorted(packs)[0] == 0
     for members in packs.values():
         assert sum(members) < budget + max(members)
+
+
+# ------------------- r5 operator invariants (Spark-backed) -------------- #
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    ),
+    bins=st.integers(1, 12),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_histogram_partitions_all_rows(spark, vals, bins):
+    """Every non-null row lands in exactly one bin (clamping included) and
+    bin edges tile [lo, hi)."""
+    from krnel_graph_spark.functions.sketches import histogram_fixed
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = histogram_fixed(df, "x", -10.0, 10.0, bins).collect()
+    assert len(out) == bins
+    assert sum(r["n"] for r in out) == len(vals)
+    los = sorted(r["lo"] for r in out)
+    assert los[0] == -10.0 and max(r["hi"] for r in out) == 10.0
+
+
+@given(
+    weights=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(1, 9),
+        min_size=1,
+        max_size=3,
+    ),
+    n_rows=st.integers(30, 120),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_mix_respects_availability(spark, weights, n_rows):
+    """mix_to_weights never emits more rows per stratum than exist, never
+    emits unlisted strata, and is downsampling-only."""
+    from krnel_graph_spark.functions.sampling import mix_to_weights
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = mix_to_weights(df, "src", weights, "id").collect()
+    from collections import Counter
+
+    per = Counter(r["src"] for r in out)
+    avail = Counter(s for _, s in rows)
+    assert set(per) <= set(weights)
+    for s, n in per.items():
+        assert n <= avail[s]
+
+
+@given(
+    keys=st.sets(
+        st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=12),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bloom_never_false_negative(spark, keys):
+    from krnel_graph_spark.functions.dedup import bloom_might_contain, build_bloom
+
+    df = spark.createDataFrame([(k,) for k in keys], "v string")
+    bloom = build_bloom(df, "v", bits_per_key=10)
+    hits = {
+        r["v"]
+        for r in df.filter(bloom_might_contain(bloom, "v")).collect()
+    }
+    assert hits == set(keys)
