@@ -132,3 +132,36 @@ def test_dedup_against_stream_new_static_ref(spark):
         assert got == batch and len(got) > 0
     finally:
         q.stop()
+
+
+def test_canonical_url_and_bloom_stream_equals_batch(spark):
+    """canonical_url is a pure expression chain and the bloom probe a
+    stateless Arrow UDF over a broadcast — both run unchanged on a
+    stream and agree with batch."""
+    from krnel_graph_spark.functions.curation import canonical_url
+    from krnel_graph_spark.functions.dedup import (
+        bloom_might_contain,
+        build_bloom,
+    )
+
+    batch_docs = spark.read.parquet(DOCS)
+    ref = batch_docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.md5("text").alias("fp")
+    )
+    bloom = build_bloom(ref, "fp", bits_per_key=10)
+
+    def pipeline(df):
+        return df.select(
+            "doc_id",
+            canonical_url(
+                F.concat(F.lit("HTTPS://WWW."), F.col("source"), F.lit(".x.com/p/"))
+            ).alias("curl"),
+            bloom_might_contain(bloom, F.md5("text")).alias("maybe_dup"),
+        )
+
+    batch = {tuple(r) for r in pipeline(batch_docs).collect()}
+    q = _drain(pipeline(_stream_docs(spark)), "curl_stream")
+    q.awaitTermination(60)
+    got = {tuple(r) for r in spark.table("curl_stream").collect()}
+    assert got == batch
+    assert any(r[2] for r in got)  # the ref third really flags
