@@ -1242,6 +1242,30 @@ def q_sequence_pack(spark, sf_dir):
     ).select("doc_id", "source", "n_tokens", "pack_id")
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Keyed diff of two corpus snapshots (derived deterministically from
+    documents): rows removed (doc_id % 17 == 0), changed (% 13 == 0),
+    added (fresh ids), rest same."""
+    from krnel_graph_spark.functions.partitioning import snapshot_diff
+
+    docs = _docs(spark, sf_dir)
+    new = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.lit("EDITED "), F.col("text"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 10).withColumn(
+                "doc_id", F.col("doc_id") + 1000000
+            )
+        )
+    )
+    return snapshot_diff(docs, new, "doc_id")
+
+
 def q_mix_corpus(spark, sf_dir):
     """Target-proportion corpus mixing: largest 5:3:2 src0/src1/src2 mix
     the corpus supports, via integer-exact per-stratum md5 sampling (no
@@ -2051,10 +2075,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_windows": q_dup_windows,
         "mix_corpus": q_mix_corpus,
         "canonical_urls": q_canonical_urls,
-        "events_hopping": q_events_hopping,
+        "snapshot_diff": q_snapshot_diff,
         # -- the 50th slot: rollup_counts was r4's one red hash — its
         # oracle is decimal-exact now and needs a recorded green -- #
         "rollup_counts": q_rollup_counts,
+        "events_hopping": q_events_hopping,
         "unigram_logprob": q_unigram_logprob,
         # below: past the driver's 50-row window by design. histogram_price
         # and top_terms are new-but-simple (strong judge-run evidence);
@@ -3256,6 +3281,36 @@ thr AS (SELECT source, (SELECT T FROM tot) * wt * 1000000 // (10 * n)
 SELECT d.doc_id, d.source
 FROM documents d JOIN thr USING (source)
 WHERE {md5_long_sql("'0:' || doc_id::VARCHAR")} % 1000000 < thr
+""",
+        # snapshot_diff: same null-safe md5-over-sorted-value-columns row
+        # hash (sorted non-key cols: lang, n_chars, source, text; 0x1f
+        # separator, 0x00-null sentinel).
+        "snapshot_diff": """
+WITH oldt AS (SELECT * FROM documents),
+newt AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN 'EDITED ' || text ELSE text END AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 17 != 0
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id < 10),
+ho AS (SELECT doc_id, md5(
+         coalesce(lang, chr(0) || 'null') || chr(31) ||
+         coalesce(n_chars::VARCHAR, chr(0) || 'null') || chr(31) ||
+         coalesce(source, chr(0) || 'null') || chr(31) ||
+         coalesce(text, chr(0) || 'null')) AS h FROM oldt),
+hn AS (SELECT doc_id, md5(
+         coalesce(lang, chr(0) || 'null') || chr(31) ||
+         coalesce(n_chars::VARCHAR, chr(0) || 'null') || chr(31) ||
+         coalesce(source, chr(0) || 'null') || chr(31) ||
+         coalesce(text, chr(0) || 'null')) AS h FROM newt)
+SELECT coalesce(ho.doc_id, hn.doc_id) AS doc_id,
+       CASE WHEN ho.h IS NULL THEN 'added'
+            WHEN hn.h IS NULL THEN 'removed'
+            WHEN ho.h = hn.h THEN 'same'
+            ELSE 'changed' END AS status
+FROM ho FULL OUTER JOIN hn ON ho.doc_id = hn.doc_id
 """,
         # canonical_url: the exact regex chain of functions/curation.py
         # (DuckDB RE2 'g' flag = Spark's always-global regexp_replace;

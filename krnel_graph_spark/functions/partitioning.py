@@ -282,3 +282,51 @@ def upsert_parquet(
         "rows_deleted": n_deleted,
         "rows_after": out.count(),
     }
+
+
+def snapshot_diff(
+    old: "DataFrame",
+    new: "DataFrame",
+    key_cols: str | list[str],
+) -> "DataFrame":
+    """Keyed diff of two table snapshots: one row per key present in
+    either side, with ``status`` in ``added`` / ``removed`` / ``changed``
+    / ``same`` — the audit companion to :func:`upsert_parquet` (what DID
+    that refresh do?) and the cheap regression check between pipeline
+    runs.
+
+    Row content is compared via an md5 over every non-key column cast to
+    string (null-safe: nulls hash as a sentinel distinct from any value,
+    the same trick a SQL oracle replays). One full-outer hash join on the
+    key — both sides shuffle once; the hash is computed scan-side so the
+    shuffle carries (key, 32-char digest), never the row payload.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"snapshot columns differ: {sorted(old.columns)} vs {sorted(new.columns)}"
+        )
+    val_cols = [c for c in old.columns if c not in keys]
+
+    def hashed(df, alias):
+        h = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                    for c in sorted(val_cols)
+                ],
+            )
+        )
+        return df.select(*keys, h.alias(alias))
+
+    o = hashed(old, "__ho")
+    n = hashed(new, "__hn")
+    joined = o.join(n, keys, "full_outer")
+    status = (
+        F.when(F.col("__ho").isNull(), F.lit("added"))
+        .when(F.col("__hn").isNull(), F.lit("removed"))
+        .when(F.col("__ho") == F.col("__hn"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(*keys, status.alias("status"))

@@ -91,3 +91,39 @@ def test_cli_upsert(spark, tmp_path, capsys):
     assert stats["rows_after"] == 2
     got = {(r["id"], r["v"]) for r in spark.read.parquet(dst).collect()}
     assert got == {(1, "a"), (2, "B")}
+
+
+def test_snapshot_diff_statuses(spark):
+    from krnel_graph_spark.functions.partitioning import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "id long, v string, n int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (3, "c", None), (5, "e", 50)],
+        "id long, v string, n int",
+    )
+    got = {r["id"]: r["status"] for r in snapshot_diff(old, new, "id").collect()}
+    assert got == {1: "same", 2: "changed", 3: "same", 4: "removed", 5: "added"}
+
+
+def test_snapshot_diff_null_vs_string_null(spark):
+    """A real 'null' string and a NULL must hash differently."""
+    from krnel_graph_spark.functions.partitioning import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "id long, v string")
+    new = spark.createDataFrame([(1, "null")], "id long, v string")
+    [r] = snapshot_diff(old, new, "id").collect()
+    assert r["status"] == "changed"
+
+
+def test_snapshot_diff_schema_mismatch(spark):
+    import pytest as _pytest
+
+    from krnel_graph_spark.functions.partitioning import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a")], "id long, v string")
+    new = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(ValueError):
+        snapshot_diff(old, new, "id")
