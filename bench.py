@@ -90,6 +90,7 @@ HEADLINE = [
     "pagerank",
     "bm25_many",
     "corr_matrix",
+    "snapshot_diff",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds
