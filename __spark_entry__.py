@@ -1412,6 +1412,13 @@ def q_unigram_logprob(spark, sf_dir):
     return tx.unigram_logprob(_docs(spark, sf_dir), "text", "doc_id")
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Self-trained bigram transition-LM score per document (conditional
+    companion to unigram_logprob): decimal-exact per-doc sums of rounded
+    log10 transition probabilities."""
+    return tx.ngram_logprob(_docs(spark, sf_dir), "text", "doc_id", n=2)
+
+
 def q_dup_windows(spark, sf_dir):
     """Exact repeated-window substring-dedup signal (Lee-et-al-style): per
     doc, how many fixed-width token windows also occur elsewhere in the
@@ -2082,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_counts": q_rollup_counts,
         "events_hopping": q_events_hopping,
         "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
         # below: past the driver's 50-row window by design. histogram_price
         # and top_terms are new-but-simple (strong judge-run evidence);
         # the rest were r4-recorded hash-green.
@@ -3266,6 +3274,24 @@ lp AS (SELECT term, round(log10(ct::DOUBLE / tot), 6)::DECIMAL(20,6) AS lp
        FROM c, tot)
 SELECT doc_id, count(*) AS n_tokens, sum(lp)::DOUBLE AS logprob_sum
 FROM p JOIN lp USING (term)
+GROUP BY doc_id
+""",
+        # ngram_logprob(n=2): gram/prefix counts over md5 digests; the
+        # prefix denominator counts occurrences AS an n-gram prefix.
+        "bigram_logprob": f"""
+WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents
+           WHERE {_NORM.format(c="text")} != ''),
+b AS (SELECT doc_id, toks, len(toks) AS L FROM t WHERE len(toks) >= 2),
+g AS (SELECT doc_id,
+             md5(array_to_string(toks[s : s + 1], ' ')) AS gh,
+             md5(array_to_string(toks[s : s], ' ')) AS ch
+      FROM (SELECT doc_id, toks, unnest(range(1, L - 2 + 2)) AS s FROM b)),
+cg AS (SELECT gh, count(*) AS n FROM g GROUP BY gh),
+cc AS (SELECT ch, count(*) AS n FROM g GROUP BY ch)
+SELECT doc_id, count(*) AS n_grams,
+       sum(round(log10(cg.n::DOUBLE / cc.n::DOUBLE), 6)::DECIMAL(20,6))::DOUBLE
+         AS logprob_sum
+FROM g JOIN cg USING (gh) JOIN cc USING (ch)
 GROUP BY doc_id
 """,
         # mix_to_weights: same integer arithmetic as the engine — T =

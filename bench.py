@@ -91,6 +91,7 @@ HEADLINE = [
     "bm25_many",
     "corr_matrix",
     "snapshot_diff",
+    "bigram_logprob",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

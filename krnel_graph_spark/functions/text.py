@@ -745,3 +745,71 @@ def bpe_encode(
         F.col(id_col),
         F.posexplode("__p").alias("pos", "piece"),
     ).withColumn("pos", F.col("pos").cast("long"))
+
+
+def ngram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document n-gram language-model score, self-trained on the
+    corpus: every position ``i >= n`` scores
+    ``log10(c(w_{i-n+1..i}) / c(w_{i-n+1..i-1} as prefix))`` — the
+    conditional-transition companion to :func:`unigram_logprob`
+    (catches word-salad whose unigram stats look normal but whose
+    transitions are improbable).
+
+    Returns ``(id, n_grams, logprob_sum)`` for docs with at least ``n``
+    tokens. Same exactness contract: per-term log10 rounded to 6 places,
+    then an exact decimal per-doc sum.
+
+    Scale: gram and prefix tables are one partial-aggregated groupBy each
+    over md5 digests (32-char shuffle payload, never text); both
+    broadcast into the scoring joins by default (``broadcast_vocab=False``
+    for open vocabularies falls back to hash joins under AQE).
+    """
+    if n < 2:
+        raise ValueError("use unigram_logprob for n=1")
+    toks = whitespace_tokens(F.col(text_col))
+    base = (
+        df.filter(normalize_text(F.col(text_col)) != "")
+        .select(F.col(id_col), toks.alias("__toks"))
+        .withColumn("__L", F.size("__toks"))
+        .filter(F.col("__L") >= n)
+    )
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(F.sequence(F.lit(1), F.col("__L") - (n - 1))).alias(
+            "__p", "__s"
+        ),
+        F.col("__toks"),
+    ).select(
+        F.col(id_col),
+        F.md5(
+            F.array_join(F.slice(F.col("__toks"), F.col("__s"), n), " ")
+        ).alias("__g"),
+        F.md5(
+            F.array_join(F.slice(F.col("__toks"), F.col("__s"), n - 1), " ")
+        ).alias("__c"),
+    )
+    cnt_g = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__cg"))
+    cnt_c = grams.groupBy("__c").agg(F.count(F.lit(1)).alias("__cc"))
+    if broadcast_vocab:
+        cnt_g, cnt_c = F.broadcast(cnt_g), F.broadcast(cnt_c)
+    return (
+        grams.join(cnt_g, "__g")
+        .join(cnt_c, "__c")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.round(
+                    F.log10(F.col("__cg") / F.col("__cc")), 6
+                ).cast("decimal(20,6)")
+            )
+            .cast("double")
+            .alias("logprob_sum"),
+        )
+    )

@@ -290,3 +290,51 @@ def test_unigram_logprob_ranking_sanity(spark):
         for r in unigram_logprob(df, "text", "doc_id").collect()
     }
     assert got[0] > got[99]
+
+
+def test_bigram_logprob_differential(spark):
+    """ngram_logprob(n=2) vs a pure-Python reimplementation."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from krnel_graph_spark.functions.text import ngram_logprob
+
+    docs = {
+        0: "a b a b c",
+        1: "a b",
+        2: "x",          # fewer than 2 tokens -> excluded
+        3: "",           # blank -> excluded
+        4: "c a B a",    # normalization
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["logprob_sum"])
+        for r in ngram_logprob(df, "text", "doc_id", n=2).collect()
+    }
+    toks = {i: t.lower().split() for i, t in docs.items() if len(t.split()) >= 2}
+    grams = Counter(); ctxs = Counter()
+    for ts in toks.values():
+        for a, b in zip(ts, ts[1:]):
+            grams[(a, b)] += 1
+            ctxs[a] += 1  # context counted per gram start
+    exp = {}
+    for i, ts in toks.items():
+        s = Decimal(0)
+        for a, b in zip(ts, ts[1:]):
+            s += Decimal(str(round(math.log10(grams[(a, b)] / ctxs[a]), 6)))
+        exp[i] = (len(ts) - 1, float(s))
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i][0] == exp[i][0], i
+        assert got[i][1] == pytest.approx(exp[i][1], abs=1e-9), i
+
+
+def test_ngram_logprob_validation(spark):
+    from krnel_graph_spark.functions.text import ngram_logprob
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        ngram_logprob(df, "text", "doc_id", n=1)
