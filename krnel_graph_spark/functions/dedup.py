@@ -252,20 +252,24 @@ def simhash_pairs(
     base = ensure_min_partitions(df).select(
         F.col(id_col).alias("doc"), simhash(text_col).alias("sh")
     )
-    chunks = base.select(
-        "doc",
-        "sh",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_SIMHASH_BITS // band_bits - 1)),
-                lambda b: F.struct(
-                    b.alias("chunk"),
-                    F.shiftright(F.col("sh"), b * band_bits)
-                    .bitwiseAND(F.lit((1 << band_bits) - 1))
-                    .alias("chunk_val"),
-                ),
+    # Static per-chunk structs: shiftright takes a PYTHON int bit count
+    # (a Column shift amount fails analysis), and the chunk count is a
+    # compile-time constant anyway.
+    n_chunks = _SIMHASH_BITS // band_bits
+    mask = (1 << band_bits) - 1
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("chunk"),
+                F.shiftright(F.col("sh"), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk_val"),
             )
-        ).alias("ck"),
+            for b in range(n_chunks)
+        ]
+    )
+    chunks = base.select(
+        "doc", "sh", F.explode(chunk_structs).alias("ck")
     ).select("doc", "sh", F.col("ck.chunk").alias("chunk"), F.col("ck.chunk_val").alias("chunk_val"))
 
     l, r = chunks.alias("l"), chunks.alias("r")
