@@ -1717,6 +1717,16 @@ def q_connected_components(spark, sf_dir):
     )
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: pigeonhole-banded self-join + exact
+    Hamming verify (banding finds EVERY pair within the bound, so the
+    brute-force SQL oracle is an equivalent spec)."""
+    return dedup.simhash_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        max_hamming=2, band_bits=8, bits=32,
+    )
+
+
 def q_simhash(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select("doc_id", dedup.simhash("text", bits=32).alias("sh"))
@@ -2132,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "sql_entry": q_sql_entry,
         "simhash": q_simhash,
+        "simhash_pairs_q": q_simhash_pairs,
         "lang_id": q_lang_id,
         "multimodal_meta": q_multimodal_meta,
         "embedding_quantize": q_embedding_quantize,
@@ -3375,6 +3386,17 @@ h AS (SELECT doc_id,
       list_transform(toks, s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT))
       AS hs FROM t)
 SELECT doc_id, ({simhash_terms}) AS sh FROM h
+""",
+        "simhash_pairs_q": f"""
+WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents),
+h AS (SELECT doc_id,
+      list_transform(toks, s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT))
+      AS hs FROM t),
+sig AS (SELECT doc_id, ({simhash_terms}) AS sh FROM h)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sh, b.sh))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 2
 """,
         "ngram_jaccard": f"""
 {shingle_cte},

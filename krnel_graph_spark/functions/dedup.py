@@ -245,17 +245,27 @@ def simhash_pairs(
     id_col: str,
     max_hamming: int = 3,
     band_bits: int = 15,
+    bits: int = _SIMHASH_BITS,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 60-bit fingerprint into 4 chunks
-    (pigeonhole: any pair within Hamming distance 3 shares at least one exact
-    chunk), self-join per chunk, verify exact Hamming distance."""
+    """Near-dup pairs by SimHash: band the ``bits``-bit fingerprint into
+    ``bits // band_bits`` chunks (pigeonhole: any pair within Hamming
+    distance ``chunks - 1`` shares at least one exact chunk), self-join
+    per chunk, verify exact Hamming distance. Keep ``max_hamming <
+    bits // band_bits`` or the banding loses completeness."""
+    if bits % band_bits != 0:
+        raise ValueError("band_bits must divide bits")
+    if max_hamming >= bits // band_bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs more chunks: banding only "
+            f"guarantees distance < {bits // band_bits}"
+        )
     base = ensure_min_partitions(df).select(
-        F.col(id_col).alias("doc"), simhash(text_col).alias("sh")
+        F.col(id_col).alias("doc"), simhash(text_col, bits=bits).alias("sh")
     )
     # Static per-chunk structs: shiftright takes a PYTHON int bit count
     # (a Column shift amount fails analysis), and the chunk count is a
     # compile-time constant anyway.
-    n_chunks = _SIMHASH_BITS // band_bits
+    n_chunks = bits // band_bits
     mask = (1 << band_bits) - 1
     chunk_structs = F.array(
         *[
