@@ -1242,6 +1242,43 @@ def q_sequence_pack(spark, sf_dir):
     ).select("doc_id", "source", "n_tokens", "pack_id")
 
 
+def q_upsert_merge(spark, sf_dir):
+    """SCD-1 merge end-to-end: a deterministic delta (edits for
+    doc_id % 11 == 0, tombstones for % 19 == 0, fresh inserts) upserted
+    against the documents table into a temp dir; returns the merged
+    table, hash-checked against the SQL merge semantics."""
+    import hashlib as _h
+
+    from krnel_graph_spark.functions.partitioning import upsert_parquet
+
+    docs = _docs(spark, sf_dir)
+    edits = (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .withColumn("text", F.concat(F.lit("V2 "), F.col("text")))
+        .withColumn("deleted", F.lit(False))
+    )
+    tombs = docs.filter(F.col("doc_id") % 19 == 0).withColumn(
+        "deleted", F.lit(True)
+    )
+    inserts = (
+        docs.filter(F.col("doc_id") < 5)
+        .withColumn("doc_id", F.col("doc_id") + 2000000)
+        .withColumn("deleted", F.lit(False))
+    )
+    updates = edits.unionByName(tombs).unionByName(inserts)
+    tag = f"{_h.sha256(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}"
+    dst = f"/tmp/spark_graft_gate_{tag}/docs_merged"
+    upsert_parquet(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        updates,
+        "doc_id",
+        dst,
+        delete_col="deleted",
+    )
+    return spark.read.parquet(dst).select("doc_id", "text", "source")
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Keyed diff of two corpus snapshots (derived deterministically from
     documents): rows removed (doc_id % 17 == 0), changed (% 13 == 0),
@@ -2094,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpus": q_mix_corpus,
         "canonical_urls": q_canonical_urls,
         "snapshot_diff": q_snapshot_diff,
+        "upsert_merge": q_upsert_merge,
         # -- the 50th slot: rollup_counts was r4's one red hash — its
         # oracle is decimal-exact now and needs a recorded green -- #
         "rollup_counts": q_rollup_counts,
@@ -3319,6 +3357,21 @@ thr AS (SELECT source, (SELECT T FROM tot) * wt * 1000000 // (10 * n)
 SELECT d.doc_id, d.source
 FROM documents d JOIN thr USING (source)
 WHERE {md5_long_sql("'0:' || doc_id::VARCHAR")} % 1000000 < thr
+""",
+        # upsert_merge: SQL merge semantics — edits replace, tombstones
+        # delete, inserts append, untouched rows pass through.
+        "upsert_merge": """
+WITH edits AS (SELECT doc_id, 'V2 ' || text AS text, lang, source, n_chars
+               FROM documents WHERE doc_id % 11 = 0),
+tombs AS (SELECT doc_id FROM documents WHERE doc_id % 19 = 0),
+ins AS (SELECT doc_id + 2000000 AS doc_id, text, lang, source, n_chars
+        FROM documents WHERE doc_id < 5),
+dead AS (SELECT doc_id FROM edits UNION SELECT doc_id FROM tombs
+         UNION SELECT doc_id FROM ins),
+surv AS (SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dead))
+SELECT doc_id, text, source FROM surv
+UNION ALL SELECT doc_id, text, source FROM edits
+UNION ALL SELECT doc_id, text, source FROM ins
 """,
         # snapshot_diff: same null-safe md5-over-sorted-value-columns row
         # hash (sorted non-key cols: lang, n_chars, source, text; 0x1f
