@@ -2131,10 +2131,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpus": q_mix_corpus,
         "canonical_urls": q_canonical_urls,
         "snapshot_diff": q_snapshot_diff,
-        "upsert_merge": q_upsert_merge,
         # -- the 50th slot: rollup_counts was r4's one red hash — its
         # oracle is decimal-exact now and needs a recorded green -- #
         "rollup_counts": q_rollup_counts,
+        "upsert_merge": q_upsert_merge,
         "events_hopping": q_events_hopping,
         "unigram_logprob": q_unigram_logprob,
         "bigram_logprob": q_bigram_logprob,
