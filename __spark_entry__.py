@@ -1147,6 +1147,21 @@ def q_events_windowed(spark, sf_dir):
     )
 
 
+def q_window_anomalies(spark, sf_dir):
+    """Volume-anomaly windows: per-type z-scores from exact integer
+    moments over hourly tumbling windows."""
+    from krnel_graph_spark.streaming.events import window_anomalies
+
+    out = window_anomalies(_t(spark, sf_dir, "events"), "1 hour", 3.0)
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "z",
+        "is_anomaly",
+    )
+
+
 def q_events_hopping(spark, sf_dir):
     """Hopping-window counts (1 h window, 30 min slide): every event in 2
     overlapping epoch-aligned windows."""
@@ -2135,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle is decimal-exact now and needs a recorded green -- #
         "rollup_counts": q_rollup_counts,
         "upsert_merge": q_upsert_merge,
+        "window_anomalies": q_window_anomalies,
         "events_hopping": q_events_hopping,
         "unigram_logprob": q_unigram_logprob,
         "bigram_logprob": q_bigram_logprob,
@@ -3012,6 +3028,26 @@ x AS (SELECT event_type, value,
 SELECT ws AS window_start_us, event_type, count(*) AS n_events,
        round(sum(value::DECIMAL(30,10)), 4)::DOUBLE AS sum_value
 FROM x GROUP BY 1, 2
+""",
+        # window_anomalies: z from exact integer moments (k, sum n,
+        # sum n^2) per type; same IEEE formula both engines.
+        "window_anomalies": """
+WITH c AS (SELECT date_trunc('hour', ts) AS w, event_type,
+                  count(*) AS n FROM events GROUP BY 1, 2),
+m AS (SELECT event_type, count(*) AS k, sum(n) AS s1, sum(n * n) AS s2
+      FROM c GROUP BY event_type),
+j AS (SELECT c.w, c.event_type, c.n, m.k, m.s1, m.s2,
+             CASE WHEN m.k > 1 AND
+                  sqrt((m.k::DOUBLE * m.s2::DOUBLE - m.s1::DOUBLE * m.s1::DOUBLE)
+                       / (m.k::DOUBLE * (m.k::DOUBLE - 1.0))) > 0
+             THEN (c.n::DOUBLE - m.s1::DOUBLE / m.k::DOUBLE)
+                  / sqrt((m.k::DOUBLE * m.s2::DOUBLE - m.s1::DOUBLE * m.s1::DOUBLE)
+                         / (m.k::DOUBLE * (m.k::DOUBLE - 1.0)))
+             ELSE 0.0 END AS z
+      FROM c JOIN m USING (event_type))
+SELECT epoch_us(w) AS window_start_us, event_type, n AS n_events,
+       round(z, 6) AS z, abs(round(z, 6)) > 3.0 AS is_anomaly
+FROM j
 """,
         "events_windowed": """
 SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,

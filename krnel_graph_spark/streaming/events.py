@@ -476,3 +476,60 @@ def dedup_stream_near(
     else:
         out = df.dropDuplicates(["__sig"])
     return out.drop("__sig")
+
+
+def window_anomalies(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Volume-anomaly detection over tumbling windows: flag (window,
+    event_type) cells whose event count deviates from that type's mean
+    by more than ``z_threshold`` sample standard deviations — the ops
+    dashboard query over event telemetry.
+
+    Batch-only companion to :func:`windowed_event_counts` (the z-score
+    needs every window of the run; a stream would score against a
+    trailing snapshot instead). Returns ``(window_start, event_type,
+    n_events, z, is_anomaly)``.
+
+    Exactness: per-type moments (count, Σn, Σn²) are integer sums — no
+    float accumulation at all — and mean/std/z evaluate as a fixed IEEE
+    formula from those integers, so a SQL oracle is bit-exact. Types
+    with a single window (undefined sample std) report z = 0.
+
+    Scale: one window aggregation (the corpus-sized step), one
+    partial-aggregated per-type moment pass over WINDOW-COUNT-sized
+    data, and a broadcast join of the per-type stats back — the raw
+    events shuffle once.
+    """
+    counts = windowed_event_counts(events, window_duration).select(
+        "window_start", "event_type", "n_events"
+    )
+    stats = counts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("n_events").alias("__s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("__s2"),
+    )
+    k = F.col("__k").cast("double")
+    mean = F.col("__s1").cast("double") / k
+    # sample variance from integer moments: (k*s2 - s1^2) / (k*(k-1))
+    var = (
+        k * F.col("__s2").cast("double")
+        - F.col("__s1").cast("double") * F.col("__s1").cast("double")
+    ) / (k * (k - F.lit(1.0)))
+    std = F.sqrt(var)
+    z = F.when(
+        (F.col("__k") > 1) & (std > 0),
+        (F.col("n_events").cast("double") - mean) / std,
+    ).otherwise(F.lit(0.0))
+    return (
+        counts.join(F.broadcast(stats), "event_type")
+        .select(
+            "window_start",
+            "event_type",
+            "n_events",
+            F.round(z, 6).alias("z"),
+            (F.abs(F.round(z, 6)) > F.lit(z_threshold)).alias("is_anomaly"),
+        )
+    )
