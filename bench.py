@@ -92,6 +92,7 @@ HEADLINE = [
     "corr_matrix",
     "snapshot_diff",
     "bigram_logprob",
+    "window_anomalies",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds
