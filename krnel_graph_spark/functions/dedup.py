@@ -697,6 +697,12 @@ def dedup_against(
     fixed-width band keys; candidate (new, ref) pairs verify by exact
     shingle Jaccard — text is re-read only for candidate docs (semi-join
     pruned) on each side. Matched new ids leave via one anti-join.
+
+    ``bloom_bits_per_key > 0`` adds a map-side bloom prefilter in EITHER
+    mode: exact mode probes ref fingerprints, near mode probes ref
+    (band, band-sig) keys — so the huge new crawl's rows (or band rows)
+    that cannot match never enter the join shuffle; false positives are
+    caught by the join/verify, output identical.
     """
     from ..functions import text as tx
 
@@ -771,9 +777,27 @@ def dedup_against(
             F.col("bk.band_sig").alias("band_sig"),
         )
 
+    new_banded = banded(new_df, "new_doc")
+    ref_banded = banded(ref_df, "ref_doc")
+    if bloom_bits_per_key > 0:
+        # Map-side band prune: bloom over the REF (band, band_sig) keys —
+        # new band rows that cannot collide never enter the join shuffle.
+        # False positives just reach the join and fall out there.
+        ref_keys = ref_banded.select(
+            F.concat_ws("|", F.col("band").cast("string"), "band_sig").alias(
+                "__bk"
+            )
+        ).distinct()
+        bloom = build_bloom(ref_keys, "__bk", bits_per_key=bloom_bits_per_key)
+        new_banded = new_banded.filter(
+            bloom_might_contain(
+                bloom,
+                F.concat_ws("|", F.col("band").cast("string"), "band_sig"),
+            )
+        )
     cand = (
-        banded(new_df, "new_doc")
-        .join(banded(ref_df, "ref_doc"), ["band", "band_sig"])
+        new_banded
+        .join(ref_banded, ["band", "band_sig"])
         .select("new_doc", "ref_doc")
         .dropDuplicates(["new_doc", "ref_doc"])
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -49,3 +49,30 @@ def test_dedup_against_bloom_equals_plain(spark):
         ).collect()
     }
     assert plain == bloomed == {200 + i for i in range(25)}
+
+
+def test_dedup_against_near_bloom_equals_plain(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    alt = "shuffle partitions broadcast hints adaptive execution skew salting"
+    ref = spark.createDataFrame(
+        [(i, f"{base} ref variant {i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100 + i, f"{base} ref variant {i % 3}") for i in range(15)]
+        + [(200 + i, f"{alt} fresh {i}") for i in range(15)],
+        "doc_id long, text string",
+    )
+    kw = dict(mode="near", num_perm=16, bands=8, jaccard_threshold=0.5)
+    plain = {
+        r["doc_id"]
+        for r in dedup_against(new, ref, "text", "doc_id", **kw).collect()
+    }
+    bloomed = {
+        r["doc_id"]
+        for r in dedup_against(
+            new, ref, "text", "doc_id", bloom_bits_per_key=10, **kw
+        ).collect()
+    }
+    assert plain == bloomed
+    assert all(d >= 200 for d in plain)
