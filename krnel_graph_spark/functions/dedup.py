@@ -642,6 +642,7 @@ def clean_corpus(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
     min_quality: float = 0.5,
+    keep_by: str | None = None,
 ) -> DataFrame:
     """End-to-end corpus cleanup: exact dedup → MinHash-LSH near dedup →
     heuristic quality floor — the canonical pretraining-data pipeline
@@ -656,6 +657,8 @@ def clean_corpus(
     from .text import quality_score
 
     out = drop_exact_dups(df, text_col, id_col)
+    # (exact dups have identical text, hence identical quality — min id IS
+    # the quality-tie rule there; keep_by only matters for NEAR dups.)
     out = drop_near_dups(
         out,
         text_col,
@@ -664,6 +667,7 @@ def clean_corpus(
         bands=bands,
         shingle_k=shingle_k,
         jaccard_threshold=jaccard_threshold,
+        keep_by=keep_by,
     )
     return out.filter(
         F.round(quality_score(F.col(text_col)), 6) >= F.lit(min_quality)

@@ -228,3 +228,33 @@ def test_keep_by_none_unchanged(spark):
     # min-id rule: group A -> 1, group B -> 6
     assert 1 in kept and 2 not in kept and 3 not in kept
     assert 6 in kept and 7 not in kept
+
+
+def test_clean_corpus_keep_by(spark):
+    """clean_corpus(keep_by=...) keeps the best-scored near-dup member."""
+    from krnel_graph_spark.functions.dedup import clean_corpus
+    from pyspark.sql import functions as F
+
+    base_a = (
+        "the quick brown fox jumps over the lazy dog again and again with "
+        "plenty of perfectly ordinary filler words to keep the quality up "
+        "and the stopword ratio healthy for this long enough document"
+    )
+    rows = [
+        (1, base_a + " alpha"),
+        (2, base_a + " beta"),
+        (3, "completely different prose about adaptive query planning in "
+            "spark with the usual words and it is long enough to pass"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "q", F.when(F.col("doc_id") == 2, 0.9).otherwise(0.6)
+    )
+    kept = {
+        r["doc_id"]
+        for r in clean_corpus(
+            df, "text", "doc_id", num_perm=16, bands=8,
+            jaccard_threshold=0.5, min_quality=0.0, keep_by="q",
+        ).collect()
+    }
+    assert 2 in kept and 1 not in kept
+    assert 3 in kept
