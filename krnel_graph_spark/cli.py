@@ -386,6 +386,35 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_table_diff(args) -> int:
+    """Table maintenance: keyed diff of two parquet snapshots — status
+    counts as JSON, optionally the full per-key status table to a dir."""
+    import json as _json
+
+    from .functions.partitioning import snapshot_diff
+    from .runners.spark_runner import get_spark
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    spark = get_spark("cli-table-diff")
+    diff = snapshot_diff(
+        spark.read.parquet(args.old),
+        spark.read.parquet(args.new),
+        args.keys.split(","),
+    )
+    if args.out:
+        diff.write.mode("overwrite").parquet(args.out)
+    counts = {
+        r["status"]: r["n"]
+        for r in diff.groupBy("status").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    print(_json.dumps({s: counts.get(s, 0) for s in
+                       ("added", "removed", "changed", "same")}))
+    return 0
+
+
 def cmd_config(args) -> int:
     """Get or set engine configuration (reference ``cli.py:608-646``).
 
@@ -566,6 +595,17 @@ def build_parser() -> argparse.ArgumentParser:
         "--exact", action="store_true", help="exact distinct counts"
     )
     p_profile.set_defaults(fn=cmd_profile)
+
+    p_tdiff = sub.add_parser(
+        "table-diff", help="keyed diff of two parquet snapshots"
+    )
+    p_tdiff.add_argument("old")
+    p_tdiff.add_argument("new")
+    p_tdiff.add_argument("keys", help="comma-separated key columns")
+    p_tdiff.add_argument(
+        "--out", help="write the per-key status table to this parquet dir"
+    )
+    p_tdiff.set_defaults(fn=cmd_table_diff)
     return parser
 
 

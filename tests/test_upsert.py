@@ -127,3 +127,23 @@ def test_snapshot_diff_schema_mismatch(spark):
     new = spark.createDataFrame([(1,)], "id long")
     with _pytest.raises(ValueError):
         snapshot_diff(old, new, "id")
+
+
+def test_cli_table_diff(spark, tmp_path, capsys):
+    import json
+
+    from krnel_graph_spark.cli import main
+
+    old = str(tmp_path / "old")
+    new = str(tmp_path / "new")
+    _write(spark, old, [(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    _write(spark, new, [(1, "a"), (2, "B"), (4, "d")], "id long, v string")
+    out = str(tmp_path / "diffout")
+    rc = main(["table-diff", old, new, "id", "--out", out])
+    assert rc == 0
+    counts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert counts == {"added": 1, "removed": 1, "changed": 1, "same": 1}
+    table = {
+        r["id"]: r["status"] for r in spark.read.parquet(out).collect()
+    }
+    assert table == {1: "same", 2: "changed", 3: "removed", 4: "added"}
