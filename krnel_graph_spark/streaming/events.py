@@ -262,6 +262,84 @@ def run_stream_to_parquet(
     return query
 
 
+def run_stream_upsert(
+    stream_df: DataFrame,
+    target_path: str,
+    key_cols: str | list[str],
+    checkpoint: str,
+    delete_col: str | None = None,
+    available_now: bool = True,
+    output_mode: str = "append",
+):
+    """Streaming SCD-1 sink: every microbatch MERGES into a parquet table
+    by key (replace / insert / optional tombstone-delete) via
+    ``foreachBatch`` + :func:`~krnel_graph_spark.functions.partitioning
+    .upsert_parquet` — the live continuation of an upsert-maintained
+    corpus (mutable dimension tables, latest-state-per-key feeds).
+
+    Restart-safe BY IDEMPOTENCE: re-merging a replayed batch rewrites the
+    same keys to the same values, so at-least-once foreachBatch delivery
+    yields exactly-once table state (the property the test pins by
+    re-running the drained query). Single-writer local/file-system
+    pattern — each batch rewrites the table via a fresh dir + swap, so
+    concurrent readers mid-swap may see the previous snapshot; use a
+    transactional table format when readers and the merge must overlap.
+    """
+    import os
+    import shutil
+
+    from ..functions.partitioning import upsert_parquet
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # SCD-1 needs one row per key per batch: with duplicates the
+        # surviving value would be partition-order luck. Fail loudly —
+        # the caller owns the dedup/latest-wins rule (one groupBy away).
+        dup = (
+            batch_df.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"run_stream_upsert: batch {batch_id} has multiple rows "
+                f"for key {tuple(dup[0][k] for k in keys)}; dedupe the "
+                "stream to one row per key per batch first"
+            )
+        if not os.path.exists(os.path.join(target_path, "_SUCCESS")):
+            first = batch_df
+            if delete_col is not None:
+                first = first.filter(
+                    ~F.coalesce(F.col(delete_col), F.lit(False))
+                ).drop(delete_col)
+            first.write.mode("overwrite").parquet(target_path)
+            return
+        tmp = target_path.rstrip("/") + f".merge-{batch_id}"
+        upsert_parquet(
+            spark, target_path, batch_df, keys, tmp, delete_col=delete_col
+        )
+        old = target_path.rstrip("/") + f".old-{batch_id}"
+        os.rename(target_path, old)
+        os.rename(tmp, target_path)
+        shutil.rmtree(old)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now:
+        query.awaitTermination()
+    return query
+
+
 def dedup_events(
     events: DataFrame,
     keys: tuple[str, ...] = ("user_id", "event_type"),

@@ -439,3 +439,52 @@ def test_hopping_counts_overlap_factor(spark):
     n_hop = hop.agg(F.sum("n_events")).collect()[0][0]
     n_tum = tum.agg(F.sum("n_events")).collect()[0][0]
     assert n_hop == 2 * n_tum
+
+
+def test_stream_upsert_sink(spark, tmp_path):
+    """foreachBatch SCD-1 sink: merged table equals batch semantics, and a
+    re-run from the same checkpoint (nothing new to drain) is a no-op —
+    the idempotence that makes at-least-once delivery exactly-once state."""
+    from krnel_graph_spark.streaming.events import run_stream_upsert
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("id long, v string").parquet(src)
+    run_stream_upsert(stream, target, "id", ckpt)
+    got = {r["id"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+
+    before = sorted(spark.read.parquet(target).collect())
+    run_stream_upsert(stream, target, "id", ckpt)  # same checkpoint: no-op
+    after = sorted(spark.read.parquet(target).collect())
+    assert before == after
+
+    # a second source file merges incrementally: replace + insert
+    spark.createDataFrame([(2, "B"), (9, "z")], "id long, v string").write.mode(
+        "append"
+    ).parquet(src)
+    run_stream_upsert(stream, target, "id", ckpt)
+    got = {r["id"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got[2] == "B" and got[9] == "z" and got[1] == "a"
+
+
+def test_stream_upsert_rejects_duplicate_keys(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from krnel_graph_spark.streaming.events import run_stream_upsert
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a"), (1, "a2")], "id long, v string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("id long, v string").parquet(src)
+    with _pytest.raises(StreamingQueryException, match="multiple rows"):
+        run_stream_upsert(
+            stream, str(tmp_path / "t"), "id", str(tmp_path / "c")
+        )
