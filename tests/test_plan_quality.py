@@ -103,3 +103,23 @@ def test_events_hopping_partial_aggregates(spark, entry):
     plan = _plan(spark, entry, "events_hopping")
     assert _exchanges(plan) == 1
     assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_window_anomalies_broadcasts_stats(spark, entry):
+    plan = _plan(spark, entry, "window_anomalies")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bigram_logprob_digest_joins(spark, entry):
+    plan = _plan(spark, entry, "bigram_logprob")
+    # gram/prefix count tables broadcast into the scoring joins
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_snapshot_diff_single_join(spark, entry):
+    plan = _plan(spark, entry, "snapshot_diff")
+    # one full-outer join on the key; row hashes computed scan-side
+    assert "FullOuter" in plan and plan.count("Join") >= 1
+    assert "BatchEvalPython" not in plan
