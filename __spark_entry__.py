@@ -2082,6 +2082,63 @@ def q_audio_features_stub(spark, sf_dir):
     )
 
 
+def q_funnel_steps(spark, sf_dir):
+    """Ordered-step funnel (signup → view → click → purchase, 7-day
+    horizon) with greedy windowFunnel semantics: one shuffle groups each
+    user's funnel-type events; the ordered scan is a JVM `aggregate`
+    expression fold — no per-step self-joins (the SQL oracle's K-join
+    chain is the semantics spec, not the plan)."""
+    from krnel_graph_spark.functions.behavior import funnel
+
+    return funnel(
+        _t(spark, sf_dir, "events"),
+        ["signup", "view", "click", "purchase"],
+        within=7 * 86400,
+    )
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention triangle: cohort = Monday-truncated week of each
+    user's first event; offsets from distinct (user, week) activity.
+    Temporal output exported as epoch micros (house convention — keeps
+    the oracle hash free of date-repr asymmetry)."""
+    from krnel_graph_spark.functions.behavior import retention_cohorts
+
+    out = retention_cohorts(_t(spark, sf_dir, "events"))
+    return out.select(
+        F.unix_micros(F.col("cohort_week").cast("timestamp")).alias(
+            "cohort_week_us"
+        ),
+        "week_offset",
+        "n_users",
+    )
+
+
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-20 fused with a raw term-frequency
+    top-20 by reciprocal-rank fusion (k=60). Both rankers reduce the
+    corpus to bounded lists before fusion — the fusion plan is
+    O(lists × k) regardless of corpus size."""
+    from krnel_graph_spark.functions.behavior import rrf_fuse
+
+    docs = _docs(spark, sf_dir)
+    terms = ["hash", "join", "spark"]
+    bm = tx.bm25_search(docs, "text", "doc_id", " ".join(terms), k=20)
+    tfr = (
+        docs.filter(tx.normalize_text(F.col("text")) != "")
+        .select(
+            F.col("doc_id"),
+            F.explode(tx.whitespace_tokens(F.col("text"))).alias("term"),
+        )
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("tf_score"))
+        .orderBy(F.col("tf_score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    return rrf_fuse([bm, tfr], "doc_id", ["score", "tf_score"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-slot recording window covers the queries
     # that most need hash-graded evidence. r5 policy: the window holds 49
@@ -2236,6 +2293,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames_stub": q_video_frames_stub,
         "bpe_encode": q_bpe_encode,
         "profile_table_hll": q_profile_table_hll,
+        # r5 late additions (oracle-backed; past the recording window —
+        # judge-run + local-gate evidence until a future rotation):
+        "funnel_steps": q_funnel_steps,
+        "retention_cohorts": q_retention_cohorts,
+        "hybrid_search": q_hybrid_search,
     }
 
 
@@ -3541,6 +3603,78 @@ SELECT doc_id, lang, {lang_case} AS pred_lang FROM m
         "multimodal_meta": """
 SELECT doc_id, octet_length(encode(text)) AS byte_len, sha256(text) AS sha256
 FROM documents
+""",
+        # Greedy windowFunnel semantics as a K-join chain: t_k is the
+        # earliest event of step k strictly after t_{k-1} and within the
+        # 7-day horizon anchored at t_1. The Spark side computes the same
+        # thing in one shuffle (per-user sorted aggregate fold).
+        "funnel_steps": """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, any_value(s1.t1) AS t1, min(e.ts) AS t2
+       FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'view' AND e.ts > s1.t1
+         AND e.ts <= s1.t1 + INTERVAL 7 DAY
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, any_value(s2.t1) AS t1, min(e.ts) AS t3
+       FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s2.t2
+         AND e.ts <= s2.t1 + INTERVAL 7 DAY
+       GROUP BY e.user_id),
+s4 AS (SELECT e.user_id, min(e.ts) AS t4
+       FROM events e JOIN s3 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s3.t3
+         AND e.ts <= s3.t1 + INTERVAL 7 DAY
+       GROUP BY e.user_id)
+SELECT 1 AS step_idx, 'signup' AS step, (SELECT count(*) FROM s1) AS users
+UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+ORDER BY step_idx
+""",
+        "retention_cohorts": """
+WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT e.user_id, f.cw,
+             (datediff('day', f.cw, date_trunc('week', e.ts)) // 7)::INT AS off
+      FROM events e JOIN f USING (user_id))
+SELECT epoch_us(cw) AS cohort_week_us, off AS week_offset,
+       count(*) AS n_users
+FROM a GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # BM25 CTE chain is byte-identical to the bm25_search oracle;
+        # ranks are taken over the round-6 score (both engines rank the
+        # same rounded list), contributions decimal-cast pre-sum.
+        "hybrid_search": """
+WITH docs AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks,
+                     len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS dl
+              FROM documents WHERE trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) != ''),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM docs),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf
+       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+       WHERE term IN ('hash', 'join', 'spark')
+       GROUP BY doc_id, dl, term),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id,
+         sum((ln(1.0 + ((n_docs - df_t) + 0.5) / (df_t + 0.5))
+              * ((tf * 2.2)
+                 / (tf + 1.2 * (0.25 + (0.75 * dl)
+                                / (total_len::DOUBLE / n_docs)))))
+             ::DECIMAL(30,10)) AS s
+  FROM tf JOIN dft USING (term), stats
+  GROUP BY doc_id),
+bm AS (SELECT doc_id, round(s, 6)::DOUBLE AS score
+       FROM scored ORDER BY s DESC, doc_id ASC LIMIT 20),
+tfr AS (SELECT doc_id, sum(tf) AS tfs FROM tf GROUP BY doc_id
+        ORDER BY tfs DESC, doc_id ASC LIMIT 20),
+ra AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM bm),
+rb AS (SELECT doc_id, row_number() OVER (ORDER BY tfs DESC, doc_id ASC) AS r FROM tfr),
+u AS (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+SELECT doc_id,
+       round(sum((1.0 / (60 + r))::DECIMAL(30,10)), 6)::DOUBLE AS rrf_score,
+       count(*) AS n_lists
+FROM u GROUP BY doc_id ORDER BY rrf_score DESC, doc_id ASC
 """,
     }
 

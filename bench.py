@@ -93,6 +93,11 @@ HEADLINE = [
     "snapshot_diff",
     "bigram_logprob",
     "window_anomalies",
+    # r5: behavior analytics — single-shuffle funnel fold, retention
+    # triangle, and bounded-list RRF fusion over two rankers.
+    "funnel_steps",
+    "retention_cohorts",
+    "hybrid_search",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

@@ -1,0 +1,264 @@
+"""User-behavior analytics: funnels, retention cohorts, rank fusion.
+
+The event-log companions to the curation surface: ordered-step funnel
+conversion (ClickHouse ``windowFunnel``-style, greedy semantics), weekly
+retention cohorts, and reciprocal-rank fusion for hybrid retrieval.
+
+Scale notes are per-function; the common theme is one shuffle on the
+entity key (user / doc) and tiny, broadcastable outputs — counts per
+funnel step, one row per (cohort, offset), fused top-k lists.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..streaming.events import with_event_time
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within: int | None = None,
+) -> DataFrame:
+    """Ordered-step funnel conversion counts over an event log.
+
+    Greedy semantics (the standard ``windowFunnel`` contract): a user's
+    anchor is their EARLIEST ``steps[0]`` event; each later step matches
+    the earliest event of that type STRICTLY after the previous step's
+    match; with ``within`` (seconds) every post-anchor match must land at
+    or before ``anchor + within``. Deterministic — equivalent to the SQL
+    chain ``t_k = min(ts) WHERE type = step_k AND ts > t_{k-1}``.
+
+    Returns one row per step: ``(step_idx, step, users)`` where ``users``
+    is the count of users whose greedy match reached that step.
+
+    Scale: events are filtered to the K funnel types at the scan (the
+    predicate pushes down), then ONE shuffle groups each user's relevant
+    events; the ordered scan runs as a JVM ``aggregate`` expression over
+    the per-user sorted list — no Python, no per-step self-joins (the
+    naive SQL formulation shuffles K times). Per-user state is bounded by
+    that user's funnel-type events. The final K counters partial-aggregate
+    map-side into a 1-row frame unpivoted to K rows.
+    """
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct")
+    n_steps = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    within_us = None if within is None else int(within) * 1_000_000
+
+    ev = (
+        with_event_time(df, ts_col)
+        .filter(F.col(type_col).isin(steps))
+        .select(
+            F.col(user_col).alias("__u"),
+            F.unix_micros(F.col(ts_col)).alias("t"),
+            F.col(type_col).alias("y"),
+        )
+        .groupBy("__u")
+        .agg(F.array_sort(F.collect_list(F.struct("t", "y"))).alias("evs"))
+    )
+
+    zero = F.struct(
+        F.lit(0).alias("s"),
+        F.lit(-1).cast("long").alias("a"),
+        F.lit(-1).cast("long").alias("c"),
+    )
+
+    def step_fn(acc: Column, x: Column) -> Column:
+        # F.get is 0-based and null-safe past the end, so `acc.s == n_steps`
+        # simply fails the equality test and the fold becomes a no-op.
+        wanted = F.get(steps_arr, acc["s"])
+        ok = (x["y"] == wanted) & ((acc["s"] == 0) | (x["t"] > acc["c"]))
+        if within_us is not None:
+            ok = ok & ((acc["s"] == 0) | (x["t"] <= acc["a"] + F.lit(within_us)))
+        return F.when(
+            ok,
+            F.struct(
+                (acc["s"] + 1).alias("s"),
+                F.when(acc["s"] == 0, x["t"]).otherwise(acc["a"]).alias("a"),
+                x["t"].alias("c"),
+            ),
+        ).otherwise(acc)
+
+    stages = ev.select(
+        F.aggregate(F.col("evs"), zero, step_fn)["s"].alias("stage")
+    )
+
+    counters = stages.agg(
+        *[
+            F.sum((F.col("stage") >= i + 1).cast("long")).alias(f"__c{i}")
+            for i in range(n_steps)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{i + 1}, '{steps[i]}', coalesce(__c{i}, 0L)" for i in range(n_steps)
+    )
+    return counters.selectExpr(
+        f"stack({n_steps}, {stack_args}) AS (step_idx, step, users)"
+    ).orderBy("step_idx")
+
+
+def funnel_stages(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within: int | None = None,
+) -> DataFrame:
+    """Per-user funnel depth: ``(user, stage)`` with ``stage`` in
+    ``0..len(steps)`` — the row-level view behind :func:`funnel`, for
+    joining funnel progress back onto a user dimension. Same greedy
+    semantics and the same single-shuffle plan; the summary is just this
+    frame's histogram."""
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct")
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    within_us = None if within is None else int(within) * 1_000_000
+
+    ev = (
+        with_event_time(df, ts_col)
+        .filter(F.col(type_col).isin(list(steps)))
+        .select(
+            F.col(user_col).alias("user"),
+            F.unix_micros(F.col(ts_col)).alias("t"),
+            F.col(type_col).alias("y"),
+        )
+        .groupBy("user")
+        .agg(F.array_sort(F.collect_list(F.struct("t", "y"))).alias("evs"))
+    )
+    zero = F.struct(
+        F.lit(0).alias("s"),
+        F.lit(-1).cast("long").alias("a"),
+        F.lit(-1).cast("long").alias("c"),
+    )
+
+    def step_fn(acc: Column, x: Column) -> Column:
+        wanted = F.get(steps_arr, acc["s"])
+        ok = (x["y"] == wanted) & ((acc["s"] == 0) | (x["t"] > acc["c"]))
+        if within_us is not None:
+            ok = ok & ((acc["s"] == 0) | (x["t"] <= acc["a"] + F.lit(within_us)))
+        return F.when(
+            ok,
+            F.struct(
+                (acc["s"] + 1).alias("s"),
+                F.when(acc["s"] == 0, x["t"]).otherwise(acc["a"]).alias("a"),
+                x["t"].alias("c"),
+            ),
+        ).otherwise(acc)
+
+    return ev.select(
+        F.col("user"),
+        F.aggregate(F.col("evs"), zero, step_fn)["s"].alias("stage"),
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention triangle: cohort = ISO week (Monday-truncated) of
+    each user's FIRST event; a cohort member counts toward
+    ``week_offset = w`` if they have any event in cohort week + w.
+
+    Returns ``(cohort_week DATE, week_offset INT, n_users BIGINT)``
+    ordered by (cohort, offset). ``week_offset = 0`` row is the cohort
+    size (every user is active in their first week by construction).
+
+    Scale: first-event extraction is one user-keyed aggregation;
+    activity weeks reuse the same user partitioning for the join (AQE
+    collapses the exchange when partitioning matches); the distinct +
+    count runs on (cohort, offset, user) — bounded by users × active
+    weeks, far smaller than the event log. Output is weeks² rows.
+    """
+    df = with_event_time(df, ts_col)
+    first = (
+        df.groupBy(F.col(user_col).alias("__u"))
+        .agg(F.date_trunc("week", F.min(ts_col)).alias("__cw"))
+    )
+    act = df.select(
+        F.col(user_col).alias("__u"),
+        F.date_trunc("week", F.col(ts_col)).alias("__aw"),
+    ).distinct()
+    return (
+        act.join(first, "__u")
+        .select(
+            F.col("__u"),
+            F.col("__cw").cast("date").alias("cohort_week"),
+            (F.datediff(F.col("__aw"), F.col("__cw")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def rrf_fuse(
+    ranked: Sequence[DataFrame],
+    id_col: str,
+    score_cols: Sequence[str],
+    k: int = 60,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of top-k result lists: each list contributes
+    ``1 / (k + rank)`` per id (rank from ``score desc, id asc``); fused
+    score is the sum, decimal-cast pre-sum so summation order can't move
+    the round-6 output. Returns ``(id, rrf_score, n_lists)`` ordered by
+    fused score desc, id asc.
+
+    The inputs are top-k lists BY CONTRACT (tens to thousands of rows) —
+    the unpartitioned row_number window is deliberate and cheap at that
+    size; never feed an unranked corpus through this. Fusing bounded
+    lists keeps the whole plan broadcast-sized regardless of corpus
+    scale, which is the point of RRF in a 100-TB retrieval stack: the
+    expensive rankers (BM25, ANN) each reduce the corpus to k rows, and
+    fusion is O(lists × k).
+    """
+    if len(ranked) != len(score_cols):
+        raise ValueError("ranked and score_cols must align")
+    if len(ranked) < 2:
+        raise ValueError("rrf_fuse needs at least 2 ranked lists")
+    parts = []
+    for df, sc in zip(ranked, score_cols):
+        w = Window.orderBy(F.col(sc).desc(), F.col(id_col).asc())
+        parts.append(
+            df.select(F.col(id_col), F.row_number().over(w).alias("__r"))
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    out = (
+        u.groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(
+                    (F.lit(1.0) / (F.lit(k) + F.col("__r"))).cast(
+                        "decimal(30,10)"
+                    )
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("rrf_score"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    )
+    return out.limit(topk) if topk is not None else out

@@ -1,0 +1,213 @@
+"""Funnel / retention / RRF: semantics pins + a pure-pandas differential.
+
+The funnel differential reimplements the greedy windowFunnel contract
+(anchor at earliest first-step event; each later step = earliest event of
+that type strictly after the previous match, within the horizon) in plain
+Python over randomized event logs, so the single-shuffle Spark aggregate
+fold is checked against an independent oracle — not against itself.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from krnel_graph_spark.functions.behavior import (
+    funnel,
+    funnel_stages,
+    retention_cohorts,
+    rrf_fuse,
+)
+
+T0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+
+def _events(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    return spark.createDataFrame(pdf)
+
+
+def _greedy_stage(evs, steps, within=None):
+    """Reference implementation: evs = [(ts, type)] for ONE user."""
+    evs = sorted(evs)
+    stage, anchor, cur = 0, None, None
+    for t, y in evs:
+        if stage >= len(steps) or y != steps[stage]:
+            continue
+        if stage > 0 and not (t > cur):
+            continue
+        if stage > 0 and within is not None and t > anchor + dt.timedelta(seconds=within):
+            continue
+        stage += 1
+        anchor = t if stage == 1 else anchor
+        cur = t
+    return stage
+
+
+def test_funnel_basic_semantics(spark):
+    s = ["a", "b", "c"]
+    rows = [
+        # u1 completes in order
+        (1, T0, "a"), (1, T0 + dt.timedelta(hours=1), "b"),
+        (1, T0 + dt.timedelta(hours=2), "c"),
+        # u2: c before b -> stalls at stage 1 until a later b; no c after
+        (2, T0, "a"), (2, T0 + dt.timedelta(hours=1), "c"),
+        (2, T0 + dt.timedelta(hours=2), "b"),
+        # u3: never does step a -> stage 0
+        (3, T0, "b"), (3, T0 + dt.timedelta(hours=1), "c"),
+    ]
+    out = funnel(_events(spark, rows), s, ts_col="ts").toPandas()
+    assert out["step"].tolist() == ["a", "b", "c"]
+    assert out["users"].tolist() == [2, 2, 1]
+
+    st = {
+        r["user"]: r["stage"]
+        for r in funnel_stages(_events(spark, rows), s, ts_col="ts").collect()
+    }
+    assert st == {1: 3, 2: 2, 3: 0}
+
+
+def test_funnel_within_horizon(spark):
+    s = ["a", "b"]
+    rows = [
+        # u1: b lands 2h after anchor — outside a 1h horizon
+        (1, T0, "a"), (1, T0 + dt.timedelta(hours=2), "b"),
+        # u2: inside
+        (2, T0, "a"), (2, T0 + dt.timedelta(minutes=30), "b"),
+    ]
+    out = funnel(_events(spark, rows), s, within=3600).toPandas()
+    assert out["users"].tolist() == [2, 1]
+    # without the horizon both convert
+    out2 = funnel(_events(spark, rows), s).toPandas()
+    assert out2["users"].tolist() == [2, 2]
+
+
+def test_funnel_strictly_after(spark):
+    # step-2 event at the exact same timestamp as step 1 must NOT count
+    rows = [(1, T0, "a"), (1, T0, "b")]
+    out = funnel(_events(spark, rows), ["a", "b"]).toPandas()
+    assert out["users"].tolist() == [1, 0]
+
+
+def test_funnel_greedy_not_optimal_pin(spark):
+    """Greedy anchors at the EARLIEST first-step event even when a later
+    anchor would convert — the documented windowFunnel contract."""
+    rows = [
+        (1, T0, "a"),                                   # greedy anchor
+        (1, T0 + dt.timedelta(hours=10), "a"),          # better anchor, unused
+        (1, T0 + dt.timedelta(hours=10, minutes=30), "b"),
+    ]
+    out = funnel(_events(spark, rows), ["a", "b"], within=3600).toPandas()
+    assert out["users"].tolist() == [1, 0]
+
+
+def test_funnel_differential_random(spark):
+    rng = random.Random(417)
+    steps = ["s1", "s2", "s3", "s4"]
+    types = steps + ["noise"]
+    rows = []
+    for u in range(60):
+        for _ in range(rng.randint(0, 25)):
+            rows.append(
+                (
+                    u,
+                    T0 + dt.timedelta(seconds=rng.randint(0, 14 * 86400)),
+                    rng.choice(types),
+                )
+            )
+    for within in (None, 86400, 3 * 86400):
+        got = {
+            r["user"]: r["stage"]
+            for r in funnel_stages(
+                _events(spark, rows), steps, within=within
+            ).collect()
+        }
+        per_user: dict[int, list] = {}
+        for u, t, y in rows:
+            if y in steps:
+                per_user.setdefault(u, []).append((t, y))
+        want = {
+            u: _greedy_stage(evs, steps, within) for u, evs in per_user.items()
+        }
+        assert got == want, f"within={within}"
+        # summary counts must be the stage histogram's tail sums
+        summ = funnel(
+            _events(spark, rows), steps, within=within
+        ).toPandas()
+        for i in range(len(steps)):
+            assert summ["users"][i] == sum(
+                1 for v in want.values() if v >= i + 1
+            )
+
+
+def test_funnel_validation(spark):
+    df = _events(spark, [(1, T0, "a")])
+    with pytest.raises(ValueError):
+        funnel(df, ["a"])
+    with pytest.raises(ValueError):
+        funnel(df, ["a", "a"])
+
+
+def test_retention_cohorts(spark):
+    monday = dt.datetime(2024, 3, 4, 9, 0)  # a Monday
+    rows = [
+        (1, monday, "x"),
+        (1, monday + dt.timedelta(days=8), "x"),   # week 1
+        (1, monday + dt.timedelta(days=21), "x"),  # week 3
+        (2, monday + dt.timedelta(days=2), "x"),   # same cohort, week 0 only
+        (3, monday + dt.timedelta(days=7), "x"),   # next cohort
+        (3, monday + dt.timedelta(days=13), "x"),  # still offset 0
+    ]
+    out = retention_cohorts(_events(spark, rows)).toPandas()
+    got = {
+        (str(r.cohort_week), int(r.week_offset)): int(r.n_users)
+        for r in out.itertuples()
+    }
+    assert got == {
+        ("2024-03-04", 0): 2,
+        ("2024-03-04", 1): 1,
+        ("2024-03-04", 3): 1,
+        ("2024-03-11", 0): 1,
+    }
+
+
+def test_rrf_fuse(spark):
+    a = spark.createDataFrame([(1, 9.0), (2, 5.0), (3, 1.0)], "id long, s double")
+    b = spark.createDataFrame([(2, 0.9), (4, 0.8)], "id long, t double")
+    out = rrf_fuse([a, b], "id", ["s", "t"], k=60).toPandas()
+    # id 2: rank 2 in a, rank 1 in b -> 1/62 + 1/61 (largest)
+    assert out["id"].tolist()[0] == 2
+    assert out.set_index("id")["n_lists"].to_dict() == {1: 1, 2: 2, 3: 1, 4: 1}
+    two = out.set_index("id")["rrf_score"][2]
+    assert two == pytest.approx(1 / 62 + 1 / 61, abs=1e-6)
+    # deterministic tie-break: equal scores rank by id asc
+    c = spark.createDataFrame([(7, 1.0), (5, 1.0)], "id long, s double")
+    d = spark.createDataFrame([(5, 2.0), (7, 1.0)], "id long, t double")
+    o2 = rrf_fuse([c, d], "id", ["s", "t"], k=60).toPandas()
+    # in c, ids 5 and 7 tie at 1.0 -> id asc gives 5 rank 1, 7 rank 2
+    assert o2.set_index("id")["rrf_score"][5] == pytest.approx(
+        1 / 61 + 1 / 61, abs=1e-6
+    )
+    assert o2.set_index("id")["rrf_score"][7] == pytest.approx(
+        1 / 62 + 1 / 62, abs=1e-6
+    )
+    with pytest.raises(ValueError):
+        rrf_fuse([a], "id", ["s"])
+    with pytest.raises(ValueError):
+        rrf_fuse([a, b], "id", ["s"])
+
+
+def test_funnel_single_shuffle_plan(spark):
+    """The funnel fold must not contain per-step joins: exactly one
+    exchange below the final counter aggregation (the user groupBy)."""
+    rows = [(1, T0, "a"), (1, T0 + dt.timedelta(hours=1), "b")]
+    plan = funnel_stages(
+        _events(spark, rows), ["a", "b"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
