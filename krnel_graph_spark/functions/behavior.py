@@ -179,31 +179,29 @@ def retention_cohorts(
     ordered by (cohort, offset). ``week_offset = 0`` row is the cohort
     size (every user is active in their first week by construction).
 
-    Scale: first-event extraction is one user-keyed aggregation;
-    activity weeks reuse the same user partitioning for the join (AQE
-    collapses the exchange when partitioning matches); the distinct +
-    count runs on (cohort, offset, user) — bounded by users × active
-    weeks, far smaller than the event log. Output is weeks² rows.
+    Scale: TWO shuffles total, no join. First-event week and the user's
+    distinct activity weeks come out of ONE user-keyed aggregation
+    (``collect_set`` over week-truncated timestamps partial-aggregates
+    map-side, so per-user state is bounded by active WEEKS, not events);
+    exploding that set yields users × active-weeks rows — far smaller
+    than the event log — and the final (cohort, offset) count
+    partial-aggregates down to a weeks² result.
     """
     df = with_event_time(df, ts_col)
-    first = (
-        df.groupBy(F.col(user_col).alias("__u"))
-        .agg(F.date_trunc("week", F.min(ts_col)).alias("__cw"))
+    per_user = df.groupBy(F.col(user_col).alias("__u")).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("__cw"),
+        F.collect_set(F.date_trunc("week", F.col(ts_col))).alias("__aws"),
     )
-    act = df.select(
-        F.col(user_col).alias("__u"),
-        F.date_trunc("week", F.col(ts_col)).alias("__aw"),
-    ).distinct()
     return (
-        act.join(first, "__u")
+        per_user.select(
+            F.col("__cw"), F.explode("__aws").alias("__aw")
+        )
         .select(
-            F.col("__u"),
             F.col("__cw").cast("date").alias("cohort_week"),
             (F.datediff(F.col("__aw"), F.col("__cw")) / 7)
             .cast("int")
             .alias("week_offset"),
         )
-        .distinct()
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
