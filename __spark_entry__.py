@@ -2139,6 +2139,36 @@ def q_hybrid_search(spark, sf_dir):
     return rrf_fuse([bm, tfr], "doc_id", ["score", "tf_score"])
 
 
+def q_funnel_conversion(spark, sf_dir):
+    """Funnel counts plus mean time-to-convert from the anchor step —
+    same single-shuffle greedy fold as funnel_steps, surfacing the
+    matched per-step timestamps. Only steps reached by ≥1 user appear
+    (the oracle filters its UNION branches identically)."""
+    from krnel_graph_spark.functions.behavior import funnel_conversion
+
+    return funnel_conversion(
+        _t(spark, sf_dir, "events"),
+        ["signup", "view", "click", "purchase"],
+        within=7 * 86400,
+    )
+
+
+def q_fuzzy_pairs(spark, sf_dir):
+    """Blocked edit-distance self-join: document pairs whose first 16
+    chars are within 6 edits, compared only inside equal (lang, source)
+    blocks. One hash shuffle per side; length prefilter + thresholded
+    (early-abandon) Levenshtein — never an all-pairs cross join."""
+    from krnel_graph_spark.functions.dedup import fuzzy_join
+
+    keyed = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "source", F.substring("text", 1, 16).alias("key")
+    )
+    return fuzzy_join(
+        keyed, keyed, "key", "doc_id", ["lang", "source"],
+        max_dist=6, self_pairs=True,
+    ).orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-slot recording window covers the queries
     # that most need hash-graded evidence. r5 policy: the window holds 49
@@ -2298,6 +2328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "hybrid_search": q_hybrid_search,
+        "funnel_conversion": q_funnel_conversion,
+        "fuzzy_pairs": q_fuzzy_pairs,
     }
 
 
@@ -3675,6 +3707,57 @@ SELECT doc_id,
        round(sum((1.0 / (60 + r))::DECIMAL(30,10)), 6)::DOUBLE AS rrf_score,
        count(*) AS n_lists
 FROM u GROUP BY doc_id ORDER BY rrf_score DESC, doc_id ASC
+""",
+        # Same greedy chain as funnel_steps, surfacing per-step means:
+        # sum of integer-microsecond deltas is exact; the mean is the
+        # identical double-division sequence the Spark side performs.
+        # Steps no user reaches emit no row (WHERE u > 0), matching the
+        # Spark groupBy-on-reached-steps shape.
+        "funnel_conversion": """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, any_value(s1.t1) AS t1, min(e.ts) AS t2
+       FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'view' AND e.ts > s1.t1
+         AND e.ts <= s1.t1 + INTERVAL 7 DAY
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, any_value(s2.t1) AS t1, min(e.ts) AS t3
+       FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s2.t2
+         AND e.ts <= s2.t1 + INTERVAL 7 DAY
+       GROUP BY e.user_id),
+s4 AS (SELECT e.user_id, any_value(s3.t1) AS t1, min(e.ts) AS t4
+       FROM events e JOIN s3 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s3.t3
+         AND e.ts <= s3.t1 + INTERVAL 7 DAY
+       GROUP BY e.user_id),
+m1 AS (SELECT count(*) AS u FROM s1),
+m2 AS (SELECT count(*) AS u, sum(epoch_us(t2) - epoch_us(t1)) AS s FROM s2),
+m3 AS (SELECT count(*) AS u, sum(epoch_us(t3) - epoch_us(t1)) AS s FROM s3),
+m4 AS (SELECT count(*) AS u, sum(epoch_us(t4) - epoch_us(t1)) AS s FROM s4)
+SELECT * FROM (
+  SELECT 1 AS step_idx, 'signup' AS step, u AS users,
+         round(0.0, 6) AS mean_s_from_anchor FROM m1 WHERE u > 0
+  UNION ALL SELECT 2, 'view', u,
+         round(s::DOUBLE / u / 1000000.0, 6) FROM m2 WHERE u > 0
+  UNION ALL SELECT 3, 'click', u,
+         round(s::DOUBLE / u / 1000000.0, 6) FROM m3 WHERE u > 0
+  UNION ALL SELECT 4, 'purchase', u,
+         round(s::DOUBLE / u / 1000000.0, 6) FROM m4 WHERE u > 0
+) ORDER BY step_idx
+""",
+        # Blocked fuzzy self-join spec: equal (lang, source) blocks,
+        # first-16-chars key, unit-cost Levenshtein <= 6, unordered
+        # pairs once.
+        "fuzzy_pairs": """
+WITH k AS (SELECT doc_id, lang, source, left(text, 16) AS key FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.key, b.key) AS dist
+FROM k a JOIN k b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE abs(length(a.key) - length(b.key)) <= 6
+  AND levenshtein(a.key, b.key) <= 6
+ORDER BY id_a, id_b
 """,
     }
 

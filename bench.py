@@ -98,6 +98,8 @@ HEADLINE = [
     "funnel_steps",
     "retention_cohorts",
     "hybrid_search",
+    "funnel_conversion",
+    "fuzzy_pairs",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

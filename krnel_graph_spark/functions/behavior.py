@@ -19,6 +19,69 @@ from pyspark.sql import functions as F
 from ..streaming.events import with_event_time
 
 
+def _per_user_funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    within: int | None,
+) -> DataFrame:
+    """Shared greedy fold: ``(user, stage, times)`` where ``times`` holds
+    the matched step timestamps (epoch micros) in step order. One shuffle;
+    the ordered scan is a JVM ``aggregate`` expression over each user's
+    sorted funnel-type events."""
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct")
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    within_us = None if within is None else int(within) * 1_000_000
+
+    ev = (
+        with_event_time(df, ts_col)
+        .filter(F.col(type_col).isin(steps))
+        .select(
+            F.col(user_col).alias("user"),
+            F.unix_micros(F.col(ts_col)).alias("t"),
+            F.col(type_col).alias("y"),
+        )
+        .groupBy("user")
+        .agg(F.array_sort(F.collect_list(F.struct("t", "y"))).alias("evs"))
+    )
+    zero = F.struct(
+        F.lit(0).alias("s"),
+        F.lit(-1).cast("long").alias("a"),
+        F.lit(-1).cast("long").alias("c"),
+        F.array().cast("array<long>").alias("ts"),
+    )
+
+    def step_fn(acc: Column, x: Column) -> Column:
+        # F.get is 0-based and null-safe past the end, so `acc.s ==
+        # len(steps)` simply fails the equality test -> no-op fold.
+        wanted = F.get(steps_arr, acc["s"])
+        ok = (x["y"] == wanted) & ((acc["s"] == 0) | (x["t"] > acc["c"]))
+        if within_us is not None:
+            ok = ok & ((acc["s"] == 0) | (x["t"] <= acc["a"] + F.lit(within_us)))
+        return F.when(
+            ok,
+            F.struct(
+                (acc["s"] + 1).alias("s"),
+                F.when(acc["s"] == 0, x["t"]).otherwise(acc["a"]).alias("a"),
+                x["t"].alias("c"),
+                F.concat(acc["ts"], F.array(x["t"])).alias("ts"),
+            ),
+        ).otherwise(acc)
+
+    fold = F.aggregate(F.col("evs"), zero, step_fn)
+    return ev.select(
+        F.col("user"),
+        fold["s"].alias("stage"),
+        fold["ts"].alias("times"),
+    )
+
+
 def funnel(
     df: DataFrame,
     steps: Sequence[str],
@@ -48,51 +111,10 @@ def funnel(
     map-side into a 1-row frame unpivoted to K rows.
     """
     steps = list(steps)
-    if len(steps) < 2:
-        raise ValueError("funnel needs at least 2 steps")
-    if len(set(steps)) != len(steps):
-        raise ValueError("funnel steps must be distinct")
     n_steps = len(steps)
-    steps_arr = F.array(*[F.lit(s) for s in steps])
-    within_us = None if within is None else int(within) * 1_000_000
-
-    ev = (
-        with_event_time(df, ts_col)
-        .filter(F.col(type_col).isin(steps))
-        .select(
-            F.col(user_col).alias("__u"),
-            F.unix_micros(F.col(ts_col)).alias("t"),
-            F.col(type_col).alias("y"),
-        )
-        .groupBy("__u")
-        .agg(F.array_sort(F.collect_list(F.struct("t", "y"))).alias("evs"))
-    )
-
-    zero = F.struct(
-        F.lit(0).alias("s"),
-        F.lit(-1).cast("long").alias("a"),
-        F.lit(-1).cast("long").alias("c"),
-    )
-
-    def step_fn(acc: Column, x: Column) -> Column:
-        # F.get is 0-based and null-safe past the end, so `acc.s == n_steps`
-        # simply fails the equality test and the fold becomes a no-op.
-        wanted = F.get(steps_arr, acc["s"])
-        ok = (x["y"] == wanted) & ((acc["s"] == 0) | (x["t"] > acc["c"]))
-        if within_us is not None:
-            ok = ok & ((acc["s"] == 0) | (x["t"] <= acc["a"] + F.lit(within_us)))
-        return F.when(
-            ok,
-            F.struct(
-                (acc["s"] + 1).alias("s"),
-                F.when(acc["s"] == 0, x["t"]).otherwise(acc["a"]).alias("a"),
-                x["t"].alias("c"),
-            ),
-        ).otherwise(acc)
-
-    stages = ev.select(
-        F.aggregate(F.col("evs"), zero, step_fn)["s"].alias("stage")
-    )
+    stages = _per_user_funnel(
+        df, steps, user_col, type_col, ts_col, within
+    ).select("stage")
 
     counters = stages.agg(
         *[
@@ -121,48 +143,63 @@ def funnel_stages(
     joining funnel progress back onto a user dimension. Same greedy
     semantics and the same single-shuffle plan; the summary is just this
     frame's histogram."""
+    return _per_user_funnel(
+        df, steps, user_col, type_col, ts_col, within
+    ).select("user", "stage")
+
+
+def funnel_conversion(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within: int | None = None,
+) -> DataFrame:
+    """Funnel counts PLUS time-to-convert: for each step, how many users
+    reached it and the mean seconds from the funnel anchor (the step-1
+    match) to that step's match, over exactly those users.
+
+    ``mean_s_from_anchor`` is engine-unambiguous: per-user deltas are
+    integer microseconds, decimal-cast before the sum (overflow-proof at
+    any user count); the mean is then a fixed sequence of IEEE double
+    divisions and a round-6 — the SQL oracle performs the identical
+    operations. Step 1's mean is 0 by construction.
+
+    Same single-shuffle plan as :func:`funnel`; the explode runs over
+    users × reached-steps rows (≤ K per user), and the per-step
+    aggregation partial-combines map-side.
+    """
+    per_user = _per_user_funnel(df, steps, user_col, type_col, ts_col, within)
     steps = list(steps)
-    if len(steps) < 2:
-        raise ValueError("funnel needs at least 2 steps")
-    if len(set(steps)) != len(steps):
-        raise ValueError("funnel steps must be distinct")
-    steps_arr = F.array(*[F.lit(s) for s in steps])
-    within_us = None if within is None else int(within) * 1_000_000
-
-    ev = (
-        with_event_time(df, ts_col)
-        .filter(F.col(type_col).isin(list(steps)))
-        .select(
-            F.col(user_col).alias("user"),
-            F.unix_micros(F.col(ts_col)).alias("t"),
-            F.col(type_col).alias("y"),
-        )
-        .groupBy("user")
-        .agg(F.array_sort(F.collect_list(F.struct("t", "y"))).alias("evs"))
+    step_names = F.array(*[F.lit(s) for s in steps])
+    exploded = per_user.select(
+        F.posexplode("times").alias("idx", "t"),
+        F.get("times", 0).alias("anchor"),
     )
-    zero = F.struct(
-        F.lit(0).alias("s"),
-        F.lit(-1).cast("long").alias("a"),
-        F.lit(-1).cast("long").alias("c"),
-    )
-
-    def step_fn(acc: Column, x: Column) -> Column:
-        wanted = F.get(steps_arr, acc["s"])
-        ok = (x["y"] == wanted) & ((acc["s"] == 0) | (x["t"] > acc["c"]))
-        if within_us is not None:
-            ok = ok & ((acc["s"] == 0) | (x["t"] <= acc["a"] + F.lit(within_us)))
-        return F.when(
-            ok,
-            F.struct(
-                (acc["s"] + 1).alias("s"),
-                F.when(acc["s"] == 0, x["t"]).otherwise(acc["a"]).alias("a"),
-                x["t"].alias("c"),
+    return (
+        exploded.groupBy("idx")
+        .agg(
+            F.count(F.lit(1)).alias("users"),
+            F.sum((F.col("t") - F.col("anchor")).cast("decimal(30,0)")).alias(
+                "__sum_us"
             ),
-        ).otherwise(acc)
-
-    return ev.select(
-        F.col("user"),
-        F.aggregate(F.col("evs"), zero, step_fn)["s"].alias("stage"),
+        )
+        .select(
+            (F.col("idx") + 1).alias("step_idx"),
+            F.get(step_names, F.col("idx")).alias("step"),
+            F.col("users"),
+            # The sum is decimal-exact; the mean is then two explicit
+            # IEEE double divisions (sum/users, /1e6) — the identical
+            # operation sequence the oracle runs, so round-6 agrees.
+            F.round(
+                F.col("__sum_us").cast("double")
+                / F.col("users")
+                / F.lit(1_000_000.0),
+                6,
+            ).alias("mean_s_from_anchor"),
+        )
+        .orderBy("step_idx")
     )
 
 

@@ -1093,3 +1093,65 @@ def bloom_might_contain(bloom: bytes, col, n_hashes: int = 4) -> Column:
         return pd.Series(hit)
 
     return probe(F.xxhash64(c))
+
+
+# ---------------------------------------------------------------------- #
+# Blocked edit-distance (fuzzy) join                                       #
+# ---------------------------------------------------------------------- #
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    id_col: str,
+    block_cols: list[str],
+    max_dist: int = 2,
+    self_pairs: bool = False,
+) -> DataFrame:
+    """Entity-resolution join: pairs whose ``key_col`` strings are within
+    ``max_dist`` Levenshtein edits, compared ONLY inside equal
+    ``block_cols`` groups (standard ER blocking — recall is the caller's
+    blocking-key choice, the classic precision/cost trade).
+
+    Returns ``(id_a, id_b, dist)``; with ``self_pairs=True`` both inputs
+    are the same table and each unordered pair appears once
+    (``id_a < id_b``).
+
+    Scale: the equi-join on the block key co-locates candidates with ONE
+    hash shuffle per side — never an all-pairs cross join. Two cheap
+    JVM-side prefilters run before the O(len²) distance: equal blocks
+    (the join itself) and the provable ``|len(a) - len(b)| <= max_dist``
+    bound; the Levenshtein that remains is the thresholded variant, which
+    abandons a row pair as soon as the running distance exceeds
+    ``max_dist`` (O(len·d), not O(len²)). Block-size skew is the knob:
+    at 100 TB pick blocking keys whose largest block stays executor-
+    sized, or salt a hot block with a shingle prefix. AQE's skew-join
+    split handles the read side.
+    """
+    if not block_cols:
+        raise ValueError("fuzzy_join requires at least one blocking column")
+    a = left.select(
+        F.col(id_col).alias("id_a"),
+        F.col(key_col).alias("__ka"),
+        F.length(key_col).alias("__la"),
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+    )
+    b = right.select(
+        F.col(id_col).alias("id_b"),
+        F.col(key_col).alias("__kb"),
+        F.length(key_col).alias("__lb"),
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+    )
+    pair_pred = (
+        F.col("id_a") < F.col("id_b") if self_pairs else F.lit(True)
+    )
+    dist = F.levenshtein(F.col("__ka"), F.col("__kb"), max_dist)
+    return (
+        a.join(b, [f"__b_{c}" for c in block_cols])
+        .filter(pair_pred)
+        .filter(F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+        .withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)
+        .select("id_a", "id_b", "dist")
+    )

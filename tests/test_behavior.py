@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from krnel_graph_spark.functions.behavior import (
     funnel,
+    funnel_conversion,
     funnel_stages,
     retention_cohorts,
     rrf_fuse,
@@ -143,6 +144,35 @@ def test_funnel_differential_random(spark):
             assert summ["users"][i] == sum(
                 1 for v in want.values() if v >= i + 1
             )
+
+
+def test_funnel_conversion(spark):
+    rows = [
+        # u1: a -> b after 100s, c after 300s total
+        (1, T0, "a"),
+        (1, T0 + dt.timedelta(seconds=100), "b"),
+        (1, T0 + dt.timedelta(seconds=300), "c"),
+        # u2: a -> b after 200s, never c
+        (2, T0, "a"),
+        (2, T0 + dt.timedelta(seconds=200), "b"),
+        # u3: only a
+        (3, T0, "a"),
+    ]
+    out = funnel_conversion(_events(spark, rows), ["a", "b", "c"]).toPandas()
+    assert out["step"].tolist() == ["a", "b", "c"]
+    assert out["users"].tolist() == [3, 2, 1]
+    assert out["mean_s_from_anchor"].tolist() == pytest.approx(
+        [0.0, 150.0, 300.0]
+    )
+    # unreached steps emit no row
+    out2 = funnel_conversion(_events(spark, rows), ["a", "c", "b"]).toPandas()
+    # u1: a@0 -> c@300; no b after 300 -> step "b" has no reachers, no row
+    assert out2["step"].tolist() == ["a", "c"]
+    assert out2["users"].tolist() == [3, 1]
+    rows3 = [(1, T0, "a")]
+    out3 = funnel_conversion(_events(spark, rows3), ["a", "b"]).toPandas()
+    assert out3["step"].tolist() == ["a"]
+    assert out3["mean_s_from_anchor"].tolist() == [0.0]
 
 
 def test_funnel_validation(spark):
