@@ -407,6 +407,92 @@ def running_user_totals(
     )
 
 
+def funnel_user_stages(
+    events: DataFrame,
+    steps,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within: int | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user funnel depth ``(user, stage)``, batch OR streaming, with
+    the greedy windowFunnel semantics of
+    :func:`krnel_graph_spark.functions.behavior.funnel_stages`.
+
+    Streaming: ``applyInPandasWithState`` holds exactly THREE scalars per
+    user — (stage, anchor_us, last_match_us) — so state is O(users),
+    independent of event volume; each micro-batch folds its (in-batch
+    ts-sorted) events into the state and emits the user's updated depth.
+    Equals the batch fold when each user's events arrive in event-time
+    order across micro-batches (the greedy scan is order-sensitive by
+    definition); in-batch arrival order never matters because the batch
+    is sorted before folding.
+    """
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct")
+    if not events.isStreaming:
+        from ..functions.behavior import funnel_stages
+
+        return funnel_stages(
+            events, steps, user_col=user_col, type_col=type_col,
+            ts_col=ts_col, within=within,
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    idx = {s: i for i, s in enumerate(steps)}
+    n_steps = len(steps)
+    within_us = None if within is None else int(within) * 1_000_000
+
+    df = (
+        with_event_time(events, ts_col)
+        .filter(F.col(type_col).isin(steps))
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col(user_col).alias("user"),
+            F.col(ts_col).alias("t"),
+            F.col(type_col).alias("y"),
+        )
+    )
+
+    def update(key, pdfs, state):
+        s, a, c = state.get if state.exists else (0, -1, -1)
+        evs = []
+        for pdf in pdfs:
+            evs.extend(zip(pdf["t"], pdf["y"]))
+        evs.sort(key=lambda r: r[0])
+        for t, y in evs:
+            tus = int(pd.Timestamp(t).value // 1000)
+            if (
+                s < n_steps
+                and idx[y] == s
+                and (s == 0 or tus > c)
+                and (
+                    s == 0
+                    or within_us is None
+                    or tus <= a + within_us
+                )
+            ):
+                s += 1
+                a = tus if s == 1 else a
+                c = tus
+        state.update((int(s), int(a), int(c)))
+        yield pd.DataFrame({"user": [key[0]], "stage": [s]})
+
+    return df.groupBy("user").applyInPandasWithState(
+        update,
+        outputStructType="user long, stage integer",
+        stateStructType="s integer, a long, c long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 _DURATION_UNITS = {
     "second": 1, "seconds": 1,
     "minute": 60, "minutes": 60,

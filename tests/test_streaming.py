@@ -488,3 +488,60 @@ def test_stream_upsert_rejects_duplicate_keys(spark, tmp_path):
         run_stream_upsert(
             stream, str(tmp_path / "t"), "id", str(tmp_path / "c")
         )
+
+
+def test_funnel_stream_equals_batch_multibatch(spark, tmp_path):
+    """Streaming funnel depth must equal the batch greedy fold when each
+    user's events arrive in event-time order across micro-batches; state
+    is 3 scalars per user regardless of event count."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from krnel_graph_spark.streaming.events import funnel_user_stages
+
+    src = tmp_path / "funnel_src"
+    src.mkdir()
+    steps = ["signup", "view", "purchase"]
+    t0 = pd.Timestamp("2024-05-01 00:00:00")
+    # 3 time-ordered files: user u's step-k event lands in file k when
+    # u's depth >= k+1; noise rows and out-of-funnel types sprinkled in.
+    depth = {u: u % 4 for u in range(12)}  # 0..3
+    for b in range(3):
+        rows = []
+        for u, d in depth.items():
+            if d >= b + 1:
+                rows.append((u, t0 + pd.Timedelta(hours=b, minutes=u), steps[b]))
+            rows.append((u, t0 + pd.Timedelta(hours=b, minutes=30 + u), "noise"))
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+        path = src / f"b{b}.parquet"
+        pdf.to_parquet(path)
+        mtime = time.time() - (3 - b) * 100
+        os.utime(path, (mtime, mtime))
+
+    schema = spark.read.parquet(str(src)).schema
+    ev_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    stream = funnel_user_stages(ev_stream, steps, watermark="10 hours")
+    query = run_stream_to_memory(stream, "funnel_stream", output_mode="update")
+    try:
+        got = (
+            spark.table("funnel_stream")
+            .toPandas()
+            .groupby("user")
+            .last()["stage"]
+            .to_dict()
+        )
+    finally:
+        query.stop()
+
+    batch = funnel_user_stages(spark.read.parquet(str(src)), steps)
+    want = {r["user"]: r["stage"] for r in batch.collect()}
+    assert got == want
+    # the planted depths; depth-0 users have no funnel-type event at all,
+    # so they produce no row in either mode
+    assert want == {u: d for u, d in depth.items() if d > 0}
