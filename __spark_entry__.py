@@ -2169,6 +2169,18 @@ def q_fuzzy_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_event_transitions(spark, sf_dir):
+    """Per-user next-event transition counts (sankey/flow table): one
+    user-keyed lead window (single-row window state), then a map-side
+    partial count into a types² result. event_id is the deterministic
+    equal-timestamp tiebreaker."""
+    from krnel_graph_spark.functions.behavior import event_transitions
+
+    return event_transitions(
+        _t(spark, sf_dir, "events"), order_cols=["event_id"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-slot recording window covers the queries
     # that most need hash-graded evidence. r5 policy: the window holds 49
@@ -2330,6 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "funnel_conversion": q_funnel_conversion,
         "fuzzy_pairs": q_fuzzy_pairs,
+        "event_transitions": q_event_transitions,
     }
 
 
@@ -3758,6 +3771,16 @@ FROM k a JOIN k b
 WHERE abs(length(a.key) - length(b.key)) <= 6
   AND levenshtein(a.key, b.key) <= 6
 ORDER BY id_a, id_b
+""",
+        "event_transitions": """
+WITH s AS (SELECT user_id, event_type AS from_type,
+                  lead(event_type) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                  ) AS to_type
+           FROM events)
+SELECT from_type, to_type, count(*) AS n
+FROM s WHERE to_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
     }
 

@@ -100,6 +100,7 @@ HEADLINE = [
     "hybrid_search",
     "funnel_conversion",
     "fuzzy_pairs",
+    "event_transitions",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

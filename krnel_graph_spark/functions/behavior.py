@@ -245,6 +245,42 @@ def retention_cohorts(
     )
 
 
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Markov-style path exploration: counts of consecutive
+    ``(from_type, to_type)`` transitions within each user's event-time
+    ordering — the table behind sankey/flow diagrams and first-order
+    next-event models.
+
+    Ordering within a user is ``(ts, *order_cols)``; pass a unique
+    tiebreaker (e.g. an event id) when timestamps can collide, otherwise
+    equal-timestamp neighbors would make the transition set
+    nondeterministic. Returns ``(from_type, to_type, n)``.
+
+    Scale: one shuffle on the user key for the ``lead`` window (per-key
+    state is a single row), then the transition count partial-aggregates
+    map-side into a (types²)-row result.
+    """
+    df = with_event_time(df, ts_col)
+    order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    return (
+        df.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("from_type", "to_type")
+    )
+
+
 def rrf_fuse(
     ranked: Sequence[DataFrame],
     id_col: str,

@@ -206,6 +206,31 @@ def test_retention_cohorts(spark):
     }
 
 
+def test_event_transitions(spark):
+    from krnel_graph_spark.functions.behavior import event_transitions
+
+    rows = [
+        (1, T0, "a"), (1, T0 + dt.timedelta(seconds=1), "b"),
+        (1, T0 + dt.timedelta(seconds=2), "a"),
+        (2, T0, "b"), (2, T0 + dt.timedelta(seconds=1), "b"),
+        (3, T0, "a"),  # single event: no transition
+    ]
+    out = event_transitions(_events(spark, rows)).toPandas()
+    got = {
+        (r.from_type, r.to_type): r.n for r in out.itertuples()
+    }
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
+    # deterministic tiebreak on colliding timestamps via order_cols
+    pdf = pd.DataFrame(
+        [(1, T0, 1, "x"), (1, T0, 2, "y"), (1, T0, 3, "z")],
+        columns=["user_id", "ts", "eid", "event_type"],
+    )
+    df = spark.createDataFrame(pdf)
+    out2 = event_transitions(df, order_cols=["eid"]).toPandas()
+    got2 = {(r.from_type, r.to_type): r.n for r in out2.itertuples()}
+    assert got2 == {("x", "y"): 1, ("y", "z"): 1}
+
+
 def test_rrf_fuse(spark):
     a = spark.createDataFrame([(1, 9.0), (2, 5.0), (3, 1.0)], "id long, s double")
     b = spark.createDataFrame([(2, 0.9), (4, 0.8)], "id long, t double")
