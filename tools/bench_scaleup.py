@@ -57,6 +57,21 @@ QUERIES = [
     "chunk_pack",
     "dedup_against_near",
     "dup_windows",
+    # r5 behavior-analytics additions: events x20 for the funnel family,
+    # documents x40 for the retrieval/ER pair generators.
+    "funnel_steps",
+    "funnel_conversion",
+    "retention_cohorts",
+    "event_transitions",
+    "hybrid_search",
+    # fuzzy_pairs is deliberately absent: the x40 corpus keeps 16-char
+    # prefixes IDENTICAL across copies (the per-5-words token insertion
+    # that breaks MinHash shingle similarity usually lands after char 16),
+    # so the valid fuzzy-pair OUTPUT is itself quadratic (~5.4M pairs even
+    # under an added n_chars/256 length band, measured 2026-08-14) — the
+    # verbatim-copy regime this harness's docstring calls out as a
+    # workload no real corpus produces. BASELINE.md section 5 records the
+    # measurement.
 ]
 ID_STRIDE = 10**9  # > any source id; keeps per-copy ids disjoint
 
