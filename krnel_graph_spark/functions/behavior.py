@@ -203,18 +203,27 @@ def funnel_conversion(
     )
 
 
+_RETENTION_GRAINS = {"day": 1, "week": 7}
+
+
 def retention_cohorts(
     df: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    granularity: str = "week",
 ) -> DataFrame:
-    """Weekly retention triangle: cohort = ISO week (Monday-truncated) of
-    each user's FIRST event; a cohort member counts toward
-    ``week_offset = w`` if they have any event in cohort week + w.
+    """Retention triangle at ``granularity`` ("week" default, or "day"):
+    cohort = truncated period of each user's FIRST event; a cohort member
+    counts toward ``week_offset = w`` if they have any event in cohort
+    period + w. (Months are deliberately unsupported: unequal month
+    lengths make the offset ill-defined as a fixed day stride — truncate
+    upstream and group yourself if you need calendar months.)
 
     Returns ``(cohort_week DATE, week_offset INT, n_users BIGINT)``
-    ordered by (cohort, offset). ``week_offset = 0`` row is the cohort
-    size (every user is active in their first week by construction).
+    ordered by (cohort, offset) — column names keep the weekly contract
+    at every granularity so downstream pivots don't fork. The
+    ``week_offset = 0`` row is the cohort size (every user is active in
+    their first period by construction).
 
     Scale: TWO shuffles total, no join. First-event week and the user's
     distinct activity weeks come out of ONE user-keyed aggregation
@@ -224,10 +233,15 @@ def retention_cohorts(
     than the event log — and the final (cohort, offset) count
     partial-aggregates down to a weeks² result.
     """
+    if granularity not in _RETENTION_GRAINS:
+        raise ValueError(
+            f"granularity must be one of {sorted(_RETENTION_GRAINS)}"
+        )
+    stride = _RETENTION_GRAINS[granularity]
     df = with_event_time(df, ts_col)
     per_user = df.groupBy(F.col(user_col).alias("__u")).agg(
-        F.date_trunc("week", F.min(ts_col)).alias("__cw"),
-        F.collect_set(F.date_trunc("week", F.col(ts_col))).alias("__aws"),
+        F.date_trunc(granularity, F.min(ts_col)).alias("__cw"),
+        F.collect_set(F.date_trunc(granularity, F.col(ts_col))).alias("__aws"),
     )
     return (
         per_user.select(
@@ -235,7 +249,7 @@ def retention_cohorts(
         )
         .select(
             F.col("__cw").cast("date").alias("cohort_week"),
-            (F.datediff(F.col("__aw"), F.col("__cw")) / 7)
+            (F.datediff(F.col("__aw"), F.col("__cw")) / stride)
             .cast("int")
             .alias("week_offset"),
         )

@@ -206,6 +206,27 @@ def test_retention_cohorts(spark):
     }
 
 
+def test_retention_daily_granularity(spark):
+    monday = dt.datetime(2024, 3, 4, 9, 0)
+    rows = [
+        (1, monday, "x"),
+        (1, monday + dt.timedelta(days=2), "x"),   # day offset 2
+        (2, monday + dt.timedelta(days=1), "x"),   # next cohort, offset 0
+    ]
+    out = retention_cohorts(_events(spark, rows), granularity="day").toPandas()
+    got = {
+        (str(r.cohort_week), int(r.week_offset)): int(r.n_users)
+        for r in out.itertuples()
+    }
+    assert got == {
+        ("2024-03-04", 0): 1,
+        ("2024-03-04", 2): 1,
+        ("2024-03-05", 0): 1,
+    }
+    with pytest.raises(ValueError):
+        retention_cohorts(_events(spark, rows), granularity="month")
+
+
 def test_event_transitions(spark):
     from krnel_graph_spark.functions.behavior import event_transitions
 
