@@ -2181,6 +2181,18 @@ def q_event_transitions(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Exact-50 A-Res weighted sample of documents, n_chars-weighted:
+    md5-derived race keys, no shuffle (TakeOrderedAndProject top-n heap).
+    Both engines order the identical round-10 key, ties on doc_id."""
+    from krnel_graph_spark.functions.sampling import weighted_sample
+
+    out = weighted_sample(
+        _t(spark, sf_dir, "documents"), "n_chars", 50, "doc_id", seed=7
+    )
+    return out.select("doc_id", "n_chars").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-slot recording window covers the queries
     # that most need hash-graded evidence. r5 policy: the window holds 49
@@ -2343,6 +2355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "fuzzy_pairs": q_fuzzy_pairs,
         "event_transitions": q_event_transitions,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -3781,6 +3794,19 @@ WITH s AS (SELECT user_id, event_type AS from_type,
 SELECT from_type, to_type, count(*) AS n
 FROM s WHERE to_type IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # A-Res race keys from the same md5(seed:id) uniform both engines
+        # derive; round-10 keys make the order engine-identical (the
+        # sub-ulp ln() envelope is absorbed, as in the bm25 oracle).
+        "weighted_sample": """
+WITH k AS (
+  SELECT doc_id, n_chars,
+         round(ln((CAST(('0x' || substring(md5('7:' || doc_id::VARCHAR), 1, 15)) AS BIGINT) + 1)
+                  / 1152921504606846976.0) / n_chars::DOUBLE, 10) AS key
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, n_chars FROM k
+ORDER BY key DESC, doc_id ASC LIMIT 50
 """,
     }
 

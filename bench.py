@@ -101,6 +101,7 @@ HEADLINE = [
     "funnel_conversion",
     "fuzzy_pairs",
     "event_transitions",
+    "weighted_sample",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

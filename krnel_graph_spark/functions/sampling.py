@@ -148,3 +148,48 @@ def mix_to_weights(
     return stratified_sample(
         df, strata_col, fractions, id_col, seed=seed, default_fraction=0.0
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Exact-``n`` weighted sampling without replacement (A-Res,
+    Efraimidis–Spirakis): inclusion chance scales with ``weight_col`` —
+    the quality-weighted corpus-selection primitive ("keep the best 10M
+    documents, preferring high scores, but don't take a deterministic
+    top-k").
+
+    Deterministic by construction: each row's race key is
+    ``ln(u) / w`` (the monotone equivalent of the classic ``u^(1/w)``)
+    with ``u`` derived from ``md5(seed:id)`` — identical on any engine,
+    partitioning, or retry, like every sampler in this module. The key is
+    rounded to 10 decimals so both engines order the identical value;
+    residual ties break on id. Rows with NULL or non-positive weight are
+    excluded (they have no well-defined race key).
+
+    Scale: no shuffle at all — ``orderBy().limit(n)`` lowers to
+    ``TakeOrderedAndProject`` (a per-partition top-``n`` heap, driver
+    merge of n·partitions rows). The reservoir never materializes.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    h = md5_long(
+        F.concat_ws(
+            ":", F.lit(str(seed)), F.col(id_col).cast("string")
+        )
+    )
+    # md5_long is 60 bits -> u in (0, 1]; +1 keeps ln() off -inf.
+    u = (h + F.lit(1).cast("double")) / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.log(u) / w, 10)
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("__wskey", key)
+        .orderBy(F.col("__wskey").desc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("__wskey")
+    )

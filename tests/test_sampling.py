@@ -178,3 +178,41 @@ def test_mix_to_weights_validation(spark):
         mix_to_weights(df, "src", {"a": -1}, "id")
     # weights naming only absent strata -> empty result, no crash
     assert mix_to_weights(df, "src", {"zz": 1}, "id").count() == 0
+
+
+def test_weighted_sample(spark):
+    import pytest
+    from krnel_graph_spark.functions.sampling import weighted_sample
+
+    rows = [(i, 1.0 if i < 90 else 1000.0) for i in range(100)]
+    rows += [(200, None), (201, 0.0), (202, -3.0)]  # excluded
+    df = spark.createDataFrame(rows, "id long, w double")
+
+    out = weighted_sample(df, "w", 20, "id", seed=3)
+    ids = [r["id"] for r in out.collect()]
+    assert len(ids) == len(set(ids)) == 20
+    assert not {200, 201, 202} & set(ids)
+    # the 10 heavy rows (1000x weight) should essentially always win slots
+    heavy = sum(1 for i in ids if 90 <= i < 100)
+    assert heavy == 10
+    # deterministic across invocations and partitionings
+    ids2 = [
+        r["id"]
+        for r in weighted_sample(
+            df.repartition(7), "w", 20, "id", seed=3
+        ).collect()
+    ]
+    assert sorted(ids) == sorted(ids2)
+    # different seed -> (almost surely) different light-row picks
+    ids3 = [r["id"] for r in weighted_sample(df, "w", 20, "id", seed=4).collect()]
+    assert sorted(ids3) != sorted(ids)
+    with pytest.raises(ValueError):
+        weighted_sample(df, "w", 0, "id")
+    # plan: TakeOrderedAndProject, no full sort-exchange
+    plan = (
+        weighted_sample(df, "w", 20, "id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
