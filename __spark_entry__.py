@@ -2944,9 +2944,9 @@ GROUP BY year(o_orderdate)
 """,
         "late_lines_q12": """
 SELECT year(l_shipdate) AS ship_year,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
          AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT
          AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
@@ -3197,13 +3197,13 @@ FROM events GROUP BY user_id
 WITH raw AS (SELECT date_trunc('minute', ts) AS m, event_type,
                     count(*) AS n, sum(value::DECIMAL(30,10)) AS s
              FROM events GROUP BY 1, 2)
-SELECT epoch_us(m) AS window_start_us, event_type, n AS n_events,
+SELECT epoch_us(m) AS window_start_us, event_type, n::BIGINT AS n_events,
        round(s, 4)::DOUBLE AS sum_value, '1 minute' AS resolution FROM raw
 UNION ALL
-SELECT epoch_us(date_trunc('hour', m)), event_type, sum(n),
+SELECT epoch_us(date_trunc('hour', m)), event_type, sum(n)::BIGINT,
        round(sum(s), 4)::DOUBLE, '1 hour' FROM raw GROUP BY 1, 2
 UNION ALL
-SELECT epoch_us(date_trunc('day', m)), event_type, sum(n),
+SELECT epoch_us(date_trunc('day', m)), event_type, sum(n)::BIGINT,
        round(sum(s), 4)::DOUBLE, '1 day' FROM raw GROUP BY 1, 2
 """,
         "embedding_quantize": """

@@ -26,11 +26,24 @@ def _per_user_funnel(
     type_col: str,
     ts_col: str,
     within: int | None,
+    max_events_per_user: int | None = 100_000,
 ) -> DataFrame:
     """Shared greedy fold: ``(user, stage, times)`` where ``times`` holds
     the matched step timestamps (epoch micros) in step order. One shuffle;
     the ordered scan is a JVM ``aggregate`` expression over each user's
-    sorted funnel-type events."""
+    sorted funnel-type events.
+
+    Skew guard: a bot user with tens of millions of funnel-type events
+    would otherwise build an unbounded ``collect_list`` buffer on one
+    reducer. With ``max_events_per_user`` set (default 100k — generous;
+    ``None`` disables), each user's events are capped to their EARLIEST
+    ``max_events_per_user`` funnel-type events via a spill-able
+    ``row_number`` window BEFORE the collect, so the aggregation buffer is
+    bounded. The window's hash partitioning on ``user`` is reused by the
+    groupBy (still one shuffle). Users under the cap — all real users —
+    are byte-identical to the uncapped plan; a capped bot's stage is
+    computed from its earliest events, which is the right greedy prefix
+    anyway (the fold is a prefix scan)."""
     steps = list(steps)
     if len(steps) < 2:
         raise ValueError("funnel needs at least 2 steps")
@@ -39,7 +52,7 @@ def _per_user_funnel(
     steps_arr = F.array(*[F.lit(s) for s in steps])
     within_us = None if within is None else int(within) * 1_000_000
 
-    ev = (
+    rows = (
         with_event_time(df, ts_col)
         .filter(F.col(type_col).isin(steps))
         .select(
@@ -47,8 +60,16 @@ def _per_user_funnel(
             F.unix_micros(F.col(ts_col)).alias("t"),
             F.col(type_col).alias("y"),
         )
-        .groupBy("user")
-        .agg(F.array_sort(F.collect_list(F.struct("t", "y"))).alias("evs"))
+    )
+    if max_events_per_user is not None:
+        w = Window.partitionBy("user").orderBy("t", "y")
+        rows = (
+            rows.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= int(max_events_per_user))
+            .drop("__rn")
+        )
+    ev = rows.groupBy("user").agg(
+        F.array_sort(F.collect_list(F.struct("t", "y"))).alias("evs")
     )
     zero = F.struct(
         F.lit(0).alias("s"),
@@ -89,6 +110,7 @@ def funnel(
     type_col: str = "event_type",
     ts_col: str = "ts",
     within: int | None = None,
+    max_events_per_user: int | None = 100_000,
 ) -> DataFrame:
     """Ordered-step funnel conversion counts over an event log.
 
@@ -113,7 +135,8 @@ def funnel(
     steps = list(steps)
     n_steps = len(steps)
     stages = _per_user_funnel(
-        df, steps, user_col, type_col, ts_col, within
+        df, steps, user_col, type_col, ts_col, within,
+        max_events_per_user=max_events_per_user,
     ).select("stage")
 
     counters = stages.agg(
@@ -122,12 +145,24 @@ def funnel(
             for i in range(n_steps)
         ]
     )
-    stack_args = ", ".join(
-        f"{i + 1}, '{steps[i]}', coalesce(__c{i}, 0L)" for i in range(n_steps)
-    )
-    return counters.selectExpr(
-        f"stack({n_steps}, {stack_args}) AS (step_idx, step, users)"
-    ).orderBy("step_idx")
+    # K-row unpivot via the DataFrame API: step names ride as
+    # parameterized literals, so quotes/backslashes in a step name can
+    # never alter the expression (ADVICE r5 vs the stack() string form).
+    row = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i + 1).alias("step_idx"),
+                    F.lit(steps[i]).alias("step"),
+                    F.coalesce(
+                        F.col(f"__c{i}"), F.lit(0).cast("long")
+                    ).alias("users"),
+                )
+                for i in range(n_steps)
+            ]
+        )
+    ).alias("r")
+    return counters.select(row).select("r.*").orderBy("step_idx")
 
 
 def funnel_stages(
@@ -137,6 +172,7 @@ def funnel_stages(
     type_col: str = "event_type",
     ts_col: str = "ts",
     within: int | None = None,
+    max_events_per_user: int | None = 100_000,
 ) -> DataFrame:
     """Per-user funnel depth: ``(user, stage)`` with ``stage`` in
     ``0..len(steps)`` — the row-level view behind :func:`funnel`, for
@@ -144,7 +180,8 @@ def funnel_stages(
     semantics and the same single-shuffle plan; the summary is just this
     frame's histogram."""
     return _per_user_funnel(
-        df, steps, user_col, type_col, ts_col, within
+        df, steps, user_col, type_col, ts_col, within,
+        max_events_per_user=max_events_per_user,
     ).select("user", "stage")
 
 
@@ -155,6 +192,7 @@ def funnel_conversion(
     type_col: str = "event_type",
     ts_col: str = "ts",
     within: int | None = None,
+    max_events_per_user: int | None = 100_000,
 ) -> DataFrame:
     """Funnel counts PLUS time-to-convert: for each step, how many users
     reached it and the mean seconds from the funnel anchor (the step-1
@@ -170,7 +208,10 @@ def funnel_conversion(
     users × reached-steps rows (≤ K per user), and the per-step
     aggregation partial-combines map-side.
     """
-    per_user = _per_user_funnel(df, steps, user_col, type_col, ts_col, within)
+    per_user = _per_user_funnel(
+        df, steps, user_col, type_col, ts_col, within,
+        max_events_per_user=max_events_per_user,
+    )
     steps = list(steps)
     step_names = F.array(*[F.lit(s) for s in steps])
     exploded = per_user.select(

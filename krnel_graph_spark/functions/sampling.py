@@ -183,7 +183,10 @@ def weighted_sample(
         )
     )
     # md5_long is 60 bits -> u in (0, 1]; +1 keeps ln() off -inf.
-    u = (h + F.lit(1).cast("double")) / F.lit(float(1 << 60))
+    # Integer-add THEN convert, mirroring the oracle's double(h + 1) so
+    # both engines run the identical op sequence (ulp-exact for h near
+    # 2^53; ADVICE r5).
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
     w = F.col(weight_col).cast("double")
     key = F.round(F.log(u) / w, 10)
     return (

@@ -448,6 +448,9 @@ def funnel_user_stages(
     idx = {s: i for i, s in enumerate(steps)}
     n_steps = len(steps)
     within_us = None if within is None else int(within) * 1_000_000
+    # The user id keeps its incoming type (string ids are as valid as
+    # bigint ones — the batch branch accepts both, so must streaming).
+    user_dt = events.schema[user_col].dataType.simpleString()
 
     df = (
         with_event_time(events, ts_col)
@@ -486,7 +489,7 @@ def funnel_user_stages(
 
     return df.groupBy("user").applyInPandasWithState(
         update,
-        outputStructType="user long, stage integer",
+        outputStructType=f"user {user_dt}, stage integer",
         stateStructType="s integer, a long, c long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -33,12 +33,13 @@ def canon_value(v):
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "∅"
     if isinstance(v, (np.floating, float)):
+        # Driver-strict: NO int-valued-float collapse and NO %.10g softening.
+        # The driver hashes str(value), so a DuckDB HUGEINT->float64 "174.0"
+        # must NOT compare equal to Spark's bigint "174" (r5 verdict item 2).
         f = float(v)
         if math.isinf(f):
             return "inf" if f > 0 else "-inf"
-        if f == int(f) and abs(f) < 1e15:
-            return str(int(f))
-        return f"{f:.10g}"
+        return repr(f)
     if isinstance(v, (np.integer, int)):
         return str(int(v))
     if isinstance(v, (list, tuple, np.ndarray)):
