@@ -48,12 +48,14 @@ def attach_media_metadata(df: DataFrame, binary_col: str, id_col: str) -> DataFr
 
 
 def _require_codec(kind: str):
-    """All real decoding is stubbed in this container — documented contract:
+    """Decoding beyond the pure-stdlib formats (PNG images, PCM WAV audio —
+    see :mod:`.codecs`) is stubbed in this container — documented contract:
     plug Pillow / torchaudio / PyAV here."""
     raise NotImplementedError(
-        f"{kind} decoding requires media libraries (Pillow/torchaudio/av) "
-        "that are not installed in this container; pass fake=True for the "
-        "deterministic stub used in tests"
+        f"{kind} decoding beyond PNG/WAV requires media libraries "
+        "(Pillow/torchaudio/av) that are not installed in this container; "
+        "PNG and 16-bit PCM WAV decode for real via the stdlib codecs; "
+        "pass fake=True for the deterministic stub used in tests"
     )
 
 
@@ -68,6 +70,20 @@ def _fake_decode_image(data: bytes, feat_dim: int) -> tuple[int, int, np.ndarray
     return width, height, rng.standard_normal(feat_dim).astype(np.float32)
 
 
+def _real_image_features(arr: "np.ndarray", feat_dim: int) -> "np.ndarray":
+    """Deterministic pixel-stat feature vector from a decoded image:
+    ``[mean, std, min, max]`` then luminance-histogram bins, padded with
+    zeros to ``feat_dim`` — enough to drive the similarity/dedup operators
+    downstream with REAL content-derived vectors."""
+    flat = arr.astype(np.float64).ravel()
+    stats = [flat.mean(), flat.std(), flat.min(), flat.max()]
+    n_bins = max(0, feat_dim - 4)
+    if n_bins:
+        hist, _ = np.histogram(flat, bins=n_bins, range=(0.0, 256.0))
+        stats.extend(hist / max(1, flat.size))
+    return np.asarray(stats[:feat_dim], dtype=np.float32)
+
+
 def extract_image_features(
     df: DataFrame,
     binary_col: str,
@@ -77,8 +93,12 @@ def extract_image_features(
     fake: bool = False,
 ) -> DataFrame:
     """Decode images and emit (width, height, feature-vector) rows via
-    ``mapInPandas``. Batch shape and schema are production-real; only the
-    pixel decode is stubbed (see module docstring)."""
+    ``mapInPandas``. PNG decodes FOR REAL (pure-stdlib inflate + defilter,
+    :func:`.codecs.decode_png`) with content-derived pixel-stat features;
+    other formats need Pillow and raise behind ``_require_codec`` (or use
+    the deterministic ``fake=True`` stub in tests)."""
+    from .codecs import decode_png, is_png
+
     src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("data"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -87,9 +107,15 @@ def extract_image_features(
                 chunk = pdf.iloc[start : start + batch_size]
                 rows = {"doc_id": [], "width": [], "height": [], "features": []}
                 for doc_id, data in zip(chunk["doc_id"], chunk["data"]):
-                    if not fake:
+                    data = bytes(data)
+                    if fake:
+                        w, h, feats = _fake_decode_image(data, feat_dim)
+                    elif is_png(data):
+                        arr = decode_png(data)
+                        h, w = arr.shape[:2]
+                        feats = _real_image_features(arr, feat_dim)
+                    else:
                         _require_codec("image")
-                    w, h, feats = _fake_decode_image(bytes(data), feat_dim)
                     rows["doc_id"].append(doc_id)
                     rows["width"].append(w)
                     rows["height"].append(h)
@@ -97,6 +123,131 @@ def extract_image_features(
                 yield pd.DataFrame(rows)
 
     return src.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def image_pixel_stats(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """REAL PNG decode to integer-exact per-image pixel statistics:
+    ``(doc_id, width, height, pix_sum, pix_min, pix_max)``. All outputs are
+    integers, so an SQL oracle that knows the synthesis formula can verify
+    the decoder bit-for-bit — the correctness probe for the PNG path."""
+    from .codecs import decode_png
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("data"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [],
+                "pix_sum": [], "pix_min": [], "pix_max": [],
+            }
+            for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+                arr = decode_png(bytes(data))
+                h, w = arr.shape[:2]
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pix_sum"].append(int(arr.astype(np.int64).sum()))
+                rows["pix_min"].append(int(arr.min()))
+                rows["pix_max"].append(int(arr.max()))
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width int, height int, "
+            "pix_sum long, pix_min int, pix_max int"
+        ),
+    )
+
+
+def audio_sample_stats(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """REAL WAV decode to integer-exact per-clip sample statistics:
+    ``(doc_id, sample_rate, n_samples, samp_sum, samp_min, samp_max)`` —
+    the audio twin of :func:`image_pixel_stats`."""
+    from .codecs import decode_wav
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("data"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "sample_rate": [], "n_samples": [],
+                "samp_sum": [], "samp_min": [], "samp_max": [],
+            }
+            for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+                rate, arr = decode_wav(bytes(data))
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(arr.shape[0])
+                rows["samp_sum"].append(int(arr.astype(np.int64).sum()))
+                rows["samp_min"].append(int(arr.min()))
+                rows["samp_max"].append(int(arr.max()))
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, sample_rate int, n_samples long, "
+            "samp_sum long, samp_min int, samp_max int"
+        ),
+    )
+
+
+def synth_png_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic PNG corpus for tests/gates: for each id,
+    a REAL (decoder-agnostic) greyscale PNG with
+
+    - ``width  = 16 + id % 48``
+    - ``height = 16 + (id * 7) % 48``
+    - ``pixel(y, x) = (id + y) % 256``  (row-constant)
+
+    Row-constant pixels keep the SQL oracle to one ``generate_series`` over
+    ``y`` per image. Encoding happens in ``mapInPandas`` — media bytes are
+    born on executors, never the driver."""
+    from .codecs import encode_png
+
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "data": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 16 + doc_id % 48
+                h = 16 + (doc_id * 7) % 48
+                col = (np.arange(h, dtype=np.int64) + doc_id) % 256
+                pixels = np.repeat(col[:, None], w, axis=1).astype(np.uint8)
+                rows["doc_id"].append(doc_id)
+                rows["data"].append(encode_png(pixels))
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(run, schema="doc_id long, data binary")
+
+
+def synth_wav_table(
+    df: DataFrame, id_col: str = "doc_id", rate: int = 8000
+) -> DataFrame:
+    """Deterministic synthetic WAV corpus: for each id, REAL 16-bit PCM
+    mono with ``n = 100 + id % 400`` samples and
+    ``sample(i) = (id * 3 + i) % 512 - 256``."""
+    from .codecs import encode_wav
+
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "data": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 100 + doc_id % 400
+                samples = (
+                    (np.arange(n, dtype=np.int64) + doc_id * 3) % 512 - 256
+                ).astype(np.int16)
+                rows["doc_id"].append(doc_id)
+                rows["data"].append(encode_wav(samples, rate))
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(run, schema="doc_id long, data binary")
 
 
 def sample_frames(
@@ -147,20 +298,33 @@ def resize_images(
     fake: bool = False,
 ) -> DataFrame:
     """Re-encode images to a target size via ``mapInPandas`` — the
-    normalization step before feature extraction. Decode/encode is stubbed
-    (see module docstring); the Spark-side contract — binary in, binary
-    out, bytes never on the driver, output partitions sized by
-    ``maxPartitionBytes`` — is real."""
+    normalization step before feature extraction. PNGs resize FOR REAL
+    (stdlib decode → nearest-neighbor index map → re-encode); other
+    formats raise behind ``_require_codec`` (Pillow's Lanczos goes behind
+    the same seam). The Spark-side contract — binary in, binary out, bytes
+    never on the driver, output partitions sized by ``maxPartitionBytes``
+    — is identical either way."""
+    from .codecs import decode_png, encode_png, is_png
+
     src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("data"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"doc_id": [], "data": [], "width": [], "height": []}
             for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
-                if not fake:
+                data = bytes(data)
+                if fake:
+                    out = _fake_resize(data, width, height)
+                elif is_png(data):
+                    arr = decode_png(data)
+                    h0, w0 = arr.shape[:2]
+                    ys = (np.arange(height) * h0) // height
+                    xs = (np.arange(width) * w0) // width
+                    out = encode_png(arr[np.ix_(ys, xs)])
+                else:
                     _require_codec("image")
                 rows["doc_id"].append(doc_id)
-                rows["data"].append(_fake_resize(bytes(data), width, height))
+                rows["data"].append(out)
                 rows["width"].append(width)
                 rows["height"].append(height)
             yield pd.DataFrame(rows)
@@ -185,18 +349,45 @@ def extract_audio_features(
     feat_dim: int = 16,
     fake: bool = False,
 ) -> DataFrame:
-    """Audio → (duration, embedding) rows via ``mapInPandas``. The codec
-    (torchaudio/librosa) is stubbed behind ``_require_codec``; batch shape
-    and schema are production-real, mirroring the image path."""
+    """Audio → (duration, embedding) rows via ``mapInPandas``. 16-bit PCM
+    WAV decodes FOR REAL (stdlib ``wave``) with content-derived features
+    ``[mean, std, min, max, rms, zero-crossing-rate, …energy bins]``;
+    compressed codecs (mp3/ogg/flac) need torchaudio/librosa and raise
+    behind ``_require_codec``."""
+    from .codecs import decode_wav, is_wav
+
     src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("data"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"doc_id": [], "duration_s": [], "features": []}
             for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
-                if not fake:
+                data = bytes(data)
+                if fake:
+                    dur, feats = _fake_decode_audio(data, feat_dim)
+                elif is_wav(data):
+                    rate, arr = decode_wav(data)
+                    mono = arr.astype(np.float64).mean(axis=1)
+                    dur = arr.shape[0] / float(rate)
+                    zc = (
+                        float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                        / max(1, mono.size - 1)
+                    )
+                    stats = [
+                        mono.mean(), mono.std(), mono.min(), mono.max(),
+                        float(np.sqrt(np.mean(mono**2))), zc,
+                    ]
+                    n_bins = max(0, feat_dim - len(stats))
+                    if n_bins:
+                        # coarse spectral proxy: per-segment RMS energy
+                        segs = np.array_split(mono, n_bins)
+                        stats.extend(
+                            float(np.sqrt(np.mean(s**2))) if s.size else 0.0
+                            for s in segs
+                        )
+                    feats = np.asarray(stats[:feat_dim], dtype=np.float32)
+                else:
                     _require_codec("audio")
-                dur, feats = _fake_decode_audio(bytes(data), feat_dim)
                 rows["doc_id"].append(doc_id)
                 rows["duration_s"].append(dur)
                 rows["features"].append(feats)

@@ -1,0 +1,213 @@
+"""Pure-stdlib PNG/WAV codecs + the real (non-stub) multimodal paths.
+
+The PNG decoder must invert ANY spec-compliant encoder, so beyond the
+round-trip against our own filter-0 encoder, a manual reference encoder
+here produces streams using every filter type (Sub/Up/Average/Paeth) and
+asserts the decoder recovers the exact pixels.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from krnel_graph_spark.functions import multimodal
+from krnel_graph_spark.functions.codecs import (
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    is_png,
+    is_wav,
+)
+
+RNG = np.random.RandomState(42)
+
+
+# ------------------------------------------------------------------ #
+# PNG                                                                 #
+# ------------------------------------------------------------------ #
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [(1, 1), (3, 5), (17, 9), (64, 64), (5, 3, 3), (8, 4, 4), (1, 7, 3)],
+)
+def test_png_roundtrip(shape):
+    pixels = RNG.randint(0, 256, size=shape).astype(np.uint8)
+    out = decode_png(encode_png(pixels))
+    assert out.shape == pixels.shape
+    assert np.array_equal(out, pixels)
+
+
+def _reference_encode(pixels: np.ndarray, ftypes: list[int]) -> bytes:
+    """Spec-faithful forward filtering with an arbitrary per-row filter
+    schedule — an independent reimplementation the decoder must invert."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    channels = 1 if arr.ndim == 2 else arr.shape[2]
+    h, w = arr.shape[:2]
+    flat = arr.reshape(h, w * channels).astype(int)
+    bpp = channels
+    raw = bytearray()
+    prev = np.zeros(w * channels, dtype=int)
+    for y in range(h):
+        line = flat[y]
+        ft = ftypes[y % len(ftypes)]
+        raw.append(ft)
+        for i in range(len(line)):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            elif ft == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            raw.append((line[i] - pred) % 256)
+        prev = line
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ftypes", [[1], [2], [3], [4], [0, 1, 2, 3, 4]])
+@pytest.mark.parametrize("channels", [1, 3])
+def test_png_decode_all_filters(ftypes, channels):
+    shape = (11, 7) if channels == 1 else (11, 7, channels)
+    pixels = RNG.randint(0, 256, size=shape).astype(np.uint8)
+    data = _reference_encode(pixels, ftypes)
+    assert np.array_equal(decode_png(data), pixels)
+
+
+def test_png_rejects_garbage_and_bad_crc():
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")
+    good = bytearray(encode_png(np.zeros((4, 4), dtype=np.uint8)))
+    good[-7] ^= 0xFF  # flip a byte inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(good))
+    assert is_png(bytes(good))
+    assert not is_png(b"JFIF")
+
+
+# ------------------------------------------------------------------ #
+# WAV                                                                 #
+# ------------------------------------------------------------------ #
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    mono = RNG.randint(-32768, 32767, size=500).astype(np.int16)
+    rate, arr = decode_wav(encode_wav(mono, 22050))
+    assert rate == 22050 and arr.shape == (500, 1)
+    assert np.array_equal(arr[:, 0], mono)
+
+    stereo = RNG.randint(-32768, 32767, size=(300, 2)).astype(np.int16)
+    rate, arr = decode_wav(encode_wav(stereo, 8000))
+    assert rate == 8000 and np.array_equal(arr, stereo)
+
+
+def test_wav_rejects_non_wav():
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"\x00" * 64)
+    assert not is_wav(b"\x00" * 64)
+    assert is_wav(encode_wav(np.zeros(10, dtype=np.int16)))
+
+
+# ------------------------------------------------------------------ #
+# Real multimodal paths on Spark                                      #
+# ------------------------------------------------------------------ #
+
+
+@pytest.fixture()
+def ids(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return docs.select("doc_id").orderBy("doc_id").limit(40)
+
+
+def test_synth_png_pixel_stats_match_formula(ids):
+    pngs = multimodal.synth_png_table(ids)
+    pdf = multimodal.image_pixel_stats(pngs, "data", "doc_id").toPandas()
+    assert len(pdf) == 40
+    for r in pdf.itertuples():
+        w = 16 + r.doc_id % 48
+        h = 16 + (r.doc_id * 7) % 48
+        col = (np.arange(h, dtype=np.int64) + r.doc_id) % 256
+        assert (r.width, r.height) == (w, h)
+        assert r.pix_sum == int(col.sum()) * w
+        assert r.pix_min == int(col.min())
+        assert r.pix_max == int(col.max())
+
+
+def test_real_image_features_on_png(ids):
+    pngs = multimodal.synth_png_table(ids)
+    pdf = multimodal.extract_image_features(
+        pngs, "data", "doc_id", feat_dim=8
+    ).toPandas()
+    assert len(pdf) == 40
+    row = pdf[pdf.doc_id == pdf.doc_id.min()].iloc[0]
+    doc_id = int(row.doc_id)
+    h = 16 + (doc_id * 7) % 48
+    col = ((np.arange(h, dtype=np.int64) + doc_id) % 256).astype(np.float64)
+    assert row.features[0] == pytest.approx(col.mean(), rel=1e-6)
+    assert row.features[2] == float(col.min())
+    assert row.features[3] == float(col.max())
+
+
+def test_real_resize_png(ids):
+    pngs = multimodal.synth_png_table(ids)
+    out = multimodal.resize_images(pngs, "data", "doc_id", 10, 6).toPandas()
+    assert len(out) == 40
+    for r in out.itertuples():
+        arr = decode_png(bytes(r.data))
+        assert arr.shape == (6, 10)
+        # nearest-neighbor of a row-constant image stays row-constant
+        assert (arr == arr[:, :1]).all()
+
+
+def test_real_audio_features_on_wav(ids):
+    wavs = multimodal.synth_wav_table(ids)
+    stats = multimodal.audio_sample_stats(wavs, "data", "doc_id").toPandas()
+    assert len(stats) == 40
+    for r in stats.itertuples():
+        n = 100 + r.doc_id % 400
+        s = (np.arange(n, dtype=np.int64) + r.doc_id * 3) % 512 - 256
+        assert r.sample_rate == 8000 and r.n_samples == n
+        assert r.samp_sum == int(s.sum())
+        assert (r.samp_min, r.samp_max) == (int(s.min()), int(s.max()))
+
+    feats = multimodal.extract_audio_features(
+        wavs, "data", "doc_id", feat_dim=8
+    ).toPandas()
+    row = feats[feats.doc_id == feats.doc_id.min()].iloc[0]
+    doc_id = int(row.doc_id)
+    n = 100 + doc_id % 400
+    assert row.duration_s == pytest.approx(n / 8000.0)
+
+
+def test_non_png_still_gated(ids, spark):
+    payload = ids.select("doc_id", F.encode(F.lit("plain text"), "UTF-8").alias("b"))
+    with pytest.raises(Exception, match="media libraries"):
+        multimodal.extract_image_features(payload, "b", "doc_id").collect()
