@@ -102,6 +102,22 @@ HEADLINE = [
     "fuzzy_pairs",
     "event_transitions",
     "weighted_sample",
+    # r6: close the never-benched gaps (r5 verdict item 6) — brute-oracle
+    # simhash pairs, LSH/recall ANN variants, sequence packing, corpus
+    # cleaning, the streaming-twin interval join batch path — plus the new
+    # real-codec queries and a second curation/upsert spread.
+    "simhash_pairs_q",
+    "ann_lsh",
+    "ann_recall",
+    "corpus_sequences",
+    "clean_corpus",
+    "interval_join",
+    "image_stats_png",
+    "audio_stats_wav",
+    "upsert_merge",
+    "top_terms",
+    "group_cap",
+    "domain_stats",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds
