@@ -9,6 +9,9 @@ metadata→decode→feature path REAL for PNG images and PCM WAV audio:
   (None/Sub/Up/Average/Paeth) on decode, CRC-verified chunks; the encoder
   emits filter-0 scanlines (always valid PNG).
 - WAV: 16-bit PCM mono/stereo through the stdlib ``wave`` reader/writer.
+- Y4M (YUV4MPEG2): uncompressed video — Cmono/C420/C422/C444 luma-plane
+  decode, Cmono/C420jpeg encode — the one real video container that needs
+  no compression library.
 
 Scale note: these run INSIDE ``mapInPandas`` workers (bytes never touch
 the driver). Decode cost is per-pixel Python only for Sub/Average/Paeth
@@ -149,6 +152,92 @@ def decode_png(data: bytes) -> np.ndarray:
         out[y] = line
         prev = line
     return out.reshape(h, w, channels) if channels > 1 else out.reshape(h, w)
+
+
+Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def encode_y4m(
+    frames: np.ndarray, fps: tuple[int, int] = (25, 1), chroma: str = "mono"
+) -> bytes:
+    """Encode greyscale frames ``(n, h, w) uint8`` as a YUV4MPEG2 stream.
+
+    ``Cmono`` carries the Y plane only — exactly invertible for greyscale;
+    ``C420jpeg`` pads neutral (128) chroma planes for players that want
+    them. Y4M is the one real video container parseable with zero
+    dependencies, which is what makes the video path testable here."""
+    arr = np.ascontiguousarray(frames, dtype=np.uint8)
+    if arr.ndim != 3:
+        raise ValueError("frames must be (n, h, w) uint8")
+    n, h, w = arr.shape
+    if chroma not in ("mono", "420jpeg"):
+        raise ValueError("chroma must be 'mono' or '420jpeg'")
+    if chroma == "420jpeg" and (h % 2 or w % 2):
+        raise ValueError("C420 needs even dimensions")
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{chroma}\n".encode()
+    out = bytearray(head)
+    neutral = b"\x80" * ((h // 2) * (w // 2)) if chroma == "420jpeg" else b""
+    for f in range(n):
+        out += b"FRAME\n" + arr[f].tobytes() + neutral + neutral
+    return bytes(out)
+
+
+def is_y4m(data: bytes) -> bool:
+    return data[: len(Y4M_MAGIC)] == Y4M_MAGIC
+
+
+def decode_y4m(data: bytes) -> tuple[tuple[int, int], np.ndarray]:
+    """Decode a YUV4MPEG2 stream → ``((fps_num, fps_den), (n, h, w) uint8)``
+    Y planes. Supports Cmono and C420* (chroma planes are skipped — the
+    luma plane is what the feature/fingerprint operators consume)."""
+    if not is_y4m(data):
+        raise ValueError("not a Y4M stream (bad magic)")
+    nl = data.index(b"\n")
+    w = h = None
+    fps = (25, 1)
+    chroma = "420jpeg"
+    for tok in data[len(Y4M_MAGIC) : nl].split(b" "):
+        if not tok:
+            continue
+        key, val = tok[:1], tok[1:].decode()
+        if key == b"W":
+            w = int(val)
+        elif key == b"H":
+            h = int(val)
+        elif key == b"F":
+            num, den = val.split(":")
+            fps = (int(num), int(den))
+        elif key == b"C":
+            chroma = val
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if chroma == "mono":
+        chroma_len = 0
+    elif chroma.startswith("420"):
+        chroma_len = 2 * ((h // 2) * (w // 2))
+    elif chroma.startswith("444"):
+        chroma_len = 2 * h * w
+    elif chroma.startswith("422"):
+        chroma_len = 2 * ((w // 2) * h)
+    else:
+        raise NotImplementedError(f"chroma subsampling C{chroma}")
+    y_len = w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        fr_nl = data.index(b"\n", pos)
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        pos = fr_nl + 1
+        if pos + y_len > len(data):
+            raise ValueError("truncated frame")
+        frames.append(
+            np.frombuffer(data, dtype=np.uint8, count=y_len, offset=pos).reshape(
+                h, w
+            )
+        )
+        pos += y_len + chroma_len
+    return fps, np.stack(frames) if frames else np.empty((0, h, w), np.uint8)
 
 
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:

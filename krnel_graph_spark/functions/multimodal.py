@@ -224,6 +224,83 @@ def synth_png_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return src.mapInPandas(run, schema="doc_id long, data binary")
 
 
+def video_frame_stats(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    every_n: int = 3,
+) -> DataFrame:
+    """REAL Y4M decode to integer-exact per-sampled-frame luma stats:
+    ``(doc_id, frame_idx, width, height, y_sum, y_min, y_max)`` — the
+    video member of the codec-probe family
+    (:func:`image_pixel_stats` / :func:`audio_sample_stats`)."""
+    from .codecs import decode_y4m
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("data"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "frame_idx": [], "width": [], "height": [],
+                "y_sum": [], "y_min": [], "y_max": [],
+            }
+            for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+                _fps, frames = decode_y4m(bytes(data))
+                n, h, w = frames.shape
+                for idx in range(0, n, every_n):
+                    fr = frames[idx]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["y_sum"].append(int(fr.astype(np.int64).sum()))
+                    rows["y_min"].append(int(fr.min()))
+                    rows["y_max"].append(int(fr.max()))
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, frame_idx int, width int, height int, "
+            "y_sum long, y_min int, y_max int"
+        ),
+    )
+
+
+def synth_y4m_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic Y4M corpus: for each id, a REAL Cmono
+    YUV4MPEG2 stream with
+
+    - ``width    = 8 + id % 16``
+    - ``height   = 8 + (id * 5) % 16``
+    - ``n_frames = 1 + id % 12``  at 25 fps
+    - frame ``f`` luma ``(y, x) = (id + 3f + y) % 256``  (row-constant)
+    """
+    from .codecs import encode_y4m
+
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "data": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 8 + doc_id % 16
+                h = 8 + (doc_id * 5) % 16
+                n = 1 + doc_id % 12
+                f_idx = np.arange(n, dtype=np.int64)[:, None, None]
+                y_idx = np.arange(h, dtype=np.int64)[None, :, None]
+                frames = (
+                    (doc_id + 3 * f_idx + y_idx) % 256
+                    + np.zeros((1, 1, w), dtype=np.int64)
+                ).astype(np.uint8)
+                rows["doc_id"].append(doc_id)
+                rows["data"].append(encode_y4m(frames))
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(run, schema="doc_id long, data binary")
+
+
 def synth_wav_table(
     df: DataFrame, id_col: str = "doc_id", rate: int = 8000
 ) -> DataFrame:
@@ -257,24 +334,39 @@ def sample_frames(
     every_n: int = 10,
     fake: bool = False,
 ) -> DataFrame:
-    """Video frame sampling: one output row per sampled frame. Stub decode;
-    real explode/partitioning semantics (a 1-minute video → ~180 rows, so
-    output partitions re-balance via AQE after the explode)."""
+    """Video frame sampling: one output row per sampled frame, with the
+    frame fingerprint = sha256 of the luma plane. Y4M (uncompressed)
+    decodes FOR REAL via the stdlib codec; compressed containers (mp4,
+    webm…) need PyAV and raise behind ``_require_codec``. Real
+    explode/partitioning semantics either way (a 1-minute video → ~180
+    rows, so output partitions re-balance via AQE after the explode)."""
+    from .codecs import decode_y4m, is_y4m
+
     src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("data"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"doc_id": [], "frame_idx": [], "frame_sha256": []}
             for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
-                if not fake:
-                    _require_codec("video")
                 data = bytes(data)
-                n_frames = 1 + (zlib.crc32(data) % 30)
+                if fake:
+                    n_frames = 1 + (zlib.crc32(data) % 30)
+                    frames = None
+                elif is_y4m(data):
+                    _, frames = decode_y4m(data)
+                    n_frames = frames.shape[0]
+                else:
+                    _require_codec("video")
                 for idx in range(0, n_frames, every_n):
-                    frame = hashlib.sha256(data + idx.to_bytes(4, "big")).hexdigest()
+                    if frames is None:
+                        digest = hashlib.sha256(
+                            data + idx.to_bytes(4, "big")
+                        ).hexdigest()
+                    else:
+                        digest = hashlib.sha256(frames[idx].tobytes()).hexdigest()
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(idx)
-                    rows["frame_sha256"].append(frame)
+                    rows["frame_sha256"].append(digest)
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(run, schema="doc_id long, frame_idx int, frame_sha256 string")

@@ -211,3 +211,67 @@ def test_non_png_still_gated(ids, spark):
     payload = ids.select("doc_id", F.encode(F.lit("plain text"), "UTF-8").alias("b"))
     with pytest.raises(Exception, match="media libraries"):
         multimodal.extract_image_features(payload, "b", "doc_id").collect()
+
+
+# ------------------------------------------------------------------ #
+# Y4M                                                                 #
+# ------------------------------------------------------------------ #
+
+
+def test_y4m_roundtrip_mono():
+    from krnel_graph_spark.functions.codecs import decode_y4m, encode_y4m, is_y4m
+
+    frames = RNG.randint(0, 256, size=(7, 12, 10)).astype(np.uint8)
+    data = encode_y4m(frames, fps=(30, 1))
+    assert is_y4m(data)
+    fps, out = decode_y4m(data)
+    assert fps == (30, 1)
+    assert np.array_equal(out, frames)
+
+
+def test_y4m_roundtrip_420_luma():
+    from krnel_graph_spark.functions.codecs import decode_y4m, encode_y4m
+
+    frames = RNG.randint(0, 256, size=(3, 8, 6)).astype(np.uint8)
+    fps, out = decode_y4m(encode_y4m(frames, chroma="420jpeg"))
+    assert fps == (25, 1) and np.array_equal(out, frames)
+
+
+def test_y4m_rejects_garbage():
+    from krnel_graph_spark.functions.codecs import decode_y4m
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_y4m(b"MPEG-not-really")
+    with pytest.raises(ValueError, match="truncated|FRAME"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 Cmono\nFRAME\n\x00\x00")
+
+
+def test_real_video_frame_stats(ids, spark):
+    from krnel_graph_spark.functions.multimodal import (
+        sample_frames,
+        synth_y4m_table,
+        video_frame_stats,
+    )
+
+    vids = synth_y4m_table(ids)
+    pdf = video_frame_stats(vids, "data", "doc_id", every_n=3).toPandas()
+    for r in pdf.itertuples():
+        w = 8 + r.doc_id % 16
+        h = 8 + (r.doc_id * 5) % 16
+        col = (np.arange(h, dtype=np.int64) + r.doc_id + 3 * r.frame_idx) % 256
+        assert (r.width, r.height) == (w, h)
+        assert r.frame_idx % 3 == 0
+        assert r.y_sum == int(col.sum()) * w
+        assert (r.y_min, r.y_max) == (int(col.min()), int(col.max()))
+
+    # real sample_frames on Y4M: fingerprint = sha256 of the luma plane
+    import hashlib
+
+    sf = sample_frames(vids, "data", "doc_id", every_n=5).toPandas()
+    one = sf[sf.doc_id == sf.doc_id.max()].iloc[0]
+    doc_id, idx = int(one.doc_id), int(one.frame_idx)
+    w = 8 + doc_id % 16
+    h = 8 + (doc_id * 5) % 16
+    col = ((np.arange(h, dtype=np.int64) + doc_id + 3 * idx) % 256).astype(np.uint8)
+    plane = np.repeat(col[:, None], w, axis=1)
+    assert one.frame_sha256 == hashlib.sha256(plane.tobytes()).hexdigest()
