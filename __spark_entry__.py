@@ -415,6 +415,24 @@ def q_orc_roundtrip(spark, sf_dir):
     return runner.dataframe(runner.from_orc(path))
 
 
+def q_avro_roundtrip(spark, sf_dir):
+    """Avro container roundtrip through the pure-Python fallback codec
+    (sources/avro.py — the spark-avro jar is absent here): write supplier
+    to .avro (one container per partition, deflate blocks), read back via
+    the binaryFile fan-out decoder with the schema taken from the file
+    header. Must equal the parquet table exactly — the oracle just
+    re-selects the source parquet."""
+    import hashlib as _h
+
+    runner = _runner(spark)
+    sup = runner.from_parquet(f"{sf_dir}/supplier.parquet")
+    tag = f"{_h.sha256(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}"
+    path = f"/tmp/spark_graft_gate_{tag}/supplier_avro"
+    runner.write_avro(sup, path, sort_by_row_id=True)
+    back = runner.from_avro(path)
+    return runner.dataframe(back).drop("__row_id")
+
+
 # ---- beyond-reference: relational ------------------------------------- #
 
 
@@ -2262,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_stats_png": q_image_stats_png,
         "audio_stats_wav": q_audio_stats_wav,
         "video_stats_y4m": q_video_stats_y4m,
+        "avro_roundtrip": q_avro_roundtrip,
         # Slots 5-31: the 27 queries never driver-recorded in r1-r5
         # (judge-verified locally; this closes cumulative coverage).
         "upsert_merge": q_upsert_merge,
@@ -2309,9 +2328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_json_get": q_parse_json_get,
         "heavy_hitters": q_heavy_hitters,
         "running_user_totals": q_running_user_totals,
-        "sql_entry": q_sql_entry,
         # ---- past the 50-slot window: all driver-recorded green in
         # r1-r5 (or rows-only by design); judge-checkable via oracles ---- #
+        "sql_entry": q_sql_entry,
         "embedding_dups": q_embedding_dups,
         "interval_join": q_interval_join,
         "profile_table": q_profile_table,
@@ -3897,6 +3916,11 @@ SELECT doc_id, frame_idx, width, height,
        min(v)::INT AS y_min, max(v)::INT AS y_max
 FROM px GROUP BY doc_id, frame_idx, width, height
 ORDER BY doc_id, frame_idx
+""",
+        # Roundtrip faithfulness: the engine writes+reads avro; the oracle
+        # is the untouched source parquet. Hash equality proves the codec.
+        "avro_roundtrip": """
+SELECT * FROM supplier
 """,
     }
 

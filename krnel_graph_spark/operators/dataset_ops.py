@@ -84,6 +84,16 @@ class LoadORCDatasetOp(LoadDatasetOp):
     file_path: Annotated[str, ExcludeFromUUID()]
 
 
+class LoadAvroDatasetOp(LoadDatasetOp):
+    """Read an Avro object-container file/directory (beyond-reference
+    source). Decodes via the spark-avro jar when on the classpath, else
+    the pure-Python container codec in ``sources/avro.py`` (same API).
+    ``schema_ddl`` overrides schema discovery from the file header."""
+
+    file_path: Annotated[str, ExcludeFromUUID()]
+    schema_ddl: Optional[str] = None
+
+
 class LoadTextLinesDatasetOp(LoadDatasetOp):
     """Read raw line-oriented text: one row per line, a single string
     column (beyond-reference source — the rawest corpus-ingestion format,

@@ -41,6 +41,7 @@ from ..operators.dataset_ops import (
     LoadCSVDatasetOp,
     LoadInlineJsonDatasetOp,
     LoadJSONLinesDatasetOp,
+    LoadAvroDatasetOp,
     LoadORCDatasetOp,
     LoadTextLinesDatasetOp,
     LoadParquetDatasetOp,
@@ -180,6 +181,17 @@ class SparkRunner(BaseRunner):
             file_path=file_path, content_hash=_content_identity(file_path)
         )
 
+    def from_avro(
+        self, file_path: str, schema: Optional[str] = None
+    ) -> "LoadAvroDatasetOp":
+        from ..operators.dataset_ops import LoadAvroDatasetOp
+
+        return LoadAvroDatasetOp(
+            file_path=file_path,
+            content_hash=_content_identity(file_path),
+            schema_ddl=schema,
+        )
+
     def from_text(
         self, file_path: str, column: str = "text"
     ) -> "LoadTextLinesDatasetOp":
@@ -238,6 +250,18 @@ class SparkRunner(BaseRunner):
     ) -> None:
         with _translate_runtime_errors():
             self._sink_df(op, sort_by_row_id).write.mode("overwrite").orc(path)
+
+    def write_avro(
+        self, op: OpSpec, path: str, sort_by_row_id: bool = False,
+        codec: str = "deflate",
+    ) -> None:
+        """Avro container sink: spark-avro jar when present, else the
+        distributed pure-Python writer (one file per partition, block per
+        Arrow batch) — see ``sources/avro.py``."""
+        from ..sources.avro import write_avro_dataframe
+
+        with _translate_runtime_errors():
+            write_avro_dataframe(self._sink_df(op, sort_by_row_id), path, codec)
 
     def write_text(
         self,
@@ -819,6 +843,17 @@ def load_orc(runner: SparkRunner, op: LoadORCDatasetOp) -> DatasetPlan:
     parquet). Row ids follow the text-source policy: written ids are
     re-adopted on round-trips, fresh scans get stable monotonic ids."""
     return _text_scan_with_row_ids(runner.spark.read.orc(op.file_path), op.uuid)
+
+
+@SparkRunner.implementation
+def load_avro(runner: SparkRunner, op: "LoadAvroDatasetOp") -> DatasetPlan:
+    """Avro scan through sources/avro.py (jar-native or pure-Python
+    fallback). Row ids follow the text-source policy: written ids are
+    re-adopted on round-trips, fresh scans get stable monotonic ids."""
+    from ..sources.avro import read_avro_dataframe
+
+    df = read_avro_dataframe(runner.spark, op.file_path, op.schema_ddl)
+    return _text_scan_with_row_ids(df, op.uuid)
 
 
 @SparkRunner.implementation
