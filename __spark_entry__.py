@@ -2229,6 +2229,26 @@ def q_image_stats_png(spark, sf_dir):
     )
 
 
+def q_image_phash(spark, sf_dir):
+    """Perceptual-hash gate: REAL PNG decode → 64-bit dHash (9×8
+    nearest-neighbor luma grid, horizontal gradient sign bits). Synthetic
+    pattern varies on BOTH axes (pixel=(id+x+2y)%256) so the oracle—which
+    recomputes the grid/bit/weight arithmetic in SQL—verifies the decode
+    AND the hash geometry. hi/lo unsigned halves keep the SQL sign-free.
+    These hashes feed image_near_dups (banded Hamming self-join)."""
+    from krnel_graph_spark.functions.multimodal import (
+        image_dhash,
+        synth_png_table,
+    )
+
+    ids = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 120)
+    return (
+        image_dhash(synth_png_table(ids, pattern="xy"), "data", "doc_id")
+        .select("doc_id", "phash_hi", "phash_lo")
+        .orderBy("doc_id")
+    )
+
+
 def q_audio_stats_wav(spark, sf_dir):
     """Real stdlib WAV codec gate (audio twin of image_stats_png):
     synthetic 16-bit PCM clips (n=100+id%400 samples at 8 kHz,
@@ -2278,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_counts": q_rollup_counts,
         # Slots 3-4: new r6 surface — real stdlib PNG/WAV codecs.
         "image_stats_png": q_image_stats_png,
+        "image_phash": q_image_phash,
         "audio_stats_wav": q_audio_stats_wav,
         "video_stats_y4m": q_video_stats_y4m,
         "avro_roundtrip": q_avro_roundtrip,
@@ -2327,9 +2348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lead_lag": q_lead_lag,
         "parse_json_get": q_parse_json_get,
         "heavy_hitters": q_heavy_hitters,
-        "running_user_totals": q_running_user_totals,
         # ---- past the 50-slot window: all driver-recorded green in
         # r1-r5 (or rows-only by design); judge-checkable via oracles ---- #
+        "running_user_totals": q_running_user_totals,
         "sql_entry": q_sql_entry,
         "embedding_dups": q_embedding_dups,
         "interval_join": q_interval_join,
@@ -3921,6 +3942,24 @@ ORDER BY doc_id, frame_idx
         # is the untouched source parquet. Hash equality proves the codec.
         "avro_roundtrip": """
 SELECT * FROM supplier
+""",
+        "image_phash": """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+dims AS (SELECT doc_id, (16 + doc_id % 48)::BIGINT AS w,
+                (16 + (doc_id * 7) % 48)::BIGINT AS h FROM d),
+gi AS (SELECT doc_id, w, h, unnest(range(0, 8))::BIGINT AS i FROM dims),
+gij AS (SELECT doc_id, w, h, i, unnest(range(0, 8))::BIGINT AS j FROM gi),
+bits AS (SELECT doc_id, i, j,
+  CASE WHEN (doc_id + (j * w) // 9 + 2 * ((i * h) // 8)) % 256
+          > (doc_id + ((j + 1) * w) // 9 + 2 * ((i * h) // 8)) % 256
+       THEN 1 ELSE 0 END AS b
+  FROM gij)
+SELECT doc_id,
+  sum(CASE WHEN i < 4 THEN b * (1::BIGINT << (31 - (i * 8 + j))::INT)
+           ELSE 0 END)::BIGINT AS phash_hi,
+  sum(CASE WHEN i >= 4 THEN b * (1::BIGINT << (31 - ((i - 4) * 8 + j))::INT)
+           ELSE 0 END)::BIGINT AS phash_lo
+FROM bits GROUP BY doc_id ORDER BY doc_id
 """,
     }
 

@@ -252,6 +252,30 @@ def simhash_pairs(
     distance ``chunks - 1`` shares at least one exact chunk), self-join
     per chunk, verify exact Hamming distance. Keep ``max_hamming <
     bits // band_bits`` or the banding loses completeness."""
+    base = ensure_min_partitions(df).select(
+        F.col(id_col).alias("doc"), simhash(text_col, bits=bits).alias("sh")
+    )
+    return hash_band_pairs(
+        base, "doc", "sh", max_hamming=max_hamming,
+        band_bits=band_bits, bits=bits,
+    )
+
+
+def hash_band_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
+    band_bits: int,
+    bits: int = _SIMHASH_BITS,
+) -> DataFrame:
+    """Pigeonhole band self-join over ANY precomputed ``bits``-bit hash
+    column (SimHash, image dHash, …): chunk the hash into
+    ``bits // band_bits`` bands, equi-join per band, verify exact Hamming
+    distance. Completeness guard: ``max_hamming < bits // band_bits``.
+
+    Scale: one hash shuffle per side keyed on (band, band value); shuffle
+    payload is (id, 8-byte hash) — never the underlying content."""
     if bits % band_bits != 0:
         raise ValueError("band_bits must divide bits")
     if max_hamming >= bits // band_bits:
@@ -259,9 +283,7 @@ def simhash_pairs(
             f"max_hamming={max_hamming} needs more chunks: banding only "
             f"guarantees distance < {bits // band_bits}"
         )
-    base = ensure_min_partitions(df).select(
-        F.col(id_col).alias("doc"), simhash(text_col, bits=bits).alias("sh")
-    )
+    base = df.select(F.col(id_col).alias("doc"), F.col(hash_col).alias("sh"))
     # Static per-chunk structs: shiftright takes a PYTHON int bit count
     # (a Column shift amount fails analysis), and the chunk count is a
     # compile-time constant anyway.

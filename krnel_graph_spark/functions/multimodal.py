@@ -193,19 +193,96 @@ def audio_sample_stats(df: DataFrame, binary_col: str, id_col: str) -> DataFrame
     )
 
 
-def synth_png_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def _dhash_bits(arr: "np.ndarray") -> int:
+    """64-bit difference hash of a decoded image: nearest-neighbor 9×8
+    luma grid, bit (i, j) set iff ``grid[i, j] > grid[i, j+1]`` — MSB
+    first (bit weight ``2^(63 - (i*8 + j))``). The standard pHash-family
+    fingerprint: robust to re-encode/resize/brightness-preserving edits."""
+    if arr.ndim == 3:
+        arr = arr.astype(np.uint16).mean(axis=2).astype(np.uint8)
+    h, w = arr.shape
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    grid = arr[np.ix_(ys, xs)].astype(np.int16)
+    bits = (grid[:, :-1] > grid[:, 1:]).ravel()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def image_dhash(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """Perceptual hashes from REAL decoded pixels (PNG via the stdlib
+    codec): ``(doc_id, phash, phash_hi, phash_lo)`` where ``phash`` is
+    the signed-64-bit dHash (for banded joins / ``hamming64``) and
+    hi/lo are its unsigned 32-bit halves (oracle-friendly — no sign
+    games in SQL)."""
+    from .codecs import decode_png, is_png
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("data"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "phash": [], "phash_hi": [], "phash_lo": []}
+            for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+                data = bytes(data)
+                if not is_png(data):
+                    _require_codec("image")
+                u = _dhash_bits(decode_png(data))
+                rows["doc_id"].append(doc_id)
+                rows["phash"].append(u - (1 << 64) if u >= (1 << 63) else u)
+                rows["phash_hi"].append(u >> 32)
+                rows["phash_lo"].append(u & 0xFFFFFFFF)
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        run, schema="doc_id long, phash long, phash_hi long, phash_lo long"
+    )
+
+
+def image_near_dups(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Image near-duplicate pairs: real decode → 64-bit dHash → the same
+    pigeonhole band self-join the text SimHash path uses
+    (``dedup.hash_band_pairs``) → exact Hamming verify. Returns
+    ``(doc_a, doc_b, hamming)``.
+
+    Scale: images are decoded once scan-side; only (id, 8-byte hash)
+    pairs shuffle — a 100 TB image corpus shuffles ~16 bytes per image.
+    Completeness: guaranteed for ``max_hamming < 64 / band_bits``."""
+    from .dedup import hash_band_pairs
+
+    hashes = image_dhash(df, binary_col, id_col).select("doc_id", "phash")
+    return hash_band_pairs(
+        hashes, "doc_id", "phash",
+        max_hamming=max_hamming, band_bits=band_bits, bits=64,
+    )
+
+
+def synth_png_table(
+    df: DataFrame, id_col: str = "doc_id", pattern: str = "row"
+) -> DataFrame:
     """Deterministic synthetic PNG corpus for tests/gates: for each id,
     a REAL (decoder-agnostic) greyscale PNG with
 
     - ``width  = 16 + id % 48``
     - ``height = 16 + (id * 7) % 48``
-    - ``pixel(y, x) = (id + y) % 256``  (row-constant)
+    - ``pattern="row"``: ``pixel(y, x) = (id + y) % 256`` (row-constant —
+      keeps the pixel-stat SQL oracle to one unnest over ``y``)
+    - ``pattern="xy"``:  ``pixel(y, x) = (id + x + 2y) % 256`` (varies on
+      both axes — exercises the dHash grid in both dimensions)
 
-    Row-constant pixels keep the SQL oracle to one ``generate_series`` over
-    ``y`` per image. Encoding happens in ``mapInPandas`` — media bytes are
-    born on executors, never the driver."""
+    Encoding happens in ``mapInPandas`` — media bytes are born on
+    executors, never the driver."""
     from .codecs import encode_png
 
+    if pattern not in ("row", "xy"):
+        raise ValueError("pattern must be 'row' or 'xy'")
     src = df.select(F.col(id_col).cast("long").alias("doc_id"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -215,8 +292,12 @@ def synth_png_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 doc_id = int(doc_id)
                 w = 16 + doc_id % 48
                 h = 16 + (doc_id * 7) % 48
-                col = (np.arange(h, dtype=np.int64) + doc_id) % 256
-                pixels = np.repeat(col[:, None], w, axis=1).astype(np.uint8)
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                if pattern == "row":
+                    pixels = ((doc_id + ys) % 256 + 0 * xs).astype(np.uint8)
+                else:
+                    pixels = ((doc_id + xs + 2 * ys) % 256).astype(np.uint8)
                 rows["doc_id"].append(doc_id)
                 rows["data"].append(encode_png(pixels))
             yield pd.DataFrame(rows)

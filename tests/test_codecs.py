@@ -275,3 +275,62 @@ def test_real_video_frame_stats(ids, spark):
     col = ((np.arange(h, dtype=np.int64) + doc_id + 3 * idx) % 256).astype(np.uint8)
     plane = np.repeat(col[:, None], w, axis=1)
     assert one.frame_sha256 == hashlib.sha256(plane.tobytes()).hexdigest()
+
+
+# ------------------------------------------------------------------ #
+# Perceptual hash + image near-dup                                    #
+# ------------------------------------------------------------------ #
+
+
+def test_dhash_brightness_invariance_and_sensitivity():
+    from krnel_graph_spark.functions.multimodal import _dhash_bits
+
+    img = RNG.randint(0, 200, size=(32, 32)).astype(np.uint8)
+    base = _dhash_bits(img)
+    # uniform brightness shift preserves every gradient sign
+    assert _dhash_bits(np.clip(img.astype(int) + 40, 0, 255).astype(np.uint8)) == base
+    # nearest-neighbor upscale hits the same grid cells
+    assert _dhash_bits(np.repeat(np.repeat(img, 2, 0), 2, 1)) == base
+    # an unrelated image lands far away
+    other = RNG.randint(0, 200, size=(32, 32)).astype(np.uint8)
+    assert bin(base ^ _dhash_bits(other)).count("1") > 10
+
+
+def test_image_near_dups_banded(spark):
+    from krnel_graph_spark.functions.codecs import encode_png
+    from krnel_graph_spark.functions.multimodal import image_dhash, image_near_dups
+
+    rng = np.random.RandomState(5)
+    base = rng.randint(0, 200, size=(40, 40)).astype(np.uint8)
+    near = np.clip(base.astype(int) + 25, 0, 255).astype(np.uint8)  # brightness
+    blur = base.copy()
+    blur[0:3, 0:3] = 0  # tiny local edit
+    rows = [
+        (0, bytearray(encode_png(base))),
+        (1, bytearray(encode_png(near))),
+        (2, bytearray(encode_png(blur))),
+        (3, bytearray(encode_png(rng.randint(0, 200, size=(40, 40)).astype(np.uint8)))),
+        (4, bytearray(encode_png(rng.randint(0, 200, size=(24, 56)).astype(np.uint8)))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+
+    # brute-force truth from the hashes themselves
+    hashes = {
+        r["doc_id"]: r["phash"] & ((1 << 64) - 1)
+        for r in image_dhash(df, "data", "doc_id").collect()
+    }
+    want = {
+        (a, b)
+        for a in hashes
+        for b in hashes
+        if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    assert (0, 1) in want  # brightness shift is hash-identical
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in image_near_dups(df, "data", "doc_id", max_hamming=3).collect()
+    }
+    assert got == want
+    plan = image_near_dups(df, "data", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
