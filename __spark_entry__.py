@@ -2249,6 +2249,23 @@ def q_image_phash(spark, sf_dir):
     )
 
 
+def q_audio_fp(spark, sf_dir):
+    """Spectral audio fingerprints over the synthetic WAV corpus (real
+    decode + FFT band-energy gradients). Rows-only by design: the FFT has
+    no SQL twin; correctness is pinned by pytest invariance/differential
+    tests (test_codecs.py::test_audio_fingerprint_invariance_and_pairs)."""
+    from krnel_graph_spark.functions.multimodal import (
+        audio_fingerprint,
+        synth_wav_table,
+    )
+
+    ids = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 120)
+    return (
+        audio_fingerprint(synth_wav_table(ids), "data", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_audio_stats_wav(spark, sf_dir):
     """Real stdlib WAV codec gate (audio twin of image_stats_png):
     synthetic 16-bit PCM clips (n=100+id%400 samples at 8 kHz,
@@ -2324,6 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames_stub": q_video_frames_stub,
         "bpe_encode": q_bpe_encode,
         "profile_table_hll": q_profile_table_hll,
+        "audio_fp": q_audio_fp,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "hybrid_search": q_hybrid_search,

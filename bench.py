@@ -118,6 +118,12 @@ HEADLINE = [
     "top_terms",
     "group_cap",
     "domain_stats",
+    # r6: real-codec derivatives — perceptual image hash, Y4M frame
+    # stats, spectral audio fingerprint, and the avro fallback roundtrip.
+    "image_phash",
+    "video_stats_y4m",
+    "audio_fp",
+    "avro_roundtrip",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

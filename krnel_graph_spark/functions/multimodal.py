@@ -382,6 +382,87 @@ def synth_y4m_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return src.mapInPandas(run, schema="doc_id long, data binary")
 
 
+def _audio_fp_bits(mono: "np.ndarray", n_frames: int = 17, n_bands: int = 4) -> int:
+    """64-bit spectral fingerprint (chromaprint-style): split the signal
+    into ``n_frames`` frames, FFT each, sum |spectrum|² into ``n_bands``
+    log-spaced bands, and set bit (f, b) iff band energy ROSE from frame
+    f to f+1 — ``(n_frames - 1) × n_bands`` gradient-sign bits, MSB
+    first. Amplitude-scaling invariant (signs survive gain changes);
+    sensitive to spectral shape over time."""
+    x = mono.astype(np.float64)
+    if x.size < n_frames:
+        x = np.pad(x, (0, n_frames - x.size))
+    frames = np.array_split(x, n_frames)
+    n_fft = max(len(f) for f in frames)
+    energies = np.zeros((n_frames, n_bands))
+    # log-spaced band edges over the positive spectrum (DC excluded)
+    n_bins = n_fft // 2 + 1
+    edges = np.unique(
+        np.round(np.geomspace(1, max(2, n_bins - 1), n_bands + 1)).astype(int)
+    )
+    while len(edges) < n_bands + 1:  # tiny spectra: pad edges upward
+        edges = np.append(edges, edges[-1] + 1)
+    for i, fr in enumerate(frames):
+        spec = np.abs(np.fft.rfft(fr, n=n_fft)) ** 2
+        for b in range(n_bands):
+            lo, hi = edges[b], edges[b + 1]
+            energies[i, b] = spec[lo:hi].sum() if hi > lo else 0.0
+    bits = (energies[1:] > energies[:-1]).ravel()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def audio_fingerprint(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """Spectral fingerprints from REAL decoded WAV audio:
+    ``(doc_id, afp, afp_hi, afp_lo)`` — the audio twin of
+    :func:`image_dhash` (signed 64-bit for banded joins, unsigned 32-bit
+    halves for SQL)."""
+    from .codecs import decode_wav, is_wav
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("data"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "afp": [], "afp_hi": [], "afp_lo": []}
+            for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+                data = bytes(data)
+                if not is_wav(data):
+                    _require_codec("audio")
+                _rate, arr = decode_wav(data)
+                u = _audio_fp_bits(arr.astype(np.float64).mean(axis=1))
+                rows["doc_id"].append(doc_id)
+                rows["afp"].append(u - (1 << 64) if u >= (1 << 63) else u)
+                rows["afp_hi"].append(u >> 32)
+                rows["afp_lo"].append(u & 0xFFFFFFFF)
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        run, schema="doc_id long, afp long, afp_hi long, afp_lo long"
+    )
+
+
+def audio_near_dups(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Audio near-duplicate pairs: real WAV decode → spectral fingerprint
+    → pigeonhole band self-join (``dedup.hash_band_pairs``) → exact
+    Hamming verify. Same scale contract as :func:`image_near_dups`:
+    audio bytes never shuffle, only (id, 8-byte fingerprint)."""
+    from .dedup import hash_band_pairs
+
+    fps = audio_fingerprint(df, binary_col, id_col).select("doc_id", "afp")
+    return hash_band_pairs(
+        fps, "doc_id", "afp",
+        max_hamming=max_hamming, band_bits=band_bits, bits=64,
+    )
+
+
 def synth_wav_table(
     df: DataFrame, id_col: str = "doc_id", rate: int = 8000
 ) -> DataFrame:

@@ -177,3 +177,24 @@ def test_funnel_hot_user_capped(spark):
     # bot's signup is its 3000th event — beyond the cap — so the capped
     # run sees only pre-signup events; uncapped reaches stage 1.
     assert capped[10_000] == 0 and uncapped[10_000] == 1
+
+
+def test_funnel_step_names_with_quotes(spark):
+    """Step names ride as parameterized literals (r5 advice): quotes and
+    backslashes in a step name must not break or alter the plan."""
+    import pandas as pd
+
+    steps = ["it's a start", 'then "this"', "end\\done"]
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "event_type": [steps[0], steps[1], steps[2], steps[0]],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:01",
+                 "2024-01-01 00:02", "2024-01-01 00:00"]
+            ),
+        }
+    )
+    got = funnel(spark.createDataFrame(pdf), steps).collect()
+    assert [r["step"] for r in got] == steps
+    assert [r["users"] for r in got] == [2, 1, 1]

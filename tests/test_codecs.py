@@ -334,3 +334,47 @@ def test_image_near_dups_banded(spark):
     assert got == want
     plan = image_near_dups(df, "data", "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_audio_fingerprint_invariance_and_pairs(spark):
+    from krnel_graph_spark.functions.codecs import encode_wav
+    from krnel_graph_spark.functions.multimodal import (
+        _audio_fp_bits,
+        audio_fingerprint,
+        audio_near_dups,
+    )
+
+    rng = np.random.RandomState(11)
+    t = np.arange(4000)
+    tone = (
+        3000 * np.sin(2 * np.pi * 440 * t / 8000)
+        + 2000 * np.sin(2 * np.pi * 1200 * t / 8000) * (t > 2000)
+    )
+    base = tone + 200 * rng.randn(4000)
+    # gain change preserves every energy-gradient sign
+    assert _audio_fp_bits(base) == _audio_fp_bits(base * 0.5)
+    other = 3000 * rng.randn(4000)
+    assert bin(_audio_fp_bits(base) ^ _audio_fp_bits(other)).count("1") > 8
+
+    rows = [
+        (0, bytearray(encode_wav(base.astype(np.int16)))),
+        (1, bytearray(encode_wav((base * 0.7).astype(np.int16)))),
+        (2, bytearray(encode_wav(other.astype(np.int16)))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+    fps = {
+        r["doc_id"]: r["afp"] & ((1 << 64) - 1)
+        for r in audio_fingerprint(df, "data", "doc_id").collect()
+    }
+    want = {
+        (a, b)
+        for a in fps
+        for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    assert (0, 1) in want
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in audio_near_dups(df, "data", "doc_id", max_hamming=3).collect()
+    }
+    assert got == want

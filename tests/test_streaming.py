@@ -545,3 +545,46 @@ def test_funnel_stream_equals_batch_multibatch(spark, tmp_path):
     # the planted depths; depth-0 users have no funnel-type event at all,
     # so they produce no row in either mode
     assert want == {u: d for u, d in depth.items() if d > 0}
+
+
+def test_funnel_stream_string_user_ids(spark, tmp_path):
+    """The streaming funnel derives its output user dtype from the input
+    schema (r5 advice): string user ids must work end-to-end, not just
+    bigints."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from krnel_graph_spark.streaming.events import funnel_user_stages
+
+    src = tmp_path / "funnel_str_src"
+    src.mkdir()
+    steps = ["signup", "view"]
+    t0 = pd.Timestamp("2024-05-01 00:00:00")
+    rows = [
+        ("ann", t0, "signup"),
+        ("ann", t0 + pd.Timedelta(minutes=5), "view"),
+        ("bo'b", t0 + pd.Timedelta(minutes=1), "signup"),  # quote in the id
+        ("cid", t0 + pd.Timedelta(minutes=2), "view"),  # view before signup
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    path = src / "b0.parquet"
+    pdf.to_parquet(path)
+    os.utime(path, (time.time(), time.time()))
+
+    schema = spark.read.parquet(str(src)).schema
+    ev_stream = spark.readStream.schema(schema).parquet(str(src))
+    stream = funnel_user_stages(ev_stream, steps, watermark="10 hours")
+    query = run_stream_to_memory(stream, "funnel_str_stream", output_mode="update")
+    try:
+        got = (
+            spark.table("funnel_str_stream")
+            .toPandas()
+            .groupby("user")
+            .last()["stage"]
+            .to_dict()
+        )
+    finally:
+        query.stop()
+    assert got == {"ann": 2, "bo'b": 1, "cid": 0}
