@@ -1850,6 +1850,20 @@ def q_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(emb, queries_df, "embedding", "vec_id", k=10, nprobe=8)
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ ANN (coarse cells + residual product quantization + exact
+    re-rank) — the faiss-standard billion-scale index layout composed
+    from the IVF and PQ primitives. No SQL oracle (k-means); recall vs
+    exact L2 is pinned by test_pq.py::test_ivfpq_recall_and_refine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivfpq_topk(
+        emb, queries_df, "embedding", "vec_id",
+        k=10, n_cells=16, nprobe=4, m=8, n_codes=64,
+        refine=emb, refine_factor=4,
+    ).orderBy("query_id", "rank")
+
+
 def q_ann_pq(spark, sf_dir):
     """Product-quantized ANN with exact re-rank: train codebooks
     (bounded deterministic sample), encode the corpus to 8-byte codes,
@@ -2337,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_clusters": q_embedding_clusters,
         "semantic_dedup": q_semantic_dedup,
         "ann_pq": q_ann_pq,
+        "ann_ivfpq": q_ann_ivfpq,
         "audio_features_stub": q_audio_features_stub,
         "video_frames_stub": q_video_frames_stub,
         "bpe_encode": q_bpe_encode,

@@ -499,6 +499,14 @@ def pq_train(
         .collect()
     )
     x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    return _pq_fit(x, m, n_codes, seed, n_iter)
+
+
+def _pq_fit(
+    x: "np.ndarray", m: int, n_codes: int, seed: int, n_iter: int
+) -> "np.ndarray":
+    """Numpy PQ-codebook k-means core (shared by :func:`pq_train` on raw
+    vectors and :func:`ivfpq_topk` on residuals)."""
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -657,6 +665,216 @@ def pq_topk(
         )
     # Exact re-rank: shortlist ids (|queries|·k·factor rows) pull their
     # float vectors; true L2 against broadcast query vectors decides.
+    short = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist)
+        .select("query_id", "doc_id")
+    )
+    corp = refine.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("dv")
+    )
+    qv = refine.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(qids, qmat)],
+        "qid long, qv array<double>",
+    )
+    from .vector import l2_distance
+
+    exact = (
+        corp.join(F.broadcast(short), F.col("cid") == F.col("doc_id"))
+        .join(F.broadcast(qv), F.col("query_id") == F.col("qid"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(l2_distance(F.col("dv").cast("array<double>"), "qv"), 6)
+            .alias("approx_l2"),
+        )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "approx_l2", "rank")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 256,
+    seed: int = 7,
+    refine_iters: int = 1,
+    sample_rows: int = 4096,
+    refine: DataFrame | None = None,
+    refine_factor: int = 4,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the composition of the coarse quantizer
+    (:func:`ivf_topk`'s cell routing) with product quantization on CELL
+    RESIDUALS (vec − centroid), the standard billion-scale ANN index
+    layout (faiss ``IVFx,PQy``): residuals are tighter than raw vectors,
+    so the same byte budget quantizes finer.
+
+    Search: each query probes its ``nprobe`` nearest cells; for every
+    (query, probed cell) pair a per-subspace LUT of ||q_residual −
+    codeword||² is built DRIVER-side (nq·nprobe·m·n_codes floats — a few
+    MB) and broadcast; a corpus scan of the 8-byte codes does ADC with m
+    lookups per candidate and emits only local top-``k·refine_factor``
+    per query. Optional exact re-rank against the float corpus
+    (``refine``) buys back quantization recall.
+
+    Scale story: the corpus pass that builds the index reads vectors
+    ONCE (assign + residual + encode in a single Arrow-batched kernel);
+    search reads only codes (32× smaller than float32 at the default
+    m=8); everything collected driver-side is bounded (centroid seeds,
+    PQ training sample, query matrix) — corpus size only affects the
+    scan, exactly like the flat-PQ path."""
+    from pyspark.sql import Window
+
+    # ---- coarse quantizer: deterministic seed sample + Lloyd refine ----
+    centroid_rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy(F.xxhash64(F.col("cid"), F.lit(seed)))
+        .limit(n_cells)
+        .collect()
+    )
+    cmat = np.asarray([r["cv"] for r in centroid_rows], dtype=np.float64)
+    if refine_iters > 0:
+        cmat = kmeans_refine_centroids(corpus, vec_col, cmat, refine_iters)
+
+    # ---- PQ codebooks on residuals of a bounded training sample ----
+    sample = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .withColumn(
+            "_h",
+            F.xxhash64(
+                F.col("v").cast("array<double>").cast("string"), F.lit(seed)
+            ),
+        )
+        .orderBy("_h")
+        .limit(sample_rows)
+        .collect()
+    )
+    xs = np.asarray([r["v"] for r in sample], dtype=np.float64)
+    d2s = (
+        (xs * xs).sum(1)[:, None] - 2 * (xs @ cmat.T) + (cmat * cmat).sum(1)[None, :]
+    )
+    books = _pq_fit(xs - cmat[d2s.argmin(1)], m, n_codes, seed, n_iter=10)
+
+    sc = corpus.sparkSession.sparkContext
+    bc_index = sc.broadcast((cmat, books))
+
+    # ---- one corpus pass: assign cell, encode residual ----
+    def build(batches):
+        cm, bk = bc_index.value
+        mm, _, sub = bk.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            d2 = (
+                (v * v).sum(1)[:, None] - 2 * (v @ cm.T) + (cm * cm).sum(1)[None, :]
+            )
+            cells = d2.argmin(1)
+            res = v - cm[cells]
+            codes = np.empty((len(v), mm), dtype=np.int32)
+            for j in range(mm):
+                rs = res[:, j * sub : (j + 1) * sub]
+                cb = bk[j]
+                dj = (
+                    (rs * rs).sum(1)[:, None]
+                    - 2 * (rs @ cb.T)
+                    + (cb * cb).sum(1)[None, :]
+                )
+                codes[:, j] = dj.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "cell": cells.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = ensure_min_partitions(corpus).select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v")
+    ).mapInPandas(build, "doc_id long, cell int, codes array<int>")
+
+    # ---- per-(query, probed cell) residual LUTs, driver-built ----
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    qids = np.asarray([r["qid"] for r in q_rows])
+    qmat = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
+    dq = (
+        (qmat * qmat).sum(1)[:, None]
+        - 2 * (qmat @ cmat.T)
+        + (cmat * cmat).sum(1)[None, :]
+    )
+    probes = np.argsort(dq, axis=1, kind="stable")[:, : min(nprobe, len(cmat))]
+    sub = qmat.shape[1] // m
+    # luts_by_cell[cell] = list of (query_index, (m, n_codes) LUT)
+    luts_by_cell: dict[int, list] = {}
+    for qi in range(len(qmat)):
+        for cell in probes[qi]:
+            qres = qmat[qi] - cmat[cell]
+            lut = np.empty((m, n_codes))
+            for j in range(m):
+                qs = qres[j * sub : (j + 1) * sub]
+                cb = books[j]
+                lut[j] = (qs * qs).sum() - 2 * (cb @ qs) + (cb * cb).sum(1)
+            luts_by_cell.setdefault(int(cell), []).append((qi, lut))
+    shortlist = k * refine_factor if refine is not None else k
+    bc_search = sc.broadcast((qids, luts_by_cell))
+
+    def score(batches):
+        qi_arr, by_cell = bc_search.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_q, out_id, out_d = [], [], []
+            for cell, grp in pdf.groupby("cell"):
+                plist = by_cell.get(int(cell))
+                if not plist:
+                    continue
+                codes = np.stack(grp["codes"].to_numpy())
+                ids = grp["doc_id"].to_numpy()
+                for qi, lut in plist:
+                    d = lut[np.arange(codes.shape[1]), codes].sum(1)
+                    keep = ids != qi_arr[qi]
+                    d, sel_ids = d[keep], ids[keep]
+                    kk = min(shortlist, len(sel_ids))
+                    if not kk:
+                        continue
+                    top = np.argpartition(d, kk - 1)[:kk]
+                    out_q.extend([qi_arr[qi]] * kk)
+                    out_id.extend(sel_ids[top])
+                    out_d.extend(d[top])
+            yield pd.DataFrame(
+                {"query_id": out_q, "doc_id": out_id, "approx_l2": out_d}
+            )
+
+    cand = encoded.mapInPandas(
+        score, "query_id long, doc_id long, approx_l2 double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_l2").asc(), F.col("doc_id").asc()
+    )
+    if refine is None:
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "doc_id",
+                F.round(
+                    F.sqrt(F.greatest(F.col("approx_l2"), F.lit(0.0))), 6
+                ).alias("approx_l2"),
+                "rank",
+            )
+        )
     short = (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= shortlist)

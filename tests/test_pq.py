@@ -92,3 +92,55 @@ def test_pq_deterministic(spark, vecs_df):
           for r in pq_encode(vecs_df, "embedding", "vec_id", b2).collect()}
     assert e1 == e2
     assert all(len(c) == 4 and all(0 <= x < 16 for x in c) for c in e1.values())
+
+
+def test_ivfpq_recall_and_refine(spark, vecs_df):
+    """IVF-PQ (residual-encoded cells + per-(query,cell) ADC LUTs) must
+    reach solid recall on clustered data, improve with exact re-rank, and
+    never return a self-match or a (query, doc) duplicate."""
+    from krnel_graph_spark.functions.similarity import ivfpq_topk
+
+    queries = vecs_df.filter("vec_id < 8")
+    rows = [(r["vec_id"], r["embedding"]) for r in vecs_df.collect()]
+    want = _exact_topk(rows, range(8), 10)
+    # exclude the query itself from the exact truth, as ivfpq does
+    want = {q: s - {q} for q, s in want.items()}
+
+    got_pdf = ivfpq_topk(
+        vecs_df, queries, "embedding", "vec_id",
+        k=10, n_cells=12, nprobe=4, m=4, n_codes=64,
+    ).toPandas()
+    assert not got_pdf.duplicated(["query_id", "doc_id"]).any()
+    assert not (got_pdf.query_id == got_pdf.doc_id).any()
+    assert (got_pdf.groupby("query_id").size() == 10).all()
+
+    def recall(pdf):
+        r = 0.0
+        for q in range(8):
+            approx = set(pdf[pdf.query_id == q].doc_id)
+            r += len(approx & want[q]) / len(want[q] & set(range(800)))
+        return r / 8
+
+    base = recall(got_pdf)
+    assert base >= 0.5, base
+
+    refined = ivfpq_topk(
+        vecs_df, queries, "embedding", "vec_id",
+        k=10, n_cells=12, nprobe=4, m=4, n_codes=64,
+        refine=vecs_df, refine_factor=4,
+    ).toPandas()
+    assert recall(refined) >= base - 1e-9
+    assert recall(refined) >= 0.7, recall(refined)
+
+
+def test_ivfpq_deterministic(spark, vecs_df):
+    from krnel_graph_spark.functions.similarity import ivfpq_topk
+
+    queries = vecs_df.filter("vec_id < 4")
+    a = ivfpq_topk(
+        vecs_df, queries, "embedding", "vec_id", k=5, n_cells=8, m=4, n_codes=32
+    ).toPandas()
+    b = ivfpq_topk(
+        vecs_df, queries, "embedding", "vec_id", k=5, n_cells=8, m=4, n_codes=32
+    ).toPandas()
+    assert a.equals(b)
