@@ -1433,6 +1433,25 @@ def q_repetition_stats(spark, sf_dir):
     )
 
 
+def q_triangle_count(spark, sf_dir):
+    """Global triangle count of the synthetic undirected link graph via
+    the a<b<c oriented-wedge enumeration (2 equi-joins over canonical
+    edges; degree-orientation variant available as the skew guard). The
+    oracle replays the identical 3-way join in SQL."""
+    from krnel_graph_spark.functions.graph import triangle_count
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 500).alias("dst"),
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 13 + 1) % 500).alias("dst"),
+    )
+    return triangle_count(e1.union(e2))
+
+
 def q_pagerank(spark, sf_dir):
     """Deterministic 5-iteration PageRank over a synthetic link graph
     (doc_id -> two hash-derived hub targets): the link-graph curation
@@ -2343,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_price": q_histogram_price,
         "corr_matrix": q_corr_matrix,
         "pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
         "top_terms": q_top_terms,
         "simhash_pairs_q": q_simhash_pairs,
         "orc_roundtrip": q_orc_roundtrip,
@@ -3993,6 +4013,17 @@ SELECT doc_id,
   sum(CASE WHEN i >= 4 THEN b * (1::BIGINT << (31 - ((i - 4) * 8 + j))::INT)
            ELSE 0 END)::BIGINT AS phash_lo
 FROM bits GROUP BY doc_id ORDER BY doc_id
+""",
+        "triangle_count": """
+WITH e0 AS (SELECT doc_id AS s, (doc_id * 7 + 3) % 500 AS t FROM documents
+            UNION
+            SELECT doc_id, (doc_id * 13 + 1) % 500 FROM documents),
+e AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+      FROM e0 WHERE s != t)
+SELECT count(*)::BIGINT AS n_triangles
+FROM e e1
+JOIN e e2 ON e1.b = e2.a
+JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
 """,
     }
 

@@ -124,6 +124,9 @@ HEADLINE = [
     "video_stats_y4m",
     "audio_fp",
     "avro_roundtrip",
+    # r6: graph + ANN-index additions.
+    "triangle_count",
+    "ann_ivfpq",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

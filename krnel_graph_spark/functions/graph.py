@@ -194,3 +194,65 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return rank
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    orient: str = "id",
+) -> DataFrame:
+    """Global triangle count of the undirected graph — one row
+    ``(n_triangles)``; each triangle counted exactly once via the
+    ``a < b < c`` oriented-wedge enumeration (two equi-joins over the
+    canonical edge list).
+
+    ``orient="degree"`` re-orients every edge from its lower-(degree, id)
+    endpoint to the higher one before the wedge join — the standard skew
+    guard: a star hub of degree d contributes d² wedges under id
+    orientation but ~0 as a wedge CENTER under degree orientation, which
+    bounds the intermediate join at O(m^1.5) on any graph. Both
+    orientations count the same triangles; "id" keeps the plan
+    SQL-mirrorable for the oracle.
+
+    Scale: 2 hash-shuffle joins on node keys over (a, b) pairs — no
+    vectors, no driver state; the wedge frame is the only intermediate.
+    """
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    if orient == "degree":
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionAll(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        e = (
+            e.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+            .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+            .select(
+                F.when(
+                    (F.col("da") < F.col("db"))
+                    | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                    F.struct(F.col("a").alias("x"), F.col("b").alias("y")),
+                )
+                .otherwise(F.struct(F.col("b").alias("x"), F.col("a").alias("y")))
+                .alias("s")
+            )
+            .select(F.col("s.x").alias("a"), F.col("s.y").alias("b"))
+        )
+    elif orient != "id":
+        raise ValueError("orient must be 'id' or 'degree'")
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+    return (
+        wedges.join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

@@ -160,3 +160,38 @@ def test_pagerank_validation(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError):
         pagerank(df, damping=1.0)
+
+
+def test_triangle_count_known_graph(spark):
+    from krnel_graph_spark.functions.graph import triangle_count
+
+    # K4 (4 triangles... K4 has C(4,3)=4 triangles) plus a pendant edge
+    # and a duplicate/reversed edge to exercise canonicalization.
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (1, 0), (2, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for orient in ("id", "degree"):
+        got = triangle_count(df, orient=orient).collect()[0]["n_triangles"]
+        assert got == 4, (orient, got)
+
+
+def test_triangle_count_matches_bruteforce_random(spark):
+    import itertools
+
+    import numpy as np
+
+    from krnel_graph_spark.functions.graph import triangle_count
+
+    rng = np.random.RandomState(3)
+    n = 40
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    chosen = [pairs[i] for i in rng.choice(len(pairs), size=200, replace=False)]
+    adj = set(chosen)
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(range(n), 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    df = spark.createDataFrame(chosen, "src long, dst long")
+    for orient in ("id", "degree"):
+        got = triangle_count(df, orient=orient).collect()[0]["n_triangles"]
+        assert got == want, (orient, got, want)
