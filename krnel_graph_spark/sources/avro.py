@@ -31,7 +31,7 @@ import json
 import os
 import struct
 import zlib
-from typing import Any, Iterator
+from typing import Iterator
 
 import numpy as np
 import pandas as pd

@@ -217,3 +217,87 @@ def test_bloom_never_false_negative(spark, keys):
         for r in df.filter(bloom_might_contain(bloom, "v")).collect()
     }
     assert hits == set(keys)
+
+
+# ---------------------------- codecs ----------------------------------- #
+
+
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    ch=st.sampled_from([1, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(h, w, ch, seed):
+    import numpy as np
+
+    from krnel_graph_spark.functions.codecs import decode_png, encode_png
+
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    px = rng.randint(0, 256, size=shape).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+@given(
+    n=st.integers(0, 200),
+    ch=st.sampled_from([1, 2]),
+    rate=st.sampled_from([8000, 22050, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    import numpy as np
+
+    from krnel_graph_spark.functions.codecs import decode_wav, encode_wav
+
+    rng = np.random.RandomState(seed)
+    s = rng.randint(-32768, 32767, size=(n, ch)).astype(np.int16)
+    got_rate, got = decode_wav(encode_wav(s, rate))
+    assert got_rate == rate and np.array_equal(got, s)
+
+
+@given(vals=st.lists(st.integers(-(2**62), 2**62), max_size=30))
+@settings(max_examples=200)
+def test_avro_varint_involution(vals):
+    from krnel_graph_spark.sources.avro import _Reader, _encode_long
+
+    data = b"".join(_encode_long(v) for v in vals)
+    r = _Reader(data)
+    assert [r.long() for _ in vals] == vals and r.pos == len(data)
+
+
+_avro_record = st.fixed_dictionaries(
+    {
+        "l": st.one_of(st.none(), st.integers(-(2**62), 2**62)),
+        "s": st.one_of(st.none(), st.text(max_size=12)),
+        "d": st.floats(allow_nan=False, width=64),
+        "b": st.binary(max_size=8),
+        "arr": st.lists(st.integers(-1000, 1000), max_size=5),
+    }
+)
+
+
+@given(
+    records=st.lists(_avro_record, max_size=12),
+    codec=st.sampled_from(["null", "deflate"]),
+)
+@settings(max_examples=80, deadline=None)
+def test_avro_container_roundtrip_property(records, codec):
+    from krnel_graph_spark.sources.avro import decode_container, encode_container
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "l", "type": ["null", "long"]},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "bytes"},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+        ],
+    }
+    out_schema, out = decode_container(encode_container(schema, records, codec))
+    assert out_schema == schema
+    assert out == records
