@@ -343,10 +343,10 @@ def _is_missing_avro_source(exc: Exception) -> bool:
 
 
 def _cell_to_avro(v, spark_type: str):
-    if v is None or (isinstance(v, float) and v != v):
-        return None
     if spark_type.startswith("array"):
-        return [x for x in v]
+        return None if v is None else [x for x in v]
+    if v is None or pd.isna(v):  # None / nan / NaT
+        return None
     if spark_type == "date":
         return (pd.Timestamp(v) - pd.Timestamp("1970-01-01")).days
     if spark_type.startswith("timestamp"):
@@ -365,7 +365,12 @@ def _cell_to_avro(v, spark_type: str):
 def write_avro_dataframe(df, path: str, codec: str = "deflate") -> None:
     """Distributed avro sink: one container file per partition, one avro
     block per Arrow batch (memory stays batch-bounded). Uses the real
-    spark-avro jar when present."""
+    spark-avro jar when present.
+
+    The fallback writer opens ``path`` from EXECUTOR tasks, so it targets
+    a filesystem all executors share — local mode, NFS, or a fuse-mounted
+    object store. On a cluster with plain object-store URIs, deploy the
+    spark-avro jar (the fast path above) instead."""
     try:  # the spark-avro jar, when deployed, is the fast path
         df.write.format("avro").mode("overwrite").save(path)
         return
@@ -381,6 +386,7 @@ def write_avro_dataframe(df, path: str, codec: str = "deflate") -> None:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
+        os.makedirs(path, exist_ok=True)  # shared-fs: first task wins
         fname = os.path.join(path, f"part-{pid:05d}.avro")
         n = 0
         with open(fname, "wb") as out:
