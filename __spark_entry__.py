@@ -2265,7 +2265,7 @@ def q_image_stats_png(spark, sf_dir):
 def q_image_phash(spark, sf_dir):
     """Perceptual-hash gate: REAL PNG decode → 64-bit dHash (9×8
     nearest-neighbor luma grid, horizontal gradient sign bits). Synthetic
-    pattern varies on BOTH axes (pixel=(id+x+2y)%256) so the oracle—which
+    pattern varies on BOTH axes (pixel=(id*(x+3)+2y)%256) so the oracle—which
     recomputes the grid/bit/weight arithmetic in SQL—verifies the decode
     AND the hash geometry. hi/lo unsigned halves keep the SQL sign-free.
     These hashes feed image_near_dups (banded Hamming self-join)."""
@@ -2296,6 +2296,30 @@ def q_audio_fp(spark, sf_dir):
     return (
         audio_fingerprint(synth_wav_table(ids), "data", "doc_id")
         .orderBy("doc_id")
+    )
+
+
+def q_image_dups(spark, sf_dir):
+    """Perceptual image near-duplicate pairs end-to-end: real PNG decode
+    → dHash → pigeonhole band self-join → Hamming verify. The oracle
+    recomputes every hash from the synthesis formula and brute-forces all
+    pairs with bit_count(xor()) — so banding completeness AND the decode
+    are both hash-checked (banding guarantees distance < 64/16 = 4)."""
+    from krnel_graph_spark.functions.multimodal import (
+        image_near_dups,
+        synth_png_table,
+    )
+
+    ids = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 120)
+    return (
+        image_near_dups(
+            synth_png_table(ids, pattern="xy"), "data", "doc_id",
+            max_hamming=3, band_bits=16,
+        )
+        .select(
+            "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+        )
+        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -2349,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Slots 3-4: new r6 surface — real stdlib PNG/WAV codecs.
         "image_stats_png": q_image_stats_png,
         "image_phash": q_image_phash,
+        "image_dups_q": q_image_dups,
         "audio_stats_wav": q_audio_stats_wav,
         "video_stats_y4m": q_video_stats_y4m,
         "avro_roundtrip": q_avro_roundtrip,
@@ -4003,8 +4028,8 @@ dims AS (SELECT doc_id, (16 + doc_id % 48)::BIGINT AS w,
 gi AS (SELECT doc_id, w, h, unnest(range(0, 8))::BIGINT AS i FROM dims),
 gij AS (SELECT doc_id, w, h, i, unnest(range(0, 8))::BIGINT AS j FROM gi),
 bits AS (SELECT doc_id, i, j,
-  CASE WHEN (doc_id + (j * w) // 9 + 2 * ((i * h) // 8)) % 256
-          > (doc_id + ((j + 1) * w) // 9 + 2 * ((i * h) // 8)) % 256
+  CASE WHEN (doc_id * ((j * w) // 9 + 3) + 2 * ((i * h) // 8)) % 256
+          > (doc_id * (((j + 1) * w) // 9 + 3) + 2 * ((i * h) // 8)) % 256
        THEN 1 ELSE 0 END AS b
   FROM gij)
 SELECT doc_id,
@@ -4013,6 +4038,29 @@ SELECT doc_id,
   sum(CASE WHEN i >= 4 THEN b * (1::BIGINT << (31 - ((i - 4) * 8 + j))::INT)
            ELSE 0 END)::BIGINT AS phash_lo
 FROM bits GROUP BY doc_id ORDER BY doc_id
+""",
+        "image_dups_q": """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+dims AS (SELECT doc_id, (16 + doc_id % 48)::BIGINT AS w,
+                (16 + (doc_id * 7) % 48)::BIGINT AS h FROM d),
+gi AS (SELECT doc_id, w, h, unnest(range(0, 8))::BIGINT AS i FROM dims),
+gij AS (SELECT doc_id, w, h, i, unnest(range(0, 8))::BIGINT AS j FROM gi),
+bits AS (SELECT doc_id, i, j,
+  CASE WHEN (doc_id * ((j * w) // 9 + 3) + 2 * ((i * h) // 8)) % 256
+          > (doc_id * (((j + 1) * w) // 9 + 3) + 2 * ((i * h) // 8)) % 256
+       THEN 1 ELSE 0 END AS b
+  FROM gij),
+ph AS (SELECT doc_id,
+  sum(CASE WHEN i < 4 THEN b * (1::BIGINT << (31 - (i * 8 + j))::INT)
+           ELSE 0 END)::BIGINT AS hi,
+  sum(CASE WHEN i >= 4 THEN b * (1::BIGINT << (31 - ((i - 4) * 8 + j))::INT)
+           ELSE 0 END)::BIGINT AS lo
+  FROM bits GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::INT AS hamming
+  FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, hamming FROM pairs
+WHERE hamming <= 3 ORDER BY doc_a, doc_b
 """,
         "triangle_count": """
 WITH e0 AS (SELECT doc_id AS s, (doc_id * 7 + 3) % 500 AS t FROM documents

@@ -274,8 +274,10 @@ def synth_png_table(
     - ``height = 16 + (id * 7) % 48``
     - ``pattern="row"``: ``pixel(y, x) = (id + y) % 256`` (row-constant —
       keeps the pixel-stat SQL oracle to one unnest over ``y``)
-    - ``pattern="xy"``:  ``pixel(y, x) = (id + x + 2y) % 256`` (varies on
-      both axes — exercises the dHash grid in both dimensions)
+    - ``pattern="xy"``:  ``pixel(y, x) = (id·(x + 3) + 2y) % 256`` — the
+      horizontal frequency depends on the id, so dHash bits (and hence
+      pairwise Hamming distances) are DIVERSE across the corpus, which
+      is what a near-dup gate needs
 
     Encoding happens in ``mapInPandas`` — media bytes are born on
     executors, never the driver."""
@@ -297,7 +299,9 @@ def synth_png_table(
                 if pattern == "row":
                     pixels = ((doc_id + ys) % 256 + 0 * xs).astype(np.uint8)
                 else:
-                    pixels = ((doc_id + xs + 2 * ys) % 256).astype(np.uint8)
+                    pixels = (
+                        (doc_id * (xs + 3) + 2 * ys) % 256
+                    ).astype(np.uint8)
                 rows["doc_id"].append(doc_id)
                 rows["data"].append(encode_png(pixels))
             yield pd.DataFrame(rows)
