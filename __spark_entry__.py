@@ -2323,6 +2323,24 @@ def q_image_dups(spark, sf_dir):
     )
 
 
+def q_video_dups(spark, sf_dir):
+    """Video near-dup pairs over the synthetic Y4M corpus: real frame
+    decode → frame-set MinHash → LSH bands → exact Jaccard verify.
+    Rows-only by design: LSH candidate recall is probabilistic (the
+    1-(1-j^r)^b curve), so a deterministic SQL oracle would have to
+    replicate xxhash64 banding; set semantics + Jaccard values are pinned
+    exactly by test_codecs.py::test_video_near_dups."""
+    from krnel_graph_spark.functions.multimodal import (
+        synth_y4m_table,
+        video_near_dups,
+    )
+
+    ids = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 120)
+    return video_near_dups(
+        synth_y4m_table(ids), "data", "doc_id", jaccard_threshold=0.3
+    ).orderBy("doc_a", "doc_b")
+
+
 def q_audio_stats_wav(spark, sf_dir):
     """Real stdlib WAV codec gate (audio twin of image_stats_png):
     synthetic 16-bit PCM clips (n=100+id%400 samples at 8 kHz,
@@ -2402,6 +2420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "profile_table_hll": q_profile_table_hll,
         "audio_fp": q_audio_fp,
+        "video_dups_q": q_video_dups,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "hybrid_search": q_hybrid_search,

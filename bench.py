@@ -124,9 +124,11 @@ HEADLINE = [
     "video_stats_y4m",
     "audio_fp",
     "avro_roundtrip",
-    # r6: graph + ANN-index additions.
+    # r6: graph + ANN-index additions, perceptual pair queries.
     "triangle_count",
     "ann_ivfpq",
+    "image_dups_q",
+    "video_dups_q",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

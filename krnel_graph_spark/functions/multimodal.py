@@ -352,6 +352,105 @@ def video_frame_stats(
     )
 
 
+def video_near_dups(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    every_n: int = 1,
+    num_perm: int = 16,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Video near-duplicate pairs — the standard frame-set design: sample
+    frames (REAL decode for Y4M), treat each video as the SET of its
+    frame fingerprints, MinHash that set, LSH-band the signatures, and
+    verify candidates with the EXACT frame-set Jaccard. Returns
+    ``(doc_a, doc_b, jaccard)`` with ``jaccard >= jaccard_threshold``.
+
+    Scale: video bytes are decoded once scan-side and never shuffle —
+    everything downstream moves (video id, 8-byte frame hash / 16-perm
+    signature) tuples. The signature agg is ``num_perm`` JVM ``min()``
+    aggregates (partial map-side combine); banding shuffles (band,
+    band-sig) keys; the verify joins only LSH candidates' frame hashes.
+    Recall is the MinHash-LSH curve (bands × rows trade-off), same knobs
+    as the text near-dup path."""
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    frames = (
+        sample_frames(df, binary_col, id_col, every_n=every_n)
+        .select(
+            "doc_id",
+            F.xxhash64(F.col("frame_sha256")).alias("fh"),
+        )
+        .distinct()  # set semantics: repeated identical frames count once
+    )
+    frames = frames.persist()
+    sizes = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sig = frames.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.min(F.xxhash64(F.col("fh"), F.lit(i))).alias(f"_m{i}")
+                for i in range(num_perm)
+            ]
+        ).alias("sig")
+    )
+    rows_per_band = num_perm // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.col("sig")[b * rows_per_band + r]
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("bsig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bsig") == F.col("r.bsig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    fa = frames.select(F.col("doc_id").alias("doc_a"), "fh")
+    fb = frames.select(F.col("doc_id").alias("doc_b"), "fh")
+    inter = (
+        cand.join(fa, "doc_a")
+        .join(fb, ["doc_b", "fh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("__na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("__nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("__inter")
+                / (F.col("__na") + F.col("__nb") - F.col("__inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
 def synth_y4m_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic synthetic Y4M corpus: for each id, a REAL Cmono
     YUV4MPEG2 stream with

@@ -378,3 +378,32 @@ def test_audio_fingerprint_invariance_and_pairs(spark):
         for r in audio_near_dups(df, "data", "doc_id", max_hamming=3).collect()
     }
     assert got == want
+
+
+def test_video_near_dups(spark):
+    from krnel_graph_spark.functions.codecs import encode_y4m
+    from krnel_graph_spark.functions.multimodal import video_near_dups
+
+    rng = np.random.RandomState(21)
+    base = rng.randint(0, 256, size=(12, 8, 8)).astype(np.uint8)
+    extended = np.concatenate([base, rng.randint(0, 256, size=(2, 8, 8)).astype(np.uint8)])
+    other = rng.randint(0, 256, size=(12, 8, 8)).astype(np.uint8)
+    rows = [
+        (0, bytearray(encode_y4m(base))),
+        (1, bytearray(encode_y4m(extended))),   # 12/14 shared frames
+        (2, bytearray(encode_y4m(other))),
+        (3, bytearray(encode_y4m(base[::-1].copy()))),  # same SET, reordered
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in video_near_dups(df, "data", "doc_id", jaccard_threshold=0.5).collect()
+    }
+    # (0,1): 12 shared of 14 union; (0,3)/(1,3): order-insensitive set match
+    assert got[(0, 1)] == round(12 / 14, 6)
+    assert got[(0, 3)] == 1.0
+    assert got[(1, 3)] == round(12 / 14, 6)
+    assert not any(2 in pair for pair in got)
+
+    plan = video_near_dups(df, "data", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
