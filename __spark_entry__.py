@@ -1452,6 +1452,24 @@ def q_triangle_count(spark, sf_dir):
     return triangle_count(e1.union(e2))
 
 
+def q_clustering_coeff(spark, sf_dir):
+    """Per-node clustering coefficients of the synthetic link graph —
+    the cohesion companion to triangle_count (same wedge join, triangle
+    rows exploded into member nodes). Oracle replays the identical SQL."""
+    from krnel_graph_spark.functions.graph import clustering_coefficients
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 500).alias("dst"),
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 13 + 1) % 500).alias("dst"),
+    )
+    return clustering_coefficients(e1.union(e2))
+
+
 def q_pagerank(spark, sf_dir):
     """Deterministic 5-iteration PageRank over a synthetic link graph
     (doc_id -> two hash-derived hub targets): the link-graph curation
@@ -2406,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "pagerank": q_pagerank,
         "triangle_count": q_triangle_count,
+        "clustering_coeff": q_clustering_coeff,
         "top_terms": q_top_terms,
         "simhash_pairs_q": q_simhash_pairs,
         "orc_roundtrip": q_orc_roundtrip,
@@ -4080,6 +4099,30 @@ pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
   FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, hamming FROM pairs
 WHERE hamming <= 3 ORDER BY doc_a, doc_b
+""",
+        "clustering_coeff": """
+WITH e0 AS (SELECT doc_id AS s, (doc_id * 7 + 3) % 500 AS t FROM documents
+            UNION
+            SELECT doc_id, (doc_id * 13 + 1) % 500 FROM documents),
+e AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+      FROM e0 WHERE s != t),
+deg AS (SELECT node, count(*)::BIGINT AS degree
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node),
+tri AS (SELECT node, count(*)::BIGINT AS n_triangles FROM (
+          SELECT unnest([e1.a, e1.b, e2.b]) AS node
+          FROM e e1
+          JOIN e e2 ON e1.b = e2.a
+          JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b)
+        GROUP BY node)
+SELECT deg.node, degree,
+       coalesce(n_triangles, 0)::BIGINT AS n_triangles,
+       CASE WHEN degree >= 2
+            THEN round(coalesce(n_triangles, 0)
+                       / (degree * (degree - 1) / 2.0), 6)
+            ELSE 0.0 END AS coeff
+FROM deg LEFT JOIN tri ON deg.node = tri.node
+ORDER BY deg.node
 """,
         "triangle_count": """
 WITH e0 AS (SELECT doc_id AS s, (doc_id * 7 + 3) % 500 AS t FROM documents

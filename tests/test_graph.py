@@ -195,3 +195,48 @@ def test_triangle_count_matches_bruteforce_random(spark):
     for orient in ("id", "degree"):
         got = triangle_count(df, orient=orient).collect()[0]["n_triangles"]
         assert got == want, (orient, got, want)
+
+
+def test_clustering_coefficients(spark):
+    from krnel_graph_spark.functions.graph import clustering_coefficients
+
+    # triangle 0-1-2 plus pendant 2-3: c(0)=c(1)=1, c(2)=1/3, c(3)=0
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3)], "src long, dst long"
+    )
+    got = {r["node"]: r for r in clustering_coefficients(df).collect()}
+    assert got[0]["coeff"] == 1.0 and got[0]["degree"] == 2
+    assert got[1]["coeff"] == 1.0
+    assert got[2]["coeff"] == round(1 / 3, 6) and got[2]["degree"] == 3
+    assert got[3]["coeff"] == 0.0 and got[3]["n_triangles"] == 0
+
+
+def test_clustering_coefficients_bruteforce(spark):
+    import itertools
+
+    import numpy as np
+
+    from krnel_graph_spark.functions.graph import clustering_coefficients
+
+    rng = np.random.RandomState(9)
+    n = 25
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    chosen = [pairs[i] for i in rng.choice(len(pairs), size=90, replace=False)]
+    adj = {i: set() for i in range(n)}
+    for a, b in chosen:
+        adj[a].add(b)
+        adj[b].add(a)
+    df = spark.createDataFrame(chosen, "src long, dst long")
+    got = {r["node"]: r for r in clustering_coefficients(df).collect()}
+    for v in range(n):
+        d = len(adj[v])
+        if d == 0:
+            assert v not in got
+            continue
+        tri = sum(
+            1 for x, y in itertools.combinations(sorted(adj[v]), 2) if y in adj[x]
+        )
+        assert got[v]["degree"] == d
+        assert got[v]["n_triangles"] == tri
+        want = round(tri / (d * (d - 1) / 2), 6) if d >= 2 else 0.0
+        assert got[v]["coeff"] == want, (v, got[v]["coeff"], want)
