@@ -2238,6 +2238,18 @@ def q_fuzzy_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_session_cooccurrence(spark, sf_dir):
+    """Within-session event-type co-occurrence ("viewed together") over
+    gap-based sessions (30 min): one user-keyed window shuffle for
+    session ids, set-semantics pair join keyed (user, session). Oracle
+    replays lag/running-sum/distinct/self-join in SQL."""
+    from krnel_graph_spark.functions.behavior import session_cooccurrence
+
+    return session_cooccurrence(
+        _t(spark, sf_dir, "events"), gap=1800, order_cols=["event_id"]
+    )
+
+
 def q_event_transitions(spark, sf_dir):
     """Per-user next-event transition counts (sankey/flow table): one
     user-keyed lead window (single-row window state), then a map-side
@@ -2446,6 +2458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "fuzzy_pairs": q_fuzzy_pairs,
         "event_transitions": q_event_transitions,
+        "session_cooccurrence": q_session_cooccurrence,
         "weighted_sample": q_weighted_sample,
         # -- r6 window filler: previously hash-green, re-recorded -- #
         "agg_q1": q_agg_q1,
@@ -4099,6 +4112,24 @@ pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
   FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, hamming FROM pairs
 WHERE hamming <= 3 ORDER BY doc_a, doc_b
+""",
+        "session_cooccurrence": """
+WITH t AS (SELECT user_id, event_type, ts, event_id,
+  CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+       THEN 1 ELSE 0 END AS ns
+  FROM events),
+s AS (SELECT user_id, event_type,
+  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sess
+  FROM t),
+k AS (SELECT DISTINCT user_id, sess, event_type FROM s)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*)::BIGINT AS n_sessions
+FROM k a JOIN k b
+  ON a.user_id = b.user_id AND a.sess = b.sess
+ AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "clustering_coeff": """
 WITH e0 AS (SELECT doc_id AS s, (doc_id * 7 + 3) % 500 AS t FROM documents

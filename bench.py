@@ -129,6 +129,8 @@ HEADLINE = [
     "ann_ivfpq",
     "image_dups_q",
     "video_dups_q",
+    "session_cooccurrence",
+    "clustering_coeff",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

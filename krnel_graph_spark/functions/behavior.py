@@ -388,3 +388,67 @@ def rrf_fuse(
         .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
     )
     return out.limit(topk) if topk is not None else out
+
+
+def session_cooccurrence(
+    df: DataFrame,
+    gap: int = 1800,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = (),
+    min_count: int = 1,
+) -> DataFrame:
+    """Within-session event-type co-occurrence counts — the "viewed
+    together" table behind session-based recommenders and affinity
+    dashboards. A session is a gap-based run of one user's events
+    (> ``gap`` seconds of silence starts a new one); each session
+    contributes each unordered type pair ONCE (set semantics). Returns
+    ``(type_a, type_b, n_sessions)`` with ``type_a < type_b``.
+
+    Ordering within a user is ``(ts, *order_cols)`` — pass a unique
+    tiebreaker when timestamps can collide so session boundaries are
+    deterministic.
+
+    Scale: one user-keyed shuffle assigns session ids (lag + running sum
+    window, single-row state); the distinct (user, session, type) frame
+    is bounded by sessions × type-cardinality; the pair self-join keys on
+    (user, session) — within-session fan-out is C(types, 2), tiny for
+    real type vocabularies; the final count partial-aggregates into a
+    types² result.
+    """
+    df = with_event_time(df, ts_col)
+    order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    gap_us = int(gap) * 1_000_000
+    t = F.unix_micros(F.col(ts_col))
+    new_sess = (
+        F.when(
+            t - F.lag(t).over(w) > F.lit(gap_us), F.lit(1)
+        ).otherwise(F.lit(0))
+    )
+    keyed = (
+        df.select(
+            F.col(user_col).alias("__u"),
+            F.col(type_col).alias("__y"),
+            F.sum(new_sess).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("__s"),
+        )
+        .dropDuplicates(["__u", "__s", "__y"])
+    )
+    l, r = keyed.alias("l"), keyed.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.__u") == F.col("r.__u"))
+            & (F.col("l.__s") == F.col("r.__s"))
+            & (F.col("l.__y") < F.col("r.__y")),
+        )
+        .groupBy(
+            F.col("l.__y").alias("type_a"), F.col("r.__y").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .filter(F.col("n_sessions") >= min_count)
+        .orderBy("type_a", "type_b")
+    )

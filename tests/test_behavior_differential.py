@@ -198,3 +198,37 @@ def test_funnel_step_names_with_quotes(spark):
     got = funnel(spark.createDataFrame(pdf), steps).collect()
     assert [r["step"] for r in got] == steps
     assert [r["users"] for r in got] == [2, 1, 1]
+
+
+def test_session_cooccurrence_differential(spark):
+    """Pandas reimplementation differential on a random log: gap-based
+    session split, set-semantics pair counting."""
+    from krnel_graph_spark.functions.behavior import session_cooccurrence
+
+    pdf = _random_log(31, n_users=200, max_events=10)
+    pdf["event_id"] = range(len(pdf))
+    gap = 6 * 3600
+
+    expected: dict[tuple, int] = {}
+    for _, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        sess, last = 0, None
+        sessions: dict[int, set] = {}
+        for _, r in g.iterrows():
+            if last is not None and (r.ts - last).total_seconds() > gap:
+                sess += 1
+            last = r.ts
+            sessions.setdefault(sess, set()).add(r.event_type)
+        for types in sessions.values():
+            for a in types:
+                for b in types:
+                    if a < b:
+                        expected[(a, b)] = expected.get((a, b), 0) + 1
+
+    got = {
+        (r["type_a"], r["type_b"]): r["n_sessions"]
+        for r in session_cooccurrence(
+            spark.createDataFrame(pdf), gap=gap, order_cols=["event_id"]
+        ).collect()
+    }
+    assert got == expected
