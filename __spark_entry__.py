@@ -1470,6 +1470,26 @@ def q_clustering_coeff(spark, sf_dir):
     return clustering_coefficients(e1.union(e2))
 
 
+def q_k_core(spark, sf_dir):
+    """2-core of the synthetic link graph (iterative peel, one degree agg
+    + two semi-joins per round, localCheckpoint lineage breaks). Rows-only
+    by design: the fixpoint iteration count is data-dependent, so the SQL
+    twin would be an unbounded recursive CTE; membership + in-core degrees
+    are pinned by test_graph.py::test_k_core_golden_and_bruteforce."""
+    from krnel_graph_spark.functions.graph import k_core
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 500).alias("dst"),
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 13 + 1) % 500).alias("dst"),
+    )
+    return k_core(e1.union(e2), k=2)
+
+
 def q_pagerank(spark, sf_dir):
     """Deterministic 5-iteration PageRank over a synthetic link graph
     (doc_id -> two hash-derived hub targets): the link-graph curation
@@ -2437,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "triangle_count": q_triangle_count,
         "clustering_coeff": q_clustering_coeff,
+        "k_core": q_k_core,
         "top_terms": q_top_terms,
         "simhash_pairs_q": q_simhash_pairs,
         "orc_roundtrip": q_orc_roundtrip,

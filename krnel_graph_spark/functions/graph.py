@@ -323,3 +323,61 @@ def clustering_coefficients(
         )
         .orderBy("node")
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """Nodes of the ``k``-core (the maximal subgraph where every node has
+    degree ≥ k) — the density/spam signal for link-graph curation.
+    Returns ``(node, degree)`` with the degree INSIDE the core.
+
+    Iterative peeling: drop all nodes of degree < k, recompute degrees on
+    the induced subgraph, repeat to fixpoint. Each round is one degree
+    aggregation plus two semi-joins on the shrinking edge list;
+    ``localCheckpoint`` breaks lineage per round (same policy as
+    :func:`connected_components`). Rounds needed = peeling depth, which
+    is small on real graphs; ``max_iter`` guards adversarial chains.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        ne = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_new = ne.count()
+        e = ne
+        if n_new == n_edges:
+            break
+        n_edges = n_new
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return deg.filter(F.col("degree") >= k).orderBy("node")

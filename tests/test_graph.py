@@ -240,3 +240,42 @@ def test_clustering_coefficients_bruteforce(spark):
         assert got[v]["n_triangles"] == tri
         want = round(tri / (d * (d - 1) / 2), 6) if d >= 2 else 0.0
         assert got[v]["coeff"] == want, (v, got[v]["coeff"], want)
+
+
+def test_k_core_golden_and_bruteforce(spark):
+    import numpy as np
+
+    from krnel_graph_spark.functions.graph import k_core
+
+    # triangle (2-core) + tail 2-3-4 that peels away entirely at k=2
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = {r["node"]: r["degree"] for r in k_core(df, k=2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+    assert k_core(df, k=3).count() == 0
+
+    def brute(pairs, k):
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for v in list(adj):
+                if len(adj[v]) < k:
+                    for u in adj.pop(v):
+                        adj[u].discard(v)
+                    changed = True
+        return {v: len(ns) for v, ns in adj.items() if ns}
+
+    rng = np.random.RandomState(17)
+    n = 30
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    chosen = [pairs[i] for i in rng.choice(len(pairs), size=70, replace=False)]
+    sdf = spark.createDataFrame(chosen, "src long, dst long")
+    for k in (2, 3, 4):
+        want = brute(chosen, k)
+        got = {r["node"]: r["degree"] for r in k_core(sdf, k=k).collect()}
+        assert got == want, (k, got, want)
