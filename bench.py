@@ -131,6 +131,7 @@ HEADLINE = [
     "video_dups_q",
     "session_cooccurrence",
     "clustering_coeff",
+    "k_core",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds
