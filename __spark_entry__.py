@@ -1470,6 +1470,24 @@ def q_clustering_coeff(spark, sf_dir):
     return clustering_coefficients(e1.union(e2))
 
 
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity of the synthetic link graph: all moments are
+    exact integer sums (degrees × degrees), so the only floating-point is
+    the final Pearson formula — identical op order in the SQL oracle."""
+    from krnel_graph_spark.functions.graph import degree_assortativity
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 500).alias("dst"),
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 13 + 1) % 500).alias("dst"),
+    )
+    return degree_assortativity(e1.union(e2))
+
+
 def q_k_core(spark, sf_dir):
     """2-core of the synthetic link graph (iterative peel, one degree agg
     + two semi-joins per round, localCheckpoint lineage breaks). Rows-only
@@ -2458,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "clustering_coeff": q_clustering_coeff,
         "k_core": q_k_core,
+        "assortativity": q_assortativity,
         "top_terms": q_top_terms,
         "simhash_pairs_q": q_simhash_pairs,
         "orc_roundtrip": q_orc_roundtrip,
@@ -4175,6 +4194,31 @@ SELECT deg.node, degree,
             ELSE 0.0 END AS coeff
 FROM deg LEFT JOIN tri ON deg.node = tri.node
 ORDER BY deg.node
+""",
+        "assortativity": """
+WITH e0 AS (SELECT doc_id AS s, (doc_id * 7 + 3) % 500 AS t FROM documents
+            UNION
+            SELECT doc_id, (doc_id * 13 + 1) % 500 FROM documents),
+e AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+      FROM e0 WHERE s != t),
+deg AS (SELECT node, count(*)::BIGINT AS d
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node),
+ed AS (SELECT da.d AS x, db.d AS y
+       FROM e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node),
+sym AS (SELECT x, y FROM ed UNION ALL SELECT y, x FROM ed),
+m AS (SELECT count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::BIGINT AS sxy,
+             sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+      FROM sym)
+SELECT (n / 2)::BIGINT AS n_edges,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN round((n * sxy - sx * sy)::DOUBLE
+                       / sqrt((n * sxx - sx * sx)::DOUBLE)
+                       / sqrt((n * syy - sy * sy)::DOUBLE), 6)
+            ELSE 0.0 END AS assortativity
+FROM m
 """,
         "triangle_count": """
 WITH e0 AS (SELECT doc_id AS s, (doc_id * 7 + 3) % 500 AS t FROM documents

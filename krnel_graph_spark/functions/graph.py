@@ -381,3 +381,58 @@ def k_core(
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
     return deg.filter(F.col("degree") >= k).orderBy("node")
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient of the undirected simple graph —
+    the Pearson correlation of endpoint degrees over all edge-endpoint
+    pairs (each edge counted in both directions, the standard Newman
+    definition). One row: ``(n_edges, assortativity)``.
+
+    Engine-exact: degrees and their products are integers, so every
+    moment is an EXACT integer sum; only the final Pearson formula runs
+    in floating point (identical op order on any engine, round-6).
+
+    Scale: the degree table joins the edge list twice on node keys; the
+    moment aggregation partial-combines map-side to one row.
+    """
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    ed = e.join(da, "a").join(db, "b")
+    sym = ed.select(
+        F.col("da").alias("x"), F.col("db").alias("y")
+    ).unionAll(ed.select(F.col("db").alias("x"), F.col("da").alias("y")))
+    m = sym.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    dx = F.sqrt((n * F.col("sxx") - sx * sx).cast("double"))
+    dy = F.sqrt((n * F.col("syy") - sy * sy).cast("double"))
+    return m.select(
+        (n / F.lit(2)).cast("long").alias("n_edges"),
+        F.when(
+            (dx > 0) & (dy > 0), F.round(num / dx / dy, 6)
+        ).otherwise(F.lit(0.0)).alias("assortativity"),
+    )

@@ -279,3 +279,32 @@ def test_k_core_golden_and_bruteforce(spark):
         want = brute(chosen, k)
         got = {r["node"]: r["degree"] for r in k_core(sdf, k=k).collect()}
         assert got == want, (k, got, want)
+
+
+def test_degree_assortativity_bruteforce(spark):
+    import numpy as np
+
+    from krnel_graph_spark.functions.graph import degree_assortativity
+
+    rng = np.random.RandomState(23)
+    n = 30
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    chosen = [pairs[i] for i in rng.choice(len(pairs), size=80, replace=False)]
+    deg = {}
+    for a, b in chosen:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs, ys = [], []
+    for a, b in chosen:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    want = round(float(np.corrcoef(xs, ys)[0, 1]), 6)
+
+    df = spark.createDataFrame(chosen, "src long, dst long")
+    row = degree_assortativity(df).collect()[0]
+    assert row["n_edges"] == 80
+    assert abs(row["assortativity"] - want) < 2e-6
+
+    # star graph: perfectly disassortative
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    assert degree_assortativity(star).collect()[0]["assortativity"] == -1.0
