@@ -162,3 +162,18 @@ def test_runner_avro_roundtrip(runner):
         pdf = runner.to_pandas(back)
     orig = runner.to_pandas(nat)
     assert pdf[orig.columns.tolist()].equals(orig)
+
+
+def test_date_column_roundtrip(spark, tmp_path):
+    src = spark.sql(
+        "SELECT id, date_add(date'2020-01-01', CAST(id AS INT)) AS d, "
+        "CASE WHEN id % 3 = 0 THEN NULL "
+        "ELSE date_sub(date'1969-12-31', CAST(id AS INT)) END AS pre_epoch "
+        "FROM range(50)"
+    )
+    path = str(tmp_path / "dates_avro")
+    av.write_avro_dataframe(src, path)
+    back = av.read_avro_dataframe(spark, path)
+    a = src.toPandas().sort_values("id").reset_index(drop=True)
+    b = back.toPandas().sort_values("id").reset_index(drop=True)[a.columns.tolist()]
+    pd.testing.assert_frame_equal(a, b)

@@ -308,3 +308,24 @@ def test_degree_assortativity_bruteforce(spark):
     # star graph: perfectly disassortative
     star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
     assert degree_assortativity(star).collect()[0]["assortativity"] == -1.0
+
+
+def test_graph_ops_empty_and_trivial(spark):
+    from krnel_graph_spark.functions.graph import (
+        clustering_coefficients,
+        degree_assortativity,
+        k_core,
+        triangle_count,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert triangle_count(empty).collect()[0]["n_triangles"] == 0
+    assert clustering_coefficients(empty).count() == 0
+    assert k_core(empty, k=2).count() == 0
+    row = degree_assortativity(empty).collect()[0]
+    assert row["n_edges"] == 0 and row["assortativity"] == 0.0
+
+    # a single edge: no triangles, degenerate (zero-variance) correlation
+    one = spark.createDataFrame([(1, 2)], "src long, dst long")
+    assert triangle_count(one).collect()[0]["n_triangles"] == 0
+    assert degree_assortativity(one).collect()[0]["assortativity"] == 0.0

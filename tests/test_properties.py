@@ -301,3 +301,21 @@ def test_avro_container_roundtrip_property(records, codec):
     out_schema, out = decode_container(encode_container(schema, records, codec))
     assert out_schema == schema
     assert out == records
+
+
+@given(
+    n=st.integers(1, 6),
+    h=st.integers(1, 10),
+    w=st.integers(1, 10),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_y4m_roundtrip_property(n, h, w, seed):
+    import numpy as np
+
+    from krnel_graph_spark.functions.codecs import decode_y4m, encode_y4m
+
+    rng = np.random.RandomState(seed)
+    frames = rng.randint(0, 256, size=(n, h, w)).astype(np.uint8)
+    fps, out = decode_y4m(encode_y4m(frames, fps=(30000, 1001)))
+    assert fps == (30000, 1001) and np.array_equal(out, frames)
