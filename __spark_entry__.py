@@ -2110,6 +2110,27 @@ def q_tfidf(spark, sf_dir):
     return tx.tfidf(_docs(spark, sf_dir), "text", "doc_id", vocab_size=20)
 
 
+def q_fluent_pipeline(spark, sf_dir):
+    """The reference-parity OpSpec engine and the scale surface composed
+    in ONE content-addressed graph: parquet scan → slice → exact dedup
+    (min-row-id keeper) → quality enrichment → chunk fan-out, all fluent
+    ops with stable uuids (memoized under a store-backed runner). Rows-
+    only by design: the oracle-equivalent pieces are hash-graded
+    separately (dedup_exact, text_stats, chunk_docs); this entry grades
+    the OpSpec integration path end-to-end."""
+    runner = _runner(spark)
+    ds = runner.from_parquet(f"{sf_dir}/documents.parquet")
+    pipe = (
+        ds.take(400)
+        .drop_exact_dups("text")
+        .text_stats("text")
+        .chunk_docs("text", chunk_size=32, overlap=8)
+    )
+    return runner.dataframe(pipe).drop("__row_id").orderBy(
+        "src_row_id", "chunk_id"
+    )
+
+
 def q_text_stats(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select(
@@ -2491,6 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "profile_table_hll": q_profile_table_hll,
         "audio_fp": q_audio_fp,
+        "fluent_pipeline": q_fluent_pipeline,
         "video_dups_q": q_video_dups,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,

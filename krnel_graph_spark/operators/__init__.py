@@ -29,6 +29,12 @@ from .dataset_ops import (
     VectorToScalarOp,
 )
 from .grouped_ops import GroupedOp
+from .scale_ops import (
+    ChunkDocumentsOp,
+    DropExactDupsOp,
+    DropNearDupsOp,
+    TextStatsOp,
+)
 from .llm_ops import LLMGenerateTextOp, LLMLayerActivationsOp, LLMLogitScoresOp
 from .viz_ops import UMAPVizOp
 

@@ -1,0 +1,67 @@
+"""OpSpec wrappers for the scale surface — dedup, text stats, chunking.
+
+The reference's OpSpec layer (content-addressed, memoized, rehydratable —
+``SURVEY.md §1.6/§4.1``) and this repo's beyond-reference scale functions
+(``functions/``) meet here: the most pipeline-shaped scale operations get
+dataset-level ops so they compose with the fluent API and inherit the
+result store for free. A corpus dedup that took an hour is exactly the
+kind of result content-addressed memoization exists for.
+
+Row-id semantics follow the engine's positional contract:
+
+- filters (dedup) keep the surviving rows' ORIGINAL ids (non-dense, like
+  ``MaskRowsOp``) — downstream positional ops keep working;
+- row-aligned enrichment (text stats) preserves ids and density;
+- fan-out (chunking) derives a deterministic new id from
+  ``parent_id * 2^20 + chunk_id`` (documented 1M-chunks-per-doc bound),
+  keeping exports reproducible without a global sort.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..types import DatasetType
+
+
+class DropExactDupsOp(DatasetType):
+    """Keep one row (min row id — the FIRST occurrence, positionally) per
+    normalized-text fingerprint of ``text_column``. Lowering:
+    ``functions/dedup.py:drop_exact_dups`` keyed on the engine row id."""
+
+    dataset: DatasetType
+    text_column: str
+
+
+class DropNearDupsOp(DatasetType):
+    """Remove MinHash-LSH near-duplicates of ``text_column``; keeps the
+    min-row-id representative per verified pair-graph component (or the
+    best ``keep_by`` member). Lowering: ``dedup.py:drop_near_dups``."""
+
+    dataset: DatasetType
+    text_column: str
+    num_perm: int = 32
+    bands: int = 8
+    shingle_k: int = 3
+    jaccard_threshold: float = 0.5
+    keep_by: Optional[str] = None
+
+
+class TextStatsOp(DatasetType):
+    """Append the text-quality stat columns (``n_tok``, ``n_tok_bpe``,
+    ``stop_r``, ``punct_r``, ``mwl``, ``quality``) for ``text_column`` —
+    row-aligned enrichment, pure codegen expressions."""
+
+    dataset: DatasetType
+    text_column: str
+
+
+class ChunkDocumentsOp(DatasetType):
+    """Explode ``text_column`` into overlapping token-window chunks
+    (``chunk_id``, ``n_tokens``, ``chunk`` + ``src_row_id``). Lowering:
+    ``text.py:chunk_documents`` — zero-shuffle fan-out."""
+
+    dataset: DatasetType
+    text_column: str
+    chunk_size: int = 32
+    overlap: int = 8

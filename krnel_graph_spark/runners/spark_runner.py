@@ -31,6 +31,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.scale_ops import (
+    ChunkDocumentsOp,
+    DropExactDupsOp,
+    DropNearDupsOp,
+    TextStatsOp,
+)
 from ..operators.dataset_ops import (
     AssignRowIDOp,
     AssignTrainTestSplitOp,
@@ -843,6 +849,86 @@ def load_orc(runner: SparkRunner, op: LoadORCDatasetOp) -> DatasetPlan:
     parquet). Row ids follow the text-source policy: written ids are
     re-adopted on round-trips, fresh scans get stable monotonic ids."""
     return _text_scan_with_row_ids(runner.spark.read.orc(op.file_path), op.uuid)
+
+
+@SparkRunner.implementation
+def drop_exact_dups_op(runner: SparkRunner, op: DropExactDupsOp) -> DatasetPlan:
+    """Scale-surface dedup as a memoized op: keep the min-row-id row per
+    normalized-text fingerprint (``functions/dedup.py:drop_exact_dups``
+    keyed on the engine row id — "first occurrence wins", positionally).
+    Survivors keep their ORIGINAL ids, like a mask (dense=False)."""
+    from ..functions.dedup import drop_exact_dups as _impl
+
+    ds = runner.dataset_plan(op.dataset)
+    out = _impl(ds.df, op.text_column, ROW_ID)
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=False)
+
+
+@SparkRunner.implementation
+def drop_near_dups_op(runner: SparkRunner, op: DropNearDupsOp) -> DatasetPlan:
+    """MinHash-LSH near-dedup as a memoized op (the expensive pipeline
+    step content-addressing exists for). Survivors keep original ids."""
+    from ..functions.dedup import drop_near_dups as _impl
+
+    ds = runner.dataset_plan(op.dataset)
+    out = _impl(
+        ds.df,
+        op.text_column,
+        ROW_ID,
+        num_perm=op.num_perm,
+        bands=op.bands,
+        shingle_k=op.shingle_k,
+        jaccard_threshold=op.jaccard_threshold,
+        keep_by=op.keep_by,
+    )
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=False)
+
+
+@SparkRunner.implementation
+def text_stats_op(runner: SparkRunner, op: TextStatsOp) -> DatasetPlan:
+    """Row-aligned text-quality enrichment: appends n_tok / n_tok_bpe /
+    stop_r / punct_r / mwl / quality as pure codegen expressions fused
+    into the parent plan; ids and density are preserved."""
+    from ..functions import text as tx
+
+    ds = runner.dataset_plan(op.dataset)
+    c = op.text_column
+    out = ds.df.select(
+        "*",
+        tx.token_count(c).alias("n_tok"),
+        tx.regex_token_count(c).alias("n_tok_bpe"),
+        F.round(tx.stopword_ratio(c), 6).alias("stop_r"),
+        F.round(tx.punct_ratio(c), 6).alias("punct_r"),
+        F.round(tx.mean_word_length(c), 6).alias("mwl"),
+        F.round(tx.quality_score(c), 6).alias("quality"),
+    )
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=ds.dense)
+
+
+@SparkRunner.implementation
+def chunk_documents_op(runner: SparkRunner, op: ChunkDocumentsOp) -> DatasetPlan:
+    """Zero-shuffle chunk fan-out. New deterministic row ids:
+    ``parent_id * 2^20 + chunk_id`` (1M chunks/doc bound, asserted), so
+    exports reproduce without a global sort; the parent id rides along as
+    ``src_row_id`` for joins back to the document."""
+    from ..functions.text import chunk_documents as _impl
+
+    ds = runner.dataset_plan(op.dataset)
+    out = _impl(ds.df, op.text_column, ROW_ID, op.chunk_size, op.overlap)
+    out = out.withColumnRenamed(ROW_ID, "src_row_id").select(
+        (
+            F.col("src_row_id") * F.lit(1 << 20)
+            + F.when(
+                F.col("chunk_id") < (1 << 20), F.col("chunk_id")
+            ).otherwise(
+                F.raise_error(
+                    F.lit("chunk_documents op: > 2^20 chunks in one document")
+                )
+            )
+        ).alias(ROW_ID),
+        "*",
+    )
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=False)
 
 
 @SparkRunner.implementation

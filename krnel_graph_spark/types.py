@@ -89,6 +89,55 @@ class DatasetType(OpSpec):
 
         return AssignRowIDOp(dataset=self)
 
+    # -- scale surface (beyond-reference; memoized like any op) ----------- #
+
+    def drop_exact_dups(self, text_column: str) -> "DatasetType":
+        """Keep the first (min row id) row per normalized-text fingerprint."""
+        from .operators.scale_ops import DropExactDupsOp
+
+        return DropExactDupsOp(dataset=self, text_column=text_column)
+
+    def drop_near_dups(
+        self,
+        text_column: str,
+        num_perm: int = 32,
+        bands: int = 8,
+        shingle_k: int = 3,
+        jaccard_threshold: float = 0.5,
+        keep_by: Optional[str] = None,
+    ) -> "DatasetType":
+        """Remove MinHash-LSH near-duplicates of ``text_column``."""
+        from .operators.scale_ops import DropNearDupsOp
+
+        return DropNearDupsOp(
+            dataset=self,
+            text_column=text_column,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_k=shingle_k,
+            jaccard_threshold=jaccard_threshold,
+            keep_by=keep_by,
+        )
+
+    def text_stats(self, text_column: str) -> "DatasetType":
+        """Append token/stopword/punctuation/quality stat columns."""
+        from .operators.scale_ops import TextStatsOp
+
+        return TextStatsOp(dataset=self, text_column=text_column)
+
+    def chunk_docs(
+        self, text_column: str, chunk_size: int = 32, overlap: int = 8
+    ) -> "DatasetType":
+        """Explode documents into overlapping token-window chunks."""
+        from .operators.scale_ops import ChunkDocumentsOp
+
+        return ChunkDocumentsOp(
+            dataset=self,
+            text_column=text_column,
+            chunk_size=chunk_size,
+            overlap=overlap,
+        )
+
     # -- dataset preparation ---------------------------------------------- #
 
     def assign_train_test_split(

@@ -1,0 +1,107 @@
+"""OpSpec wrappers for the scale surface: fluent API, memoization,
+rehydration, and row-id semantics (the contracts that make dedup/chunking
+first-class citizens of the content-addressed engine)."""
+
+import pandas as pd
+import pytest
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def test_fluent_dedup_matches_function(lazy_runner, spark):
+    from krnel_graph_spark.functions.dedup import drop_exact_dups
+
+    ds = lazy_runner.from_parquet(DOCS)
+    op = ds.drop_exact_dups("text")
+    got = lazy_runner.to_pandas(op)
+
+    raw = spark.read.parquet(DOCS)
+    want_n = drop_exact_dups(raw, "text", "doc_id").count()
+    assert len(got) == want_n <= raw.count()
+    # survivors keep their original row ids — positional ops still work
+    ids = lazy_runner.to_pandas(op.assign_row_id())
+    assert len(ids) == want_n
+
+
+def test_text_stats_enrichment_alignment(lazy_runner):
+    ds = lazy_runner.from_parquet(DOCS)
+    enriched = ds.text_stats("text")
+    pdf = lazy_runner.to_pandas(enriched)
+    base = lazy_runner.to_pandas(ds)
+    assert len(pdf) == len(base)
+    for col in ("n_tok", "n_tok_bpe", "stop_r", "punct_r", "mwl", "quality"):
+        assert col in pdf.columns
+    # row-aligned: doc_id order identical to the parent export
+    assert (pdf["doc_id"].to_numpy() == base["doc_id"].to_numpy()).all()
+
+
+def test_chunk_docs_ids_deterministic(lazy_runner):
+    ds = lazy_runner.from_parquet(DOCS)
+    chunks = ds.take(50).chunk_docs("text", chunk_size=16, overlap=4)
+    a = lazy_runner.to_pandas(chunks)
+    b = lazy_runner.to_pandas(chunks)
+    pd.testing.assert_frame_equal(a, b)
+    assert {"src_row_id", "chunk_id", "chunk_text"} <= set(a.columns)
+    assert a["chunk_id"].max() >= 1  # some doc actually fanned out
+
+
+def test_dedup_memoized_and_rehydrates(runner):
+    import time
+
+    ds = runner.from_parquet(DOCS)
+    op = ds.take(200).drop_near_dups("text", num_perm=16, bands=4)
+    first = runner.to_pandas(op)
+
+    from krnel_graph_spark import SparkRunner
+
+    fresh = SparkRunner(spark=runner.spark, store_path=runner.store.root_path
+                        if hasattr(runner.store, "root_path") else str(runner.store.root))
+    t0 = time.time()
+    second = fresh.to_pandas(op)
+    dt = time.time() - t0
+    assert dt < 1.5, f"store hit should skip the LSH pipeline ({dt:.2f}s)"
+    pd.testing.assert_frame_equal(first, second)
+
+    # rehydration: the op graph rebuilds from the store by uuid alone
+    rebuilt = fresh.uuid_to_op(op.uuid)
+    assert type(rebuilt).__name__ == "DropNearDupsOp"
+    assert rebuilt.uuid == op.uuid
+
+
+def test_pipeline_composition(lazy_runner):
+    """The r6 point: reference-parity ops and scale ops compose in ONE
+    graph — slice, dedup, enrich, chunk — all content-addressed."""
+    ds = lazy_runner.from_parquet(DOCS)
+    pipe = (
+        ds.take(100)
+        .drop_exact_dups("text")
+        .text_stats("text")
+        .chunk_docs("text", chunk_size=32, overlap=8)
+    )
+    pdf = lazy_runner.to_pandas(pipe)
+    assert len(pdf) > 0
+    # chunking projects down to (src_row_id, chunk_id, n_tokens, chunk_text)
+    # by contract; the enrichment stage exposes quality before the fan-out.
+    assert {"chunk_text", "src_row_id", "chunk_id"} <= set(pdf.columns)
+    enriched = lazy_runner.to_pandas(
+        ds.take(100).drop_exact_dups("text").text_stats("text")
+    )
+    assert "quality" in enriched.columns
+    # identity is stable: same structure -> same uuid
+    again = (
+        lazy_runner.from_parquet(DOCS)
+        .take(100)
+        .drop_exact_dups("text")
+        .text_stats("text")
+        .chunk_docs("text", chunk_size=32, overlap=8)
+    )
+    assert again.uuid == pipe.uuid
+    # ...and parameter changes move it
+    other = (
+        lazy_runner.from_parquet(DOCS)
+        .take(100)
+        .drop_exact_dups("text")
+        .text_stats("text")
+        .chunk_docs("text", chunk_size=64, overlap=8)
+    )
+    assert other.uuid != pipe.uuid
