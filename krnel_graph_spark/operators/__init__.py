@@ -33,6 +33,7 @@ from .scale_ops import (
     ChunkDocumentsOp,
     DropExactDupsOp,
     DropNearDupsOp,
+    HashSampleOp,
     TextStatsOp,
 )
 from .llm_ops import LLMGenerateTextOp, LLMLayerActivationsOp, LLMLogitScoresOp

@@ -65,3 +65,13 @@ class ChunkDocumentsOp(DatasetType):
     text_column: str
     chunk_size: int = 32
     overlap: int = 8
+
+
+class HashSampleOp(DatasetType):
+    """Deterministic Bernoulli sample keyed on the engine row id: a pure
+    scan-side filter (no shuffle, no RNG state) that selects the SAME rows
+    on any partitioning. Lowering: ``sampling.py:hash_sample``."""
+
+    dataset: DatasetType
+    fraction: float
+    seed: int = 0

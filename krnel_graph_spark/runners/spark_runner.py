@@ -35,6 +35,7 @@ from ..operators.scale_ops import (
     ChunkDocumentsOp,
     DropExactDupsOp,
     DropNearDupsOp,
+    HashSampleOp,
     TextStatsOp,
 )
 from ..operators.dataset_ops import (
@@ -928,6 +929,18 @@ def chunk_documents_op(runner: SparkRunner, op: ChunkDocumentsOp) -> DatasetPlan
         ).alias(ROW_ID),
         "*",
     )
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=False)
+
+
+@SparkRunner.implementation
+def hash_sample_op(runner: SparkRunner, op: HashSampleOp) -> DatasetPlan:
+    """Deterministic Bernoulli sample on the row-id hash: a scan-side
+    filter that pushes down, keeps original ids (dense=False), and picks
+    identical rows under any partitioning or engine."""
+    from ..functions.sampling import hash_sample as _impl
+
+    ds = runner.dataset_plan(op.dataset)
+    out = _impl(ds.df, ROW_ID, op.fraction, seed=op.seed)
     return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=False)
 
 

@@ -138,6 +138,12 @@ class DatasetType(OpSpec):
             overlap=overlap,
         )
 
+    def hash_sample(self, fraction: float, seed: int = 0) -> "DatasetType":
+        """Deterministic row-id-hash Bernoulli sample (scan-side filter)."""
+        from .operators.scale_ops import HashSampleOp
+
+        return HashSampleOp(dataset=self, fraction=fraction, seed=seed)
+
     # -- dataset preparation ---------------------------------------------- #
 
     def assign_train_test_split(

@@ -105,3 +105,20 @@ def test_pipeline_composition(lazy_runner):
         .chunk_docs("text", chunk_size=64, overlap=8)
     )
     assert other.uuid != pipe.uuid
+
+
+def test_hash_sample_deterministic_and_pushed(lazy_runner):
+    ds = lazy_runner.from_parquet(DOCS)
+    s = ds.hash_sample(0.25, seed=3)
+    a = lazy_runner.to_pandas(s)
+    b = lazy_runner.to_pandas(s)
+    pd.testing.assert_frame_equal(a, b)
+    n_all = len(lazy_runner.to_pandas(ds))
+    assert 0 < len(a) < n_all
+    assert abs(len(a) / n_all - 0.25) < 0.1
+    # different seed -> different (deterministic) subset
+    c = lazy_runner.to_pandas(ds.hash_sample(0.25, seed=4))
+    assert not a["doc_id"].equals(c["doc_id"])
+    # composes with the rest of the fluent surface
+    piped = lazy_runner.to_pandas(s.drop_exact_dups("text").text_stats("text"))
+    assert "quality" in piped.columns and len(piped) <= len(a)
