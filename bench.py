@@ -132,6 +132,7 @@ HEADLINE = [
     "session_cooccurrence",
     "clustering_coeff",
     "k_core",
+    "fluent_pipeline",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds
