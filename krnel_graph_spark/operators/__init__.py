@@ -30,7 +30,9 @@ from .dataset_ops import (
 )
 from .grouped_ops import GroupedOp
 from .scale_ops import (
+    AnnTopKOp,
     ChunkDocumentsOp,
+    DecontaminateAgainstOp,
     DropExactDupsOp,
     DropNearDupsOp,
     HashSampleOp,

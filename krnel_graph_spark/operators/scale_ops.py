@@ -75,3 +75,32 @@ class HashSampleOp(DatasetType):
     dataset: DatasetType
     fraction: float
     seed: int = 0
+
+
+class DecontaminateAgainstOp(DatasetType):
+    """Drop training rows sharing any word n-gram with a held-out
+    evaluation dataset (GPT-3-style 13-gram sweep; n configurable) — a
+    TWO-PARENT op: both datasets are content-addressed inputs, so the
+    result re-materializes when EITHER corpus changes. Survivors keep
+    their original row ids. Lowering: ``curation.py:decontaminate`` +
+    left_anti."""
+
+    dataset: DatasetType
+    against: DatasetType
+    text_column: str
+    against_column: str
+    ngram: int = 8
+
+
+class AnnTopKOp(DatasetType):
+    """Exact cosine top-k of ``queries`` against this dataset's vector
+    column (two-parent op). Output rows are ``(query_id, doc_id, cosine,
+    rank)`` with fresh dense row ids in (query, rank) order — a bounded
+    result set by contract (|queries| × k). Lowering:
+    ``similarity.py:cosine_topk``."""
+
+    dataset: DatasetType
+    queries: DatasetType
+    vector_column: str
+    id_column: str
+    k: int = 10

@@ -32,7 +32,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.scale_ops import (
+    AnnTopKOp,
     ChunkDocumentsOp,
+    DecontaminateAgainstOp,
     DropExactDupsOp,
     DropNearDupsOp,
     HashSampleOp,
@@ -942,6 +944,53 @@ def hash_sample_op(runner: SparkRunner, op: HashSampleOp) -> DatasetPlan:
     ds = runner.dataset_plan(op.dataset)
     out = _impl(ds.df, ROW_ID, op.fraction, seed=op.seed)
     return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=False)
+
+
+@SparkRunner.implementation
+def decontaminate_against_op(
+    runner: SparkRunner, op: DecontaminateAgainstOp
+) -> DatasetPlan:
+    """Two-parent decontamination: digest-join the train shingles against
+    the eval set's distinct gram digests, drop flagged rows via
+    left_anti. Survivors keep original ids (dense=False)."""
+    from ..functions.curation import decontaminate as _impl
+
+    train = runner.dataset_plan(op.dataset)
+    test = runner.dataset_plan(op.against)
+    flagged = _impl(
+        train.df,
+        test.df.select(F.col(op.against_column).alias(op.text_column)),
+        op.text_column,
+        ROW_ID,
+        n=op.ngram,
+    ).select(ROW_ID)
+    out = train.df.join(flagged, ROW_ID, "left_anti")
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=False)
+
+
+@SparkRunner.implementation
+def ann_topk_op(runner: SparkRunner, op: AnnTopKOp) -> DatasetPlan:
+    """Two-parent exact cosine top-k (queries broadcast). Fresh dense row
+    ids in (query, rank) order — legal because the result is bounded by
+    contract (|queries| x k), the same contract as the rrf/top-k frames."""
+    from pyspark.sql import Window as _W
+
+    from ..functions.similarity import cosine_topk as _impl
+
+    corpus = runner.dataset_plan(op.dataset)
+    queries = runner.dataset_plan(op.queries)
+    out = _impl(
+        corpus.df.select(op.id_column, op.vector_column),
+        queries.df.select(op.id_column, op.vector_column),
+        op.vector_column,
+        op.id_column,
+        k=op.k,
+    )
+    w = _W.orderBy("query_id", "rank")
+    out = out.select(
+        (F.row_number().over(w) - 1).cast("long").alias(ROW_ID), "*"
+    )
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=True)
 
 
 @SparkRunner.implementation

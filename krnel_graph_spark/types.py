@@ -144,6 +144,42 @@ class DatasetType(OpSpec):
 
         return HashSampleOp(dataset=self, fraction=fraction, seed=seed)
 
+    def decontaminate_against(
+        self,
+        against: "DatasetType",
+        text_column: str,
+        against_column: Optional[str] = None,
+        ngram: int = 8,
+    ) -> "DatasetType":
+        """Drop rows sharing any word n-gram with ``against``."""
+        from .operators.scale_ops import DecontaminateAgainstOp
+
+        return DecontaminateAgainstOp(
+            dataset=self,
+            against=against,
+            text_column=text_column,
+            against_column=against_column or text_column,
+            ngram=ngram,
+        )
+
+    def ann_topk(
+        self,
+        queries: "DatasetType",
+        vector_column: str,
+        id_column: str,
+        k: int = 10,
+    ) -> "DatasetType":
+        """Exact cosine top-k of ``queries`` against this corpus."""
+        from .operators.scale_ops import AnnTopKOp
+
+        return AnnTopKOp(
+            dataset=self,
+            queries=queries,
+            vector_column=vector_column,
+            id_column=id_column,
+            k=k,
+        )
+
     # -- dataset preparation ---------------------------------------------- #
 
     def assign_train_test_split(

@@ -122,3 +122,50 @@ def test_hash_sample_deterministic_and_pushed(lazy_runner):
     # composes with the rest of the fluent surface
     piped = lazy_runner.to_pandas(s.drop_exact_dups("text").text_stats("text"))
     assert "quality" in piped.columns and len(piped) <= len(a)
+
+
+def test_decontaminate_against_two_parent(lazy_runner, spark):
+    train = lazy_runner.from_parquet(DOCS).take(300)
+    test_set = lazy_runner.from_parquet(DOCS).take(40, offset=100)
+    clean = train.decontaminate_against(test_set, "text", ngram=8)
+    pdf = lazy_runner.to_pandas(clean)
+    n_train = len(lazy_runner.to_pandas(train))
+    # docs 100-139 are in both slices -> they must be flagged and dropped
+    assert len(pdf) <= n_train - 40
+    # two-parent identity: changing EITHER side moves the uuid
+    other_test = lazy_runner.from_parquet(DOCS).take(40, offset=200)
+    assert (
+        train.decontaminate_against(other_test, "text", ngram=8).uuid
+        != clean.uuid
+    )
+    assert (
+        train.take(200).decontaminate_against(test_set, "text", ngram=8).uuid
+        != clean.uuid
+    )
+
+
+def test_ann_topk_fluent(lazy_runner, spark):
+    emb = lazy_runner.from_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.take(5)
+    out = lazy_runner.to_pandas(
+        emb.ann_topk(queries, "embedding", "vec_id", k=7)
+    )
+    assert set(out.columns) >= {"query_id", "doc_id", "cosine", "rank"}
+    assert (out.groupby("query_id").size() == 7).all()
+    assert len(out["query_id"].unique()) == 5
+    # dense (query, rank)-ordered ids -> deterministic export order
+    again = lazy_runner.to_pandas(emb.ann_topk(queries, "embedding", "vec_id", k=7))
+    pd.testing.assert_frame_equal(out, again)
+    # matches the direct function call
+    from krnel_graph_spark.functions.similarity import cosine_topk
+
+    raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    direct = (
+        cosine_topk(raw, raw.orderBy("vec_id").limit(5), "embedding", "vec_id", k=7)
+        .orderBy("query_id", "rank")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[["query_id", "doc_id", "cosine", "rank"]], direct
+    )
