@@ -19,7 +19,7 @@ Row-id semantics follow the engine's positional contract:
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Dict, Optional
 
 from ..types import DatasetType
 
@@ -104,3 +104,27 @@ class AnnTopKOp(DatasetType):
     vector_column: str
     id_column: str
     k: int = 10
+
+
+class StratifiedSampleOp(DatasetType):
+    """Per-stratum deterministic downsampling (keep fraction f_s of each
+    stratum via the row-id md5-bucket rule — sampleBy semantics without
+    RNG nondeterminism). Lowering: ``sampling.py:stratified_sample``."""
+
+    dataset: DatasetType
+    strata_column: str
+    fractions: Dict[str, float]
+    seed: int = 0
+    default_fraction: float = 0.0
+
+
+class MixToWeightsOp(DatasetType):
+    """Rebalance to target mixture proportions ("70% web / 20% code /
+    10% books") — downsampling-only, integer-exact rate arithmetic, the
+    largest corpus achievable at the requested mix. Lowering:
+    ``sampling.py:mix_to_weights``."""
+
+    dataset: DatasetType
+    strata_column: str
+    weights: Dict[str, int]
+    seed: int = 0

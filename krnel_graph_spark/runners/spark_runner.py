@@ -33,6 +33,8 @@ from pyspark.sql import types as T
 
 from ..operators.scale_ops import (
     AnnTopKOp,
+    MixToWeightsOp,
+    StratifiedSampleOp,
     ChunkDocumentsOp,
     DecontaminateAgainstOp,
     DropExactDupsOp,
@@ -991,6 +993,33 @@ def ann_topk_op(runner: SparkRunner, op: AnnTopKOp) -> DatasetPlan:
         (F.row_number().over(w) - 1).cast("long").alias(ROW_ID), "*"
     )
     return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=True)
+
+
+@SparkRunner.implementation
+def stratified_sample_op(
+    runner: SparkRunner, op: StratifiedSampleOp
+) -> DatasetPlan:
+    """Per-stratum md5-bucket downsampling keyed on the row id — one
+    scan-side predicate, survivors keep original ids."""
+    from ..functions.sampling import stratified_sample as _impl
+
+    ds = runner.dataset_plan(op.dataset)
+    out = _impl(
+        ds.df, op.strata_column, dict(op.fractions), ROW_ID,
+        seed=op.seed, default_fraction=op.default_fraction,
+    )
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=False)
+
+
+@SparkRunner.implementation
+def mix_to_weights_op(runner: SparkRunner, op: MixToWeightsOp) -> DatasetPlan:
+    """Integer-exact corpus mixing: one stratum-count agg (collects
+    #strata rows — human-sized), then the stratified-sample predicate."""
+    from ..functions.sampling import mix_to_weights as _impl
+
+    ds = runner.dataset_plan(op.dataset)
+    out = _impl(ds.df, op.strata_column, dict(op.weights), ROW_ID, seed=op.seed)
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=False)
 
 
 @SparkRunner.implementation

@@ -180,6 +180,34 @@ class DatasetType(OpSpec):
             k=k,
         )
 
+    def stratified_sample(
+        self,
+        strata_column: str,
+        fractions: dict,
+        seed: int = 0,
+        default_fraction: float = 0.0,
+    ) -> "DatasetType":
+        """Keep a deterministic fraction of each stratum."""
+        from .operators.scale_ops import StratifiedSampleOp
+
+        return StratifiedSampleOp(
+            dataset=self,
+            strata_column=strata_column,
+            fractions=fractions,
+            seed=seed,
+            default_fraction=default_fraction,
+        )
+
+    def mix_to_weights(
+        self, strata_column: str, weights: dict, seed: int = 0
+    ) -> "DatasetType":
+        """Rebalance strata to integer target proportions (downsampling)."""
+        from .operators.scale_ops import MixToWeightsOp
+
+        return MixToWeightsOp(
+            dataset=self, strata_column=strata_column, weights=weights, seed=seed
+        )
+
     # -- dataset preparation ---------------------------------------------- #
 
     def assign_train_test_split(

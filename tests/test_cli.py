@@ -302,3 +302,38 @@ def test_cli_compact_and_zorder(tmp_path, capsys):
     assert main(["zorder", src, zdst, "id,k", "--n-files", "4"]) == 0
     assert len(glob.glob(f"{zdst}/part-*.parquet")) <= 4
     assert spark.read.parquet(zdst).count() == 20_000
+
+
+SCALE_PIPELINE = """
+    from krnel_graph_spark import SparkRunner
+
+    runner = SparkRunner(store_path={store!r})
+    docs = runner.from_parquet("/root/testdata/sf0.001/documents.parquet")
+    deduped = docs.take(150).drop_exact_dups("text")
+    enriched = deduped.text_stats("text")
+    chunks = enriched.chunk_docs("text", chunk_size=32, overlap=8)
+"""
+
+
+def test_cli_materializes_scale_ops(tmp_path, spark, capsys):
+    """Entry point B over the fluent scale layer: the CLI scavenges,
+    materializes, and memoizes dedup/enrich/chunk ops like any
+    reference-parity op."""
+    store = str(tmp_path / "store")
+    p = tmp_path / "scale_pipe.py"
+    p.write_text(textwrap.dedent(SCALE_PIPELINE.format(store=store)))
+
+    assert main(["run", "-f", str(p)]) == 0
+    out = capsys.readouterr().out
+    assert "OK   DropExactDupsOp" in out
+    assert "OK   TextStatsOp" in out
+    assert "OK   ChunkDocumentsOp" in out
+    assert "0 failed" in out
+
+    # re-run: everything already in the store
+    assert main(["run", "-f", str(p)]) == 0
+    out = capsys.readouterr().out
+    assert "DONE ChunkDocumentsOp" in out and "OK " not in out
+
+    assert main(["summary", "-f", str(p)]) == 0
+    assert "ChunkDocumentsOp" in capsys.readouterr().out

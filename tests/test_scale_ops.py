@@ -169,3 +169,33 @@ def test_ann_topk_fluent(lazy_runner, spark):
     pd.testing.assert_frame_equal(
         out[["query_id", "doc_id", "cosine", "rank"]], direct
     )
+
+
+def test_stratified_and_mix_ops(lazy_runner, spark):
+    ds = lazy_runner.from_parquet(DOCS)
+    base = lazy_runner.to_pandas(ds)
+    langs = base["lang"].value_counts().to_dict()
+    top2 = sorted(langs, key=langs.get, reverse=True)[:2]
+
+    frac = {top2[0]: 0.5, top2[1]: 1.0}
+    s = lazy_runner.to_pandas(ds.stratified_sample("lang", frac))
+    got = s["lang"].value_counts().to_dict()
+    assert set(got) <= set(top2)  # default_fraction=0 drops the rest
+    assert got.get(top2[1], 0) == langs[top2[1]]  # fraction 1.0 keeps all
+    assert 0 < got.get(top2[0], 0) < langs[top2[0]]
+    # deterministic across runs
+    pd.testing.assert_frame_equal(
+        s, lazy_runner.to_pandas(ds.stratified_sample("lang", frac))
+    )
+
+    mixed = lazy_runner.to_pandas(ds.mix_to_weights("lang", {top2[0]: 3, top2[1]: 1}))
+    got_m = mixed["lang"].value_counts().to_dict()
+    assert set(got_m) <= set(top2)
+    # proportions approximately 3:1 (Bernoulli wobble allowed)
+    ratio = got_m[top2[0]] / max(1, got_m[top2[1]])
+    assert 1.8 < ratio < 4.5, got_m
+    # uuid sensitivity on the weights dict
+    assert (
+        ds.mix_to_weights("lang", {top2[0]: 3, top2[1]: 1}).uuid
+        != ds.mix_to_weights("lang", {top2[0]: 2, top2[1]: 1}).uuid
+    )
