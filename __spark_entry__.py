@@ -2131,6 +2131,25 @@ def q_fluent_pipeline(spark, sf_dir):
     )
 
 
+def q_fluent_decontaminate(spark, sf_dir):
+    """Two-parent content-addressed pipeline: training slice deconta-
+    minated against a held-out slice (8-gram overlap) then mixture-
+    rebalanced by language — both parents are part of the result's
+    identity. Rows-only by design (companion hash-graded queries:
+    decontaminate, stratified_sample, hash_sample)."""
+    runner = _runner(spark)
+    docs = runner.from_parquet(f"{sf_dir}/documents.parquet")
+    train = docs.take(400)
+    heldout = docs.take(60, offset=150)
+    clean = train.decontaminate_against(heldout, "text", ngram=8)
+    mixed = clean.mix_to_weights("lang", {"en": 3, "de": 1, "fr": 1})
+    return (
+        runner.dataframe(mixed)
+        .drop("__row_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_text_stats(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select(
@@ -2513,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table_hll": q_profile_table_hll,
         "audio_fp": q_audio_fp,
         "fluent_pipeline": q_fluent_pipeline,
+        "fluent_decontaminate": q_fluent_decontaminate,
         "video_dups_q": q_video_dups,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
