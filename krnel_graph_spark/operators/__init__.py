@@ -31,6 +31,8 @@ from .dataset_ops import (
 from .grouped_ops import GroupedOp
 from .scale_ops import (
     AnnTopKOp,
+    GroupCapOp,
+    PiiScrubOp,
     MixToWeightsOp,
     StratifiedSampleOp,
     ChunkDocumentsOp,

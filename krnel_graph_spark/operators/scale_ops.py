@@ -19,7 +19,7 @@ Row-id semantics follow the engine's positional contract:
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, List, Optional, Tuple
 
 from ..types import DatasetType
 
@@ -128,3 +128,26 @@ class MixToWeightsOp(DatasetType):
     strata_column: str
     weights: Dict[str, int]
     seed: int = 0
+
+
+class PiiScrubOp(DatasetType):
+    """Redact common PII shapes (email/ssn/phone/ipv4 by default) in
+    ``text_column`` with typed placeholder tokens — row-aligned rewrite,
+    a chain of codegen'd regexp_replace. Lowering:
+    ``curation.py:pii_scrub``."""
+
+    dataset: DatasetType
+    text_column: str
+    kinds: Tuple[str, ...] = ("email", "ssn", "phone", "ipv4")
+
+
+class GroupCapOp(DatasetType):
+    """Keep at most ``n`` rows per key ("≤ N docs per domain") ranked by
+    ``order_by`` — deterministic corpus balancing. Survivors keep their
+    original row ids. Lowering: ``curation.py:group_cap`` with the row id
+    appended as the unique tiebreaker."""
+
+    dataset: DatasetType
+    key_columns: List[str]
+    n: int
+    order_by: List[str]

@@ -33,6 +33,8 @@ from pyspark.sql import types as T
 
 from ..operators.scale_ops import (
     AnnTopKOp,
+    GroupCapOp,
+    PiiScrubOp,
     MixToWeightsOp,
     StratifiedSampleOp,
     ChunkDocumentsOp,
@@ -1019,6 +1021,32 @@ def mix_to_weights_op(runner: SparkRunner, op: MixToWeightsOp) -> DatasetPlan:
 
     ds = runner.dataset_plan(op.dataset)
     out = _impl(ds.df, op.strata_column, dict(op.weights), ROW_ID, seed=op.seed)
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=False)
+
+
+@SparkRunner.implementation
+def pii_scrub_op(runner: SparkRunner, op: PiiScrubOp) -> DatasetPlan:
+    """Row-aligned PII redaction of ``text_column`` in place; ids and
+    density preserved (an enrichment-style rewrite, not a filter)."""
+    from ..functions.curation import pii_scrub as _impl
+
+    ds = runner.dataset_plan(op.dataset)
+    out = ds.df.withColumn(
+        op.text_column, _impl(op.text_column, tuple(op.kinds))
+    )
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=ds.dense)
+
+
+@SparkRunner.implementation
+def group_cap_op(runner: SparkRunner, op: GroupCapOp) -> DatasetPlan:
+    """Deterministic per-key cap: the engine row id rides as the final
+    tiebreaker so the kept set is unique; survivors keep original ids."""
+    from ..functions.curation import group_cap as _impl
+
+    ds = runner.dataset_plan(op.dataset)
+    out = _impl(
+        ds.df, list(op.key_columns), op.n, list(op.order_by) + [ROW_ID]
+    )
     return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=False)
 
 

@@ -208,6 +208,29 @@ class DatasetType(OpSpec):
             dataset=self, strata_column=strata_column, weights=weights, seed=seed
         )
 
+    def pii_scrub(
+        self,
+        text_column: str,
+        kinds: tuple = ("email", "ssn", "phone", "ipv4"),
+    ) -> "DatasetType":
+        """Redact common PII shapes in ``text_column`` (typed tokens)."""
+        from .operators.scale_ops import PiiScrubOp
+
+        return PiiScrubOp(dataset=self, text_column=text_column, kinds=tuple(kinds))
+
+    def group_cap(
+        self,
+        key_columns: "Union[str, list]",
+        n: int,
+        order_by: "Union[str, list]",
+    ) -> "DatasetType":
+        """Keep at most ``n`` rows per key, ranked by ``order_by``."""
+        from .operators.scale_ops import GroupCapOp
+
+        keys = [key_columns] if isinstance(key_columns, str) else list(key_columns)
+        order = [order_by] if isinstance(order_by, str) else list(order_by)
+        return GroupCapOp(dataset=self, key_columns=keys, n=n, order_by=order)
+
     # -- dataset preparation ---------------------------------------------- #
 
     def assign_train_test_split(

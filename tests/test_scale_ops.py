@@ -199,3 +199,33 @@ def test_stratified_and_mix_ops(lazy_runner, spark):
         ds.mix_to_weights("lang", {top2[0]: 3, top2[1]: 1}).uuid
         != ds.mix_to_weights("lang", {top2[0]: 2, top2[1]: 1}).uuid
     )
+
+
+def test_pii_scrub_and_group_cap_ops(lazy_runner, spark):
+    import numpy as np
+
+    ds = lazy_runner.from_parquet(DOCS)
+    scrubbed = lazy_runner.to_pandas(ds.pii_scrub("text"))
+    base = lazy_runner.to_pandas(ds)
+    assert len(scrubbed) == len(base)
+    assert list(scrubbed.columns) == list(base.columns)  # in-place rewrite
+    # inline dataset with planted PII proves the redaction path
+    inline = lazy_runner.from_inline_dataset(
+        {"t": ["mail me at a@b.com", "ssn 123-45-6789", "clean"]}
+    )
+    out = lazy_runner.to_pandas(inline.pii_scrub("t"))["t"].tolist()
+    assert out[0] == "mail me at <EMAIL>"
+    assert "<SSN>" in out[1]
+    assert out[2] == "clean"
+
+    capped = lazy_runner.to_pandas(ds.group_cap("lang", 5, "doc_id"))
+    counts = capped["lang"].value_counts()
+    assert (counts <= 5).all()
+    # deterministic and uuid-sensitive
+    again = lazy_runner.to_pandas(ds.group_cap("lang", 5, "doc_id"))
+    assert np.array_equal(
+        capped["doc_id"].to_numpy(), again["doc_id"].to_numpy()
+    )
+    assert ds.group_cap("lang", 5, "doc_id").uuid != ds.group_cap(
+        "lang", 6, "doc_id"
+    ).uuid
