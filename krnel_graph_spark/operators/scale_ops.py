@@ -151,3 +151,16 @@ class GroupCapOp(DatasetType):
     key_columns: List[str]
     n: int
     order_by: List[str]
+
+
+class SequencePackOp(DatasetType):
+    """Assign rows to fixed-token-budget training sequences by offset
+    packing in ``order_by`` order (per ``partition_by`` shard when set —
+    the scale path). Adds ``n_tokens`` + ``pack_id``; row-aligned (every
+    input row keeps its id). Lowering: ``curation.py:sequence_pack``."""
+
+    dataset: DatasetType
+    order_by: str
+    token_column: str
+    budget: int
+    partition_by: Optional[str] = None

@@ -36,6 +36,7 @@ from ..operators.scale_ops import (
     GroupCapOp,
     PiiScrubOp,
     MixToWeightsOp,
+    SequencePackOp,
     StratifiedSampleOp,
     ChunkDocumentsOp,
     DecontaminateAgainstOp,
@@ -1048,6 +1049,22 @@ def group_cap_op(runner: SparkRunner, op: GroupCapOp) -> DatasetPlan:
         ds.df, list(op.key_columns), op.n, list(op.order_by) + [ROW_ID]
     )
     return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=False)
+
+
+@SparkRunner.implementation
+def sequence_pack_op(runner: SparkRunner, op: SequencePackOp) -> DatasetPlan:
+    """Offset packing as a row-aligned enrichment (adds n_tokens +
+    pack_id); ids and density preserved. partition_by is the scale path —
+    without it the global-order window is single-task (result-set frames
+    only, same contract as the function)."""
+    from ..functions.curation import sequence_pack as _impl
+
+    ds = runner.dataset_plan(op.dataset)
+    out = _impl(
+        ds.df, op.order_by, op.token_column, op.budget,
+        partition_by=op.partition_by,
+    )
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=ds.dense)
 
 
 @SparkRunner.implementation

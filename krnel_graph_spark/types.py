@@ -231,6 +231,24 @@ class DatasetType(OpSpec):
         order = [order_by] if isinstance(order_by, str) else list(order_by)
         return GroupCapOp(dataset=self, key_columns=keys, n=n, order_by=order)
 
+    def sequence_pack(
+        self,
+        order_by: str,
+        token_column: str,
+        budget: int,
+        partition_by: Optional[str] = None,
+    ) -> "DatasetType":
+        """Offset-pack rows into fixed-token-budget training sequences."""
+        from .operators.scale_ops import SequencePackOp
+
+        return SequencePackOp(
+            dataset=self,
+            order_by=order_by,
+            token_column=token_column,
+            budget=budget,
+            partition_by=partition_by,
+        )
+
     # -- dataset preparation ---------------------------------------------- #
 
     def assign_train_test_split(

@@ -229,3 +229,40 @@ def test_pii_scrub_and_group_cap_ops(lazy_runner, spark):
     assert ds.group_cap("lang", 5, "doc_id").uuid != ds.group_cap(
         "lang", 6, "doc_id"
     ).uuid
+
+
+def test_full_fluent_pretraining_pipeline(lazy_runner):
+    """The complete curation chain as ONE content-addressed graph:
+    sample -> dedup -> decontaminate -> scrub -> cap -> enrich -> chunk
+    -> pack. Every stage is a memoizable op; pack ids respect the token
+    budget in expectation."""
+    docs = lazy_runner.from_parquet(DOCS)
+    heldout = docs.take(30, offset=400)
+    pipe = (
+        docs.hash_sample(0.8, seed=1)
+        .drop_exact_dups("text")
+        .decontaminate_against(heldout, "text", ngram=8)
+        .pii_scrub("text")
+        .group_cap("lang", 200, "doc_id")
+        .text_stats("text")
+        .chunk_docs("text", chunk_size=64, overlap=8)
+        .sequence_pack("__row_id", "n_tokens", budget=256)
+    )
+    pdf = lazy_runner.to_pandas(pipe)
+    assert len(pdf) > 0
+    assert {"pack_id", "n_tokens", "chunk_text"} <= set(pdf.columns)
+    # offset packing: cumulative tokens of pack k start below (k+1)*budget
+    tot = pdf.sort_values(["src_row_id", "chunk_id"])
+    csum = tot["n_tokens"].cumsum() - tot["n_tokens"]
+    assert ((csum // 256) == tot["pack_id"]).all()
+    # stable identity end-to-end
+    assert pipe.uuid == (
+        docs.hash_sample(0.8, seed=1)
+        .drop_exact_dups("text")
+        .decontaminate_against(heldout, "text", ngram=8)
+        .pii_scrub("text")
+        .group_cap("lang", 200, "doc_id")
+        .text_stats("text")
+        .chunk_docs("text", chunk_size=64, overlap=8)
+        .sequence_pack("__row_id", "n_tokens", budget=256)
+    ).uuid
