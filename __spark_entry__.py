@@ -1489,11 +1489,15 @@ def q_assortativity(spark, sf_dir):
 
 
 def q_k_core(spark, sf_dir):
-    """2-core of the synthetic link graph (iterative peel, one degree agg
-    + two semi-joins per round, localCheckpoint lineage breaks). Rows-only
-    by design: the fixpoint iteration count is data-dependent, so the SQL
-    twin would be an unbounded recursive CTE; membership + in-core degrees
-    are pinned by test_graph.py::test_k_core_golden_and_bruteforce."""
+    """4-core of the synthetic link graph (iterative peel, one degree agg
+    + two semi-joins per round, localCheckpoint lineage breaks). k=4 is
+    the interesting setting on this graph: the 7x/13x maps are bijections
+    mod 500, so degrees are exactly 4 minus collision losses, and peeling
+    cascades ~5 rounds down to a proper sub-core (k=2 keeps everything,
+    k=5 empties). Oracle-backed (r7): DuckDB recursive CTE replays the
+    peel over endpoint-exploded edges with window-function degrees, one
+    iteration per round, stopping at the same fixpoint. Membership +
+    in-core degrees also pinned by test_graph.py brute force."""
     from krnel_graph_spark.functions.graph import k_core
 
     docs = _docs(spark, sf_dir).select("doc_id")
@@ -1505,7 +1509,7 @@ def q_k_core(spark, sf_dir):
         F.col("doc_id").alias("src"),
         ((F.col("doc_id") * 13 + 1) % 500).alias("dst"),
     )
-    return k_core(e1.union(e2), k=2)
+    return k_core(e1.union(e2), k=4)
 
 
 def q_pagerank(spark, sf_dir):
@@ -4272,6 +4276,49 @@ SELECT count(*)::BIGINT AS n_triangles
 FROM e e1
 JOIN e e2 ON e1.b = e2.a
 JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+""",
+        # k-core peel as a bounded recursive CTE (r7): the working table is
+        # the endpoint-exploded edge list (2 rows/edge), so per-node degree
+        # and per-edge min-endpoint-degree are window functions over ONE
+        # self-reference-free scan per iteration. Recursion stops when a
+        # round drops nothing (kept == total -> no rows emitted). The final
+        # guard handles the empty-core case: the last materialized round is
+        # either a fixpoint (all emd >= k) or its successor was empty (all
+        # emd < k), so min(emd) >= k distinguishes them.
+        "k_core": """
+WITH RECURSIVE
+e0 AS (SELECT doc_id AS s, (doc_id * 7 + 3) % 500 AS t FROM documents
+       UNION
+       SELECT doc_id, (doc_id * 13 + 1) % 500 FROM documents),
+e AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+      FROM e0 WHERE s != t),
+ep AS (SELECT a, b, a AS node FROM e UNION ALL SELECT a, b, b FROM e),
+peel AS (
+  SELECT 0 AS it, a, b, node FROM ep
+  UNION ALL
+  SELECT it + 1, a, b, node FROM (
+    SELECT it, a, b, node, emd, total,
+           sum(CASE WHEN emd >= 4 THEN 1 ELSE 0 END) OVER () AS kept
+    FROM (SELECT it, a, b, node,
+                 min(deg) OVER (PARTITION BY a, b) AS emd,
+                 count(*) OVER () AS total
+          FROM (SELECT it, a, b, node,
+                       count(*) OVER (PARTITION BY node) AS deg
+                FROM peel))
+  )
+  WHERE emd >= 4 AND kept < total AND it < 60
+),
+last AS (SELECT a, b, node FROM peel
+         WHERE it = (SELECT max(it) FROM peel)),
+wdeg AS (SELECT a, b, node,
+                count(*) OVER (PARTITION BY node) AS deg FROM last),
+wedge AS (SELECT node, deg,
+                 min(deg) OVER (PARTITION BY a, b) AS emd FROM wdeg)
+SELECT node, count(*)::BIGINT AS degree
+FROM wedge
+WHERE (SELECT min(emd) FROM wedge) >= 4
+GROUP BY node
+ORDER BY node
 """,
     }
 

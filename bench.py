@@ -2,10 +2,23 @@
 
 Times every headline query (one per operator class from SURVEY.md §2 plus the
 beyond-reference scale operators) end-to-end with a `noop` sink — full
-execution, no driver collect overhead — and prints ONE JSON line:
+execution, no driver collect overhead — and prints ONE compact JSON line LAST
+on stdout (the driver captures only a 2,000-char tail, so the per-query map
+must NOT be on stdout — r6's 85-query map overflowed the capture and the
+round's bench record parsed as null):
 
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": ...}
+    {"metric": "headline_queries_total", "value": <total sec>, "unit": "sec",
+     "sf": ..., "n_queries": N, "canary_sec": <job-floor>,
+     "queries_file": "BENCH_local.json"}
+
+Per-query timings go to stderr as they complete AND to ./BENCH_local.json
+(full payload including the per-query map and the canary), so every number is
+recoverable locally even when the driver keeps only the tail.
+
+The canary is the min-of-3 time of a near-trivial job (parquet scan +
+global top-k sort on `customer`): it measures this box's per-job floor +
+current load, letting later rounds normalize totals across differently-loaded
+runs instead of guessing whether a drift is load noise.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32).
@@ -168,19 +181,28 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
+    def time_df(make_df) -> float:
         best = float("inf")
         for _ in range(RUNS):
             t0 = time.time()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            make_df().write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
             # Queries that persist() intermediates (rollup cascade, minhash
             # signatures) would otherwise accumulate cached copies across
             # reps — drop them so every rep pays the full cost.
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        return round(best, 3)
+
+    # Job-floor canary: scan + global top-k on customer — the cheapest
+    # two-stage job shape. Future rounds divide totals by the canary ratio
+    # to separate box-load noise from real regressions.
+    canary = time_df(lambda: queries["sort_topk"](spark, SF_DIR))
+    print(f"  [canary sort_topk]: {canary}s", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        timings[name] = time_df(lambda: fn(spark, SF_DIR))
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -188,17 +210,22 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "canary_sec": canary,
+        "queries_file": "BENCH_local.json",
+    }
+    local = dict(payload, queries=timings)
+    out = Path(__file__).resolve().parent / "BENCH_local.json"
+    out.write_text(json.dumps(local, indent=1) + "\n")
+    print(json.dumps(local), file=sys.stderr)
+    # The compact line must be LAST on stdout and must fit the driver's
+    # 2,000-char tail capture.
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
