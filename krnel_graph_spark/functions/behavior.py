@@ -41,9 +41,13 @@ def _per_user_funnel(
     ``row_number`` window BEFORE the collect, so the aggregation buffer is
     bounded. The window's hash partitioning on ``user`` is reused by the
     groupBy (still one shuffle). Users under the cap — all real users —
-    are byte-identical to the uncapped plan; a capped bot's stage is
-    computed from its earliest events, which is the right greedy prefix
-    anyway (the fold is a prefix scan)."""
+    are byte-identical to the uncapped plan. For a CAPPED user the result
+    is an approximation: the greedy fold runs over only the earliest
+    ``max_events_per_user`` funnel-type events, so a step-advancing event
+    arriving after the cap is dropped and the user's stage can be
+    understated (never overstated — the fold still only matches events in
+    order). Pass ``None`` for exact semantics on pathological users at
+    the cost of an unbounded per-user buffer."""
     steps = list(steps)
     if len(steps) < 2:
         raise ValueError("funnel needs at least 2 steps")
@@ -342,6 +346,7 @@ def rrf_fuse(
     score_cols: Sequence[str],
     k: int = 60,
     topk: int | None = None,
+    max_list_rows: int | None = 100_000,
 ) -> DataFrame:
     """Reciprocal-rank fusion of top-k result lists: each list contributes
     ``1 / (k + rank)`` per id (rank from ``score desc, id asc``); fused
@@ -356,11 +361,25 @@ def rrf_fuse(
     scale, which is the point of RRF in a 100-TB retrieval stack: the
     expensive rankers (BM25, ANN) each reduce the corpus to k rows, and
     fusion is O(lists × k).
+
+    The contract is ENFORCED (round-7): each input is probed with a
+    ``limit(n+1)`` count — an early-aborting job, cheap on a bounded
+    list — and a list over ``max_list_rows`` raises instead of running a
+    single-partition corpus sort. Set ``max_list_rows=None`` only if you
+    know every input is ranker output.
     """
     if len(ranked) != len(score_cols):
         raise ValueError("ranked and score_cols must align")
     if len(ranked) < 2:
         raise ValueError("rrf_fuse needs at least 2 ranked lists")
+    if max_list_rows is not None:
+        for i, df in enumerate(ranked):
+            if df.limit(max_list_rows + 1).count() > max_list_rows:
+                raise ValueError(
+                    f"rrf_fuse input {i} exceeds max_list_rows="
+                    f"{max_list_rows}: pass ranker TOP-K lists, not a "
+                    "corpus (or raise/disable max_list_rows explicitly)"
+                )
     parts = []
     for df, sc in zip(ranked, score_cols):
         w = Window.orderBy(F.col(sc).desc(), F.col(id_col).asc())

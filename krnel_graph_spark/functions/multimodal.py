@@ -384,7 +384,12 @@ def video_near_dups(
         )
         .distinct()  # set semantics: repeated identical frames count once
     )
-    frames = frames.persist()
+    # Eager localCheckpoint (same lineage policy as functions/graph.py):
+    # decode once, reuse thrice (sizes / signatures / verify) — and the
+    # blocks are reclaimed by the ContextCleaner when the result goes out
+    # of scope, unlike persist(), which pins executor storage for the
+    # session unless the caller remembers to unpersist.
+    frames = frames.localCheckpoint(eager=True)
     sizes = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sig = frames.groupBy("doc_id").agg(
         F.array(

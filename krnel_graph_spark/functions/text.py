@@ -445,7 +445,17 @@ def build_vocab(
 
     The rank window runs over the ALREADY-LIMITED k-row frame (top-k via
     TakeOrderedAndProject first), so the single-partition window touches
-    ``vocab_size`` rows, never the corpus."""
+    ``vocab_size`` rows, never the corpus. ``vocab_size`` itself is the
+    only way to unbound that window, so it is capped (round-7): real
+    vocabularies are 32k-256k entries; a request past 5M is almost
+    certainly a units mistake and raises rather than sorting millions of
+    rows on one partition."""
+    if vocab_size > 5_000_000:
+        raise ValueError(
+            f"vocab_size={vocab_size} exceeds the 5M bound of the "
+            "single-partition rank window; shard the vocabulary or use "
+            "term_stats directly"
+        )
     top = (
         term_stats(df, text_col, id_col)
         .orderBy(F.col("tf").desc(), F.col("term").asc())

@@ -26,6 +26,7 @@ silent corruption.
 
 from __future__ import annotations
 
+import glob
 import io
 import json
 import os
@@ -111,7 +112,13 @@ _SPARK_TO_AVRO = {
 def _avro_field_type(spark_type: str):
     spark_type = spark_type.lower()
     if spark_type.startswith("array<") and spark_type.endswith(">"):
-        return {"type": "array", "items": _avro_field_type(spark_type[6:-1])}
+        # Spark array elements carry no trusted non-null guarantee either
+        # (same reasoning as fields below), so items are a nullable union —
+        # a null element encodes as branch 0 instead of crashing the writer.
+        return {
+            "type": "array",
+            "items": ["null", _avro_field_type(spark_type[6:-1])],
+        }
     if spark_type in _SPARK_TO_AVRO:
         return _SPARK_TO_AVRO[spark_type]
     raise NotImplementedError(f"avro mapping for spark type {spark_type!r}")
@@ -343,8 +350,14 @@ def _is_missing_avro_source(exc: Exception) -> bool:
 
 
 def _cell_to_avro(v, spark_type: str):
-    if spark_type.startswith("array"):
-        return None if v is None else [x for x in v]
+    if spark_type.startswith("array<"):
+        if v is None:
+            return None
+        # Recurse each element through the scalar path so date/timestamp
+        # elements get their logical-type conversion and null elements
+        # map to the item union's null branch.
+        item_t = spark_type[6:-1]
+        return [_cell_to_avro(x, item_t) for x in v]
     if v is None or pd.isna(v):  # None / nan / NaT
         return None
     if spark_type == "date":
@@ -381,6 +394,11 @@ def write_avro_dataframe(df, path: str, codec: str = "deflate") -> None:
     spark_types = [f.dataType.simpleString() for f in df.schema.fields]
     names = [f.name for f in df.schema.fields]
     os.makedirs(path, exist_ok=True)
+    # Overwrite semantics must match the jar path's mode("overwrite"):
+    # a previous write with MORE partitions would otherwise leave stale
+    # part-NNNNN.avro files that the reader's *.avro glob silently merges.
+    for stale in glob.glob(os.path.join(path, "*.avro")):
+        os.remove(stale)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -414,11 +432,13 @@ def _avro_to_cell(v, spark_type: str):
         return (pd.Timestamp("1970-01-01") + pd.Timedelta(days=v)).date()
     if spark_type.startswith("timestamp"):
         return pd.Timestamp(v * 1000)  # micros → ns
-    if spark_type == "float" or spark_type.startswith("array<float"):
-        return (
-            np.float32(v) if not isinstance(v, list)
-            else np.asarray(v, dtype=np.float32)
-        )
+    if spark_type == "float":
+        return np.float32(v)
+    if spark_type.startswith("array<"):
+        item_t = spark_type[6:-1]
+        if item_t == "float" and None not in v:
+            return np.asarray(v, dtype=np.float32)  # vectorized fast path
+        return [_avro_to_cell(x, item_t) for x in v]
     return v
 
 
@@ -459,6 +479,11 @@ def read_avro_dataframe(spark, path: str, schema_ddl: str | None = None):
         for pdf in batches:
             for blob in pdf["content"]:
                 _, records = decode_container(bytes(blob))
+                if not records:
+                    # Header-only file from an empty write partition: an
+                    # empty dict-built DataFrame defaults to float64
+                    # columns, which Arrow can't cast to list<...> types.
+                    continue
                 cols = {
                     name: [
                         _avro_to_cell(rec[name], spark_types[i])

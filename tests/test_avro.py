@@ -177,3 +177,48 @@ def test_date_column_roundtrip(spark, tmp_path):
     a = src.toPandas().sort_values("id").reset_index(drop=True)
     b = back.toPandas().sort_values("id").reset_index(drop=True)[a.columns.tolist()]
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_overwrite_clears_stale_partitions(spark, tmp_path):
+    """Fallback overwrite must match spark-avro's mode('overwrite'): a
+    rewrite with FEWER partitions must not leave stale part files that the
+    reader's *.avro glob would silently merge back in (r7 advice fix)."""
+    src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    path = str(tmp_path / "nation_avro")
+    av.write_avro_dataframe(src.repartition(6), path)
+    import os
+
+    assert len([f for f in os.listdir(path) if f.endswith(".avro")]) == 6
+    av.write_avro_dataframe(src.repartition(2), path)
+    assert len([f for f in os.listdir(path) if f.endswith(".avro")]) == 2
+    back = av.read_avro_dataframe(spark, path)
+    assert back.count() == src.count()
+
+
+def test_array_null_elements_and_temporal_items(spark, tmp_path):
+    """Array items are nullable unions; date/timestamp elements get the
+    same logical-type conversion as scalars (r7 advice fix)."""
+    src = spark.sql(
+        "SELECT id,"
+        " array(CAST(id AS STRING), NULL, 'x') AS tags,"
+        " array(date_add(date'2020-01-01', CAST(id AS INT)), NULL) AS ds,"
+        " array(timestamp'2021-06-01 12:00:00' + make_interval(0,0,0,0,0,0,id),"
+        "       NULL) AS ts,"
+        " array(CAST(id AS DOUBLE), NULL) AS xs"
+        " FROM range(20)"
+    )
+    path = str(tmp_path / "arr_avro")
+    av.write_avro_dataframe(src, path, codec="null")
+    back = av.read_avro_dataframe(spark, path)
+    a = src.toPandas().sort_values("id").reset_index(drop=True)
+    b = back.toPandas().sort_values("id").reset_index(drop=True)[
+        a.columns.tolist()
+    ]
+    def norm(xs):
+        # Spark's Arrow toPandas renders null list elements as nan/NaT;
+        # fold every null flavor to None for the comparison.
+        return [None if x is None or x != x else x for x in xs]
+
+    for col in ("tags", "ds", "ts", "xs"):
+        for av_row, bv_row in zip(a[col], b[col]):
+            assert norm(av_row) == norm(bv_row), col

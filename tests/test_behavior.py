@@ -287,3 +287,19 @@ def test_funnel_single_shuffle_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_rrf_fuse_bounded_input_guard(spark):
+    """The top-k-lists contract is enforced at runtime (r7): an input over
+    max_list_rows raises instead of running a single-partition corpus
+    sort; raising the bound (or None) restores the old behavior."""
+    a = spark.range(30).select(
+        F.col("id"), (F.col("id") * 2).cast("double").alias("s")
+    )
+    b = spark.range(30).select(
+        F.col("id"), (F.col("id") * 3).cast("double").alias("t")
+    )
+    with pytest.raises(ValueError, match="max_list_rows"):
+        rrf_fuse([a, b], "id", ["s", "t"], max_list_rows=10)
+    assert rrf_fuse([a, b], "id", ["s", "t"], max_list_rows=30).count() == 30
+    assert rrf_fuse([a, b], "id", ["s", "t"], max_list_rows=None).count() == 30

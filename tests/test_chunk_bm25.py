@@ -275,3 +275,12 @@ def test_cli_profile(spark, capsys):
     byc = {r["column"]: r for r in rows}
     assert byc["n_nationkey"]["n_distinct"] == byc["n_nationkey"]["n_rows"]
     assert byc["n_name"]["min_num"] is None
+
+
+def test_build_vocab_size_guard(spark, docs_df):
+    """vocab_size is the only unbounded knob on build_vocab's
+    single-partition rank window — past 5M it raises (r7 guard)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="5M bound"):
+        tx.build_vocab(docs_df, "text", "doc_id", vocab_size=6_000_000)
