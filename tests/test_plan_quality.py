@@ -123,3 +123,56 @@ def test_snapshot_diff_single_join(spark, entry):
     # one full-outer join on the key; row hashes computed scan-side
     assert "FullOuter" in plan and plan.count("Join") >= 1
     assert "BatchEvalPython" not in plan
+
+
+def test_ann_ivfpq_arrow_kernels_and_bounded_shuffles(spark, entry):
+    """IVF-PQ: coarse assignment + ADC scoring are the only Python
+    kernels, both Arrow-batched (MapInPandas), and the whole pipeline
+    keeps at most 3 exchanges (codebooks ride broadcast joins)."""
+    plan = _plan(spark, entry, "ann_ivfpq")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") == 2
+    assert _exchanges(plan) <= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_image_dups_banded_join_no_cartesian(spark, entry):
+    """Perceptual image near-dups must pair via the banded Hamming join —
+    an equi-join on band keys — never an all-pairs product."""
+    plan = _plan(spark, entry, "image_dups_q")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # the band-key equi-join
+    assert _exchanges(plan) <= 2
+
+
+def test_video_dups_banded_join_and_checkpointed_frames(spark, entry):
+    """Video near-dups: frame hashes are decoded once (eager
+    localCheckpoint -> ExistingRDD scans), candidates come from the LSH
+    band equi-join, and nothing degenerates into a cross product."""
+    plan = _plan(spark, entry, "video_dups_q")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan ExistingRDD") >= 1  # checkpointed frame set
+    assert _exchanges(plan) <= 5
+
+
+def test_k_core_rounds_are_checkpointed(spark, entry):
+    """k-core's final plan must read the CHECKPOINTED peeled edge list
+    (ExistingRDD), not the full re-derived lineage: without per-round
+    localCheckpoint the plan would re-run every peel round's semi-joins
+    (Join nodes + unbounded exchanges) on each downstream action."""
+    plan = _plan(spark, entry, "k_core")
+    assert "Scan ExistingRDD" in plan
+    assert "Join" not in plan  # lineage of the peel rounds is cut
+    assert _exchanges(plan) <= 2  # degree agg + final order only
+
+
+def test_fluent_pipeline_lowering_adds_no_shuffles(spark, entry):
+    """The OpSpec lowering of the fluent chain (sample -> dedup ->
+    chunk -> ...) must not introduce shuffles the hand-written pipeline
+    doesn't have: chunking stays shuffle-free, so the whole plan keeps
+    <= 2 exchanges, all Python kernels Arrow-batched."""
+    plan = _plan(spark, entry, "fluent_pipeline")
+    assert "BatchEvalPython" not in plan
+    assert _exchanges(plan) <= 2
