@@ -134,9 +134,13 @@ class FakeProvider(ModelProvider):
 
 @register_model_provider("hf", "huggingface")
 class HuggingFaceProvider(ModelProvider):
-    """Real transformer activations/logits — requires torch+transformers
-    (import-gated; parity surface:
-    ``model_registry_implementations.py:245-457``)."""
+    """Real transformer activations/logits/generation — requires
+    torch+transformers (import-gated; parity surface:
+    ``model_registry_implementations.py:245-457``). A CAUSAL-LM head is
+    loaded (reference parity: ``:249-260`` uses ``AutoModelForCausalLM``)
+    so one checkpoint serves all three ops: ``hidden_states`` for
+    activations, last-position lm-head logits for scoring, and
+    ``model.generate`` for text generation."""
 
     def __init__(self, name: str):
         super().__init__(name)
@@ -149,10 +153,13 @@ class HuggingFaceProvider(ModelProvider):
                 "not installed in this environment"
             ) from exc
         self.tokenizer = transformers.AutoTokenizer.from_pretrained(name)
-        self.model = transformers.AutoModel.from_pretrained(name)
+        self.model = transformers.AutoModelForCausalLM.from_pretrained(name)
+        if self.tokenizer.pad_token is None:  # reference :279-280
+            self.tokenizer.pad_token = self.tokenizer.eos_token
+        self.tokenizer.padding_side = "right"  # reference :323,:337
         self.model.eval()
 
-    def apply_chat_template(self, conversation, append=None):  # pragma: no cover
+    def apply_chat_template(self, conversation, append=None):
         """The tokenizer's own template (reference appends raw template
         text after rendering — ``model_registry_implementations.py:291``)."""
         rendered = self.tokenizer.apply_chat_template(
@@ -162,12 +169,25 @@ class HuggingFaceProvider(ModelProvider):
             rendered += append
         return rendered
 
-    def layer_activations(self, texts, layer_num, token_mode):  # pragma: no cover
+    def _encode(self, texts):
+        return self.tokenizer(
+            [str(t) for t in texts],
+            return_tensors="pt",
+            padding=True,
+            truncation=True,
+        )
+
+    def layer_activations(self, texts, layer_num, token_mode):
         import torch
 
-        enc = self.tokenizer(texts, return_tensors="pt", padding=True, truncation=True)
+        enc = self._encode(texts)
         with torch.no_grad():
             out = self.model(**enc, output_hidden_states=True)
+        if layer_num >= len(out.hidden_states):  # reference :372-375
+            raise ValueError(
+                f"layer_num {layer_num} out of range for model with "
+                f"{len(out.hidden_states)} layers"
+            )
         hidden = out.hidden_states[layer_num]
         mask = enc["attention_mask"].unsqueeze(-1)
         if token_mode == "mean":
@@ -178,6 +198,53 @@ class HuggingFaceProvider(ModelProvider):
         else:
             raise NotImplementedError(f"token_mode={token_mode!r}")
         return pooled.float().numpy()
+
+    def logit_scores(self, texts, tokens):
+        """Last-position lm-head logits at the named tokens' vocab ids
+        (reference ``get_llm_output_logits``, ``:409-457`` — including
+        the raise on out-of-vocabulary token names)."""
+        import torch
+
+        vocab = self.tokenizer.get_vocab()
+        idxs = []
+        for t in tokens:
+            if isinstance(t, int):
+                idxs.append(t)
+            elif t in vocab:
+                idxs.append(vocab[t])
+            else:
+                raise ValueError(f"Token {t!r} not found in vocabulary")
+        enc = self._encode(texts)
+        with torch.no_grad():
+            out = self.model(**enc)
+        last = enc["attention_mask"].sum(1) - 1
+        rows = out.logits[torch.arange(out.logits.shape[0]), last][:, idxs]
+        return rows.float().numpy()
+
+    def generate(self, texts, max_tokens, temperature):
+        """Batched decoder-only generation. Inputs are LEFT-padded for
+        this call only (right padding would make the model continue from
+        pad tokens); new tokens are decoded without the prompt."""
+        import torch
+
+        side = self.tokenizer.padding_side
+        self.tokenizer.padding_side = "left"
+        try:
+            enc = self._encode(texts)
+        finally:
+            self.tokenizer.padding_side = side
+        kwargs = {"do_sample": temperature > 0}
+        if temperature > 0:
+            kwargs["temperature"] = float(temperature)
+        with torch.no_grad():
+            out = self.model.generate(
+                **enc,
+                max_new_tokens=int(max_tokens),
+                pad_token_id=self.tokenizer.pad_token_id,
+                **kwargs,
+            )
+        new = out[:, enc["input_ids"].shape[1]:]
+        return self.tokenizer.batch_decode(new, skip_special_tokens=True)
 
 
 @register_model_provider("st", "sentencetransformer")

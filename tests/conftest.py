@@ -30,3 +30,12 @@ def lazy_runner(spark):
 
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "ml_models: integration tests that load real model weights "
+        "(torch/transformers); skipped automatically where those "
+        "libraries are absent",
+    )
