@@ -37,7 +37,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.environ.get("SPARK_GRAFT_SCALEUP_DIR", "/tmp/krnel_scaleup")
-SCALES = {"events": 20, "lineitem": 20, "documents": 40}
+SCALES = {"events": 20, "lineitem": 20, "documents": 40, "embeddings": 20}
 QUERIES = [
     "agg_q1",
     "asof_join",
@@ -64,6 +64,10 @@ QUERIES = [
     "retention_cohorts",
     "event_transitions",
     "hybrid_search",
+    # r6-surface additions (r7): compressed ANN over the x20 perturbed
+    # embedding corpus (queries stay the 10 original vec_ids — corpus
+    # scales, query set doesn't, like a real serving index).
+    "ann_ivfpq",
     # fuzzy_pairs is deliberately absent: the x40 corpus keeps 16-char
     # prefixes IDENTICAL across copies (the per-5-words token insertion
     # that breaks MinHash shingle similarity usually lands after char 16),
@@ -74,6 +78,79 @@ QUERIES = [
     # measurement.
 ]
 ID_STRIDE = 10**9  # > any source id; keeps per-copy ids disjoint
+
+
+def _extra_queries():
+    """r7: scale curves for the r6 surface whose gate queries hard-code
+    small corpora or small-modulus synthetic formulas.
+
+    These can't ride the scaled parquet dirs: the graph gate queries
+    derive edges as ``(doc_id * 7 + 3) % 500`` and the media gates
+    synthesize pixels from ``doc_id % 256``-style formulas, and the
+    copy stride 10**9 is divisible by 500, 256, 48 and 16 — so striding
+    ids would make every copy an EXACT clone (same hub set / identical
+    images), densifying one fixed graph instead of growing it and
+    squaring the near-dup pair count. Instead each callable re-derives
+    the corpus at N x the bench-gate size with the MODULUS scaled too,
+    so density per node / clone-clique size stays at the gate level
+    while rows grow Nx — the honest growth axis.
+    """
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from krnel_graph_spark.functions import graph as gr
+    from krnel_graph_spark.functions.multimodal import (
+        audio_fingerprint,
+        image_near_dups,
+        synth_png_table,
+        synth_wav_table,
+        synth_y4m_table,
+        video_near_dups,
+    )
+
+    def hub_graph(spark, mult):
+        # sf0.1 gate graph: 5,000 sources x 2 out-edges into 500 hubs.
+        n_src, n_hub = 5_000 * mult, 500 * mult
+        ids = spark.range(n_src).select(F.col("id").alias("doc_id"))
+        e1 = ids.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + 3) % n_hub).alias("dst"),
+        )
+        e2 = ids.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 1) % n_hub).alias("dst"),
+        )
+        return e1.union(e2)
+
+    def media_ids(spark, n):
+        return spark.range(n).select(F.col("id").alias("doc_id"))
+
+    # Media gates run 120 items at every sf; x40 = 4,800. The synthetic
+    # formulas have period lcm<=768 in id, so clone cliques of ~6 appear
+    # at this size — pair counts are logged so the curve's output growth
+    # is visible next to its runtime growth.
+    return {
+        "triangle_count_x20": lambda s: gr.triangle_count(hub_graph(s, 20)),
+        "clustering_coeff_x20": lambda s: gr.clustering_coefficients(
+            hub_graph(s, 20)
+        ),
+        "k_core_x20": lambda s: gr.k_core(hub_graph(s, 20), k=4),
+        "image_dups_x40": lambda s: image_near_dups(
+            synth_png_table(media_ids(s, 4_800), pattern="xy"),
+            "data",
+            "doc_id",
+            max_hamming=3,
+            band_bits=16,
+        ),
+        "audio_fp_x40": lambda s: audio_fingerprint(
+            synth_wav_table(media_ids(s, 4_800)), "data", "doc_id"
+        ),
+        "video_dups_x40": lambda s: video_near_dups(
+            synth_y4m_table(media_ids(s, 4_800)),
+            "data",
+            "doc_id",
+            jaccard_threshold=0.3,
+        ),
+    }
 
 
 def build(spark, rebuild: bool) -> None:
@@ -117,6 +194,24 @@ def build(spark, rebuild: bool) -> None:
                 )
                 .withColumn("n_chars", F.length("text"))
             )
+        elif name == "embeddings":
+            # Copies get strided ids and a small copy-dependent, per-
+            # dimension perturbation: near-neighbor structure stays local
+            # (each copy clusters around its source vector) instead of 20
+            # EXACT clones per vector, which would make every top-k list a
+            # clone clique — a workload no real embedding corpus produces.
+            pert = F.transform(
+                F.col("embedding"),
+                lambda x, i: (
+                    x
+                    + F.col("__copy").cast("float")
+                    * 0.003
+                    * (((i * 31 + F.col("__copy")) % 7) - 3).cast("float")
+                ).cast("float"),
+            )
+            s = s.withColumn(
+                "vec_id", F.col("vec_id") + F.col("__copy") * ID_STRIDE
+            ).withColumn("embedding", pert)
         (
             s.drop("__copy")
             .repartition(32)
@@ -148,6 +243,24 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
 
+    # Pair-producing extras also log their output row count: a runtime
+    # curve without the output-size curve can't distinguish "the operator
+    # scales" from "the corpus stopped producing pairs".
+    counts: dict[str, int] = {}
+    for name, fn in _extra_queries().items():
+        t0 = time.time()
+        df = fn(spark)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+        if name.startswith(("image_dups", "video_dups")):
+            counts[name] = df.count()
+        print(
+            f"  {name}: {timings[name]}s"
+            + (f" ({counts[name]} pairs)" if name in counts else ""),
+            file=sys.stderr,
+        )
+
     print(
         json.dumps(
             {
@@ -155,6 +268,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "pair_counts": counts,
                 "scales": SCALES,
                 "src": SRC,
             }
