@@ -362,18 +362,26 @@ def rrf_fuse(
     expensive rankers (BM25, ANN) each reduce the corpus to k rows, and
     fusion is O(lists × k).
 
-    The contract is ENFORCED (round-7): each input is probed with a
-    ``limit(n+1)`` count — an early-aborting job, cheap on a bounded
-    list — and a list over ``max_list_rows`` raises instead of running a
-    single-partition corpus sort. Set ``max_list_rows=None`` only if you
-    know every input is ranker output.
+    The contract is ENFORCED (round-7): each list's (id, score)
+    projection is materialized ONCE via eager ``localCheckpoint`` —
+    rankers are expensive, and a separate guard job would recompute
+    them, while the checkpoint makes both the guard count and the rank
+    window read the already-computed rows — then a list over
+    ``max_list_rows`` raises instead of running a single-partition
+    corpus sort. Set ``max_list_rows=None`` only if you know every
+    input is ranker output (the checkpoint is kept regardless: it is
+    what keeps fusion a single ranker pass per list).
     """
     if len(ranked) != len(score_cols):
         raise ValueError("ranked and score_cols must align")
     if len(ranked) < 2:
         raise ValueError("rrf_fuse needs at least 2 ranked lists")
+    slim = [
+        df.select(F.col(id_col), F.col(sc)).localCheckpoint(eager=True)
+        for df, sc in zip(ranked, score_cols)
+    ]
     if max_list_rows is not None:
-        for i, df in enumerate(ranked):
+        for i, df in enumerate(slim):
             if df.limit(max_list_rows + 1).count() > max_list_rows:
                 raise ValueError(
                     f"rrf_fuse input {i} exceeds max_list_rows="
@@ -381,7 +389,7 @@ def rrf_fuse(
                     "corpus (or raise/disable max_list_rows explicitly)"
                 )
     parts = []
-    for df, sc in zip(ranked, score_cols):
+    for df, sc in zip(slim, score_cols):
         w = Window.orderBy(F.col(sc).desc(), F.col(id_col).asc())
         parts.append(
             df.select(F.col(id_col), F.row_number().over(w).alias("__r"))

@@ -66,6 +66,7 @@ from ..operators.dataset_ops import (
     TakeRowsOp,
     VectorToScalarOp,
 )
+from ..logging import get_logger
 from ..operators.grouped_ops import GroupedOp
 from ..plans.op_spec import OpSpec
 from ..plans.status import OpState, OpStatus, utcnow
@@ -400,6 +401,9 @@ class SparkRunner(BaseRunner):
         impl = self.dispatch(op)
         persist = not op.is_ephemeral and self.store is not None
         if persist:
+            log = get_logger("runners.spark").bind(
+                op=type(op).__name__, uuid=op.uuid
+            )
             status = OpStatus(
                 uuid=op.uuid,
                 state=OpState.RUNNING,
@@ -407,6 +411,7 @@ class SparkRunner(BaseRunner):
                 graph=op.to_graph(),
             )
             self.store.write_status(op.uuid, status.to_json())
+            log.info("materializing")
             try:
                 plan = impl(self, op)
                 plan = self._persist(op, plan)
@@ -415,10 +420,12 @@ class SparkRunner(BaseRunner):
                 status.error = f"{type(exc).__name__}: {exc}"
                 status.completed_at = utcnow()
                 self.store.write_status(op.uuid, status.to_json())
+                log.error("failed", error=status.error)
                 raise
             status.state = OpState.COMPLETED
             status.completed_at = utcnow()
             self.store.write_status(op.uuid, status.to_json())
+            log.info("completed")
             return plan
         return impl(self, op)
 
