@@ -115,3 +115,63 @@ def test_distributed_pca_large_offset_stable(lazy_runner):
     got_m = np.stack([np.asarray(r) for r in got["value"]])
     want = _pca_2d(np.asarray(vecs, dtype=np.float64))
     np.testing.assert_allclose(got_m, want, atol=1e-4)
+
+
+def test_umap_branch_structurally_with_fake_module(lazy_runner, monkeypatch):
+    """method='umap' end-to-end with a stub umap-learn injected into
+    sys.modules (r7, VERDICT missing-item 2): exercises the import gate,
+    kwarg passing, driver collect, and ROW_ID re-alignment of the real
+    branch — everything except the umap-learn internals."""
+    import sys
+    import types as pytypes
+
+    import numpy as np
+
+    captured = {}
+
+    class _FakeUMAP:
+        def __init__(self, **kw):
+            captured.update(kw)
+
+        def fit_transform(self, X):
+            # deterministic stand-in: first coord = row sum, second = max
+            return np.stack([X.sum(axis=1), X.max(axis=1)], axis=1)
+
+    fake = pytypes.ModuleType("umap")
+    fake.UMAP = _FakeUMAP
+    monkeypatch.setitem(sys.modules, "umap", fake)
+
+    ds = lazy_runner.from_inline_dataset(
+        {"v": [[1.0, 2.0], [3.0, 4.0], [5.0, 0.0]]}
+    )
+    got = lazy_runner.to_pandas(
+        ds.col_vector("v").umap_vis(
+            method="umap", n_neighbors=7, min_dist=0.25, metric="cosine"
+        )
+    )
+    coords = [list(c) for c in got.iloc[:, -1]]
+    assert coords == [[3.0, 2.0], [7.0, 4.0], [5.0, 5.0]]  # row-id order
+    assert captured["n_neighbors"] == 7
+    assert captured["min_dist"] == 0.25
+    assert captured["metric"] == "cosine"
+    assert captured["n_components"] == 2
+
+
+def test_umap_import_gate_raises_cleanly(lazy_runner, monkeypatch):
+    import builtins
+    import sys
+
+    import pytest
+
+    monkeypatch.setitem(sys.modules, "umap", None)
+    real_import = builtins.__import__
+
+    def no_umap(name, *a, **kw):
+        if name == "umap":
+            raise ImportError("No module named 'umap'")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_umap)
+    ds = lazy_runner.from_inline_dataset({"v": [[1.0, 2.0]]})
+    with pytest.raises(NotImplementedError, match="umap-learn is not installed"):
+        lazy_runner.to_pandas(ds.col_vector("v").umap_vis(method="umap"))
