@@ -1568,6 +1568,48 @@ def q_bigram_logprob(spark, sf_dir):
     return tx.ngram_logprob(_docs(spark, sf_dir), "text", "doc_id", n=2)
 
 
+def q_token_entropy(spark, sf_dir):
+    """Per-document Shannon entropy over whitespace tokens — the
+    lexical-diversity quality signal (low entropy = degenerate
+    repetition). Decimal-exact ``c*log2(c)`` sums keep the value
+    order-free and oracle-checkable."""
+    return tx.token_entropy(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): score every raw doc by
+    hashed unigram+bigram bucket log-ratios of the target distribution
+    (here lang='en') vs the raw corpus. The ratio table is a fixed
+    ``buckets``-row broadcast regardless of corpus size."""
+    docs = _docs(spark, sf_dir)
+    return tx.dsir_weights(
+        docs, docs.filter(F.col("lang") == "en"), "text", "doc_id",
+        buckets=4096,
+    )
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style corpus-wide paragraph dedup: drop every repeated
+    paragraph except its first (doc_id, idx) occurrence, reassemble
+    survivors in order. The corpus has no newlines, so the query
+    synthesizes paragraph structure — a shared banner (kept once, in
+    doc 0), the unique body, and one of 7 rotating footers (each kept
+    in its first host doc) — exercising keep-first, drop, and in-order
+    reassembly."""
+    from krnel_graph_spark.functions.curation import paragraph_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("shared cookie banner"),
+            F.col("text"),
+            F.concat(F.lit("footer "), (F.col("doc_id") % 7).cast("string")),
+        ).alias("text"),
+    )
+    return paragraph_dedup(docs, "text", "doc_id")
+
+
 def q_dup_windows(spark, sf_dir):
     """Exact repeated-window substring-dedup signal (Lee-et-al-style): per
     doc, how many fixed-width token windows also occur elsewhere in the
@@ -2154,6 +2196,26 @@ def q_fluent_decontaminate(spark, sf_dir):
     )
 
 
+def q_fluent_quality(spark, sf_dir):
+    """The r7 quality/selection surface through the OpSpec engine:
+    paragraph dedup (pass-through on this newline-free corpus — grades
+    the lowering's join-back) → token-entropy enrichment → two-parent
+    DSIR scoring against a held-out target slice, one content-addressed
+    graph. Rows-only by design: the value semantics are hash-graded by
+    the standalone paragraph_dedup / token_entropy / dsir_weights
+    entries; this grades the fluent integration path."""
+    runner = _runner(spark)
+    docs = runner.from_parquet(f"{sf_dir}/documents.parquet")
+    raw = docs.take(300)
+    target = docs.take(80, offset=350)
+    scored = (
+        raw.paragraph_dedup("text")
+        .token_entropy("text")
+        .dsir_weights(target, "text", buckets=4096)
+    )
+    return runner.dataframe(scored).drop("__row_id").orderBy("doc_id")
+
+
 def q_text_stats(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select(
@@ -2488,14 +2550,18 @@ def q_video_stats_y4m(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-slot recording window covers what most
-    # needs hash-graded evidence this round. r6 policy: (a) the two r5 red
-    # rows lead, proving the ::BIGINT oracle fix; (b) the new r6 codec
-    # queries; (c) ALL 27 queries never driver-recorded across r1-r5, which
-    # completes cumulative driver coverage of every entry; (d) filler from
-    # the prior-round green set. Everything past slot 50 has a recorded
-    # green row from r1-r5 or is rows-only by design.
+    # needs hash-graded evidence this round. r7 policy: new r7 operators
+    # lead (never driver-recorded), then filler from the r6 green set —
+    # cumulative driver coverage closed in r6, so everything past the new
+    # block already has a recorded green row (or is rows-only by design).
     return {
-        # ---- driver 50-slot recording window (r6 rotation) ---- #
+        # ---- driver 50-slot recording window (r7 rotation) ---- #
+        # New r7 surface: must record this round.
+        "token_entropy": q_token_entropy,
+        "dsir_weights": q_dsir_weights,
+        "paragraph_dedup": q_paragraph_dedup,
+        "fluent_quality": q_fluent_quality,
+        # -- filler: r6-recorded green rows re-recorded -- #
         # Slots 1-2: the two r5 red rows, oracles now ::BIGINT-cast —
         # must re-record green.
         "late_lines_q12": q_late_lines_q12,
@@ -3768,6 +3834,75 @@ SELECT 'l_extendedprice', 'l_discount',
         # pagerank: 5 unrolled iterations; decimal contribution sums +
         # per-iteration rounding mirror functions/graph.py exactly.
         "pagerank": _pagerank_sql(),
+        # token_entropy: per-type c*log2(c) rounded to 8 places before
+        # the decimal per-doc sum (order-free), entropy closed-form on
+        # the two exact aggregates.
+        "token_entropy": f"""
+WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents
+           WHERE {_NORM.format(c="text")} != ''),
+p AS (SELECT doc_id, unnest(toks) AS term FROM t),
+c AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM p
+      GROUP BY doc_id, term),
+d AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+             count(*)::BIGINT AS n_types,
+             sum(round(c * log2(c), 8)::DECIMAL(30,8)) AS clogc
+      FROM c GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_types,
+       round(log2(n_tokens) - clogc::DOUBLE / n_tokens, 6) AS entropy
+FROM d
+""",
+        # dsir_weights: hashed unigram+bigram buckets via the md5 hash
+        # bridge; per-bucket log10 ratio rounded to 8 places, integer
+        # doc-counts times decimal ratio, decimal-summed per doc.
+        "dsir_weights": f"""
+WITH tr AS (SELECT doc_id, {toks_text} AS toks FROM documents
+            WHERE {_NORM.format(c="text")} != ''),
+trg AS (SELECT doc_id, unnest(list_concat(toks, {_shingle_sql(2)})) AS g
+        FROM tr),
+dc AS (SELECT doc_id, {md5_long_sql("g")} % 4096 AS b,
+              count(*)::BIGINT AS c
+       FROM trg GROUP BY doc_id, b),
+rc AS (SELECT b, sum(c)::BIGINT AS cr FROM dc GROUP BY b),
+tg AS (SELECT doc_id, {toks_text} AS toks FROM documents
+       WHERE lang = 'en' AND {_NORM.format(c="text")} != ''),
+tgg AS (SELECT unnest(list_concat(toks, {_shingle_sql(2)})) AS g FROM tg),
+tc AS (SELECT {md5_long_sql("g")} % 4096 AS b, count(*)::BIGINT AS ct
+       FROM tgg GROUP BY b),
+tot AS (SELECT (SELECT sum(cr)::BIGINT FROM rc) AS trn,
+               (SELECT sum(ct)::BIGINT FROM tc) AS ttn),
+ratio AS (SELECT coalesce(rc.b, tc.b) AS b,
+                 round(log10((coalesce(ct, 0) + 1.0) / (ttn + 1.0 * 4096))
+                     - log10((coalesce(cr, 0) + 1.0) / (trn + 1.0 * 4096)),
+                       8)::DECIMAL(20,8) AS lr
+          FROM rc FULL OUTER JOIN tc ON rc.b = tc.b, tot)
+SELECT doc_id, sum(c)::BIGINT AS n_grams,
+       round(sum(c::DECIMAL(12,0) * lr), 6)::DOUBLE AS dsir_logw
+FROM dc JOIN ratio USING (b)
+GROUP BY doc_id
+""",
+        # paragraph_dedup: same synthesized paragraph structure; keeper
+        # is the lexicographic-min (doc_id, idx) encoded as one integer
+        # key; reassembly via ORDER BY idx string_agg.
+        "paragraph_dedup": """
+WITH synth AS (
+  SELECT doc_id,
+         'shared cookie banner' || chr(10) || text || chr(10) ||
+         'footer ' || (doc_id % 7)::VARCHAR AS text
+  FROM documents),
+sp AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM synth),
+paras AS (
+  SELECT doc_id, len(ps)::BIGINT AS np,
+         unnest([{'idx': i, 'para': ps[i+1]} for i in range(0, len(ps))],
+                recursive := true)
+  FROM sp),
+h AS (SELECT doc_id, np, idx, para, md5(para) AS hh FROM paras),
+k AS (SELECT hh, min(doc_id * 1000000 + idx) AS mk FROM h GROUP BY hh),
+kept AS (SELECT h.* FROM h JOIN k USING (hh)
+         WHERE doc_id * 1000000 + idx = mk)
+SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS text,
+       any_value(np) AS n_paras, count(*)::BIGINT AS n_kept
+FROM kept GROUP BY doc_id
+""",
         # unigram_logprob: per-term log10 rounded to 6 places BEFORE the
         # decimal per-doc sum, so summation order can't move the result.
         "unigram_logprob": f"""

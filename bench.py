@@ -146,6 +146,12 @@ HEADLINE = [
     "clustering_coeff",
     "k_core",
     "fluent_pipeline",
+    # r7: quality-signal and selection additions — lexical entropy,
+    # DSIR importance weights (two-corpus broadcast ratio table), and
+    # CCNet paragraph-level dedup.
+    "token_entropy",
+    "dsir_weights",
+    "paragraph_dedup",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

@@ -136,6 +136,62 @@ def decontaminate(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level deduplication — the CCNet/CC-MAIN
+    preprocessing step: split every document on ``sep``, drop every
+    repeated paragraph except its FIRST occurrence (ordered by
+    ``(id, paragraph index)``), and reassemble the survivors in original
+    order. Kills boilerplate (nav bars, cookie banners, license headers)
+    that document-level dedup can't see because the surrounding text
+    differs.
+
+    Returns ``(id_col, text, n_paras, n_kept)`` for documents with at
+    least one surviving paragraph (a document that was ALL boilerplate
+    is dropped, matching CCNet). ``n_paras`` counts original paragraphs.
+
+    Scale shape: paragraphs explode scan-side with their position; the
+    shuffle carries ``(md5 digest, id, idx)`` — 32-char keys, never
+    paragraph text. The keeper per digest is ``min(struct(id, idx))``
+    via groupBy (partial map-side combine, so a billion-fold boilerplate
+    paragraph arrives at the reducer as per-partition minima — no skewed
+    window). Survivors re-join on digest; reassembly is one groupBy(id)
+    with an in-group array sort. md5, not xxhash64, so the ANSI-SQL
+    oracle replays digests byte-for-byte."""
+    paras = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), sep)).alias("__np"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__idx", "__para"),
+    ).withColumn("__h", F.md5("__para"))
+    keepers = paras.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col), F.col("__idx"))).alias("__first")
+    )
+    kept = paras.join(keepers, "__h").filter(
+        (F.col("__first")[id_col] == F.col(id_col))
+        & (F.col("__first.__idx") == F.col("__idx"))
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__idx", "__para"))
+                    ),
+                    lambda s: s["__para"],
+                ),
+                sep,
+            ).alias("text"),
+            F.first("__np").cast("long").alias("n_paras"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+        )
+    )
+
+
 def sequence_pack(
     df: DataFrame,
     order_by: str,

@@ -823,3 +823,155 @@ def ngram_logprob(
             .alias("logprob_sum"),
         )
     )
+
+
+def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document Shannon entropy over whitespace tokens — the
+    lexical-diversity quality signal (low entropy = degenerate
+    repetition / keyword stuffing; it complements ``repetition_stats``,
+    which needs an explicit n-gram to fire).
+
+    Returns ``(id, n_tokens, n_types, entropy)`` for non-blank docs,
+    with ``entropy = log2(n) - sum(c*log2 c)/n`` in bits. Each type's
+    ``c*log2(c)`` term is rounded to 8 places and decimal-summed before
+    the final (order-free) formula, so a SQL oracle reproduces the value
+    bit-for-bit under the same op order.
+
+    Scale: one explode + one ``(id, token)`` groupBy with map-side
+    partial aggregation; the second per-doc aggregation reuses the same
+    hash partitioning on ``id`` prefixes under AQE. Token text never
+    survives past the first aggregation.
+    """
+    toks = F.when(
+        normalize_text(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(whitespace_tokens(F.col(text_col)))
+    counts = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(
+            F.round(F.col("c") * F.log2("c"), 8).cast("decimal(30,8)")
+        ).alias("__clogc"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.log2("n_tokens") - F.col("__clogc").cast("double") / F.col("n_tokens"),
+            6,
+        ).alias("entropy"),
+    )
+
+
+def dsir_weights(
+    train: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    buckets: int = 65_536,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023) over
+    hashed n-gram features: score every raw/train document by how much
+    more likely its (unigram + bigram) bucket counts are under the
+    TARGET distribution than under the raw distribution,
+
+        logw(doc) = sum_b count_doc(b) * (log10 p_target(b) - log10 p_raw(b)),
+
+    with add-``smoothing`` estimates over ``buckets`` hashed buckets.
+    High-``logw`` docs look like the target corpus; resampling train
+    data by ``exp(logw)`` (or taking top-k) yields the DSIR selection.
+    Returns ``(id, n_grams, dsir_logw)`` for non-blank training docs.
+
+    Engine-exact: buckets come from the cross-engine ``md5_long`` hash;
+    each bucket's log-ratio is rounded to 8 places, multiplied by the
+    integer count and decimal-summed, so summation order can't move the
+    result and the DuckDB oracle replays it bit-for-bit.
+
+    Scale shape — the reason DSIR works at 100 TB: the feature space is
+    a FIXED ``buckets``-row table regardless of corpus size. Each corpus
+    is scanned once (explode → per-(doc,bucket) partial-agg'd counts);
+    the global bucket tables aggregate those counts (second tiny
+    shuffle), join into one ≤``buckets``-row ratio table that BROADCASTS
+    back onto the per-doc counts. No shuffle ever carries gram text —
+    only 8-byte bucket ids and counts.
+    """
+    from .hashing import md5_long
+
+    def grams(d: DataFrame) -> DataFrame:
+        uni = whitespace_tokens(F.col(text_col))
+        both = F.when(
+            normalize_text(F.col(text_col)) == "",
+            F.array().cast("array<string>"),
+        ).otherwise(F.concat(uni, shingles(F.col(text_col), 2)))
+        return d.select(
+            F.col(id_col), F.explode(both).alias("g")
+        ).select(id_col, (md5_long(F.col("g")) % buckets).alias("b"))
+
+    from pyspark import StorageLevel
+
+    from .partitioning import plan_size_bytes
+
+    doc_counts = grams(train).groupBy(id_col, "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # doc_counts feeds BOTH the global raw table and the final per-doc
+    # join; without a pin Spark re-runs the tokenize+shingle explode over
+    # the whole train corpus for each consumer (5 corpus scans measured).
+    # The persisted frame is (id, bucket, count) — ~20 B/row regardless
+    # of document size — the classic feature table a 100-TB DSIR run
+    # would checkpoint anyway. Size-gated like the minhash signature pin.
+    if (sz := plan_size_bytes(train)) is None or sz >= (16 << 20):
+        doc_counts = doc_counts.persist(StorageLevel.MEMORY_AND_DISK)
+    # The two global bucket tables are ≤``buckets`` rows each but are
+    # read twice (totals + ratio) — pin them so the target corpus is
+    # scanned exactly once.
+    raw_counts = doc_counts.groupBy("b").agg(
+        F.sum("c").alias("cr")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tgt_counts = grams(target).groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    totals = raw_counts.agg(F.sum("cr").alias("tr")).crossJoin(
+        tgt_counts.agg(F.sum("ct").alias("tt"))
+    )
+    ratio = (
+        raw_counts.join(tgt_counts, "b", "full_outer")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.log10(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(smoothing))
+                    / (F.col("tt") + F.lit(smoothing) * buckets)
+                )
+                - F.log10(
+                    (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(smoothing))
+                    / (F.col("tr") + F.lit(smoothing) * buckets)
+                ),
+                8,
+            )
+            .cast("decimal(20,8)")
+            .alias("lr"),
+        )
+    )
+    return (
+        doc_counts.join(F.broadcast(ratio), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            # DECIMAL(12,0) × DECIMAL(20,8) → DECIMAL(33,8): fits Spark's
+            # 38-digit cap exactly; a wider count factor would trip the
+            # silent precision-loss rescale and drift off the oracle.
+            F.round(
+                F.sum(F.col("c").cast("decimal(12,0)") * F.col("lr")), 6
+            )
+            .cast("double")
+            .alias("dsir_logw"),
+        )
+    )

@@ -40,8 +40,11 @@ from .scale_ops import (
     DecontaminateAgainstOp,
     DropExactDupsOp,
     DropNearDupsOp,
+    DsirWeightsOp,
     HashSampleOp,
+    ParagraphDedupOp,
     TextStatsOp,
+    TokenEntropyOp,
 )
 from .llm_ops import LLMGenerateTextOp, LLMLayerActivationsOp, LLMLogitScoresOp
 from .viz_ops import UMAPVizOp

@@ -153,6 +153,45 @@ class GroupCapOp(DatasetType):
     order_by: List[str]
 
 
+class ParagraphDedupOp(DatasetType):
+    """CCNet-style corpus-wide paragraph dedup of ``text_column``: every
+    repeated paragraph is dropped except its first (row id, paragraph
+    index) occurrence; survivors' text is reassembled in original order
+    with ``n_paras``/``n_kept`` appended. Rows whose every paragraph was
+    boilerplate are dropped (dense=False); survivors keep original ids.
+    Lowering: ``curation.py:paragraph_dedup`` keyed on the row id, joined
+    back to the parent's non-text columns."""
+
+    dataset: DatasetType
+    text_column: str
+    sep: str = "\n"
+
+
+class TokenEntropyOp(DatasetType):
+    """Row-aligned lexical-diversity enrichment: appends ``n_tokens`` /
+    ``n_types`` / ``entropy`` (Shannon bits over whitespace tokens) for
+    ``text_column``; blank docs get nulls. Lowering:
+    ``text.py:token_entropy`` left-joined back on the row id."""
+
+    dataset: DatasetType
+    text_column: str
+
+
+class DsirWeightsOp(DatasetType):
+    """DSIR importance weights (Xie et al. 2023) — a TWO-PARENT op: this
+    dataset is the raw corpus, ``target`` the distribution to match; both
+    are part of the result's content address. Appends ``n_grams`` /
+    ``dsir_logw`` (nulls for blank docs). Lowering:
+    ``text.py:dsir_weights`` left-joined back on the row id."""
+
+    dataset: DatasetType
+    target: DatasetType
+    text_column: str
+    target_column: str
+    buckets: int = 65_536
+    smoothing: float = 1.0
+
+
 class SequencePackOp(DatasetType):
     """Assign rows to fixed-token-budget training sequences by offset
     packing in ``order_by`` order (per ``partition_by`` shard when set —

@@ -42,8 +42,11 @@ from ..operators.scale_ops import (
     DecontaminateAgainstOp,
     DropExactDupsOp,
     DropNearDupsOp,
+    DsirWeightsOp,
     HashSampleOp,
+    ParagraphDedupOp,
     TextStatsOp,
+    TokenEntropyOp,
 )
 from ..operators.dataset_ops import (
     AssignRowIDOp,
@@ -1072,6 +1075,60 @@ def sequence_pack_op(runner: SparkRunner, op: SequencePackOp) -> DatasetPlan:
         partition_by=op.partition_by,
     )
     return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=ds.dense)
+
+
+@SparkRunner.implementation
+def paragraph_dedup_op(runner: SparkRunner, op: ParagraphDedupOp) -> DatasetPlan:
+    """Corpus-wide paragraph dedup keyed on the engine row id: the
+    deduped text replaces ``text_column`` (with n_paras/n_kept appended),
+    non-text parent columns ride along via a row-id equi-join, and docs
+    whose every paragraph was boilerplate disappear (dense=False)."""
+    from ..functions.curation import paragraph_dedup as _impl
+
+    ds = runner.dataset_plan(op.dataset)
+    deduped = _impl(
+        ds.df.select(ROW_ID, op.text_column), op.text_column, ROW_ID,
+        sep=op.sep,
+    ).withColumnRenamed("text", op.text_column)
+    out = ds.df.drop(op.text_column).join(deduped, ROW_ID)
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=False)
+
+
+@SparkRunner.implementation
+def token_entropy_op(runner: SparkRunner, op: TokenEntropyOp) -> DatasetPlan:
+    """Lexical-diversity enrichment: n_tokens/n_types/entropy left-joined
+    back on the row id so blank docs survive with nulls — ids and density
+    preserved."""
+    from ..functions.text import token_entropy as _impl
+
+    ds = runner.dataset_plan(op.dataset)
+    stats = _impl(ds.df.select(ROW_ID, op.text_column), op.text_column, ROW_ID)
+    out = ds.df.join(stats, ROW_ID, "left")
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=ds.dense)
+
+
+@SparkRunner.implementation
+def dsir_weights_op(runner: SparkRunner, op: DsirWeightsOp) -> DatasetPlan:
+    """Two-parent DSIR enrichment: raw corpus scored against the target
+    parent's hashed-n-gram distribution; n_grams/dsir_logw left-joined
+    back on the row id (blank docs null). Both parents content-address
+    the result."""
+    from ..functions.text import dsir_weights as _impl
+
+    raw = runner.dataset_plan(op.dataset)
+    target = runner.dataset_plan(op.target)
+    weights = _impl(
+        raw.df.select(ROW_ID, op.text_column),
+        target.df.select(
+            ROW_ID, F.col(op.target_column).alias(op.text_column)
+        ),
+        op.text_column,
+        ROW_ID,
+        buckets=op.buckets,
+        smoothing=op.smoothing,
+    )
+    out = raw.df.join(weights, ROW_ID, "left")
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=raw.dense)
 
 
 @SparkRunner.implementation

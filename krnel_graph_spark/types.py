@@ -231,6 +231,39 @@ class DatasetType(OpSpec):
         order = [order_by] if isinstance(order_by, str) else list(order_by)
         return GroupCapOp(dataset=self, key_columns=keys, n=n, order_by=order)
 
+    def paragraph_dedup(self, text_column: str, sep: str = "\n") -> "DatasetType":
+        """Corpus-wide paragraph dedup: keep each paragraph's first
+        occurrence only, reassemble survivors in order."""
+        from .operators.scale_ops import ParagraphDedupOp
+
+        return ParagraphDedupOp(dataset=self, text_column=text_column, sep=sep)
+
+    def token_entropy(self, text_column: str) -> "DatasetType":
+        """Append Shannon token-entropy diversity stats."""
+        from .operators.scale_ops import TokenEntropyOp
+
+        return TokenEntropyOp(dataset=self, text_column=text_column)
+
+    def dsir_weights(
+        self,
+        target: "DatasetType",
+        text_column: str,
+        target_column: Optional[str] = None,
+        buckets: int = 65_536,
+        smoothing: float = 1.0,
+    ) -> "DatasetType":
+        """Append DSIR importance weights toward ``target``'s distribution."""
+        from .operators.scale_ops import DsirWeightsOp
+
+        return DsirWeightsOp(
+            dataset=self,
+            target=target,
+            text_column=text_column,
+            target_column=target_column or text_column,
+            buckets=buckets,
+            smoothing=smoothing,
+        )
+
     def sequence_pack(
         self,
         order_by: str,

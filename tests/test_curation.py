@@ -274,3 +274,44 @@ def test_dedup_by_url(spark):
     df = spark.createDataFrame(rows, "id long, url string")
     got = {r["id"] for r in dedup_by_url(df, "url", "id").collect()}
     assert got == {1, 3, 4, 5}
+
+
+# --------------------------------------------------------------------- #
+# paragraph_dedup
+# --------------------------------------------------------------------- #
+
+
+def _pd_rows(spark, docs):
+    from krnel_graph_spark.functions.curation import paragraph_dedup
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = paragraph_dedup(df, "text", "doc_id")
+    return {
+        r["doc_id"]: (r["text"], r["n_paras"], r["n_kept"])
+        for r in out.collect()
+    }
+
+
+def test_paragraph_dedup_first_occurrence_and_drop(spark):
+    got = _pd_rows(
+        spark,
+        [(1, "A\nB\nC"), (2, "A\nD"), (3, "A\nB")],
+    )
+    # Doc 1 hosts the first occurrence of everything it contains.
+    assert got[1] == ("A\nB\nC", 3, 3)
+    # Doc 2 loses the boilerplate 'A', keeps its unique body.
+    assert got[2] == ("D", 2, 1)
+    # Doc 3 is ALL boilerplate -> dropped entirely (CCNet semantics).
+    assert 3 not in got
+
+
+def test_paragraph_dedup_reassembly_preserves_order(spark):
+    got = _pd_rows(spark, [(1, "X\nY"), (2, "X\nZ\nY\nW")])
+    # Survivors Z and W are non-contiguous in doc 2; original order kept.
+    assert got[2] == ("Z\nW", 4, 2)
+
+
+def test_paragraph_dedup_within_doc_repeat(spark):
+    # A paragraph repeated INSIDE one doc keeps only its first slot.
+    got = _pd_rows(spark, [(7, "P\nQ\nP")])
+    assert got[7] == ("P\nQ", 3, 2)

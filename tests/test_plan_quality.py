@@ -176,3 +176,29 @@ def test_fluent_pipeline_lowering_adds_no_shuffles(spark, entry):
     plan = _plan(spark, entry, "fluent_pipeline")
     assert "BatchEvalPython" not in plan
     assert _exchanges(plan) <= 2
+
+
+def test_token_entropy_two_shuffles_no_udf(spark, entry):
+    """Explode + two aggs must stay pure codegen: no Python anywhere,
+    and exactly the two hash aggregation exchanges."""
+    plan = _plan(spark, entry, "token_entropy")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert _exchanges(plan) <= 2
+
+
+def test_paragraph_dedup_no_cartesian(spark, entry):
+    """The keeper join must be a hash/broadcast equi-join on the digest —
+    never a cartesian — and reassembly stays UDF-free."""
+    plan = _plan(spark, entry, "paragraph_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_weights_broadcast_ratio_and_persist(spark, entry):
+    """The fixed-size bucket-ratio table must broadcast onto the per-doc
+    counts (never a sort-merge join against the big side), and the two
+    global bucket tables must come from the persisted frames."""
+    plan = _plan(spark, entry, "dsir_weights")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("InMemoryTableScan") >= 2

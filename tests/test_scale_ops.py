@@ -266,3 +266,56 @@ def test_full_fluent_pretraining_pipeline(lazy_runner):
         .chunk_docs("text", chunk_size=64, overlap=8)
         .sequence_pack("__row_id", "n_tokens", budget=256)
     ).uuid
+
+
+def test_token_entropy_op_row_aligned(lazy_runner):
+    ds = lazy_runner.from_parquet(DOCS)
+    pdf = lazy_runner.to_pandas(ds.token_entropy("text"))
+    base = lazy_runner.to_pandas(ds)
+    assert len(pdf) == len(base)
+    assert {"n_tokens", "n_types", "entropy"} <= set(pdf.columns)
+    assert (pdf["doc_id"].to_numpy() == base["doc_id"].to_numpy()).all()
+    # real corpus has no blank docs -> fully populated
+    assert pdf["entropy"].notna().all()
+
+
+def test_paragraph_dedup_op_filters_and_rewrites(lazy_runner, spark):
+    import pyspark.sql.functions as F
+
+    # Synthesize paragraph structure: shared banner + unique body.
+    src = spark.read.parquet(DOCS).limit(50).select(
+        "doc_id",
+        F.concat_ws("\n", F.lit("BANNER"), "text").alias("text"),
+        "lang",
+    )
+    path = "/tmp/para_op_src.parquet"
+    src.write.mode("overwrite").parquet(path)
+    ds = lazy_runner.from_parquet(path)
+    out = lazy_runner.to_pandas(ds.paragraph_dedup("text"))
+    assert {"text", "n_paras", "n_kept", "lang", "doc_id"} <= set(out.columns)
+    # exactly one survivor still holds the banner paragraph
+    assert int(out["text"].str.contains("BANNER").sum()) == 1
+    assert (out["n_paras"] == 2).all()
+    # uuid is sensitive to the separator parameter
+    assert ds.paragraph_dedup("text").uuid != ds.paragraph_dedup(
+        "text", sep="\r\n"
+    ).uuid
+
+
+def test_dsir_weights_op_two_parent(lazy_runner):
+    raw = lazy_runner.from_parquet(DOCS).take(200)
+    target = lazy_runner.from_parquet(DOCS).take(50, offset=300)
+    scored = raw.dsir_weights(target, "text", buckets=4096)
+    pdf = lazy_runner.to_pandas(scored)
+    assert len(pdf) == 200
+    assert {"n_grams", "dsir_logw"} <= set(pdf.columns)
+    assert pdf["dsir_logw"].notna().all()
+    # two-parent identity: either side moves the uuid
+    other = lazy_runner.from_parquet(DOCS).take(50, offset=100)
+    assert raw.dsir_weights(other, "text", buckets=4096).uuid != scored.uuid
+    assert (
+        raw.take(100).dsir_weights(target, "text", buckets=4096).uuid
+        != scored.uuid
+    )
+    # and to the bucket count
+    assert raw.dsir_weights(target, "text", buckets=2048).uuid != scored.uuid

@@ -338,3 +338,101 @@ def test_ngram_logprob_validation(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         ngram_logprob(df, "text", "doc_id", n=1)
+
+
+# --------------------------------------------------------------------- #
+# token_entropy
+# --------------------------------------------------------------------- #
+
+
+def test_token_entropy_closed_forms(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # uniform over 4 types -> 2 bits
+            (2, "a a a a"),      # degenerate -> 0 bits
+            (3, "a a b b"),      # uniform over 2 types -> 1 bit
+            (4, "   "),          # blank -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_types"], r["entropy"])
+        for r in tx.token_entropy(df, "text", "doc_id").collect()
+    }
+    assert got[1] == (4, 4, 2.0)
+    assert got[2] == (4, 1, 0.0)
+    assert got[3] == (4, 2, 1.0)
+    assert 4 not in got
+
+
+def test_token_entropy_differential(spark):
+    import decimal
+    from collections import Counter
+
+    rng = random.Random(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "x", "y9", "Zz"]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(1, 60))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_types"], r["entropy"])
+        for r in tx.token_entropy(df, "text", "doc_id").collect()
+    }
+    for i, text in docs:
+        counts = Counter(_normalize(text).split(" "))
+        n = sum(counts.values())
+        # Mirror the engine: per-type c*log2(c) rounded HALF_UP to 8
+        # places, decimal-summed, closed form rounded to 6.
+        clogc = sum(
+            decimal.Decimal(str(c * math.log2(c))).quantize(
+                decimal.Decimal("1e-8"), rounding=decimal.ROUND_HALF_UP
+            )
+            for c in counts.values()
+        )
+        ent = decimal.Decimal(
+            str(math.log2(n) - float(clogc) / n)
+        ).quantize(decimal.Decimal("1e-6"), rounding=decimal.ROUND_HALF_UP)
+        assert got[i][0] == n and got[i][1] == len(counts)
+        assert got[i][2] == pytest.approx(float(ent), abs=2e-6)
+
+
+# --------------------------------------------------------------------- #
+# dsir_weights
+# --------------------------------------------------------------------- #
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    target = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat") for i in range(8)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),       # exactly target-like
+            (2, "stock market index futures"),   # off-target
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in tx.dsir_weights(raw, target, "text", "doc_id").collect()
+    }
+    assert got[1] > got[2]
+    assert got[1] > 0  # target-like doc scores above the raw baseline
+
+
+def test_dsir_weights_gram_count(spark):
+    raw = spark.createDataFrame(
+        [(1, "a b c"), (2, "solo"), (3, " ")],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_grams"]
+        for r in tx.dsir_weights(raw, tgt, "text", "doc_id").collect()
+    }
+    # 3 unigrams + 2 bigrams; a single-token doc has no bigrams; blank
+    # docs are excluded entirely.
+    assert got == {1: 5, 2: 1}
