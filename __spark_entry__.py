@@ -1610,6 +1610,37 @@ def q_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup(docs, "text", "doc_id")
 
 
+def q_zipf_fit(spark, sf_dir):
+    """Corpus Zipf rank-frequency power-law fit (one-row health check):
+    decimal-exact moment sums over the top-frequency terms, closed-form
+    least-squares slope/intercept."""
+    return tx.zipf_fit(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def q_compression_signals(spark, sf_dir):
+    """Per-doc zlib compressibility (boilerplate/spam signal): UTF-8
+    byte length + DEFLATE-6 size as exact integers. Rows-only by design
+    (no SQL DEFLATE); pytest pins values against direct zlib.compress."""
+    return tx.compression_signals(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def q_ngram_coverage(spark, sf_dir):
+    """Eval-suite contamination audit: per held-out doc (doc_id >= 350),
+    how many of its distinct word 8-grams occur anywhere in the training
+    slice (doc_id < 400). The overlapping 350-399 band must report full
+    coverage; integer outputs keep the hash exact."""
+    from krnel_graph_spark.functions.curation import ngram_coverage
+
+    docs = _docs(spark, sf_dir)
+    return ngram_coverage(
+        docs.filter(F.col("doc_id") < 400),
+        docs.filter(F.col("doc_id") >= 350),
+        "text",
+        "doc_id",
+        n=8,
+    )
+
+
 def q_dup_windows(spark, sf_dir):
     """Exact repeated-window substring-dedup signal (Lee-et-al-style): per
     doc, how many fixed-width token windows also occur elsewhere in the
@@ -2561,6 +2592,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "paragraph_dedup": q_paragraph_dedup,
         "fluent_quality": q_fluent_quality,
+        "zipf_fit": q_zipf_fit,
+        "ngram_coverage": q_ngram_coverage,
+        "compression_signals": q_compression_signals,
         # -- filler: r6-recorded green rows re-recorded -- #
         # Slots 1-2: the two r5 red rows, oracles now ::BIGINT-cast —
         # must re-record green.
@@ -3834,6 +3868,54 @@ SELECT 'l_extendedprice', 'l_discount',
         # pagerank: 5 unrolled iterations; decimal contribution sums +
         # per-iteration rounding mirror functions/graph.py exactly.
         "pagerank": _pagerank_sql(),
+        # zipf_fit: identical top-k total order (tf DESC, term ASC),
+        # per-term logs and products rounded to 8 before decimal moment
+        # sums, closed form on the exact moments, intercept from the
+        # UNROUNDED slope — op order mirrored exactly.
+        "zipf_fit": f"""
+WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents
+           WHERE {_NORM.format(c="text")} != ''),
+p AS (SELECT unnest(toks) AS term FROM t),
+c AS (SELECT term, count(*)::BIGINT AS tf FROM p GROUP BY term),
+top AS (SELECT term, tf FROM c ORDER BY tf DESC, term ASC LIMIT 500),
+r AS (SELECT
+        round(log10((row_number() OVER (ORDER BY tf DESC, term ASC))::DOUBLE),
+              8) AS lx,
+        round(log10(tf::DOUBLE), 8) AS ly
+      FROM top),
+m AS (SELECT count(*)::BIGINT AS n_terms,
+             sum(lx::DECIMAL(30,8)) AS sx,
+             sum(ly::DECIMAL(30,8)) AS sy,
+             sum(round(lx * ly, 8)::DECIMAL(30,8)) AS sxy,
+             sum(round(lx * lx, 8)::DECIMAL(30,8)) AS sxx
+      FROM r),
+s AS (SELECT n_terms, n_terms::DOUBLE AS n, sx::DOUBLE AS sxd,
+             sy::DOUBLE AS syd,
+             (n_terms::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+               / (n_terms::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+               AS slope_raw
+      FROM m)
+SELECT n_terms, round(slope_raw, 6) AS slope,
+       round((syd - slope_raw * sxd) / n, 6) AS intercept
+FROM s
+""",
+        # ngram_coverage: distinct md5 8-gram digests per side; eval
+        # docs left-join the train gram set, integer hit counts.
+        "ngram_coverage": f"""
+WITH tr AS (SELECT {toks_text} AS toks FROM documents WHERE doc_id < 400),
+trg AS (SELECT DISTINCT md5(g) AS gh
+        FROM (SELECT unnest({_shingle_sql(8)}) AS g FROM tr)),
+te AS (SELECT doc_id, {toks_text} AS toks FROM documents
+       WHERE doc_id >= 350),
+teg AS (SELECT DISTINCT doc_id, md5(g) AS gh
+        FROM (SELECT doc_id, unnest({_shingle_sql(8)}) AS g FROM te)),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM teg
+        GROUP BY doc_id),
+hit AS (SELECT t.doc_id, count(*)::BIGINT AS n_hit
+        FROM teg t JOIN trg USING (gh) GROUP BY t.doc_id)
+SELECT doc_id, n_grams, coalesce(n_hit, 0)::BIGINT AS n_hit
+FROM tot LEFT JOIN hit USING (doc_id)
+""",
         # token_entropy: per-type c*log2(c) rounded to 8 places before
         # the decimal per-doc sum (order-free), entropy closed-form on
         # the two exact aggregates.

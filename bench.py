@@ -152,6 +152,10 @@ HEADLINE = [
     "token_entropy",
     "dsir_weights",
     "paragraph_dedup",
+    "zipf_fit",
+    "ngram_coverage",
+    "compression_signals",
+    "fluent_quality",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

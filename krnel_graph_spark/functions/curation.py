@@ -284,3 +284,53 @@ def dedup_by_url(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
     return df.join(keepers, id_col, "left_semi").unionByName(
         df.filter(F.col(url_col).isNull())
     )
+
+
+def ngram_coverage(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Per-eval-doc contamination coverage — :func:`decontaminate` run in
+    the other direction: for every held-out document, how many of its
+    DISTINCT word ``n``-grams occur anywhere in the training corpus.
+    Returns ``(id, n_grams, n_hit)`` for eval docs with at least ``n``
+    tokens; integers, so ``n_hit / n_grams`` is the auditor's coverage
+    fraction and the gate hash stays exact. A benchmark whose docs sit
+    near coverage 1.0 is already memorized by the corpus.
+
+    Scale shape: both corpora shingle at scan and collapse to md5 digests
+    (32-char fixed-width shuffle keys, never raw n-grams); the train side
+    reduces to its distinct gram set with map-side partial aggregation,
+    the (small) eval side joins against it, and both per-doc counts are
+    one more partial-agg'd groupBy. The train gram table never reaches
+    the driver."""
+    from .text import shingles
+
+    train_grams = (
+        train.select(F.explode(shingles(F.col(text_col), n)).alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+    test_grams = (
+        test.select(
+            F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("g")
+        )
+        .select(id_col, F.md5("g").alias("gh"))
+        .distinct()
+    )
+    hits = (
+        test_grams.join(train_grams, "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    totals = test_grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    return totals.join(hits, id_col, "left").select(
+        F.col(id_col),
+        "n_grams",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+    )

@@ -975,3 +975,87 @@ def dsir_weights(
             .alias("dsir_logw"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str, id_col: str, top_k: int = 500
+) -> DataFrame:
+    """Corpus Zipf power-law diagnostic: least-squares fit of
+    ``log10(count) ~ slope * log10(rank) + intercept`` over the
+    ``top_k`` most frequent terms (rank 1 = most frequent; ties broken
+    by term text, a total order). A natural corpus sits near slope ≈ -1;
+    template/boilerplate-dominated or synthetic corpora drift far off —
+    a one-row health check before committing a crawl to training.
+
+    Engine-exact: per-term ``log10(rank)`` / ``log10(count)`` and their
+    products are rounded to 8 places BEFORE decimal summation, then the
+    closed-form slope/intercept is computed on the five exact moments
+    and rounded to 6 — summation order can't move the result, and a SQL
+    oracle replays it bit-for-bit.
+
+    Scale: term counting is one explode + one partial-agg'd shuffle;
+    top-k plans as TakeOrderedAndProject (per-partition heads, driver
+    merge — never a global sort); the rank window and the final moment
+    aggregation run on the already-limited ``top_k``-row frame."""
+    top = top_terms(df, text_col, id_col, k=top_k)
+    w = Window.orderBy(F.col("tf").desc(), F.col("term").asc())
+    ranked = top.select(
+        F.round(F.log10(F.row_number().over(w).cast("double")), 8).alias("lx"),
+        F.round(F.log10(F.col("tf").cast("double")), 8).alias("ly"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(F.col("lx").cast("decimal(30,8)")).alias("sx"),
+        F.sum(F.col("ly").cast("decimal(30,8)")).alias("sy"),
+        F.sum(
+            F.round(F.col("lx") * F.col("ly"), 8).cast("decimal(30,8)")
+        ).alias("sxy"),
+        F.sum(
+            F.round(F.col("lx") * F.col("lx"), 8).cast("decimal(30,8)")
+        ).alias("sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "n_terms",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+def compression_signals(
+    df: DataFrame, text_col: str, id_col: str, level: int = 6
+) -> DataFrame:
+    """Per-document zlib compressibility — the classic boilerplate/spam
+    signal (highly repetitive text compresses far below natural prose;
+    C4/Gopher-era pipelines threshold on it). Returns
+    ``(id, n_bytes, n_zlib)``: UTF-8 byte length and the DEFLATE size at
+    ``level``; the caller derives ratio = n_zlib / n_bytes (integers are
+    emitted so comparisons stay exact).
+
+    Arrow-batched ``mapInPandas`` over only (id, text): zlib is
+    C-speed per row and the operator is embarrassingly parallel with no
+    shuffle — the plan is scan → project → one Python stage. No SQL
+    oracle exists for DEFLATE, so the gate grades rows-only; a pytest
+    differential pins the values against direct ``zlib.compress``."""
+    import zlib
+
+    out_schema = f"{id_col} long, n_bytes long, n_zlib long"
+
+    def batches(it):
+        for pdf in it:
+            texts = pdf[text_col].fillna("")
+            raw = [t.encode("utf-8") for t in texts]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": [len(b) for b in raw],
+                    "n_zlib": [len(zlib.compress(b, level)) for b in raw],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, out_schema)

@@ -315,3 +315,48 @@ def test_paragraph_dedup_within_doc_repeat(spark):
     # A paragraph repeated INSIDE one doc keeps only its first slot.
     got = _pd_rows(spark, [(7, "P\nQ\nP")])
     assert got[7] == ("P\nQ", 3, 2)
+
+
+def test_ngram_coverage_full_partial_zero(spark):
+    from krnel_graph_spark.functions.curation import ngram_coverage
+
+    train = spark.createDataFrame(
+        [(0, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    test = spark.createDataFrame(
+        [
+            (10, "a b c d e f g h i j"),   # fully contained
+            (11, "a b c d e f g h X Y"),   # one shared 8-gram of three
+            (12, "p q r s t u v w x y"),   # disjoint
+            (13, "too short"),             # < 8 tokens -> no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"])
+        for r in ngram_coverage(train, test, "text", "doc_id", n=8).collect()
+    }
+    assert got[10] == (3, 3)
+    assert got[11] == (3, 1)
+    assert got[12] == (3, 0)
+    assert 13 not in got
+
+
+def test_paragraph_dedup_identity_when_all_unique(spark):
+    """If every paragraph is globally unique the op must be a lossless
+    round-trip (text, count, and membership all preserved)."""
+    from krnel_graph_spark.functions.curation import paragraph_dedup
+
+    docs = [
+        (i, "\n".join(f"doc{i} para{j} unique" for j in range(1 + i % 4)))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text"], r["n_paras"], r["n_kept"])
+        for r in paragraph_dedup(df, "text", "doc_id").collect()
+    }
+    assert len(out) == 30
+    for i, text in docs:
+        np = 1 + i % 4
+        assert out[i] == (text, np, np)

@@ -202,3 +202,25 @@ def test_dsir_weights_broadcast_ratio_and_persist(spark, entry):
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_zipf_fit_topk_never_global_sorts_corpus(spark, entry):
+    """Top-k must plan as TakeOrderedAndProject (per-partition heads);
+    the single-partition rank window is legal only on the limited frame."""
+    plan = _plan(spark, entry, "zipf_fit")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ngram_coverage_digest_join_no_cartesian(spark, entry):
+    plan = _plan(spark, entry, "ngram_coverage")
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_compression_signals_single_arrow_stage(spark, entry):
+    """zlib runs in exactly one Arrow-batched Python stage over a
+    2-column projection — no shuffle, no row-Python."""
+    plan = _plan(spark, entry, "compression_signals")
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert _exchanges(plan) == 0

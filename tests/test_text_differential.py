@@ -436,3 +436,66 @@ def test_dsir_weights_gram_count(spark):
     # 3 unigrams + 2 bigrams; a single-token doc has no bigrams; blank
     # docs are excluded entirely.
     assert got == {1: 5, 2: 1}
+
+
+# --------------------------------------------------------------------- #
+# zipf_fit / compression_signals
+# --------------------------------------------------------------------- #
+
+
+def test_zipf_fit_recovers_power_law(spark):
+    # Build a corpus whose term counts are EXACTLY c_i = floor(1000/i):
+    # the log-log fit must come out near slope -1.
+    rows = []
+    for i in range(1, 21):
+        rows.extend((j, f"w{i:02d}") for j in range(1000 // i))
+    docs = [(k, " ".join(t for _, t in grp)) for k, grp in
+            __import__("itertools").groupby(
+                sorted(enumerate(t for _, t in rows), key=lambda x: x[0] // 50),
+                key=lambda x: x[0] // 50)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = tx.zipf_fit(df, "text", "doc_id").first()
+    assert out["n_terms"] == 20
+    assert out["slope"] == pytest.approx(-1.0, abs=0.05)
+
+    # Independent least-squares check with numpy on the exact counts.
+    import numpy as np
+
+    counts = sorted((1000 // i for i in range(1, 21)), reverse=True)
+    lx = np.log10(np.arange(1, 21, dtype=float))
+    ly = np.log10(np.array(counts, dtype=float))
+    slope, intercept = np.polyfit(lx, ly, 1)
+    assert out["slope"] == pytest.approx(slope, abs=1e-4)
+    assert out["intercept"] == pytest.approx(intercept, abs=1e-4)
+
+
+def test_zipf_fit_tie_break_deterministic(spark):
+    # All terms tied -> ranking falls back to term text; result stable.
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d e")], "doc_id long, text string"
+    )
+    a = tx.zipf_fit(df, "text", "doc_id").first()
+    b = tx.zipf_fit(df, "text", "doc_id").first()
+    assert a == b
+    assert a["slope"] == 0.0  # flat counts -> zero slope
+
+
+def test_compression_signals_matches_zlib(spark):
+    import zlib
+
+    docs = [
+        (0, "abc" * 200),                      # highly compressible
+        (1, "The quick brown fox jumps."),     # short prose
+        (2, "päragraph ünïcode ßtreet"),       # multibyte UTF-8
+        (3, ""),                               # empty
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["n_zlib"])
+        for r in tx.compression_signals(df, "text", "doc_id").collect()
+    }
+    for i, t in docs:
+        raw = t.encode("utf-8")
+        assert got[i] == (len(raw), len(zlib.compress(raw, 6))), i
+    # the repetitive doc must compress far below the prose doc's ratio
+    assert got[0][1] / got[0][0] < 0.1

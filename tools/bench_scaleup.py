@@ -68,6 +68,16 @@ QUERIES = [
     # embedding corpus (queries stay the 10 original vec_ids — corpus
     # scales, query set doesn't, like a real serving index).
     "ann_ivfpq",
+    # r7 quality/selection surface: all pure documents-table consumers,
+    # so they ride the x40 perturbed corpus directly. (ngram_coverage is
+    # in _extra_queries instead — its gate query bounds BOTH sides to
+    # fixed doc_id windows; the honest growth axis is train-corpus size
+    # against a fixed eval suite.)
+    "token_entropy",
+    "dsir_weights",
+    "paragraph_dedup",
+    "zipf_fit",
+    "compression_signals",
     # fuzzy_pairs is deliberately absent: the x40 corpus keeps 16-char
     # prefixes IDENTICAL across copies (the per-5-words token insertion
     # that breaks MinHash shingle similarity usually lands after char 16),
@@ -128,7 +138,18 @@ def _extra_queries():
     # formulas have period lcm<=768 in id, so clone cliques of ~6 appear
     # at this size — pair counts are logged so the curve's output growth
     # is visible next to its runtime growth.
+    def ngram_coverage_x40(s):
+        # Train side = the FULL x40 corpus; eval suite = 400 copy-0 docs
+        # (eval suites don't grow with the corpus — the realistic shape).
+        from krnel_graph_spark.functions.curation import ngram_coverage
+
+        docs = s.read.parquet(f"{OUT}/documents.parquet")
+        return ngram_coverage(
+            docs, docs.filter(F.col("doc_id") < 400), "text", "doc_id", n=8
+        )
+
     return {
+        "ngram_coverage_x40": ngram_coverage_x40,
         "triangle_count_x20": lambda s: gr.triangle_count(hub_graph(s, 20)),
         "clustering_coeff_x20": lambda s: gr.clustering_coefficients(
             hub_graph(s, 20)
