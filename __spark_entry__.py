@@ -1532,6 +1532,24 @@ def q_pagerank(spark, sf_dir):
     return out.select("node", F.col("rank").alias("pr"))
 
 
+def q_label_propagation(spark, sf_dir):
+    """Deterministic 5-round synchronous label-propagation communities
+    over the same synthetic link graph as pagerank — integer-only state,
+    smallest-label tie-break, so the unrolled SQL oracle is exact."""
+    from krnel_graph_spark.functions.graph import label_propagation
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 500).alias("dst"),
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 13 + 1) % 500).alias("dst"),
+    )
+    return label_propagation(e1.union(e2), n_iter=5)
+
+
 def q_histogram_price(spark, sf_dir):
     """Exact fixed-edge histogram of l_extendedprice: 22 bins over
     [0, 110000) — width 5000 exactly, so bin edges are the same IEEE
@@ -1608,6 +1626,52 @@ def q_paragraph_dedup(spark, sf_dir):
         ).alias("text"),
     )
     return paragraph_dedup(docs, "text", "doc_id")
+
+
+_EXPECT_RULES = {
+    # Two rules that genuinely hold on this data (green path) and four
+    # tightened past the real value ranges so the violation counters and
+    # the quarantine frame are actually exercised, not vacuously zero.
+    "qty_in_range": "l_quantity >= 1 AND l_quantity <= 50",
+    "orderkey_not_null": "l_orderkey IS NOT NULL",
+    "qty_small": "l_quantity <= 30",
+    "discount_tight": "l_discount <= 0.05",
+    "tax_tight": "l_tax <= 0.04",
+    "no_returns": "l_returnflag IN ('N')",
+}
+
+
+def q_expect_rules(spark, sf_dir):
+    """Deequ-style data-quality gate: six declarative rules over
+    lineitem folded into ONE aggregation pass (adding rules never adds
+    scans); NULL predicate results count as violations."""
+    from krnel_graph_spark.functions.expectations import expect_rules
+
+    return expect_rules(_t(spark, sf_dir, "lineitem"), _EXPECT_RULES)
+
+
+def q_quarantine(spark, sf_dir):
+    """Row-level quarantine split: rows failing ANY rule, each carrying
+    the comma-joined names of its violated rules — the audit frame an
+    ingest writes next to the clean snapshot. Scan-side predicates
+    only."""
+    from krnel_graph_spark.functions.expectations import quarantine
+
+    _, bad = quarantine(_t(spark, sf_dir, "lineitem"), _EXPECT_RULES)
+    return bad.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array_join("__failed_rules", ",").alias("failed_rules"),
+    )
+
+
+def q_corpus_report(spark, sf_dir):
+    """One-call corpus health report: volume / vocabulary / duplication /
+    blanks / mean quality / Zipf slope / language mix as long-format
+    (metric, value) rows — the pre-training go/no-go summary. One scan
+    builds the persisted per-doc feature frame; every branch reduces
+    before the union."""
+    return tx.corpus_report(_docs(spark, sf_dir), "text", "doc_id")
 
 
 def q_zipf_fit(spark, sf_dir):
@@ -2242,6 +2306,7 @@ def q_fluent_quality(spark, sf_dir):
     scored = (
         raw.paragraph_dedup("text")
         .token_entropy("text")
+        .compression_signals("text")
         .dsir_weights(target, "text", buckets=4096)
     )
     return runner.dataframe(scored).drop("__row_id").orderBy("doc_id")
@@ -2595,6 +2660,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "ngram_coverage": q_ngram_coverage,
         "compression_signals": q_compression_signals,
+        "corpus_report": q_corpus_report,
+        "expect_rules": q_expect_rules,
+        "quarantine": q_quarantine,
+        "label_propagation": q_label_propagation,
         # -- filler: r6-recorded green rows re-recorded -- #
         # Slots 1-2: the two r5 red rows, oracles now ::BIGINT-cast —
         # must re-record green.
@@ -2799,6 +2868,39 @@ def _pagerank_sql(n_iter: int = 5, damping: float = 0.85) -> str:
     )
 
 
+def _label_prop_sql(n_iter: int = 5) -> str:
+    """Unrolled synchronous label-propagation CTE chain mirroring
+    ``functions/graph.py:label_propagation`` (symmetrized distinct
+    edges, self-loops dropped, argmax by (count DESC, label ASC))."""
+    parts = [
+        """e0 AS (
+  SELECT doc_id AS a, (doc_id * 7 + 3) % 500 AS b FROM documents
+  UNION
+  SELECT doc_id, (doc_id * 13 + 1) % 500 FROM documents)""",
+        "ef AS (SELECT a, b FROM e0 WHERE a <> b)",
+        "e AS (SELECT a, b FROM ef UNION SELECT b, a FROM ef)",
+        "n AS (SELECT DISTINCT a AS node FROM e)",
+        "l0 AS (SELECT node, node AS label FROM n)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""c{i} AS (SELECT e.a AS n, l.label, count(*) AS c
+  FROM e JOIN l{i - 1} l ON l.node = e.b GROUP BY e.a, l.label)"""
+        )
+        parts.append(
+            f"""l{i} AS (SELECT q.n AS node, q.label FROM (
+    SELECT n, label,
+           row_number() OVER (PARTITION BY n ORDER BY c DESC, label ASC)
+             AS rn
+    FROM c{i}) q WHERE rn = 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, label FROM l{n_iter}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     norm_text = _NORM.format(c="text")
     toks_text = _TOKS.format(c="text")
@@ -2837,6 +2939,35 @@ h AS (SELECT doc_id, sh, list_distinct(sh) AS shd, {minhash_hs} AS hs FROM s)
 
     lang_hits = _lexicon_sql()
     lang_case = _lang_case_sql()
+
+    # Shared by "zipf_fit" and corpus_report's zipf_slope row.
+    zipf_sql = f"""
+WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents
+           WHERE {_NORM.format(c="text")} != ''),
+p AS (SELECT unnest(toks) AS term FROM t),
+c AS (SELECT term, count(*)::BIGINT AS tf FROM p GROUP BY term),
+top AS (SELECT term, tf FROM c ORDER BY tf DESC, term ASC LIMIT 500),
+r AS (SELECT
+        round(log10((row_number() OVER (ORDER BY tf DESC, term ASC))::DOUBLE),
+              8) AS lx,
+        round(log10(tf::DOUBLE), 8) AS ly
+      FROM top),
+m AS (SELECT count(*)::BIGINT AS n_terms,
+             sum(lx::DECIMAL(30,8)) AS sx,
+             sum(ly::DECIMAL(30,8)) AS sy,
+             sum(round(lx * ly, 8)::DECIMAL(30,8)) AS sxy,
+             sum(round(lx * lx, 8)::DECIMAL(30,8)) AS sxx
+      FROM r),
+s AS (SELECT n_terms, n_terms::DOUBLE AS n, sx::DOUBLE AS sxd,
+             sy::DOUBLE AS syd,
+             (n_terms::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+               / (n_terms::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+               AS slope_raw
+      FROM m)
+SELECT n_terms, round(slope_raw, 6) AS slope,
+       round((syd - slope_raw * sxd) / n, 6) AS intercept
+FROM s
+"""
 
     cos_ab = _cosine_sql("a.embedding", "b.embedding")
     cos_dq = _cosine_sql("d.embedding", "q.embedding")
@@ -3868,36 +3999,90 @@ SELECT 'l_extendedprice', 'l_discount',
         # pagerank: 5 unrolled iterations; decimal contribution sums +
         # per-iteration rounding mirror functions/graph.py exactly.
         "pagerank": _pagerank_sql(),
+        "label_propagation": _label_prop_sql(),
         # zipf_fit: identical top-k total order (tf DESC, term ASC),
         # per-term logs and products rounded to 8 before decimal moment
         # sums, closed form on the exact moments, intercept from the
         # UNROUNDED slope — op order mirrored exactly.
-        "zipf_fit": f"""
-WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents
-           WHERE {_NORM.format(c="text")} != ''),
-p AS (SELECT unnest(toks) AS term FROM t),
-c AS (SELECT term, count(*)::BIGINT AS tf FROM p GROUP BY term),
-top AS (SELECT term, tf FROM c ORDER BY tf DESC, term ASC LIMIT 500),
-r AS (SELECT
-        round(log10((row_number() OVER (ORDER BY tf DESC, term ASC))::DOUBLE),
-              8) AS lx,
-        round(log10(tf::DOUBLE), 8) AS ly
-      FROM top),
-m AS (SELECT count(*)::BIGINT AS n_terms,
-             sum(lx::DECIMAL(30,8)) AS sx,
-             sum(ly::DECIMAL(30,8)) AS sy,
-             sum(round(lx * ly, 8)::DECIMAL(30,8)) AS sxy,
-             sum(round(lx * lx, 8)::DECIMAL(30,8)) AS sxx
-      FROM r),
-s AS (SELECT n_terms, n_terms::DOUBLE AS n, sx::DOUBLE AS sxd,
-             sy::DOUBLE AS syd,
-             (n_terms::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-               / (n_terms::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
-               AS slope_raw
-      FROM m)
-SELECT n_terms, round(slope_raw, 6) AS slope,
-       round((syd - slope_raw * sxd) / n, 6) AS intercept
-FROM s
+        "zipf_fit": zipf_sql,
+        # expect_rules / quarantine: generated from the SAME rule dict
+        # as the Spark query (the predicate strings are ANSI SQL), so
+        # rule text can never drift between engine and oracle.
+        "expect_rules": (
+            "WITH a AS (SELECT count(*)::BIGINT AS n, "
+            + ", ".join(
+                f"sum(CASE WHEN NOT coalesce({p}, false) THEN 1 ELSE 0 "
+                f"END)::BIGINT AS v{i}"
+                for i, p in enumerate(_EXPECT_RULES.values())
+            )
+            + " FROM lineitem) "
+            + " UNION ALL ".join(
+                f"SELECT '{name}' AS rule, n AS n_rows, v{i} AS "
+                f"n_violations, v{i} = 0 AS passed FROM a"
+                for i, name in enumerate(_EXPECT_RULES)
+            )
+        ),
+        "quarantine": (
+            "SELECT l_orderkey, l_linenumber, array_to_string(list_filter(["
+            + ", ".join(
+                f"CASE WHEN NOT coalesce({p}, false) THEN '{name}' END"
+                for name, p in _EXPECT_RULES.items()
+            )
+            + "], x -> x IS NOT NULL), ',') AS failed_rules FROM lineitem "
+            + "WHERE NOT ("
+            + " AND ".join(
+                f"coalesce({p}, false)" for p in _EXPECT_RULES.values()
+            )
+            + ")"
+        ),
+        # corpus_report: same per-doc feature CTE chain as text_stats
+        # (n_tok / stopword / punct / mwl -> 6-rounded quality), plus
+        # fingerprint + lang-id; every metric mirrors the engine's op
+        # order (decimal quality sum, double division, round 6).
+        "corpus_report": f"""
+WITH t AS (SELECT doc_id, text, {toks_text} AS toks FROM documents),
+m AS (SELECT doc_id, text, toks,
+      CASE WHEN len(toks) = 1 AND toks[1] = '' THEN 0
+           ELSE len(toks) END AS n_tok,
+      {lang_hits}
+      FROM t),
+b AS (SELECT doc_id, n_tok,
+  CASE WHEN n_tok = 0 THEN 1 ELSE 0 END AS blank,
+  md5({norm_text}) AS fp,
+  CASE WHEN n_tok = 0 THEN 0.0 ELSE h_en::DOUBLE / n_tok::DOUBLE END AS stop_r,
+  CASE WHEN length(text) = 0 THEN 0.0
+       ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+            / length(text)::DOUBLE END AS punct_r,
+  CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE list_reduce(list_concat([0::BIGINT],
+                list_transform(toks, x -> length(x)::BIGINT)),
+                (acc, x) -> acc + x)::DOUBLE / len(toks)::DOUBLE
+  END AS mwl,
+  {lang_case} AS pl
+  FROM m),
+bq AS (SELECT doc_id, n_tok, blank, fp, pl,
+              round({_QUALITY_SQL}, 6) AS q FROM b),
+a AS (SELECT count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+             sum(blank)::BIGINT AS n_blank,
+             count(DISTINCT fp)::BIGINT AS n_fp,
+             sum(q::DECIMAL(30,6)) AS sq
+      FROM bq)
+SELECT 'n_docs' AS metric, n_docs::DOUBLE AS value FROM a
+UNION ALL SELECT 'n_tokens', n_tokens::DOUBLE FROM a
+UNION ALL SELECT 'blank_frac',
+  round(n_blank::DOUBLE / n_docs::DOUBLE, 6) FROM a
+UNION ALL SELECT 'dup_doc_frac',
+  round((n_docs - n_fp)::DOUBLE / n_docs::DOUBLE, 6) FROM a
+UNION ALL SELECT 'mean_quality',
+  round(sq::DOUBLE / n_docs::DOUBLE, 6) FROM a
+UNION ALL SELECT 'n_types',
+  (SELECT count(DISTINCT term)::DOUBLE
+   FROM (SELECT unnest(toks) AS term FROM t
+         WHERE {_NORM.format(c="text")} != ''))
+UNION ALL SELECT 'zipf_slope', slope FROM ({zipf_sql})
+UNION ALL SELECT 'lang:' || pl,
+  round(c::DOUBLE / (SELECT n_docs FROM a)::DOUBLE, 6)
+FROM (SELECT pl, count(*)::BIGINT AS c FROM bq GROUP BY pl)
 """,
         # ngram_coverage: distinct md5 8-gram digests per side; eval
         # docs left-join the train gram set, integer hit counts.

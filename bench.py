@@ -156,6 +156,9 @@ HEADLINE = [
     "ngram_coverage",
     "compression_signals",
     "fluent_quality",
+    "corpus_report",
+    "expect_rules",
+    "quarantine",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

@@ -436,3 +436,72 @@ def degree_assortativity(
             (dx > 0) & (dy > 0), F.round(num / dx / dy, 6)
         ).otherwise(F.lit(0.0)).alias("assortativity"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+) -> DataFrame:
+    """Synchronous label-propagation community detection over an
+    (implicitly symmetrized) edge list — the near-linear-time community
+    signal a crawl-curation pipeline uses to group mutually-linking
+    sites, complementing ``connected_components`` (which ignores edge
+    density) and ``pagerank`` (which scores, not groups).
+
+    Every node starts labeled with its own id; each of the fixed
+    ``n_iter`` synchronous rounds relabels every node with the most
+    frequent label among its neighbors, ties broken by the SMALLEST
+    label — a total order, so the result is deterministic and an
+    unrolled SQL oracle replays it exactly (float-free: labels and
+    counts are integers). Self-loops are dropped. Returns
+    ``(node, label)``.
+
+    Scale shape: per round, one shuffle joins the label table onto the
+    symmetrized edges on the neighbor endpoint and one two-level
+    partial-aggregated groupBy picks the argmax via
+    ``max(struct(count, -label))`` — edge-count shuffle volume,
+    node-count results, no window over unbounded partitions.
+    ``localCheckpoint`` per round breaks the O(n_iter) lineage growth
+    (same policy as ``pagerank``/``connected_components``)."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    sym = (
+        und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(n_iter):
+        nbr = sym.join(labels, sym.b == labels.node).select(
+            F.col("a").alias("n"), "label"
+        )
+        cnt = nbr.groupBy("n", "label").agg(F.count(F.lit(1)).alias("c"))
+        best = (
+            cnt.groupBy("n")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c").alias("c"), (-F.col("label")).alias("nl")
+                    )
+                ).alias("m")
+            )
+            .select(F.col("n").alias("node"), (-F.col("m.nl")).alias("label"))
+        )
+        # Every node in `nodes` has >= 1 neighbor by construction (it
+        # came from a symmetrized edge), but keep the left-join +
+        # carry-forward so subgraph relabeling stays correct if a
+        # caller feeds a pre-filtered label frame in a future variant.
+        labels = (
+            nodes.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce(best.label, F.col("node")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

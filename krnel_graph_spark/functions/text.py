@@ -1059,3 +1059,100 @@ def compression_signals(
             )
 
     return df.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
+def corpus_report(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One-call corpus health report, long format ``(metric, value)`` —
+    the pre-training go/no-go summary a data engineer wants before
+    committing a crawl: volume, vocabulary, duplication, blanks, mean
+    quality, Zipf slope, and predicted-language mix.
+
+    Rows: ``n_docs``, ``n_tokens``, ``n_types``, ``blank_frac``,
+    ``dup_doc_frac`` (exact normalized-text dups), ``mean_quality``
+    (decimal-exact mean of the 6-rounded quality score), ``zipf_slope``,
+    and one ``lang:<l>`` fraction per predicted language. All values
+    double; fractions rounded to 6.
+
+    Scale: the per-doc feature frame (token count / blank flag /
+    fingerprint / quality / lang-id — all codegen expressions, ~50 B/row)
+    is computed in ONE scan and size-gate persisted for its two consumers
+    (the global aggregate and the language distribution); vocabulary and
+    the Zipf fit share the one explode+agg pass shape that
+    ``term_stats`` documents. Everything reduces to one-row or
+    #languages-row frames before any union."""
+    from pyspark import StorageLevel
+
+    from .partitioning import plan_size_bytes
+
+    norm = normalize_text(F.col(text_col))
+    base = df.select(
+        token_count(text_col).alias("nt"),
+        (norm == "").cast("long").alias("blank"),
+        fingerprint(text_col).alias("fp"),
+        F.round(quality_score(text_col), 6).alias("q"),
+        lang_id(text_col).alias("pl"),
+    )
+    if (sz := plan_size_bytes(df)) is None or sz >= (16 << 20):
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    a = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.sum("blank").cast("long").alias("n_blank"),
+        F.countDistinct("fp").alias("n_fp"),
+        F.sum(F.col("q").cast("decimal(30,6)")).alias("sq"),
+    )
+    nd = F.col("n_docs").cast("double")
+    scalars = a.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("n_docs").alias("metric"), nd.alias("value")
+                ),
+                F.struct(
+                    F.lit("n_tokens").alias("metric"),
+                    F.col("n_tokens").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("blank_frac").alias("metric"),
+                    F.round(
+                        F.col("n_blank").cast("double") / nd, 6
+                    ).alias("value"),
+                ),
+                F.struct(
+                    F.lit("dup_doc_frac").alias("metric"),
+                    F.round(
+                        (F.col("n_docs") - F.col("n_fp")).cast("double") / nd,
+                        6,
+                    ).alias("value"),
+                ),
+                F.struct(
+                    F.lit("mean_quality").alias("metric"),
+                    F.round(F.col("sq").cast("double") / nd, 6).alias("value"),
+                ),
+            )
+        ).alias("kv")
+    ).select("kv.*")
+    toks = F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        whitespace_tokens(F.col(text_col))
+    )
+    types = (
+        df.select(F.explode(toks).alias("term"))
+        .agg(F.countDistinct("term").alias("v"))
+        .select(
+            F.lit("n_types").alias("metric"),
+            F.col("v").cast("double").alias("value"),
+        )
+    )
+    zs = zipf_fit(df, text_col, id_col).select(
+        F.lit("zipf_slope").alias("metric"), F.col("slope").alias("value")
+    )
+    langs = (
+        base.groupBy("pl")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(a.select("n_docs")))
+        .select(
+            F.concat(F.lit("lang:"), F.col("pl")).alias("metric"),
+            F.round(F.col("c").cast("double") / nd, 6).alias("value"),
+        )
+    )
+    return scalars.unionAll(types).unionAll(zs).unionAll(langs)

@@ -37,11 +37,13 @@ from .scale_ops import (
     SequencePackOp,
     StratifiedSampleOp,
     ChunkDocumentsOp,
+    CompressionSignalsOp,
     DecontaminateAgainstOp,
     DropExactDupsOp,
     DropNearDupsOp,
     DsirWeightsOp,
     HashSampleOp,
+    NgramCoverageOp,
     ParagraphDedupOp,
     TextStatsOp,
     TokenEntropyOp,

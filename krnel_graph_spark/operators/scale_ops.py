@@ -192,6 +192,31 @@ class DsirWeightsOp(DatasetType):
     smoothing: float = 1.0
 
 
+class CompressionSignalsOp(DatasetType):
+    """Row-aligned zlib-compressibility enrichment: appends ``n_bytes``
+    / ``n_zlib`` for ``text_column`` (one Arrow stage, no shuffle).
+    Lowering: ``text.py:compression_signals`` left-joined on the row id."""
+
+    dataset: DatasetType
+    text_column: str
+    level: int = 6
+
+
+class NgramCoverageOp(DatasetType):
+    """Contamination-coverage enrichment of an EVAL dataset against a
+    training corpus — a TWO-PARENT op: appends ``n_grams`` / ``n_hit``
+    (distinct word n-grams of each eval row found anywhere in ``corpus``;
+    nulls for rows with < n tokens). Both parents content-address the
+    result. Lowering: ``curation.py:ngram_coverage`` left-joined on the
+    row id."""
+
+    dataset: DatasetType
+    corpus: DatasetType
+    text_column: str
+    corpus_column: str
+    ngram: int = 8
+
+
 class SequencePackOp(DatasetType):
     """Assign rows to fixed-token-budget training sequences by offset
     packing in ``order_by`` order (per ``partition_by`` shard when set —

@@ -39,11 +39,13 @@ from ..operators.scale_ops import (
     SequencePackOp,
     StratifiedSampleOp,
     ChunkDocumentsOp,
+    CompressionSignalsOp,
     DecontaminateAgainstOp,
     DropExactDupsOp,
     DropNearDupsOp,
     DsirWeightsOp,
     HashSampleOp,
+    NgramCoverageOp,
     ParagraphDedupOp,
     TextStatsOp,
     TokenEntropyOp,
@@ -1129,6 +1131,44 @@ def dsir_weights_op(runner: SparkRunner, op: DsirWeightsOp) -> DatasetPlan:
     )
     out = raw.df.join(weights, ROW_ID, "left")
     return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=raw.dense)
+
+
+@SparkRunner.implementation
+def compression_signals_op(
+    runner: SparkRunner, op: CompressionSignalsOp
+) -> DatasetPlan:
+    """zlib-compressibility enrichment: n_bytes/n_zlib from the single
+    Arrow stage, left-joined back on the row id — ids and density
+    preserved."""
+    from ..functions.text import compression_signals as _impl
+
+    ds = runner.dataset_plan(op.dataset)
+    stats = _impl(
+        ds.df.select(ROW_ID, op.text_column), op.text_column, ROW_ID,
+        level=op.level,
+    )
+    out = ds.df.join(stats, ROW_ID, "left")
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=ds.dense)
+
+
+@SparkRunner.implementation
+def ngram_coverage_op(runner: SparkRunner, op: NgramCoverageOp) -> DatasetPlan:
+    """Two-parent contamination-coverage enrichment: this dataset is the
+    eval suite, ``corpus`` the training side; n_grams/n_hit left-joined
+    back on the row id (nulls for rows with < n tokens)."""
+    from ..functions.curation import ngram_coverage as _impl
+
+    ds = runner.dataset_plan(op.dataset)
+    corpus = runner.dataset_plan(op.corpus)
+    cov = _impl(
+        corpus.df.select(F.col(op.corpus_column).alias(op.text_column)),
+        ds.df.select(ROW_ID, op.text_column),
+        op.text_column,
+        ROW_ID,
+        n=op.ngram,
+    )
+    out = ds.df.join(cov, ROW_ID, "left")
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=ds.dense)
 
 
 @SparkRunner.implementation

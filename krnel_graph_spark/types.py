@@ -264,6 +264,34 @@ class DatasetType(OpSpec):
             smoothing=smoothing,
         )
 
+    def compression_signals(
+        self, text_column: str, level: int = 6
+    ) -> "DatasetType":
+        """Append zlib-compressibility byte counts (boilerplate signal)."""
+        from .operators.scale_ops import CompressionSignalsOp
+
+        return CompressionSignalsOp(
+            dataset=self, text_column=text_column, level=level
+        )
+
+    def ngram_coverage(
+        self,
+        corpus: "DatasetType",
+        text_column: str,
+        corpus_column: Optional[str] = None,
+        ngram: int = 8,
+    ) -> "DatasetType":
+        """Append per-row contamination coverage against ``corpus``."""
+        from .operators.scale_ops import NgramCoverageOp
+
+        return NgramCoverageOp(
+            dataset=self,
+            corpus=corpus,
+            text_column=text_column,
+            corpus_column=corpus_column or text_column,
+            ngram=ngram,
+        )
+
     def sequence_pack(
         self,
         order_by: str,

@@ -224,3 +224,24 @@ def test_compression_signals_single_arrow_stage(spark, entry):
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan
     assert _exchanges(plan) == 0
+
+
+def test_corpus_report_persists_feature_frame_no_udf(spark, entry):
+    """The per-doc feature frame must not be recomputed per branch at
+    scale (size-gated persist; tiny test corpora may skip it) and the
+    whole report stays UDF-free."""
+    plan = _plan(spark, entry, "corpus_report")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_expect_rules_one_scan(spark, entry):
+    """Six rules must fold into one scan + one aggregate — rules never
+    add passes over the data."""
+    plan = _plan(spark, entry, "expect_rules")
+    assert plan.count("Scan parquet") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_quarantine_scan_side_only(spark, entry):
+    assert _exchanges(_plan(spark, entry, "quarantine")) == 0

@@ -319,3 +319,34 @@ def test_dsir_weights_op_two_parent(lazy_runner):
     )
     # and to the bucket count
     assert raw.dsir_weights(target, "text", buckets=2048).uuid != scored.uuid
+
+
+def test_compression_signals_op_row_aligned(lazy_runner):
+    import zlib
+
+    ds = lazy_runner.from_parquet(DOCS).take(40)
+    pdf = lazy_runner.to_pandas(ds.compression_signals("text"))
+    assert len(pdf) == 40
+    assert {"n_bytes", "n_zlib"} <= set(pdf.columns)
+    r = pdf.iloc[0]
+    raw = r["text"].encode("utf-8")
+    assert (r["n_bytes"], r["n_zlib"]) == (len(raw), len(zlib.compress(raw, 6)))
+    # level is part of the identity
+    assert ds.compression_signals("text").uuid != ds.compression_signals(
+        "text", level=9
+    ).uuid
+
+
+def test_ngram_coverage_op_two_parent(lazy_runner):
+    corpus = lazy_runner.from_parquet(DOCS).take(300)
+    evals = lazy_runner.from_parquet(DOCS).take(30, offset=100)
+    scored = evals.ngram_coverage(corpus, "text", ngram=8)
+    pdf = lazy_runner.to_pandas(scored)
+    assert len(pdf) == 30
+    # the eval slice is inside the corpus slice -> full coverage
+    ok = pdf.dropna(subset=["n_grams"])
+    assert (ok["n_hit"] == ok["n_grams"]).all() and len(ok) > 0
+    # two-parent identity
+    other = lazy_runner.from_parquet(DOCS).take(30, offset=400)
+    assert evals.ngram_coverage(other, "text", ngram=8).uuid != scored.uuid
+    assert evals.ngram_coverage(corpus, "text", ngram=5).uuid != scored.uuid

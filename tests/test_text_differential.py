@@ -499,3 +499,30 @@ def test_compression_signals_matches_zlib(spark):
         assert got[i] == (len(raw), len(zlib.compress(raw, 6))), i
     # the repetitive doc must compress far below the prose doc's ratio
     assert got[0][1] / got[0][0] < 0.1
+
+
+def test_corpus_report_known_corpus(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the cat sat on the mat"),   # exact dup of 0
+            (2, "Le chat est sur le tapis et pour la vie"),
+            (3, "   "),                      # blank
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["metric"]: r["value"]
+        for r in tx.corpus_report(df, "text", "doc_id").collect()
+    }
+    assert got["n_docs"] == 4.0
+    assert got["n_tokens"] == 6 + 6 + 10
+    assert got["blank_frac"] == 0.25
+    # 4 docs, 3 distinct fingerprints (blank has its own) -> 1 dup
+    assert got["dup_doc_frac"] == 0.25
+    assert got["lang:en"] == 0.5
+    assert got["lang:fr"] == 0.25
+    assert got["lang:und"] == 0.25
+    assert "zipf_slope" in got and "mean_quality" in got
+    # 5 scalars + n_types + zipf + 3 langs
+    assert len(got) == 10
