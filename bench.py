@@ -159,6 +159,7 @@ HEADLINE = [
     "corpus_report",
     "expect_rules",
     "quarantine",
+    "label_propagation",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

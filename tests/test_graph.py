@@ -329,3 +329,79 @@ def test_graph_ops_empty_and_trivial(spark):
     one = spark.createDataFrame([(1, 2)], "src long, dst long")
     assert triangle_count(one).collect()[0]["n_triangles"] == 0
     assert degree_assortativity(one).collect()[0]["assortativity"] == 0.0
+
+
+# --------------------------------------------------------------------- #
+# label_propagation
+# --------------------------------------------------------------------- #
+
+
+def _lpa_ref(edges, n_iter):
+    """Pure-Python mirror: synchronous rounds, argmax by (count, -label)."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    labels = {n: n for n in adj}
+    for _ in range(n_iter):
+        nxt = {}
+        for n in adj:
+            cnt = Counter(labels[m] for m in adj[n])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[n] = best[0]
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_two_cliques(spark):
+    from krnel_graph_spark.functions.graph import label_propagation
+
+    # Two 4-cliques bridged by a single edge: each clique converges to
+    # its minimum member id; the bridge does not merge them.
+    cl1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    cl2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = cl1 + cl2 + [(3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, n_iter=5).collect()
+    }
+    assert all(got[n] == 0 for n in range(4))
+    assert all(got[n] == 10 for n in range(10, 14))
+
+
+def test_label_propagation_differential_random(spark):
+    import random
+
+    from krnel_graph_spark.functions.graph import label_propagation
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(120)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, n_iter=4).collect()
+    }
+    assert got == _lpa_ref(edges, 4)
+
+
+def test_label_propagation_self_loops_dropped(spark):
+    from krnel_graph_spark.functions.graph import label_propagation
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 2)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, n_iter=3).collect()
+    }
+    # Only the 1-2 edge survives (self-loops contribute nothing), and a
+    # single edge OSCILLATES under synchronous updates: each round the
+    # two nodes swap labels, so after an odd round count both hold the
+    # other's id — the textbook sync-LPA behavior the pure-Python
+    # differential mirrors.
+    assert got == {1: 2, 2: 1}
+    assert got == _lpa_ref([(1, 1), (1, 2), (2, 2)], 3)

@@ -245,3 +245,12 @@ def test_expect_rules_one_scan(spark, entry):
 
 def test_quarantine_scan_side_only(spark, entry):
     assert _exchanges(_plan(spark, entry, "quarantine")) == 0
+
+
+def test_label_propagation_no_udf_no_cartesian(spark, entry):
+    """Each LPA round is a hash join + two-level agg — never a cartesian
+    or Python stage; rounds are checkpoint-pinned so the visible plan is
+    one round deep, not n_iter-deep lineage."""
+    plan = _plan(spark, entry, "label_propagation")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -150,6 +150,9 @@ def _extra_queries():
 
     return {
         "ngram_coverage_x40": ngram_coverage_x40,
+        "label_propagation_x20": lambda s: gr.label_propagation(
+            hub_graph(s, 20), n_iter=5
+        ),
         "triangle_count_x20": lambda s: gr.triangle_count(hub_graph(s, 20)),
         "clustering_coeff_x20": lambda s: gr.clustering_coefficients(
             hub_graph(s, 20)
