@@ -1665,6 +1665,25 @@ def q_quarantine(spark, sf_dir):
     )
 
 
+def q_layout_report(spark, sf_dir):
+    """Parquet footer auditor over three tables' key columns: per
+    (file, row group) row counts + min/max stats, read by pyarrow on the
+    executors (footers only, no data pages). The oracle recomputes each
+    stat from the data itself — verifying the FOOTERS AGREE WITH THE
+    ROWS, which is exactly what scan-planner pruning trusts."""
+    from krnel_graph_spark.functions.partitioning import layout_report
+
+    parts = [
+        layout_report(spark, f"{sf_dir}/lineitem.parquet", "l_orderkey"),
+        layout_report(spark, f"{sf_dir}/orders.parquet", "o_orderkey"),
+        layout_report(spark, f"{sf_dir}/events.parquet", "event_id"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 def q_corpus_report(spark, sf_dir):
     """One-call corpus health report: volume / vocabulary / duplication /
     blanks / mean quality / Zipf slope / language mix as long-format
@@ -2664,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expect_rules": q_expect_rules,
         "quarantine": q_quarantine,
         "label_propagation": q_label_propagation,
+        "layout_report": q_layout_report,
         # -- filler: r6-recorded green rows re-recorded -- #
         # Slots 1-2: the two r5 red rows, oracles now ::BIGINT-cast —
         # must re-record green.
@@ -4005,6 +4025,23 @@ SELECT 'l_extendedprice', 'l_discount',
         # sums, closed form on the exact moments, intercept from the
         # UNROUNDED slope — op order mirrored exactly.
         "zipf_fit": zipf_sql,
+        # layout_report: the oracle recomputes every footer stat from
+        # the rows themselves (these tables are single-file, single-row-
+        # group at every sf) — footer/data agreement is the property
+        # scan pruning trusts. Multi-file/multi-group layouts are
+        # cross-checked against DuckDB's parquet_metadata in pytest.
+        "layout_report": """
+SELECT 'lineitem.parquet' AS "table", 'lineitem.parquet' AS file,
+       0::BIGINT AS row_group_id, count(*)::BIGINT AS n_rows,
+       min(l_orderkey)::VARCHAR AS min_v, max(l_orderkey)::VARCHAR AS max_v
+FROM lineitem
+UNION ALL
+SELECT 'orders.parquet', 'orders.parquet', 0, count(*)::BIGINT,
+       min(o_orderkey)::VARCHAR, max(o_orderkey)::VARCHAR FROM orders
+UNION ALL
+SELECT 'events.parquet', 'events.parquet', 0, count(*)::BIGINT,
+       min(event_id)::VARCHAR, max(event_id)::VARCHAR FROM events
+""",
         # expect_rules / quarantine: generated from the SAME rule dict
         # as the Spark query (the predicate strings are ANSI SQL), so
         # rule text can never drift between engine and oracle.

@@ -160,6 +160,7 @@ HEADLINE = [
     "expect_rules",
     "quarantine",
     "label_propagation",
+    "layout_report",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

@@ -386,6 +386,21 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_layout(args) -> int:
+    """Table maintenance: parquet footer audit — per (file, row group)
+    row counts and min/max stats for a column, as JSON. Run after
+    compact/zorder to check the layout actually tightened."""
+    import json as _json
+
+    from .functions.partitioning import layout_report
+    from .runners.spark_runner import get_spark
+
+    spark = get_spark("cli-layout")
+    rows = layout_report(spark, args.src, args.column).collect()
+    print(_json.dumps([r.asDict() for r in rows]))
+    return 0
+
+
 def cmd_table_diff(args) -> int:
     """Table maintenance: keyed diff of two parquet snapshots — status
     counts as JSON, optionally the full per-key status table to a dir."""
@@ -595,6 +610,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--exact", action="store_true", help="exact distinct counts"
     )
     p_profile.set_defaults(fn=cmd_profile)
+
+    p_layout = sub.add_parser(
+        "layout", help="parquet footer audit: per-row-group stats (JSON)"
+    )
+    p_layout.add_argument("src")
+    p_layout.add_argument("column", help="column whose stats to report")
+    p_layout.set_defaults(fn=cmd_layout)
 
     p_tdiff = sub.add_parser(
         "table-diff", help="keyed diff of two parquet snapshots"

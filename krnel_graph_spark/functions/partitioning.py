@@ -330,3 +330,75 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return joined.select(*keys, status.alias("status"))
+
+
+def layout_report(
+    spark, path: str, column: str, table: str | None = None
+) -> DataFrame:
+    """Parquet physical-layout auditor: one row per (file, row group)
+    with the row count and the footer min/max statistics of ``column``
+    — the metadata a 100-TB scan planner prunes with. Run it after
+    ``compact_parquet`` / ``write_zordered`` to verify the layout
+    actually tightened (overlapping min/max ranges across row groups =
+    no skipping), or before a migration to find stat-less columns.
+
+    Returns ``(table, file, row_group_id, n_rows, min_v, max_v)`` with
+    ``file`` as the basename prefix (``part-NNNNN`` for Spark-written
+    files, else the basename) so the output is stable across rewrites.
+    ``min_v``/``max_v`` are exported as strings: stats are typed
+    per-column in the footer, and string form round-trips integers,
+    dates, and decimals alike (the caller casts).
+
+    Scale shape: the FILE LIST (one row per file — bounded by the
+    catalog, not the data) is parallelized to executors and each footer
+    is read by pyarrow where the file lives; no data pages are touched,
+    only footers — the whole report costs O(#files) metadata reads."""
+    import pandas as pd
+
+    files = sorted(
+        f.removeprefix("file:").removeprefix("//")
+        for f in spark.read.parquet(path).inputFiles()
+    )
+    name = table or path.rstrip("/").rsplit("/", 1)[-1]
+    fdf = spark.createDataFrame([(f,) for f in files], "path string")
+
+    def read_footers(it):
+        import pyarrow.parquet as pq
+
+        for pdf in it:
+            rows = []
+            for p in pdf["path"]:
+                base = p.rsplit("/", 1)[-1]
+                file_tag = base[:10] if base.startswith("part-") else base
+                md = pq.ParquetFile(p).metadata
+                names = {
+                    md.schema.column(j).name: j
+                    for j in range(md.num_columns)
+                }
+                j = names[column]
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    st = rg.column(j).statistics
+                    rows.append(
+                        (
+                            name,
+                            file_tag,
+                            g,
+                            rg.num_rows,
+                            str(st.min) if st and st.has_min_max else None,
+                            str(st.max) if st and st.has_min_max else None,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "table", "file", "row_group_id", "n_rows",
+                    "min_v", "max_v",
+                ],
+            )
+
+    return fdf.mapInPandas(
+        read_footers,
+        "table string, file string, row_group_id long, n_rows long, "
+        "min_v string, max_v string",
+    )

@@ -337,3 +337,22 @@ def test_cli_materializes_scale_ops(tmp_path, spark, capsys):
 
     assert main(["summary", "-f", str(p)]) == 0
     assert "ChunkDocumentsOp" in capsys.readouterr().out
+
+
+def test_cli_layout_audit(tmp_path, capsys):
+    import json
+
+    from krnel_graph_spark.cli import main
+    from krnel_graph_spark.runners.spark_runner import get_spark
+
+    spark = get_spark("test-cli-layout")
+    src = str(tmp_path / "lsrc")
+    spark.range(5_000).selectExpr("id", "id % 7 as k").coalesce(
+        2
+    ).write.parquet(src)
+
+    assert main(["layout", src, "id"]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sum(r["n_rows"] for r in rows) == 5_000
+    assert all(int(r["min_v"]) <= int(r["max_v"]) for r in rows)
+    assert len({r["file"] for r in rows}) == 2

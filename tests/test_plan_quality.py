@@ -254,3 +254,11 @@ def test_label_propagation_no_udf_no_cartesian(spark, entry):
     plan = _plan(spark, entry, "label_propagation")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_layout_report_no_exchange(spark, entry):
+    """Footer auditing parallelizes the FILE LIST — one Arrow stage per
+    table, no shuffle, no data pages."""
+    plan = _plan(spark, entry, "layout_report")
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 3
