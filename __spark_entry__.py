@@ -1532,6 +1532,19 @@ def q_pagerank(spark, sf_dir):
     return out.select("node", F.col("rank").alias("pr"))
 
 
+def q_ewma_smooth(spark, sf_dir):
+    """Per-user EWMA of event values (trend/anomaly feature): one JVM
+    aggregate fold per user, a fixed fold order makes the raw IEEE
+    double recurrence bit-identical to the recursive-CTE oracle — no
+    rounding anywhere."""
+    from krnel_graph_spark.functions.behavior import ewma_smooth
+
+    return ewma_smooth(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "value", "event_id",
+        alpha=0.3,
+    )
+
+
 def q_label_propagation(spark, sf_dir):
     """Deterministic 5-round synchronous label-propagation communities
     over the same synthetic link graph as pagerank — integer-only state,
@@ -2684,6 +2697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quarantine": q_quarantine,
         "label_propagation": q_label_propagation,
         "layout_report": q_layout_report,
+        "ewma_smooth": q_ewma_smooth,
         # -- filler: r6-recorded green rows re-recorded -- #
         # Slots 1-2: the two r5 red rows, oracles now ::BIGINT-cast —
         # must re-record green.
@@ -4020,6 +4034,24 @@ SELECT 'l_extendedprice', 'l_discount',
         # per-iteration rounding mirror functions/graph.py exactly.
         "pagerank": _pagerank_sql(),
         "label_propagation": _label_prop_sql(),
+        # ewma_smooth: the naive SQL shape IS the recursive self-join —
+        # one step per recursion level — vs the engine's single fold;
+        # identical (ts, event_id) order, raw IEEE doubles (fixed op
+        # order makes them bit-identical; per-step decimal rounding
+        # would CREATE .5-boundary divergence, measured 3/10k).
+        "ewma_smooth": """
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_id AS eid, value AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events),
+r AS (
+  SELECT user_id, rn, eid, v AS e FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT ev.user_id, ev.rn, ev.eid, 0.3 * ev.v + 0.7 * r.e
+  FROM r JOIN ev ON ev.user_id = r.user_id AND ev.rn = r.rn + 1)
+SELECT user_id, eid AS event_id, e AS ewma FROM r
+""",
         # zipf_fit: identical top-k total order (tf DESC, term ASC),
         # per-term logs and products rounded to 8 before decimal moment
         # sums, closed form on the exact moments, intercept from the

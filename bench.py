@@ -161,6 +161,7 @@ HEADLINE = [
     "quarantine",
     "label_propagation",
     "layout_report",
+    "ewma_smooth",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

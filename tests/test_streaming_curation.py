@@ -165,3 +165,41 @@ def test_canonical_url_and_bloom_stream_equals_batch(spark):
     got = {tuple(r) for r in spark.table("curl_stream").collect()}
     assert got == batch
     assert any(r[2] for r in got)  # the ref third really flags
+
+
+def test_quarantine_stream_equals_batch(spark):
+    """The data-quality gate is scan-side predicates only, so the SAME
+    rule dict must run unchanged on a readStream source: the live
+    continuation of a validated backfill is one pipeline."""
+    from krnel_graph_spark.functions.expectations import quarantine
+
+    rules = {
+        "has_text": "length(text) > 0",
+        "id_in_range": "doc_id < 400",
+        "en_only": "lang = 'en'",
+    }
+    batch_clean, batch_bad = quarantine(spark.read.parquet(DOCS), rules)
+    want_clean = {r["doc_id"] for r in batch_clean.collect()}
+    want_bad = {
+        (r["doc_id"], ",".join(sorted(r["__failed_rules"])))
+        for r in batch_bad.collect()
+    }
+
+    s_clean, s_bad = quarantine(_stream_docs(spark), rules)
+    q1 = _drain(s_clean.select("doc_id"), "q_clean")
+    q2 = _drain(
+        s_bad.select(
+            "doc_id", F.array_join(F.array_sort("__failed_rules"), ",")
+            .alias("fr")
+        ),
+        "q_bad",
+    )
+    q1.awaitTermination(60)
+    q2.awaitTermination(60)
+    got_clean = {r["doc_id"] for r in spark.sql("SELECT * FROM q_clean").collect()}
+    got_bad = {
+        (r["doc_id"], r["fr"])
+        for r in spark.sql("SELECT * FROM q_bad").collect()
+    }
+    assert got_clean == want_clean and len(want_clean) > 0
+    assert got_bad == want_bad and len(want_bad) > 0
