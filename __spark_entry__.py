@@ -2071,6 +2071,17 @@ def q_ann_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, queries_df, "embedding", "vec_id", k=10)
 
 
+def q_contrastive_triplets(spark, sf_dir):
+    """Hard-negative mining for contrastive fine-tuning: positive =
+    rank-1 neighbor, negatives = the near-miss band (ranks 5-7), one
+    GEMM pass persist-pinned for both consumers."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return similarity.contrastive_triplets(
+        emb, queries_df, "embedding", "vec_id", neg_skip=4, n_negatives=3
+    )
+
+
 def q_ann_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
@@ -2698,6 +2709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "layout_report": q_layout_report,
         "ewma_smooth": q_ewma_smooth,
+        "contrastive_triplets": q_contrastive_triplets,
         # -- filler: r6-recorded green rows re-recorded -- #
         # Slots 1-2: the two r5 red rows, oracles now ::BIGINT-cast —
         # must re-record green.
@@ -4400,6 +4412,27 @@ r AS (SELECT query_id, doc_id, cos,
       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC)
       AS rank FROM scored)
 SELECT query_id, doc_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10
+""",
+        # contrastive_triplets: same brute-force ranking as ann_topk at
+        # k=7; positive = rank 1, negatives = ranks 5-7, joined.
+        "contrastive_triplets": f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS doc_id, {cos_dq} AS cos
+  FROM embeddings d JOIN embeddings q
+    ON q.vec_id < 10 AND d.vec_id <> q.vec_id),
+r AS (SELECT query_id, doc_id, cos,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC)
+      AS rank FROM scored),
+top AS (SELECT query_id, doc_id, round(cos, 6) AS cosine, rank
+        FROM r WHERE rank <= 7),
+p AS (SELECT query_id, doc_id AS positive_id, cosine AS pos_cosine
+      FROM top WHERE rank = 1),
+n AS (SELECT query_id, doc_id AS negative_id, cosine AS neg_cosine,
+             rank AS neg_rank
+      FROM top WHERE rank > 4)
+SELECT p.query_id, positive_id, pos_cosine, negative_id, neg_cosine,
+       neg_rank
+FROM p JOIN n USING (query_id)
 """,
         "text_stats": f"""
 WITH t AS (SELECT doc_id, text, {toks_text} AS toks FROM documents),

@@ -162,6 +162,7 @@ HEADLINE = [
     "label_propagation",
     "layout_report",
     "ewma_smooth",
+    "contrastive_triplets",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

@@ -935,3 +935,47 @@ def recall_at_k(
             ).alias("recall"),
         )
     )
+
+
+def contrastive_triplets(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vector_col: str,
+    id_col: str,
+    neg_skip: int = 4,
+    n_negatives: int = 3,
+) -> DataFrame:
+    """Contrastive training-set builder over an embedding corpus: for
+    each query vector, the top-ranked neighbor is the POSITIVE and the
+    near-miss band of ranks ``(neg_skip, neg_skip + n_negatives]``
+    supplies the HARD negatives — the standard hard-negative mining
+    recipe for contrastive/embedding fine-tuning (random negatives are
+    too easy; immediate neighbors risk being unlabeled positives, so a
+    skip band sits between).
+
+    Returns ``(query_id, positive_id, pos_cosine, negative_id,
+    neg_cosine, neg_rank)`` — ``n_negatives`` rows per query.
+
+    Scale shape: ONE ``cosine_topk`` pass at ``k = neg_skip +
+    n_negatives`` (queries broadcast into the Arrow GEMM, per-partition
+    top-k heaps); the |q|·k result is persist-pinned for its two
+    bounded consumers (positive row + negative band) so the GEMM never
+    runs twice, and the final assembly is a broadcast-sized self-join
+    on query_id."""
+    from pyspark import StorageLevel
+
+    top = cosine_topk(
+        corpus, queries, vector_col, id_col, k=neg_skip + n_negatives
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    pos = top.filter(F.col("rank") == 1).select(
+        "query_id",
+        F.col("doc_id").alias("positive_id"),
+        F.col("cosine").alias("pos_cosine"),
+    )
+    neg = top.filter(F.col("rank") > neg_skip).select(
+        "query_id",
+        F.col("doc_id").alias("negative_id"),
+        F.col("cosine").alias("neg_cosine"),
+        F.col("rank").alias("neg_rank"),
+    )
+    return pos.join(neg, "query_id")

@@ -240,3 +240,31 @@ def test_recall_at_k_function(spark):
     got = {r["query_id"]: r["recall"] for r in recall_at_k(approx, exact).collect()}
     assert got["q1"] == pytest.approx(2 / 3)
     assert got["q2"] == pytest.approx(0.0)
+
+
+def test_contrastive_triplets_structure(spark):
+    from krnel_graph_spark.functions.similarity import (
+        contrastive_triplets,
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 5")
+    out = contrastive_triplets(
+        emb, q, "embedding", "vec_id", neg_skip=4, n_negatives=3
+    ).collect()
+    assert len(out) == 5 * 3
+    top = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["cosine"])
+        for r in cosine_topk(emb, q, "embedding", "vec_id", k=7).collect()
+    }
+    for r in out:
+        # positive is the rank-1 neighbor, negatives live in ranks 5-7
+        assert (r["positive_id"], r["pos_cosine"]) == top[(r["query_id"], 1)]
+        assert r["neg_rank"] in (5, 6, 7)
+        assert (r["negative_id"], r["neg_cosine"]) == top[
+            (r["query_id"], r["neg_rank"])
+        ]
+        # the hard negative really is a NEAR miss: below the positive,
+        # but still among the corpus's most similar vectors
+        assert r["neg_cosine"] <= r["pos_cosine"]

@@ -270,3 +270,11 @@ def test_ewma_smooth_single_shuffle_fold(spark, entry):
     plan = _plan(spark, entry, "ewma_smooth")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert _exchanges(plan) <= 2  # pre-agg partial + final
+
+
+def test_contrastive_triplets_single_gemm_pass(spark, entry):
+    """Both consumers (positive + negative band) must read the persisted
+    top-k frame — the GEMM never runs twice."""
+    plan = _plan(spark, entry, "contrastive_triplets")
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "CartesianProduct" not in plan
