@@ -78,6 +78,10 @@ QUERIES = [
     "paragraph_dedup",
     "zipf_fit",
     "compression_signals",
+    # r7 late additions: EWMA rides events x20; contrastive triplets ride
+    # the x20 perturbed embeddings (fixed 10-query set, like ann_ivfpq).
+    "ewma_smooth",
+    "contrastive_triplets",
     # fuzzy_pairs is deliberately absent: the x40 corpus keeps 16-char
     # prefixes IDENTICAL across copies (the per-5-words token insertion
     # that breaks MinHash shingle similarity usually lands after char 16),
