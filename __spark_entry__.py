@@ -1706,6 +1706,13 @@ def q_corpus_report(spark, sf_dir):
     return tx.corpus_report(_docs(spark, sf_dir), "text", "doc_id")
 
 
+def q_source_quality(spark, sf_dir):
+    """Per-source quality rollup (the mixture-design table): one scan,
+    one groupBy(source) with distinct-fingerprint dup counting and
+    decimal-exact mean quality."""
+    return tx.source_quality_report(_docs(spark, sf_dir), "text", "source")
+
+
 def q_zipf_fit(spark, sf_dir):
     """Corpus Zipf rank-frequency power-law fit (one-row health check):
     decimal-exact moment sums over the top-frequency terms, closed-form
@@ -2710,6 +2717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_report": q_layout_report,
         "ewma_smooth": q_ewma_smooth,
         "contrastive_triplets": q_contrastive_triplets,
+        "source_quality": q_source_quality,
         # -- filler: r6-recorded green rows re-recorded -- #
         # Slots 1-2: the two r5 red rows, oracles now ::BIGINT-cast —
         # must re-record green.
@@ -4181,6 +4189,43 @@ hit AS (SELECT t.doc_id, count(*)::BIGINT AS n_hit
         FROM teg t JOIN trg USING (gh) GROUP BY t.doc_id)
 SELECT doc_id, n_grams, coalesce(n_hit, 0)::BIGINT AS n_hit
 FROM tot LEFT JOIN hit USING (doc_id)
+""",
+        # source_quality: corpus_report's per-doc feature chain grouped
+        # by source; same decimal quality sum and round-6 fractions.
+        "source_quality": f"""
+WITH t AS (SELECT doc_id, source, text, {toks_text} AS toks
+           FROM documents),
+m AS (SELECT doc_id, source, text, toks,
+      CASE WHEN len(toks) = 1 AND toks[1] = '' THEN 0
+           ELSE len(toks) END AS n_tok,
+      {lang_hits}
+      FROM t),
+b AS (SELECT source, n_tok,
+  CASE WHEN n_tok = 0 THEN 1 ELSE 0 END AS blank,
+  md5({norm_text}) AS fp,
+  CASE WHEN n_tok = 0 THEN 0.0 ELSE h_en::DOUBLE / n_tok::DOUBLE END AS stop_r,
+  CASE WHEN length(text) = 0 THEN 0.0
+       ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+            / length(text)::DOUBLE END AS punct_r,
+  CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE list_reduce(list_concat([0::BIGINT],
+                list_transform(toks, x -> length(x)::BIGINT)),
+                (acc, x) -> acc + x)::DOUBLE / len(toks)::DOUBLE
+  END AS mwl
+  FROM m),
+bq AS (SELECT source, n_tok, blank, fp,
+              round({_QUALITY_SQL}, 6) AS q FROM b),
+g AS (SELECT source, count(*)::BIGINT AS n_docs,
+             sum(n_tok)::BIGINT AS n_tokens,
+             sum(blank)::BIGINT AS n_blank,
+             count(DISTINCT fp)::BIGINT AS n_fp,
+             sum(q::DECIMAL(30,6)) AS sq
+      FROM bq GROUP BY source)
+SELECT source, n_docs, n_tokens,
+       round(n_blank::DOUBLE / n_docs::DOUBLE, 6) AS blank_frac,
+       round((n_docs - n_fp)::DOUBLE / n_docs::DOUBLE, 6) AS dup_doc_frac,
+       round(sq::DOUBLE / n_docs::DOUBLE, 6) AS mean_quality
+FROM g
 """,
         # token_entropy: per-type c*log2(c) rounded to 8 places before
         # the decimal per-doc sum (order-free), entropy closed-form on

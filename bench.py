@@ -163,6 +163,7 @@ HEADLINE = [
     "layout_report",
     "ewma_smooth",
     "contrastive_triplets",
+    "source_quality",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

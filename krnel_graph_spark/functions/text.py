@@ -1156,3 +1156,46 @@ def corpus_report(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         )
     )
     return scalars.unionAll(types).unionAll(zs).unionAll(langs)
+
+
+def source_quality_report(
+    df: DataFrame, text_col: str, source_col: str
+) -> DataFrame:
+    """Per-source corpus quality rollup — :func:`corpus_report`'s
+    grouped sibling and the table a mixture designer reads before
+    setting ``mix_to_weights``: for every source, volume, blank and
+    WITHIN-SOURCE exact-duplicate fractions, and decimal-exact mean
+    quality. Returns ``(source, n_docs, n_tokens, blank_frac,
+    dup_doc_frac, mean_quality)``.
+
+    One scan computes the per-doc features (token count / blank flag /
+    fingerprint / 6-rounded quality — all codegen), then ONE
+    groupBy(source) with a distinct-fingerprint count folds everything;
+    the result is #sources rows. Fractions round to 6 with the same op
+    order as the oracle."""
+    norm = normalize_text(F.col(text_col))
+    base = df.select(
+        F.col(source_col).alias("src"),
+        token_count(text_col).alias("nt"),
+        (norm == "").cast("long").alias("blank"),
+        fingerprint(text_col).alias("fp"),
+        F.round(quality_score(text_col), 6).alias("q"),
+    )
+    g = base.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.sum("blank").cast("long").alias("n_blank"),
+        F.countDistinct("fp").alias("n_fp"),
+        F.sum(F.col("q").cast("decimal(30,6)")).alias("sq"),
+    )
+    nd = F.col("n_docs").cast("double")
+    return g.select(
+        F.col("src").alias(source_col),
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_blank").cast("double") / nd, 6).alias("blank_frac"),
+        F.round(
+            (F.col("n_docs") - F.col("n_fp")).cast("double") / nd, 6
+        ).alias("dup_doc_frac"),
+        F.round(F.col("sq").cast("double") / nd, 6).alias("mean_quality"),
+    )

@@ -278,3 +278,11 @@ def test_contrastive_triplets_single_gemm_pass(spark, entry):
     plan = _plan(spark, entry, "contrastive_triplets")
     assert plan.count("InMemoryTableScan") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_source_quality_single_scan_group(spark, entry):
+    """One scan, one grouped aggregate chain — no joins, no Python."""
+    plan = _plan(spark, entry, "source_quality")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan

@@ -526,3 +526,28 @@ def test_corpus_report_known_corpus(spark):
     assert "zipf_slope" in got and "mean_quality" in got
     # 5 scalars + n_types + zipf + 3 langs
     assert len(got) == 10
+
+
+def test_source_quality_report_known_corpus(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a", "the cat sat on the mat"),
+            (1, "a", "the cat sat on the mat"),  # within-source dup
+            (2, "a", "   "),                     # blank
+            (3, "b", "the cat sat on the mat"),  # same text, OTHER source
+            (4, "b", "completely different words here"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["source"]: r
+        for r in tx.source_quality_report(df, "text", "source").collect()
+    }
+    a, b = got["a"], got["b"]
+    assert (a["n_docs"], a["n_tokens"]) == (3, 12)
+    assert a["blank_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    # 3 docs, 2 distinct fingerprints -> 1 within-source dup
+    assert a["dup_doc_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    # source b's copy of the text is NOT a dup within b
+    assert (b["n_docs"], b["dup_doc_frac"]) == (2, 0.0)
+    assert 0.0 <= b["mean_quality"] <= 1.0
