@@ -2346,9 +2346,13 @@ def q_fluent_quality(spark, sf_dir):
     paragraph dedup (pass-through on this newline-free corpus — grades
     the lowering's join-back) → token-entropy enrichment → two-parent
     DSIR scoring against a held-out target slice, one content-addressed
-    graph. Rows-only by design: the value semantics are hash-graded by
-    the standalone paragraph_dedup / token_entropy / dsir_weights
-    entries; this grades the fluent integration path."""
+    graph. Oracle-backed since r8: the three SQL-expressible stages'
+    DuckDB CTEs compose into one oracle (paragraph dedup is a verified
+    pass-through on this newline-free unique-text slice, so it grades
+    the lowering's join-back). ``n_zlib`` is dropped from the compared
+    frame (no SQL DEFLATE exists) — the compression stage still runs in
+    the chain and its values are graded by the standalone
+    ``compression_signals`` entry's zlib pytest differential."""
     runner = _runner(spark)
     docs = runner.from_parquet(f"{sf_dir}/documents.parquet")
     raw = docs.take(300)
@@ -2359,7 +2363,11 @@ def q_fluent_quality(spark, sf_dir):
         .compression_signals("text")
         .dsir_weights(target, "text", buckets=4096)
     )
-    return runner.dataframe(scored).drop("__row_id").orderBy("doc_id")
+    return (
+        runner.dataframe(scored)
+        .drop("__row_id", "n_zlib")
+        .orderBy("doc_id")
+    )
 
 
 def q_text_stats(spark, sf_dir):
@@ -2694,13 +2702,41 @@ def q_video_stats_y4m(spark, sf_dir):
     ).orderBy("doc_id", "frame_idx")
 
 
+# The driver records hash-graded evidence only for the FIRST 50 entries
+# of queries(). r8 policy (the r7 verdict's top ask): the window rotates
+# onto the OLDEST-evidence oracle-backed queries — first the entries
+# whose semantics changed this round (fluent_quality gained a composed
+# oracle; paragraph_dedup's empty-paragraph/separator contract changed),
+# then the 30 queries whose newest driver record is round 4, then the 18
+# oldest round-5 rows. All 50 are oracle-backed, so the window should
+# record >= 45 hash-green with 0 no_oracle slots wasted. The remaining
+# 30 round-5 rows rotate in next round.
+_R8_WINDOW = [
+    # changed-this-round (must re-record under the new oracles)
+    "fluent_quality", "paragraph_dedup",
+    # newest driver record = r4 (30)
+    "local_supply_q5", "mask_isin", "boolean_logic", "jinja_template",
+    "split_hash", "llm_generate_fake", "mask_not_in",
+    "pairwise_arithmetic", "vector_to_scalar", "anti_join", "set_except",
+    "simhash", "lang_id", "multimodal_meta", "embedding_quantize",
+    "fingerprint", "minhash_signature", "llm_chat_generate",
+    "split_train_mask", "sort_topk", "distinct_flags", "ngram_jaccard",
+    "scan_parquet", "select_column", "take_rows", "set_intersect",
+    "assign_row_id", "inline_dataset", "csv_roundtrip", "jsonl_roundtrip",
+    # newest driver record = r5, oldest COVERAGE rows first (18)
+    "interval_join", "profile_table", "clean_corpus", "cube_agg",
+    "pivot_priority", "percentiles", "ntile_quartiles", "pivot_dynamic",
+    "group_cap", "pii_scrub", "domain_stats", "sequence_pack",
+    "connected_components", "hash_sample", "stratified_sample",
+    "shuffle_export", "decontaminate", "repetition_stats",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered so the driver's 50-slot recording window covers what most
-    # needs hash-graded evidence this round. r7 policy: new r7 operators
-    # lead (never driver-recorded), then filler from the r6 green set —
-    # cumulative driver coverage closed in r6, so everything past the new
-    # block already has a recorded green row (or is rows-only by design).
-    return {
+    # The literal dict below keeps its r7 grouping for readability; the
+    # driver-visible ORDER is _R8_WINDOW first (see its comment), then
+    # everything else in literal order.
+    d = {
         # ---- driver 50-slot recording window (r7 rotation) ---- #
         # New r7 surface: must record this round.
         "token_entropy": q_token_entropy,
@@ -2881,6 +2917,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features_stub": q_image_features_stub,
 
     }
+    out = {k: d[k] for k in _R8_WINDOW}
+    missing = [k for k in _R8_WINDOW if k not in d]
+    assert not missing, f"window names drifted: {missing}"
+    for k, v in d.items():
+        out.setdefault(k, v)
+    return out
 
 
 # --------------------------------------------------------------------- #
@@ -4273,6 +4315,57 @@ SELECT doc_id, sum(c)::BIGINT AS n_grams,
 FROM dc JOIN ratio USING (b)
 GROUP BY doc_id
 """,
+        # fluent_quality: the OpSpec chain's three SQL-expressible
+        # stages composed into one oracle over the take(300) slice
+        # (doc_id is dense 0..N-1 and row-id == doc_id on this table,
+        # so the slices are doc_id predicates). paragraph_dedup is a
+        # pass-through on this newline-free unique-text slice
+        # (n_paras = n_kept = 1); token entropy and DSIR reuse the
+        # standalone entries' decimal-exact recipes verbatim; n_bytes
+        # is the UTF-8 byte length (n_zlib is excluded — no SQL
+        # DEFLATE).
+        "fluent_quality": f"""
+WITH raw AS (SELECT * FROM documents WHERE doc_id < 300),
+tet AS (SELECT doc_id, {toks_text} AS toks FROM raw
+        WHERE {_NORM.format(c="text")} != ''),
+tep AS (SELECT doc_id, unnest(toks) AS term FROM tet),
+tec AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tep
+        GROUP BY doc_id, term),
+ted AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+               count(*)::BIGINT AS n_types,
+               sum(round(c * log2(c), 8)::DECIMAL(30,8)) AS clogc
+        FROM tec GROUP BY doc_id),
+te AS (SELECT doc_id, n_tokens, n_types,
+              round(log2(n_tokens) - clogc::DOUBLE / n_tokens, 6) AS entropy
+       FROM ted),
+trg AS (SELECT doc_id, unnest(list_concat(toks, {_shingle_sql(2)})) AS g
+        FROM tet),
+dc AS (SELECT doc_id, {md5_long_sql("g")} % 4096 AS b,
+              count(*)::BIGINT AS c
+       FROM trg GROUP BY doc_id, b),
+rc AS (SELECT b, sum(c)::BIGINT AS cr FROM dc GROUP BY b),
+tgt AS (SELECT {toks_text} AS toks FROM documents
+        WHERE doc_id >= 350 AND doc_id < 430
+          AND {_NORM.format(c="text")} != ''),
+tgg AS (SELECT unnest(list_concat(toks, {_shingle_sql(2)})) AS g FROM tgt),
+tc AS (SELECT {md5_long_sql("g")} % 4096 AS b, count(*)::BIGINT AS ct
+       FROM tgg GROUP BY b),
+tot AS (SELECT (SELECT sum(cr)::BIGINT FROM rc) AS trn,
+               (SELECT sum(ct)::BIGINT FROM tc) AS ttn),
+ratio AS (SELECT coalesce(rc.b, tc.b) AS b,
+                 round(log10((coalesce(ct, 0) + 1.0) / (ttn + 1.0 * 4096))
+                     - log10((coalesce(cr, 0) + 1.0) / (trn + 1.0 * 4096)),
+                       8)::DECIMAL(20,8) AS lr
+          FROM rc FULL OUTER JOIN tc ON rc.b = tc.b, tot),
+ds AS (SELECT doc_id, sum(c)::BIGINT AS n_grams,
+              round(sum(c::DECIMAL(12,0) * lr), 6)::DOUBLE AS dsir_logw
+       FROM dc JOIN ratio USING (b) GROUP BY doc_id)
+SELECT raw.*, 1::BIGINT AS n_paras, 1::BIGINT AS n_kept,
+       te.n_tokens, te.n_types, te.entropy,
+       octet_length(encode(raw.text))::BIGINT AS n_bytes,
+       ds.n_grams, ds.dsir_logw
+FROM raw LEFT JOIN te USING (doc_id) LEFT JOIN ds USING (doc_id)
+""",
         # paragraph_dedup: same synthesized paragraph structure; keeper
         # is the lexicographic-min (doc_id, idx) encoded as one integer
         # key; reassembly via ORDER BY idx string_agg.
@@ -4289,9 +4382,10 @@ paras AS (
                 recursive := true)
   FROM sp),
 h AS (SELECT doc_id, np, idx, para, md5(para) AS hh FROM paras),
-k AS (SELECT hh, min(doc_id * 1000000 + idx) AS mk FROM h GROUP BY hh),
-kept AS (SELECT h.* FROM h JOIN k USING (hh)
-         WHERE doc_id * 1000000 + idx = mk)
+k AS (SELECT hh, min(doc_id * 1000000 + idx) AS mk FROM h
+      WHERE para != '' GROUP BY hh),
+kept AS (SELECT h.* FROM h LEFT JOIN k USING (hh)
+         WHERE para = '' OR doc_id * 1000000 + idx = mk)
 SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS text,
        any_value(np) AS n_paras, count(*)::BIGINT AS n_kept
 FROM kept GROUP BY doc_id

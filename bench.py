@@ -176,6 +176,13 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from krnel_graph_spark.runners.spark_runner import get_spark
 
+    # --full-sweep: time EVERY queries() entry (min-of-1, headline still
+    # min-of-RUNS semantics not needed here — the sweep exists to give the
+    # 60+ never-benched queries a recorded per-query floor so regressions
+    # there become visible, r7 verdict item 5). Writes
+    # BENCH_sweep.json and prints the same compact one-line summary.
+    full_sweep = "--full-sweep" in sys.argv[1:]
+
     os.environ.setdefault("SPARK_GRAFT_CPUS", CPUS)
     spark = get_spark("bench")
     queries = entry_mod.queries()
@@ -217,10 +224,24 @@ def main() -> None:
     canary = time_df(lambda: queries["sort_topk"](spark, SF_DIR))
     print(f"  [canary sort_topk]: {canary}s", file=sys.stderr)
 
+    def time_df_once(make_df) -> float:
+        t0 = time.time()
+        make_df().write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        spark.catalog.clearCache()
+        return round(dt, 3)
+
+    names = list(queries) if full_sweep else HEADLINE
+    timer = time_df_once if full_sweep else time_df
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = queries[name]
-        timings[name] = time_df(lambda: fn(spark, SF_DIR))
+        try:
+            timings[name] = timer(lambda: fn(spark, SF_DIR))
+        except Exception as exc:  # sweep records the failure, never dies
+            print(f"  {name}: ERROR {type(exc).__name__}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -229,16 +250,18 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     payload = {
-        "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
+        "metric": "full_sweep_total" if full_sweep else "headline_queries_total",
+        "value": round(sum(t for t in timings.values() if t > 0), 3),
         "unit": "sec",
         "sf": sf_val,
         "n_queries": len(timings),
         "canary_sec": canary,
-        "queries_file": "BENCH_local.json",
+        "queries_file": "BENCH_sweep.json" if full_sweep else "BENCH_local.json",
     }
     local = dict(payload, queries=timings)
-    out = Path(__file__).resolve().parent / "BENCH_local.json"
+    out = Path(__file__).resolve().parent / (
+        "BENCH_sweep.json" if full_sweep else "BENCH_local.json"
+    )
     out.write_text(json.dumps(local, indent=1) + "\n")
     print(json.dumps(local), file=sys.stderr)
     # The compact line must be LAST on stdout and must fit the driver's

@@ -539,21 +539,27 @@ def ewma_smooth(
 
     step = rnd(f"{a} * x.__v + {b} * acc.prev")
     first = rnd("__sorted[0].__v")
-    folded = evs.groupBy("__u").agg(
+    # Sort each user's event array ONCE (single expression occurrence in
+    # the agg's result projection), then fold over the bound column —
+    # the previous single-expression form repeated
+    # array_sort(collect_list(...)) four times and relied on
+    # subexpression elimination to avoid sorting each user's events 4x.
+    collected = evs.groupBy("__u").agg(
+        F.expr(
+            "array_sort(collect_list(struct(__ts, __id, __v)))"
+        ).alias("__sorted")
+    )
+    folded = collected.select(
+        "__u",
         F.expr(
             f"""
             aggregate(
-              slice(array_sort(collect_list(struct(__ts, __id, __v))), 2,
-                    greatest(size(collect_list(struct(__ts, __id, __v))) - 1,
-                             0)),
+              slice(__sorted, 2, greatest(size(__sorted) - 1, 0)),
               named_struct(
-                'prev', {first.replace("__sorted",
-                    "array_sort(collect_list(struct(__ts, __id, __v)))")},
+                'prev', {first},
                 'out', array(named_struct(
-                  'id',
-                  array_sort(collect_list(struct(__ts, __id, __v)))[0].__id,
-                  'e', {first.replace("__sorted",
-                      "array_sort(collect_list(struct(__ts, __id, __v)))")}))),
+                  'id', __sorted[0].__id,
+                  'e', {first}))),
               (acc, x) -> named_struct(
                 'prev', {step},
                 'out', concat(acc.out, array(named_struct(

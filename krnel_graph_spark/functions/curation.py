@@ -161,18 +161,32 @@ def paragraph_dedup(
     paragraph arrives at the reducer as per-partition minima — no skewed
     window). Survivors re-join on digest; reassembly is one groupBy(id)
     with an in-group array sort. md5, not xxhash64, so the ANSI-SQL
-    oracle replays digests byte-for-byte."""
+    oracle replays digests byte-for-byte.
+
+    ``sep`` is treated as a LITERAL separator (escaped before the regex
+    split, so ``"."``/``"|"`` work), and EMPTY paragraphs are exempt
+    from corpus-wide dedup — blank lines are document structure, not
+    boilerplate, and collapsing every blank line in the corpus onto the
+    first one would mangle reassembly."""
+    import re as _re
+
+    pat = _re.escape(sep)
     paras = df.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), sep)).alias("__np"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__idx", "__para"),
+        F.size(F.split(F.col(text_col), pat)).alias("__np"),
+        F.posexplode(F.split(F.col(text_col), pat)).alias("__idx", "__para"),
     ).withColumn("__h", F.md5("__para"))
-    keepers = paras.groupBy("__h").agg(
-        F.min(F.struct(F.col(id_col), F.col("__idx"))).alias("__first")
+    keepers = (
+        paras.filter(F.col("__para") != "")
+        .groupBy("__h")
+        .agg(F.min(F.struct(F.col(id_col), F.col("__idx"))).alias("__first"))
     )
-    kept = paras.join(keepers, "__h").filter(
-        (F.col("__first")[id_col] == F.col(id_col))
-        & (F.col("__first.__idx") == F.col("__idx"))
+    kept = paras.join(keepers, "__h", "left").filter(
+        (F.col("__para") == "")
+        | (
+            (F.col("__first")[id_col] == F.col(id_col))
+            & (F.col("__first.__idx") == F.col("__idx"))
+        )
     )
     return (
         kept.groupBy(id_col)

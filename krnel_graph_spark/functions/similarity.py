@@ -961,12 +961,19 @@ def contrastive_triplets(
     top-k heaps); the |q|·k result is persist-pinned for its two
     bounded consumers (positive row + negative band) so the GEMM never
     runs twice, and the final assembly is a broadcast-sized self-join
-    on query_id."""
-    from pyspark import StorageLevel
+    on query_id. The top-k frame is pinned with an EAGER
+    ``localCheckpoint`` (ContextCleaner-reclaimed when the frame goes
+    out of scope) rather than a ``persist`` that would leak executor
+    storage for the session.
 
+    Contract: a query whose corpus yields fewer than ``neg_skip + 1``
+    ranked candidates has an empty hard-negative band and emits NO
+    rows (inner join on query_id) — mirroring mining practice where
+    such a query simply contributes no triplets; size the corpus or
+    lower ``neg_skip`` if every query must appear."""
     top = cosine_topk(
         corpus, queries, vector_col, id_col, k=neg_skip + n_negatives
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     pos = top.filter(F.col("rank") == 1).select(
         "query_id",
         F.col("doc_id").alias("positive_id"),

@@ -1044,7 +1044,8 @@ def compression_signals(
     differential pins the values against direct ``zlib.compress``."""
     import zlib
 
-    out_schema = f"{id_col} long, n_bytes long, n_zlib long"
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, n_bytes long, n_zlib long"
 
     def batches(it):
         for pdf in it:

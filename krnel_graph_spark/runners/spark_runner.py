@@ -399,8 +399,29 @@ class SparkRunner(BaseRunner):
             plan = self._load_from_store(op)
         else:
             plan = self._compute(op)
+            if self.store is None:
+                plan = self._pin_lazy_barrier(op, plan)
         self._plans[op.uuid] = plan
         return plan
+
+    def _pin_lazy_barrier(self, op: OpSpec, plan):
+        """Lazy mode (no store): non-ephemeral ops are STILL
+        materialization barriers. Pin their frame with a non-eager
+        ``localCheckpoint`` (computed on first use, ContextCleaner-
+        reclaimed) so downstream OpSpec stages reference the
+        materialized frame instead of re-deriving the whole upstream
+        lineage. Without this, every enrichment stage that joins its
+        stats back on the row id references its parent frame TWICE, so
+        a k-stage fluent chain re-scans the source O(2^k) times —
+        ``fluent_quality``'s executed plan had 29 FileScans for a
+        4-stage chain. Store-backed mode already materializes per op
+        (parquet write + re-read) and is unaffected.
+        """
+        if op.is_ephemeral or not isinstance(plan, DatasetPlan):
+            return plan
+        from dataclasses import replace
+
+        return replace(plan, df=plan.df.localCheckpoint(eager=False))
 
     def _compute(self, op: OpSpec):
         impl = self.dispatch(op)

@@ -349,16 +349,30 @@ def _is_missing_avro_source(exc: Exception) -> bool:
     return "Failed to find data source" in str(exc)
 
 
-def _cell_to_avro(v, spark_type: str):
+def _cell_to_avro(v, spark_type: str, _element: bool = False):
     if spark_type.startswith("array<"):
         if v is None:
             return None
         # Recurse each element through the scalar path so date/timestamp
         # elements get their logical-type conversion and null elements
-        # map to the item union's null branch.
+        # map to the item union's null branch. Numeric ndarrays skip the
+        # per-element recursion entirely (no element can be None) — and
+        # NaN floats stay NaN: a NaN ELEMENT is a value, not a missing
+        # cell, and must round-trip bit-intact through the float branch.
         item_t = spark_type[6:-1]
-        return [_cell_to_avro(x, item_t) for x in v]
-    if v is None or pd.isna(v):  # None / nan / NaT
+        if (
+            isinstance(v, np.ndarray)
+            and v.dtype.kind in "fiub"
+            and item_t in ("float", "double", "int", "bigint",
+                           "smallint", "tinyint", "boolean")
+        ):
+            return v
+        return [_cell_to_avro(x, item_t, _element=True) for x in v]
+    if v is None:
+        return None
+    # Scalar nan/NaT means a missing CELL -> null branch; but a float
+    # NaN inside an array is a genuine IEEE value and is kept.
+    if pd.isna(v) and not (_element and isinstance(v, (float, np.floating))):
         return None
     if spark_type == "date":
         return (pd.Timestamp(v) - pd.Timestamp("1970-01-01")).days

@@ -89,11 +89,16 @@ def test_ivf_plan_size_independent_of_n_cells(clustered):
     queries = clustered.filter(F.col("vec_id") % 120 == 0)
 
     def plan_chars(n_cells):
+        import re
+
         df = similarity.ivf_topk(
             clustered, queries, "embedding", "vec_id",
             k=K, n_cells=n_cells, nprobe=4,
         )
-        return len(df._jdf.queryExecution().executedPlan().toString())
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # Normalize incidental numeric ids (plan/RDD/expr ids grow over
+        # the session and can change digit count between the two calls).
+        return len(re.sub(r"\d+", "#", plan))
 
     assert plan_chars(256) == plan_chars(16)
 
@@ -268,3 +273,18 @@ def test_contrastive_triplets_structure(spark):
         # the hard negative really is a NEAR miss: below the positive,
         # but still among the corpus's most similar vectors
         assert r["neg_cosine"] <= r["pos_cosine"]
+
+
+def test_contrastive_triplets_small_corpus_contract(spark):
+    """Documented contract (r7 advice): a corpus too small to fill the
+    hard-negative band (fewer than neg_skip+1 candidates) emits zero
+    triplets rather than fabricating easy negatives."""
+    from krnel_graph_spark.functions.similarity import contrastive_triplets
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter("vec_id < 3")
+    out = contrastive_triplets(
+        emb, emb, "embedding", "vec_id", neg_skip=4, n_negatives=3
+    )
+    assert out.count() == 0

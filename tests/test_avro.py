@@ -222,3 +222,31 @@ def test_array_null_elements_and_temporal_items(spark, tmp_path):
     for col in ("tags", "ds", "ts", "xs"):
         for av_row, bv_row in zip(a[col], b[col]):
             assert norm(av_row) == norm(bv_row), col
+
+
+def test_float_array_nan_elements_roundtrip(spark, tmp_path):
+    """NaN ELEMENTS of a float array are IEEE values, not missing cells:
+    they must round-trip as NaN (not collapse to the null branch and
+    come back as None), and numeric arrays keep the ndarray fast path
+    (r7 advice fix)."""
+    src = spark.sql(
+        "SELECT id,"
+        " array(CAST(id AS FLOAT), CAST('NaN' AS FLOAT),"
+        "       CAST(id + 1 AS FLOAT)) AS emb,"
+        " array(CAST('NaN' AS DOUBLE), CAST(id AS DOUBLE)) AS xs"
+        " FROM range(10)"
+    )
+    path = str(tmp_path / "nan_avro")
+    av.write_avro_dataframe(src, path, codec="null")
+    back = (
+        av.read_avro_dataframe(spark, path)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    for i in range(10):
+        emb = np.asarray(back["emb"][i], dtype="float64")
+        assert emb[0] == i and emb[2] == i + 1
+        assert np.isnan(emb[1])  # NaN survived, not None
+        xs = np.asarray(back["xs"][i], dtype="float64")
+        assert np.isnan(xs[0]) and xs[1] == i

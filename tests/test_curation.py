@@ -360,3 +360,32 @@ def test_paragraph_dedup_identity_when_all_unique(spark):
     for i, text in docs:
         np = 1 + i % 4
         assert out[i] == (text, np, np)
+
+
+def test_paragraph_dedup_literal_separator(spark):
+    """sep is a LITERAL, not a regex (r7 advice fix): '.' must split on
+    periods only, not on every character."""
+    from krnel_graph_spark.functions.curation import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, "alpha.beta"), (2, "alpha.gamma")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_paras"], r["n_kept"])
+        for r in paragraph_dedup(df, "text", "doc_id", sep=".").collect()
+    }
+    assert got[1] == ("alpha.beta", 2, 2)
+    assert got[2] == ("gamma", 2, 1)  # only the shared 'alpha' dropped
+
+
+def test_paragraph_dedup_empty_paragraphs_exempt(spark):
+    """Blank lines are document structure, not boilerplate: every empty
+    paragraph survives in every document (r7 advice fix)."""
+    got = _pd_rows(
+        spark,
+        [(1, "A\n\nB"), (2, "C\n\nD\n\nE"), (3, "A\n\nB")],
+    )
+    assert got[1] == ("A\n\nB", 3, 3)
+    assert got[2] == ("C\n\nD\n\nE", 5, 5)
+    # doc 3's non-empty paras are dups, but its blank line survives
+    assert got[3] == ("", 3, 1)

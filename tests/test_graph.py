@@ -405,3 +405,22 @@ def test_label_propagation_self_loops_dropped(spark):
     # differential mirrors.
     assert got == {1: 2, 2: 1}
     assert got == _lpa_ref([(1, 1), (1, 2), (2, 2)], 3)
+
+
+def test_label_propagation_string_ids(spark):
+    """String node ids must work (r7 advice fix: the argmax negates the
+    COUNT, not the label, so any orderable id type is legal); ties break
+    to the lexicographically smallest label."""
+    from krnel_graph_spark.functions.graph import label_propagation
+
+    cl1 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    cl2 = [(a, b) for a in "wxyz" for b in "wxyz" if a < b]
+    df = spark.createDataFrame(
+        cl1 + cl2 + [("d", "w")], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, n_iter=5).collect()
+    }
+    assert all(got[n] == "a" for n in "abcd")
+    assert all(got[n] == "w" for n in "wxyz")

@@ -273,10 +273,12 @@ def test_ewma_smooth_single_shuffle_fold(spark, entry):
 
 
 def test_contrastive_triplets_single_gemm_pass(spark, entry):
-    """Both consumers (positive + negative band) must read the persisted
-    top-k frame — the GEMM never runs twice."""
+    """Both consumers (positive + negative band) must read the pinned
+    top-k frame — the GEMM never runs twice. r8: the pin is an eager
+    localCheckpoint (ContextCleaner-reclaimed), not a session-leaking
+    persist, so the consumers show as ExistingRDD scans."""
     plan = _plan(spark, entry, "contrastive_triplets")
-    assert plan.count("InMemoryTableScan") >= 2
+    assert plan.count("Scan ExistingRDD") >= 2
     assert "CartesianProduct" not in plan
 
 
@@ -286,3 +288,27 @@ def test_source_quality_single_scan_group(spark, entry):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_fluent_lazy_lowering_pins_stage_boundaries(spark, entry):
+    """Lazy-mode OpSpec lowering must not re-derive (and re-scan the
+    source for) the whole upstream lineage per stage: non-ephemeral
+    stage frames are localCheckpoint-pinned at the OpSpec boundary, so
+    the final executed plan reads ONE checkpointed frame. r7's plan had
+    29 FileScans / 29 shuffles for this 4-stage chain (each stage's
+    row-id join-back references its parent twice -> O(2^k) lineage)."""
+    plan = _plan(spark, entry, "fluent_quality")
+    scans = plan.count("Scan parquet") + plan.count("FileScan")
+    assert scans <= 8, f"lazy lowering re-scans the source: {scans} scans"
+    assert plan.count("Scan ExistingRDD") >= 1
+    assert _exchanges(plan) <= 2  # final orderBy only
+
+
+def test_ewma_sorts_each_user_once(spark, entry):
+    """The per-user event array is sorted ONCE (a single array_sort in
+    the agg's result projection); the fold references the bound sorted
+    column rather than re-deriving the sort per reference (r7 verdict
+    watch item)."""
+    df = entry.queries()["ewma_smooth"](spark, SF)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("array_sort") == 1

@@ -551,3 +551,17 @@ def test_source_quality_report_known_corpus(spark):
     # source b's copy of the text is NOT a dup within b
     assert (b["n_docs"], b["dup_doc_frac"]) == (2, 0.0)
     assert 0.0 <= b["mean_quality"] <= 1.0
+
+
+def test_compression_signals_string_id(spark):
+    """The mapInPandas output schema derives the id field's type from
+    the input schema (r7 advice fix) — string doc ids pass through."""
+    df = spark.createDataFrame(
+        [("d-0", "abc" * 50), ("d-1", "plain words")],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_bytes"]
+        for r in tx.compression_signals(df, "text", "doc_id").collect()
+    }
+    assert got == {"d-0": 150, "d-1": 11}
