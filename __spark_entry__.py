@@ -1641,6 +1641,124 @@ def q_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup(docs, "text", "doc_id")
 
 
+# ---- r8: mixture design / compliance / selection / packing ---------- #
+
+_BLOCKLIST_TERMS = ["casino", "slow", "spark", "window"]
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """mT5-style temperature rebalancing of the documents corpus by
+    language at tau=3: the smallest language is kept whole, every other
+    language hash-thinned to rate (n/n_min)^(1/3 - 1). Downsampling-only
+    mixture design; the kept-row set is bit-reproducible (md5 buckets,
+    sum-free rate formula — see functions/sampling.py)."""
+    from krnel_graph_spark.functions.sampling import temperature_mixture
+
+    docs = _docs(spark, sf_dir)
+    return temperature_mixture(docs, "lang", "doc_id", tau=3.0, seed=0).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_blocklist(spark, sf_dir):
+    """Compliance blocklist screening: annotate every document with the
+    sorted list of blocklist terms it contains (case-insensitive
+    substring) and the blocked flag — one codegen'd scan projection,
+    zero shuffle."""
+    from krnel_graph_spark.functions.curation import blocklist_annotate
+
+    docs = _docs(spark, sf_dir)
+    return blocklist_annotate(docs, "text", _BLOCKLIST_TERMS).select(
+        "doc_id", "matched", "blocked"
+    )
+
+
+def q_pii_report(spark, sf_dir):
+    """Per-source PII incidence audit. The synthetic corpus carries no
+    PII, so the query injects deterministic shapes first (an email every
+    5th doc, a phone every 7th, an IP every 11th, an SSN every 13th) and
+    the report must count them exactly — regexp_count in the scan
+    projection, ONE partial-agg groupBy."""
+    from krnel_graph_spark.functions.curation import pii_report
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" mail user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-123-4567")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" from 10.1.2.3")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return pii_report(docs, "text", "source")
+
+
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/test split: the split key is the md5
+    fingerprint of the normalized text, so every copy of identical
+    content lands on one side. Scan-side only — no shuffle, no join."""
+    from krnel_graph_spark.functions.curation import leakage_safe_split
+
+    docs = _docs(spark, sf_dir)
+    return leakage_safe_split(
+        docs, "text", "doc_id", test_fraction=0.25, seed=0
+    ).select("doc_id", "split")
+
+
+def q_packing_report(spark, sf_dir):
+    """Packing-efficiency audit per source shard at a 2000-token budget
+    (composes sequence_pack): fill_rate is the fraction of attention
+    FLOPs spent on real tokens."""
+    from krnel_graph_spark.functions.curation import packing_report
+
+    docs = _docs(spark, sf_dir)
+    return packing_report(
+        docs,
+        order_by="doc_id",
+        token_col=tx.token_count("text"),
+        budget=2000,
+        partition_by="source",
+    )
+
+
+def q_quality_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail bucketing per language — here on the
+    n_chars length signal (the score column is pluggable; percent-rank
+    bands are exact integer-rank arithmetic in both engines, no
+    interpolated quantile boundary)."""
+    from krnel_graph_spark.functions.text import quality_buckets
+
+    docs = _docs(spark, sf_dir)
+    return quality_buckets(docs, "n_chars", "lang").select(
+        "doc_id", "lang", "n_chars", "bucket"
+    )
+
+
+def q_kcenter_select(spark, sf_dir):
+    """Greedy k-center coreset (k=8) over the embeddings table: the
+    diversity-maximizing pick sequence with the round-6 + id-ascending
+    determinism shield; the unrolled SQL oracle replays every pick."""
+    from krnel_graph_spark.functions.similarity import kcenter_select
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kcenter_select(emb, "embedding", "vec_id", k=8)
+
+
 _EXPECT_RULES = {
     # Two rules that genuinely hold on this data (green path) and four
     # tightened past the real value ranges so the violation counters and
@@ -2712,6 +2830,10 @@ def q_video_stats_y4m(spark, sf_dir):
 # record >= 45 hash-green with 0 no_oracle slots wasted. The remaining
 # 30 round-5 rows rotate in next round.
 _R8_WINDOW = [
+    # new r8 surface: never driver-recorded
+    "temperature_mixture", "blocklist", "pii_report",
+    "leakage_safe_split", "packing_report", "quality_buckets",
+    "kcenter_select",
     # changed-this-round (must re-record under the new oracles)
     "fluent_quality", "paragraph_dedup",
     # newest driver record = r4 (30)
@@ -2726,9 +2848,11 @@ _R8_WINDOW = [
     # newest driver record = r5, oldest COVERAGE rows first (18)
     "interval_join", "profile_table", "clean_corpus", "cube_agg",
     "pivot_priority", "percentiles", "ntile_quartiles", "pivot_dynamic",
-    "group_cap", "pii_scrub", "domain_stats", "sequence_pack",
-    "connected_components", "hash_sample", "stratified_sample",
-    "shuffle_export", "decontaminate", "repetition_stats",
+    "group_cap", "pii_scrub", "domain_stats",
+    # (sequence_pack / connected_components / hash_sample /
+    #  stratified_sample / shuffle_export / decontaminate /
+    #  repetition_stats rotate in r9 — displaced by the 7 new r8
+    #  entries to hold the window at 50)
 ]
 
 
@@ -2915,7 +3039,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "image_features_stub": q_image_features_stub,
-
+        # ---- r8 surface ---- #
+        "temperature_mixture": q_temperature_mixture,
+        "blocklist": q_blocklist,
+        "pii_report": q_pii_report,
+        "leakage_safe_split": q_leakage_safe_split,
+        "packing_report": q_packing_report,
+        "quality_buckets": q_quality_buckets,
+        "kcenter_select": q_kcenter_select,
     }
     out = {k: d[k] for k in _R8_WINDOW}
     missing = [k for k in _R8_WINDOW if k not in d]
@@ -2928,6 +3059,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------- #
 # oracles                                                                 #
 # --------------------------------------------------------------------- #
+
+
+def _kcenter_sql(k: int = 8) -> str:
+    """Unrolled greedy k-center CTE chain mirroring
+    ``functions/similarity.py:kcenter_select``: identical left-fold dot
+    products (list_reduce seeded with 0.0 replays Spark's
+    ``aggregate(..., 0.0, +)`` element order), identical round-6 +
+    id-ascending argmax shield, so every pick matches bit-for-bit."""
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_concat([0.0::DOUBLE], list_transform("
+            f"list_zip({a}, {b}), p -> p[1] * p[2])), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    sq = (
+        "list_reduce(list_concat([0.0::DOUBLE], "
+        "list_transform(v, y -> y * y)), (acc, x) -> acc + x)"
+    )
+    parts = [
+        """e AS (SELECT vec_id AS id,
+       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings)""",
+        f"""u AS (SELECT id, list_transform(v, x -> x / sqrt({sq})) AS uv
+  FROM e WHERE sqrt({sq}) > 0)""",
+        "c1 AS (SELECT id, uv FROM u ORDER BY id LIMIT 1)",
+        f"""m1 AS (SELECT s.id, s.uv, 1.0 - {dot("s.uv", "c.uv")} AS mind
+  FROM u s, c1 c WHERE s.id <> c.id)""",
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"""c{r} AS (SELECT id, uv, mind FROM m{r - 1}
+  ORDER BY round(mind, 6) DESC, id LIMIT 1)"""
+        )
+        if r < k:
+            parts.append(
+                f"""m{r} AS (SELECT s.id, s.uv,
+    least(s.mind, 1.0 - {dot("s.uv", "c.uv")}) AS mind
+  FROM m{r - 1} s, c{r} c WHERE s.id <> c.id)"""
+            )
+    sel = ["SELECT 1::BIGINT AS rank, id AS vec_id, NULL::DOUBLE AS sep FROM c1"]
+    for r in range(2, k + 1):
+        sel.append(
+            f"SELECT {r}::BIGINT, id, round(mind, 6)::DOUBLE FROM c{r}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sel)
 
 
 def _pagerank_sql(n_iter: int = 5, damping: float = 0.85) -> str:
@@ -3000,6 +3178,19 @@ def _label_prop_sql(n_iter: int = 5) -> str:
 def oracle_sql() -> dict[str, str]:
     norm_text = _NORM.format(c="text")
     toks_text = _TOKS.format(c="text")
+
+    from krnel_graph_spark.functions.curation import PII_PATTERNS
+
+    pii_counts = ",\n             ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS c_{kind}"
+        for kind, (pat, _tok) in PII_PATTERNS.items()
+    )
+    pii_aggs = ",\n       ".join(
+        f"sum((c_{kind} > 0)::BIGINT)::BIGINT AS docs_{kind},\n"
+        f"       sum(c_{kind})::BIGINT AS hits_{kind}"
+        for kind in PII_PATTERNS
+    )
+    pii_any = " OR ".join(f"c_{kind} > 0" for kind in PII_PATTERNS)
     sh3 = _shingle_sql(3)
 
     minhash_hs = (
@@ -4366,6 +4557,99 @@ SELECT raw.*, 1::BIGINT AS n_paras, 1::BIGINT AS n_kept,
        ds.n_grams, ds.dsir_logw
 FROM raw LEFT JOIN te USING (doc_id) LEFT JOIN ds USING (doc_id)
 """,
+        # ---- r8 surface oracles ---- #
+        # temperature_mixture: sum-free rate formula (n/n_min)^(1/tau-1),
+        # round-6, md5-bucket threshold — replays the driver-side rate
+        # computation exactly (same libm pow, no float summation).
+        "temperature_mixture": f"""
+WITH c AS (SELECT lang AS s, count(*)::BIGINT AS n FROM documents
+           WHERE lang IS NOT NULL GROUP BY lang),
+m AS (SELECT min(n) AS n_min FROM c),
+r AS (SELECT s,
+             CAST(round(round(pow(n::DOUBLE / n_min, 1.0/3.0 - 1.0), 6)
+                        * 1000000, 0) AS BIGINT) AS thr
+      FROM c, m)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN r ON d.lang = r.s
+WHERE {md5_long_sql("'0:' || doc_id::VARCHAR")} % 1000000 < r.thr
+""",
+        # blocklist: literal term array (sorted lowercase), substring
+        # containment on the lowercased text.
+        "blocklist": """
+SELECT doc_id,
+       list_filter(['casino', 'slow', 'spark', 'window'],
+                   t -> contains(lower(text), t)) AS matched,
+       len(list_filter(['casino', 'slow', 'spark', 'window'],
+                       t -> contains(lower(text), t))) > 0 AS blocked
+FROM documents
+""",
+        # pii_report: same deterministic PII injection, then RE2 counts
+        # of the engine-portable PII_PATTERNS (integer-exact).
+        "pii_report": f"""
+WITH synth AS (
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' mail user' || doc_id::VARCHAR || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' from 10.1.2.3' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+         AS text
+  FROM documents),
+c AS (SELECT source,
+             {pii_counts}
+      FROM synth)
+SELECT source, count(*)::BIGINT AS n_docs,
+       {pii_aggs},
+       sum(({pii_any})::BIGINT)::BIGINT AS docs_any_pii
+FROM c GROUP BY source
+""",
+        # leakage_safe_split: md5 fingerprint of the normalized text is
+        # the split key; every exact copy lands on one side.
+        "leakage_safe_split": f"""
+SELECT doc_id,
+       CASE WHEN {md5_long_sql("'0:' || md5(" + _NORM.format(c="text") + ")")}
+                 % 1000000 < 250000
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+""",
+        # packing_report: composes sequence_pack's window CTE, then two
+        # integer aggregations + one round-6 ratio.
+        "packing_report": f"""
+WITH t AS (SELECT doc_id, source, {toks_text} AS toks FROM documents),
+n AS (SELECT doc_id, source,
+             (CASE WHEN len(toks) = 1 AND toks[1] = '' THEN 0
+                   ELSE len(toks) END)::BIGINT AS n_tokens FROM t),
+c AS (SELECT doc_id, source, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS tb
+      FROM n),
+p AS (SELECT source, CAST(floor(tb / 2000.0) AS BIGINT) AS pack_id,
+             count(*)::BIGINT AS docs, sum(n_tokens)::BIGINT AS tok
+      FROM c GROUP BY source, pack_id)
+SELECT source, sum(docs)::BIGINT AS n_docs, count(*)::BIGINT AS n_packs,
+       sum(tok)::BIGINT AS n_tokens,
+       (count(*) * 2000)::BIGINT AS capacity,
+       round(sum(tok)::DOUBLE / (count(*) * 2000)::DOUBLE, 6) AS fill_rate,
+       sum((tok > 2000)::BIGINT)::BIGINT AS oversize_packs
+FROM p GROUP BY source
+""",
+        # quality_buckets: integer-rank percent_rank bands — no
+        # interpolated quantile anywhere, ties share a bucket.
+        "quality_buckets": """
+SELECT doc_id, lang, n_chars,
+       CASE WHEN pr < 1.0/3.0 THEN 'head'
+            WHEN pr < 2.0/3.0 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM (SELECT doc_id, lang, n_chars,
+             percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+      FROM documents)
+""",
+        # kcenter_select: unrolled greedy farthest-point CTE chain.
+        "kcenter_select": _kcenter_sql(8),
         # paragraph_dedup: same synthesized paragraph structure; keeper
         # is the lexicographic-min (doc_id, idx) encoded as one integer
         # key; reassembly via ORDER BY idx string_agg.

@@ -164,6 +164,14 @@ HEADLINE = [
     "ewma_smooth",
     "contrastive_triplets",
     "source_quality",
+    # r8 additions: mixture design, compliance, selection, packing.
+    "temperature_mixture",
+    "blocklist",
+    "pii_report",
+    "leakage_safe_split",
+    "packing_report",
+    "quality_buckets",
+    "kcenter_select",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

@@ -348,3 +348,150 @@ def ngram_coverage(
         "n_grams",
         F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
     )
+
+
+def blocklist_annotate(
+    df: DataFrame,
+    text_col: str,
+    terms: list[str],
+) -> DataFrame:
+    """Blocklist screening — the NSFW/bad-words/compliance filter stage
+    of a crawl pipeline. Adds ``matched`` (the sorted list of blocklist
+    terms whose lowercase form occurs as a substring of the lowercased
+    text) and ``blocked`` (any match). Filtering is the caller's
+    ``.filter(~F.col("blocked"))``; keeping the annotation makes the
+    drop auditable (per-term incidence is one groupBy away).
+
+    Scale shape: the blocklist is human-sized, so it rides into the
+    scan as a LITERAL array and the whole operator is one codegen'd
+    projection — ``filter(array<terms>, t -> contains(text, t))`` —
+    zero shuffle, zero Python, pushdown-transparent. Matching is plain
+    case-insensitive substring (no word boundaries): that is the
+    standard first-pass trade-off, and the exact SQL twin
+    (``list_filter`` + ``contains``) replays it byte-for-byte.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    low = sorted({t.lower() for t in terms})
+    txt = F.lower(F.col(text_col))
+    matched = F.filter(
+        F.array(*[F.lit(t) for t in low]), lambda t: txt.contains(t)
+    )
+    return df.withColumn("matched", matched).withColumn(
+        "blocked", F.size("matched") > 0
+    )
+
+
+def pii_report(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group PII incidence report over the :data:`PII_PATTERNS`
+    families (email/phone/ipv4/ssn) — the audit that decides whether a
+    source needs :func:`pii_scrub` before release. Returns one row per
+    group: ``n_docs``, per-kind document counts (``docs_<kind>``: docs
+    with ≥1 match) and total match counts (``hits_<kind>``), plus
+    ``docs_any_pii``.
+
+    Scale shape: ``regexp_count`` per pattern in the scan projection
+    (JVM regex, codegen), then ONE partial-aggregated groupBy on the
+    group key — integer counts only, so the DuckDB oracle
+    (``len(regexp_extract_all(...))``) is exact; the patterns are
+    already engine-portable by construction (see PII_PATTERNS).
+    """
+    proj = [F.col(group_col)]
+    for kind, (pattern, _tok) in PII_PATTERNS.items():
+        proj.append(
+            F.regexp_count(F.col(text_col), F.lit(pattern)).alias(f"__c_{kind}")
+        )
+    per_doc = df.select(*proj)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    any_expr = None
+    for kind in PII_PATTERNS:
+        c = F.col(f"__c_{kind}")
+        aggs.append(
+            F.sum((c > 0).cast("long")).cast("long").alias(f"docs_{kind}")
+        )
+        aggs.append(F.sum(c).cast("long").alias(f"hits_{kind}"))
+        any_expr = (c > 0) if any_expr is None else (any_expr | (c > 0))
+    aggs.append(F.sum(any_expr.cast("long")).cast("long").alias("docs_any_pii"))
+    return per_doc.groupBy(group_col).agg(*aggs)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    test_fraction: float = 0.1,
+    seed: int = 0,
+) -> DataFrame:
+    """Train/test split that can never leak a duplicated document across
+    the boundary: the split key is the md5 FINGERPRINT of the
+    whitespace-normalized lowercased text (the same canonical form the
+    exact-dedup stage uses), so every copy of the same content — however
+    many times the crawl re-collected it — lands on the same side.
+    Plain per-row hash splits put ~2·dup_rate·f·(1-f) of duplicated
+    content astride the boundary, silently inflating eval scores.
+
+    Adds ``split`` ('train' | 'test'). Pure scan-side expression chain
+    (normalize → md5 → bucket threshold): no shuffle, no join, no
+    grouping — the fingerprint IS the group key, so group-atomicity
+    costs nothing. Near-dup-atomic splits compose the same rule with
+    ``connected_components`` over a minhash pair graph (use the
+    component id as the split key).
+    """
+    from .hashing import md5_long
+    from .sampling import RATE_DENOM
+    from .text import normalize_text
+
+    if not (0.0 <= test_fraction <= 1.0):
+        raise ValueError("test_fraction must be in [0, 1]")
+    fp = F.md5(normalize_text(F.col(text_col)))
+    bucket = md5_long(F.concat_ws(":", F.lit(str(seed)), fp)) % F.lit(RATE_DENOM)
+    thr = int(round(test_fraction * RATE_DENOM))
+    return df.withColumn(
+        "split", F.when(bucket < F.lit(thr), F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
+def packing_report(
+    df: DataFrame,
+    order_by: str,
+    token_col: Column | str,
+    budget: int,
+    partition_by: str | None = None,
+) -> DataFrame:
+    """Packing-efficiency audit for :func:`sequence_pack`: runs the same
+    offset packing, then reports per partition key (one global row when
+    ``partition_by`` is None): ``n_docs``, ``n_packs``, ``n_tokens``,
+    ``capacity`` (= n_packs × budget), ``fill_rate`` (tokens/capacity,
+    round 6) and ``oversize_packs`` (packs whose assigned tokens exceed
+    the budget — the straddle overflow the offset formulation allows).
+    The number that matters for training cost: fill_rate is the fraction
+    of attention FLOPs spent on real tokens at this budget/ordering.
+
+    Scale shape: sequence_pack's single window pass, then two
+    partial-aggregated groupBys (pack level → partition level); all
+    integer arithmetic except the final round-6 ratio, so the oracle
+    composes sequence_pack's window CTE exactly.
+    """
+    packed = sequence_pack(df, order_by, token_col, budget, partition_by)
+    part = [partition_by] if partition_by else []
+    per_pack = packed.groupBy(*part, "pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__docs"),
+        F.sum("n_tokens").cast("long").alias("__tok"),
+    )
+    grp = per_pack.groupBy(*part) if part else per_pack.groupBy()
+    return grp.agg(
+        F.sum("__docs").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_packs"),
+        F.sum("__tok").cast("long").alias("n_tokens"),
+        (F.count(F.lit(1)) * F.lit(budget)).cast("long").alias("capacity"),
+        F.round(
+            F.sum("__tok") / (F.count(F.lit(1)) * F.lit(budget)), 6
+        ).alias("fill_rate"),
+        F.sum((F.col("__tok") > F.lit(budget)).cast("long"))
+        .cast("long")
+        .alias("oversize_packs"),
+    )

@@ -196,3 +196,59 @@ def weighted_sample(
         .limit(n)
         .drop("__wskey")
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    tau: float = 3.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based mixture rebalancing — the multilingual-corpus
+    sampling rule (mT5/XLM-R style): target proportions follow
+    ``p_s ∝ n_s^(1/tau)``, flattening the head so low-resource strata
+    are not drowned out (``tau=1`` keeps natural proportions,
+    ``tau → ∞`` approaches uniform). Downsampling-only, like
+    :func:`mix_to_weights`: the output is the largest corpus achievable
+    at the tempered mix, i.e. the stratum with the highest
+    target-to-actual ratio is kept whole and every other stratum is
+    hash-thinned to match.
+
+    Determinism contract: the normalizer cancels in the keep-rate
+    ratio, leaving ``rate_s = (n_s / n_min)^(1/tau - 1)`` where
+    ``n_min`` is the smallest stratum — a single ``pow`` per stratum,
+    NO float summation anywhere, so a SQL oracle recomputing the same
+    expression gets bit-identical doubles (same libm ``pow``). Rates
+    are rounded HALF-UP to 6 decimals driver-side (matching SQL
+    ``round``) and applied as :func:`stratified_sample`'s scan-side
+    md5-bucket filter.
+
+    Scale shape: one count-per-stratum aggregation (human-sized result)
+    + one shuffle-free scan-side filter; no corpus-sized shuffle, no
+    RNG state, retry-safe.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if tau <= 0:
+        raise ValueError("tau must be > 0")
+    alpha = 1.0 / float(tau)
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        if r[strata_col] is not None
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    n_min = min(counts.values())
+    fractions = {
+        s: float(
+            Decimal(repr((n / n_min) ** (alpha - 1.0))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        for s, n in counts.items()
+    }
+    return stratified_sample(
+        df, strata_col, fractions, id_col, seed=seed, default_fraction=0.0
+    )

@@ -986,3 +986,124 @@ def contrastive_triplets(
         F.col("rank").alias("neg_rank"),
     )
     return pos.join(neg, "query_id")
+
+
+def kcenter_select(
+    df: DataFrame,
+    vector_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Greedy k-center (Gonzalez farthest-point) coreset selection over
+    an embedding corpus — the diversity-maximizing dual of dedup:
+    instead of dropping what is too close, pick the ``k`` points that
+    best COVER the space (each new pick is the point farthest, in
+    cosine distance, from everything picked so far). The standard cheap
+    coreset for "label/inspect k representative documents" and for
+    seeding diverse eval slices; 2-approximation of the optimal k-center
+    cover.
+
+    Deterministic contract: the first center is the smallest id; each
+    subsequent argmax orders by ``(round(min_dist, 6) DESC, id ASC)`` —
+    the round-6 shield plus id tie-break makes the selection immune to
+    last-ulp float differences, so an unrolled SQL oracle replays the
+    exact pick sequence. Zero-norm vectors are excluded.
+
+    Returns ``(rank, id, sep)`` — ``sep`` is the cosine distance to the
+    nearest earlier center at selection time (round 6; NULL for rank 1),
+    the classic coverage-radius curve.
+
+    Scale shape: one normalization scan, then k-1 rounds of a
+    scan-side ``least(mind, 1 - dot(u, center))`` update against the
+    round's single broadcast center (a dim-sized literal — the GEMM
+    degenerates to one fused multiply-add column per round) followed by
+    a TakeOrderedAndProject argmax collecting ONE row. State is
+    localCheckpoint-pinned per round (non-eager: the argmax action
+    materializes it), so lineage and plan size stay flat in k. Driver
+    holds only the k selected rows — coreset-sized by definition.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def _r6(x: float) -> float:
+        # HALF-UP like SQL round(), not Python's banker's rounding.
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    sq = F.aggregate(
+        F.transform(F.col("__v"), lambda x: x * x),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    unit = (
+        df.select(
+            F.col(id_col),
+            F.transform(F.col(vector_col), lambda x: x.cast("double")).alias(
+                "__v"
+            ),
+        )
+        .withColumn("__n", F.sqrt(sq))
+        .filter(F.col("__n") > 0)
+        .select(
+            id_col,
+            F.transform(
+                F.col("__v"), lambda x: x / F.col("__n")
+            ).alias("__u"),
+        )
+    )
+
+    def dot_lit(vec: list[float]):
+        arr = F.array(*[F.lit(float(x)) for x in vec])
+        return F.aggregate(
+            F.zip_with(F.col("__u"), arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    first = unit.orderBy(F.col(id_col).asc()).limit(1).collect()
+    if not first:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], f"rank long, {id_col} long, sep double"
+        )
+    c0 = first[0]
+    picked = [(1, c0[id_col], None)]
+    state = (
+        unit.filter(F.col(id_col) != F.lit(c0[id_col]))
+        .withColumn("__mind", F.lit(1.0) - dot_lit(list(c0["__u"])))
+        .localCheckpoint(eager=False)
+    )
+    for rank in range(2, k + 1):
+        top = (
+            state.orderBy(
+                F.round(F.col("__mind"), 6).desc(), F.col(id_col).asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        row = top[0]
+        picked.append((rank, row[id_col], _r6(row["__mind"])))
+        if rank == k:
+            break
+        state = (
+            state.filter(F.col(id_col) != F.lit(row[id_col]))
+            .withColumn(
+                "__mind",
+                F.least(
+                    F.col("__mind"), F.lit(1.0) - dot_lit(list(row["__u"]))
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        picked, f"rank long, {id_col} {id_type}, sep double"
+    )

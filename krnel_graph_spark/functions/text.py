@@ -1200,3 +1200,44 @@ def source_quality_report(
         ).alias("dup_doc_frac"),
         F.round(F.col("sq").cast("double") / nd, 6).alias("mean_quality"),
     )
+
+
+def quality_buckets(
+    df: DataFrame,
+    score_col: str,
+    group_col: str | None = None,
+    cuts: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style quality bucketing: rank every document by
+    ``score_col`` WITHIN its group (per language, per source — or
+    globally when ``group_col`` is None) and label it by which
+    percent-rank band it falls in — the classic head/middle/tail split
+    on LM perplexity that decides what gets trained on, what gets
+    sampled down, and what gets dropped.
+
+    Bands use ``percent_rank()`` (pure integer rank arithmetic,
+    ``(rank-1)/(n-1)``), NOT interpolated quantile thresholds: an
+    interpolated cut point frequently lands exactly on a data value at
+    small group sizes, where engine rounding decides the side; percent
+    ranks are exact in both engines, ties share a rank (hence a
+    bucket), and the result is order-independent. Ascending scores:
+    with perplexity as the score, ``head`` = lowest perplexity.
+
+    Adds ``bucket``. Scale shape: one shuffle on the group key with an
+    in-partition sort (the unavoidable cost of a per-group global
+    ranking); everything else is scan-side. For a groupless global
+    ranking the window is single-task — use a group key at corpus
+    scale (that is also the semantics CCNet uses: per-language).
+    """
+    if len(labels) != len(cuts) + 1:
+        raise ValueError("need exactly one more label than cuts")
+    if list(cuts) != sorted(cuts) or not all(0.0 < c < 1.0 for c in cuts):
+        raise ValueError(f"cuts must be strictly increasing in (0,1): {cuts}")
+    part = [group_col] if group_col else []
+    w = Window.partitionBy(*part).orderBy(F.col(score_col).asc())
+    pr = F.percent_rank().over(w)
+    expr = F.lit(labels[-1])
+    for cut, label in zip(reversed(cuts), reversed(labels[:-1])):
+        expr = F.when(pr < F.lit(float(cut)), F.lit(label)).otherwise(expr)
+    return df.withColumn("bucket", expr)

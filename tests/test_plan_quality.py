@@ -312,3 +312,53 @@ def test_ewma_sorts_each_user_once(spark, entry):
     df = entry.queries()["ewma_smooth"](spark, SF)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert optimized.count("array_sort") == 1
+
+
+def test_temperature_mixture_scan_side_filter(spark, entry):
+    """After the driver-side #strata rate computation, the kept-row
+    selection is a pure scan-side md5-bucket filter: no shuffle, no
+    join, no Python in the returned plan."""
+    plan = _plan(spark, entry, "temperature_mixture")
+    assert _exchanges(plan) == 0
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_blocklist_zero_shuffle_projection(spark, entry):
+    """The blocklist rides as a literal array into one codegen'd scan
+    projection — zero exchanges, zero Python."""
+    plan = _plan(spark, entry, "blocklist")
+    assert _exchanges(plan) == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pii_report_single_agg_pass(spark, entry):
+    """regexp_count in the scan projection, then ONE partial-aggregated
+    groupBy on the source key."""
+    plan = _plan(spark, entry, "pii_report")
+    assert _exchanges(plan) <= 1
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
+    assert "BatchEvalPython" not in plan
+
+
+def test_leakage_safe_split_zero_shuffle(spark, entry):
+    """Fingerprint + bucket threshold is a scan-side expression chain."""
+    plan = _plan(spark, entry, "leakage_safe_split")
+    assert _exchanges(plan) == 0
+    assert "Join" not in plan
+
+
+def test_packing_report_bounded_exchanges(spark, entry):
+    """sequence_pack's per-source window + two partial-agg groupBys —
+    and nothing else. No cartesian, no Python."""
+    plan = _plan(spark, entry, "packing_report")
+    assert _exchanges(plan) <= 3
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_buckets_one_window_shuffle(spark, entry):
+    """One exchange on the group key for the per-group ranking window."""
+    plan = _plan(spark, entry, "quality_buckets")
+    assert _exchanges(plan) <= 1
+    assert "percent_rank" in plan or "Window" in plan
