@@ -82,6 +82,17 @@ QUERIES = [
     # the x20 perturbed embeddings (fixed 10-query set, like ann_ivfpq).
     "ewma_smooth",
     "contrastive_triplets",
+    # r8 surface: six documents-x40 consumers plus kcenter over the x20
+    # perturbed embeddings (k fixed at 8: the pick loop is O(k) rounds
+    # regardless of corpus size; per-round cost is the linear scan-side
+    # fused dot + TakeOrdered argmax — the honest growth axis).
+    "temperature_mixture",
+    "blocklist",
+    "pii_report",
+    "leakage_safe_split",
+    "packing_report",
+    "quality_buckets",
+    "kcenter_select",
     # fuzzy_pairs is deliberately absent: the x40 corpus keeps 16-char
     # prefixes IDENTICAL across copies (the per-5-words token insertion
     # that breaks MinHash shingle similarity usually lands after char 16),
