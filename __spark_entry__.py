@@ -1759,6 +1759,20 @@ def q_kcenter_select(spark, sf_dir):
     return kcenter_select(emb, "embedding", "vec_id", k=8)
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule bundle over the documents corpus: per-rule
+    boolean flags + the keep verdict, every ratio rule in integer
+    cross-multiplied form (no float boundary anywhere)."""
+    from krnel_graph_spark.functions.text import gopher_rules
+
+    docs = _docs(spark, sf_dir)
+    return gopher_rules(docs, "text").select(
+        "doc_id", "n_words", "r_word_count", "r_word_length",
+        "r_symbol_ratio", "r_bullet_lines", "r_ellipsis_lines",
+        "r_alpha_words", "r_stopwords", "gopher_keep",
+    )
+
+
 _EXPECT_RULES = {
     # Two rules that genuinely hold on this data (green path) and four
     # tightened past the real value ranges so the violation counters and
@@ -2833,7 +2847,7 @@ _R8_WINDOW = [
     # new r8 surface: never driver-recorded
     "temperature_mixture", "blocklist", "pii_report",
     "leakage_safe_split", "packing_report", "quality_buckets",
-    "kcenter_select",
+    "kcenter_select", "gopher_rules",
     # changed-this-round (must re-record under the new oracles)
     "fluent_quality", "paragraph_dedup",
     # newest driver record = r4 (30)
@@ -2848,8 +2862,8 @@ _R8_WINDOW = [
     # newest driver record = r5, oldest COVERAGE rows first (18)
     "interval_join", "profile_table", "clean_corpus", "cube_agg",
     "pivot_priority", "percentiles", "ntile_quartiles", "pivot_dynamic",
-    "group_cap", "pii_scrub", "domain_stats",
-    # (sequence_pack / connected_components / hash_sample /
+    "group_cap", "pii_scrub",
+    # (domain_stats / sequence_pack / connected_components / hash_sample /
     #  stratified_sample / shuffle_export / decontaminate /
     #  repetition_stats rotate in r9 — displaced by the 7 new r8
     #  entries to hold the window at 50)
@@ -3047,6 +3061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_report": q_packing_report,
         "quality_buckets": q_quality_buckets,
         "kcenter_select": q_kcenter_select,
+        "gopher_rules": q_gopher_rules,
     }
     out = {k: d[k] for k in _R8_WINDOW}
     missing = [k for k in _R8_WINDOW if k not in d]
@@ -4650,6 +4665,47 @@ FROM (SELECT doc_id, lang, n_chars,
 """,
         # kcenter_select: unrolled greedy farthest-point CTE chain.
         "kcenter_select": _kcenter_sql(8),
+        # gopher_rules: every ratio rule replayed in the same integer
+        # cross-multiplied form; token-level counts via list ops.
+        "gopher_rules": f"""
+WITH t AS (SELECT doc_id, text, {_NORM.format(c="text")} AS norm,
+                  {toks_text} AS toks
+           FROM documents),
+m AS (SELECT doc_id,
+  (CASE WHEN norm = '' THEN 0 ELSE len(toks) END)::BIGINT AS n_words,
+  (length(norm)
+   - ((CASE WHEN norm = '' THEN 0 ELSE len(toks) END) - 1))::BIGINT
+    AS total_chars,
+  len(regexp_extract_all(text, '#|\\.\\.\\.|…'))::BIGINT AS n_symbols,
+  (len(regexp_extract_all(text, '\\n')) + 1)::BIGINT AS n_lines,
+  len(regexp_extract_all(text, '(?m)^[ \\t]*[-*•]'))::BIGINT AS n_bullet,
+  len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)[ \\t]*$'))::BIGINT
+    AS n_ellipsis,
+  (CASE WHEN norm = '' THEN 0 ELSE
+    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) END)::BIGINT
+    AS n_alpha,
+  len(list_intersect(toks,
+      ['the','be','to','of','and','that','have','with']))::BIGINT AS n_stop
+ FROM t)
+SELECT doc_id, n_words,
+       (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+       (n_words > 0 AND total_chars >= 3 * n_words
+        AND total_chars <= 10 * n_words) AS r_word_length,
+       (10 * n_symbols <= n_words) AS r_symbol_ratio,
+       (10 * n_bullet < 9 * n_lines) AS r_bullet_lines,
+       (10 * n_ellipsis <= 3 * n_lines) AS r_ellipsis_lines,
+       (5 * n_alpha >= 4 * n_words) AS r_alpha_words,
+       (n_stop >= 2) AS r_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (n_words > 0 AND total_chars >= 3 * n_words
+             AND total_chars <= 10 * n_words)
+        AND (10 * n_symbols <= n_words)
+        AND (10 * n_bullet < 9 * n_lines)
+        AND (10 * n_ellipsis <= 3 * n_lines)
+        AND (5 * n_alpha >= 4 * n_words)
+        AND (n_stop >= 2)) AS gopher_keep
+FROM m
+""",
         # paragraph_dedup: same synthesized paragraph structure; keeper
         # is the lexicographic-min (doc_id, idx) encoded as one integer
         # key; reassembly via ORDER BY idx string_agg.

@@ -172,6 +172,7 @@ HEADLINE = [
     "packing_report",
     "quality_buckets",
     "kcenter_select",
+    "gopher_rules",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

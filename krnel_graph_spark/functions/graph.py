@@ -14,7 +14,7 @@ for corpora whose LSH pair graph is itself too large for driver-side
 union-find (see ``functions/dedup.py``).
 
 Iterative-Spark pitfall handled explicitly: every round materializes via
-``localCheckpoint(eager=True)`` to break lineage — without it the plan
+``localCheckpoint`` to break lineage — without it the plan
 doubles per iteration and Catalyst analysis time explodes long before the
 data does.
 """
@@ -83,11 +83,14 @@ def connected_components(
     edge set staying fixed across a full large-star + small-star round —
     one tiny aggregate per round, no driver-side edge materialization.
     """
-    e = _canonical(edges, src, dst).localCheckpoint(eager=True)
+    e = _canonical(edges, src, dst).localCheckpoint(eager=False)
     prev_sig = None
     for _ in range(max_iterations):
-        e = _large_star(e).localCheckpoint(eager=True)
-        e = _small_star(e).localCheckpoint(eager=True)
+        # Non-eager checkpoints: the round's signature aggregate below is
+        # the ONE action that materializes both star passes — eager would
+        # pay the per-job floor three times per round instead of once.
+        e = _large_star(e).localCheckpoint(eager=False)
+        e = _small_star(e).localCheckpoint(eager=False)
         sig = tuple(
             e.agg(
                 F.count(F.lit(1)).alias("n"),
@@ -151,19 +154,19 @@ def pagerank(
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    n_nodes = nodes.count()
+    n_nodes = nodes.count()  # one job materializes e AND nodes
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
-    e_od = e.join(outdeg, "src").localCheckpoint(eager=True)
+    e_od = e.join(outdeg, "src").localCheckpoint(eager=False)
 
     rank = nodes.withColumn(
         "rank", F.round(F.lit(1.0) / n_nodes, round_to)
@@ -191,7 +194,9 @@ def pagerank(
                     round_to,
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            # Non-eager: lineage is cut per round (LogicalRDD), but the
+            # floor-priced jobs collapse into the consumer's single job.
+            .localCheckpoint(eager=False)
         )
     return rank
 
@@ -479,7 +484,7 @@ def label_propagation(
     sym = (
         und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("label"))
@@ -513,6 +518,8 @@ def label_propagation(
                 "node",
                 F.coalesce(best.label, F.col("node")).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            # Non-eager: per-round lineage cut without a per-round job —
+            # the caller's one action materializes every round's state.
+            .localCheckpoint(eager=False)
         )
     return labels

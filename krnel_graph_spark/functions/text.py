@@ -1241,3 +1241,65 @@ def quality_buckets(
     for cut, label in zip(reversed(cuts), reversed(labels[:-1])):
         expr = F.when(pr < F.lit(float(cut)), F.lit(label)).otherwise(expr)
     return df.withColumn("bucket", expr)
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mwl: int = 3,
+    max_mwl: int = 10,
+) -> DataFrame:
+    """The Gopher quality-filter rule bundle (Rae et al. 2021, the
+    heuristic suite most big-corpus pipelines start from): word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio (# / ellipsis)
+    ≤ 1/10, < 90% of lines bullet-led, ≤ 30% of lines ellipsis-ended,
+    ≥ 80% of words containing an alphabetic character, and ≥ 2 distinct
+    members of the Gopher stopword octet present. Adds one boolean per
+    rule (``r_*``) plus ``gopher_keep`` (AND of all) — keep the flags,
+    not just the verdict, so per-rule drop attribution is one groupBy.
+
+    Every ratio rule is evaluated in INTEGER cross-multiplied form
+    (``10 * n_symbols <= n_words`` instead of a float division), so
+    there is no float boundary anywhere and a SQL oracle is exact by
+    construction. Mean word length uses the arithmetic identity
+    total_chars = length(norm) - (n_words - 1) — no per-token array.
+
+    Scale shape: one codegen'd scan projection (regexp_count passes +
+    one array_intersect on the whitespace tokens), zero shuffle.
+    """
+    txt = F.col(text_col)
+    norm = normalize_text(txt)
+    n_words = token_count(txt)
+    total_chars = F.length(norm) - (n_words - F.lit(1))
+    n_symbols = F.regexp_count(txt, F.lit(r"#|\.\.\.|…"))
+    n_lines = F.regexp_count(txt, F.lit("\n")) + F.lit(1)
+    n_bullet = F.regexp_count(txt, F.lit(r"(?m)^[ \t]*[-*•]"))
+    n_ellipsis = F.regexp_count(txt, F.lit(r"(?m)(\.\.\.|…)[ \t]*$"))
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    n_alpha = F.regexp_count(padded, F.lit(r"(?<= )[^ ]*[A-Za-z][^ ]*(?= )"))
+    octet = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    n_stop = F.size(
+        F.array_intersect(
+            F.split(norm, " "), F.array(*[F.lit(w) for w in octet])
+        )
+    )
+    rules = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        # min_mwl <= total/n <= max_mwl, cross-multiplied (n_words > 0)
+        "r_word_length": (n_words > 0)
+        & (total_chars >= F.lit(min_mwl) * n_words)
+        & (total_chars <= F.lit(max_mwl) * n_words),
+        "r_symbol_ratio": F.lit(10) * n_symbols <= n_words,
+        "r_bullet_lines": F.lit(10) * n_bullet < F.lit(9) * n_lines,
+        "r_ellipsis_lines": F.lit(10) * n_ellipsis <= F.lit(3) * n_lines,
+        "r_alpha_words": F.lit(5) * n_alpha >= F.lit(4) * n_words,
+        "r_stopwords": n_stop >= 2,
+    }
+    out = df.withColumn("n_words", n_words.cast("long"))
+    keep = None
+    for name, expr in rules.items():
+        out = out.withColumn(name, expr)
+        keep = expr if keep is None else (keep & expr)
+    return out.withColumn("gopher_keep", keep)

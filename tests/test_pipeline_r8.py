@@ -295,3 +295,48 @@ def test_kcenter_k_exceeds_n(spark):
     ).filter("vec_id < 4")
     out = kcenter_select(emb, "embedding", "vec_id", 10).collect()
     assert len(out) == 4  # stops when the pool is exhausted
+
+
+# --------------------------------------------------------------------- #
+# gopher_rules
+# --------------------------------------------------------------------- #
+
+
+def test_gopher_rules_reference_cases(spark):
+    from krnel_graph_spark.functions.text import gopher_rules
+
+    good = " ".join(
+        "the quick brown fox and that dog have fun with everyone".split()
+        * 6
+    )  # 60 words, alpha-rich, stopword-rich
+    docs = [
+        (0, good),
+        (1, "too short to pass the word count rule"),          # < 50 words
+        (2, " ".join(["####"] * 60)),                           # symbols, no alpha
+        (3, "\n".join(f"- bullet {i} item here" for i in range(10))),
+        (4, "\n".join([f"line {i} trails off..." for i in range(10)])),
+        (5, " ".join(["a"] * 60)),                              # mwl < 3
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(df, "text").collect()}
+    assert got[0]["gopher_keep"] is True
+    assert got[1]["r_word_count"] is False
+    assert got[2]["r_symbol_ratio"] is False
+    assert got[2]["r_alpha_words"] is False
+    assert got[3]["r_bullet_lines"] is False  # 10/10 lines bullet-led
+    assert got[4]["r_ellipsis_lines"] is False  # 10/10 ellipsis-ended
+    assert got[5]["r_word_length"] is False
+    for i in range(1, 6):
+        assert got[i]["gopher_keep"] is False
+
+
+def test_gopher_rules_stopword_octet_distinct(spark):
+    from krnel_graph_spark.functions.text import gopher_rules
+
+    # 'the' repeated is ONE distinct stopword -> rule fails
+    df = spark.createDataFrame(
+        [(0, " ".join(["the word"] * 30)), (1, " ".join(["the and word"] * 20))],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["r_stopwords"] for r in gopher_rules(df, "text").collect()}
+    assert got[0] is False and got[1] is True

@@ -362,3 +362,11 @@ def test_quality_buckets_one_window_shuffle(spark, entry):
     plan = _plan(spark, entry, "quality_buckets")
     assert _exchanges(plan) <= 1
     assert "percent_rank" in plan or "Window" in plan
+
+
+def test_gopher_rules_zero_shuffle_projection(spark, entry):
+    """The whole rule bundle is one codegen'd scan projection: regexp
+    counts + an array_intersect, zero exchanges, zero Python."""
+    plan = _plan(spark, entry, "gopher_rules")
+    assert _exchanges(plan) == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

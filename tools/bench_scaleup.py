@@ -93,6 +93,7 @@ QUERIES = [
     "packing_report",
     "quality_buckets",
     "kcenter_select",
+    "gopher_rules",
     # fuzzy_pairs is deliberately absent: the x40 corpus keeps 16-char
     # prefixes IDENTICAL across copies (the per-5-words token insertion
     # that breaks MinHash shingle similarity usually lands after char 16),
