@@ -1773,6 +1773,17 @@ def q_gopher_rules(spark, sf_dir):
     )
 
 
+def q_stupid_backoff(spark, sf_dir):
+    """Stupid Backoff trigram LM self-scoring of the documents corpus —
+    the trained-LM perplexity-filter signal (CCNet-shaped), scored with
+    the Brants et al. distributed recipe: digest-keyed gram tables,
+    relative frequencies, fixed 0.4 backoff penalty."""
+    from krnel_graph_spark.functions.text import stupid_backoff_logprob
+
+    docs = _docs(spark, sf_dir)
+    return stupid_backoff_logprob(docs, docs, "text", "doc_id")
+
+
 _EXPECT_RULES = {
     # Two rules that genuinely hold on this data (green path) and four
     # tightened past the real value ranges so the violation counters and
@@ -2847,7 +2858,7 @@ _R8_WINDOW = [
     # new r8 surface: never driver-recorded
     "temperature_mixture", "blocklist", "pii_report",
     "leakage_safe_split", "packing_report", "quality_buckets",
-    "kcenter_select", "gopher_rules",
+    "kcenter_select", "gopher_rules", "stupid_backoff",
     # changed-this-round (must re-record under the new oracles)
     "fluent_quality", "paragraph_dedup",
     # newest driver record = r4 (30)
@@ -2862,8 +2873,8 @@ _R8_WINDOW = [
     # newest driver record = r5, oldest COVERAGE rows first (18)
     "interval_join", "profile_table", "clean_corpus", "cube_agg",
     "pivot_priority", "percentiles", "ntile_quartiles", "pivot_dynamic",
-    "group_cap", "pii_scrub",
-    # (domain_stats / sequence_pack / connected_components / hash_sample /
+    "group_cap",
+    # (pii_scrub / domain_stats / sequence_pack / connected_components / hash_sample /
     #  stratified_sample / shuffle_export / decontaminate /
     #  repetition_stats rotate in r9 — displaced by the 7 new r8
     #  entries to hold the window at 50)
@@ -3062,6 +3073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_buckets": q_quality_buckets,
         "kcenter_select": q_kcenter_select,
         "gopher_rules": q_gopher_rules,
+        "stupid_backoff": q_stupid_backoff,
     }
     out = {k: d[k] for k in _R8_WINDOW}
     missing = [k for k in _R8_WINDOW if k not in d]
@@ -4665,6 +4677,56 @@ FROM (SELECT doc_id, lang, n_chars,
 """,
         # kcenter_select: unrolled greedy farthest-point CTE chain.
         "kcenter_select": _kcenter_sql(8),
+        # stupid_backoff: digest-keyed gram tables, identical CASE
+        # ladder and (0.4::DOUBLE) arithmetic, round-6 decimal sums.
+        "stupid_backoff": f"""
+WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents
+           WHERE {_NORM.format(c="text")} != ''),
+u AS (SELECT unnest(toks) AS w FROM t),
+c1 AS (SELECT w, count(*)::BIGINT AS c1 FROM u GROUP BY w),
+tot AS (SELECT sum(c1)::DOUBLE AS N FROM c1),
+bg AS (SELECT md5(array_to_string(toks[s : s + 1], ' ')) AS bh
+       FROM (SELECT toks, unnest(range(1, len(toks))) AS s
+             FROM t WHERE len(toks) >= 2)),
+c2 AS (SELECT bh, count(*)::BIGINT AS c2 FROM bg GROUP BY bh),
+tg AS (SELECT md5(array_to_string(toks[s : s + 2], ' ')) AS th
+       FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS s
+             FROM t WHERE len(toks) >= 3)),
+c3 AS (SELECT th, count(*)::BIGINT AS c3 FROM tg GROUP BY th),
+pos AS (SELECT doc_id, i, toks[i + 1] AS w,
+               CASE WHEN i >= 1 THEN toks[i] END AS w1,
+               CASE WHEN i >= 2 THEN toks[i - 1] END AS w2
+        FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM t)),
+k AS (SELECT doc_id, i, w, w1,
+             md5(concat_ws(' ', w2, w1, w)) AS th,
+             md5(concat_ws(' ', w2, w1)) AS tch,
+             md5(concat_ws(' ', w1, w)) AS bh
+      FROM pos),
+j AS (SELECT k.doc_id, k.i, k.w,
+             c3.c3, ca.c2 AS c2a, cb.c2 AS c2b, u1.c1 AS c1a, uw.c1 AS c1,
+             coalesce(uw.c1, 1)::DOUBLE AS c1f
+      FROM k
+      LEFT JOIN c3 ON c3.th = k.th
+      LEFT JOIN c2 ca ON ca.bh = k.tch
+      LEFT JOIN c2 cb ON cb.bh = k.bh
+      LEFT JOIN c1 u1 ON u1.w = k.w1
+      LEFT JOIN c1 uw ON uw.w = k.w),
+lp AS (SELECT doc_id, (c1 IS NULL)::BIGINT AS oov,
+              round(CASE
+                WHEN i >= 2 AND c3 IS NOT NULL THEN log10(c3 / c2a)
+                WHEN i >= 2 AND c2b IS NOT NULL
+                  THEN log10((0.4::DOUBLE * c2b) / c1a)
+                WHEN i >= 2
+                  THEN log10((0.4::DOUBLE * 0.4::DOUBLE * c1f) / N)
+                WHEN i = 1 AND c2b IS NOT NULL THEN log10(c2b / c1a)
+                WHEN i = 1 THEN log10((0.4::DOUBLE * c1f) / N)
+                ELSE log10(c1f / N)
+              END, 6)::DECIMAL(20,6) AS lp
+       FROM j, tot)
+SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(oov)::BIGINT AS n_oov,
+       sum(lp)::DOUBLE AS logprob_sum
+FROM lp GROUP BY doc_id
+""",
         # gopher_rules: every ratio rule replayed in the same integer
         # cross-multiplied form; token-level counts via list ops.
         "gopher_rules": f"""

@@ -173,6 +173,7 @@ HEADLINE = [
     "quality_buckets",
     "kcenter_select",
     "gopher_rules",
+    "stupid_backoff",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

@@ -1303,3 +1303,172 @@ def gopher_rules(
         out = out.withColumn(name, expr)
         keep = expr if keep is None else (keep & expr)
     return out.withColumn("gopher_keep", keep)
+
+
+def stupid_backoff_logprob(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str,
+    id_col: str,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Stupid Backoff trigram LM scoring (Brants et al. 2007) — the
+    n-gram scoring rule DESIGNED for distributed corpora: no discounting
+    mass to normalize, just relative frequencies with a fixed backoff
+    penalty, which is why the original paper could train it in
+    MapReduce. Scores every ``score`` document against the ``train``
+    corpus: token i scores ``c3/c2`` on its trigram when seen, else
+    ``alpha * c2/c1`` on its bigram, else ``alpha^2 * c1/N`` on its
+    unigram — with shorter maximum contexts (the first two tokens of a
+    document) starting at their natural level without penalty, and OOV
+    tokens scored as singletons (count 1) at the unigram level. This is
+    the CCNet-shaped "perplexity filter" signal with an actual trained
+    LM behind it (``unigram_logprob`` is its 1-gram degenerate).
+
+    Returns ``(id, n_tokens, n_oov, logprob_sum)`` for non-blank docs;
+    ``logprob_sum / n_tokens`` is the mean token log10-score. Each term
+    is rounded to 6 places before an exact-decimal per-doc sum, so
+    summation order cannot move the result and a SQL oracle replays it.
+
+    Scale shape: the three gram tables are partial-aggregated groupBys
+    over the train scan, keyed by md5 digests of the gram text (grams
+    never shuffle as raw strings); scoring explodes positions once and
+    LEFT-joins the five (table, key) pairs digest-to-digest — linear in
+    corpus tokens, vocabulary-bounded tables, no broadcast requirement
+    (AQE may still choose one when a table is small). At 100 TB,
+    pre-bucket the gram tables on their digest to co-locate the joins.
+    """
+    a = float(alpha)
+
+    def toks_of(df):
+        t = F.when(
+            normalize_text(F.col(text_col)) == "",
+            F.array().cast("array<string>"),
+        ).otherwise(whitespace_tokens(F.col(text_col)))
+        return df.select(F.col(id_col), t.alias("__t"))
+
+    tr = toks_of(train)
+    uni = (
+        tr.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    total = uni.agg(F.sum("c1").cast("double").alias("N"))
+
+    def grams(df, n, out):
+        return df.select(
+            F.explode(
+                F.when(
+                    F.size("__t") < n, F.array().cast("array<string>")
+                ).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("__t") - n),
+                        lambda i: F.array_join(
+                            F.slice("__t", i + 1, n), " "
+                        ),
+                    )
+                )
+            ).alias("g")
+        ).select(F.md5("g").alias(out))
+
+    bi = grams(tr, 2, "bh").groupBy("bh").agg(F.count(F.lit(1)).alias("c2"))
+    tri = grams(tr, 3, "th").groupBy("th").agg(F.count(F.lit(1)).alias("c3"))
+
+    # Positions carry their own (w, w-1, w-2) context straight from the
+    # token array — scan-side, no per-doc window shuffle. concat_ws
+    # skips NULL context slots, and the CASE below never consults a
+    # digest above the position's maximum level, so the short-context
+    # digests are never compared against a mismatched gram class
+    # (train gram strings always contain their separator spaces).
+    pos = (
+        toks_of(score)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    F.size("__t") == 0,
+                    F.array().cast(
+                        "array<struct<i:int,w:string,w1:string,w2:string>>"
+                    ),
+                ).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("__t") - 1),
+                        lambda i: F.struct(
+                            i.cast("int").alias("i"),
+                            F.element_at("__t", i + 1).alias("w"),
+                            F.when(
+                                i >= 1, F.element_at("__t", i)
+                            ).alias("w1"),
+                            F.when(
+                                i >= 2, F.element_at("__t", i - 1)
+                            ).alias("w2"),
+                        ),
+                    )
+                )
+            ).alias("p"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("p.i").alias("i"),
+            F.col("p.w").alias("w"),
+            F.col("p.w1").alias("w1"),
+            F.col("p.w2").alias("w2"),
+        )
+        .withColumn("__th", F.md5(F.concat_ws(" ", "w2", "w1", "w")))
+        .withColumn("__tch_b", F.md5(F.concat_ws(" ", "w2", "w1")))
+        .withColumn("__bh", F.md5(F.concat_ws(" ", "w1", "w")))
+    )
+    j = (
+        pos.join(tri.withColumnRenamed("th", "__th"), "__th", "left")
+        .join(
+            bi.select(F.col("bh").alias("__tch_b"), F.col("c2").alias("c2a")),
+            "__tch_b",
+            "left",
+        )
+        .join(
+            bi.select(F.col("bh").alias("__bh"), F.col("c2").alias("c2b")),
+            "__bh",
+            "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1a")),
+            "w1",
+            "left",
+        )
+        .join(uni, "w", "left")
+        .crossJoin(F.broadcast(total))
+    )
+    c1f = F.coalesce(F.col("c1"), F.lit(1)).cast("double")
+    lp = (
+        F.when(
+            (F.col("i") >= 2) & F.col("c3").isNotNull(),
+            F.log10(F.col("c3") / F.col("c2a")),
+        )
+        .when(
+            (F.col("i") >= 2) & F.col("c2b").isNotNull(),
+            F.log10((F.lit(a) * F.col("c2b")) / F.col("c1a")),
+        )
+        .when(
+            F.col("i") >= 2,
+            F.log10((F.lit(a) * F.lit(a) * c1f) / F.col("N")),
+        )
+        .when(
+            (F.col("i") == 1) & F.col("c2b").isNotNull(),
+            F.log10(F.col("c2b") / F.col("c1a")),
+        )
+        .when(F.col("i") == 1, F.log10((F.lit(a) * c1f) / F.col("N")))
+        .otherwise(F.log10(c1f / F.col("N")))
+    )
+    return (
+        j.select(
+            F.col(id_col),
+            F.col("c1").isNull().cast("long").alias("__oov"),
+            F.round(lp, 6).cast("decimal(20,6)").alias("__lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("__oov").cast("long").alias("n_oov"),
+            F.sum("__lp").cast("double").alias("logprob_sum"),
+        )
+    )

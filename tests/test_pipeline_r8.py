@@ -340,3 +340,95 @@ def test_gopher_rules_stopword_octet_distinct(spark):
     )
     got = {r["doc_id"]: r["r_stopwords"] for r in gopher_rules(df, "text").collect()}
     assert got[0] is False and got[1] is True
+
+
+# --------------------------------------------------------------------- #
+# stupid_backoff_logprob
+# --------------------------------------------------------------------- #
+
+
+def _sb_ref(train_texts, score_docs, alpha=0.4):
+    """Independent Python reference of the Stupid Backoff scorer with
+    the same decimal rounding discipline."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+    import math
+
+    def toks(t):
+        n = re.sub(r"\s+", " ", t.lower()).strip()
+        return n.split(" ") if n else []
+
+    c1, c2, c3 = Counter(), Counter(), Counter()
+    for t in train_texts:
+        ws = toks(t)
+        c1.update(ws)
+        c2.update(zip(ws, ws[1:]))
+        c3.update(zip(ws, ws[1:], ws[2:]))
+    N = float(sum(c1.values()))
+
+    def r6(x):
+        return Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP)
+
+    out = {}
+    for doc_id, t in score_docs:
+        ws = toks(t)
+        if not ws:
+            continue
+        s = Decimal(0)
+        oov = 0
+        for i, w in enumerate(ws):
+            w1 = ws[i - 1] if i >= 1 else None
+            w2 = ws[i - 2] if i >= 2 else None
+            c1f = float(c1.get(w, 1))
+            if w not in c1:
+                oov += 1
+            if i >= 2 and (w2, w1, w) in c3:
+                lp = math.log10(c3[(w2, w1, w)] / c2[(w2, w1)])
+            elif i >= 2 and (w1, w) in c2:
+                lp = math.log10((alpha * c2[(w1, w)]) / c1[w1])
+            elif i >= 2:
+                lp = math.log10((alpha * alpha * c1f) / N)
+            elif i == 1 and (w1, w) in c2:
+                lp = math.log10(c2[(w1, w)] / c1[w1])
+            elif i == 1:
+                lp = math.log10((alpha * c1f) / N)
+            else:
+                lp = math.log10(c1f / N)
+            s += r6(lp)
+        out[doc_id] = (len(ws), oov, float(s))
+    return out
+
+
+def test_stupid_backoff_matches_reference(spark):
+    from krnel_graph_spark.functions.text import stupid_backoff_logprob
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter("doc_id < 80")
+    pdf = docs.select("doc_id", "text").toPandas()
+    want = _sb_ref(pdf["text"].tolist(), pdf.itertuples(index=False))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["logprob_sum"])
+        for r in stupid_backoff_logprob(docs, docs, "text", "doc_id").collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert got[k][1] == want[k][1], k
+        assert got[k][2] == pytest.approx(want[k][2], abs=1e-9), k
+
+
+def test_stupid_backoff_oov_and_unseen_corpus(spark):
+    from krnel_graph_spark.functions.text import stupid_backoff_logprob
+
+    train = spark.createDataFrame(
+        [(0, "the cat sat on the mat")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(1, "the cat purred loudly")], "doc_id long, text string"
+    )
+    r = stupid_backoff_logprob(train, score, "text", "doc_id").collect()[0]
+    assert r["n_tokens"] == 4
+    assert r["n_oov"] == 2  # purred, loudly unseen
+    assert r["logprob_sum"] < 0

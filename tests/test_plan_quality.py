@@ -370,3 +370,14 @@ def test_gopher_rules_zero_shuffle_projection(spark, entry):
     plan = _plan(spark, entry, "gopher_rules")
     assert _exchanges(plan) == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stupid_backoff_no_window_no_python(spark, entry):
+    """Scoring positions carry their own context from the token array —
+    scan-side, not via a per-doc lag window; gram tables are
+    partial-aggregated; nothing degenerates into a cross product."""
+    plan = _plan(spark, entry, "stupid_backoff")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial" in plan.lower()

@@ -94,6 +94,7 @@ QUERIES = [
     "quality_buckets",
     "kcenter_select",
     "gopher_rules",
+    "stupid_backoff",
     # fuzzy_pairs is deliberately absent: the x40 corpus keeps 16-char
     # prefixes IDENTICAL across copies (the per-5-words token insertion
     # that breaks MinHash shingle similarity usually lands after char 16),
