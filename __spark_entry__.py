@@ -84,6 +84,11 @@ _NORM = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
 _TOKS = f"string_split({_NORM}, ' ')"
 
 
+_VG_VALUES_SQL = ", ".join(
+    f"({i}, {1_000_000 // 2 ** (7 - i)})" for i in range(8)
+)
+
+
 def _shingle_sql(k: int = 3) -> str:
     """toks → word-k-shingles (mirrors functions.text.shingles)."""
     return (
@@ -1784,6 +1789,70 @@ def q_stupid_backoff(spark, sf_dir):
     return stupid_backoff_logprob(docs, docs, "text", "doc_id")
 
 
+def q_c4_rules(spark, sf_dir):
+    """C4 cleaning heuristics (Raffel et al. 2020): line-level filter
+    (terminal punctuation + ≥5 words + no 'javascript') rebuilt into
+    clean_text, plus the page-level lorem/brace/sentence-count verdict
+    flags. One scan projection, zero shuffle; all counters integer."""
+    from krnel_graph_spark.functions.text import c4_rules
+
+    docs = _docs(spark, sf_dir)
+    return c4_rules(docs, "text").select(
+        "doc_id", "clean_text", "n_lines", "n_lines_kept", "n_sentences",
+        "r_lorem", "r_brace", "r_sentences", "c4_keep",
+    )
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility report: UTF-8 bytes, whitespace
+    words and BPE-ish subword tokens integer-summed per language, with
+    round-6 fertility (subwords/word) and bytes_per_token ratios —
+    the signal multilingual mixes use to budget per-language compute."""
+    from krnel_graph_spark.functions.text import tokenizer_fertility
+
+    docs = _docs(spark, sf_dir)
+    return tokenizer_fertility(docs, "text", "lang")
+
+
+def q_corpus_divergence(spark, sf_dir):
+    """Unigram Jensen-Shannon divergence + total-variation distance
+    between the English and non-English halves of the corpus — the
+    corpus-drift detector, digest-keyed so token text never shuffles,
+    round-12 decimal term sums so the oracle replays bit-exact."""
+    from krnel_graph_spark.functions.curation import corpus_divergence
+
+    docs = _docs(spark, sf_dir)
+    return corpus_divergence(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        "text",
+    )
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth over 8 geometric md5-bucketed corpus
+    prefixes plus the fitted exponent: cumulative-distinct semantics
+    via each type's FIRST bucket (one groupBy min), doc counters in one
+    conditional-sum pass — no per-level rescan anywhere."""
+    from krnel_graph_spark.functions.text import vocab_growth
+
+    docs = _docs(spark, sf_dir)
+    return vocab_growth(docs, "text", "doc_id")
+
+
+def q_centroid_filter(spark, sf_dir):
+    """CLIP-score-shaped embedding filter: cosine of every vector to the
+    decimal-exact centroid of the label-0 reference subset, keep flag at
+    0.2 — the centroid broadcasts into a zero-shuffle scoring scan."""
+    from krnel_graph_spark.functions.similarity import centroid_filter
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return centroid_filter(
+        emb, emb.filter(F.col("label") == 0), "embedding", "vec_id",
+        threshold=0.2,
+    ).select("vec_id", "label", "centroid_cosine", "keep")
+
+
 _EXPECT_RULES = {
     # Two rules that genuinely hold on this data (green path) and four
     # tightened past the real value ranges so the violation counters and
@@ -2859,6 +2928,8 @@ _R8_WINDOW = [
     "temperature_mixture", "blocklist", "pii_report",
     "leakage_safe_split", "packing_report", "quality_buckets",
     "kcenter_select", "gopher_rules", "stupid_backoff",
+    "c4_rules", "tokenizer_fertility", "corpus_divergence",
+    "vocab_growth", "centroid_filter",
     # changed-this-round (must re-record under the new oracles)
     "fluent_quality", "paragraph_dedup",
     # newest driver record = r4 (30)
@@ -2870,14 +2941,13 @@ _R8_WINDOW = [
     "split_train_mask", "sort_topk", "distinct_flags", "ngram_jaccard",
     "scan_parquet", "select_column", "take_rows", "set_intersect",
     "assign_row_id", "inline_dataset", "csv_roundtrip", "jsonl_roundtrip",
-    # newest driver record = r5, oldest COVERAGE rows first (18)
+    # newest driver record = r5, oldest COVERAGE rows first (4)
     "interval_join", "profile_table", "clean_corpus", "cube_agg",
-    "pivot_priority", "percentiles", "ntile_quartiles", "pivot_dynamic",
-    "group_cap",
-    # (pii_scrub / domain_stats / sequence_pack / connected_components / hash_sample /
-    #  stratified_sample / shuffle_export / decontaminate /
-    #  repetition_stats rotate in r9 — displaced by the 7 new r8
-    #  entries to hold the window at 50)
+    # (pivot_priority / percentiles / ntile_quartiles / pivot_dynamic /
+    #  group_cap / pii_scrub / domain_stats / sequence_pack /
+    #  connected_components / hash_sample / stratified_sample /
+    #  shuffle_export / decontaminate / repetition_stats rotate in r9 —
+    #  displaced by the 14 new r8 entries to hold the window at 50)
 ]
 
 
@@ -3074,6 +3144,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_select": q_kcenter_select,
         "gopher_rules": q_gopher_rules,
         "stupid_backoff": q_stupid_backoff,
+        "c4_rules": q_c4_rules,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "corpus_divergence": q_corpus_divergence,
+        "vocab_growth": q_vocab_growth,
+        "centroid_filter": q_centroid_filter,
     }
     out = {k: d[k] for k in _R8_WINDOW}
     missing = [k for k in _R8_WINDOW if k not in d]
@@ -4729,6 +4804,140 @@ FROM lp GROUP BY doc_id
 """,
         # gopher_rules: every ratio rule replayed in the same integer
         # cross-multiplied form; token-level counts via list ops.
+        # c4_rules: the line filter replayed with list_filter; every
+        # counter integer, page flags recomputed from the raw text.
+        "c4_rules": """
+WITH t AS (SELECT doc_id, coalesce(text, '') AS txt FROM documents),
+s AS (SELECT doc_id, txt, string_split(txt, chr(10)) AS ls FROM t),
+k AS (SELECT doc_id, txt, ls,
+        list_filter(ls, x ->
+          regexp_matches(trim(x), '[.!?"\u201d]$')
+          AND (CASE WHEN trim(regexp_replace(x, '\\s+', ' ', 'g')) = ''
+               THEN 0
+               ELSE len(string_split(
+                      trim(regexp_replace(x, '\\s+', ' ', 'g')), ' ')) END)
+              >= 5
+          AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+      FROM s),
+m AS (SELECT doc_id, txt, ls, kept,
+        coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+        len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''),
+            '[.!?]'))::BIGINT AS n_sentences
+      FROM k)
+SELECT doc_id, clean_text, len(ls)::BIGINT AS n_lines,
+       len(kept)::BIGINT AS n_lines_kept, n_sentences,
+       NOT contains(lower(txt), 'lorem ipsum') AS r_lorem,
+       NOT contains(txt, '{') AS r_brace,
+       (n_sentences >= 3) AS r_sentences,
+       ((n_sentences >= 3) AND NOT contains(lower(txt), 'lorem ipsum')
+        AND NOT contains(txt, '{')) AS c4_keep
+FROM m
+""",
+        # tokenizer_fertility: integer sums per language; the ratios are
+        # double divisions of exact integers, round-6.
+        "tokenizer_fertility": f"""
+WITH m AS (SELECT lang,
+  strlen(coalesce(text, '')) AS b,
+  (CASE WHEN {norm_text} = '' THEN 0 ELSE len({toks_text}) END) AS w,
+  len(regexp_extract_all(coalesce(text, ''),
+      '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS s
+ FROM documents)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(b)::BIGINT AS n_bytes,
+       sum(w)::BIGINT AS n_words, sum(s)::BIGINT AS n_subwords,
+       CASE WHEN sum(w) > 0
+            THEN round(sum(s)::DOUBLE / sum(w)::DOUBLE, 6) END AS fertility,
+       CASE WHEN sum(s) > 0
+            THEN round(sum(b)::DOUBLE / sum(s)::DOUBLE, 6) END
+         AS bytes_per_token
+FROM m GROUP BY lang
+""",
+        # corpus_divergence: digest-keyed unigram tables, full-outer
+        # join, round-12 decimal term sums (same discipline as Spark).
+        "corpus_divergence": f"""
+WITH ta AS (SELECT md5(w) AS h FROM (
+        SELECT unnest({toks_text}) AS w FROM documents
+        WHERE lang = 'en' AND {norm_text} != '')),
+tb AS (SELECT md5(w) AS h FROM (
+        SELECT unnest({toks_text}) AS w FROM documents
+        WHERE lang != 'en' AND {norm_text} != '')),
+ca AS (SELECT h, count(*)::BIGINT AS ca FROM ta GROUP BY h),
+cb AS (SELECT h, count(*)::BIGINT AS cb FROM tb GROUP BY h),
+j AS (SELECT ca.ca AS ca, cb.cb AS cb,
+        (SELECT sum(ca)::DOUBLE FROM ca) AS na,
+        (SELECT sum(cb)::DOUBLE FROM cb) AS nb
+      FROM ca FULL OUTER JOIN cb USING (h)),
+m AS (SELECT ca, cb, ca::DOUBLE / na AS p, cb::DOUBLE / nb AS q,
+        (coalesce(ca::DOUBLE / na, 0::DOUBLE)
+         + coalesce(cb::DOUBLE / nb, 0::DOUBLE)) / 2::DOUBLE AS mm
+      FROM j)
+SELECT sum(ca)::BIGINT AS n_tokens_a, sum(cb)::BIGINT AS n_tokens_b,
+       count(ca)::BIGINT AS n_types_a, count(cb)::BIGINT AS n_types_b,
+       sum((ca IS NOT NULL AND cb IS NOT NULL)::BIGINT)::BIGINT
+         AS n_types_shared,
+       sum(round(coalesce(0.5::DOUBLE * p * log2(p / mm), 0::DOUBLE)
+           + coalesce(0.5::DOUBLE * q * log2(q / mm), 0::DOUBLE),
+           12)::DECIMAL(38,12))::DOUBLE AS js_bits,
+       sum(round(0.5::DOUBLE * abs(coalesce(p, 0::DOUBLE)
+           - coalesce(q, 0::DOUBLE)),
+           12)::DECIMAL(38,12))::DOUBLE AS tv_dist
+FROM m
+""",
+        # vocab_growth: first-bucket cumulative-distinct semantics plus
+        # the decimal-exact OLS moments (identical double ratio math).
+        "vocab_growth": f"""
+WITH lv(level, bucket_lt) AS (VALUES {_VG_VALUES_SQL}),
+raw AS (SELECT {md5_long_sql("'vg:' || CAST(doc_id AS VARCHAR)")} % 1000000
+          AS bk, {norm_text} AS norm, {toks_text} AS toks FROM documents),
+d AS (SELECT bk, (CASE WHEN norm = '' THEN 0 ELSE len(toks) END)::BIGINT
+        AS n FROM raw),
+fo AS (SELECT md5(w) AS h, min(bk) AS fb FROM (
+         SELECT bk, unnest(toks) AS w FROM raw WHERE norm != '')
+       GROUP BY md5(w)),
+dl AS (SELECT level, count(d.bk)::BIGINT AS n_docs,
+         coalesce(sum(d.n), 0)::BIGINT AS n_tokens
+       FROM lv LEFT JOIN d ON d.bk < lv.bucket_lt GROUP BY level),
+vl AS (SELECT level, count(fo.fb)::BIGINT AS n_types
+       FROM lv LEFT JOIN fo ON fo.fb < lv.bucket_lt GROUP BY level),
+pts AS (SELECT lv.level::INT AS level, lv.bucket_lt::BIGINT AS bucket_lt,
+          dl.n_docs, dl.n_tokens, vl.n_types
+        FROM lv JOIN dl USING (level) JOIN vl USING (level)),
+f AS (SELECT count(*)::DOUBLE AS fn,
+        sum(round(log10(n_tokens::DOUBLE), 8)::DECIMAL(20,8))::DOUBLE AS sx,
+        sum(round(log10(n_types::DOUBLE), 8)::DECIMAL(20,8))::DOUBLE AS sy,
+        sum(round(round(log10(n_tokens::DOUBLE), 8)
+            * round(log10(n_types::DOUBLE), 8), 10)::DECIMAL(30,10))::DOUBLE
+          AS sxy,
+        sum(round(round(log10(n_tokens::DOUBLE), 8)
+            * round(log10(n_tokens::DOUBLE), 8), 10)::DECIMAL(30,10))::DOUBLE
+          AS sxx
+      FROM pts WHERE n_tokens > 0 AND n_types > 0),
+fit AS (SELECT
+  round(CASE WHEN (fn * sxx - sx * sx) != 0::DOUBLE
+    THEN (fn * sxy - sx * sy) / (fn * sxx - sx * sx) END, 6) AS heaps_beta,
+  round((sy - (CASE WHEN (fn * sxx - sx * sx) != 0::DOUBLE
+    THEN (fn * sxy - sx * sy) / (fn * sxx - sx * sx) END) * sx) / fn, 6)
+    AS heaps_log10_k
+  FROM f)
+SELECT p.level, p.bucket_lt, p.n_docs, p.n_tokens, p.n_types,
+       fit.heaps_beta + 0::DOUBLE AS heaps_beta,
+       fit.heaps_log10_k + 0::DOUBLE AS heaps_log10_k
+FROM pts p CROSS JOIN fit
+""",
+        # centroid_filter: decimal-exact per-dimension centroid of the
+        # label-0 subset, then the strict left-fold cosine.
+        "centroid_filter": f"""
+WITH c AS (SELECT i,
+        round(CAST(sum(CAST(embedding[i] AS DECIMAL(28,8))) AS DOUBLE)
+              / count(*)::DOUBLE, 6) AS m
+      FROM embeddings, generate_series(1, 64) AS g(i)
+      WHERE label = 0 GROUP BY i),
+cent AS (SELECT list(m ORDER BY i) AS cv FROM c)
+SELECT e.vec_id, e.label,
+       round({_cosine_sql('e.embedding', 'cent.cv')}, 6) AS centroid_cosine,
+       (round({_cosine_sql('e.embedding', 'cent.cv')}, 6) >= 0.2::DOUBLE)
+         AS keep
+FROM embeddings e CROSS JOIN cent
+""",
         "gopher_rules": f"""
 WITH t AS (SELECT doc_id, text, {_NORM.format(c="text")} AS norm,
                   {toks_text} AS toks

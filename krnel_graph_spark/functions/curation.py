@@ -495,3 +495,72 @@ def packing_report(
         .cast("long")
         .alias("oversize_packs"),
     )
+
+
+def corpus_divergence(a: DataFrame, b: DataFrame, text_col: str) -> DataFrame:
+    """Unigram distribution divergence between two corpora — the drift
+    detector a training-data pipeline runs when a new crawl snapshot or
+    source lands: Jensen-Shannon divergence (log2: 0 = identical
+    distributions, 1 = disjoint support) plus total-variation distance
+    over the whitespace-token unigram distributions, with type/token
+    tallies for both sides. JS is symmetric and finite without any
+    smoothing (a term with p=0 contributes only through q against the
+    mixture m=(p+q)/2), which is exactly why it is the corpus-drift
+    metric of choice over raw KL.
+
+    Returns ONE row: ``n_tokens_a/b``, ``n_types_a/b``,
+    ``n_types_shared``, ``js_bits``, ``tv_dist``. Every per-type term is
+    rounded to 12 places and summed as DECIMAL(38,12), so summation
+    order cannot move the result and a SQL oracle replays it bit-exact.
+
+    Scale shape: each side is one explode + one partial-agg'd groupBy
+    keyed by the md5 digest of the token (raw token text never
+    shuffles); the two vocab-bounded count tables meet in one full-outer
+    digest join; the totals ride in as broadcast one-row frames. Linear
+    in corpus tokens, no driver materialization.
+    """
+    from .text import normalize_text, whitespace_tokens
+
+    def counts(df, cname):
+        toks = F.when(
+            normalize_text(F.col(text_col)) == "",
+            F.array().cast("array<string>"),
+        ).otherwise(whitespace_tokens(F.col(text_col)))
+        return (
+            df.select(F.explode(toks).alias("w"))
+            .select(F.md5("w").alias("h"))
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias(cname))
+        )
+
+    ca = counts(a, "ca")
+    cb = counts(b, "cb")
+    totals = F.broadcast(
+        ca.agg(F.sum("ca").cast("double").alias("na")).crossJoin(
+            cb.agg(F.sum("cb").cast("double").alias("nb"))
+        )
+    )
+    j = ca.join(cb, "h", "full_outer").crossJoin(totals)
+    p = F.col("ca").cast("double") / F.col("na")
+    q = F.col("cb").cast("double") / F.col("nb")
+    m = (F.coalesce(p, F.lit(0.0)) + F.coalesce(q, F.lit(0.0))) / F.lit(2.0)
+    js_term = F.coalesce(
+        F.lit(0.5) * p * F.log2(p / m), F.lit(0.0)
+    ) + F.coalesce(F.lit(0.5) * q * F.log2(q / m), F.lit(0.0))
+    tv_term = F.lit(0.5) * F.abs(
+        F.coalesce(p, F.lit(0.0)) - F.coalesce(q, F.lit(0.0))
+    )
+    dec = "decimal(38,12)"
+    return j.agg(
+        F.sum(F.col("ca")).cast("long").alias("n_tokens_a"),
+        F.sum(F.col("cb")).cast("long").alias("n_tokens_b"),
+        F.count(F.col("ca")).cast("long").alias("n_types_a"),
+        F.count(F.col("cb")).cast("long").alias("n_types_b"),
+        F.sum(
+            (F.col("ca").isNotNull() & F.col("cb").isNotNull()).cast("long")
+        ).alias("n_types_shared"),
+        F.sum(F.round(js_term, 12).cast(dec)).cast("double").alias("js_bits"),
+        F.sum(F.round(tv_term, 12).cast(dec))
+        .cast("double")
+        .alias("tv_dist"),
+    )

@@ -1107,3 +1107,59 @@ def kcenter_select(
     return spark.createDataFrame(
         picked, f"rank long, {id_col} {id_type}, sep double"
     )
+
+
+def centroid_filter(
+    df: DataFrame,
+    ref: DataFrame,
+    emb_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cosine-to-reference-centroid scoring — the CLIP-score-style
+    embedding filter (DataComp/LAION curation shape): every row of
+    ``df`` is scored by its cosine against the MEAN of the ``ref``
+    corpus' embeddings, and ``keep`` marks rows at or above
+    ``threshold``. Use a curated high-quality subset (or a concept
+    anchor set) as ``ref`` to rank a raw corpus by proximity to it.
+
+    The centroid is computed with per-dimension DECIMAL(28,8) sums —
+    order-independent, so the result is identical at any parallelism
+    and bit-replayable by a SQL oracle — then rounded to 6 places per
+    dimension before the (double, index-ordered) cosine; the exported
+    cosine is round-6.
+
+    Scale shape: the reference side posexplodes once and partial-aggs
+    to a #dims-row frame (the corpus never shuffles raw vectors); the
+    centroid rides into the scan as a broadcast one-row array, so
+    scoring ``df`` is a zero-shuffle projection. At 100 TB the only
+    full pass is the embarrassingly-parallel scoring scan.
+    """
+    from .vector import cosine
+
+    dims = (
+        ref.select(F.posexplode(F.col(emb_col)).alias("i", "v"))
+        .groupBy("i")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(28,8)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("m")
+        )
+    )
+    centroid = F.broadcast(
+        dims.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i"), F.round("m", 6).alias("m")))
+            ).alias("__cs")
+        ).select(
+            F.transform(F.col("__cs"), lambda s: s["m"]).alias("__centroid")
+        )
+    )
+    cos = F.round(cosine(F.col(emb_col), F.col("__centroid")), 6)
+    return (
+        df.crossJoin(centroid)
+        .withColumn("centroid_cosine", cos)
+        .withColumn("keep", F.col("centroid_cosine") >= F.lit(float(threshold)))
+        .drop("__centroid")
+    )

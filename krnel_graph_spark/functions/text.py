@@ -1472,3 +1472,230 @@ def stupid_backoff_logprob(
             F.sum("__lp").cast("double").alias("logprob_sum"),
         )
     )
+
+
+def c4_rules(
+    df: DataFrame,
+    text_col: str,
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020, §2.2) — the other
+    canonical rule bundle next to Gopher: line-level filtering plus
+    page-level verdict flags. A line is KEPT only if it ends in a
+    terminal punctuation mark (``. ! ? "`` or a closing curly quote),
+    has at least ``min_line_words`` whitespace words, and does not
+    contain the word "javascript" (case-insensitive). The page verdict
+    ``c4_keep`` then requires ≥ ``min_sentences`` sentence-terminal
+    marks in the KEPT text, no "lorem ipsum", and no ``{`` anywhere in
+    the original page (the paper's code-page proxy).
+
+    Adds ``clean_text`` (the kept lines re-joined with ``\\n``),
+    ``n_lines`` / ``n_lines_kept`` / ``n_sentences`` counters and the
+    per-rule page flags (``r_lorem``, ``r_brace``, ``r_sentences``) so
+    drop attribution is one groupBy — same contract as `gopher_rules`.
+
+    Scale shape: one scan projection, zero shuffle. The line filter is
+    a higher-order ``filter`` over the split array (interpreted, but
+    per-row bounded); every counter is an integer, so the SQL oracle is
+    exact by construction.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(txt, "\n")
+
+    def line_kept(l):
+        lt = F.trim(l)
+        norm = F.trim(F.regexp_replace(l, r"\s+", " "))
+        n_w = F.when(norm == "", F.lit(0)).otherwise(
+            F.size(F.split(norm, " "))
+        )
+        return (
+            lt.rlike('[.!?"”]$')
+            & (n_w >= F.lit(min_line_words))
+            & ~F.lower(lt).contains("javascript")
+        )
+
+    kept = F.filter(lines, line_kept)
+    clean = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(clean, F.lit(r"[.!?]"))
+    r_lorem = ~F.lower(txt).contains("lorem ipsum")
+    r_brace = ~txt.contains("{")
+    r_sent = n_sent >= F.lit(min_sentences)
+    return (
+        df.withColumn("clean_text", clean)
+        .withColumn("n_lines", F.size(lines).cast("long"))
+        .withColumn("n_lines_kept", F.size(kept).cast("long"))
+        .withColumn("n_sentences", n_sent.cast("long"))
+        .withColumn("r_lorem", r_lorem)
+        .withColumn("r_brace", r_brace)
+        .withColumn("r_sentences", r_sent)
+        .withColumn("c4_keep", r_sent & r_lorem & r_brace)
+    )
+
+
+def tokenizer_fertility(
+    df: DataFrame, text_col: str, group_col: str | None = None
+) -> DataFrame:
+    """Tokenizer fertility / compression report, optionally per group
+    (typically the language column): UTF-8 bytes, whitespace words and
+    BPE-ish subword tokens (`regex_token_count`) are integer-summed,
+    then ``fertility`` = subwords per word and ``bytes_per_token`` =
+    bytes per subword (round-6 ratios of exact integers). Fertility is
+    THE signal multilingual pipelines use to detect languages a
+    tokenizer serves badly (high fertility → more compute per byte of
+    signal) and to set per-language sampling budgets.
+
+    Scale shape: all three counters ride the scan projection
+    (regexp_count — no token arrays built); one partial-agg'd groupBy
+    on ``group_col`` (or a global single-row agg), shuffling only the
+    three partial sums per group.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    feats = df.select(
+        *([F.col(group_col)] if group_col else []),
+        F.octet_length(txt).alias("__b"),
+        token_count(txt).alias("__w"),
+        regex_token_count(txt).alias("__t"),
+    )
+    gb = feats.groupBy(group_col) if group_col else feats.groupBy()
+    agg = gb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__b").cast("long").alias("n_bytes"),
+        F.sum("__w").cast("long").alias("n_words"),
+        F.sum("__t").cast("long").alias("n_subwords"),
+    )
+    return agg.select(
+        *([group_col] if group_col else []),
+        "n_docs",
+        "n_bytes",
+        "n_words",
+        "n_subwords",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.col("n_subwords") / F.col("n_words"), 6),
+        ).alias("fertility"),
+        F.when(
+            F.col("n_subwords") > 0,
+            F.round(F.col("n_bytes") / F.col("n_subwords"), 6),
+        ).alias("bytes_per_token"),
+    )
+
+
+def vocab_growth(
+    df: DataFrame, text_col: str, id_col: str, levels: int = 8
+) -> DataFrame:
+    """Heaps-law vocabulary growth report: how fast the distinct-token
+    vocabulary grows as the corpus grows, measured on ``levels``
+    geometrically-doubling deterministic sub-corpora (md5-bucketed by
+    doc id, so "the first 1/128th" is the same set in any engine and at
+    any parallelism), plus the fitted Heaps exponent ``beta`` and
+    ``log10_k`` (V ≈ k·N^beta, OLS in log-log space). A corpus whose
+    beta collapses between snapshots has stopped contributing new
+    vocabulary — the cheap first-order signal for data-mixing budgets.
+
+    Returns one row per level: ``level``, ``bucket_lt`` (the md5-bucket
+    ceiling defining the prefix), ``n_docs``, ``n_tokens``, ``n_types``
+    (exact integers) and the corpus-level ``heaps_beta`` /
+    ``heaps_log10_k`` (round-6, same on every row).
+
+    Scale shape: doc-level counters fold into ONE conditional-sum agg
+    pass (no per-level rescan); the vocabulary side is one explode +
+    groupBy on the token digest computing each type's FIRST bucket
+    (min), then one conditional-sum agg — a type counts toward every
+    prefix at or beyond its first appearance, which is exactly
+    cumulative-distinct semantics without any cumulative scan. Token
+    text never shuffles (md5 digests); the fit runs on the
+    ``levels``-row frame.
+    """
+    from .hashing import md5_long
+    from .sampling import RATE_DENOM
+
+    bucket = md5_long(
+        F.concat_ws(":", F.lit("vg"), F.col(id_col).cast("string"))
+    ) % F.lit(RATE_DENOM)
+    cuts = [RATE_DENOM // (2 ** (levels - 1 - i)) for i in range(levels)]
+
+    docs = df.select(
+        bucket.alias("__bk"), token_count(F.col(text_col)).alias("__n")
+    )
+    doc_aggs = []
+    for i, c in enumerate(cuts):
+        hit = F.col("__bk") < c
+        doc_aggs.append(
+            F.sum(hit.cast("long")).cast("long").alias(f"d{i}")
+        )
+        doc_aggs.append(
+            F.sum(F.when(hit, F.col("__n")).otherwise(0))
+            .cast("long")
+            .alias(f"t{i}")
+        )
+    drow = docs.agg(*doc_aggs)
+
+    toks = F.when(
+        normalize_text(F.col(text_col)) == "",
+        F.array().cast("array<string>"),
+    ).otherwise(whitespace_tokens(F.col(text_col)))
+    first_bk = (
+        df.select(bucket.alias("__bk"), F.explode(toks).alias("w"))
+        .select("__bk", F.md5("w").alias("h"))
+        .groupBy("h")
+        .agg(F.min("__bk").alias("fb"))
+    )
+    vrow = first_bk.agg(
+        *[
+            F.sum((F.col("fb") < c).cast("long")).cast("long").alias(f"v{i}")
+            for i, c in enumerate(cuts)
+        ]
+    )
+
+    stack_args = ", ".join(
+        f"{i}, CAST({cuts[i]} AS BIGINT), d{i}, t{i}, v{i}"
+        for i in range(levels)
+    )
+    # Eager localCheckpoint: the levels-row frame has TWO consumers
+    # (the output rows and the OLS fit) — without the pin each branch
+    # re-derives both corpus passes (4 scans instead of 2). The frame
+    # is `levels` rows, so materializing it is free; ContextCleaner
+    # reclaims the blocks when the frame is dropped.
+    pts = (
+        drow.crossJoin(vrow)
+        .selectExpr(
+            f"stack({levels}, {stack_args}) AS "
+            "(level, bucket_lt, n_docs, n_tokens, n_types)"
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    ok = (F.col("n_tokens") > 0) & (F.col("n_types") > 0)
+    # Round-8 log points + decimal sums: the OLS moments are exact and
+    # order-independent, so the fit is identical at any parallelism and
+    # in any engine (the ratio arithmetic below is then pure double on
+    # identical inputs).
+    x = F.round(F.log10(F.col("n_tokens").cast("double")), 8)
+    y = F.round(F.log10(F.col("n_types").cast("double")), 8)
+    fit = pts.filter(ok).agg(
+        F.count(F.lit(1)).cast("double").alias("fn"),
+        F.sum(x.cast("decimal(20,8)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(20,8)")).cast("double").alias("sy"),
+        F.sum(F.round(x * y, 10).cast("decimal(30,10)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(x * x, 10).cast("decimal(30,10)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    denom = F.col("fn") * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = F.when(
+        denom != 0.0,
+        (F.col("fn") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom,
+    )
+    # + 0.0 normalizes IEEE negative zero (a saturated-vocabulary corpus
+    # fits slope ~ -1e-12, which rounds to -0.0 in some engines).
+    fit = fit.select(
+        (F.round(beta, 6) + F.lit(0.0)).alias("heaps_beta"),
+        (
+            F.round((F.col("sy") - beta * F.col("sx")) / F.col("fn"), 6)
+            + F.lit(0.0)
+        ).alias("heaps_log10_k"),
+    )
+    return pts.crossJoin(F.broadcast(fit))

@@ -1,0 +1,274 @@
+"""Late-r8 surface: C4 rule bundle, tokenizer fertility, corpus
+divergence, Heaps-law vocab growth, and the centroid embedding filter.
+Each test pins semantics against a hand-computed or numpy reference."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------- #
+# c4_rules
+# --------------------------------------------------------------------- #
+
+
+def _c4_df(spark):
+    rows = [
+        # doc 0: two good lines, one droppable fragment
+        (0, "This is a fine long sentence today.\nshort frag\n"
+            "Another proper sentence with enough words here!"),
+        # doc 1: javascript line + lorem ipsum page flag
+        (1, "Please enable javascript to view this page today.\n"
+            "A good clean sentence with many words inside."),
+        (2, "Contains Lorem Ipsum filler text in this sentence here."),
+        (3, "var x = { a: 1 };\nA perfectly good long sentence right here."),
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_c4_line_filter(spark):
+    from krnel_graph_spark.functions.text import c4_rules
+
+    out = {
+        r["doc_id"]: r
+        for r in c4_rules(_c4_df(spark), "text").collect()
+    }
+    # doc 0: fragment dropped (no terminal punct + <5 words)
+    assert out[0]["n_lines"] == 3 and out[0]["n_lines_kept"] == 2
+    assert "short frag" not in out[0]["clean_text"]
+    # doc 1: javascript line dropped even though it ends in '.'
+    assert out[1]["n_lines_kept"] == 1
+    assert "javascript" not in out[1]["clean_text"]
+    # doc 4: empty page
+    assert out[4]["n_lines"] == 1 and out[4]["n_lines_kept"] == 0
+    assert out[4]["clean_text"] == ""
+
+
+def test_c4_page_flags(spark):
+    from krnel_graph_spark.functions.text import c4_rules
+
+    out = {
+        r["doc_id"]: r
+        for r in c4_rules(_c4_df(spark), "text").collect()
+    }
+    assert not out[2]["r_lorem"] and not out[2]["c4_keep"]
+    assert not out[3]["r_brace"] and not out[3]["c4_keep"]
+    assert out[0]["r_lorem"] and out[0]["r_brace"]
+    # doc 0 kept text has only 2 sentences -> fails min_sentences=3
+    assert out[0]["n_sentences"] == 2 and not out[0]["c4_keep"]
+
+
+def test_c4_keep_positive(spark):
+    from krnel_graph_spark.functions.text import c4_rules
+
+    df = spark.createDataFrame(
+        [(0, "One good sentence stands right here today.\n"
+             "Two more sentences follow with plenty of words. "
+             "And a third one closes the paragraph nicely!")],
+        "doc_id long, text string",
+    )
+    row = c4_rules(df, "text").collect()[0]
+    assert row["n_sentences"] == 3 and row["c4_keep"]
+
+
+# --------------------------------------------------------------------- #
+# tokenizer_fertility
+# --------------------------------------------------------------------- #
+
+
+def test_tokenizer_fertility_values(spark):
+    from krnel_graph_spark.functions.text import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [(0, "en", "hello world."), (1, "en", "a b"), (2, "fr", "déjà vu")],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["lang"]: r for r in tokenizer_fertility(df, "text", "lang").collect()}
+    # en: "hello world." = 2 words, 3 subword tokens (hello, world, .)
+    #     + "a b" = 2 words, 2 subwords; bytes 12 + 3
+    assert out["en"]["n_docs"] == 2
+    assert out["en"]["n_words"] == 4
+    assert out["en"]["n_subwords"] == 5
+    assert out["en"]["n_bytes"] == 15
+    assert out["en"]["fertility"] == pytest.approx(5 / 4)
+    # fr: déjà = 'd','j'(alnum runs) + 'é','à' punct-class singles
+    assert out["fr"]["n_words"] == 2
+    assert out["fr"]["n_bytes"] == len("déjà vu".encode())
+
+
+def test_tokenizer_fertility_global_and_empty(spark):
+    from krnel_graph_spark.functions.text import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, None)], "doc_id long, text string"
+    )
+    row = tokenizer_fertility(df, "text").collect()[0]
+    assert row["n_docs"] == 2 and row["n_words"] == 0
+    assert row["fertility"] is None and row["bytes_per_token"] is None
+
+
+# --------------------------------------------------------------------- #
+# corpus_divergence
+# --------------------------------------------------------------------- #
+
+
+def _div(spark, a_texts, b_texts):
+    from krnel_graph_spark.functions.curation import corpus_divergence
+
+    a = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(a_texts)], "id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(b_texts)], "id long, text string"
+    )
+    return corpus_divergence(a, b, "text").collect()[0]
+
+
+def test_divergence_identical_is_zero(spark):
+    r = _div(spark, ["the cat sat", "on the mat"], ["the cat sat on the mat"])
+    assert r["js_bits"] == pytest.approx(0.0, abs=1e-9)
+    assert r["tv_dist"] == pytest.approx(0.0, abs=1e-9)
+    assert r["n_types_shared"] == r["n_types_a"] == r["n_types_b"]
+
+
+def test_divergence_disjoint_is_one(spark):
+    r = _div(spark, ["aa bb cc"], ["xx yy zz"])
+    assert r["js_bits"] == pytest.approx(1.0, abs=1e-9)
+    assert r["tv_dist"] == pytest.approx(1.0, abs=1e-9)
+    assert r["n_types_shared"] == 0
+
+
+def test_divergence_matches_numpy(spark):
+    a_texts = ["the cat sat on the mat", "the dog ran"]
+    b_texts = ["the cat ran far away", "a bird flew over the mat"]
+    r = _div(spark, a_texts, b_texts)
+
+    def counts(texts):
+        c = {}
+        for t in texts:
+            for w in t.lower().split():
+                c[w] = c.get(w, 0) + 1
+        return c
+
+    ca, cb = counts(a_texts), counts(b_texts)
+    na, nb = sum(ca.values()), sum(cb.values())
+    js = tv = 0.0
+    for w in set(ca) | set(cb):
+        p, q = ca.get(w, 0) / na, cb.get(w, 0) / nb
+        m = (p + q) / 2
+        if p:
+            js += 0.5 * p * math.log2(p / m)
+        if q:
+            js += 0.5 * q * math.log2(q / m)
+        tv += 0.5 * abs(p - q)
+    assert r["js_bits"] == pytest.approx(js, abs=1e-6)
+    assert r["tv_dist"] == pytest.approx(tv, abs=1e-6)
+    assert r["n_tokens_a"] == na and r["n_tokens_b"] == nb
+
+
+# --------------------------------------------------------------------- #
+# vocab_growth
+# --------------------------------------------------------------------- #
+
+
+def test_vocab_growth_monotone_and_deterministic(spark):
+    from krnel_graph_spark.functions.text import vocab_growth
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, " ".join(f"w{rng.integers(0, 400)}" for _ in range(30)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(vocab_growth(df, "text", "doc_id").collect(),
+                 key=lambda r: r["level"])
+    assert len(out) == 8
+    toks = [r["n_tokens"] for r in out]
+    typs = [r["n_types"] for r in out]
+    assert toks == sorted(toks) and typs == sorted(typs)
+    assert out[-1]["n_docs"] == 300 and out[-1]["n_tokens"] == 9000
+    # full-corpus types match exact distinct count
+    expect_types = df.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).distinct().count()
+    assert out[-1]["n_types"] == expect_types
+    # identical at different parallelism
+    out2 = sorted(
+        vocab_growth(df.repartition(13), "text", "doc_id").collect(),
+        key=lambda r: r["level"],
+    )
+    assert [tuple(r) for r in out2] == [tuple(r) for r in out]
+
+
+def test_vocab_growth_beta_matches_polyfit(spark):
+    from krnel_graph_spark.functions.text import vocab_growth
+
+    rng = np.random.default_rng(11)
+    # zipfian-ish vocabulary so beta is in the classic (0, 1) band
+    rows = [
+        (i, " ".join(f"w{min(int(rng.pareto(1.1)) , 5000)}"
+                     for _ in range(40)))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(vocab_growth(df, "text", "doc_id").collect(),
+                 key=lambda r: r["level"])
+    pts = [(r["n_tokens"], r["n_types"]) for r in out
+           if r["n_tokens"] > 0 and r["n_types"] > 0]
+    x = np.log10([p[0] for p in pts])
+    y = np.log10([p[1] for p in pts])
+    beta, log10k = np.polyfit(x, y, 1)
+    assert out[0]["heaps_beta"] == pytest.approx(beta, abs=1e-4)
+    assert out[0]["heaps_log10_k"] == pytest.approx(log10k, abs=1e-4)
+    assert 0.0 < out[0]["heaps_beta"] < 1.0
+
+
+# --------------------------------------------------------------------- #
+# centroid_filter
+# --------------------------------------------------------------------- #
+
+
+def test_centroid_filter_matches_numpy(spark):
+    from krnel_graph_spark.functions.similarity import centroid_filter
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    labels = [i % 2 for i in range(50)]
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist(), labels[i]) for i in range(50)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    ref = df.filter(F.col("label") == 0)
+    out = {
+        r["vec_id"]: r
+        for r in centroid_filter(df, ref, "embedding", "vec_id", 0.3).collect()
+    }
+    centroid = np.round(
+        vecs[np.array(labels) == 0].astype(np.float64).mean(axis=0), 6
+    )
+    for i in range(50):
+        v = vecs[i].astype(np.float64)
+        cos = v @ centroid / (np.linalg.norm(v) * np.linalg.norm(centroid))
+        assert out[i]["centroid_cosine"] == pytest.approx(cos, abs=2e-6)
+        assert out[i]["keep"] == (out[i]["centroid_cosine"] >= 0.3)
+
+
+def test_centroid_filter_self_centroid(spark):
+    from krnel_graph_spark.functions.similarity import centroid_filter
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    # centroid of label-0 = the vector itself -> cosine 1.0
+    out = {
+        r["vec_id"]: r["centroid_cosine"]
+        for r in centroid_filter(
+            df, df.filter(F.col("label") == 0), "embedding", "vec_id"
+        ).collect()
+    }
+    assert out[0] == pytest.approx(1.0)
+    assert out[1] == pytest.approx(0.0)

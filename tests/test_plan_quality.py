@@ -381,3 +381,51 @@ def test_stupid_backoff_no_window_no_python(spark, entry):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial" in plan.lower()
+
+
+def test_c4_rules_zero_shuffle_projection(spark, entry):
+    """The whole C4 bundle (line filter + page flags) is one scan
+    projection: zero exchanges, zero Python."""
+    plan = _plan(spark, entry, "c4_rules")
+    assert _exchanges(plan) == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tokenizer_fertility_single_agg_pass(spark, entry):
+    """All three counters ride one scan; one partial-agg'd groupBy on
+    the language key (= one exchange), no token arrays, no Python."""
+    plan = _plan(spark, entry, "tokenizer_fertility")
+    assert _exchanges(plan) <= 1
+    assert "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_corpus_divergence_digest_join_broadcast_totals(spark, entry):
+    """Two digest-keyed count tables meet in one full-outer join; the
+    totals ride in as broadcast one-row frames — no cartesian blowup,
+    no Python, no window."""
+    plan = _plan(spark, entry, "corpus_divergence")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+
+
+def test_vocab_growth_no_per_level_rescan(spark, entry):
+    """Doc counters fold into ONE conditional-sum pass and the
+    vocabulary side is one groupBy — the 8 levels must NOT multiply
+    source scans (<= 2 file scans: doc pass + token pass)."""
+    plan = _plan(spark, entry, "vocab_growth")
+    assert plan.count("Scan parquet") <= 2
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_centroid_filter_broadcast_centroid_scoring_scan(spark, entry):
+    """The #dims-row centroid broadcasts into the scoring scan: the
+    corpus side must carry zero extra exchange beyond the reference
+    side's posexplode agg, and scoring stays JVM-side."""
+    plan = _plan(spark, entry, "centroid_filter")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
