@@ -174,6 +174,12 @@ HEADLINE = [
     "kcenter_select",
     "gopher_rules",
     "stupid_backoff",
+    # late-r8 surface
+    "c4_rules",
+    "tokenizer_fertility",
+    "corpus_divergence",
+    "vocab_growth",
+    "centroid_filter",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

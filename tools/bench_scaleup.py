@@ -95,6 +95,14 @@ QUERIES = [
     "kcenter_select",
     "gopher_rules",
     "stupid_backoff",
+    # late-r8 surface: four documents-x40 consumers; centroid_filter
+    # rides the x20 perturbed embeddings (the label-0 reference subset
+    # scales with the corpus, the scoring scan is the growth axis).
+    "c4_rules",
+    "tokenizer_fertility",
+    "corpus_divergence",
+    "vocab_growth",
+    "centroid_filter",
     # fuzzy_pairs is deliberately absent: the x40 corpus keeps 16-char
     # prefixes IDENTICAL across copies (the per-5-words token insertion
     # that breaks MinHash shingle similarity usually lands after char 16),
@@ -268,9 +276,11 @@ def main() -> None:
     from krnel_graph_spark.runners.spark_runner import get_spark
 
     rebuild = "--rebuild" in sys.argv
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
     spark = get_spark("bench-scaleup")
     build(spark, rebuild)
     queries = entry_mod.queries()
+    run_list = [q for q in QUERIES if q in only] if only else QUERIES
 
     # Same warm-up protocol as bench.py.
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
@@ -278,7 +288,7 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
-    for name in QUERIES:
+    for name in run_list:
         t0 = time.time()
         queries[name](spark, OUT).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
@@ -288,7 +298,8 @@ def main() -> None:
     # curve without the output-size curve can't distinguish "the operator
     # scales" from "the corpus stopped producing pairs".
     counts: dict[str, int] = {}
-    for name, fn in _extra_queries().items():
+    extras = {} if only else _extra_queries()
+    for name, fn in extras.items():
         t0 = time.time()
         df = fn(spark)
         df.write.format("noop").mode("overwrite").save()
