@@ -217,6 +217,33 @@ class NgramCoverageOp(DatasetType):
     ngram: int = 8
 
 
+class GopherRulesOp(DatasetType):
+    """Row-aligned Gopher quality-rule enrichment: appends ``n_words``,
+    the seven ``r_*`` rule booleans and ``gopher_keep`` for
+    ``text_column`` — one codegen scan projection, ids and density
+    preserved. Lowering: ``text.py:gopher_rules``."""
+
+    dataset: DatasetType
+    text_column: str
+    min_words: int = 50
+    max_words: int = 100_000
+    min_mwl: int = 3
+    max_mwl: int = 10
+
+
+class C4RulesOp(DatasetType):
+    """Row-aligned C4 cleaning enrichment: appends ``clean_text`` (the
+    kept lines), the line/sentence counters and the page-level flags +
+    ``c4_keep`` verdict for ``text_column`` — one codegen scan
+    projection, ids and density preserved. Lowering:
+    ``text.py:c4_rules``."""
+
+    dataset: DatasetType
+    text_column: str
+    min_line_words: int = 5
+    min_sentences: int = 3
+
+
 class SequencePackOp(DatasetType):
     """Assign rows to fixed-token-budget training sequences by offset
     packing in ``order_by`` order (per ``partition_by`` shard when set —

@@ -38,8 +38,10 @@ from ..operators.scale_ops import (
     MixToWeightsOp,
     SequencePackOp,
     StratifiedSampleOp,
+    C4RulesOp,
     ChunkDocumentsOp,
     CompressionSignalsOp,
+    GopherRulesOp,
     DecontaminateAgainstOp,
     DropExactDupsOp,
     DropNearDupsOp,
@@ -1115,6 +1117,36 @@ def paragraph_dedup_op(runner: SparkRunner, op: ParagraphDedupOp) -> DatasetPlan
     ).withColumnRenamed("text", op.text_column)
     out = ds.df.drop(op.text_column).join(deduped, ROW_ID)
     return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=False)
+
+
+@SparkRunner.implementation
+def gopher_rules_op(runner: SparkRunner, op: GopherRulesOp) -> DatasetPlan:
+    """Gopher rule-bundle enrichment: one codegen projection appended in
+    place — no join, ids and density preserved."""
+    from ..functions.text import gopher_rules as _impl
+
+    ds = runner.dataset_plan(op.dataset)
+    out = _impl(
+        ds.df, op.text_column,
+        min_words=op.min_words, max_words=op.max_words,
+        min_mwl=op.min_mwl, max_mwl=op.max_mwl,
+    )
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=ds.dense)
+
+
+@SparkRunner.implementation
+def c4_rules_op(runner: SparkRunner, op: C4RulesOp) -> DatasetPlan:
+    """C4 cleaning enrichment: one codegen projection appended in place
+    (clean_text + counters + verdict) — no join, ids and density
+    preserved."""
+    from ..functions.text import c4_rules as _impl
+
+    ds = runner.dataset_plan(op.dataset)
+    out = _impl(
+        ds.df, op.text_column,
+        min_line_words=op.min_line_words, min_sentences=op.min_sentences,
+    )
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=ds.dense)
 
 
 @SparkRunner.implementation

@@ -238,6 +238,18 @@ class DatasetType(OpSpec):
 
         return ParagraphDedupOp(dataset=self, text_column=text_column, sep=sep)
 
+    def gopher_rules(self, text_column: str) -> "DatasetType":
+        """Append the Gopher quality-rule flags + keep verdict."""
+        from .operators.scale_ops import GopherRulesOp
+
+        return GopherRulesOp(dataset=self, text_column=text_column)
+
+    def c4_rules(self, text_column: str) -> "DatasetType":
+        """Append C4-cleaned text, counters and the keep verdict."""
+        from .operators.scale_ops import C4RulesOp
+
+        return C4RulesOp(dataset=self, text_column=text_column)
+
     def token_entropy(self, text_column: str) -> "DatasetType":
         """Append Shannon token-entropy diversity stats."""
         from .operators.scale_ops import TokenEntropyOp

@@ -272,3 +272,41 @@ def test_centroid_filter_self_centroid(spark):
     }
     assert out[0] == pytest.approx(1.0)
     assert out[1] == pytest.approx(0.0)
+
+
+# --------------------------------------------------------------------- #
+# fluent OpSpec twins: gopher_rules / c4_rules
+# --------------------------------------------------------------------- #
+
+
+def test_fluent_rule_bundles(lazy_runner):
+    ds = lazy_runner.from_parquet("/root/testdata/sf0.001/documents.parquet")
+    g = ds.gopher_rules("text")
+    c = ds.c4_rules("text")
+    gp = lazy_runner.to_pandas(g)
+    cp = lazy_runner.to_pandas(c)
+    assert {"n_words", "gopher_keep", "r_stopwords"} <= set(gp.columns)
+    assert {"clean_text", "c4_keep", "n_lines_kept"} <= set(cp.columns)
+    assert len(gp) == len(cp)
+    # content-addressing: same spec -> same uuid; different params differ
+    ds2 = lazy_runner.from_parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    assert ds2.gopher_rules("text").uuid == g.uuid
+    assert ds2.c4_rules("text").uuid == c.uuid
+    from krnel_graph_spark.operators.scale_ops import C4RulesOp
+
+    assert C4RulesOp(dataset=ds2, text_column="text",
+                     min_sentences=5).uuid != c.uuid
+
+
+def test_fluent_rule_bundles_memoize(runner):
+    ds = runner.from_parquet("/root/testdata/sf0.001/documents.parquet")
+    op = ds.c4_rules("text")
+    first = runner.to_pandas(op)
+    import time
+
+    t0 = time.time()
+    again = runner.to_pandas(op)
+    assert time.time() - t0 < 2.0
+    assert (first["c4_keep"] == again["c4_keep"]).all()
