@@ -1853,6 +1853,29 @@ def q_centroid_filter(spark, sf_dir):
     ).select("vec_id", "label", "centroid_cosine", "keep")
 
 
+def q_hash_embedding(spark, sf_dir):
+    """Feature-hashing document embeddings (signed hashing trick,
+    L2-normalized round-6): the model-free text→vector bridge into the
+    ANN/clustering/centroid-filter family; blank docs get zero vectors."""
+    from krnel_graph_spark.functions.text import hash_embedding
+
+    docs = _docs(spark, sf_dir)
+    return hash_embedding(docs, "text", "doc_id", dim=64)
+
+
+def q_dedup_report(spark, sf_dir):
+    """Near-dup cluster-size audit: MinHash-LSH pair graph → distributed
+    connected components → cluster-size histogram with singletons as the
+    size-1 row — the report that decides a dedup policy."""
+    from krnel_graph_spark.functions.dedup import dedup_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_report(
+        docs, "text", "doc_id",
+        num_perm=16, bands=4, jaccard_threshold=0.5,
+    )
+
+
 _EXPECT_RULES = {
     # Two rules that genuinely hold on this data (green path) and four
     # tightened past the real value ranges so the violation counters and
@@ -2929,7 +2952,7 @@ _R8_WINDOW = [
     "leakage_safe_split", "packing_report", "quality_buckets",
     "kcenter_select", "gopher_rules", "stupid_backoff",
     "c4_rules", "tokenizer_fertility", "corpus_divergence",
-    "vocab_growth", "centroid_filter",
+    "vocab_growth", "centroid_filter", "hash_embedding", "dedup_report",
     # changed-this-round (must re-record under the new oracles)
     "fluent_quality", "paragraph_dedup",
     # newest driver record = r4 (30)
@@ -2941,9 +2964,10 @@ _R8_WINDOW = [
     "split_train_mask", "sort_topk", "distinct_flags", "ngram_jaccard",
     "scan_parquet", "select_column", "take_rows", "set_intersect",
     "assign_row_id", "inline_dataset", "csv_roundtrip", "jsonl_roundtrip",
-    # newest driver record = r5, oldest COVERAGE rows first (4)
-    "interval_join", "profile_table", "clean_corpus", "cube_agg",
-    # (pivot_priority / percentiles / ntile_quartiles / pivot_dynamic /
+    # newest driver record = r5, oldest COVERAGE rows first (2)
+    "interval_join", "profile_table",
+    # (clean_corpus / cube_agg /
+    #  pivot_priority / percentiles / ntile_quartiles / pivot_dynamic /
     #  group_cap / pii_scrub / domain_stats / sequence_pack /
     #  connected_components / hash_sample / stratified_sample /
     #  shuffle_export / decontaminate / repetition_stats rotate in r9 —
@@ -3149,6 +3173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_divergence": q_corpus_divergence,
         "vocab_growth": q_vocab_growth,
         "centroid_filter": q_centroid_filter,
+        "hash_embedding": q_hash_embedding,
+        "dedup_report": q_dedup_report,
     }
     out = {k: d[k] for k in _R8_WINDOW}
     missing = [k for k in _R8_WINDOW if k not in d]
@@ -4804,6 +4830,53 @@ FROM lp GROUP BY doc_id
 """,
         # gopher_rules: every ratio rule replayed in the same integer
         # cross-multiplied form; token-level counts via list ops.
+        # hash_embedding: signed hashing trick replayed per (doc,
+        # bucket); dense vector assembled on a doc x dim grid.
+        "hash_embedding": f"""
+WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents
+           WHERE {norm_text} != ''),
+w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+sp AS (SELECT doc_id, {md5_long_sql("w")} % 64 AS b,
+         sum(CASE WHEN {md5_long_sql("'sign:' || w")} % 2 = 0
+             THEN 1 ELSE -1 END)::BIGINT AS v
+       FROM w GROUP BY doc_id, b),
+ss AS (SELECT doc_id, sqrt(sum(v * v)::DOUBLE) AS l2 FROM sp
+       GROUP BY doc_id),
+grid AS (SELECT d.doc_id, g.i FROM documents d,
+         generate_series(0, 63) AS g(i)),
+dense AS (SELECT grid.doc_id, grid.i, coalesce(sp.v, 0)::DOUBLE AS v
+          FROM grid LEFT JOIN sp
+            ON sp.doc_id = grid.doc_id AND sp.b = grid.i),
+vals AS (SELECT dense.doc_id, i,
+           CASE WHEN ss.l2 > 0::DOUBLE THEN round(v / ss.l2, 6)
+                ELSE 0.0::DOUBLE END AS x
+         FROM dense LEFT JOIN ss ON ss.doc_id = dense.doc_id)
+SELECT doc_id, list(x ORDER BY i) AS embedding FROM vals GROUP BY doc_id
+""",
+        # dedup_report: recursive-CTE components over the same verified
+        # MinHash pair graph, histogrammed; singletons = docs - nodes.
+        "dedup_report": f"""
+WITH RECURSIVE pairs AS ({minhash_pairs_sql}),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(s, d) AS (
+    SELECT a, a FROM und
+    UNION
+    SELECT r.s, u.b FROM reach r JOIN und u ON r.d = u.a
+),
+comp AS (SELECT s AS doc, min(d) AS component FROM reach GROUP BY s),
+sizes AS (SELECT component, count(*)::BIGINT AS sz FROM comp
+          GROUP BY component),
+hist AS (SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters,
+                (sz * count(*))::BIGINT AS n_docs
+         FROM sizes GROUP BY sz),
+tot AS (SELECT count(*)::BIGINT AS total FROM documents),
+ing AS (SELECT count(*)::BIGINT AS in_graph FROM comp)
+SELECT * FROM hist
+UNION ALL
+SELECT 1::BIGINT, (total - in_graph)::BIGINT, (total - in_graph)::BIGINT
+FROM tot, ing WHERE total > in_graph
+""",
         # c4_rules: the line filter replayed with list_filter; every
         # counter integer, page flags recomputed from the raw text.
         "c4_rules": """

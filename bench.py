@@ -180,6 +180,8 @@ HEADLINE = [
     "corpus_divergence",
     "vocab_growth",
     "centroid_filter",
+    "hash_embedding",
+    "dedup_report",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

@@ -1177,3 +1177,64 @@ def fuzzy_join(
         .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
     )
+
+
+def dedup_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate cluster-size audit — the report a curation team
+    reads BEFORE deciding a dedup policy: MinHash-LSH pair graph →
+    connected components → histogram of cluster sizes, with singleton
+    docs (no verified near-dup) as the ``cluster_size = 1`` row.
+    ``n_docs / sum(n_docs)`` per row is the mass in each duplication
+    regime; a corpus with a heavy size-40 tail needs `group_cap` or a
+    keeper rule, one with only pairs just needs `drop_near_dups`.
+
+    Returns ``(cluster_size, n_clusters, n_docs)`` rows, exact integers.
+
+    Scale shape: the pair graph is banded (never all-pairs), components
+    run distributed (large-star/small-star, O(log n) rounds), and
+    everything after is a two-level agg on the component-id frame —
+    the histogram is at most #distinct-sizes rows. No driver
+    materialization anywhere.
+    """
+    from .graph import connected_components
+
+    pairs = minhash_lsh_pairs(
+        df,
+        text_col,
+        id_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        jaccard_threshold=jaccard_threshold,
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    hist = sizes.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    hist = hist.select(
+        F.col("sz").cast("long").alias("cluster_size"),
+        "n_clusters",
+        (F.col("sz") * F.col("n_clusters")).cast("long").alias("n_docs"),
+    )
+    totals = F.broadcast(
+        df.agg(F.count(F.lit(1)).cast("long").alias("total")).crossJoin(
+            comp.agg(F.count(F.lit(1)).cast("long").alias("in_graph"))
+        )
+    )
+    singles = totals.filter(F.col("total") > F.col("in_graph")).select(
+        F.lit(1).cast("long").alias("cluster_size"),
+        (F.col("total") - F.col("in_graph")).alias("n_clusters"),
+        (F.col("total") - F.col("in_graph")).alias("n_docs"),
+    )
+    return hist.unionByName(singles)

@@ -1699,3 +1699,76 @@ def vocab_growth(
         ).alias("heaps_log10_k"),
     )
     return pts.crossJoin(F.broadcast(fit))
+
+
+def hash_embedding(
+    df: DataFrame, text_col: str, id_col: str, dim: int = 64
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) document embeddings: every token
+    lands in ``md5(token) % dim`` with a ±1 sign hash (Weinberger et al.
+    2009 — the sign kills the collision bias), counts accumulate per
+    bucket, and the vector is L2-normalized (round-6). This is the
+    model-free text→vector bridge: its output feeds `cosine_topk`,
+    `embedding_clusters`, `centroid_filter` and the ANN family without
+    any external model, and it is fully deterministic, so a SQL oracle
+    replays it.
+
+    Returns ``(id, embedding array<double>)`` for every input row —
+    blank docs get the zero vector.
+
+    Scale shape: one explode + a partial-agg'd groupBy on (id, bucket)
+    — shuffles carry (id, int bucket, long count), never token text —
+    then one groupBy(id) assembling the map + the exact integer sum of
+    squares; the dense vector materializes scan-side via
+    ``transform(sequence(...))``. Linear in corpus tokens; ``dim``
+    never touches the shuffle volume.
+    """
+    from .hashing import md5_long
+
+    toks = F.when(
+        normalize_text(F.col(text_col)) == "",
+        F.array().cast("array<string>"),
+    ).otherwise(whitespace_tokens(F.col(text_col)))
+    w = df.select(F.col(id_col), F.explode(toks).alias("w"))
+    sign = F.when(
+        md5_long(F.concat(F.lit("sign:"), F.col("w"))) % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    sparse = (
+        w.select(
+            id_col,
+            (md5_long(F.col("w")) % F.lit(dim)).cast("int").alias("b"),
+            sign.alias("s"),
+        )
+        .groupBy(id_col, "b")
+        .agg(F.sum("s").cast("long").alias("v"))
+    )
+    packed = sparse.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("b"), F.col("v")))
+        ).alias("m"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("ss"),
+    )
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.when(
+            F.col("ss") > 0,
+            F.round(
+                F.coalesce(F.element_at(F.col("m"), i), F.lit(0)).cast(
+                    "double"
+                )
+                / F.sqrt(F.col("ss")),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+    zero = F.array_repeat(F.lit(0.0), dim)
+    return (
+        df.select(id_col)
+        .join(packed, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.when(F.col("ss").isNotNull(), emb), zero
+            ).alias("embedding"),
+        )
+    )

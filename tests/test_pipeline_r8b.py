@@ -310,3 +310,102 @@ def test_fluent_rule_bundles_memoize(runner):
     again = runner.to_pandas(op)
     assert time.time() - t0 < 2.0
     assert (first["c4_keep"] == again["c4_keep"]).all()
+
+
+# --------------------------------------------------------------------- #
+# hash_embedding
+# --------------------------------------------------------------------- #
+
+
+def test_hash_embedding_matches_numpy(spark):
+    from krnel_graph_spark.functions.text import hash_embedding
+    import hashlib
+
+    texts = ["the cat sat on the mat", "a b c a b a", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: np.array(r["embedding"])
+        for r in hash_embedding(df, "text", "doc_id", dim=16).collect()
+    }
+
+    def md5_long(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for i, t in enumerate(texts):
+        v = np.zeros(16)
+        for w in t.lower().split():
+            b = md5_long(w) % 16
+            v[b] += 1 if md5_long("sign:" + w) % 2 == 0 else -1
+        n = np.linalg.norm(v)
+        expect = np.round(v / n, 6) if n > 0 else v
+        assert out[i] == pytest.approx(expect, abs=1e-9), i
+    # blank doc -> exact zero vector, still present
+    assert (out[2] == 0.0).all() and len(out) == 3
+
+
+def test_hash_embedding_feeds_cosine_topk(spark):
+    """The bridge works end-to-end: hashed embeddings rank a doc's
+    nearest neighbor as its near-duplicate."""
+    from krnel_graph_spark.functions.text import hash_embedding
+    from krnel_graph_spark.functions.similarity import cosine_topk
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over a lazy dog",
+        "completely different subject matter entirely here",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    emb = hash_embedding(df, "text", "doc_id", dim=64)
+    top = cosine_topk(
+        emb, emb.filter(F.col("doc_id") == 0), "embedding", "doc_id", k=2
+    ).collect()
+    ranked = sorted(top, key=lambda r: r["rank"])
+    # cosine_topk excludes self-matches: rank 1 = the near-dup
+    assert ranked[0]["doc_id"] == 1
+    assert ranked[1]["doc_id"] == 2
+    assert ranked[0]["cosine"] > ranked[1]["cosine"]
+
+
+# --------------------------------------------------------------------- #
+# dedup_report
+# --------------------------------------------------------------------- #
+
+
+def test_dedup_report_histogram(spark):
+    from krnel_graph_spark.functions.dedup import dedup_report
+
+    dup = "the same long sentence repeated for the dedup test with words"
+    texts = [dup, dup, dup,                       # one 3-cluster
+             "another duplicated chunk of text right here okay",
+             "another duplicated chunk of text right here okay",  # a pair
+             "a totally unique document one",
+             "a totally unique document two two",
+             "a totally unique document three three three"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r["cluster_size"]: r
+        for r in dedup_report(df, "text", "doc_id").collect()
+    }
+    assert out[3]["n_clusters"] == 1 and out[3]["n_docs"] == 3
+    assert out[2]["n_clusters"] == 1 and out[2]["n_docs"] == 2
+    assert out[1]["n_clusters"] == 3 and out[1]["n_docs"] == 3
+    assert sum(r["n_docs"] for r in out.values()) == len(texts)
+
+
+def test_dedup_report_all_unique(spark):
+    from krnel_graph_spark.functions.dedup import dedup_report
+
+    df = spark.createDataFrame(
+        [(i, f"unique text number {i} with filler words {i * 7}")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    rows = dedup_report(df, "text", "doc_id").collect()
+    assert len(rows) == 1
+    assert rows[0]["cluster_size"] == 1 and rows[0]["n_docs"] == 6

@@ -429,3 +429,21 @@ def test_centroid_filter_broadcast_centroid_scoring_scan(spark, entry):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hash_embedding_compact_shuffles(spark, entry):
+    """Shuffles carry (id, int bucket, long count) — token text must
+    never shuffle; dense assembly is scan-side transform(sequence),
+    no Python anywhere."""
+    plan = _plan(spark, entry, "hash_embedding")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_dedup_report_banded_never_all_pairs(spark, entry):
+    """The pair graph stays banded (LSH join, no cartesian) and the
+    histogram is a two-level agg over the component frame."""
+    plan = _plan(spark, entry, "dedup_report")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

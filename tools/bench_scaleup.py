@@ -103,6 +103,8 @@ QUERIES = [
     "corpus_divergence",
     "vocab_growth",
     "centroid_filter",
+    "hash_embedding",
+    "dedup_report",
     # fuzzy_pairs is deliberately absent: the x40 corpus keeps 16-char
     # prefixes IDENTICAL across copies (the per-5-words token insertion
     # that breaks MinHash shingle similarity usually lands after char 16),
