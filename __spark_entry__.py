@@ -1863,6 +1863,18 @@ def q_hash_embedding(spark, sf_dir):
     return hash_embedding(docs, "text", "doc_id", dim=64)
 
 
+def q_random_projection(spark, sf_dir):
+    """JL dimensionality reduction 64→16 with the deterministic
+    md5-derived Achlioptas sign matrix — pure-expression lowering, the
+    standard first move before indexing a huge embedding corpus."""
+    from krnel_graph_spark.functions.vector import random_projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return random_projection(
+        emb, "embedding", "vec_id", in_dim=64, out_dim=16
+    )
+
+
 def q_dedup_report(spark, sf_dir):
     """Near-dup cluster-size audit: MinHash-LSH pair graph → distributed
     connected components → cluster-size histogram with singletons as the
@@ -2953,6 +2965,7 @@ _R8_WINDOW = [
     "kcenter_select", "gopher_rules", "stupid_backoff",
     "c4_rules", "tokenizer_fertility", "corpus_divergence",
     "vocab_growth", "centroid_filter", "hash_embedding", "dedup_report",
+    "random_projection",
     # changed-this-round (must re-record under the new oracles)
     "fluent_quality", "paragraph_dedup",
     # newest driver record = r4 (30)
@@ -2964,9 +2977,9 @@ _R8_WINDOW = [
     "split_train_mask", "sort_topk", "distinct_flags", "ngram_jaccard",
     "scan_parquet", "select_column", "take_rows", "set_intersect",
     "assign_row_id", "inline_dataset", "csv_roundtrip", "jsonl_roundtrip",
-    # newest driver record = r5, oldest COVERAGE rows first (2)
-    "interval_join", "profile_table",
-    # (clean_corpus / cube_agg /
+    # newest driver record = r5, oldest COVERAGE rows first (1)
+    "interval_join",
+    # (profile_table / clean_corpus / cube_agg /
     #  pivot_priority / percentiles / ntile_quartiles / pivot_dynamic /
     #  group_cap / pii_scrub / domain_stats / sequence_pack /
     #  connected_components / hash_sample / stratified_sample /
@@ -3175,6 +3188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_filter": q_centroid_filter,
         "hash_embedding": q_hash_embedding,
         "dedup_report": q_dedup_report,
+        "random_projection": q_random_projection,
     }
     out = {k: d[k] for k in _R8_WINDOW}
     missing = [k for k in _R8_WINDOW if k not in d]
@@ -3301,6 +3315,24 @@ def _label_prop_sql(n_iter: int = 5) -> str:
         + ",\n".join(parts)
         + f"\nSELECT node, label FROM l{n_iter}"
     )
+
+
+def _rp_components_sql(in_dim: int = 64, out_dim: int = 16) -> str:
+    """The 16 projected components as SQL expressions: literal sign
+    arrays + the strict left-fold dot, / sqrt(out_dim), round-6."""
+    from krnel_graph_spark.functions.vector import random_projection_signs
+
+    signs = random_projection_signs(in_dim, out_dim, seed=0)
+    scale = repr(float(out_dim) ** 0.5)
+    comps = []
+    for j in range(out_dim):
+        lit = "([" + ", ".join(
+            ("1.0" if v > 0 else "-1.0") for v in signs[j]
+        ) + "]::DOUBLE[])"
+        comps.append(
+            f"round({_dot_sql('embedding', lit)} / {scale}::DOUBLE, 6)"
+        )
+    return ", ".join(comps)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4830,6 +4862,11 @@ FROM lp GROUP BY doc_id
 """,
         # gopher_rules: every ratio rule replayed in the same integer
         # cross-multiplied form; token-level counts via list ops.
+        # random_projection: the md5-derived sign matrix regenerates
+        # identically engine-side; 16 literal-array dot folds.
+        "random_projection": f"""
+SELECT vec_id, [{_rp_components_sql()}] AS projected FROM embeddings
+""",
         # hash_embedding: signed hashing trick replayed per (doc,
         # bucket); dense vector assembled on a doc x dim grid.
         "hash_embedding": f"""

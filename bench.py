@@ -182,6 +182,7 @@ HEADLINE = [
     "centroid_filter",
     "hash_embedding",
     "dedup_report",
+    "random_projection",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

@@ -112,3 +112,51 @@ def dequantize(q, scale) -> Column:
     """Approximate reconstruction: ``q_i * scale`` (error ≤ scale/2)."""
     s = _c(scale)
     return F.transform(_c(q), lambda x: x.cast("double") * s)
+
+
+def random_projection_signs(
+    in_dim: int, out_dim: int, seed: int = 0
+) -> list[list[float]]:
+    """Deterministic Achlioptas ±1 sign matrix, derived from md5 so any
+    engine (and any run) regenerates the identical matrix — no RNG state
+    to ship. Row j is the j-th output component's sign vector."""
+    import hashlib
+
+    def sgn(i: int, j: int) -> float:
+        h = hashlib.md5(f"rp:{seed}:{i}:{j}".encode()).hexdigest()
+        return 1.0 if int(h[:15], 16) % 2 == 0 else -1.0
+
+    return [[sgn(i, j) for i in range(in_dim)] for j in range(out_dim)]
+
+
+def random_projection(
+    df,
+    vec_col: str,
+    id_col: str,
+    in_dim: int,
+    out_dim: int = 16,
+    seed: int = 0,
+):
+    """Johnson-Lindenstrauss dimensionality reduction with a
+    deterministic ±1 sign matrix (Achlioptas 2003): ``y_j = (Σ_i x_i ·
+    s_ij) / sqrt(out_dim)``, round-6. Distances are preserved within
+    JL distortion, so the reduced vectors drop into the ANN / k-means /
+    centroid family at a fraction of the width — the classic first
+    move before indexing a 100-TB embedding corpus (4× narrower
+    vectors = 4× less shuffle and GEMM everywhere downstream).
+
+    Pure-expression lowering: the sign matrix embeds as plan literals
+    (``in_dim × out_dim`` doubles — fine for the ≤ few-thousand-literal
+    regime; the broadcast-GEMM paths in ``similarity`` take over past
+    that), every fold runs in index order JVM-side, and the md5-derived
+    matrix means a SQL oracle regenerates it bit-identically.
+
+    Returns ``(id, projected array<double>)``.
+    """
+    signs = random_projection_signs(in_dim, out_dim, seed)
+    scale = float(out_dim) ** 0.5
+    comps = []
+    for j in range(out_dim):
+        sj = F.array(*[F.lit(v) for v in signs[j]])
+        comps.append(F.round(dot(_c(vec_col), sj) / F.lit(scale), 6))
+    return df.select(F.col(id_col), F.array(*comps).alias("projected"))

@@ -409,3 +409,62 @@ def test_dedup_report_all_unique(spark):
     rows = dedup_report(df, "text", "doc_id").collect()
     assert len(rows) == 1
     assert rows[0]["cluster_size"] == 1 and rows[0]["n_docs"] == 6
+
+
+# --------------------------------------------------------------------- #
+# random_projection
+# --------------------------------------------------------------------- #
+
+
+def test_random_projection_matches_numpy(spark):
+    from krnel_graph_spark.functions.vector import (
+        random_projection,
+        random_projection_signs,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(20, 32)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: np.array(r["projected"])
+        for r in random_projection(
+            df, "embedding", "vec_id", in_dim=32, out_dim=8
+        ).collect()
+    }
+    R = np.array(random_projection_signs(32, 8))  # (out, in)
+    expect = vecs.astype(np.float64) @ R.T / np.sqrt(8)
+    for i in range(20):
+        assert out[i] == pytest.approx(np.round(expect[i], 6), abs=1e-9)
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL sanity: relative pairwise distances survive 64 -> 16 within
+    loose distortion bounds on a random cloud."""
+    from krnel_graph_spark.functions.vector import random_projection
+
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(30, 64)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: np.array(r["projected"])
+        for r in random_projection(
+            df, "embedding", "vec_id", in_dim=64, out_dim=16
+        ).collect()
+    }
+    orig = vecs.astype(np.float64)
+    ratios = []
+    for a in range(0, 30, 7):
+        for b in range(a + 1, 30, 5):
+            d0 = np.linalg.norm(orig[a] - orig[b])
+            d1 = np.linalg.norm(out[a] - out[b])
+            ratios.append(d1 / d0)
+    ratios = np.array(ratios)
+    # Achlioptas sign projection at out_dim=16: distortion well inside
+    # [0.4, 1.8] for a 30-point Gaussian cloud (loose, flake-proof band)
+    assert (ratios > 0.4).all() and (ratios < 1.8).all()

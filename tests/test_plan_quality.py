@@ -447,3 +447,11 @@ def test_dedup_report_banded_never_all_pairs(spark, entry):
     plan = _plan(spark, entry, "dedup_report")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_random_projection_pure_projection(spark, entry):
+    """The sign matrix embeds as plan literals: zero exchanges, zero
+    Python, one scan."""
+    plan = _plan(spark, entry, "random_projection")
+    assert _exchanges(plan) == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
