@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def group_cap(
@@ -533,14 +534,22 @@ def corpus_divergence(a: DataFrame, b: DataFrame, text_col: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias(cname))
         )
 
-    ca = counts(a, "ca")
-    cb = counts(b, "cb")
+    # The joined digest frame has TWO consumers (the totals and the
+    # final divergence agg); pin it so each corpus is scanned exactly
+    # ONCE — the frame is vocabulary-bounded (~50 B/type), the classic
+    # count table a 100-TB run would checkpoint anyway.
+    j0 = (
+        counts(a, "ca")
+        .join(counts(b, "cb"), "h", "full_outer")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     totals = F.broadcast(
-        ca.agg(F.sum("ca").cast("double").alias("na")).crossJoin(
-            cb.agg(F.sum("cb").cast("double").alias("nb"))
+        j0.agg(
+            F.sum("ca").cast("double").alias("na"),
+            F.sum("cb").cast("double").alias("nb"),
         )
     )
-    j = ca.join(cb, "h", "full_outer").crossJoin(totals)
+    j = j0.crossJoin(totals)
     p = F.col("ca").cast("double") / F.col("na")
     q = F.col("cb").cast("double") / F.col("nb")
     m = (F.coalesce(p, F.lit(0.0)) + F.coalesce(q, F.lit(0.0))) / F.lit(2.0)

@@ -409,6 +409,9 @@ def test_corpus_divergence_digest_join_broadcast_totals(spark, entry):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Window" not in plan
+    # the joined digest frame is persisted: both consumers (totals +
+    # final agg) must read the cache, not re-scan the corpora
+    assert plan.count("InMemoryTableScan") >= 2
 
 
 def test_vocab_growth_no_per_level_rescan(spark, entry):
