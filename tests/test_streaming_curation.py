@@ -203,3 +203,57 @@ def test_quarantine_stream_equals_batch(spark):
     }
     assert got_clean == want_clean and len(want_clean) > 0
     assert got_bad == want_bad and len(want_bad) > 0
+
+
+def test_rule_bundles_stream_equals_batch(spark):
+    """gopher_rules / c4_rules are pure projections, so the identical
+    code gates a live stream: batch backfill and live continuation are
+    one pipeline."""
+    from krnel_graph_spark.functions.text import c4_rules, gopher_rules
+
+    def pipeline(df):
+        flagged = c4_rules(gopher_rules(df, "text"), "text")
+        return flagged.select(
+            "doc_id", "gopher_keep", "c4_keep", "n_lines_kept"
+        )
+
+    batch = sorted(tuple(r) for r in pipeline(spark.read.parquet(DOCS)).collect())
+    q = _drain(pipeline(_stream_docs(spark)), "rule_gate")
+    try:
+        q.awaitTermination(60)
+        got = sorted(tuple(r) for r in spark.table("rule_gate").collect())
+        assert got == batch and len(got) > 0
+    finally:
+        q.stop()
+
+
+def test_centroid_filter_stream_static(spark):
+    """centroid_filter on a stream is a stream-static broadcast join:
+    the centroid computes once from the static reference corpus and
+    every micro-batch scores against it."""
+    from krnel_graph_spark.functions.similarity import centroid_filter
+    from krnel_graph_spark.streaming.events import stream_events_from_parquet
+
+    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    static = spark.read.parquet(emb_path)
+    ref = static.filter(F.col("label") == 0)
+
+    batch = sorted(
+        tuple(r)
+        for r in centroid_filter(static, ref, "embedding", "vec_id", 0.2)
+        .select("vec_id", "centroid_cosine", "keep")
+        .collect()
+    )
+    stream = stream_events_from_parquet(spark, emb_path)
+    q = _drain(
+        centroid_filter(stream, ref, "embedding", "vec_id", 0.2).select(
+            "vec_id", "centroid_cosine", "keep"
+        ),
+        "centroid_gate",
+    )
+    try:
+        q.awaitTermination(60)
+        got = sorted(tuple(r) for r in spark.table("centroid_gate").collect())
+        assert got == batch and len(got) > 0
+    finally:
+        q.stop()
