@@ -1863,6 +1863,17 @@ def q_hash_embedding(spark, sf_dir):
     return hash_embedding(docs, "text", "doc_id", dim=64)
 
 
+def q_export_manifest(spark, sf_dir):
+    """Verifiable sharded-export manifest: per-shard row/byte counts +
+    order-independent XOR content checksum over the same md5 shard
+    assignment shuffle_export writes — the artifact a consumer diffs to
+    detect dropped/duplicated/corrupted rows."""
+    from krnel_graph_spark.functions.sampling import export_manifest
+
+    docs = _t(spark, sf_dir, "documents")
+    return export_manifest(docs, "text", "doc_id", num_shards=8, seed=0)
+
+
 def q_random_projection(spark, sf_dir):
     """JL dimensionality reduction 64→16 with the deterministic
     md5-derived Achlioptas sign matrix — pure-expression lowering, the
@@ -2965,7 +2976,7 @@ _R8_WINDOW = [
     "kcenter_select", "gopher_rules", "stupid_backoff",
     "c4_rules", "tokenizer_fertility", "corpus_divergence",
     "vocab_growth", "centroid_filter", "hash_embedding", "dedup_report",
-    "random_projection",
+    "random_projection", "export_manifest",
     # changed-this-round (must re-record under the new oracles)
     "fluent_quality", "paragraph_dedup",
     # newest driver record = r4 (30)
@@ -2977,9 +2988,7 @@ _R8_WINDOW = [
     "split_train_mask", "sort_topk", "distinct_flags", "ngram_jaccard",
     "scan_parquet", "select_column", "take_rows", "set_intersect",
     "assign_row_id", "inline_dataset", "csv_roundtrip", "jsonl_roundtrip",
-    # newest driver record = r5, oldest COVERAGE rows first (1)
-    "interval_join",
-    # (profile_table / clean_corpus / cube_agg /
+    # (interval_join / profile_table / clean_corpus / cube_agg /
     #  pivot_priority / percentiles / ntile_quartiles / pivot_dynamic /
     #  group_cap / pii_scrub / domain_stats / sequence_pack /
     #  connected_components / hash_sample / stratified_sample /
@@ -3189,6 +3198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_embedding": q_hash_embedding,
         "dedup_report": q_dedup_report,
         "random_projection": q_random_projection,
+        "export_manifest": q_export_manifest,
     }
     out = {k: d[k] for k in _R8_WINDOW}
     missing = [k for k in _R8_WINDOW if k not in d]
@@ -4862,6 +4872,20 @@ FROM lp GROUP BY doc_id
 """,
         # gopher_rules: every ratio rule replayed in the same integer
         # cross-multiplied form; token-level counts via list ops.
+        # export_manifest: shard key + row signature replayed; XOR /
+        # min / max / sums are order-independent, exact.
+        "export_manifest": f"""
+WITH k AS (SELECT doc_id, text,
+        md5('0:' || CAST(doc_id AS VARCHAR)) AS sk FROM documents),
+m AS (SELECT doc_id, text, sk,
+        ({md5_long_sql("sk")} % 8)::INT AS shard,
+        {md5_long_sql("concat_ws(':', sk, text)")} AS sig,
+        strlen(coalesce(text, '')) AS b FROM k)
+SELECT shard, count(*)::BIGINT AS n_rows, sum(b)::BIGINT AS n_bytes,
+       bit_xor(sig)::BIGINT AS checksum_xor,
+       min(doc_id) AS id_lo, max(doc_id) AS id_hi
+FROM m GROUP BY shard
+""",
         # random_projection: the md5-derived sign matrix regenerates
         # identically engine-side; 16 literal-array dot folds.
         "random_projection": f"""

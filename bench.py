@@ -183,6 +183,7 @@ HEADLINE = [
     "hash_embedding",
     "dedup_report",
     "random_projection",
+    "export_manifest",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

@@ -252,3 +252,53 @@ def temperature_mixture(
     return stratified_sample(
         df, strata_col, fractions, id_col, seed=seed, default_fraction=0.0
     )
+
+
+def export_manifest(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_shards: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Verifiable manifest for a sharded training-data export: one row
+    per shard with ``n_rows``, ``n_bytes`` (UTF-8 of ``text_col``) and
+    two order-independent content checksums — ``checksum_xor`` (bit-XOR
+    of the rows' md5-derived 60-bit ids, commutative and
+    overflow-free) and ``id_lo``/``id_hi`` bounds. A consumer re-runs
+    the same manifest over the delivered shards and diffs: any dropped,
+    duplicated, or corrupted row flips the XOR. Shard assignment is the
+    same md5 key `shuffle_export` writes, so the manifest describes
+    exactly the files that export produces.
+
+    Scale shape: one scan projection (md5 + octet_length) + one
+    partial-agg'd groupBy on the int shard key — the manifest is
+    ``num_shards`` rows, and XOR/min/max/sum all combine map-side.
+    """
+    from .hashing import md5_long
+
+    key = shuffle_key(id_col, seed)
+    row_sig = md5_long(
+        F.concat_ws(":", F.col("shuffle_key"), F.col(text_col).cast("string"))
+    )
+    keyed = df.withColumn("shuffle_key", key).withColumn(
+        "shard", (md5_long(F.col("shuffle_key")) % F.lit(num_shards)).cast("int")
+    )
+    return (
+        keyed.select(
+            "shard",
+            row_sig.alias("__sig"),
+            F.octet_length(F.coalesce(F.col(text_col), F.lit(""))).alias(
+                "__b"
+            ),
+            F.col(id_col).alias("__id"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("__b").cast("long").alias("n_bytes"),
+            F.bit_xor("__sig").cast("long").alias("checksum_xor"),
+            F.min("__id").alias("id_lo"),
+            F.max("__id").alias("id_hi"),
+        )
+    )

@@ -468,3 +468,71 @@ def test_random_projection_preserves_distances(spark):
     # Achlioptas sign projection at out_dim=16: distortion well inside
     # [0.4, 1.8] for a 30-point Gaussian cloud (loose, flake-proof band)
     assert (ratios > 0.4).all() and (ratios < 1.8).all()
+
+
+# --------------------------------------------------------------------- #
+# export_manifest
+# --------------------------------------------------------------------- #
+
+
+def test_export_manifest_detects_tamper(spark):
+    from krnel_graph_spark.functions.sampling import export_manifest
+
+    df = spark.createDataFrame(
+        [(i, f"document body number {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    base = {r["shard"]: r for r in
+            export_manifest(df, "text", "doc_id", num_shards=4).collect()}
+    assert sum(r["n_rows"] for r in base.values()) == 40
+
+    # corrupting one row flips exactly that shard's checksum
+    tampered = df.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 7, F.lit("CORRUPTED")).otherwise(
+            F.col("text")
+        ),
+    )
+    after = {r["shard"]: r for r in
+             export_manifest(tampered, "text", "doc_id", num_shards=4).collect()}
+    diffs = [s for s in base
+             if base[s]["checksum_xor"] != after[s]["checksum_xor"]]
+    assert len(diffs) == 1
+    # row/byte counts in the untouched shards are identical
+    for s in base:
+        if s not in diffs:
+            assert tuple(base[s]) == tuple(after[s])
+
+
+def test_export_manifest_order_independent(spark):
+    from krnel_graph_spark.functions.sampling import export_manifest
+
+    df = spark.createDataFrame(
+        [(i, f"text {i} body") for i in range(30)],
+        "doc_id long, text string",
+    )
+    a = sorted(tuple(r) for r in
+               export_manifest(df, "text", "doc_id", 4).collect())
+    b = sorted(tuple(r) for r in
+               export_manifest(df.repartition(11), "text", "doc_id", 4).collect())
+    assert a == b
+
+
+def test_export_manifest_dropped_row_changes_count_and_xor(spark):
+    from krnel_graph_spark.functions.sampling import export_manifest
+
+    df = spark.createDataFrame(
+        [(i, f"payload {i}") for i in range(24)],
+        "doc_id long, text string",
+    )
+    base = {r["shard"]: r for r in
+            export_manifest(df, "text", "doc_id", 3).collect()}
+    dropped = {r["shard"]: r for r in
+               export_manifest(df.filter(F.col("doc_id") != 5),
+                               "text", "doc_id", 3).collect()}
+    changed = [s for s in base
+               if tuple(base[s]) != tuple(dropped.get(s, ()))]
+    assert len(changed) == 1
+    s = changed[0]
+    assert base[s]["n_rows"] == dropped[s]["n_rows"] + 1
+    assert base[s]["checksum_xor"] != dropped[s]["checksum_xor"]

@@ -458,3 +458,12 @@ def test_random_projection_pure_projection(spark, entry):
     plan = _plan(spark, entry, "random_projection")
     assert _exchanges(plan) == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_export_manifest_single_agg_pass(spark, entry):
+    """One scan projection + one partial-agg'd groupBy on the int shard
+    key — XOR/min/max/sum all combine map-side."""
+    plan = _plan(spark, entry, "export_manifest")
+    assert _exchanges(plan) <= 1
+    assert "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -106,6 +106,7 @@ QUERIES = [
     "hash_embedding",
     "dedup_report",
     "random_projection",
+    "export_manifest",
     # fuzzy_pairs is deliberately absent: the x40 corpus keeps 16-char
     # prefixes IDENTICAL across copies (the per-5-words token insertion
     # that breaks MinHash shingle similarity usually lands after char 16),
