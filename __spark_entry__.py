@@ -1863,6 +1863,28 @@ def q_hash_embedding(spark, sf_dir):
     return hash_embedding(docs, "text", "doc_id", dim=64)
 
 
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity risk histogram over (mktsegment, nationkey) as the
+    quasi-identifier pair — equivalence-class sizes + at-risk flag, the
+    privacy-compliance sibling of pii_report."""
+    from krnel_graph_spark.functions.curation import k_anonymity
+
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymity(cust, ["c_mktsegment", "c_nationkey"], k=5)
+
+
+def q_schema_drift(spark, sf_dir):
+    """Schema+profile drift between two snapshots (old = documents
+    without `source`, new = the full table): per-column status, types,
+    exact null/distinct counts — ONE agg pass per side, no per-column
+    rescans."""
+    from krnel_graph_spark.functions.curation import schema_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "text", "lang", "n_chars")
+    return schema_drift(old, docs)
+
+
 def q_export_manifest(spark, sf_dir):
     """Verifiable sharded-export manifest: per-shard row/byte counts +
     order-independent XOR content checksum over the same md5 shard
@@ -2976,7 +2998,7 @@ _R8_WINDOW = [
     "kcenter_select", "gopher_rules", "stupid_backoff",
     "c4_rules", "tokenizer_fertility", "corpus_divergence",
     "vocab_growth", "centroid_filter", "hash_embedding", "dedup_report",
-    "random_projection", "export_manifest",
+    "random_projection", "export_manifest", "k_anonymity", "schema_drift",
     # changed-this-round (must re-record under the new oracles)
     "fluent_quality", "paragraph_dedup",
     # newest driver record = r4 (30)
@@ -2987,8 +3009,9 @@ _R8_WINDOW = [
     "fingerprint", "minhash_signature", "llm_chat_generate",
     "split_train_mask", "sort_topk", "distinct_flags", "ngram_jaccard",
     "scan_parquet", "select_column", "take_rows", "set_intersect",
-    "assign_row_id", "inline_dataset", "csv_roundtrip", "jsonl_roundtrip",
-    # (interval_join / profile_table / clean_corpus / cube_agg /
+    "assign_row_id", "inline_dataset",
+    # (csv_roundtrip / jsonl_roundtrip /
+    #  interval_join / profile_table / clean_corpus / cube_agg /
     #  pivot_priority / percentiles / ntile_quartiles / pivot_dynamic /
     #  group_cap / pii_scrub / domain_stats / sequence_pack /
     #  connected_components / hash_sample / stratified_sample /
@@ -3199,6 +3222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_report": q_dedup_report,
         "random_projection": q_random_projection,
         "export_manifest": q_export_manifest,
+        "k_anonymity": q_k_anonymity,
+        "schema_drift": q_schema_drift,
     }
     out = {k: d[k] for k in _R8_WINDOW}
     missing = [k for k in _R8_WINDOW if k not in d]
@@ -4872,6 +4897,48 @@ FROM lp GROUP BY doc_id
 """,
         # gopher_rules: every ratio rule replayed in the same integer
         # cross-multiplied form; token-level counts via list ops.
+        # k_anonymity: equivalence-class histogram, exact integers.
+        "k_anonymity": """
+WITH s AS (SELECT c_mktsegment, c_nationkey, count(*)::BIGINT AS class_size
+           FROM customer GROUP BY c_mktsegment, c_nationkey)
+SELECT class_size, count(*)::BIGINT AS n_classes,
+       (class_size * count(*))::BIGINT AS n_rows,
+       (class_size < 5) AS at_risk
+FROM s GROUP BY class_size
+""",
+        # schema_drift: per-column profile replayed with scalar
+        # subqueries; old is a projection of the same snapshot, so the
+        # common-column counters coincide by construction.
+        "schema_drift": """
+SELECT 'doc_id' AS col_name, 'common' AS status,
+       'bigint' AS type_old, 'bigint' AS type_new,
+       (SELECT sum((doc_id IS NULL)::BIGINT)::BIGINT FROM documents) AS n_null_old,
+       (SELECT sum((doc_id IS NULL)::BIGINT)::BIGINT FROM documents) AS n_null_new,
+       (SELECT count(DISTINCT doc_id)::BIGINT FROM documents) AS ndv_old,
+       (SELECT count(DISTINCT doc_id)::BIGINT FROM documents) AS ndv_new
+UNION ALL
+SELECT 'lang', 'common', 'string', 'string',
+       (SELECT sum((lang IS NULL)::BIGINT)::BIGINT FROM documents),
+       (SELECT sum((lang IS NULL)::BIGINT)::BIGINT FROM documents),
+       (SELECT count(DISTINCT lang)::BIGINT FROM documents),
+       (SELECT count(DISTINCT lang)::BIGINT FROM documents)
+UNION ALL
+SELECT 'n_chars', 'common', 'bigint', 'bigint',
+       (SELECT sum((n_chars IS NULL)::BIGINT)::BIGINT FROM documents),
+       (SELECT sum((n_chars IS NULL)::BIGINT)::BIGINT FROM documents),
+       (SELECT count(DISTINCT n_chars)::BIGINT FROM documents),
+       (SELECT count(DISTINCT n_chars)::BIGINT FROM documents)
+UNION ALL
+SELECT 'source', 'added', CAST(NULL AS VARCHAR), 'string',
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+UNION ALL
+SELECT 'text', 'common', 'string', 'string',
+       (SELECT sum((text IS NULL)::BIGINT)::BIGINT FROM documents),
+       (SELECT sum((text IS NULL)::BIGINT)::BIGINT FROM documents),
+       (SELECT count(DISTINCT text)::BIGINT FROM documents),
+       (SELECT count(DISTINCT text)::BIGINT FROM documents)
+""",
         # export_manifest: shard key + row signature replayed; XOR /
         # min / max / sums are order-independent, exact.
         "export_manifest": f"""

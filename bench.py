@@ -184,6 +184,8 @@ HEADLINE = [
     "dedup_report",
     "random_projection",
     "export_manifest",
+    "k_anonymity",
+    "schema_drift",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

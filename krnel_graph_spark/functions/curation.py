@@ -573,3 +573,105 @@ def corpus_divergence(a: DataFrame, b: DataFrame, text_col: str) -> DataFrame:
         .cast("double")
         .alias("tv_dist"),
     )
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity risk report over a set of quasi-identifier columns
+    (Sweeney 2002): rows sharing one combination of quasi-identifier
+    values form an equivalence class; any class smaller than ``k`` is a
+    re-identification risk. Returns the class-size histogram —
+    ``(class_size, n_classes, n_rows, at_risk)`` — so both the risk
+    mass (``sum(n_rows) where at_risk``) and the anonymity level
+    (``min(class_size)``) read off one tiny frame. The compliance
+    sibling of `pii_report`: that one finds explicit identifiers, this
+    one measures how identifying the "harmless" columns are together.
+
+    Scale shape: one partial-agg'd groupBy on the quasi columns + a
+    second on the class size — the histogram is at most
+    #distinct-sizes rows, nothing reaches the driver.
+    """
+    sizes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("class_size")
+    )
+    return (
+        sizes.groupBy("class_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_classes"))
+        .select(
+            "class_size",
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes"))
+            .cast("long")
+            .alias("n_rows"),
+            (F.col("class_size") < k).alias("at_risk"),
+        )
+    )
+
+
+def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Schema + profile drift report between two snapshots of a table:
+    one row per column with ``status`` (added / removed / common), the
+    engine types, and for common columns the exact null counts and
+    distinct-value counts on both sides — the check a pipeline runs
+    when a new crawl/vendor drop lands, BEFORE any query breaks on a
+    silently-retyped or suddenly-null column. Counts are exact
+    integers (oracle-exact); at 100 TB swap the distinct counts for
+    the HLL sketches in `sketches` if the column set is huge.
+
+    Scale shape: ONE aggregation pass per side computing every
+    column's null/distinct counters together (no per-column rescan);
+    the long-format report assembles from the two one-row frames.
+    """
+
+    def profile(df, cols):
+        aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+        for c in cols:
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long"))
+                .cast("long")
+                .alias(f"__null_{c}")
+            )
+            aggs.append(
+                F.count_distinct(F.col(c)).cast("long").alias(f"__ndv_{c}")
+            )
+        return df.agg(*aggs)
+
+    old_types = {f.name: f.dataType.simpleString() for f in old.schema}
+    new_types = {f.name: f.dataType.simpleString() for f in new.schema}
+    common = [c for c in old_types if c in new_types]
+    po = profile(old, common)
+    pn = profile(new, common)
+    one = po.crossJoin(pn.select(
+        F.col("__n").alias("__n_new"),
+        *[F.col(f"__null_{c}").alias(f"__null_new_{c}") for c in common],
+        *[F.col(f"__ndv_{c}").alias(f"__ndv_new_{c}") for c in common],
+    ))
+    rows = []
+    for c in sorted(set(old_types) | set(new_types)):
+        if c in old_types and c in new_types:
+            status = "common"
+        elif c in old_types:
+            status = "removed"
+        else:
+            status = "added"
+        lit = lambda v: f"'{v}'" if v is not None else "CAST(NULL AS STRING)"
+        to = old_types.get(c)
+        tn = new_types.get(c)
+        if status == "common":
+            rows.append(
+                f"('{c}', '{status}', {lit(to)}, {lit(tn)}, "
+                f"__null_{c}, __null_new_{c}, __ndv_{c}, __ndv_new_{c})"
+            )
+        else:
+            rows.append(
+                f"('{c}', '{status}', {lit(to)}, {lit(tn)}, "
+                "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), "
+                "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))"
+            )
+    n = len(rows)
+    flat = ", ".join(r[1:-1] for r in rows)
+    return one.selectExpr(
+        f"stack({n}, {flat}) AS (col_name, status, type_old, type_new, "
+        "n_null_old, n_null_new, ndv_old, ndv_new)"
+    )

@@ -536,3 +536,48 @@ def test_export_manifest_dropped_row_changes_count_and_xor(spark):
     s = changed[0]
     assert base[s]["n_rows"] == dropped[s]["n_rows"] + 1
     assert base[s]["checksum_xor"] != dropped[s]["checksum_xor"]
+
+
+# --------------------------------------------------------------------- #
+# k_anonymity / schema_drift
+# --------------------------------------------------------------------- #
+
+
+def test_k_anonymity_histogram(spark):
+    from krnel_graph_spark.functions.curation import k_anonymity
+
+    rows = (
+        [(i, "a", 1) for i in range(6)]          # class of 6: safe at k=5
+        + [(10 + i, "a", 2) for i in range(3)]   # class of 3: at risk
+        + [(20, "b", 1)]                         # singleton: at risk
+    )
+    df = spark.createDataFrame(rows, "id long, seg string, nat int")
+    out = {r["class_size"]: r
+           for r in k_anonymity(df, ["seg", "nat"], k=5).collect()}
+    assert out[6]["n_classes"] == 1 and not out[6]["at_risk"]
+    assert out[3]["n_classes"] == 1 and out[3]["at_risk"]
+    assert out[1]["n_classes"] == 1 and out[1]["at_risk"]
+    assert sum(r["n_rows"] for r in out.values()) == 10
+
+
+def test_schema_drift_statuses_and_counts(spark):
+    from krnel_graph_spark.functions.curation import schema_drift
+
+    old = spark.createDataFrame(
+        [(1, "x", 5), (2, None, 5), (3, "y", None)],
+        "id long, a string, gone int",
+    )
+    new = spark.createDataFrame(
+        [(1, "x", 1.5), (2, "x", 2.5)],
+        "id long, a string, added double",
+    )
+    out = {r["col_name"]: r for r in schema_drift(old, new).collect()}
+    assert out["gone"]["status"] == "removed"
+    assert out["gone"]["type_old"] == "int" and out["gone"]["type_new"] is None
+    assert out["added"]["status"] == "added"
+    assert out["added"]["type_new"] == "double"
+    assert out["id"]["status"] == "common"
+    assert out["id"]["ndv_old"] == 3 and out["id"]["ndv_new"] == 2
+    assert out["a"]["n_null_old"] == 1 and out["a"]["n_null_new"] == 0
+    assert out["a"]["ndv_old"] == 2 and out["a"]["ndv_new"] == 1
+    assert len(out) == 4

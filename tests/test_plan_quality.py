@@ -467,3 +467,21 @@ def test_export_manifest_single_agg_pass(spark, entry):
     assert _exchanges(plan) <= 1
     assert "partial" in plan.lower()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_k_anonymity_two_level_agg(spark, entry):
+    """Two partial-agg'd groupBys (classes, then histogram) — nothing
+    else; no Python, no window."""
+    plan = _plan(spark, entry, "k_anonymity")
+    assert _exchanges(plan) <= 2
+    assert "partial" in plan.lower()
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_schema_drift_one_pass_per_side(spark, entry):
+    """Every column's null/distinct counters compute in ONE aggregation
+    pass per snapshot — per-column rescans would show as extra scans."""
+    plan = _plan(spark, entry, "schema_drift")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

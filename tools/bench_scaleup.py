@@ -107,6 +107,7 @@ QUERIES = [
     "dedup_report",
     "random_projection",
     "export_manifest",
+    "schema_drift",
     # fuzzy_pairs is deliberately absent: the x40 corpus keeps 16-char
     # prefixes IDENTICAL across copies (the per-5-words token insertion
     # that breaks MinHash shingle similarity usually lands after char 16),
