@@ -1885,6 +1885,17 @@ def q_schema_drift(spark, sf_dir):
     return schema_drift(old, docs)
 
 
+def q_unicode_normalize(spark, sf_dir):
+    """Unicode NFKC + quote/dash/zero-width/control cleanup — the first
+    stage of a crawl pipeline, one Arrow stage, zero shuffle. Rows-only
+    (no SQL NFKC); pytest differential pins values against stdlib
+    unicodedata."""
+    from krnel_graph_spark.functions.text import unicode_normalize
+
+    docs = _docs(spark, sf_dir)
+    return unicode_normalize(docs, "text", "doc_id")
+
+
 def q_export_manifest(spark, sf_dir):
     """Verifiable sharded-export manifest: per-shard row/byte counts +
     order-independent XOR content checksum over the same md5 shard
@@ -3224,6 +3235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_manifest": q_export_manifest,
         "k_anonymity": q_k_anonymity,
         "schema_drift": q_schema_drift,
+        "unicode_normalize": q_unicode_normalize,
     }
     out = {k: d[k] for k in _R8_WINDOW}
     missing = [k for k in _R8_WINDOW if k not in d]

@@ -186,6 +186,7 @@ HEADLINE = [
     "export_manifest",
     "k_anonymity",
     "schema_drift",
+    "unicode_normalize",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

@@ -1772,3 +1772,55 @@ def hash_embedding(
             ).alias("embedding"),
         )
     )
+
+
+def unicode_normalize(
+    df: DataFrame, text_col: str, id_col: str, form: str = "NFKC"
+) -> DataFrame:
+    """Unicode cleanup pass — the very first stage of a crawl pipeline:
+    ``unicodedata.normalize(form)`` (NFKC folds full-width forms,
+    ligatures, compatibility chars), curly quotes/dashes unified to
+    ASCII, zero-width characters removed, and C0 controls stripped
+    (keeping ``\\n`` and ``\\t``). Returns ``(id, text, n_changed)``
+    where ``n_changed`` flags rows the pass actually touched — the
+    audit counter is one groupBy away.
+
+    Arrow-batched ``mapInPandas`` over only (id, text): stdlib C-speed
+    per row, embarrassingly parallel, no shuffle. Rows-only in the gate
+    (no SQL NFKC exists); a pytest differential pins the values against
+    direct ``unicodedata``.
+    """
+    import unicodedata
+
+    trans = str.maketrans(
+        {
+            "‘": "'", "’": "'", "“": '"', "”": '"',
+            "–": "-", "—": "-", "−": "-",
+            " ": " ",
+            "​": None, "‌": None, "‍": None,
+            "﻿": None,
+        }
+    )
+    ctrl = {c: None for c in range(32) if chr(c) not in "\n\t"}
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, {text_col} string, n_changed int"
+
+    def batches(it):
+        for pdf in it:
+            src = pdf[text_col].fillna("")
+            cleaned = [
+                unicodedata.normalize(form, t).translate(trans).translate(ctrl)
+                for t in src
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    text_col: cleaned,
+                    "n_changed": [
+                        int(a != b) for a, b in zip(src, cleaned)
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, out_schema)

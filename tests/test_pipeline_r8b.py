@@ -581,3 +581,53 @@ def test_schema_drift_statuses_and_counts(spark):
     assert out["a"]["n_null_old"] == 1 and out["a"]["n_null_new"] == 0
     assert out["a"]["ndv_old"] == 2 and out["a"]["ndv_new"] == 1
     assert len(out) == 4
+
+
+# --------------------------------------------------------------------- #
+# unicode_normalize
+# --------------------------------------------------------------------- #
+
+
+def test_unicode_normalize_differential(spark):
+    import unicodedata
+    from krnel_graph_spark.functions.text import unicode_normalize
+
+    texts = [
+        "ﬁne ｆｕｌｌwidth ①",              # NFKC folds ligature/fullwidth/circled
+        "curly ‘quotes’ and “more” — dash−minus",
+        "zero​width‍ and nbsp",
+        "ctrl\x07bell kept\ttab\nnewline",
+        "plain ascii unchanged",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           unicode_normalize(df, "text", "doc_id").collect()}
+    trans = str.maketrans({
+        "‘": "'", "’": "'", "“": '"', "”": '"',
+        "–": "-", "—": "-", "−": "-", " ": " ",
+        "​": None, "‌": None, "‍": None, "﻿": None,
+    })
+    ctrl = {c: None for c in range(32) if chr(c) not in "\n\t"}
+    for i, t in enumerate(texts):
+        expect = unicodedata.normalize("NFKC", t).translate(trans).translate(ctrl)
+        assert out[i]["text"] == expect, i
+        assert out[i]["n_changed"] == int(expect != t)
+    assert out[4]["n_changed"] == 0 and out[0]["n_changed"] == 1
+    assert "\x07" not in out[3]["text"] and "\t" in out[3]["text"]
+
+
+def test_unicode_normalize_idempotent(spark):
+    from krnel_graph_spark.functions.text import unicode_normalize
+
+    df = spark.createDataFrame(
+        [(0, "ﬁ ‘x’ — ​ ｆ")], "doc_id long, text string"
+    )
+    once = unicode_normalize(df, "text", "doc_id").collect()[0]["text"]
+    again = unicode_normalize(
+        spark.createDataFrame([(0, once)], "doc_id long, text string"),
+        "text", "doc_id",
+    ).collect()[0]
+    assert again["text"] == once and again["n_changed"] == 0

@@ -108,6 +108,7 @@ QUERIES = [
     "random_projection",
     "export_manifest",
     "schema_drift",
+    "unicode_normalize",
     # fuzzy_pairs is deliberately absent: the x40 corpus keeps 16-char
     # prefixes IDENTICAL across copies (the per-5-words token insertion
     # that breaks MinHash shingle similarity usually lands after char 16),
