@@ -401,6 +401,27 @@ def cmd_layout(args) -> int:
     return 0
 
 
+def cmd_manifest(args) -> int:
+    """Export verification: per-shard row/byte counts + order-independent
+    XOR content checksums for a parquet table, as JSON. Producer and
+    consumer both run it and diff — any dropped/duplicated/corrupted
+    row flips a shard's checksum."""
+    import json as _json
+
+    from .functions.sampling import export_manifest
+    from .runners.spark_runner import get_spark
+
+    spark = get_spark("cli-manifest")
+    df = spark.read.parquet(args.src)
+    rows = export_manifest(
+        df, args.text_column, args.id_column,
+        num_shards=args.shards, seed=args.seed,
+    ).collect()
+    print(_json.dumps(sorted((r.asDict() for r in rows),
+                             key=lambda d: d["shard"])))
+    return 0
+
+
 def cmd_table_diff(args) -> int:
     """Table maintenance: keyed diff of two parquet snapshots — status
     counts as JSON, optionally the full per-key status table to a dir."""
@@ -617,6 +638,16 @@ def build_parser() -> argparse.ArgumentParser:
     p_layout.add_argument("src")
     p_layout.add_argument("column", help="column whose stats to report")
     p_layout.set_defaults(fn=cmd_layout)
+
+    p_manifest = sub.add_parser(
+        "manifest", help="per-shard export manifest with XOR checksums (JSON)"
+    )
+    p_manifest.add_argument("src")
+    p_manifest.add_argument("text_column")
+    p_manifest.add_argument("id_column")
+    p_manifest.add_argument("--shards", type=int, default=8)
+    p_manifest.add_argument("--seed", type=int, default=0)
+    p_manifest.set_defaults(fn=cmd_manifest)
 
     p_tdiff = sub.add_parser(
         "table-diff", help="keyed diff of two parquet snapshots"

@@ -356,3 +356,22 @@ def test_cli_layout_audit(tmp_path, capsys):
     assert sum(r["n_rows"] for r in rows) == 5_000
     assert all(int(r["min_v"]) <= int(r["max_v"]) for r in rows)
     assert len({r["file"] for r in rows}) == 2
+
+
+def test_cli_manifest(tmp_path, capsys):
+    import json
+
+    from krnel_graph_spark.cli import main
+    from krnel_graph_spark.runners.spark_runner import get_spark
+
+    spark = get_spark("test-cli-manifest")
+    src = str(tmp_path / "msrc")
+    spark.range(200).selectExpr(
+        "id as doc_id", "concat('body ', id) as text"
+    ).write.parquet(src)
+
+    assert main(["manifest", src, "text", "doc_id", "--shards", "4"]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sum(r["n_rows"] for r in rows) == 200
+    assert [r["shard"] for r in rows] == sorted(r["shard"] for r in rows)
+    assert all("checksum_xor" in r for r in rows)
