@@ -1885,6 +1885,27 @@ def q_schema_drift(spark, sf_dir):
     return schema_drift(old, docs)
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """The CCNet replication end-to-end: Stupid Backoff LM self-scoring
+    → per-token negative logprob → per-language head/middle/tail
+    percent-rank bands. One composed oracle replays both stages."""
+    from krnel_graph_spark.functions.text import (
+        quality_buckets,
+        stupid_backoff_logprob,
+    )
+
+    docs = _docs(spark, sf_dir)
+    scored = stupid_backoff_logprob(docs, docs, "text", "doc_id")
+    n = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.round(-(F.col("logprob_sum") / F.col("n_tokens")), 6).alias("nll"),
+    )
+    return quality_buckets(n, "nll", "lang").select(
+        "doc_id", "lang", "nll", "bucket"
+    )
+
+
 def q_unicode_normalize(spark, sf_dir):
     """Unicode NFKC + quote/dash/zero-width/control cleanup — the first
     stage of a crawl pipeline, one Arrow stage, zero shuffle. Rows-only
@@ -3236,6 +3257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "schema_drift": q_schema_drift,
         "unicode_normalize": q_unicode_normalize,
+        "perplexity_buckets": q_perplexity_buckets,
     }
     out = {k: d[k] for k in _R8_WINDOW}
     missing = [k for k in _R8_WINDOW if k not in d]
@@ -3658,6 +3680,55 @@ top AS (SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS top_bigram_frac
 SELECT la.doc_id, n_lines, dup_line_frac,
        coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
 FROM la LEFT JOIN top ON la.doc_id = top.doc_id
+"""
+
+    stupid_backoff_sql = f"""
+WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents
+           WHERE {_NORM.format(c="text")} != ''),
+u AS (SELECT unnest(toks) AS w FROM t),
+c1 AS (SELECT w, count(*)::BIGINT AS c1 FROM u GROUP BY w),
+tot AS (SELECT sum(c1)::DOUBLE AS N FROM c1),
+bg AS (SELECT md5(array_to_string(toks[s : s + 1], ' ')) AS bh
+       FROM (SELECT toks, unnest(range(1, len(toks))) AS s
+             FROM t WHERE len(toks) >= 2)),
+c2 AS (SELECT bh, count(*)::BIGINT AS c2 FROM bg GROUP BY bh),
+tg AS (SELECT md5(array_to_string(toks[s : s + 2], ' ')) AS th
+       FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS s
+             FROM t WHERE len(toks) >= 3)),
+c3 AS (SELECT th, count(*)::BIGINT AS c3 FROM tg GROUP BY th),
+pos AS (SELECT doc_id, i, toks[i + 1] AS w,
+               CASE WHEN i >= 1 THEN toks[i] END AS w1,
+               CASE WHEN i >= 2 THEN toks[i - 1] END AS w2
+        FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM t)),
+k AS (SELECT doc_id, i, w, w1,
+             md5(concat_ws(' ', w2, w1, w)) AS th,
+             md5(concat_ws(' ', w2, w1)) AS tch,
+             md5(concat_ws(' ', w1, w)) AS bh
+      FROM pos),
+j AS (SELECT k.doc_id, k.i, k.w,
+             c3.c3, ca.c2 AS c2a, cb.c2 AS c2b, u1.c1 AS c1a, uw.c1 AS c1,
+             coalesce(uw.c1, 1)::DOUBLE AS c1f
+      FROM k
+      LEFT JOIN c3 ON c3.th = k.th
+      LEFT JOIN c2 ca ON ca.bh = k.tch
+      LEFT JOIN c2 cb ON cb.bh = k.bh
+      LEFT JOIN c1 u1 ON u1.w = k.w1
+      LEFT JOIN c1 uw ON uw.w = k.w),
+lp AS (SELECT doc_id, (c1 IS NULL)::BIGINT AS oov,
+              round(CASE
+                WHEN i >= 2 AND c3 IS NOT NULL THEN log10(c3 / c2a)
+                WHEN i >= 2 AND c2b IS NOT NULL
+                  THEN log10((0.4::DOUBLE * c2b) / c1a)
+                WHEN i >= 2
+                  THEN log10((0.4::DOUBLE * 0.4::DOUBLE * c1f) / N)
+                WHEN i = 1 AND c2b IS NOT NULL THEN log10(c2b / c1a)
+                WHEN i = 1 THEN log10((0.4::DOUBLE * c1f) / N)
+                ELSE log10(c1f / N)
+              END, 6)::DECIMAL(20,6) AS lp
+       FROM j, tot)
+SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(oov)::BIGINT AS n_oov,
+       sum(lp)::DOUBLE AS logprob_sum
+FROM lp GROUP BY doc_id
 """
 
     return {
@@ -4859,53 +4930,23 @@ FROM (SELECT doc_id, lang, n_chars,
         "kcenter_select": _kcenter_sql(8),
         # stupid_backoff: digest-keyed gram tables, identical CASE
         # ladder and (0.4::DOUBLE) arithmetic, round-6 decimal sums.
-        "stupid_backoff": f"""
-WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents
-           WHERE {_NORM.format(c="text")} != ''),
-u AS (SELECT unnest(toks) AS w FROM t),
-c1 AS (SELECT w, count(*)::BIGINT AS c1 FROM u GROUP BY w),
-tot AS (SELECT sum(c1)::DOUBLE AS N FROM c1),
-bg AS (SELECT md5(array_to_string(toks[s : s + 1], ' ')) AS bh
-       FROM (SELECT toks, unnest(range(1, len(toks))) AS s
-             FROM t WHERE len(toks) >= 2)),
-c2 AS (SELECT bh, count(*)::BIGINT AS c2 FROM bg GROUP BY bh),
-tg AS (SELECT md5(array_to_string(toks[s : s + 2], ' ')) AS th
-       FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS s
-             FROM t WHERE len(toks) >= 3)),
-c3 AS (SELECT th, count(*)::BIGINT AS c3 FROM tg GROUP BY th),
-pos AS (SELECT doc_id, i, toks[i + 1] AS w,
-               CASE WHEN i >= 1 THEN toks[i] END AS w1,
-               CASE WHEN i >= 2 THEN toks[i - 1] END AS w2
-        FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM t)),
-k AS (SELECT doc_id, i, w, w1,
-             md5(concat_ws(' ', w2, w1, w)) AS th,
-             md5(concat_ws(' ', w2, w1)) AS tch,
-             md5(concat_ws(' ', w1, w)) AS bh
-      FROM pos),
-j AS (SELECT k.doc_id, k.i, k.w,
-             c3.c3, ca.c2 AS c2a, cb.c2 AS c2b, u1.c1 AS c1a, uw.c1 AS c1,
-             coalesce(uw.c1, 1)::DOUBLE AS c1f
-      FROM k
-      LEFT JOIN c3 ON c3.th = k.th
-      LEFT JOIN c2 ca ON ca.bh = k.tch
-      LEFT JOIN c2 cb ON cb.bh = k.bh
-      LEFT JOIN c1 u1 ON u1.w = k.w1
-      LEFT JOIN c1 uw ON uw.w = k.w),
-lp AS (SELECT doc_id, (c1 IS NULL)::BIGINT AS oov,
-              round(CASE
-                WHEN i >= 2 AND c3 IS NOT NULL THEN log10(c3 / c2a)
-                WHEN i >= 2 AND c2b IS NOT NULL
-                  THEN log10((0.4::DOUBLE * c2b) / c1a)
-                WHEN i >= 2
-                  THEN log10((0.4::DOUBLE * 0.4::DOUBLE * c1f) / N)
-                WHEN i = 1 AND c2b IS NOT NULL THEN log10(c2b / c1a)
-                WHEN i = 1 THEN log10((0.4::DOUBLE * c1f) / N)
-                ELSE log10(c1f / N)
-              END, 6)::DECIMAL(20,6) AS lp
-       FROM j, tot)
-SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(oov)::BIGINT AS n_oov,
-       sum(lp)::DOUBLE AS logprob_sum
-FROM lp GROUP BY doc_id
+        "stupid_backoff": stupid_backoff_sql,
+        # perplexity_buckets: the CCNet replication — the SAME LM-score
+        # CTE, negated per-token (round-6), then per-language
+        # percent_rank bands (identical band SQL to quality_buckets).
+        "perplexity_buckets": f"""
+WITH sb AS ({stupid_backoff_sql}),
+n AS (SELECT sb.doc_id, d.lang,
+             round(-(sb.logprob_sum / sb.n_tokens), 6) AS nll
+      FROM sb JOIN documents d ON d.doc_id = sb.doc_id),
+r AS (SELECT doc_id, lang, nll,
+             percent_rank() OVER (PARTITION BY lang ORDER BY nll ASC) AS pr
+      FROM n)
+SELECT doc_id, lang, nll,
+       CASE WHEN pr < 1.0/3.0 THEN 'head'
+            WHEN pr < 2.0/3.0 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM r
 """,
         # gopher_rules: every ratio rule replayed in the same integer
         # cross-multiplied form; token-level counts via list ops.

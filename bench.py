@@ -187,6 +187,7 @@ HEADLINE = [
     "k_anonymity",
     "schema_drift",
     "unicode_normalize",
+    "perplexity_buckets",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

@@ -485,3 +485,13 @@ def test_schema_drift_one_pass_per_side(spark, entry):
     plan = _plan(spark, entry, "schema_drift")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_perplexity_buckets_one_ranking_window(spark, entry):
+    """The composed CCNet path keeps quality_buckets' shape: exactly one
+    per-language ranking Window on top of the LM-score joins; no
+    Python, no cartesian."""
+    plan = _plan(spark, entry, "perplexity_buckets")
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -109,6 +109,7 @@ QUERIES = [
     "export_manifest",
     "schema_drift",
     "unicode_normalize",
+    "perplexity_buckets",
     # fuzzy_pairs is deliberately absent: the x40 corpus keeps 16-char
     # prefixes IDENTICAL across copies (the per-5-words token insertion
     # that breaks MinHash shingle similarity usually lands after char 16),
