@@ -3031,6 +3031,7 @@ _R8_WINDOW = [
     "c4_rules", "tokenizer_fertility", "corpus_divergence",
     "vocab_growth", "centroid_filter", "hash_embedding", "dedup_report",
     "random_projection", "export_manifest", "k_anonymity", "schema_drift",
+    "unicode_normalize", "perplexity_buckets",
     # changed-this-round (must re-record under the new oracles)
     "fluent_quality", "paragraph_dedup",
     # newest driver record = r4 (30)
@@ -3041,8 +3042,7 @@ _R8_WINDOW = [
     "fingerprint", "minhash_signature", "llm_chat_generate",
     "split_train_mask", "sort_topk", "distinct_flags", "ngram_jaccard",
     "scan_parquet", "select_column", "take_rows", "set_intersect",
-    "assign_row_id", "inline_dataset",
-    # (csv_roundtrip / jsonl_roundtrip /
+    # (assign_row_id / inline_dataset / csv_roundtrip / jsonl_roundtrip /
     #  interval_join / profile_table / clean_corpus / cube_agg /
     #  pivot_priority / percentiles / ntile_quartiles / pivot_dynamic /
     #  group_cap / pii_scrub / domain_stats / sequence_pack /
