@@ -1885,6 +1885,24 @@ def q_schema_drift(spark, sf_dir):
     return schema_drift(old, docs)
 
 
+def q_margin_pairs(spark, sf_dir):
+    """LASER-style margin-criterion pair mining: label-0 vectors mined
+    against the rest of the corpus — best match kept only when it beats
+    the runner-up by the margin (hubs get filtered, distinctive matches
+    survive)."""
+    from krnel_graph_spark.functions.similarity import margin_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return margin_pairs(
+        emb.filter(F.col("label") == 0),
+        emb.filter(F.col("label") != 0),
+        "embedding",
+        "vec_id",
+        margin_threshold=0.05,
+        min_cosine=0.5,
+    )
+
+
 def q_perplexity_buckets(spark, sf_dir):
     """The CCNet replication end-to-end: Stupid Backoff LM self-scoring
     → per-token negative logprob → per-language head/middle/tail
@@ -3258,6 +3276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_drift": q_schema_drift,
         "unicode_normalize": q_unicode_normalize,
         "perplexity_buckets": q_perplexity_buckets,
+        "margin_pairs": q_margin_pairs,
     }
     out = {k: d[k] for k in _R8_WINDOW}
     missing = [k for k in _R8_WINDOW if k not in d]
@@ -5005,6 +5024,28 @@ SELECT shard, count(*)::BIGINT AS n_rows, sum(b)::BIGINT AS n_bytes,
        bit_xor(sig)::BIGINT AS checksum_xor,
        min(doc_id) AS id_lo, max(doc_id) AS id_hi
 FROM m GROUP BY shard
+""",
+        # margin_pairs: round-6 cosine ranking (matching the engine's
+        # pre-rank rounding), two-row pivot, difference margin.
+        "margin_pairs": f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
+         round({_cosine_sql("d.embedding", "q.embedding")}, 6) AS cos
+  FROM embeddings d, embeddings q
+  WHERE q.label = 0 AND d.label <> 0 AND d.vec_id <> q.vec_id),
+r AS (SELECT query_id, doc_id, cos,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC)
+        AS rank FROM scored),
+p AS (SELECT query_id,
+        max(CASE WHEN rank = 1 THEN doc_id END) AS match_id,
+        max(CASE WHEN rank = 1 THEN cos END) AS c1,
+        max(CASE WHEN rank = 2 THEN cos END) AS c2
+      FROM r WHERE rank <= 2 GROUP BY query_id)
+SELECT query_id, match_id, c1 AS cosine,
+       round(c1 - coalesce(c2, 0::DOUBLE), 6) AS margin,
+       ((c1 >= 0.5::DOUBLE)
+        AND (round(c1 - coalesce(c2, 0::DOUBLE), 6) >= 0.05::DOUBLE)) AS keep
+FROM p
 """,
         # random_projection: the md5-derived sign matrix regenerates
         # identically engine-side; 16 literal-array dot folds.

@@ -188,6 +188,7 @@ HEADLINE = [
     "schema_drift",
     "unicode_normalize",
     "perplexity_buckets",
+    "margin_pairs",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

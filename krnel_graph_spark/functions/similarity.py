@@ -1163,3 +1163,51 @@ def centroid_filter(
         .withColumn("keep", F.col("centroid_cosine") >= F.lit(float(threshold)))
         .drop("__centroid")
     )
+
+
+def margin_pairs(
+    a: DataFrame,
+    b: DataFrame,
+    vec_col: str,
+    id_col: str,
+    margin_threshold: float = 0.05,
+    min_cosine: float = 0.5,
+) -> DataFrame:
+    """Margin-based pair mining (Artetxe & Schwenk 2019, the LASER
+    bitext-mining criterion, difference-margin form at k=2): for every
+    row of ``a``, its best match in ``b`` is kept only when the best
+    cosine beats the SECOND-best by ``margin_threshold`` — absolute
+    similarity alone over-mines hubs (vectors near everything), while
+    the margin demands the match be *distinctively* close. The same
+    shape mines parallel bitext, links near-duplicate products, or
+    matches queries to canonical FAQ entries.
+
+    Returns ``(query_id, match_id, cosine, margin, keep)`` — round-6
+    values, one row per ``a`` row with at least one candidate; a query
+    with exactly one candidate gets ``margin = cosine`` (no runner-up).
+
+    Scale shape: one `cosine_topk` pass at k=2 (queries broadcast into
+    the fold; |a|·2 rows out), then a per-query two-row pivot — the
+    corpus side never shuffles vectors.
+    """
+    top2 = cosine_topk(b, a, vec_col, id_col, k=2)
+    agg = top2.groupBy("query_id").agg(
+        F.max(
+            F.when(
+                F.col("rank") == 1, F.struct("cosine", "doc_id")
+            )
+        ).alias("r1"),
+        F.max(F.when(F.col("rank") == 2, F.col("cosine"))).alias("c2"),
+    )
+    cos1 = F.col("r1.cosine")
+    margin = F.round(cos1 - F.coalesce(F.col("c2"), F.lit(0.0)), 6)
+    return agg.select(
+        "query_id",
+        F.col("r1.doc_id").alias("match_id"),
+        cos1.alias("cosine"),
+        margin.alias("margin"),
+        (
+            (cos1 >= F.lit(float(min_cosine)))
+            & (margin >= F.lit(float(margin_threshold)))
+        ).alias("keep"),
+    )

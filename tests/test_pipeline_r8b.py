@@ -631,3 +631,54 @@ def test_unicode_normalize_idempotent(spark):
         "text", "doc_id",
     ).collect()[0]
     assert again["text"] == once and again["n_changed"] == 0
+
+
+# --------------------------------------------------------------------- #
+# margin_pairs
+# --------------------------------------------------------------------- #
+
+
+def test_margin_pairs_hub_filtered(spark):
+    """A distinctive match survives; a hub (close to two candidates at
+    once) fails the margin even though its absolute cosine is high."""
+    from krnel_graph_spark.functions.similarity import margin_pairs
+
+    a = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    b = spark.createDataFrame(
+        [
+            (10, [0.99, 0.1, 0.0]),   # distinctive match for query 0
+            (11, [0.0, 0.2, 0.98]),
+            (12, [0.1, 0.99, 0.0]),   # near-tie pair for query 1 (hub)
+            (13, [0.12, 0.99, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["query_id"]: r
+        for r in margin_pairs(
+            a, b, "embedding", "vec_id",
+            margin_threshold=0.05, min_cosine=0.5,
+        ).collect()
+    }
+    assert out[0]["match_id"] == 10 and out[0]["keep"]
+    assert out[0]["margin"] > 0.5
+    # query 1's two candidates are nearly equidistant -> margin tiny
+    assert not out[1]["keep"] and out[1]["margin"] < 0.05
+    assert out[1]["cosine"] > 0.9  # absolute cosine alone would pass
+
+
+def test_margin_pairs_single_candidate(spark):
+    from krnel_graph_spark.functions.similarity import margin_pairs
+
+    a = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    b = spark.createDataFrame(
+        [(10, [0.9, 0.1])], "vec_id long, embedding array<float>"
+    )
+    row = margin_pairs(a, b, "embedding", "vec_id").collect()[0]
+    # no runner-up: margin equals the cosine
+    assert row["margin"] == row["cosine"] and row["keep"]

@@ -495,3 +495,15 @@ def test_perplexity_buckets_one_ranking_window(spark, entry):
     assert plan.count("Window") == 1
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_margin_pairs_broadcast_queries_one_window(spark, entry):
+    """One cosine_topk pass (queries broadcast), one per-query ranking
+    window, two-row pivot — the corpus side never shuffles vectors."""
+    plan = _plan(spark, entry, "margin_pairs")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert len(re.findall(r"\bWindow \[", plan)) == 1
+    # rank<=2 pushes into the sort as WindowGroupLimit: per-partition
+    # top-2 instead of a full per-query sort — exactly the k-NN shape
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

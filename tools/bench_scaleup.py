@@ -110,6 +110,7 @@ QUERIES = [
     "schema_drift",
     "unicode_normalize",
     "perplexity_buckets",
+    "margin_pairs",
     # fuzzy_pairs is deliberately absent: the x40 corpus keeps 16-char
     # prefixes IDENTICAL across copies (the per-5-words token insertion
     # that breaks MinHash shingle similarity usually lands after char 16),
