@@ -1669,12 +1669,16 @@ def q_blocklist(spark, sf_dir):
     """Compliance blocklist screening: annotate every document with the
     sorted list of blocklist terms it contains (case-insensitive
     substring) and the blocked flag — one codegen'd scan projection,
-    zero shuffle."""
+    zero shuffle. The compared frame |-joins ``matched`` (driver
+    canonicalizer convention: no array columns); the fluent API keeps
+    the raw array."""
     from krnel_graph_spark.functions.curation import blocklist_annotate
 
     docs = _docs(spark, sf_dir)
     return blocklist_annotate(docs, "text", _BLOCKLIST_TERMS).select(
-        "doc_id", "matched", "blocked"
+        "doc_id",
+        F.array_join("matched", "|").alias("matched"),
+        "blocked",
     )
 
 
@@ -1856,11 +1860,25 @@ def q_centroid_filter(spark, sf_dir):
 def q_hash_embedding(spark, sf_dir):
     """Feature-hashing document embeddings (signed hashing trick,
     L2-normalized round-6): the model-free text→vector bridge into the
-    ANN/clustering/centroid-filter family; blank docs get zero vectors."""
+    ANN/clustering/centroid-filter family; blank docs get zero vectors.
+    The compared frame serializes the round-6 vector as |-joined integer
+    micro-units (×1e6, HALF_UP in both engines) — the driver
+    canonicalizer cannot sort list columns; the fluent API keeps the
+    raw ``array<double>``."""
     from krnel_graph_spark.functions.text import hash_embedding
 
     docs = _docs(spark, sf_dir)
-    return hash_embedding(docs, "text", "doc_id", dim=64)
+    he = hash_embedding(docs, "text", "doc_id", dim=64)
+    return he.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                "embedding",
+                lambda v: F.round(v * 1000000, 0).cast("long").cast("string"),
+            ),
+            "|",
+        ).alias("embedding"),
+    )
 
 
 def q_k_anonymity(spark, sf_dir):
@@ -1949,12 +1967,25 @@ def q_export_manifest(spark, sf_dir):
 def q_random_projection(spark, sf_dir):
     """JL dimensionality reduction 64→16 with the deterministic
     md5-derived Achlioptas sign matrix — pure-expression lowering, the
-    standard first move before indexing a huge embedding corpus."""
+    standard first move before indexing a huge embedding corpus. The
+    compared frame serializes the round-6 vector as |-joined integer
+    micro-units (driver canonicalizer: no array columns); the fluent
+    API keeps the raw ``array<double>``."""
     from krnel_graph_spark.functions.vector import random_projection
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return random_projection(
+    rp = random_projection(
         emb, "embedding", "vec_id", in_dim=64, out_dim=16
+    )
+    return rp.select(
+        "vec_id",
+        F.array_join(
+            F.transform(
+                "projected",
+                lambda v: F.round(v * 1000000, 0).cast("long").cast("string"),
+            ),
+            "|",
+        ).alias("projected"),
     )
 
 
@@ -4872,10 +4903,13 @@ WHERE {md5_long_sql("'0:' || doc_id::VARCHAR")} % 1000000 < r.thr
 """,
         # blocklist: literal term array (sorted lowercase), substring
         # containment on the lowercased text.
+        # (array_to_string on an empty list is NULL in DuckDB while
+        # Spark array_join gives '' — hence the coalesce.)
         "blocklist": """
 SELECT doc_id,
-       list_filter(['casino', 'slow', 'spark', 'window'],
-                   t -> contains(lower(text), t)) AS matched,
+       coalesce(array_to_string(
+           list_filter(['casino', 'slow', 'spark', 'window'],
+                       t -> contains(lower(text), t)), '|'), '') AS matched,
        len(list_filter(['casino', 'slow', 'spark', 'window'],
                        t -> contains(lower(text), t))) > 0 AS blocked
 FROM documents
@@ -5049,8 +5083,15 @@ FROM p
 """,
         # random_projection: the md5-derived sign matrix regenerates
         # identically engine-side; 16 literal-array dot folds.
+        # Components are round-6; the compared frame carries them as
+        # |-joined ×1e6 integer micro-units (HALF_UP in both engines).
         "random_projection": f"""
-SELECT vec_id, [{_rp_components_sql()}] AS projected FROM embeddings
+SELECT vec_id,
+       array_to_string(
+           list_transform([{_rp_components_sql()}],
+               x -> CAST(round(x * 1000000, 0) AS BIGINT)::VARCHAR),
+           '|') AS projected
+FROM embeddings
 """,
         # hash_embedding: signed hashing trick replayed per (doc,
         # bucket); dense vector assembled on a doc x dim grid.
@@ -5073,7 +5114,11 @@ vals AS (SELECT dense.doc_id, i,
            CASE WHEN ss.l2 > 0::DOUBLE THEN round(v / ss.l2, 6)
                 ELSE 0.0::DOUBLE END AS x
          FROM dense LEFT JOIN ss ON ss.doc_id = dense.doc_id)
-SELECT doc_id, list(x ORDER BY i) AS embedding FROM vals GROUP BY doc_id
+SELECT doc_id,
+       array_to_string(
+           list(CAST(round(x * 1000000, 0) AS BIGINT)::VARCHAR ORDER BY i),
+           '|') AS embedding
+FROM vals GROUP BY doc_id
 """,
         # dedup_report: recursive-CTE components over the same verified
         # MinHash pair graph, histogrammed; singletons = docs - nodes.
