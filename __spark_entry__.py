@@ -1921,6 +1921,32 @@ def q_margin_pairs(spark, sf_dir):
     )
 
 
+def q_margin_pairs_ann(spark, sf_dir):
+    """margin_pairs on its 100-TB path: the top-2 source is an LSH
+    candidate shortlist (4 tables × 6 hyperplanes, 1-bit multiprobe)
+    instead of the brute |a|·|b| cross product — the margin criterion
+    re-ranks the surviving candidates, so the mining pass costs one
+    bucketed sweep. The oracle replays the identical md5-free
+    deterministic index: same plane literals, same bit/bucket
+    arithmetic, same probe set."""
+    from krnel_graph_spark.functions.similarity import (
+        cosine_topk_lsh,
+        margin_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.filter(F.col("label") == 0)
+    b = emb.filter(F.col("label") != 0)
+    cands = cosine_topk_lsh(
+        b, a, "embedding", "vec_id",
+        k=4, dim=64, n_planes=6, multiprobe=2, n_tables=4, seed=7,
+    )
+    return margin_pairs(
+        a, b, "embedding", "vec_id",
+        margin_threshold=0.05, min_cosine=0.5, candidates=cands,
+    )
+
+
 def q_perplexity_buckets(spark, sf_dir):
     """The CCNet replication end-to-end: Stupid Backoff LM self-scoring
     → per-token negative logprob → per-language head/middle/tail
@@ -3308,6 +3334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_normalize": q_unicode_normalize,
         "perplexity_buckets": q_perplexity_buckets,
         "margin_pairs": q_margin_pairs,
+        "margin_pairs_ann": q_margin_pairs_ann,
     }
     out = {k: d[k] for k in _R8_WINDOW}
     missing = [k for k in _R8_WINDOW if k not in d]
@@ -3452,6 +3479,88 @@ def _rp_components_sql(in_dim: int = 64, out_dim: int = 16) -> str:
             f"round({_dot_sql('embedding', lit)} / {scale}::DOUBLE, 6)"
         )
     return ", ".join(comps)
+
+
+def _lsh_margin_sql(
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    multiprobe: int = 2,
+    seed: int = 7,
+    margin_threshold: float = 0.05,
+    min_cosine: float = 0.5,
+) -> str:
+    """margin_pairs over the LSH shortlist, replayed exactly: the
+    deterministic hyperplane tables regenerate engine-side as literal
+    arrays (bit i = dot >= 0, bucket = Σ bit·2^i, query side probes the
+    1-bit flips), candidates are any-table bucket collisions, and the
+    margin criterion ranks the DISTINCT surviving pairs."""
+    from krnel_graph_spark.functions.similarity import random_hyperplanes
+
+    def bexpr(vec: str, t: int) -> str:
+        planes = random_hyperplanes(dim, n_planes, seed + 131 * t)
+        terms = []
+        for i, p in enumerate(planes):
+            lit = "([" + ", ".join(repr(float(v)) for v in p) + "]::DOUBLE[])"
+            terms.append(
+                f"(CASE WHEN {_dot_sql(vec, lit)} >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")::BIGINT"
+
+    qcols = ",\n       ".join(
+        f"{bexpr('qv', t)} AS b{t}" for t in range(n_tables)
+    )
+    dcols = ",\n       ".join(
+        f"{bexpr('dv', t)} AS b{t}" for t in range(n_tables)
+    )
+    qbranches = []
+    for t in range(n_tables):
+        qbranches.append(f"SELECT query_id, {t} AS t, b{t} AS b FROM qbkt")
+        for i in range(multiprobe - 1):
+            qbranches.append(
+                f"SELECT query_id, {t}, xor(b{t}, {1 << i}) FROM qbkt"
+            )
+    dbranches = [
+        f"SELECT doc_id, {t} AS t, b{t} AS b FROM dbkt"
+        for t in range(n_tables)
+    ]
+    return f"""
+WITH q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE label = 0),
+d0 AS (SELECT vec_id AS doc_id, embedding AS dv FROM embeddings
+       WHERE label <> 0),
+qbkt AS (SELECT query_id,
+       {qcols}
+       FROM q0),
+dbkt AS (SELECT doc_id,
+       {dcols}
+       FROM d0),
+qb AS ({" UNION ALL ".join(qbranches)}),
+db AS ({" UNION ALL ".join(dbranches)}),
+cand AS (SELECT DISTINCT query_id, doc_id
+         FROM qb JOIN db USING (t, b)
+         WHERE doc_id <> query_id),
+sc AS (SELECT c.query_id, c.doc_id,
+              round({_cosine_sql("d0.dv", "q0.qv")}, 6) AS cos
+       FROM cand c JOIN q0 ON q0.query_id = c.query_id
+                   JOIN d0 ON d0.doc_id = c.doc_id),
+r AS (SELECT query_id, doc_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, doc_id ASC) AS rank
+      FROM sc),
+p AS (SELECT query_id,
+        max(CASE WHEN rank = 1 THEN doc_id END) AS match_id,
+        max(CASE WHEN rank = 1 THEN cos END) AS c1,
+        max(CASE WHEN rank = 2 THEN cos END) AS c2
+      FROM r WHERE rank <= 2 GROUP BY query_id)
+SELECT query_id, match_id, c1 AS cosine,
+       round(c1 - coalesce(c2, 0::DOUBLE), 6) AS margin,
+       ((c1 >= {min_cosine}::DOUBLE)
+        AND (round(c1 - coalesce(c2, 0::DOUBLE), 6)
+             >= {margin_threshold}::DOUBLE)) AS keep
+FROM p
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5081,6 +5190,7 @@ SELECT query_id, match_id, c1 AS cosine,
         AND (round(c1 - coalesce(c2, 0::DOUBLE), 6) >= 0.05::DOUBLE)) AS keep
 FROM p
 """,
+        "margin_pairs_ann": _lsh_margin_sql(),
         # random_projection: the md5-derived sign matrix regenerates
         # identically engine-side; 16 literal-array dot folds.
         # Components are round-6; the compared frame carries them as

@@ -216,13 +216,17 @@ def temperature_mixture(
     hash-thinned to match.
 
     Determinism contract: the normalizer cancels in the keep-rate
-    ratio, leaving ``rate_s = (n_s / n_min)^(1/tau - 1)`` where
-    ``n_min`` is the smallest stratum — a single ``pow`` per stratum,
-    NO float summation anywhere, so a SQL oracle recomputing the same
-    expression gets bit-identical doubles (same libm ``pow``). Rates
-    are rounded HALF-UP to 6 decimals driver-side (matching SQL
-    ``round``) and applied as :func:`stratified_sample`'s scan-side
-    md5-bucket filter.
+    ratio, leaving ``rate_s = (n_s / n_ref)^(1/tau - 1)`` — a single
+    ``pow`` per stratum, NO float summation anywhere, so a SQL oracle
+    recomputing the same expression gets bit-identical doubles (same
+    libm ``pow``). ``n_ref`` is the stratum maximizing
+    ``n^(1/tau - 1)``: the smallest stratum for ``tau > 1``
+    (flattening — small strata kept whole, big ones thinned) and the
+    LARGEST for ``tau < 1`` (sharpening — the head kept whole, the
+    tail thinned harder), so rates stay <= 1 and the downsampling-only
+    contract holds for every ``tau > 0``. Rates are rounded HALF-UP to
+    6 decimals driver-side (matching SQL ``round``) and applied as
+    :func:`stratified_sample`'s scan-side md5-bucket filter.
 
     Scale shape: one count-per-stratum aggregation (human-sized result)
     + one shuffle-free scan-side filter; no corpus-sized shuffle, no
@@ -240,10 +244,13 @@ def temperature_mixture(
     }
     if not counts:
         return df.filter(F.lit(False))
-    n_min = min(counts.values())
+    # The stratum maximizing n^(alpha-1) is kept whole: n_min when the
+    # exponent is negative (tau > 1), n_max when positive (tau < 1) —
+    # either way every rate lands in (0, 1].
+    n_ref = min(counts.values()) if alpha <= 1.0 else max(counts.values())
     fractions = {
         s: float(
-            Decimal(repr((n / n_min) ** (alpha - 1.0))).quantize(
+            Decimal(repr((n / n_ref) ** (alpha - 1.0))).quantize(
                 Decimal("0.000001"), rounding=ROUND_HALF_UP
             )
         )

@@ -1067,9 +1067,13 @@ def kcenter_select(
 
     first = unit.orderBy(F.col(id_col).asc()).limit(1).collect()
     if not first:
+        # Same schema as the non-empty path: the id column keeps its
+        # actual input type (string ids, or an all-zero-norm corpus,
+        # must not change the result schema just because it is empty).
         spark = df.sparkSession
+        id_type = df.schema[id_col].dataType.simpleString()
         return spark.createDataFrame(
-            [], f"rank long, {id_col} long, sep double"
+            [], f"rank long, {id_col} {id_type}, sep double"
         )
     c0 = first[0]
     picked = [(1, c0[id_col], None)]
@@ -1172,6 +1176,7 @@ def margin_pairs(
     id_col: str,
     margin_threshold: float = 0.05,
     min_cosine: float = 0.5,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Margin-based pair mining (Artetxe & Schwenk 2019, the LASER
     bitext-mining criterion, difference-margin form at k=2): for every
@@ -1182,15 +1187,34 @@ def margin_pairs(
     shape mines parallel bitext, links near-duplicate products, or
     matches queries to canonical FAQ entries.
 
+    ``a`` and ``b`` must have DISJOINT id spaces: the top-2 source
+    excludes candidates with ``doc_id == query_id`` (the self-match
+    guard every top-k shares), so two independent corpora both numbered
+    ``0..n`` would silently drop the true best match whenever the ids
+    collide — prefix or offset one side's ids first.
+
     Returns ``(query_id, match_id, cosine, margin, keep)`` — round-6
     values, one row per ``a`` row with at least one candidate; a query
     with exactly one candidate gets ``margin = cosine`` (no runner-up).
 
-    Scale shape: one `cosine_topk` pass at k=2 (queries broadcast into
-    the fold; |a|·2 rows out), then a per-query two-row pivot — the
-    corpus side never shuffles vectors.
+    Scale shape (default): one `cosine_topk` pass at k=2 (queries
+    broadcast into the fold; |a|·2 rows out), then a per-query two-row
+    pivot — the corpus side never shuffles vectors. Brute force is
+    O(|a|·|b|) scan CPU, so past ~10^10 candidate pairs pass an ANN
+    shortlist instead: ``candidates`` takes ANY top-k-shaped frame
+    (``query_id, doc_id, cosine`` — the output of
+    :func:`cosine_topk_lsh` / :func:`ivf_topk` / :func:`ivfpq_topk`
+    at k >= 2) and the margin criterion re-ranks it to top-2; the
+    mining pass then costs one banded/bucketed ANN sweep instead of the
+    full cross product, and the margin is exact *given the shortlist*
+    (runner-up = second-best surviving candidate).
     """
-    top2 = cosine_topk(b, a, vec_col, id_col, k=2)
+    if candidates is None:
+        top2 = cosine_topk(b, a, vec_col, id_col, k=2)
+    else:
+        top2 = _ranked_topk(
+            candidates.select("query_id", "doc_id", "cosine"), 2
+        )
     agg = top2.groupBy("query_id").agg(
         F.max(
             F.when(

@@ -48,6 +48,26 @@ def test_temperature_mixture_flattens_head(spark):
     assert got["en"] == pytest.approx(2000 * expect_rate, rel=0.15)
 
 
+def test_temperature_mixture_sharpens_for_tau_below_1(spark):
+    from krnel_graph_spark.functions.sampling import temperature_mixture
+
+    df = _mix_df(spark, {"en": 2000, "sw": 200})
+    out = (
+        temperature_mixture(df, "lang", "doc_id", tau=0.5)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    got = {r["lang"]: r["count"] for r in out}
+    # tau < 1 sharpens: the LARGEST stratum is kept whole and the tail
+    # is thinned to (n/n_max)^(1/tau - 1) — previously every rate
+    # silently clamped to >= 1 and the natural mix came back.
+    assert got["en"] == 2000
+    expect_rate = (200 / 2000) ** (2.0 - 1.0)  # 0.1
+    assert got.get("sw", 0) == pytest.approx(200 * expect_rate, rel=0.5)
+    assert got.get("sw", 0) < 200
+
+
 def test_temperature_mixture_deterministic(spark):
     from krnel_graph_spark.functions.sampling import temperature_mixture
 

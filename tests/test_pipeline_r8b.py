@@ -682,3 +682,81 @@ def test_margin_pairs_single_candidate(spark):
     row = margin_pairs(a, b, "embedding", "vec_id").collect()[0]
     # no runner-up: margin equals the cosine
     assert row["margin"] == row["cosine"] and row["keep"]
+
+
+def test_margin_pairs_candidates_shortlist_matches_brute(spark):
+    from krnel_graph_spark.functions.similarity import (
+        cosine_topk,
+        margin_pairs,
+    )
+
+    a = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.5, 0.5, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    b = spark.createDataFrame(
+        [
+            (10, [0.95, 0.05, 0.0]),
+            (11, [0.9, 0.1, 0.0]),
+            (12, [0.0, 0.98, 0.1]),
+            (13, [0.1, 0.9, 0.2]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    brute = {
+        r["query_id"]: r
+        for r in margin_pairs(a, b, "embedding", "vec_id").collect()
+    }
+    # an exact top-4 shortlist is a superset of the true top-2, so the
+    # candidates path must reproduce the brute result row-for-row
+    cands = cosine_topk(b, a, "embedding", "vec_id", k=4)
+    short = {
+        r["query_id"]: r
+        for r in margin_pairs(
+            a, b, "embedding", "vec_id", candidates=cands
+        ).collect()
+    }
+    assert set(brute) == set(short)
+    for q in brute:
+        for f in ("match_id", "cosine", "margin", "keep"):
+            assert brute[q][f] == short[q][f], (q, f)
+
+
+def test_margin_pairs_candidates_missing_runner_up(spark):
+    from krnel_graph_spark.functions.similarity import margin_pairs
+
+    a = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    b = spark.createDataFrame(
+        [(10, [0.9, 0.1]), (11, [0.8, 0.2])],
+        "vec_id long, embedding array<float>",
+    )
+    # shortlist that only surfaced ONE candidate: margin = cosine,
+    # exactly the single-candidate brute semantics
+    cands = spark.createDataFrame(
+        [(0, 10, 0.993884)], "query_id long, doc_id long, cosine double"
+    )
+    row = margin_pairs(
+        a, b, "embedding", "vec_id", candidates=cands
+    ).collect()[0]
+    assert row["match_id"] == 10
+    assert row["margin"] == row["cosine"] and row["keep"]
+
+
+def test_kcenter_empty_input_keeps_id_type(spark):
+    from krnel_graph_spark.functions.similarity import kcenter_select
+
+    emb = spark.createDataFrame([], "name string, embedding array<float>")
+    out = kcenter_select(emb, "embedding", "name", k=3)
+    assert out.count() == 0
+    assert dict(out.dtypes)["name"] == "string"
+
+    # all-zero-norm corpus hits the same early return — schema must
+    # still mirror the input id type
+    zeros = spark.createDataFrame(
+        [("a", [0.0, 0.0])], "name string, embedding array<float>"
+    )
+    out2 = kcenter_select(zeros, "embedding", "name", k=2)
+    assert out2.count() == 0
+    assert dict(out2.dtypes)["name"] == "string"

@@ -189,8 +189,34 @@ def _extra_queries():
             docs, docs.filter(F.col("doc_id") < 400), "text", "doc_id", n=8
         )
 
+    def margin_ann_x20(s):
+        # margin_pairs on its scale path: a FIXED mining batch (the
+        # original label-0 vectors — mining batches don't grow with the
+        # index, same convention as the ann_* serving queries) against
+        # the x20 perturbed corpus through the LSH shortlist. The brute
+        # gate query is excluded above; THIS is the honest growth axis.
+        from krnel_graph_spark.functions.similarity import (
+            cosine_topk_lsh,
+            margin_pairs,
+        )
+
+        emb = s.read.parquet(f"{OUT}/embeddings.parquet")
+        a = emb.filter(
+            (F.col("label") == 0) & (F.col("vec_id") < ID_STRIDE)
+        )
+        b = emb.filter(F.col("label") != 0)
+        cands = cosine_topk_lsh(
+            b, a, "embedding", "vec_id",
+            k=4, dim=64, n_planes=6, multiprobe=2, n_tables=4, seed=7,
+        )
+        return margin_pairs(
+            a, b, "embedding", "vec_id",
+            margin_threshold=0.05, min_cosine=0.5, candidates=cands,
+        )
+
     return {
         "ngram_coverage_x40": ngram_coverage_x40,
+        "margin_pairs_ann_x20": margin_ann_x20,
         "label_propagation_x20": lambda s: gr.label_propagation(
             hub_graph(s, 20), n_iter=5
         ),
@@ -314,7 +340,9 @@ def main() -> None:
     # curve without the output-size curve can't distinguish "the operator
     # scales" from "the corpus stopped producing pairs".
     counts: dict[str, int] = {}
-    extras = {} if only else _extra_queries()
+    extras = _extra_queries()
+    if only:
+        extras = {k: v for k, v in extras.items() if k in only}
     for name, fn in extras.items():
         t0 = time.time()
         df = fn(spark)
