@@ -1921,6 +1921,22 @@ def q_margin_pairs(spark, sf_dir):
     )
 
 
+def q_stupid_backoff_fixed(spark, sf_dir):
+    """Frozen-LM Stupid Backoff scoring — the flat scale axis: gram
+    tables trained ONCE on a fixed LM corpus (every 5th doc), the full
+    corpus scored against them through `stupid_backoff_score`. At
+    100 TB this is the production shape (train, persist the tables,
+    score any candidate corpus); self-scoring is the audit shape."""
+    from krnel_graph_spark.functions.text import (
+        stupid_backoff_score,
+        stupid_backoff_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lm = stupid_backoff_train(docs.filter(F.col("doc_id") % 5 == 0), "text")
+    return stupid_backoff_score(lm, docs, "text", "doc_id")
+
+
 def q_margin_pairs_ann(spark, sf_dir):
     """margin_pairs on its 100-TB path: the top-2 source is an LSH
     candidate shortlist (4 tables × 6 hyperplanes, 1-bit multiprobe)
@@ -3320,6 +3336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_select": q_kcenter_select,
         "gopher_rules": q_gopher_rules,
         "stupid_backoff": q_stupid_backoff,
+        "stupid_backoff_fixed": q_stupid_backoff_fixed,
         "c4_rules": q_c4_rules,
         "tokenizer_fertility": q_tokenizer_fertility,
         "corpus_divergence": q_corpus_divergence,
@@ -3841,24 +3858,32 @@ SELECT la.doc_id, n_lines, dup_line_frac,
 FROM la LEFT JOIN top ON la.doc_id = top.doc_id
 """
 
-    stupid_backoff_sql = f"""
-WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents
+    def sb_sql(train_pred: str = "TRUE") -> str:
+        # Stupid Backoff, parameterized by the LM-corpus predicate:
+        # gram tables (ttr) come from the train side only, scored
+        # positions (tsc) from the full corpus — train_pred="TRUE" is
+        # the self-scoring gate; anything else is the frozen-LM mode.
+        return f"""
+WITH ttr AS (SELECT doc_id, {toks_text} AS toks FROM documents
+           WHERE {_NORM.format(c="text")} != '' AND ({train_pred})),
+tsc AS (SELECT doc_id, {toks_text} AS toks FROM documents
            WHERE {_NORM.format(c="text")} != ''),
-u AS (SELECT unnest(toks) AS w FROM t),
+u AS (SELECT unnest(toks) AS w FROM ttr),
 c1 AS (SELECT w, count(*)::BIGINT AS c1 FROM u GROUP BY w),
 tot AS (SELECT sum(c1)::DOUBLE AS N FROM c1),
 bg AS (SELECT md5(array_to_string(toks[s : s + 1], ' ')) AS bh
        FROM (SELECT toks, unnest(range(1, len(toks))) AS s
-             FROM t WHERE len(toks) >= 2)),
+             FROM ttr WHERE len(toks) >= 2)),
 c2 AS (SELECT bh, count(*)::BIGINT AS c2 FROM bg GROUP BY bh),
 tg AS (SELECT md5(array_to_string(toks[s : s + 2], ' ')) AS th
        FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS s
-             FROM t WHERE len(toks) >= 3)),
+             FROM ttr WHERE len(toks) >= 3)),
 c3 AS (SELECT th, count(*)::BIGINT AS c3 FROM tg GROUP BY th),
 pos AS (SELECT doc_id, i, toks[i + 1] AS w,
                CASE WHEN i >= 1 THEN toks[i] END AS w1,
                CASE WHEN i >= 2 THEN toks[i - 1] END AS w2
-        FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM t)),
+        FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i
+              FROM tsc)),
 k AS (SELECT doc_id, i, w, w1,
              md5(concat_ws(' ', w2, w1, w)) AS th,
              md5(concat_ws(' ', w2, w1)) AS tch,
@@ -3889,6 +3914,8 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(oov)::BIGINT AS n_oov,
        sum(lp)::DOUBLE AS logprob_sum
 FROM lp GROUP BY doc_id
 """
+
+    stupid_backoff_sql = sb_sql()
 
     return {
         "scan_parquet": "SELECT * FROM region",
@@ -5093,6 +5120,7 @@ FROM (SELECT doc_id, lang, n_chars,
         # stupid_backoff: digest-keyed gram tables, identical CASE
         # ladder and (0.4::DOUBLE) arithmetic, round-6 decimal sums.
         "stupid_backoff": stupid_backoff_sql,
+        "stupid_backoff_fixed": sb_sql("doc_id % 5 = 0"),
         # perplexity_buckets: the CCNet replication — the SAME LM-score
         # CTE, negated per-token (round-6), then per-language
         # percent_rank bands (identical band SQL to quality_buckets).

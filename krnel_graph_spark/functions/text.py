@@ -1305,6 +1305,58 @@ def gopher_rules(
     return out.withColumn("gopher_keep", keep)
 
 
+def _sb_tokens(df: DataFrame, text_col: str, *extra) -> DataFrame:
+    """Whitespace tokens with blank docs as empty arrays (the shared
+    Stupid Backoff tokenization contract for train AND score sides)."""
+    t = F.when(
+        normalize_text(F.col(text_col)) == "",
+        F.array().cast("array<string>"),
+    ).otherwise(whitespace_tokens(F.col(text_col)))
+    return df.select(*extra, t.alias("__t"))
+
+
+def stupid_backoff_train(
+    train: DataFrame, text_col: str
+) -> dict[str, DataFrame]:
+    """Train the Stupid Backoff gram tables ONCE over a corpus and
+    return them as plain DataFrames — ``{"uni": (w, c1), "bi": (bh,
+    c2), "tri": (th, c3)}`` — the frozen-LM artifact. Each frame is
+    parquet-writable, so the production shape is: train on the
+    reference corpus, persist, then score any number of candidate
+    corpora against the FIXED tables with :func:`stupid_backoff_score`
+    — the flat scale axis (scoring grows with the scored corpus only;
+    the LM side never re-aggregates). Bi/tri grams are keyed by md5
+    digests of the gram text, so grams never shuffle (or persist) as
+    raw strings.
+    """
+    tr = _sb_tokens(train, text_col)
+    uni = (
+        tr.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+
+    def grams(df, n, out):
+        return df.select(
+            F.explode(
+                F.when(
+                    F.size("__t") < n, F.array().cast("array<string>")
+                ).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("__t") - n),
+                        lambda i: F.array_join(
+                            F.slice("__t", i + 1, n), " "
+                        ),
+                    )
+                )
+            ).alias("g")
+        ).select(F.md5("g").alias(out))
+
+    bi = grams(tr, 2, "bh").groupBy("bh").agg(F.count(F.lit(1)).alias("c2"))
+    tri = grams(tr, 3, "th").groupBy("th").agg(F.count(F.lit(1)).alias("c3"))
+    return {"uni": uni, "bi": bi, "tri": tri}
+
+
 def stupid_backoff_logprob(
     train: DataFrame,
     score: DataFrame,
@@ -1337,42 +1389,35 @@ def stupid_backoff_logprob(
     corpus tokens, vocabulary-bounded tables, no broadcast requirement
     (AQE may still choose one when a table is small). At 100 TB,
     pre-bucket the gram tables on their digest to co-locate the joins.
+    Self-scoring (``train is score``) grows BOTH the positions and the
+    gram tables with the corpus; the flat axis is a FROZEN LM — train
+    once with :func:`stupid_backoff_train`, persist the tables, and
+    score through :func:`stupid_backoff_score`.
     """
-    a = float(alpha)
-
-    def toks_of(df):
-        t = F.when(
-            normalize_text(F.col(text_col)) == "",
-            F.array().cast("array<string>"),
-        ).otherwise(whitespace_tokens(F.col(text_col)))
-        return df.select(F.col(id_col), t.alias("__t"))
-
-    tr = toks_of(train)
-    uni = (
-        tr.select(F.explode("__t").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c1"))
+    return stupid_backoff_score(
+        stupid_backoff_train(train, text_col),
+        score,
+        text_col,
+        id_col,
+        alpha=alpha,
     )
+
+
+def stupid_backoff_score(
+    lm: dict[str, DataFrame],
+    score: DataFrame,
+    text_col: str,
+    id_col: str,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Score a corpus against a FROZEN Stupid Backoff LM — ``lm`` is
+    :func:`stupid_backoff_train`'s table dict (possibly re-read from
+    parquet). Semantics identical to :func:`stupid_backoff_logprob`;
+    the total token count ``N`` derives from the unigram table, so the
+    artifact is self-contained."""
+    a = float(alpha)
+    uni, bi, tri = lm["uni"], lm["bi"], lm["tri"]
     total = uni.agg(F.sum("c1").cast("double").alias("N"))
-
-    def grams(df, n, out):
-        return df.select(
-            F.explode(
-                F.when(
-                    F.size("__t") < n, F.array().cast("array<string>")
-                ).otherwise(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("__t") - n),
-                        lambda i: F.array_join(
-                            F.slice("__t", i + 1, n), " "
-                        ),
-                    )
-                )
-            ).alias("g")
-        ).select(F.md5("g").alias(out))
-
-    bi = grams(tr, 2, "bh").groupBy("bh").agg(F.count(F.lit(1)).alias("c2"))
-    tri = grams(tr, 3, "th").groupBy("th").agg(F.count(F.lit(1)).alias("c3"))
 
     # Positions carry their own (w, w-1, w-2) context straight from the
     # token array — scan-side, no per-doc window shuffle. concat_ws
@@ -1381,7 +1426,7 @@ def stupid_backoff_logprob(
     # digests are never compared against a mismatched gram class
     # (train gram strings always contain their separator spaces).
     pos = (
-        toks_of(score)
+        _sb_tokens(score, text_col, F.col(id_col))
         .select(
             F.col(id_col),
             F.explode(

@@ -452,3 +452,34 @@ def test_stupid_backoff_oov_and_unseen_corpus(spark):
     assert r["n_tokens"] == 4
     assert r["n_oov"] == 2  # purred, loudly unseen
     assert r["logprob_sum"] < 0
+
+
+def test_stupid_backoff_frozen_lm_roundtrips_parquet(spark, tmp_path):
+    from krnel_graph_spark.functions.text import (
+        stupid_backoff_logprob,
+        stupid_backoff_score,
+        stupid_backoff_train,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter("doc_id < 80")
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["logprob_sum"])
+        for r in stupid_backoff_logprob(docs, docs, "text", "doc_id").collect()
+    }
+    # train once, persist the gram tables, re-read and score: the
+    # frozen-LM artifact must reproduce the composed path exactly
+    lm = stupid_backoff_train(docs, "text")
+    for name, frame in lm.items():
+        frame.write.mode("overwrite").parquet(str(tmp_path / name))
+    reread = {
+        name: spark.read.parquet(str(tmp_path / name)) for name in lm
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["logprob_sum"])
+        for r in stupid_backoff_score(
+            reread, docs, "text", "doc_id"
+        ).collect()
+    }
+    assert got == want

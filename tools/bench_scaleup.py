@@ -214,9 +214,30 @@ def _extra_queries():
             margin_threshold=0.05, min_cosine=0.5, candidates=cands,
         )
 
+    def sb_fixed_x40(s):
+        # The frozen-LM axis: gram tables from the pristine copy-0
+        # fifth only (the LM corpus doesn't grow with the data being
+        # scored), positions from the FULL x40 corpus. Self-scoring
+        # (stupid_backoff in QUERIES) grows both sides; this is the
+        # production shape the 12.9x self-scoring row contrasts with.
+        from krnel_graph_spark.functions.text import (
+            stupid_backoff_score,
+            stupid_backoff_train,
+        )
+
+        docs = s.read.parquet(f"{OUT}/documents.parquet")
+        lm = stupid_backoff_train(
+            docs.filter(
+                (F.col("doc_id") < ID_STRIDE) & (F.col("doc_id") % 5 == 0)
+            ),
+            "text",
+        )
+        return stupid_backoff_score(lm, docs, "text", "doc_id")
+
     return {
         "ngram_coverage_x40": ngram_coverage_x40,
         "margin_pairs_ann_x20": margin_ann_x20,
+        "stupid_backoff_fixed_x40": sb_fixed_x40,
         "label_propagation_x20": lambda s: gr.label_propagation(
             hub_graph(s, 20), n_iter=5
         ),
