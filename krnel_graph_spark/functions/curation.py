@@ -609,15 +609,24 @@ def k_anonymity(
     )
 
 
-def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+def schema_drift(
+    old: DataFrame, new: DataFrame, approx: bool = False
+) -> DataFrame:
     """Schema + profile drift report between two snapshots of a table:
     one row per column with ``status`` (added / removed / common), the
-    engine types, and for common columns the exact null counts and
+    engine types, and for common columns the null counts and
     distinct-value counts on both sides — the check a pipeline runs
     when a new crawl/vendor drop lands, BEFORE any query breaks on a
-    silently-retyped or suddenly-null column. Counts are exact
-    integers (oracle-exact); at 100 TB swap the distinct counts for
-    the HLL sketches in `sketches` if the column set is huge.
+    silently-retyped or suddenly-null column.
+
+    ``approx=False`` (default) uses exact ``count_distinct``
+    (oracle-exact, but each distinct column rides an Expand — the agg
+    pass re-emits every row once per counted column). ``approx=True``
+    swaps in ``approx_count_distinct`` (HyperLogLog++, rsd 5%): null
+    counters stay exact, NDVs become estimates, and the Expand
+    disappears — one streaming-sketch pass per side regardless of the
+    column count. That is the 100-TB mode; drift detection compares
+    magnitudes, not exact cardinalities.
 
     Scale shape: ONE aggregation pass per side computing every
     column's null/distinct counters together (no per-column rescan);
@@ -625,6 +634,7 @@ def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
     """
 
     def profile(df, cols):
+        ndv = F.approx_count_distinct if approx else F.count_distinct
         aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
         for c in cols:
             aggs.append(
@@ -632,9 +642,7 @@ def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
                 .cast("long")
                 .alias(f"__null_{c}")
             )
-            aggs.append(
-                F.count_distinct(F.col(c)).cast("long").alias(f"__ndv_{c}")
-            )
+            aggs.append(ndv(F.col(c)).cast("long").alias(f"__ndv_{c}"))
         return df.agg(*aggs)
 
     old_types = {f.name: f.dataType.simpleString() for f in old.schema}

@@ -760,3 +760,37 @@ def test_kcenter_empty_input_keeps_id_type(spark):
     out2 = kcenter_select(zeros, "embedding", "name", k=2)
     assert out2.count() == 0
     assert dict(out2.dtypes)["name"] == "string"
+
+
+def test_schema_drift_approx_mode(spark):
+    from krnel_graph_spark.functions.curation import schema_drift
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    old = docs.select("doc_id", "text", "lang")
+    exact = {r["col_name"]: r for r in schema_drift(old, docs).collect()}
+    approx = {
+        r["col_name"]: r
+        for r in schema_drift(old, docs, approx=True).collect()
+    }
+    assert set(exact) == set(approx)
+    for c in exact:
+        # statuses, types, and null counters stay exact; only NDVs
+        # become HLL estimates (rsd 5% default)
+        for f in ("status", "type_old", "type_new", "n_null_old",
+                  "n_null_new"):
+            assert exact[c][f] == approx[c][f], (c, f)
+        if exact[c]["status"] == "common":
+            for f in ("ndv_old", "ndv_new"):
+                assert approx[c][f] == pytest.approx(
+                    exact[c][f], rel=0.15
+                ), (c, f)
+    # the whole point of approx: the exact mode's Expand (one re-emit
+    # per counted column) must be gone from the plan
+    plan = schema_drift(old, docs, approx=True)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Expand" not in plan
+    plan_exact = schema_drift(old, docs)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Expand" in plan_exact
