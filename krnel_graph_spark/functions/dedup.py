@@ -128,10 +128,13 @@ def minhash_lsh_pairs(
     # 200k-doc corpus). The persisted frame is narrow — id + num_perm longs
     # + a count, ~300 B/doc regardless of document size — the classic
     # "signature table" a 100-TB dedup pipeline would checkpoint anyway.
-    # Size-gated: on a few-MB corpus the persist's extra job + memory write
-    # costs more than the second signature pass it saves.
+    # Size-gated: on a tens-of-KB corpus the persist's extra job + memory
+    # write costs more than the second signature pass it saves. The gate
+    # sits at 256 KB (r9, interleaved A/B: pin neutral at 64 KB, ahead
+    # from ~600 KB up — r8's 16 MB threshold left the benched sf0.1
+    # corpus running the signature kernel twice).
     src_bytes = plan_size_bytes(df)
-    if src_bytes is None or src_bytes >= (16 << 20):
+    if src_bytes is None or src_bytes >= (256 << 10):
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
     banded = base.select(
