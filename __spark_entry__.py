@@ -2708,10 +2708,11 @@ def q_fluent_pipeline(spark, sf_dir):
     """The reference-parity OpSpec engine and the scale surface composed
     in ONE content-addressed graph: parquet scan → slice → exact dedup
     (min-row-id keeper) → quality enrichment → chunk fan-out, all fluent
-    ops with stable uuids (memoized under a store-backed runner). Rows-
-    only by design: the oracle-equivalent pieces are hash-graded
-    separately (dedup_exact, text_stats, chunk_docs); this entry grades
-    the OpSpec integration path end-to-end."""
+    ops with stable uuids (memoized under a store-backed runner).
+    Oracle-backed since r9: the SQL-expressible stages compose into one
+    DuckDB oracle (take → dedup keeper → chunk fan-out; the text_stats
+    enrichment doesn't survive the chunk projection), grading the
+    OpSpec integration path end-to-end."""
     runner = _runner(spark)
     ds = runner.from_parquet(f"{sf_dir}/documents.parquet")
     pipe = (
@@ -2729,8 +2730,9 @@ def q_fluent_decontaminate(spark, sf_dir):
     """Two-parent content-addressed pipeline: training slice deconta-
     minated against a held-out slice (8-gram overlap) then mixture-
     rebalanced by language — both parents are part of the result's
-    identity. Rows-only by design (companion hash-graded queries:
-    decontaminate, stratified_sample, hash_sample)."""
+    identity. Oracle-backed since r9: the 8-gram anti-join and the
+    integer-exact mix_to_weights thinning compose into one DuckDB
+    oracle."""
     runner = _runner(spark)
     docs = runner.from_parquet(f"{sf_dir}/documents.parquet")
     train = docs.take(400)
@@ -3498,20 +3500,23 @@ def _rp_components_sql(in_dim: int = 64, out_dim: int = 16) -> str:
     return ", ".join(comps)
 
 
-def _lsh_margin_sql(
-    dim: int = 64,
-    n_planes: int = 6,
-    n_tables: int = 4,
-    multiprobe: int = 2,
+def _lsh_scored_ctes(
+    corpus_where: str,
+    query_where: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    multiprobe: int,
     seed: int = 7,
-    margin_threshold: float = 0.05,
-    min_cosine: float = 0.5,
 ) -> str:
-    """margin_pairs over the LSH shortlist, replayed exactly: the
-    deterministic hyperplane tables regenerate engine-side as literal
-    arrays (bit i = dot >= 0, bucket = Σ bit·2^i, query side probes the
-    1-bit flips), candidates are any-table bucket collisions, and the
-    margin criterion ranks the DISTINCT surviving pairs."""
+    """The `cosine_topk_lsh` candidate pipeline as WITH-clause CTEs,
+    replayed exactly: the deterministic hyperplane tables regenerate
+    engine-side as literal arrays (bit i = dot >= 0, bucket =
+    Σ bit·2^i, query side probes the single-bit flips of the lowest
+    ``multiprobe - 1`` bits), candidates are any-table bucket
+    collisions minus self-matches, and ``sc`` carries the round-6
+    cosine per DISTINCT surviving pair — ranking order matches the
+    Spark side, which also ranks AFTER the round."""
     from krnel_graph_spark.functions.similarity import random_hyperplanes
 
     def bexpr(vec: str, t: int) -> str:
@@ -3542,11 +3547,10 @@ def _lsh_margin_sql(
         f"SELECT doc_id, {t} AS t, b{t} AS b FROM dbkt"
         for t in range(n_tables)
     ]
-    return f"""
-WITH q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-            WHERE label = 0),
+    return f"""q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE {query_where}),
 d0 AS (SELECT vec_id AS doc_id, embedding AS dv FROM embeddings
-       WHERE label <> 0),
+       WHERE {corpus_where}),
 qbkt AS (SELECT query_id,
        {qcols}
        FROM q0),
@@ -3561,7 +3565,50 @@ cand AS (SELECT DISTINCT query_id, doc_id
 sc AS (SELECT c.query_id, c.doc_id,
               round({_cosine_sql("d0.dv", "q0.qv")}, 6) AS cos
        FROM cand c JOIN q0 ON q0.query_id = c.query_id
-                   JOIN d0 ON d0.doc_id = c.doc_id),
+                   JOIN d0 ON d0.doc_id = c.doc_id)"""
+
+
+def _lsh_topk_sql(
+    corpus_where: str,
+    query_where: str,
+    k: int,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    multiprobe: int = 7,
+    seed: int = 7,
+) -> str:
+    """`cosine_topk_lsh` end-to-end: the candidate CTEs ranked to
+    top-k per query (round-6 cosine DESC, doc_id ASC)."""
+    ctes = _lsh_scored_ctes(
+        corpus_where, query_where, dim, n_planes, n_tables, multiprobe, seed
+    )
+    return f"""
+WITH {ctes},
+r AS (SELECT query_id, doc_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, doc_id ASC) AS rank
+      FROM sc)
+SELECT query_id, doc_id, cos AS cosine, rank FROM r WHERE rank <= {k}
+"""
+
+
+def _lsh_margin_sql(
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    multiprobe: int = 2,
+    seed: int = 7,
+    margin_threshold: float = 0.05,
+    min_cosine: float = 0.5,
+) -> str:
+    """margin_pairs over the LSH shortlist: the shared candidate CTEs,
+    then the margin criterion over the top-2 rank pivot."""
+    ctes = _lsh_scored_ctes(
+        "label <> 0", "label = 0", dim, n_planes, n_tables, multiprobe, seed
+    )
+    return f"""
+WITH {ctes},
 r AS (SELECT query_id, doc_id, cos,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cos DESC, doc_id ASC) AS rank
@@ -4979,6 +5026,61 @@ GROUP BY doc_id
         # standalone entries' decimal-exact recipes verbatim; n_bytes
         # is the UTF-8 byte length (n_zlib is excluded — no SQL
         # DEFLATE).
+        # fluent_pipeline: the SQL-expressible stages composed (take ->
+        # exact-dedup min-id keeper -> chunk fan-out; the text_stats
+        # enrichment doesn't survive the chunk projection). take(400) =
+        # doc_id < 400 (file order == doc_id order, the fluent_quality
+        # convention).
+        "fluent_pipeline": """
+WITH raw AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+ded AS (SELECT doc_id, text FROM (
+         SELECT doc_id, text, row_number() OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             ORDER BY doc_id) AS rn
+         FROM raw) WHERE rn = 1),
+t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM ded WHERE trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) != ''),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+c AS (SELECT doc_id, n, toks,
+             unnest(generate_series(0,
+               CASE WHEN n <= 32 THEN 0
+                    ELSE ((n - 8 + 23) // 24) - 1 END)) AS chunk_id
+      FROM s)
+SELECT doc_id AS src_row_id, chunk_id,
+       least(32, n - chunk_id * 24)::BIGINT AS n_tokens,
+       array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+         AS chunk_text
+FROM c
+""",
+        # fluent_decontaminate: train slice minus 8-gram-contaminated
+        # docs (heldout = take(60, offset=150), a subset of train),
+        # then the integer-exact mix_to_weights thinning on lang.
+        "fluent_decontaminate": """
+WITH tr AS (SELECT * FROM documents WHERE doc_id < 400),
+ho AS (SELECT doc_id, text FROM documents
+       WHERE doc_id >= 150 AND doc_id < 210),
+trt AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks FROM tr),
+hot AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks FROM ho),
+trg AS (SELECT DISTINCT doc_id, md5(g) AS gh FROM (
+         SELECT doc_id, unnest(CASE WHEN len(toks) < 8 THEN CAST([] AS VARCHAR[])
+                ELSE [array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks) - 6)] END) AS g
+         FROM trt)),
+hog AS (SELECT DISTINCT md5(g) AS gh FROM (
+         SELECT unnest(CASE WHEN len(toks) < 8 THEN CAST([] AS VARCHAR[])
+                ELSE [array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks) - 6)] END) AS g
+         FROM hot)),
+bad AS (SELECT DISTINCT doc_id FROM trg JOIN hog USING (gh)),
+clean AS (SELECT tr.* FROM tr ANTI JOIN bad USING (doc_id)),
+w AS (SELECT * FROM (VALUES ('en', 3), ('de', 1), ('fr', 1)) AS t(lang, wt)),
+cnt AS (SELECT lang, count(*) AS n FROM clean GROUP BY lang),
+j AS (SELECT w.lang, wt, n FROM w JOIN cnt USING (lang)),
+tot AS (SELECT min(n * 5 // wt) AS T FROM j),
+thr AS (SELECT lang, (SELECT T FROM tot) * wt * 1000000 // (5 * n) AS thr
+        FROM j)
+SELECT c.doc_id, c.text, c.lang, c.source, c.n_chars
+FROM clean c JOIN thr USING (lang)
+WHERE CAST(('0x' || substring(md5('0:' || c.doc_id::VARCHAR), 1, 15)) AS BIGINT) % 1000000 < thr
+""",
         "fluent_quality": f"""
 WITH raw AS (SELECT * FROM documents WHERE doc_id < 300),
 tet AS (SELECT doc_id, {toks_text} AS toks FROM raw
@@ -5640,6 +5742,36 @@ r AS (SELECT query_id, doc_id, cos,
       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC)
       AS rank FROM scored)
 SELECT query_id, doc_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10
+""",
+        # ann_lsh: the full multiprobe multi-table LSH index replayed
+        # (8 tables x 6 hyperplanes as literal arrays, bits 0-5 probed).
+        "ann_lsh": _lsh_topk_sql(
+            "TRUE", "vec_id < 10", k=10,
+            dim=64, n_planes=6, n_tables=8, multiprobe=7,
+        ),
+        # ann_recall: |lsh top-10 ∩ brute top-10| / 10 per query — both
+        # sides replayed exactly (the brute side ranks like ann_topk).
+        "ann_recall": f"""
+WITH lsh AS ({_lsh_topk_sql(
+            "TRUE", "vec_id < 10", k=10,
+            dim=64, n_planes=6, n_tables=8, multiprobe=7,
+        )}),
+exsc AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS doc_id, {cos_dq} AS cos
+  FROM embeddings d JOIN embeddings q
+    ON q.vec_id < 10 AND d.vec_id <> q.vec_id),
+exr AS (SELECT query_id, doc_id,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos DESC, doc_id ASC) AS rank
+        FROM exsc),
+ex AS (SELECT query_id, doc_id FROM exr WHERE rank <= 10),
+den AS (SELECT query_id, count(*)::BIGINT AS n FROM ex GROUP BY query_id),
+hit AS (SELECT l.query_id, count(*)::BIGINT AS h
+        FROM lsh l JOIN ex ON ex.query_id = l.query_id
+                          AND ex.doc_id = l.doc_id
+        GROUP BY l.query_id)
+SELECT den.query_id, coalesce(h, 0) / n AS recall
+FROM den LEFT JOIN hit ON hit.query_id = den.query_id
 """,
         # contrastive_triplets: same brute-force ranking as ann_topk at
         # k=7; positive = rank 1, negatives = ranks 5-7, joined.
