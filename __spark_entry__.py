@@ -3116,38 +3116,38 @@ def q_video_stats_y4m(spark, sf_dir):
 # oldest round-5 rows. All 50 are oracle-backed, so the window should
 # record >= 45 hash-green with 0 no_oracle slots wasted. The remaining
 # 30 round-5 rows rotate in next round.
-_R8_WINDOW = [
-    # new r8 surface: never driver-recorded
-    "temperature_mixture", "blocklist", "pii_report",
-    "leakage_safe_split", "packing_report", "quality_buckets",
-    "kcenter_select", "gopher_rules", "stupid_backoff",
-    "c4_rules", "tokenizer_fertility", "corpus_divergence",
-    "vocab_growth", "centroid_filter", "hash_embedding", "dedup_report",
-    "random_projection", "export_manifest", "k_anonymity", "schema_drift",
-    "unicode_normalize", "perplexity_buckets",
-    # changed-this-round (must re-record under the new oracles)
-    "fluent_quality", "paragraph_dedup",
-    # newest driver record = r4 (30)
-    "local_supply_q5", "mask_isin", "boolean_logic", "jinja_template",
-    "split_hash", "llm_generate_fake", "mask_not_in",
-    "pairwise_arithmetic", "vector_to_scalar", "anti_join", "set_except",
-    "simhash", "lang_id", "multimodal_meta", "embedding_quantize",
-    "fingerprint", "minhash_signature", "llm_chat_generate",
-    "split_train_mask", "sort_topk", "distinct_flags", "ngram_jaccard",
-    "scan_parquet", "select_column", "take_rows", "set_intersect",
-    # (assign_row_id / inline_dataset / csv_roundtrip / jsonl_roundtrip /
-    #  interval_join / profile_table / clean_corpus / cube_agg /
-    #  pivot_priority / percentiles / ntile_quartiles / pivot_dynamic /
-    #  group_cap / pii_scrub / domain_stats / sequence_pack /
-    #  connected_components / hash_sample / stratified_sample /
-    #  shuffle_export / decontaminate / repetition_stats rotate in r9 —
-    #  displaced by the 14 new r8 entries to hold the window at 50)
+_R9_WINDOW = [
+    # new-or-changed this round: the three r8 list-canon reds re-record
+    # under the serialized compared frames; margin_pairs has NO driver
+    # row ever; margin_pairs_ann / stupid_backoff_fixed are new; the
+    # ann_lsh/ann_recall/fluent pair gained oracles this round.
+    "margin_pairs", "margin_pairs_ann", "stupid_backoff_fixed",
+    "blocklist", "hash_embedding", "random_projection",
+    "ann_lsh", "ann_recall", "fluent_pipeline", "fluent_decontaminate",
+    # the r8 rotation queue (oldest-evidence r4/r5 rows, held over)
+    "assign_row_id", "inline_dataset", "csv_roundtrip", "jsonl_roundtrip",
+    "interval_join", "profile_table", "clean_corpus", "cube_agg",
+    "pivot_priority", "percentiles", "ntile_quartiles", "pivot_dynamic",
+    "group_cap", "pii_scrub", "domain_stats", "sequence_pack",
+    "connected_components", "hash_sample", "stratified_sample",
+    "shuffle_export", "decontaminate", "repetition_stats",
+    # oldest remaining evidence: the r4 oracle-backed block + the two
+    # r1 rows-only stragglers + the head of the r5 tail
+    "ann_topk", "asof_join", "broadcast_join_region", "dedup_drop_near",
+    "embedding_dups", "events_windowed", "heavy_hitters", "lead_lag",
+    "minhash_pairs", "parse_json_get", "running_user_totals",
+    "sessionize", "sql_entry", "window_topk",
+    "ann_ivf", "image_features_stub", "bm25_search", "canonical_urls",
+    # (r10 rotation queue: bm25_many / chunk_docs / chunk_pack /
+    #  corpus_sequences / dedup_against_* / the rest of the r5 tail,
+    #  then the r3 rows-only block — split_rng, classifier_*,
+    #  llm_*_fake, umap_pca.)
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The literal dict below keeps its r7 grouping for readability; the
-    # driver-visible ORDER is _R8_WINDOW first (see its comment), then
+    # driver-visible ORDER is _R9_WINDOW first (see its comment), then
     # everything else in literal order.
     d = {
         # ---- driver 50-slot recording window (r7 rotation) ---- #
@@ -3355,8 +3355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "margin_pairs": q_margin_pairs,
         "margin_pairs_ann": q_margin_pairs_ann,
     }
-    out = {k: d[k] for k in _R8_WINDOW}
-    missing = [k for k in _R8_WINDOW if k not in d]
+    out = {k: d[k] for k in _R9_WINDOW}
+    missing = [k for k in _R9_WINDOW if k not in d]
     assert not missing, f"window names drifted: {missing}"
     for k, v in d.items():
         out.setdefault(k, v)
