@@ -189,6 +189,9 @@ HEADLINE = [
     "unicode_normalize",
     "perplexity_buckets",
     "margin_pairs",
+    # r9 surface
+    "margin_pairs_ann",
+    "stupid_backoff_fixed",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds
