@@ -2514,6 +2514,10 @@ def q_ann_recall(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN. Oracle-backed since r9: centroid sampling moved to
+    the portable md5 key and cell routing got the round-6 stable-argmin
+    shield, so the oracle replays the full index — same 16 sampled
+    centroids, same cell assignment, same 8-cell probe set."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk(emb, queries_df, "embedding", "vec_id", k=10, nprobe=8)
@@ -5742,6 +5746,43 @@ r AS (SELECT query_id, doc_id, cos,
       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC)
       AS rank FROM scored)
 SELECT query_id, doc_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10
+""",
+        # ann_ivf: the IVF-flat index replayed — centroids = 16 corpus
+        # rows by the md5 sample key, cell = round-6 stable argmin of
+        # the |v|^2 - 2v.c + |c|^2 expansion (same operation order as
+        # the GEMM), queries probe their 8 nearest cells.
+        "ann_ivf": f"""
+WITH cent AS (SELECT row_number() OVER (ORDER BY k, vec_id) - 1 AS cell, cv
+              FROM (SELECT {md5_long_sql("'ivf:7:' || vec_id::VARCHAR")} AS k,
+                           vec_id, embedding AS cv
+                    FROM embeddings ORDER BY k, vec_id LIMIT 16)),
+d AS (SELECT e.vec_id, c.cell,
+             round({_dot_sql("e.embedding", "e.embedding")}
+                   - 2 * {_dot_sql("e.embedding", "c.cv")}
+                   + {_dot_sql("c.cv", "c.cv")}, 6) AS d2
+      FROM embeddings e CROSS JOIN cent c),
+ca AS (SELECT vec_id AS doc_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cell ASC) AS rn
+        FROM d) WHERE rn = 1),
+qp AS (SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cell ASC) AS rn
+        FROM d WHERE vec_id < 10) WHERE rn <= 8),
+cand AS (SELECT DISTINCT query_id, doc_id
+         FROM qp JOIN ca USING (cell)
+         WHERE doc_id <> query_id),
+sc AS (SELECT query_id, doc_id,
+              round({_cosine_sql("d0.embedding", "q0.embedding")}, 6) AS cos
+       FROM cand JOIN embeddings d0 ON d0.vec_id = cand.doc_id
+                 JOIN embeddings q0 ON q0.vec_id = cand.query_id),
+r AS (SELECT query_id, doc_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, doc_id ASC) AS rank
+      FROM sc)
+SELECT query_id, doc_id, cos AS cosine, rank FROM r WHERE rank <= 10
 """,
         # ann_lsh: the full multiprobe multi-table LSH index replayed
         # (8 tables x 6 hyperplanes as literal arrays, bits 0-5 probed).

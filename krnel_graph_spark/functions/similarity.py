@@ -309,13 +309,18 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-flat approximate top-k.
 
-    Centroids are a deterministic sample of corpus vectors (hash-ordered) —
-    good cell routing without an index-training job; ``refine_iters`` > 0
-    additionally runs that many distributed Lloyd iterations
-    (:func:`kmeans_refine_centroids`) to rebalance cells, the standard IVF
-    training step when corpus geometry is clustered. Corpus rows assign to
-    their nearest centroid scan-side; each query probes its ``nprobe``
-    nearest cells.
+    Centroids are a deterministic sample of corpus vectors, ordered by
+    the engine-portable md5 key (``md5('{seed}:' || id)``, the same rule
+    every sampler here uses — so a SQL oracle regenerates the identical
+    centroid set) — good cell routing without an index-training job;
+    ``refine_iters`` > 0 additionally runs that many distributed Lloyd
+    iterations (:func:`kmeans_refine_centroids`) to rebalance cells, the
+    standard IVF training step when corpus geometry is clustered. Corpus
+    rows assign to their nearest centroid scan-side; each query probes
+    its ``nprobe`` nearest cells. Cell distances are rounded to 6 places
+    before the stable argmin (ties toward the lower cell index) — the
+    kcenter-style determinism shield that makes the routing immune to
+    last-ulp differences between the GEMM here and a fold elsewhere.
 
     The centroid matrix rides to executors as a Spark broadcast consumed by
     an Arrow-batched cell-assignment UDF (one BLAS GEMM per batch), so the
@@ -325,9 +330,18 @@ def ivf_topk(
     """
     from pyspark.sql.types import ArrayType, IntegerType
 
+    from .hashing import md5_long
+
     centroid_rows = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .orderBy(F.xxhash64(F.col("cid"), F.lit(seed)))
+        .orderBy(
+            md5_long(
+                F.concat(
+                    F.lit(f"ivf:{seed}:"), F.col("cid").cast("string")
+                )
+            ),
+            F.col("cid").asc(),
+        )
         .limit(n_cells)
         .collect()
     )
@@ -352,7 +366,11 @@ def ivf_topk(
                 - 2.0 * (v @ cm.T)
                 + (cm * cm).sum(axis=1)[None, :]
             )
-            idx = np.argsort(d2, axis=1, kind="stable")[:, :n]
+            # Round-6 shield: the SQL twin computes the same formula as
+            # a fold; rounding before the stable argsort makes the cell
+            # ranking identical unless a distance sits exactly on a
+            # 5e-7 boundary.
+            idx = np.argsort(np.round(d2, 6), axis=1, kind="stable")[:, :n]
             return pd.Series(list(idx.astype("int32")))
 
         return assign
