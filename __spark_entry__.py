@@ -1984,6 +1984,30 @@ def q_perplexity_buckets(spark, sf_dir):
     )
 
 
+def q_perplexity_buckets_fixed(spark, sf_dir):
+    """The CCNet shape as it runs in production: per-language NLL bands
+    computed against a FROZEN Stupid Backoff LM (trained once on the
+    fixed every-5th-doc corpus) instead of self-scoring — the flat
+    scale axis; the banding stage is identical to perplexity_buckets."""
+    from krnel_graph_spark.functions.text import (
+        quality_buckets,
+        stupid_backoff_score,
+        stupid_backoff_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lm = stupid_backoff_train(docs.filter(F.col("doc_id") % 5 == 0), "text")
+    scored = stupid_backoff_score(lm, docs, "text", "doc_id")
+    n = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.round(-(F.col("logprob_sum") / F.col("n_tokens")), 6).alias("nll"),
+    )
+    return quality_buckets(n, "nll", "lang").select(
+        "doc_id", "lang", "nll", "bucket"
+    )
+
+
 def q_unicode_normalize(spark, sf_dir):
     """Unicode NFKC + quote/dash/zero-width/control cleanup — the first
     stage of a crawl pipeline, one Arrow stage, zero shuffle. Rows-only
@@ -3356,6 +3380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_drift": q_schema_drift,
         "unicode_normalize": q_unicode_normalize,
         "perplexity_buckets": q_perplexity_buckets,
+        "perplexity_buckets_fixed": q_perplexity_buckets_fixed,
         "margin_pairs": q_margin_pairs,
         "margin_pairs_ann": q_margin_pairs_ann,
     }
@@ -5232,6 +5257,22 @@ FROM (SELECT doc_id, lang, n_chars,
         # percent_rank bands (identical band SQL to quality_buckets).
         "perplexity_buckets": f"""
 WITH sb AS ({stupid_backoff_sql}),
+n AS (SELECT sb.doc_id, d.lang,
+             round(-(sb.logprob_sum / sb.n_tokens), 6) AS nll
+      FROM sb JOIN documents d ON d.doc_id = sb.doc_id),
+r AS (SELECT doc_id, lang, nll,
+             percent_rank() OVER (PARTITION BY lang ORDER BY nll ASC) AS pr
+      FROM n)
+SELECT doc_id, lang, nll,
+       CASE WHEN pr < 1.0/3.0 THEN 'head'
+            WHEN pr < 2.0/3.0 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM r
+""",
+        # perplexity_buckets_fixed: the same banding over the frozen-LM
+        # score (train side = every 5th doc).
+        "perplexity_buckets_fixed": f"""
+WITH sb AS ({sb_sql("doc_id % 5 = 0")}),
 n AS (SELECT sb.doc_id, d.lang,
              round(-(sb.logprob_sum / sb.n_tokens), 6) AS nll
       FROM sb JOIN documents d ON d.doc_id = sb.doc_id),
