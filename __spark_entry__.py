@@ -2183,6 +2183,17 @@ def q_dup_windows(spark, sf_dir):
     return out.select("doc_id", "n_windows", "dup_windows")
 
 
+def q_remove_dup_windows(spark, sf_dir):
+    """Substring-dedup SURGERY (Lee et al. 2022): every 8-token window
+    repeated corpus-wide keeps one canonical occurrence (min (id,
+    start)); all other occurrences' tokens are excised and the docs
+    reassembled. The detection twin is dup_windows; this is the
+    operator that actually shrinks the corpus."""
+    return dedup.remove_duplicated_windows(
+        _docs(spark, sf_dir), "text", "doc_id", width=8, stride=4
+    )
+
+
 def q_ntile_quartiles(spark, sf_dir):
     """ntile window: per-customer spend quartile within their nation-key
     group. Unique-key tiebreak (c_custkey) keeps the tiling deterministic
@@ -3313,6 +3324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_pack": q_chunk_pack,
         "corpus_sequences": q_corpus_sequences,
         "dup_windows": q_dup_windows,
+        "remove_dup_windows": q_remove_dup_windows,
         "mix_corpus": q_mix_corpus,
         "canonical_urls": q_canonical_urls,
         "snapshot_diff": q_snapshot_diff,
@@ -3912,6 +3924,42 @@ SELECT doc_id,
        sum(CASE WHEN tot > 1 THEN k ELSE 0 END)::BIGINT AS dup_windows
 FROM p JOIN c USING (wh)
 GROUP BY doc_id
+"""
+
+    # remove_dup_windows: the same tiling, canonical occurrence = first
+    # (doc_id, start) per hash; excess occurrences become removal spans
+    # and tokens are kept iff no span covers them (DuckDB comprehension
+    # index i is 1-based: span [s, s+8) in 0-based token space is
+    # i > s AND i <= s + 8).
+    remove_dup_windows_sql = f"""
+WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents
+           WHERE {_NORM.format(c="text")} != ''),
+b AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+w AS (SELECT doc_id, n, toks,
+        CASE WHEN n <= 8 THEN [0]
+             ELSE [s * 4 for s in range(0, ((n - 8) // 4) + 1)] END AS starts
+      FROM b),
+occ AS (SELECT doc_id, unnest(starts) AS st, toks FROM w),
+o2 AS (SELECT doc_id, st,
+              md5(array_to_string(toks[st + 1 : st + 8], ' ')) AS wh
+       FROM occ),
+mark AS (SELECT doc_id, st, wh,
+               row_number() OVER (PARTITION BY wh
+                                  ORDER BY doc_id, st) AS rn,
+               count(*) OVER (PARTITION BY wh) AS tot
+         FROM o2),
+sp AS (SELECT doc_id, list(st) AS spans FROM mark
+       WHERE tot > 1 AND rn > 1 GROUP BY doc_id),
+j AS (SELECT b.doc_id, b.toks, b.n,
+             coalesce(sp.spans, CAST([] AS BIGINT[])) AS spans
+      FROM b LEFT JOIN sp USING (doc_id)),
+k AS (SELECT doc_id, n,
+        [toks[i] for i in range(1, n + 1)
+         if len(list_filter(spans, s -> i > s AND i <= s + 8)) = 0] AS kept
+      FROM j)
+SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS clean_text,
+       n::BIGINT AS n_tokens, len(kept)::BIGINT AS n_kept
+FROM k
 """
 
     repetition_stats_sql = f"""
@@ -4780,6 +4828,7 @@ SELECT term, tf, df FROM g ORDER BY tf DESC, term ASC LIMIT 100
 """,
         "decontaminate": decontaminate_sql,
         "dup_windows": dup_windows_sql,
+        "remove_dup_windows": remove_dup_windows_sql,
         # histogram_fixed(0, 110000, 22): width exactly 5000.0; identical
         # IEEE bin expression and edge arithmetic both sides.
         "histogram_price": """

@@ -192,6 +192,7 @@ HEADLINE = [
     # r9 surface
     "margin_pairs_ann",
     "stupid_backoff_fixed",
+    "remove_dup_windows",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

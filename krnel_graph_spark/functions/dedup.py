@@ -949,6 +949,103 @@ def duplicate_window_stats(
     )
 
 
+def remove_duplicated_windows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    width: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """The surgery companion to :func:`duplicate_window_stats` — the
+    Lee et al. 2022 treatment: instead of merely SCORING repeated
+    passages, excise them. Every fixed-width token window that occurs
+    more than once corpus-wide keeps exactly ONE canonical occurrence
+    (lexicographic min ``(id, start)``); the tokens of every other
+    occurrence are removed and each document's text is reassembled
+    from the surviving tokens. Boilerplate paragraphs pasted into
+    thousands of pages survive once, in the lowest-id page; a short
+    document wholly duplicated elsewhere (its single whole-doc window
+    non-canonical) comes back empty.
+
+    Returns ``(id_col, clean_text, n_tokens, n_kept)`` — one row per
+    non-blank document; ``clean_text`` is rebuilt from the NORMALIZED
+    token stream (lowercased, whitespace-collapsed — the same
+    canonical form every dedup here hashes), so it is a training-data
+    cleaning output, not a display-faithful rewrite.
+
+    Scale shape (100 TB): windows are generated scan-side (tokenize
+    once per row, ``posexplode``, ``slice``/``md5`` — no UDF), the
+    occurrence shuffle carries 32-char digests + two longs, canonical
+    selection is a ``min(struct(id, start))`` partial aggregate, and
+    the removal-span frame (one row per EXCESS occurrence — dup volume,
+    not corpus volume) groups to a per-doc span array that joins back
+    against a second text scan. Token filtering is a codegen'd
+    higher-order ``filter``/``exists`` over the bounded span array —
+    no token-level shuffle ever happens.
+    """
+    if width <= 0 or stride <= 0:
+        raise ValueError("width and stride must be positive")
+    from .text import normalize_text, whitespace_tokens
+
+    toks = whitespace_tokens(F.col(text_col))
+    base = (
+        ensure_min_partitions(df)
+        .filter(normalize_text(F.col(text_col)) != "")
+        .select(F.col(id_col), toks.alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+    )
+    # Same tiling as duplicate_window_stats: full-width starts every
+    # `stride`, plus one whole-doc window for docs shorter than `width`.
+    n_wins = F.when(F.col("__n") <= width, F.lit(1)).otherwise(
+        F.expr(f"(__n - {width}) div {stride} + 1")
+    )
+    occ = base.select(
+        F.col(id_col),
+        F.posexplode(F.sequence(F.lit(0), n_wins - 1)).alias("__w", "__s"),
+        F.col("__toks"),
+    ).select(
+        F.col(id_col),
+        (F.col("__w") * stride).alias("__start"),
+        F.md5(
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__w") * stride + 1, width),
+                " ",
+            )
+        ).alias("__wh"),
+    )
+    canon = occ.groupBy("__wh").agg(
+        F.count(F.lit(1)).alias("__tot"),
+        F.min(F.struct(F.col(id_col), F.col("__start"))).alias("__c"),
+    )
+    spans = (
+        occ.join(canon.filter(F.col("__tot") > 1), "__wh")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"__c.{id_col}"))
+                & (F.col("__start") == F.col("__c.__start"))
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__start").alias("__spans"))
+    )
+    joined = base.join(spans, id_col, "left").withColumn(
+        "__spans", F.coalesce(F.col("__spans"), F.array().cast("array<long>"))
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda _t, i: ~F.exists(
+            F.col("__spans"),
+            lambda s: (s <= i) & (i < s + F.lit(width)),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.col("__n").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str,

@@ -794,3 +794,89 @@ def test_schema_drift_approx_mode(spark):
     plan_exact = schema_drift(old, docs)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Expand" in plan_exact
+
+
+# --------------------------------------------------------------------- #
+# remove_duplicated_windows (r9)
+# --------------------------------------------------------------------- #
+
+
+def test_remove_dup_windows_excises_non_canonical(spark):
+    from krnel_graph_spark.functions.dedup import remove_duplicated_windows
+
+    w = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = spark.createDataFrame(
+        [
+            (0, w + " tail1 tail2 tail3 tail4"),
+            # the same 8-token passage, window-aligned at start 4
+            (1, "p1 p2 p3 p4 " + w),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_windows(
+            docs, "text", "doc_id", width=8, stride=4
+        ).collect()
+    }
+    # doc 0 holds the canonical occurrence (min (id, start)) -> intact
+    assert out[0]["clean_text"] == w + " tail1 tail2 tail3 tail4"
+    assert out[0]["n_kept"] == out[0]["n_tokens"] == 12
+    # doc 1 loses exactly the duplicated window's tokens
+    assert out[1]["clean_text"] == "p1 p2 p3 p4"
+    assert out[1]["n_tokens"] == 12 and out[1]["n_kept"] == 4
+
+
+def test_remove_dup_windows_short_doc_fully_duplicated(spark):
+    from krnel_graph_spark.functions.dedup import remove_duplicated_windows
+
+    docs = spark.createDataFrame(
+        [(0, "hello dup world"), (1, "hello dup world"), (2, "unique text")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_windows(
+            docs, "text", "doc_id", width=8, stride=4
+        ).collect()
+    }
+    assert out[0]["clean_text"] == "hello dup world"  # canonical copy
+    assert out[1]["clean_text"] == "" and out[1]["n_kept"] == 0
+    assert out[2]["clean_text"] == "unique text"
+
+
+def test_remove_dup_windows_within_doc_repetition(spark):
+    from krnel_graph_spark.functions.dedup import remove_duplicated_windows
+
+    w = "r1 r2 r3 r4 r5 r6 r7 r8"
+    docs = spark.createDataFrame(
+        [(0, w + " " + w)], "doc_id long, text string"
+    )
+    row = remove_duplicated_windows(
+        docs, "text", "doc_id", width=8, stride=4
+    ).collect()[0]
+    # the second occurrence (start 8) is excised; the first survives
+    assert row["clean_text"] == w
+    assert row["n_tokens"] == 16 and row["n_kept"] == 8
+
+
+def test_remove_dup_windows_matches_stats_totals(spark):
+    from krnel_graph_spark.functions.dedup import (
+        duplicate_window_stats,
+        remove_duplicated_windows,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    stats = duplicate_window_stats(docs, "text", "doc_id")
+    surg = remove_duplicated_windows(docs, "text", "doc_id")
+    # every doc the stats op flags with dup windows must lose tokens
+    # (or hold only canonical occurrences); docs with zero dup windows
+    # must come back intact
+    s = {r["doc_id"]: r for r in stats.collect()}
+    g = {r["doc_id"]: r for r in surg.collect()}
+    assert set(s) == set(g)
+    for d, row in g.items():
+        if s[d]["dup_windows"] == 0:
+            assert row["n_kept"] == row["n_tokens"], d

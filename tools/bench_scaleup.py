@@ -105,6 +105,9 @@ QUERIES = [
     "centroid_filter",
     "hash_embedding",
     "dedup_report",
+    # r9: substring-dedup surgery over the x40 perturbed corpus (same
+    # growth axis as dup_windows/dedup_report — window digests).
+    "remove_dup_windows",
     "random_projection",
     "export_manifest",
     "schema_drift",
