@@ -3176,11 +3176,14 @@ _R9_WINDOW = [
     "embedding_dups", "events_windowed", "heavy_hitters", "lead_lag",
     "minhash_pairs", "parse_json_get", "running_user_totals",
     "sessionize", "sql_entry", "window_topk",
-    "ann_ivf", "image_features_stub", "bm25_search", "canonical_urls",
-    # (r10 rotation queue: bm25_many / chunk_docs / chunk_pack /
-    #  corpus_sequences / dedup_against_* / the rest of the r5 tail,
-    #  then the r3 rows-only block — split_rng, classifier_*,
-    #  llm_*_fake, umap_pca.)
+    "ann_ivf", "image_features_stub",
+    # late-r9 additions (zero evidence anywhere — outrank refreshing
+    # r5-evidence rows)
+    "remove_dup_windows", "perplexity_buckets_fixed",
+    # (r10 rotation queue: bm25_search / canonical_urls / bm25_many /
+    #  chunk_docs / chunk_pack / corpus_sequences / dedup_against_* /
+    #  the rest of the r5 tail, then the r3 rows-only block —
+    #  split_rng, classifier_*, llm_*_fake, umap_pca.)
 ]
 
 
