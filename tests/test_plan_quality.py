@@ -507,3 +507,39 @@ def test_margin_pairs_broadcast_queries_one_window(spark, entry):
     # top-2 instead of a full per-query sort — exactly the k-NN shape
     assert "WindowGroupLimit" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_margin_pairs_ann_rides_shortlist(spark, entry):
+    """The candidates path must NOT plan the brute all-pairs join: the
+    LSH shortlist's bucket-collision join feeds the same one-window
+    top-2 pivot (WindowGroupLimit), with Arrow-batched signatures only."""
+    plan = _plan(spark, entry, "margin_pairs_ann")
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan
+    # LSH signatures are Arrow-batched (one eval per side), never row-Python
+    assert plan.count("ArrowEvalPython") <= 2
+
+
+def test_stupid_backoff_fixed_filters_train_side_only(spark, entry):
+    """Frozen-LM scoring: the train predicate reaches the gram-table
+    scans as a pushed filter while the scored-position side scans the
+    full corpus — and the whole pipeline stays digest-join-shaped (no
+    window, no Python)."""
+    plan = _plan(spark, entry, "stupid_backoff_fixed")
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # at least one scan carries the doc_id % 5 train filter, pushed
+    assert re.search(r"PushedFilters: \[[^\]]*\]", plan)
+    assert "% 5" in plan
+
+
+def test_remove_dup_windows_no_token_shuffle(spark, entry):
+    """Substring-dedup surgery: windows generate scan-side, the only
+    shuffles carry digests/ids/span-arrays, token filtering is a
+    codegen'd HOF — no Python anywhere, no Cartesian join."""
+    plan = _plan(spark, entry, "remove_dup_windows")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # canonical pick + span grouping + rejoin: bounded exchange count
+    assert _exchanges(plan) <= 6, _exchanges(plan)
