@@ -319,3 +319,76 @@ def test_y4m_roundtrip_property(n, h, w, seed):
     frames = rng.randint(0, 256, size=(n, h, w)).astype(np.uint8)
     fps, out = decode_y4m(encode_y4m(frames, fps=(30000, 1001)))
     assert fps == (30000, 1001) and np.array_equal(out, frames)
+
+
+# A tiny vocabulary makes window collisions common, so every run
+# exercises canonical-keep + excision, not just the no-dup path.
+_corpus = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=14
+    ).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@_spark_settings
+@given(texts=_corpus)
+def test_remove_dup_windows_invariants(spark, texts):
+    """Against a pure-Python oracle: same tiling, same canonical rule,
+    same span coverage — plus the structural invariants (kept <= total,
+    canonical windows survive, unique docs untouched)."""
+    import hashlib
+
+    from krnel_graph_spark.functions.dedup import remove_duplicated_windows
+
+    width, stride = 4, 2
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in remove_duplicated_windows(
+            df, "text", "doc_id", width=width, stride=stride
+        ).collect()
+    }
+
+    toks = {
+        i: " ".join(t.split()).split(" ") if t.strip() else []
+        for i, t in docs
+    }
+    occ = []  # (hash, doc, start)
+    for i, tk in toks.items():
+        if not tk:
+            continue
+        n = len(tk)
+        starts = [0] if n <= width else [
+            s * stride for s in range((n - width) // stride + 1)
+        ]
+        for s in starts:
+            h = hashlib.md5(
+                " ".join(tk[s : s + width]).encode()
+            ).hexdigest()
+            occ.append((h, i, s))
+    from collections import Counter, defaultdict
+
+    tot = Counter(h for h, _, _ in occ)
+    canon = {}
+    for h, d, s in sorted(occ, key=lambda x: (x[0], x[1], x[2])):
+        canon.setdefault(h, (d, s))
+    spans = defaultdict(list)
+    for h, d, s in occ:
+        if tot[h] > 1 and canon[h] != (d, s):
+            spans[d].append(s)
+    for i, tk in toks.items():
+        if not tk:
+            assert i not in got
+            continue
+        kept = [
+            t
+            for j, t in enumerate(tk)
+            if not any(s <= j < s + width for s in spans[i])
+        ]
+        assert got[i]["n_tokens"] == len(tk), i
+        assert got[i]["n_kept"] == len(kept), i
+        assert got[i]["clean_text"] == " ".join(kept), i
+        assert got[i]["n_kept"] <= got[i]["n_tokens"]
