@@ -1,7 +1,9 @@
 """Recall of the approximate ANN paths vs the exact brute-force baseline.
 
-ann_lsh / ann_ivf have no SQL oracle by design (bucketing is engine-
-internal); these tests are their guardrail. Two layers:
+Since r9 ann_lsh and ann_ivf ARE oracle-backed (deterministic plane /
+centroid parameters replay as SQL literals); these tests remain the
+mechanism guardrail — recall quality is not something a replayed oracle
+can judge. Two layers:
 
 * mechanism tests on *clustered* vectors (the workload ANN indexes are
   for): near-neighbors are genuinely close, so bucketing must recover
@@ -288,3 +290,24 @@ def test_contrastive_triplets_small_corpus_contract(spark):
         emb, emb, "embedding", "vec_id", neg_skip=4, n_negatives=3
     )
     assert out.count() == 0
+
+
+def test_ivf_partitioning_invariant(emb):
+    """The r9 portable sampling + round-6 routing shield must make
+    ivf_topk's full output independent of input partitioning (the
+    property the SQL oracle relies on)."""
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    a = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["cosine"])
+        for r in similarity.ivf_topk(
+            emb, queries, "embedding", "vec_id", k=K, nprobe=8
+        ).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["cosine"])
+        for r in similarity.ivf_topk(
+            emb.repartition(13), queries.repartition(3),
+            "embedding", "vec_id", k=K, nprobe=8,
+        ).collect()
+    )
+    assert a == b
