@@ -2010,9 +2010,11 @@ def q_perplexity_buckets_fixed(spark, sf_dir):
 
 def q_unicode_normalize(spark, sf_dir):
     """Unicode NFKC + quote/dash/zero-width/control cleanup — the first
-    stage of a crawl pipeline, one Arrow stage, zero shuffle. Rows-only
-    (no SQL NFKC); pytest differential pins values against stdlib
-    unicodedata."""
+    stage of a crawl pipeline, one Arrow stage, zero shuffle. Oracle-
+    backed since r9: the translate/zero-width/C0 stages replay exactly
+    in SQL and NFKC is the identity on the (pure-ASCII, test-pinned)
+    gate corpus; the stdlib-differential pytest still pins the NFKC
+    path on non-ASCII inputs."""
     from krnel_graph_spark.functions.text import unicode_normalize
 
     docs = _docs(spark, sf_dir)
@@ -3176,14 +3178,16 @@ _R9_WINDOW = [
     "embedding_dups", "events_windowed", "heavy_hitters", "lead_lag",
     "minhash_pairs", "parse_json_get", "running_user_totals",
     "sessionize", "sql_entry", "window_topk",
-    "ann_ivf", "image_features_stub",
+    "ann_ivf", "unicode_normalize",
     # late-r9 additions (zero evidence anywhere — outrank refreshing
-    # r5-evidence rows)
+    # r5-evidence rows); unicode_normalize re-records hash-graded (its
+    # only driver row, r8, predates the r9 oracle)
     "remove_dup_windows", "perplexity_buckets_fixed",
     # (r10 rotation queue: bm25_search / canonical_urls / bm25_many /
     #  chunk_docs / chunk_pack / corpus_sequences / dedup_against_* /
     #  the rest of the r5 tail, then the r3 rows-only block —
-    #  split_rng, classifier_*, llm_*_fake, umap_pca.)
+    #  split_rng, classifier_*, llm_*_fake, umap_pca,
+    #  image_features_stub.)
 ]
 
 
@@ -5960,6 +5964,30 @@ SELECT doc_id, lang, {lang_case} AS pred_lang FROM m
         "multimodal_meta": """
 SELECT doc_id, octet_length(encode(text)) AS byte_len, sha256(text) AS sha256
 FROM documents
+""",
+        # unicode_normalize: the translate/zero-width/C0 stages replay
+        # exactly in SQL; the NFKC stage is the identity on this corpus
+        # (documents is pure ASCII — precondition pinned by
+        # test_unicode_normalize_oracle_precondition_ascii), so the
+        # chain below is the whole transform. chr() codepoints: curly
+        # quotes 8216/8217/8220/8221 -> ASCII, dashes 8211/8212/8722,
+        # NBSP 160 -> space; regex class drops ZWSP/ZWNJ/ZWJ/BOM and C0
+        # controls except \t \n.
+        "unicode_normalize": r"""
+WITH c AS (
+  SELECT doc_id, coalesce(text, '') AS orig,
+         regexp_replace(
+           replace(replace(replace(replace(replace(replace(replace(replace(
+             coalesce(text, ''),
+             chr(8216), ''''), chr(8217), ''''),
+             chr(8220), '"'), chr(8221), '"'),
+             chr(8211), '-'), chr(8212), '-'), chr(8722), '-'),
+             chr(160), ' '),
+           '[\x00-\x08\x0b\x0c\x0e-\x1f\x{200b}\x{200c}\x{200d}\x{feff}]',
+           '', 'g') AS text
+  FROM documents
+)
+SELECT doc_id, text, CAST(orig != text AS INT) AS n_changed FROM c
 """,
         # Greedy windowFunnel semantics as a K-join chain: t_k is the
         # earliest event of step k strictly after t_{k-1} and within the

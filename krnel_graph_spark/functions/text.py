@@ -1831,9 +1831,11 @@ def unicode_normalize(
     audit counter is one groupBy away.
 
     Arrow-batched ``mapInPandas`` over only (id, text): stdlib C-speed
-    per row, embarrassingly parallel, no shuffle. Rows-only in the gate
-    (no SQL NFKC exists); a pytest differential pins the values against
-    direct ``unicodedata``.
+    per row, embarrassingly parallel, no shuffle. Oracle-backed in the
+    gate: the non-NFKC stages replay exactly in SQL, and NFKC is the
+    identity on the pure-ASCII gate corpus (precondition pinned by
+    test); a pytest differential additionally pins the NFKC path
+    against direct ``unicodedata`` on non-ASCII inputs.
     """
     import unicodedata
 

@@ -633,6 +633,27 @@ def test_unicode_normalize_idempotent(spark):
     assert again["text"] == once and again["n_changed"] == 0
 
 
+def test_unicode_normalize_oracle_precondition_ascii():
+    """The r9 unicode_normalize oracle replays only the non-NFKC stages
+    in SQL; its correctness on the gate corpus rests on NFKC being the
+    identity there — i.e. documents.text is pure ASCII. Pin that
+    precondition so a future testdata regen that introduces non-ASCII
+    text fails loudly here instead of silently hash-mismatching."""
+    import glob
+    import duckdb
+
+    paths = sorted(glob.glob("/root/testdata/sf*/documents.parquet"))
+    assert paths, "testdata missing"
+    con = duckdb.connect()
+    for p in paths:
+        n = con.execute(
+            "SELECT count(*) FROM read_parquet(?) "
+            r"WHERE NOT regexp_matches(coalesce(text,''), '^[\x00-\x7f]*$')",
+            [p],
+        ).fetchone()[0]
+        assert n == 0, f"non-ASCII text in {p}: {n} rows"
+
+
 # --------------------------------------------------------------------- #
 # margin_pairs
 # --------------------------------------------------------------------- #
