@@ -2503,6 +2503,18 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_containment(spark, sf_dir):
+    """Asymmetric shingle containment — doc-in-doc / quote / boilerplate
+    detection that symmetric Jaccard structurally misses (short doc
+    embedded in long one: Jaccard → 0, containment = 1). Exact
+    inverted-index path here; the candidates= banded path (pair-bounded
+    verify over minhash_lsh_pairs output) is the 100-TB route, pinned
+    by pytest equality against this exact path."""
+    return dedup.containment_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.8
+    )
+
+
 def q_embedding_dups(spark, sf_dir):
     return dedup.embedding_cosine_pairs_blocked(
         _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.35
@@ -3177,7 +3189,7 @@ _R9_WINDOW = [
     "ann_topk", "asof_join", "broadcast_join_region", "dedup_drop_near",
     "embedding_dups", "events_windowed", "heavy_hitters", "lead_lag",
     "minhash_pairs", "parse_json_get", "running_user_totals",
-    "sessionize", "sql_entry", "window_topk",
+    "sessionize", "sql_entry", "containment",
     "ann_ivf", "unicode_normalize",
     # late-r9 additions (zero evidence anywhere — outrank refreshing
     # r5-evidence rows); unicode_normalize re-records hash-graded (its
@@ -3187,7 +3199,7 @@ _R9_WINDOW = [
     #  chunk_docs / chunk_pack / corpus_sequences / dedup_against_* /
     #  the rest of the r5 tail, then the r3 rows-only block —
     #  split_rng, classifier_*, llm_*_fake, umap_pca,
-    #  image_features_stub.)
+    #  image_features_stub, window_topk.)
 ]
 
 
@@ -3357,6 +3369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_topk": q_sort_topk,
         "distinct_flags": q_distinct,
         "ngram_jaccard": q_ngram_jaccard,
+        "containment": q_containment,
         "scan_parquet": q_scan,
         "select_column": q_select_column,
         "take_rows": q_take_rows,
@@ -3711,6 +3724,10 @@ def oracle_sql() -> dict[str, str]:
     jaccard = (
         "len(list_intersect(a.shd, b.shd))::DOUBLE / "
         "len(list_distinct(list_concat(a.shd, b.shd)))::DOUBLE"
+    )
+    containment = (
+        "len(list_intersect(a.shd, b.shd))::DOUBLE / "
+        "least(len(a.shd), len(b.shd))::DOUBLE"
     )
 
     band_sql = (
@@ -5828,6 +5845,14 @@ d AS (SELECT doc_id, shd FROM h WHERE len(shd) > 0)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round({jaccard}, 6) AS jaccard
 FROM d a JOIN d b ON a.doc_id < b.doc_id
 WHERE {jaccard} >= 0.4
+""",
+        "containment": f"""
+{shingle_cte},
+d AS (SELECT doc_id, shd FROM h WHERE len(shd) > 0)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round({containment}, 6) AS containment
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE {containment} >= 0.8
 """,
         "embedding_dups": f"""
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, round({cos_ab}, 6) AS cosine

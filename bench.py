@@ -192,6 +192,7 @@ HEADLINE = [
     # r9 surface
     "margin_pairs_ann",
     "stupid_backoff_fixed",
+    "containment",
     "remove_dup_windows",
 ]
 

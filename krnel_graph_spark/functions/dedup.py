@@ -384,6 +384,94 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram **containment**: ``C = |sh(A) ∩ sh(B)| /
+    min(|sh(A)|, |sh(B)|)`` — 1.0 when the smaller document's shingle
+    set is a subset of the larger's. Catches doc-in-doc duplication
+    (a quoted article inside a wrapper page, boilerplate inclusion,
+    partial copies) that symmetric Jaccard structurally misses: a short
+    doc fully embedded in a long one has Jaccard ≈ |A|/|B| → 0 but
+    containment exactly 1.
+
+    Same inverted-index co-occurrence scaffold as
+    :func:`ngram_jaccard_pairs` — only ``(doc, shingle)`` tuples and
+    counts move through shuffles, never shingle arrays. Deliberately NO
+    length-ratio prune: the tiny-doc-in-huge-doc case Jaccard's prune
+    discards is exactly the target here, so the exact path is the
+    all-shared-shingle-pairs baseline. The 100-TB path is
+    ``candidates=``: pass a banded candidate frame ``(doc_a, doc_b)``
+    (e.g. :func:`minhash_lsh_pairs` at a low threshold, whose banding
+    recalls high-containment pairs sharing any band) and the verify
+    join touches only candidate rows — pair-bounded, never all-pairs.
+
+    Returns ``(doc_a, doc_b, containment)`` with ``doc_a < doc_b`` and
+    containment rounded to 6.
+    """
+    base = ensure_min_partitions(df).select(
+        F.col(id_col).alias("doc"),
+        shingle_set_udf(shingle_k)(F.col(text_col)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    inverted = base.select(
+        "doc", F.size("sh").alias("n"), F.explode("sh").alias("shingle")
+    )
+    if candidates is None:
+        l, r = inverted.alias("l"), inverted.alias("r")
+        inter = (
+            l.join(
+                r,
+                (F.col("l.shingle") == F.col("r.shingle"))
+                & (F.col("l.doc") < F.col("r.doc")),
+            )
+            .groupBy(
+                F.col("l.doc").alias("doc_a"),
+                F.col("r.doc").alias("doc_b"),
+                F.col("l.n").alias("n_a"),
+                F.col("r.n").alias("n_b"),
+            )
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        cand = (
+            candidates.select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+            )
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .distinct()
+        )
+        l = inverted.select(
+            F.col("doc").alias("doc_a"),
+            F.col("n").alias("n_a"),
+            "shingle",
+        )
+        r = inverted.select(
+            F.col("doc").alias("doc_b"),
+            F.col("n").alias("n_b"),
+            "shingle",
+        )
+        inter = (
+            cand.join(l, "doc_a")
+            .join(r, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b", "n_a", "n_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    cont = F.col("inter").cast("double") / F.least(
+        F.col("n_a"), F.col("n_b")
+    ).cast("double")
+    return (
+        inter.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", F.round("containment", 6).alias("containment"))
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     vec_col: str,
