@@ -414,14 +414,14 @@ def containment_pairs(
     Returns ``(doc_a, doc_b, containment)`` with ``doc_a < doc_b`` and
     containment rounded to 6.
     """
-    base = ensure_min_partitions(df).select(
-        F.col(id_col).alias("doc"),
-        shingle_set_udf(shingle_k)(F.col(text_col)).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    inverted = base.select(
-        "doc", F.size("sh").alias("n"), F.explode("sh").alias("shingle")
-    )
     if candidates is None:
+        base = ensure_min_partitions(df).select(
+            F.col(id_col).alias("doc"),
+            shingle_set_udf(shingle_k)(F.col(text_col)).alias("sh"),
+        ).filter(F.size("sh") > 0)
+        inverted = base.select(
+            "doc", F.size("sh").alias("n"), F.explode("sh").alias("shingle")
+        )
         l, r = inverted.alias("l"), inverted.alias("r")
         inter = (
             l.join(
@@ -437,37 +437,64 @@ def containment_pairs(
             )
             .agg(F.count("*").alias("inter"))
         )
-    else:
-        cand = (
-            candidates.select(
-                F.least("doc_a", "doc_b").alias("doc_a"),
-                F.greatest("doc_a", "doc_b").alias("doc_b"),
+        cont = F.col("inter").cast("double") / F.least(
+            F.col("n_a"), F.col("n_b")
+        ).cast("double")
+        return (
+            inter.withColumn("containment", cont)
+            .filter(F.col("containment") >= threshold)
+            .select(
+                "doc_a", "doc_b", F.round("containment", 6).alias("containment")
             )
-            .filter(F.col("doc_a") != F.col("doc_b"))
-            .distinct()
         )
-        l = inverted.select(
-            F.col("doc").alias("doc_a"),
-            F.col("n").alias("n_a"),
-            "shingle",
+    # Pair-bounded verify (the 100-TB route), same idiom as the
+    # minhash_lsh_pairs verify stage: semi-join the corpus down to docs
+    # appearing in some candidate pair BEFORE the shingle UDF, persist
+    # the (small, pair-bounded) shingle-set table so its two consumers
+    # re-shingle once, then intersect arrays per candidate row — shingle
+    # arrays ride only |pairs| join rows, never a corpus-wide shuffle.
+    cand = (
+        candidates.select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
         )
-        r = inverted.select(
-            F.col("doc").alias("doc_b"),
-            F.col("n").alias("n_b"),
-            "shingle",
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .union(cand.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    shingle_sets = (
+        df.alias("src")
+        .join(
+            cand_ids.alias("c"),
+            F.col(f"src.{id_col}") == F.col("c.doc"),
+            "left_semi",
         )
-        inter = (
-            cand.join(l, "doc_a")
-            .join(r, ["doc_b", "shingle"])
-            .groupBy("doc_a", "doc_b", "n_a", "n_b")
-            .agg(F.count("*").alias("inter"))
+        .select(
+            F.col(id_col).alias("doc"),
+            shingle_set_udf(shingle_k)(F.col(text_col)).alias("sh"),
         )
-    cont = F.col("inter").cast("double") / F.least(
-        F.col("n_a"), F.col("n_b")
+        .filter(F.size("sh") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    verified = cand.join(
+        shingle_sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")),
+        "doc_a",
+    ).join(
+        shingle_sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")),
+        "doc_b",
+    )
+    cont = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.least(
+        F.size("sh_a"), F.size("sh_b")
     ).cast("double")
     return (
-        inter.withColumn("containment", cont)
-        .filter(F.col("containment") >= threshold)
+        verified.withColumn("containment", cont)
+        # parity with the exact path, which can only ever emit pairs
+        # sharing >= 1 shingle: a zero-overlap candidate is not a pair
+        .filter((F.col("containment") >= threshold) & (F.col("containment") > 0))
         .select("doc_a", "doc_b", F.round("containment", 6).alias("containment"))
     )
 

@@ -237,9 +237,27 @@ def _extra_queries():
         )
         return stupid_backoff_score(lm, docs, "text", "doc_id")
 
+    def containment_x40(s):
+        # containment on its documented scale path: banded minhash
+        # candidates (never all-pairs) feed the pair-bounded exact
+        # containment verify. The x40 copies are word-tag perturbed, so
+        # cross-copy candidates are rare and the pair graph grows ~40x
+        # with the within-copy clone cliques — the linear axis. The gate
+        # query's exact inverted-index path is the sf0.1 baseline.
+        from krnel_graph_spark.functions import dedup as dd
+
+        docs = s.read.parquet(f"{OUT}/documents.parquet")
+        cands = dd.minhash_lsh_pairs(
+            docs, "text", "doc_id", jaccard_threshold=0.5
+        ).select("doc_a", "doc_b")
+        return dd.containment_pairs(
+            docs, "text", "doc_id", threshold=0.8, candidates=cands
+        )
+
     return {
         "ngram_coverage_x40": ngram_coverage_x40,
         "margin_pairs_ann_x20": margin_ann_x20,
+        "containment_x40": containment_x40,
         "stupid_backoff_fixed_x40": sb_fixed_x40,
         "label_propagation_x20": lambda s: gr.label_propagation(
             hub_graph(s, 20), n_iter=5
@@ -373,7 +391,7 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
         spark.catalog.clearCache()
-        if name.startswith(("image_dups", "video_dups")):
+        if name.startswith(("image_dups", "video_dups", "containment")):
             counts[name] = df.count()
         print(
             f"  {name}: {timings[name]}s"
