@@ -1665,6 +1665,32 @@ def q_temperature_mixture(spark, sf_dir):
     )
 
 
+# data_budget mixture: src0..src19 weighted 1..20 / 210 (sums to 1);
+# SHARED by the gate query and the oracle so the double literals match
+# bit-for-bit in both engines.
+_DB_WEIGHTS = {f"src{i}": (i + 1) / 210.0 for i in range(20)}
+_DB_BUDGET = 10_000_000
+
+
+def q_data_budget(spark, sf_dir):
+    """Token-budget epoch planner (Muennighoff-style repeat table): per
+    source, available docs/tokens vs the mixture's target tokens at a
+    10M budget, the resulting repeat factor, and the >4-epoch alarm.
+    One partial-agg'd groupBy to a 20-row table; all downstream values
+    are scalar arithmetic on exact integer sums + weight literals."""
+    from krnel_graph_spark.functions.sampling import data_budget
+
+    docs = _docs(spark, sf_dir)
+    return data_budget(
+        docs,
+        "source",
+        tx.token_count("text"),
+        budget=_DB_BUDGET,
+        weights=_DB_WEIGHTS,
+        epoch_cap=4.0,
+    )
+
+
 def q_blocklist(spark, sf_dir):
     """Compliance blocklist screening: annotate every document with the
     sorted list of blocklist terms it contains (case-insensitive
@@ -3187,7 +3213,7 @@ _R9_WINDOW = [
     # oldest remaining evidence: the r4 oracle-backed block + the two
     # r1 rows-only stragglers + the head of the r5 tail
     "ann_topk", "asof_join", "broadcast_join_region", "dedup_drop_near",
-    "embedding_dups", "events_windowed", "heavy_hitters", "lead_lag",
+    "embedding_dups", "events_windowed", "heavy_hitters", "data_budget",
     "minhash_pairs", "parse_json_get", "running_user_totals",
     "sessionize", "sql_entry", "containment",
     "ann_ivf", "unicode_normalize",
@@ -3199,7 +3225,7 @@ _R9_WINDOW = [
     #  chunk_docs / chunk_pack / corpus_sequences / dedup_against_* /
     #  the rest of the r5 tail, then the r3 rows-only block —
     #  split_rng, classifier_*, llm_*_fake, umap_pca,
-    #  image_features_stub, window_topk.)
+    #  image_features_stub, window_topk, lead_lag.)
 ]
 
 
@@ -3390,6 +3416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features_stub": q_image_features_stub,
         # ---- r8 surface ---- #
         "temperature_mixture": q_temperature_mixture,
+        "data_budget": q_data_budget,
         "blocklist": q_blocklist,
         "pii_report": q_pii_report,
         "leakage_safe_split": q_leakage_safe_split,
@@ -5240,6 +5267,31 @@ r AS (SELECT s,
 SELECT d.doc_id, d.lang, d.source
 FROM documents d JOIN r ON d.lang = r.s
 WHERE {md5_long_sql("'0:' || doc_id::VARCHAR")} % 1000000 < r.thr
+""",
+        # data_budget: weight literals repr'd from the SAME _DB_WEIGHTS
+        # dict the gate query uses, string-cast to DOUBLE (a bare float
+        # literal parses as DECIMAL in DuckDB); everything else is
+        # scalar arithmetic over exact integer sums.
+        "data_budget": f"""
+WITH t AS (SELECT source, {toks_text} AS toks FROM documents),
+c AS (SELECT source, count(*)::BIGINT AS n_docs,
+             sum(CASE WHEN len(toks) = 1 AND toks[1] = '' THEN 0
+                      ELSE len(toks) END)::BIGINT AS n_tokens
+      FROM t GROUP BY source),
+w AS (SELECT source, n_docs, n_tokens,
+             CASE source {' '.join(
+                 f"WHEN '{k}' THEN CAST('{v!r}' AS DOUBLE)"
+                 for k, v in sorted(_DB_WEIGHTS.items()))}
+                  ELSE CAST('0.0' AS DOUBLE) END AS weight
+      FROM c),
+p AS (SELECT *, CAST(round({_DB_BUDGET} * weight, 0) AS BIGINT)
+                AS target_tokens FROM w),
+e AS (SELECT *, CASE WHEN n_tokens = 0 THEN NULL
+                     ELSE round(target_tokens::DOUBLE / n_tokens::DOUBLE, 6)
+                END AS epochs FROM p)
+SELECT source, n_docs, n_tokens, weight, target_tokens, epochs,
+       coalesce(epochs > 4.0, false) AS over_cap
+FROM e
 """,
         # blocklist: literal term array (sorted lowercase), substring
         # containment on the lowercased text.

@@ -193,6 +193,7 @@ HEADLINE = [
     "margin_pairs_ann",
     "stupid_backoff_fixed",
     "containment",
+    "data_budget",
     "remove_dup_windows",
 ]
 

@@ -309,3 +309,59 @@ def export_manifest(
             F.max("__id").alias("id_hi"),
         )
     )
+
+
+def data_budget(
+    df: DataFrame,
+    strata_col: str,
+    token_col: Column,
+    budget: int,
+    weights: dict[str, float],
+    epoch_cap: float = 4.0,
+) -> DataFrame:
+    """Epoch/repeat planner for a token-budgeted training run — the
+    recipe table from data-constrained scaling work (Muennighoff et
+    al. 2023: repeating data beyond ~4 epochs yields rapidly decaying
+    returns) and the per-source mixture tables of LLaMA-style runs.
+
+    Per stratum: available ``n_docs`` / ``n_tokens`` (exact integer
+    sums), the caller's mixture ``weight`` (used as given — callers
+    normalize; strata absent from ``weights`` get 0), the resulting
+    ``target_tokens = round(budget · w)`` and ``epochs =
+    round(target/available, 6)`` — the repeat factor the loader needs —
+    plus ``over_cap`` flagging strata whose plan exceeds ``epoch_cap``
+    epochs (the "you are about to repeat Wikipedia 40×" alarm).
+
+    Determinism contract: the only aggregation is integer count/sum, so
+    every downstream value is scalar arithmetic on exact integers and
+    weight literals — a SQL oracle recomputing the same expressions is
+    bit-identical. Scale shape: one partial-agg'd groupBy producing a
+    human-sized table (one row per source); nothing else touches the
+    corpus.
+    """
+    agg = df.groupBy(F.col(strata_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_col).cast("long").alias("n_tokens"),
+    )
+    w = F.lit(0.0)
+    for k in sorted(weights):
+        w = F.when(F.col("source") == k, F.lit(float(weights[k]))).otherwise(w)
+    target = F.round(F.lit(int(budget)) * F.col("weight"), 0).cast("long")
+    return (
+        agg.withColumn("weight", w)
+        .withColumn("target_tokens", target)
+        .withColumn(
+            "epochs",
+            F.when(F.col("n_tokens") == 0, F.lit(None).cast("double")).otherwise(
+                F.round(
+                    F.col("target_tokens").cast("double")
+                    / F.col("n_tokens").cast("double"),
+                    6,
+                )
+            ),
+        )
+        .withColumn(
+            "over_cap",
+            F.coalesce(F.col("epochs") > F.lit(float(epoch_cap)), F.lit(False)),
+        )
+    )

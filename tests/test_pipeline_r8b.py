@@ -901,3 +901,49 @@ def test_remove_dup_windows_matches_stats_totals(spark):
     for d, row in g.items():
         if s[d]["dup_windows"] == 0:
             assert row["n_kept"] == row["n_tokens"], d
+
+
+# --------------------------------------------------------------------- #
+# data_budget
+# --------------------------------------------------------------------- #
+
+
+def test_data_budget_epoch_planner_contracts(spark):
+    from krnel_graph_spark.functions.sampling import data_budget
+
+    df = spark.createDataFrame(
+        [
+            (0, "wiki", "a b c d"),          # 4 tokens
+            (1, "wiki", "e f g h"),          # 4 tokens
+            (2, "web", "i j"),               # 2 tokens
+            (3, "code", ""),                 # 0 tokens (blank)
+            (4, "unlisted", "k l m"),        # absent from weights
+        ],
+        "doc_id long, source string, text string",
+    )
+    from krnel_graph_spark.functions import text as tx
+
+    out = {
+        r["source"]: r
+        for r in data_budget(
+            df,
+            "source",
+            tx.token_count("text"),
+            budget=100,
+            weights={"wiki": 0.5, "web": 0.25, "code": 0.25},
+            epoch_cap=4.0,
+        ).collect()
+    }
+    # wiki: 8 tokens available, target 50 -> 6.25 epochs, over cap
+    assert out["wiki"]["n_docs"] == 2 and out["wiki"]["n_tokens"] == 8
+    assert out["wiki"]["target_tokens"] == 50
+    assert out["wiki"]["epochs"] == 6.25 and out["wiki"]["over_cap"]
+    # web: 2 tokens, target 25 -> 12.5 epochs
+    assert out["web"]["epochs"] == 12.5 and out["web"]["over_cap"]
+    # code: zero tokens available -> epochs NULL, over_cap false (not null)
+    assert out["code"]["target_tokens"] == 25
+    assert out["code"]["epochs"] is None and out["code"]["over_cap"] is False
+    # unlisted source: weight 0, target 0, epochs 0, not over cap
+    assert out["unlisted"]["weight"] == 0.0
+    assert out["unlisted"]["target_tokens"] == 0
+    assert out["unlisted"]["epochs"] == 0.0 and not out["unlisted"]["over_cap"]
