@@ -2523,6 +2523,18 @@ def q_simhash(spark, sf_dir):
     return docs.select("doc_id", dedup.simhash("text", bits=32).alias("sh"))
 
 
+def q_cdc_dedup(spark, sf_dir):
+    """Content-defined chunking dedup report (Rabin/LBFS-style cut
+    points over rolling 4-token md5 digests, expected chunk ~64
+    tokens): per doc, how many chunks and what token fraction are
+    shared corpus-wide. Shift-robust where fixed windows lose
+    alignment: an insertion re-syncs at the next content-defined cut.
+    One codegen'd chunking scan + digest-count shuffle + doc agg."""
+    return dedup.cdc_chunk_dedup(
+        _docs(spark, sf_dir), "text", "doc_id", window=4, modulus=64
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.4
@@ -3215,7 +3227,7 @@ _R9_WINDOW = [
     "ann_topk", "asof_join", "broadcast_join_region", "dedup_drop_near",
     "embedding_dups", "events_windowed", "heavy_hitters", "data_budget",
     "minhash_pairs", "parse_json_get", "running_user_totals",
-    "sessionize", "sql_entry", "containment",
+    "sessionize", "cdc_dedup", "containment",
     "ann_ivf", "unicode_normalize",
     # late-r9 additions (zero evidence anywhere — outrank refreshing
     # r5-evidence rows); unicode_normalize re-records hash-graded (its
@@ -3225,7 +3237,7 @@ _R9_WINDOW = [
     #  chunk_docs / chunk_pack / corpus_sequences / dedup_against_* /
     #  the rest of the r5 tail, then the r3 rows-only block —
     #  split_rng, classifier_*, llm_*_fake, umap_pca,
-    #  image_features_stub, window_topk, lead_lag.)
+    #  image_features_stub, window_topk, lead_lag, sql_entry.)
 ]
 
 
@@ -3396,6 +3408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_flags": q_distinct,
         "ngram_jaccard": q_ngram_jaccard,
         "containment": q_containment,
+        "cdc_dedup": q_cdc_dedup,
         "scan_parquet": q_scan,
         "select_column": q_select_column,
         "take_rows": q_take_rows,
@@ -5905,6 +5918,45 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round({containment}, 6) AS containment
 FROM d a JOIN d b ON a.doc_id < b.doc_id
 WHERE {containment} >= 0.8
+""",
+        # cdc_dedup: the full content-defined chunking replayed — same
+        # normalize/split, same rolling 4-token md5_long cut rule
+        # (% 64 = 0), same chunk digests; 1-based INCLUSIVE DuckDB list
+        # slicing (toks[i-3:i] = Spark slice(toks, i-3, 4)).
+        "cdc_dedup": f"""
+WITH t AS (SELECT doc_id,
+        CASE WHEN {norm_text} = '' THEN CAST([] AS VARCHAR[])
+             ELSE string_split({norm_text}, ' ') END AS toks FROM documents),
+b AS (SELECT doc_id, toks, len(toks) AS n,
+        [i for i in range(4, len(toks) + 1)
+         if {md5_long_sql("array_to_string(toks[i-3:i], ' ')")} % 64 = 0]
+        AS bnd
+      FROM t),
+s AS (SELECT doc_id, toks, n,
+        list_prepend(1, [x + 1 for x in bnd]) AS starts,
+        list_append(bnd, n) AS ends FROM b),
+c AS (SELECT doc_id,
+        unnest([{{'digest':
+                    {md5_long_sql("array_to_string(toks[starts[j]:ends[j]], ' ')")},
+                  'n_tok': ends[j] - starts[j] + 1}}
+                for j in range(1, len(starts) + 1)
+                if ends[j] >= starts[j]], recursive := true)
+      FROM s),
+g AS (SELECT digest, count(*) AS cnt FROM c GROUP BY digest),
+p AS (SELECT c.doc_id,
+        count(*)::BIGINT AS n_chunks,
+        sum((g.cnt > 1)::BIGINT)::BIGINT AS n_dup_chunks,
+        sum(c.n_tok)::BIGINT AS n_tokens,
+        sum(CASE WHEN g.cnt > 1 THEN c.n_tok ELSE 0 END)::BIGINT AS dup_tokens
+      FROM c JOIN g USING (digest) GROUP BY c.doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_chunks, 0) AS n_chunks,
+       coalesce(p.n_dup_chunks, 0) AS n_dup_chunks,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0.0
+            ELSE round(p.dup_tokens::DOUBLE / p.n_tokens::DOUBLE, 6)
+       END AS dup_token_fraction
+FROM documents d LEFT JOIN p USING (doc_id)
 """,
         "embedding_dups": f"""
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, round({cos_ab}, 6) AS cosine

@@ -194,6 +194,7 @@ HEADLINE = [
     "stupid_backoff_fixed",
     "containment",
     "data_budget",
+    "cdc_dedup",
     "remove_dup_windows",
 ]
 

@@ -38,6 +38,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .hashing import md5_long
 from .kernels import minhash_sig_count_udf, norm_udf, shingle_set_udf
 from .partitioning import ensure_min_partitions
 from .text import fingerprint
@@ -1453,3 +1454,126 @@ def dedup_report(
         (F.col("total") - F.col("in_graph")).alias("n_docs"),
     )
     return hist.unionByName(singles)
+
+
+def cdc_chunk_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 4,
+    modulus: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (CDC) dedup report — the shift-robust
+    complement to :func:`remove_duplicated_windows`. A chunk boundary is
+    declared after token position ``i`` whenever the rolling
+    ``window``-token digest satisfies ``md5_long(...) % modulus == 0``
+    (Rabin/LBFS-style content-defined cut points, expected chunk length
+    ≈ ``modulus`` tokens). Because boundaries depend only on local
+    content, an insertion early in a document shifts token positions but
+    the cut points RE-SYNC right after it — fixed-width windows lose
+    alignment for the whole remainder. Classic CDC min/max chunk-size
+    clamps are deliberately omitted: they make each boundary depend on
+    the previous one (stateful), whereas the pure rule is stateless,
+    HOF-expressible, and SQL-replayable.
+
+    Per doc: ``n_chunks``, ``n_dup_chunks`` (chunks whose digest appears
+    >1 times corpus-wide), token totals and the round-6
+    ``dup_token_fraction`` — the "how much of this doc is boilerplate
+    shared with the rest of the corpus" curation signal. Docs with no
+    tokens report zero chunks / fraction 0.0.
+
+    Scale shape: chunking is ONE codegen'd scan projection (token HOFs,
+    no Python); the only shuffles are the chunk-digest groupBy (partial-
+    agg'd counts of fixed-width tuples), the digest join back (chunk
+    rows, never raw text), and the per-doc aggregate. At 100 TB, bucket
+    by digest to co-locate the count join.
+    """
+    from .text import normalize_text
+
+    norm = normalize_text(F.col(text_col))
+    toks = F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+    base = ensure_min_partitions(df).select(
+        F.col(id_col).alias("doc"), toks.alias("toks"), F.size(toks).alias("n")
+    )
+    # boundary END positions (1-based): i in [window, n] with the rolling
+    # digest of toks[i-window+1 .. i] hitting the cut condition
+    roll = lambda i: md5_long(  # noqa: E731
+        F.concat_ws(" ", F.slice(F.col("toks"), i - F.lit(window) + 1, window))
+    )
+    bnd = F.when(
+        F.col("n") >= window,
+        F.filter(
+            F.sequence(F.lit(window), F.col("n")),
+            lambda i: roll(i) % modulus == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    withb = base.select(
+        "doc", "toks", "n",
+        F.concat(F.array(F.lit(1)), F.transform(bnd, lambda b: b + 1)).alias(
+            "starts"
+        ),
+        F.concat(bnd, F.array(F.col("n"))).alias("ends"),
+    )
+    js = F.filter(
+        F.sequence(F.lit(1), F.size(F.col("starts"))),
+        lambda j: F.element_at(F.col("ends"), j)
+        >= F.element_at(F.col("starts"), j),
+    )
+    chunk = lambda j: F.struct(  # noqa: E731
+        md5_long(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("toks"),
+                    F.element_at(F.col("starts"), j),
+                    F.element_at(F.col("ends"), j)
+                    - F.element_at(F.col("starts"), j)
+                    + 1,
+                ),
+            )
+        ).alias("digest"),
+        (
+            F.element_at(F.col("ends"), j)
+            - F.element_at(F.col("starts"), j)
+            + 1
+        ).alias("n_tok"),
+    )
+    chunks = withb.select(
+        "doc", F.explode(F.transform(js, chunk)).alias("c")
+    ).select("doc", F.col("c.digest").alias("digest"), F.col("c.n_tok").alias("n_tok"))
+    counts = chunks.groupBy("digest").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = (
+        chunks.join(counts, "digest")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((F.col("cnt") > 1).cast("long")).alias("n_dup_chunks"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(per_doc, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).alias("n_dup_chunks"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.when(
+                F.coalesce(F.col("n_tokens"), F.lit(0)) == 0, F.lit(0.0)
+            )
+            .otherwise(
+                F.round(
+                    F.col("dup_tokens").cast("double")
+                    / F.col("n_tokens").cast("double"),
+                    6,
+                )
+            )
+            .alias("dup_token_fraction"),
+        )
+    )

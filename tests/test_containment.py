@@ -107,3 +107,55 @@ def test_containment_candidates_from_minhash(docs):
     assert set(got) <= set(exact)
     for k, v in got.items():
         assert v == exact[k]
+
+
+# --------------------------------------------------------------------- #
+# cdc_chunk_dedup
+# --------------------------------------------------------------------- #
+
+
+def test_cdc_resyncs_after_insertion(spark):
+    """The property fixed-width windows lack: an insertion near the doc
+    head shifts every token position, but content-defined cut points
+    re-sync, so most chunks of the shifted copy still dedup against the
+    original."""
+    from krnel_graph_spark.functions.dedup import cdc_chunk_dedup
+
+    words = " ".join(f"w{(i * 7) % 97}" for i in range(200))
+    df = spark.createDataFrame(
+        [(0, words), (1, "inserted prefix " + words), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           cdc_chunk_dedup(df, "text", "doc_id").collect()}
+    # the unshifted original dedups fully against the shifted copy
+    assert out[0]["dup_token_fraction"] == 1.0
+    # the shifted copy recovers most of its tokens as dups (only the
+    # chunk containing the insertion differs)
+    assert out[1]["dup_token_fraction"] > 0.5
+    assert out[1]["n_dup_chunks"] >= out[1]["n_chunks"] - 2
+    # blank doc: zero chunks, fraction 0.0 (present, not dropped)
+    assert out[2]["n_chunks"] == 0 and out[2]["dup_token_fraction"] == 0.0
+
+
+def test_cdc_short_doc_single_chunk(spark):
+    from krnel_graph_spark.functions.dedup import cdc_chunk_dedup
+
+    df = spark.createDataFrame(
+        [(0, "just three tokens"), (1, "unique words here entirely other")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           cdc_chunk_dedup(df, "text", "doc_id").collect()}
+    assert out[0]["n_chunks"] == 1 and out[0]["n_tokens"] == 3
+    assert out[0]["n_dup_chunks"] == 0
+
+
+def test_cdc_partitioning_invariant(spark):
+    from krnel_graph_spark.functions.dedup import cdc_chunk_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, cdc_chunk_dedup(docs, "text", "doc_id").collect()))
+    b = sorted(map(tuple, cdc_chunk_dedup(
+        docs.repartition(13), "text", "doc_id").collect()))
+    assert a == b

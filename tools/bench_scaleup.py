@@ -254,10 +254,22 @@ def _extra_queries():
             docs, "text", "doc_id", threshold=0.8, candidates=cands
         )
 
+    def cdc_dedup_x40(s):
+        # CDC chunking rides the scaled corpus directly: chunking is a
+        # pure scan projection, and the digest-count shuffle carries
+        # fixed-width (digest, count) tuples — the only growth axes are
+        # scan CPU and the linearly-growing chunk table.
+        from krnel_graph_spark.functions import dedup as dd
+
+        return dd.cdc_chunk_dedup(
+            s.read.parquet(f"{OUT}/documents.parquet"), "text", "doc_id"
+        )
+
     return {
         "ngram_coverage_x40": ngram_coverage_x40,
         "margin_pairs_ann_x20": margin_ann_x20,
         "containment_x40": containment_x40,
+        "cdc_dedup_x40": cdc_dedup_x40,
         "stupid_backoff_fixed_x40": sb_fixed_x40,
         "label_propagation_x20": lambda s: gr.label_propagation(
             hub_graph(s, 20), n_iter=5
