@@ -392,3 +392,56 @@ def test_remove_dup_windows_invariants(spark, texts):
         assert got[i]["n_kept"] == len(kept), i
         assert got[i]["clean_text"] == " ".join(kept), i
         assert got[i]["n_kept"] <= got[i]["n_tokens"]
+
+
+@_spark_settings
+@given(texts=_corpus)
+def test_cdc_chunk_dedup_matches_python_oracle(spark, texts):
+    """cdc_chunk_dedup vs a pure-Python re-derivation: same normalize,
+    same rolling-digest cut rule, same chunk digests, same corpus-wide
+    dup accounting. A modulus of 2 makes boundaries common even on the
+    tiny corpus, so the multi-chunk path is exercised every run."""
+    import hashlib
+    from collections import Counter
+
+    from krnel_graph_spark.functions.dedup import cdc_chunk_dedup
+
+    window, modulus = 2, 2
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in cdc_chunk_dedup(
+            df, "text", "doc_id", window=window, modulus=modulus
+        ).collect()
+    }
+
+    def md5_long(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    toks = {
+        i: (" ".join(t.lower().split()).split(" ") if t.strip() else [])
+        for i, t in docs
+    }
+    chunks = []  # (doc, digest, n_tok)
+    for i, tk in toks.items():
+        n = len(tk)
+        bnd = [
+            p
+            for p in range(window, n + 1)
+            if md5_long(" ".join(tk[p - window : p])) % modulus == 0
+        ]
+        for a, b in zip([1] + [x + 1 for x in bnd], bnd + [n]):
+            if b >= a:
+                chunks.append((i, md5_long(" ".join(tk[a - 1 : b])), b - a + 1))
+    cnt = Counter(d for _, d, _ in chunks)
+    for i, tk in toks.items():
+        mine = [(d, t) for doc, d, t in chunks if doc == i]
+        n_dup = sum(1 for d, _ in mine if cnt[d] > 1)
+        n_tok = sum(t for _, t in mine)
+        dup_tok = sum(t for d, t in mine if cnt[d] > 1)
+        assert got[i]["n_chunks"] == len(mine), i
+        assert got[i]["n_dup_chunks"] == n_dup, i
+        assert got[i]["n_tokens"] == n_tok == len(tk), i
+        expect_frac = round(dup_tok / n_tok, 6) if n_tok else 0.0
+        assert got[i]["dup_token_fraction"] == expect_frac, i
