@@ -34,6 +34,7 @@ from .scale_ops import (
     GroupCapOp,
     PiiScrubOp,
     MixToWeightsOp,
+    CdcChunkDedupOp,
     SequencePackOp,
     StratifiedSampleOp,
     ChunkDocumentsOp,

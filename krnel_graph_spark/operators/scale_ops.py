@@ -255,3 +255,19 @@ class SequencePackOp(DatasetType):
     token_column: str
     budget: int
     partition_by: Optional[str] = None
+
+
+class CdcChunkDedupOp(DatasetType):
+    """Row-aligned content-defined-chunking dedup signal: appends
+    ``n_chunks`` / ``n_dup_chunks`` / ``n_tokens`` /
+    ``dup_token_fraction`` for ``text_column`` — the fraction of the
+    row's tokens living in chunks duplicated ANYWHERE in the corpus
+    (Rabin/LBFS rolling-digest cut points, shift-robust). Lowering:
+    ``dedup.py:cdc_chunk_dedup`` keyed on the row id, joined back to
+    the parent's columns; ids and density preserved (every input row
+    reports, blank docs as zeros)."""
+
+    dataset: DatasetType
+    text_column: str
+    window: int = 4
+    modulus: int = 64

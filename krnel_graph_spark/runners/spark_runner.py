@@ -36,6 +36,7 @@ from ..operators.scale_ops import (
     GroupCapOp,
     PiiScrubOp,
     MixToWeightsOp,
+    CdcChunkDedupOp,
     SequencePackOp,
     StratifiedSampleOp,
     C4RulesOp,
@@ -1117,6 +1118,26 @@ def paragraph_dedup_op(runner: SparkRunner, op: ParagraphDedupOp) -> DatasetPlan
     ).withColumnRenamed("text", op.text_column)
     out = ds.df.drop(op.text_column).join(deduped, ROW_ID)
     return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=False)
+
+
+@SparkRunner.implementation
+def cdc_chunk_dedup_op(runner: SparkRunner, op: CdcChunkDedupOp) -> DatasetPlan:
+    """CDC dedup-signal enrichment keyed on the engine row id: the
+    per-row chunk/dup counters join back onto the parent's columns;
+    every input row reports (blank docs as zeros), so ids and density
+    are preserved."""
+    from ..functions.dedup import cdc_chunk_dedup as _impl
+
+    ds = runner.dataset_plan(op.dataset)
+    rep = _impl(
+        ds.df.select(ROW_ID, op.text_column),
+        op.text_column,
+        ROW_ID,
+        window=op.window,
+        modulus=op.modulus,
+    )
+    out = ds.df.join(rep, ROW_ID)
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=ds.dense)
 
 
 @SparkRunner.implementation

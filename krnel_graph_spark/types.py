@@ -238,6 +238,17 @@ class DatasetType(OpSpec):
 
         return ParagraphDedupOp(dataset=self, text_column=text_column, sep=sep)
 
+    def cdc_dedup(
+        self, text_column: str, window: int = 4, modulus: int = 64
+    ) -> "DatasetType":
+        """Append the content-defined-chunking dedup signal: per row,
+        chunk counts and the corpus-wide duplicated-token fraction."""
+        from .operators.scale_ops import CdcChunkDedupOp
+
+        return CdcChunkDedupOp(
+            dataset=self, text_column=text_column, window=window, modulus=modulus
+        )
+
     def gopher_rules(self, text_column: str) -> "DatasetType":
         """Append the Gopher quality-rule flags + keep verdict."""
         from .operators.scale_ops import GopherRulesOp

@@ -350,3 +350,19 @@ def test_ngram_coverage_op_two_parent(lazy_runner):
     other = lazy_runner.from_parquet(DOCS).take(30, offset=400)
     assert evals.ngram_coverage(other, "text", ngram=8).uuid != scored.uuid
     assert evals.ngram_coverage(corpus, "text", ngram=5).uuid != scored.uuid
+
+
+def test_cdc_dedup_op_row_aligned(lazy_runner):
+    ds = lazy_runner.from_parquet(DOCS)
+    pdf = lazy_runner.to_pandas(ds.cdc_dedup("text"))
+    base = lazy_runner.to_pandas(ds)
+    assert len(pdf) == len(base)
+    assert {
+        "n_chunks", "n_dup_chunks", "n_tokens", "dup_token_fraction"
+    } <= set(pdf.columns)
+    assert (pdf["doc_id"].to_numpy() == base["doc_id"].to_numpy()).all()
+    assert (pdf["n_dup_chunks"] <= pdf["n_chunks"]).all()
+    assert pdf["dup_token_fraction"].between(0, 1).all()
+    # uuid sensitive to the cut parameters
+    assert ds.cdc_dedup("text").uuid == ds.cdc_dedup("text").uuid
+    assert ds.cdc_dedup("text").uuid != ds.cdc_dedup("text", modulus=32).uuid
