@@ -5287,10 +5287,16 @@ WHERE {md5_long_sql("'0:' || doc_id::VARCHAR")} % 1000000 < r.thr
         # scalar arithmetic over exact integer sums.
         "data_budget": f"""
 WITH t AS (SELECT source, {toks_text} AS toks FROM documents),
-c AS (SELECT source, count(*)::BIGINT AS n_docs,
+c0 AS (SELECT source, count(*)::BIGINT AS n_docs,
              sum(CASE WHEN len(toks) = 1 AND toks[1] = '' THEN 0
                       ELSE len(toks) END)::BIGINT AS n_tokens
       FROM t GROUP BY source),
+k AS (SELECT unnest([{', '.join(
+          f"'{s}'" for s in sorted(_DB_WEIGHTS))}]) AS source),
+c AS (SELECT coalesce(c0.source, k.source) AS source,
+             coalesce(n_docs, 0)::BIGINT AS n_docs,
+             coalesce(n_tokens, 0)::BIGINT AS n_tokens
+      FROM c0 FULL OUTER JOIN k ON c0.source = k.source),
 w AS (SELECT source, n_docs, n_tokens,
              CASE source {' '.join(
                  f"WHEN '{k}' THEN CAST('{v!r}' AS DOUBLE)"

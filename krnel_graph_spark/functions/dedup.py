@@ -392,6 +392,7 @@ def containment_pairs(
     shingle_k: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    pair_budget: int | None = None,
 ) -> DataFrame:
     """Asymmetric n-gram **containment**: ``C = |sh(A) ∩ sh(B)| /
     min(|sh(A)|, |sh(B)|)`` — 1.0 when the smaller document's shingle
@@ -412,6 +413,20 @@ def containment_pairs(
     recalls high-containment pairs sharing any band) and the verify
     join touches only candidate rows — pair-bounded, never all-pairs.
 
+    ``pair_budget`` guards the exact path against co-occurrence blowup:
+    a boilerplate shingle appearing in ``f`` documents contributes
+    ``f·(f−1)/2`` join rows, so one hot shingle on a web-scale corpus
+    can turn "exact baseline" into a runaway cartesian. When set, a
+    cheap pre-pass (one count over the inverted index, driver receives
+    ONE number) computes the exact co-occurrence row bound
+    ``Σ_s f_s·(f_s−1)/2`` and raises ``ValueError`` if it exceeds the
+    budget, telling the caller to pass ``candidates=``. It deliberately
+    does NOT auto-route to MinHash banding: band-collision probability
+    tracks *Jaccard*, which is structurally ≈0 for the
+    tiny-doc-in-huge-doc pairs this operator exists to catch, so a
+    silent approximate fallback would drop exactly the target pairs.
+    Default ``None`` (no guard job) keeps the operator fully lazy.
+
     Returns ``(doc_a, doc_b, containment)`` with ``doc_a < doc_b`` and
     containment rounded to 6.
     """
@@ -423,6 +438,25 @@ def containment_pairs(
         inverted = base.select(
             "doc", F.size("sh").alias("n"), F.explode("sh").alias("shingle")
         )
+        if pair_budget is not None:
+            bound = (
+                inverted.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("f"))
+                .agg(
+                    F.sum(
+                        F.col("f") * (F.col("f") - 1) / F.lit(2)
+                    ).cast("long").alias("b")
+                )
+                .collect()[0]["b"]
+            ) or 0
+            if bound > pair_budget:
+                raise ValueError(
+                    f"containment_pairs exact path would generate "
+                    f"{bound:,} co-occurrence join rows "
+                    f"(pair_budget={pair_budget:,}); pass candidates= "
+                    f"(a banded/blocked pair frame) to verify "
+                    f"pair-bounded instead"
+                )
         l, r = inverted.alias("l"), inverted.alias("r")
         inter = (
             l.join(
@@ -454,6 +488,11 @@ def containment_pairs(
     # the (small, pair-bounded) shingle-set table so its two consumers
     # re-shingle once, then intersect arrays per candidate row — shingle
     # arrays ride only |pairs| join rows, never a corpus-wide shuffle.
+    # Cache-lifetime convention (repo-wide): callers own cleanup —
+    # persisted frames here are pair-bounded and evictable
+    # (MEMORY_AND_DISK recomputes from lineage under pressure); a
+    # long-lived session issuing many calls should spark.catalog
+    # .clearCache() between pipelines, as bench.py does between reps.
     cand = (
         candidates.select(
             F.least("doc_a", "doc_b").alias("doc_a"),
@@ -1488,6 +1527,10 @@ def cdc_chunk_dedup(
     rows, never raw text), and the per-doc aggregate. At 100 TB, bucket
     by digest to co-locate the count join.
     """
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    if modulus <= 0:
+        raise ValueError(f"modulus must be positive, got {modulus}")
     from .text import normalize_text
 
     norm = normalize_text(F.col(text_col))

@@ -338,11 +338,27 @@ def data_budget(
     bit-identical. Scale shape: one partial-agg'd groupBy producing a
     human-sized table (one row per source); nothing else touches the
     corpus.
+
+    A stratum present in ``weights`` but ABSENT from the data still
+    gets a row (``n_docs = n_tokens = 0``, ``epochs = null``,
+    ``over_cap = false``): a planned-but-missing source is the loudest
+    failure the planner can surface, and silently dropping it would
+    hide exactly that (the weight keys are outer-joined into the
+    aggregate — a driver-sized literal frame, never a corpus shuffle).
     """
     agg = df.groupBy(F.col(strata_col).alias("source")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(token_col).cast("long").alias("n_tokens"),
     )
+    if weights:
+        planned = df.sparkSession.createDataFrame(
+            [(s,) for s in sorted(weights)], schema="source string"
+        )
+        agg = agg.join(planned, "source", "full_outer").select(
+            "source",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        )
     w = F.lit(0.0)
     for k in sorted(weights):
         w = F.when(F.col("source") == k, F.lit(float(weights[k]))).otherwise(w)

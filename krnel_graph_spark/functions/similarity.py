@@ -369,7 +369,12 @@ def ivf_topk(
             # Round-6 shield: the SQL twin computes the same formula as
             # a fold; rounding before the stable argsort makes the cell
             # ranking identical unless a distance sits exactly on a
-            # 5e-7 boundary.
+            # 5e-7 boundary. Residual risk, two-fold: the GEMM and the
+            # SQL fold accumulate in different orders, AND np.round is
+            # half-to-even while DuckDB round() is half-away-from-zero —
+            # so parity at an exact .5e-6 boundary is probabilistic.
+            # Measured safe on the gate corpora; a corpus that trips it
+            # would need a d2 within ~1e-12 of a 5e-7 grid point.
             idx = np.argsort(np.round(d2, 6), axis=1, kind="stable")[:, :n]
             return pd.Series(list(idx.astype("int32")))
 
@@ -1230,8 +1235,15 @@ def margin_pairs(
     if candidates is None:
         top2 = cosine_topk(b, a, vec_col, id_col, k=2)
     else:
+        # Multiprobe/multi-table ANN shortlists emit the same
+        # (query_id, doc_id) from several buckets; without the dedupe a
+        # doc would take ranks 1 AND 2, collapsing its margin to ~0 and
+        # silently dropping a true keep (containment_pairs applies the
+        # same defense via .distinct()).
         top2 = _ranked_topk(
-            candidates.select("query_id", "doc_id", "cosine"), 2
+            candidates.select("query_id", "doc_id", "cosine")
+            .dropDuplicates(["query_id", "doc_id"]),
+            2,
         )
     agg = top2.groupBy("query_id").agg(
         F.max(

@@ -159,3 +159,28 @@ def test_cdc_partitioning_invariant(spark):
     b = sorted(map(tuple, cdc_chunk_dedup(
         docs.repartition(13), "text", "doc_id").collect()))
     assert a == b
+
+
+def test_containment_pair_budget_guard(docs):
+    import pytest
+
+    # generous budget: guard job runs, result identical to unguarded
+    base = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dedup.containment_pairs(
+            docs, "text", "doc_id", threshold=0.9
+        ).collect()
+    }
+    guarded = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dedup.containment_pairs(
+            docs, "text", "doc_id", threshold=0.9, pair_budget=10_000_000
+        ).collect()
+    }
+    assert guarded == base
+    # hot-shingle corpus under a tiny budget: fails loudly, steering to
+    # candidates= instead of silently running the blowup join
+    with pytest.raises(ValueError, match="candidates="):
+        dedup.containment_pairs(
+            docs, "text", "doc_id", threshold=0.9, pair_budget=1
+        ).collect()

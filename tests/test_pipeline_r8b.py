@@ -765,6 +765,72 @@ def test_margin_pairs_candidates_missing_runner_up(spark):
     assert row["margin"] == row["cosine"] and row["keep"]
 
 
+def test_margin_pairs_candidates_duplicate_rows_deduped(spark):
+    from krnel_graph_spark.functions.similarity import margin_pairs
+
+    a = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    b = spark.createDataFrame(
+        [(10, [0.9, 0.1]), (11, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    # a multiprobe/multi-table shortlist that surfaced doc 10 TWICE:
+    # without the dedupe doc 10 takes ranks 1 AND 2 and the margin
+    # collapses to 0, silently dropping the true keep
+    cands = spark.createDataFrame(
+        [(0, 10, 0.993884), (0, 10, 0.993884), (0, 11, 0.707107)],
+        "query_id long, doc_id long, cosine double",
+    )
+    row = margin_pairs(
+        a, b, "embedding", "vec_id", candidates=cands, margin_threshold=0.1
+    ).collect()[0]
+    assert row["match_id"] == 10
+    # margin vs the TRUE runner-up (doc 11), not the duplicate of doc 10
+    assert row["margin"] == pytest.approx(0.993884 - 0.707107, abs=1e-5)
+    assert row["keep"]
+
+
+def test_cdc_chunk_dedup_rejects_bad_params(spark):
+    from krnel_graph_spark.functions.dedup import cdc_chunk_dedup
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="window"):
+        cdc_chunk_dedup(df, "text", "doc_id", window=0)
+    with pytest.raises(ValueError, match="modulus"):
+        cdc_chunk_dedup(df, "text", "doc_id", modulus=0)
+
+
+def test_data_budget_planned_but_missing_stratum(spark):
+    from pyspark.sql import functions as F
+
+    from krnel_graph_spark.functions.sampling import data_budget
+
+    df = spark.createDataFrame(
+        [("web", 10), ("web", 20), ("books", 100)],
+        "source string, n_tok int",
+    )
+    out = {
+        r["source"]: r
+        for r in data_budget(
+            df,
+            "source",
+            F.col("n_tok"),
+            budget=1000,
+            weights={"web": 0.5, "books": 0.3, "wiki": 0.2},
+        ).collect()
+    }
+    # the planned-but-absent stratum still gets a row — silently
+    # dropping it would hide the loudest planner failure
+    assert set(out) == {"web", "books", "wiki"}
+    wiki = out["wiki"]
+    assert wiki["n_docs"] == 0 and wiki["n_tokens"] == 0
+    assert wiki["target_tokens"] == 200
+    assert wiki["epochs"] is None and wiki["over_cap"] is False
+    # present strata unchanged by the outer join
+    assert out["web"]["n_docs"] == 2 and out["web"]["n_tokens"] == 30
+
+
 def test_kcenter_empty_input_keeps_id_type(spark):
     from krnel_graph_spark.functions.similarity import kcenter_select
 
