@@ -2177,8 +2177,12 @@ def q_zipf_fit(spark, sf_dir):
 
 def q_compression_signals(spark, sf_dir):
     """Per-doc zlib compressibility (boilerplate/spam signal): UTF-8
-    byte length + DEFLATE-6 size as exact integers. Rows-only by design
-    (no SQL DEFLATE); pytest pins values against direct zlib.compress."""
+    byte length + DEFLATE-6 size as exact integers. SQL has no DEFLATE,
+    so the oracle is a Python-computed literal table: ``oracle_sql()``
+    reads the SAME gate parquet and recomputes both integers driver-side
+    with stdlib zlib — grading the whole Spark path (scan, Arrow
+    batching, id alignment) hash-exactly. zlib output is deterministic
+    for a given library build, and both engines run on this box."""
     return tx.compression_signals(_docs(spark, sf_dir), "text", "doc_id")
 
 
@@ -2331,7 +2335,13 @@ def q_profile_table(spark, sf_dir):
 
 def q_profile_table_hll(spark, sf_dir):
     """100-TB profile mode: HLL distinct counts — one wide aggregation pass,
-    no per-column Expand. Approximate, so no SQL oracle; benched at sf0.1."""
+    no per-column Expand. Rows-only BY DESIGN, permanently: Spark's
+    HLL++ and DuckDB's HLL are different estimator families whose
+    estimates legitimately differ (e.g. l_extendedprice NDV ~60k at
+    sf0.01 is past both sparse-exact regimes), so a hash-graded oracle
+    would pin one engine's estimator internals, not correctness. The
+    EXACT twin `profile_table` is hash-graded; this mode's estimates are
+    differential-tested against exact NDV within rsd bounds in pytest."""
     from krnel_graph_spark.functions.sketches import profile_table
 
     return profile_table(
@@ -2683,14 +2693,22 @@ def q_chunk_docs(spark, sf_dir):
 
 def q_bpe_encode(spark, sf_dir):
     """Subword tokenization end-to-end: train 20 BPE merges from the
-    corpus word-frequency table (one scan; the merge loop runs on the
-    vocabulary-sized type table), then encode every document. No SQL
-    oracle — the merge loop isn't SQL-expressible — so the gate records
-    rows; pytest pins the classic Sennrich example and a reconstruction
-    property."""
+    FULL corpus word-frequency table (one scan; the merge loop runs on
+    the vocabulary-sized type table), then encode a 100-doc slice into
+    long-format ``(doc_id, pos, piece)``. Oracle-backed (r10): an
+    INDEPENDENT pure-Python trainer in ``oracle_sql()`` re-learns the
+    merge list from the same parquet, and the encode loop replays
+    entirely in SQL — rank-order merge application over
+    separator-wrapped symbols via chained ``replace()`` (left-to-right
+    non-overlapping, the standard BPE-apply equivalence: a merge can
+    never create an occurrence of a lower-ranked pair, since its output
+    symbol postdates them in training). The encode slice keeps the
+    compared frame ~30k rows; training still covers every document."""
     docs = _docs(spark, sf_dir)
     merges = tx.train_bpe(docs, "text", n_merges=20, min_freq=2)
-    return tx.bpe_encode(docs, "text", "doc_id", merges)
+    return tx.bpe_encode(
+        docs.filter(F.col("doc_id") < 100), "text", "doc_id", merges
+    )
 
 
 def q_bm25_many(spark, sf_dir):
@@ -3725,6 +3743,150 @@ SELECT query_id, match_id, c1 AS cosine,
         AND (round(c1 - coalesce(c2, 0::DOUBLE), 6)
              >= {margin_threshold}::DOUBLE)) AS keep
 FROM p
+"""
+
+
+# --------------------------------------------------------------------- #
+# data-dependent literal oracles                                          #
+# --------------------------------------------------------------------- #
+# The driver always gates at sf0.01, and oracle_sql() receives no sf_dir,
+# so oracles whose expected values can only be derived by an independent
+# driver-side computation (DEFLATE sizes, a trained BPE merge table) read
+# the gate parquet from _gate_dir(): the sf0.01 default matches the
+# driver; tools/check_correctness.py exports SPARK_GRAFT_GATE_SF_DIR so
+# the local gate stays runnable at any SF.
+
+_GATE_SF_DIR_ENV = "SPARK_GRAFT_GATE_SF_DIR"
+
+
+def _gate_dir() -> str:
+    return os.environ.get(_GATE_SF_DIR_ENV, "/root/testdata/sf0.01")
+
+
+def _compression_oracle_sql() -> str:
+    """Literal (doc_id, n_bytes, n_zlib) table recomputed driver-side
+    with stdlib zlib — an end-to-end check of the Spark mapInPandas
+    path (scan, Arrow batching, id alignment), independent of it."""
+    import zlib
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{_gate_dir()}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    vals = ",\n".join(
+        f"({i}, {len(b)}, {len(zlib.compress(b, 6))})"
+        for i, b in ((i, (t or "").encode("utf-8")) for i, t in rows)
+    )
+    return (
+        f"SELECT doc_id::BIGINT AS doc_id, n_bytes::BIGINT AS n_bytes,\n"
+        f"       n_zlib::BIGINT AS n_zlib\n"
+        f"FROM (VALUES {vals}) AS t(doc_id, n_bytes, n_zlib)"
+    )
+
+
+def _bpe_merges_independent(
+    n_merges: int = 20, min_freq: int = 2
+) -> list[tuple[str, str]]:
+    """Independent pure-Python BPE trainer (Sennrich word-level variant)
+    over the gate corpus — a from-scratch reimplementation (Counter over
+    driver-fetched text, no package imports) so the oracle actually
+    checks the distributed trainer's word-frequency pass and merge loop
+    rather than replaying them."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    texts = duckdb.sql(
+        f"SELECT text FROM read_parquet('{_gate_dir()}/documents.parquet')"
+    ).fetchall()
+    wf: Counter = Counter()
+    for (t,) in texts:
+        for w in re.sub(r"\s+", " ", (t or "").lower()).strip().split(" "):
+            if w:
+                wf[w] += 1
+    vocab: Counter = Counter()
+    for w, n in wf.items():
+        if n >= min_freq:
+            vocab[tuple(w) + ("</w>",)] += n
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for syms, n in vocab.items():
+            for pair in zip(syms, syms[1:]):
+                pc[pair] += n
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pc[best] < max(min_freq, 2):
+            break
+        merges.append(best)
+        nv: Counter = Counter()
+        ab = best[0] + best[1]
+        for syms, n in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] += n
+        vocab = nv
+    return merges
+
+
+def _bpe_oracle_sql() -> str:
+    """SQL replay of bpe_encode over merges from the independent
+    trainer: each word becomes SEP-wrapped symbols (``SaSSbS...``), each
+    merge in rank order is one ``replace('SaSbS' -> 'SabS')`` —
+    left-to-right non-overlapping, which equals the lowest-rank-first
+    encode loop because a merge's output symbol postdates (so can never
+    form) any lower-ranked pair. The corpus is ASCII with no 0x1F
+    (pinned by test), so the separator never collides with text."""
+    sep = chr(31)
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = "ws"
+    for a, b in _bpe_merges_independent():
+        # wrapped form: every symbol is independently 'S<sym>S', so two
+        # adjacent symbols read 'SaSSbS' — that full wrapped pair is the
+        # pattern, and the replacement is the wrapped merged symbol.
+        expr = (
+            f"replace({expr}, '{sep}{esc(a)}{sep}{sep}{esc(b)}{sep}', "
+            f"'{sep}{esc(a + b)}{sep}')"
+        )
+    norm_text = _NORM.format(c="text")
+    return f"""
+WITH t AS (SELECT doc_id, {norm_text} AS txt FROM documents
+           WHERE doc_id < 100),
+w0 AS (SELECT doc_id, unnest(string_split(txt, ' ')) AS word,
+              generate_subscripts(string_split(txt, ' '), 1) AS wi
+       FROM t),
+w AS (SELECT doc_id, wi, word FROM w0 WHERE word != ''),
+wrapped AS (SELECT doc_id, wi,
+                   '{sep}' || array_to_string(
+                       list_append([word[i] for i in range(1, len(word) + 1)],
+                                   '</w>'), '{sep}{sep}') || '{sep}' AS ws
+            FROM w),
+enc AS (SELECT doc_id, wi, {expr} AS es FROM wrapped),
+pieces AS (SELECT doc_id, wi,
+                  list_filter(string_split(es, '{sep}'), x -> x != '') AS ps
+           FROM enc),
+flat AS (SELECT doc_id, wi, unnest(ps) AS piece,
+                generate_subscripts(ps, 1) AS pj
+         FROM pieces)
+SELECT doc_id,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY wi, pj) - 1)::BIGINT
+           AS pos,
+       piece
+FROM flat
 """
 
 
@@ -5059,6 +5221,12 @@ UNION ALL SELECT 'lang:' || pl,
   round(c::DOUBLE / (SELECT n_docs FROM a)::DOUBLE, 6)
 FROM (SELECT pl, count(*)::BIGINT AS c FROM bq GROUP BY pl)
 """,
+        # compression_signals: Python-computed literal table (stdlib
+        # zlib over the gate parquet) — see _compression_oracle_sql.
+        "compression_signals": _compression_oracle_sql(),
+        # bpe_encode: independent pure-Python trainer + full SQL replay
+        # of the encode loop — see _bpe_oracle_sql.
+        "bpe_encode": _bpe_oracle_sql(),
         # ngram_coverage: distinct md5 8-gram digests per side; eval
         # docs left-join the train gram set, integer hit counts.
         "ngram_coverage": f"""

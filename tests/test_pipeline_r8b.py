@@ -765,6 +765,50 @@ def test_margin_pairs_candidates_missing_runner_up(spark):
     assert row["margin"] == row["cosine"] and row["keep"]
 
 
+def test_bpe_oracle_precondition_no_separator_char():
+    """The r10 bpe_encode SQL oracle wraps symbols with chr(31); its
+    replace-chain replay is sound only while the corpus never contains
+    that byte. Pin the precondition across every testdata SF so a
+    regen that introduces 0x1F fails loudly here."""
+    import glob
+
+    import duckdb
+
+    paths = sorted(glob.glob("/root/testdata/sf*/documents.parquet"))
+    assert paths, "testdata missing"
+    con = duckdb.connect()
+    for p in paths:
+        n = con.execute(
+            "SELECT count(*) FROM read_parquet(?) "
+            "WHERE contains(coalesce(text,''), chr(31))",
+            [p],
+        ).fetchone()[0]
+        assert n == 0, f"0x1F separator byte in {p}: {n} rows"
+
+
+def test_bpe_independent_trainer_matches_distributed(spark):
+    """The gate oracle's from-scratch Python BPE trainer must learn the
+    same merge list as the distributed train_bpe — the differential that
+    makes the SQL encode replay an actual check of training."""
+    import os
+
+    import __spark_entry__ as em
+    from krnel_graph_spark.functions import text as tx
+
+    docs = em._docs(spark, "/root/testdata/sf0.001")
+    dist = tx.train_bpe(docs, "text", n_merges=20, min_freq=2)
+    old = os.environ.get(em._GATE_SF_DIR_ENV)
+    os.environ[em._GATE_SF_DIR_ENV] = "/root/testdata/sf0.001"
+    try:
+        ind = em._bpe_merges_independent()
+    finally:
+        if old is None:
+            os.environ.pop(em._GATE_SF_DIR_ENV, None)
+        else:
+            os.environ[em._GATE_SF_DIR_ENV] = old
+    assert dist == ind
+
+
 def test_margin_pairs_candidates_duplicate_rows_deduped(spark):
     from krnel_graph_spark.functions.similarity import margin_pairs
 

@@ -78,6 +78,13 @@ def main():
         .getOrCreate()
     )
     queries = entry_mod.queries()
+    # Data-dependent literal oracles (bpe_encode, compression_signals)
+    # read the gate parquet themselves; point them at THIS run's SF so
+    # the local gate stays runnable at any scale (the driver uses the
+    # sf0.01 default).
+    import os
+
+    os.environ[entry_mod._GATE_SF_DIR_ENV] = sf_dir
     oracles = entry_mod.oracle_sql()
 
     n_pass = n_fail = 0
