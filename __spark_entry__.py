@@ -3225,43 +3225,41 @@ def q_video_stats_y4m(spark, sf_dir):
 # oldest round-5 rows. All 50 are oracle-backed, so the window should
 # record >= 45 hash-green with 0 no_oracle slots wasted. The remaining
 # 30 round-5 rows rotate in next round.
-_R9_WINDOW = [
-    # new-or-changed this round: the three r8 list-canon reds re-record
-    # under the serialized compared frames; margin_pairs has NO driver
-    # row ever; margin_pairs_ann / stupid_backoff_fixed are new; the
-    # ann_lsh/ann_recall/fluent pair gained oracles this round.
-    "margin_pairs", "margin_pairs_ann", "stupid_backoff_fixed",
-    "blocklist", "hash_embedding", "random_projection",
-    "ann_lsh", "ann_recall", "fluent_pipeline", "fluent_decontaminate",
-    # the r8 rotation queue (oldest-evidence r4/r5 rows, held over)
-    "assign_row_id", "inline_dataset", "csv_roundtrip", "jsonl_roundtrip",
-    "interval_join", "profile_table", "clean_corpus", "cube_agg",
-    "pivot_priority", "percentiles", "ntile_quartiles", "pivot_dynamic",
-    "group_cap", "pii_scrub", "domain_stats", "sequence_pack",
-    "connected_components", "hash_sample", "stratified_sample",
-    "shuffle_export", "decontaminate", "repetition_stats",
-    # oldest remaining evidence: the r4 oracle-backed block + the two
-    # r1 rows-only stragglers + the head of the r5 tail
-    "ann_topk", "asof_join", "broadcast_join_region", "dedup_drop_near",
-    "embedding_dups", "events_windowed", "heavy_hitters", "data_budget",
-    "minhash_pairs", "parse_json_get", "running_user_totals",
-    "sessionize", "cdc_dedup", "containment",
-    "ann_ivf", "unicode_normalize",
-    # late-r9 additions (zero evidence anywhere — outrank refreshing
-    # r5-evidence rows); unicode_normalize re-records hash-graded (its
-    # only driver row, r8, predates the r9 oracle)
-    "remove_dup_windows", "perplexity_buckets_fixed",
-    # (r10 rotation queue: bm25_search / canonical_urls / bm25_many /
-    #  chunk_docs / chunk_pack / corpus_sequences / dedup_against_* /
-    #  the rest of the r5 tail, then the r3 rows-only block —
-    #  split_rng, classifier_*, llm_*_fake, umap_pca,
-    #  image_features_stub, window_topk, lead_lag, sql_entry.)
+_R10_WINDOW = [
+    # new-or-changed this round (zero or stale driver evidence under the
+    # new semantics): bpe_encode + compression_signals gained hash
+    # oracles r10; data_budget's oracle gained the planned-strata outer
+    # join r10.
+    "bpe_encode", "compression_signals", "data_budget",
+    # the r5-era evidence gap (COVERAGE.md #116-145 as of r9): the
+    # TPC-H q2-q22 tail and the bm25/chunk/tfidf/mix/dedup_against
+    # family — no driver row since round 5.
+    "semi_join_q4", "volume_q7", "market_share_q8", "returned_topk_q10",
+    "order_dist_q13", "promo_share_q14", "supplier_cnt_q16",
+    "small_qty_q17", "large_orders_q18", "disjunct_q19",
+    "rich_no_orders_q22", "min_cost_supplier_q2", "product_profit_q9",
+    "important_stock_q11", "top_supplier_q15", "excess_supply_q20",
+    "waiting_supplier_q21", "chunk_docs", "bm25_search", "bm25_many",
+    "tfidf", "dedup_against_exact", "dedup_against_near", "tokenize_ids",
+    "chunk_pack", "corpus_sequences", "dup_windows", "mix_corpus",
+    "canonical_urls", "snapshot_diff",
+    # displaced from the r9 window by late-r9 additions (r4 evidence)
+    "window_topk", "lead_lag", "sql_entry",
+    # oldest remaining oracle-backed evidence (round 6)
+    "funnel_steps", "retention_cohorts", "hybrid_search",
+    "funnel_conversion", "fuzzy_pairs", "event_transitions",
+    "session_cooccurrence", "weighted_sample", "agg_q1", "join_q3",
+    "selective_agg_q6", "dedup_exact", "text_stats", "rollup_counts",
+    # (r11 rotation queue: late_lines_q12 + the r7 block
+    #  token_entropy..source_quality + the r6/r7 codec/graph rows, then
+    #  the rows-only re-record block — split_rng, classifier_*,
+    #  llm_*_fake, umap_pca, image/audio/video stubs.)
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The literal dict below keeps its r7 grouping for readability; the
-    # driver-visible ORDER is _R9_WINDOW first (see its comment), then
+    # driver-visible ORDER is _R10_WINDOW first (see its comment), then
     # everything else in literal order.
     d = {
         # ---- driver 50-slot recording window (r7 rotation) ---- #
@@ -3474,8 +3472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "margin_pairs": q_margin_pairs,
         "margin_pairs_ann": q_margin_pairs_ann,
     }
-    out = {k: d[k] for k in _R9_WINDOW}
-    missing = [k for k in _R9_WINDOW if k not in d]
+    out = {k: d[k] for k in _R10_WINDOW}
+    missing = [k for k in _R10_WINDOW if k not in d]
     assert not missing, f"window names drifted: {missing}"
     for k, v in d.items():
         out.setdefault(k, v)

@@ -173,6 +173,12 @@ HEADLINE = [
     "quality_buckets",
     "kcenter_select",
     "gopher_rules",
+    # stupid_backoff / perplexity_buckets are the SELF-SCORING LM
+    # variants (train and score on the same growing corpus) — their
+    # ×40 scale curves (12.9× / 10.1×, BASELINE.md §5) grow on BOTH
+    # axes by construction and are NOT the representative scale path;
+    # the frozen-LM `_fixed` twins below (2.0× @ ×40) are. Both stay
+    # benched so the two-sided-growth outlier remains visible.
     "stupid_backoff",
     # late-r8 surface
     "c4_rules",
@@ -192,6 +198,9 @@ HEADLINE = [
     # r9 surface
     "margin_pairs_ann",
     "stupid_backoff_fixed",
+    "perplexity_buckets_fixed",
+    # r10 surface
+    "bpe_encode",
     "containment",
     "data_budget",
     "cdc_dedup",

@@ -343,22 +343,47 @@ def data_budget(
     gets a row (``n_docs = n_tokens = 0``, ``epochs = null``,
     ``over_cap = false``): a planned-but-missing source is the loudest
     failure the planner can surface, and silently dropping it would
-    hide exactly that (the weight keys are outer-joined into the
-    aggregate — a driver-sized literal frame, never a corpus shuffle).
+    hide exactly that. Implemented by unioning one zero-marker row per
+    weight key into the PRE-aggregation frame (count becomes a marker
+    sum): no extra join — completeness costs one constant-size union
+    input into the existing groupBy (~0.15 s fixed at sf0.1, flat in
+    corpus size). The full-outer-join alternative measured ~0.5 s of
+    fixed SMJ + Py4J local-relation overhead (full outer can't
+    broadcast), so it was rejected.
     """
-    agg = df.groupBy(F.col(strata_col).alias("source")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(token_col).cast("long").alias("n_tokens"),
+    base = df.select(
+        F.col(strata_col).alias("source"),
+        F.lit(1).alias("__d"),
+        token_col.alias("__t"),
     )
     if weights:
-        planned = df.sparkSession.createDataFrame(
-            [(s,) for s in sorted(weights)], schema="source string"
+        # Literal zero rows as a JVM-side explode (NOT createDataFrame:
+        # the Py4J local-relation roundtrip measured ~0.4 s of
+        # plan-build latency per call at 20 keys).
+        t_type = base.schema["__t"].dataType
+        zeros = (
+            df.sparkSession.range(1)
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(s).alias("source"),
+                                F.lit(0).alias("__d"),
+                                F.lit(0).cast(t_type).alias("__t"),
+                            )
+                            for s in sorted(weights)
+                        ]
+                    )
+                ).alias("z")
+            )
+            .select("z.*")
         )
-        agg = agg.join(planned, "source", "full_outer").select(
-            "source",
-            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
-            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-        )
+        base = base.unionByName(zeros)
+    agg = base.groupBy("source").agg(
+        F.sum("__d").cast("long").alias("n_docs"),
+        F.sum("__t").cast("long").alias("n_tokens"),
+    )
     w = F.lit(0.0)
     for k in sorted(weights):
         w = F.when(F.col("source") == k, F.lit(float(weights[k]))).otherwise(w)

@@ -97,3 +97,27 @@ def test_permute_sql_matches_spark_permute(spark):
                 f"SELECT {permute_sql(f'{v}::BIGINT', i)}"
             ).fetchall()
             assert got[v] == e, (v, i)
+
+
+def test_driver_window_hygiene():
+    """The driver records hash evidence only for the first 50 queries()
+    entries (the _R10_WINDOW reorder). The window is 50 hand-ordered
+    strings — pin its invariants so a rotation typo can't silently
+    waste recording slots: exactly 50 unique names, every one resolves
+    to a real query, queries() actually leads with them in order, and
+    none is rows-only (a windowed query without an oracle burns a
+    hash-graded slot on a weaker rows check) unless explicitly listed
+    as an intentional rows-only re-record."""
+    import __spark_entry__ as em
+
+    window = em._R10_WINDOW
+    assert len(window) == 50
+    assert len(set(window)) == 50, "duplicate window entries"
+    q = em.queries()
+    assert list(q)[:50] == window, "queries() head order drifted"
+    oracles = em.oracle_sql()
+    intentional_rows_only: set[str] = set()
+    burned = [n for n in window if n not in oracles] 
+    assert set(burned) <= intentional_rows_only, (
+        f"rows-only entries burning hash slots: {burned}"
+    )

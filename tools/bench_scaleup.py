@@ -108,6 +108,9 @@ QUERIES = [
     # r9: substring-dedup surgery over the x40 perturbed corpus (same
     # growth axis as dup_windows/dedup_report — window digests).
     "remove_dup_windows",
+    # r10: epoch planner over the x40 corpus — one partial-agg'd groupBy
+    # to a #sources-row table; expected ~flat (scan-bound).
+    "data_budget",
     "random_projection",
     "export_manifest",
     "schema_drift",
