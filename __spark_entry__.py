@@ -293,10 +293,31 @@ def q_classifier_evaluate(spark, sf_dir):
     return spark.createDataFrame(rows, "split string, metric string, value double")
 
 
+def _micro_join(col) -> "F.Column":
+    """x1e6 HALF_UP micro-int |-join — the driver-canonicalizer
+    convention for vector columns in compared frames (no arrays)."""
+    return F.array_join(
+        F.transform(
+            col,
+            lambda x: F.round(x.cast("double") * F.lit(1e6), 0)
+            .cast("long")
+            .cast("string"),
+        ),
+        "|",
+    )
+
+
 def q_llm_logit_scores_fake(spark, sf_dir):
+    """Deterministic fake-provider logit scores through the full OpSpec
+    path (provider registry -> Arrow-batched kernel), serialized to
+    micro-int strings. Oracle-backed (r10): the fake is a pinned spec
+    (sha256-seeded RandomState normals), so ``oracle_sql()`` recomputes
+    the expected vectors driver-side and emits a literal table."""
     runner, ds = _ds(spark, sf_dir, "documents")
     op = ds.col_text("text").llm_logit_scores("fake:dim4", tokens=["yes", "no"])
-    return runner.dataframe(op)
+    return runner.dataframe(op).select(
+        _micro_join(F.col("value")).alias("logits_micro")
+    )
 
 
 def q_llm_generate_fake(spark, sf_dir):
@@ -306,9 +327,14 @@ def q_llm_generate_fake(spark, sf_dir):
 
 
 def q_llm_activations_fake(spark, sf_dir):
+    """Deterministic fake-provider layer activations (dim 8, salt
+    ``act:-1:last``) through the OpSpec path, micro-int serialized;
+    literal oracle as in :func:`q_llm_logit_scores_fake`."""
     runner, ds = _ds(spark, sf_dir, "documents")
     op = ds.col_text("text").llm_layer_activations("fake:dim8", layer_num=-1)
-    return runner.dataframe(op)
+    return runner.dataframe(op).select(
+        _micro_join(F.col("value")).alias("acts_micro")
+    )
 
 
 # Fixed conversation fixture for the chat-template gate query. The fake
@@ -3784,6 +3810,50 @@ def _compression_oracle_sql() -> str:
     )
 
 
+def _fake_llm_oracle_sql(salt: str, dim: int, out_col: str) -> str:
+    """Literal oracle for the deterministic fake model provider: its
+    spec (llm_impl.FakeProvider docstring) is sha256(f"{salt}:{text}")
+    seeding a numpy RandomState whose standard_normal(dim) is the
+    vector, float32-truncated. Recomputed here from scratch per gate
+    doc, serialized to the x1e6 HALF_UP micro-int |-join (Decimal over
+    repr replicates Spark's BigDecimal-from-Double.toString rounding),
+    so the gate hash-grades the whole provider-registry -> Arrow-kernel
+    path. RandomState is numpy's frozen legacy generator — its streams
+    are compatibility-guaranteed across numpy versions."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    import numpy as np
+
+    texts = duckdb.sql(
+        f"SELECT text FROM read_parquet('{_gate_dir()}/documents.parquet') "
+        f"ORDER BY doc_id"
+    ).fetchall()
+    one = Decimal("1")
+    rows = []
+    for (t,) in texts:
+        digest = hashlib.sha256(f"{salt}:{t}".encode()).digest()
+        seed = int.from_bytes(digest[:8], "big") % (2**32)
+        vec = np.random.RandomState(seed).standard_normal(dim).astype(
+            np.float32
+        )
+        rows.append(
+            "|".join(
+                str(
+                    int(
+                        Decimal(repr(float(x) * 1e6)).quantize(
+                            one, rounding=ROUND_HALF_UP
+                        )
+                    )
+                )
+                for x in vec
+            )
+        )
+    vals = ",\n".join(f"('{r}')" for r in rows)
+    return f"SELECT {out_col} FROM (VALUES {vals}) AS t({out_col})"
+
+
 def _bpe_merges_independent(
     n_merges: int = 20, min_freq: int = 2
 ) -> list[tuple[str, str]]:
@@ -5222,6 +5292,15 @@ FROM (SELECT pl, count(*)::BIGINT AS c FROM bq GROUP BY pl)
         # compression_signals: Python-computed literal table (stdlib
         # zlib over the gate parquet) — see _compression_oracle_sql.
         "compression_signals": _compression_oracle_sql(),
+        # fake-LLM ops: the provider is a pinned deterministic spec, so
+        # the expected vectors recompute driver-side — see
+        # _fake_llm_oracle_sql.
+        "llm_logit_scores_fake": _fake_llm_oracle_sql(
+            "logit:yes,no", 2, "logits_micro"
+        ),
+        "llm_activations_fake": _fake_llm_oracle_sql(
+            "act:-1:last", 8, "acts_micro"
+        ),
         # bpe_encode: independent pure-Python trainer + full SQL replay
         # of the encode loop — see _bpe_oracle_sql.
         "bpe_encode": _bpe_oracle_sql(),
