@@ -2544,6 +2544,24 @@ def q_connected_components(spark, sf_dir):
     )
 
 
+def q_dedup_weights(spark, sf_dir):
+    """SOFT dedup (r10): every doc keeps a row with its near-dup
+    cluster size and the inverse sampling weight (singletons weight
+    1.0) — the downweight-instead-of-drop alternative to
+    drop_near_dups. Banded LSH pairs -> distributed CC on the pair
+    graph -> one broadcast join back onto the corpus; the corpus never
+    shuffles. Oracle: recursive-CTE transitive closure over the same
+    pair SQL, sizes joined back."""
+    return dedup.dedup_weights(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        num_perm=16,
+        bands=4,
+        jaccard_threshold=0.5,
+    )
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs: pigeonhole-banded self-join + exact
     Hamming verify (banding finds EVERY pair within the bound, so the
@@ -3152,9 +3170,12 @@ def q_image_phash(spark, sf_dir):
 
 def q_audio_fp(spark, sf_dir):
     """Spectral audio fingerprints over the synthetic WAV corpus (real
-    decode + FFT band-energy gradients). Rows-only by design: the FFT has
-    no SQL twin; correctness is pinned by pytest invariance/differential
-    tests (test_codecs.py::test_audio_fingerprint_invariance_and_pairs)."""
+    decode + FFT band-energy gradients). Oracle-backed (r10): the FFT
+    has no SQL twin, but the corpus is a pinned id formula, so
+    ``oracle_sql()`` recomputes the expected fingerprints driver-side
+    DIRECTLY from the sample formula — skipping the WAV container
+    entirely, so an encode/decode bug on the Spark path cannot
+    hash-match — and emits a literal table."""
     from krnel_graph_spark.functions.multimodal import (
         audio_fingerprint,
         synth_wav_table,
@@ -3257,6 +3278,7 @@ _R10_WINDOW = [
     # oracles r10; data_budget's oracle gained the planned-strata outer
     # join r10.
     "bpe_encode", "compression_signals", "data_budget",
+    "dedup_weights",
     # the r5-era evidence gap (COVERAGE.md #116-145 as of r9): the
     # TPC-H q2-q22 tail and the bm25/chunk/tfidf/mix/dedup_against
     # family — no driver row since round 5.
@@ -3275,7 +3297,7 @@ _R10_WINDOW = [
     "funnel_steps", "retention_cohorts", "hybrid_search",
     "funnel_conversion", "fuzzy_pairs", "event_transitions",
     "session_cooccurrence", "weighted_sample", "agg_q1", "join_q3",
-    "selective_agg_q6", "dedup_exact", "text_stats", "rollup_counts",
+    "selective_agg_q6", "dedup_exact", "rollup_counts",
     # (r11 rotation queue: late_lines_q12 + the r7 block
     #  token_entropy..source_quality + the r6/r7 codec/graph rows, then
     #  the rows-only re-record block — split_rng, classifier_*,
@@ -3391,6 +3413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "sequence_pack": q_sequence_pack,
         "connected_components": q_connected_components,
+        "dedup_weights": q_dedup_weights,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "shuffle_export": q_shuffle_export,
@@ -3854,6 +3877,66 @@ def _fake_llm_oracle_sql(salt: str, dim: int, out_col: str) -> str:
     return f"SELECT {out_col} FROM (VALUES {vals}) AS t({out_col})"
 
 
+def _audio_fp_oracle_sql() -> str:
+    """Literal oracle for the audio-fingerprint gate: the synthetic WAV
+    corpus is a pinned id formula (``sample(i) = (id*3 + i) % 512 −
+    256``, ``n = 100 + id % 400`` — synth_wav_table's spec), so the
+    expected 64-bit spectral fingerprints recompute driver-side from
+    the RAW samples, never touching the WAV container: a bug anywhere
+    on the Spark path (PCM encode, stdlib decode, channel mean, Arrow
+    batching) cannot hash-match. The fingerprint spec (17 frames, rfft,
+    4 log-spaced band energies, gradient-sign bits MSB-first) is
+    re-derived here from _audio_fp_bits' documented contract."""
+    import duckdb
+    import numpy as np
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM "
+            f"read_parquet('{_gate_dir()}/documents.parquet') "
+            f"WHERE doc_id < 120 ORDER BY doc_id"
+        ).fetchall()
+    ]
+    n_frames, n_bands = 17, 4
+    rows = []
+    for i in ids:
+        n = 100 + i % 400
+        mono = (
+            ((np.arange(n, dtype=np.int64) + i * 3) % 512 - 256)
+            .astype(np.float64)
+        )
+        if mono.size < n_frames:
+            mono = np.pad(mono, (0, n_frames - mono.size))
+        frames = np.array_split(mono, n_frames)
+        n_fft = max(len(f) for f in frames)
+        n_bins = n_fft // 2 + 1
+        edges = np.unique(
+            np.round(
+                np.geomspace(1, max(2, n_bins - 1), n_bands + 1)
+            ).astype(int)
+        )
+        while len(edges) < n_bands + 1:
+            edges = np.append(edges, edges[-1] + 1)
+        energies = np.zeros((n_frames, n_bands))
+        for fi, fr in enumerate(frames):
+            spec = np.abs(np.fft.rfft(fr, n=n_fft)) ** 2
+            for b in range(n_bands):
+                lo, hi = edges[b], edges[b + 1]
+                energies[fi, b] = spec[lo:hi].sum() if hi > lo else 0.0
+        u = 0
+        for bit in (energies[1:] > energies[:-1]).ravel():
+            u = (u << 1) | int(bit)
+        afp = u - (1 << 64) if u >= (1 << 63) else u
+        rows.append(f"({i}, {afp}, {u >> 32}, {u & 0xFFFFFFFF})")
+    vals = ",\n".join(rows)
+    return (
+        f"SELECT doc_id::BIGINT AS doc_id, afp::BIGINT AS afp,\n"
+        f"       afp_hi::BIGINT AS afp_hi, afp_lo::BIGINT AS afp_lo\n"
+        f"FROM (VALUES {vals}) AS t(doc_id, afp, afp_hi, afp_lo)"
+    )
+
+
 def _bpe_merges_independent(
     n_merges: int = 20, min_freq: int = 2
 ) -> list[tuple[str, str]]:
@@ -4177,6 +4260,28 @@ reach(s, d) AS (
     SELECT r.s, u.b FROM reach r JOIN und u ON r.d = u.a
 )
 SELECT s AS doc_id, min(d) AS component FROM reach GROUP BY s
+"""
+
+    # dedup_weights: same transitive-closure components, then cluster
+    # sizes joined back onto EVERY document (singletons size 1).
+    dedup_weights_sql = f"""
+WITH RECURSIVE pairs AS ({minhash_pairs_sql}),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(s, d) AS (
+    SELECT a, a FROM und
+    UNION
+    SELECT r.s, u.b FROM reach r JOIN und u ON r.d = u.a
+),
+comp AS (SELECT s AS node, min(d) AS component FROM reach GROUP BY s),
+sizes AS (SELECT component, count(*)::BIGINT AS cluster_size
+          FROM comp GROUP BY component),
+ns AS (SELECT node, cluster_size FROM comp JOIN sizes USING (component))
+SELECT d.doc_id,
+       coalesce(ns.cluster_size, 1)::BIGINT AS cluster_size,
+       round(1.0::DOUBLE / coalesce(ns.cluster_size, 1)::DOUBLE, 6)
+           AS weight
+FROM documents d LEFT JOIN ns ON d.doc_id = ns.node
 """
 
     sh4 = _shingle_sql(4)
@@ -4972,6 +5077,7 @@ WHERE doc_id % 2 = 1
 """,
         "dedup_drop_near": drop_near_sql,
         "connected_components": connected_components_sql,
+        "dedup_weights": dedup_weights_sql,
         "hash_sample": f"""
 SELECT * FROM orders
 WHERE {md5_long_sql("'7:' || o_orderkey::VARCHAR")} % 1000000 < 100000
@@ -5301,6 +5407,9 @@ FROM (SELECT pl, count(*)::BIGINT AS c FROM bq GROUP BY pl)
         "llm_activations_fake": _fake_llm_oracle_sql(
             "act:-1:last", 8, "acts_micro"
         ),
+        # audio_fp: fingerprints recomputed driver-side from the raw
+        # sample formula (container-free) — see _audio_fp_oracle_sql.
+        "audio_fp": _audio_fp_oracle_sql(),
         # bpe_encode: independent pure-Python trainer + full SQL replay
         # of the encode loop — see _bpe_oracle_sql.
         "bpe_encode": _bpe_oracle_sql(),

@@ -201,6 +201,7 @@ HEADLINE = [
     "perplexity_buckets_fixed",
     # r10 surface
     "bpe_encode",
+    "dedup_weights",
     "containment",
     "data_budget",
     "cdc_dedup",

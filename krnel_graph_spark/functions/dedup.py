@@ -813,6 +813,67 @@ def drop_near_dups(
     return df.join(F.broadcast(removal_df), id_col, "left_anti")
 
 
+def dedup_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    mode: str = "inverse",
+) -> DataFrame:
+    """SOFT dedup: per-document sampling weight ``1 / |near-dup
+    cluster|`` (``mode="inverse"``) or ``1 / sqrt(|cluster|)``
+    (``mode="sqrt"``, the gentler downweighting) — the
+    keep-everything-but-downweight alternative to
+    :func:`drop_near_dups` that production LLM pipelines use when hard
+    dropping loses too much signal: a cluster of n near-copies
+    contributes ~one document's worth of expected training mass instead
+    of n, while every variant stays samplable. Feed the weight column
+    to ``weighted_sample`` / ``data_budget``.
+
+    Returns ``(id, cluster_size, weight)`` for EVERY input row —
+    singletons (docs in no verified pair) get ``cluster_size = 1``,
+    ``weight = 1.0``; weights rounded to 6.
+
+    Scale shape: MinHash-LSH pairs (banded, never all-pairs) →
+    distributed connected components on the PAIR graph only (O(log n)
+    contraction rounds over pair-graph-sized shuffles) → component-size
+    aggregate → ONE broadcast join of the node-sized (id, size) table
+    back onto the corpus scan. The corpus itself never shuffles, so the
+    marginal cost over pair mining is one map-side join at any scale
+    (AQE demotes the broadcast if the pair graph is boilerplate-huge).
+    """
+    if mode not in ("inverse", "sqrt"):
+        raise ValueError(f"mode must be 'inverse' or 'sqrt': {mode!r}")
+    from .graph import connected_components
+
+    pair_df = minhash_lsh_pairs(
+        df, text_col, id_col,
+        num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, jaccard_threshold=jaccard_threshold,
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pair_df, src="doc_a", dst="doc_b")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    node_sizes = comp.join(sizes, "component").select(
+        F.col("node").alias(id_col), "cluster_size"
+    )
+    size = F.coalesce(F.col("cluster_size"), F.lit(1)).cast("long")
+    w = size.cast("double")
+    if mode == "sqrt":
+        w = F.sqrt(w)
+    return df.select(id_col).join(
+        F.broadcast(node_sizes), id_col, "left"
+    ).select(
+        id_col,
+        size.alias("cluster_size"),
+        F.round(F.lit(1.0) / w, 6).alias("weight"),
+    )
+
+
 def clean_corpus(
     df: DataFrame,
     text_col: str,

@@ -35,6 +35,7 @@ from .scale_ops import (
     PiiScrubOp,
     MixToWeightsOp,
     CdcChunkDedupOp,
+    DedupWeightsOp,
     SequencePackOp,
     StratifiedSampleOp,
     ChunkDocumentsOp,

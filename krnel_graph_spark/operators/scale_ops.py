@@ -257,6 +257,23 @@ class SequencePackOp(DatasetType):
     partition_by: Optional[str] = None
 
 
+class DedupWeightsOp(DatasetType):
+    """Row-aligned SOFT-dedup enrichment: appends ``cluster_size`` and
+    ``weight`` (``1/|near-dup cluster|``, or ``1/sqrt`` with
+    ``mode="sqrt"``) for ``text_column`` — every row keeps its id and a
+    sampling weight instead of being dropped; singletons get weight 1.
+    Lowering: ``dedup.py:dedup_weights`` keyed on the row id (banded
+    MinHash-LSH pairs -> distributed CC on the pair graph -> one
+    broadcast join back), joined onto the parent's columns."""
+
+    dataset: DatasetType
+    text_column: str
+    num_perm: int = 32
+    bands: int = 8
+    jaccard_threshold: float = 0.5
+    mode: str = "inverse"
+
+
 class CdcChunkDedupOp(DatasetType):
     """Row-aligned content-defined-chunking dedup signal: appends
     ``n_chunks`` / ``n_dup_chunks`` / ``n_tokens`` /

@@ -37,6 +37,7 @@ from ..operators.scale_ops import (
     PiiScrubOp,
     MixToWeightsOp,
     CdcChunkDedupOp,
+    DedupWeightsOp,
     SequencePackOp,
     StratifiedSampleOp,
     C4RulesOp,
@@ -1135,6 +1136,28 @@ def cdc_chunk_dedup_op(runner: SparkRunner, op: CdcChunkDedupOp) -> DatasetPlan:
         ROW_ID,
         window=op.window,
         modulus=op.modulus,
+    )
+    out = ds.df.join(rep, ROW_ID)
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=ds.dense)
+
+
+@SparkRunner.implementation
+def dedup_weights_op(runner: SparkRunner, op: DedupWeightsOp) -> DatasetPlan:
+    """Soft-dedup enrichment keyed on the engine row id: the
+    (cluster_size, weight) table — pair-graph-sized, broadcast — joins
+    back onto the parent's columns; every input row reports (singletons
+    weight 1.0), so ids and density are preserved."""
+    from ..functions.dedup import dedup_weights as _impl
+
+    ds = runner.dataset_plan(op.dataset)
+    rep = _impl(
+        ds.df.select(ROW_ID, op.text_column),
+        op.text_column,
+        ROW_ID,
+        num_perm=op.num_perm,
+        bands=op.bands,
+        jaccard_threshold=op.jaccard_threshold,
+        mode=op.mode,
     )
     out = ds.df.join(rep, ROW_ID)
     return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=ds.dense)

@@ -249,6 +249,28 @@ class DatasetType(OpSpec):
             dataset=self, text_column=text_column, window=window, modulus=modulus
         )
 
+    def dedup_weights(
+        self,
+        text_column: str,
+        num_perm: int = 32,
+        bands: int = 8,
+        jaccard_threshold: float = 0.5,
+        mode: str = "inverse",
+    ) -> "DatasetType":
+        """Append the soft-dedup sampling weight: ``cluster_size`` +
+        ``weight = 1/|near-dup cluster|`` (or 1/sqrt with mode='sqrt');
+        rows are downweighted, never dropped."""
+        from .operators.scale_ops import DedupWeightsOp
+
+        return DedupWeightsOp(
+            dataset=self,
+            text_column=text_column,
+            num_perm=num_perm,
+            bands=bands,
+            jaccard_threshold=jaccard_threshold,
+            mode=mode,
+        )
+
     def gopher_rules(self, text_column: str) -> "DatasetType":
         """Append the Gopher quality-rule flags + keep verdict."""
         from .operators.scale_ops import GopherRulesOp

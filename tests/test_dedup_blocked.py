@@ -258,3 +258,57 @@ def test_clean_corpus_keep_by(spark):
     }
     assert 2 in kept and 1 not in kept
     assert 3 in kept
+
+
+def test_dedup_weights_planted_clusters(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "completely different text about spark execution engines at scale",
+        "a third unrelated document mentioning neither foxes nor engines",
+    ]
+    rows = []
+    doc_id = 0
+    for text in base:
+        for variant in (text, text + " extra", text + " extra tail"):
+            rows.append((doc_id, variant))
+            doc_id += 1
+    rows.append((doc_id, "a lone singleton document with fully novel words"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dedup_weights(
+            df, "text", "doc_id", num_perm=16, bands=8, jaccard_threshold=0.3
+        ).collect()
+    }
+    # every input row reports — soft dedup drops nothing
+    assert set(out) == set(range(10))
+    for d in range(9):  # three planted clusters of three
+        assert out[d]["cluster_size"] == 3
+        assert out[d]["weight"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[9]["cluster_size"] == 1 and out[9]["weight"] == 1.0
+    # expected training mass: each cluster contributes ~1 doc
+    total = sum(r["weight"] for r in out.values())
+    assert total == pytest.approx(4.0, abs=1e-4)
+    # sqrt mode is gentler: 1/sqrt(3) per member
+    sq = {
+        r["doc_id"]: r["weight"]
+        for r in dedup.dedup_weights(
+            df, "text", "doc_id",
+            num_perm=16, bands=8, jaccard_threshold=0.3, mode="sqrt",
+        ).collect()
+    }
+    assert sq[0] == pytest.approx(3 ** -0.5, abs=1e-6)
+    assert sq[9] == 1.0
+    with pytest.raises(ValueError, match="mode"):
+        dedup.dedup_weights(df, "text", "doc_id", mode="bogus")
+
+
+def test_dedup_weights_fluent_twin(lazy_runner):
+    ds = lazy_runner.from_parquet("/root/testdata/sf0.001/documents.parquet")
+    op = ds.dedup_weights("text", num_perm=16, bands=4)
+    pdf = lazy_runner.to_pandas(op)
+    # row-aligned enrichment: parent columns + the two new ones, density kept
+    assert {"cluster_size", "weight"} <= set(pdf.columns)
+    assert len(pdf) == 500
+    assert (pdf["weight"] <= 1.0).all() and (pdf["weight"] > 0).all()
+    assert ((pdf["cluster_size"] == 1) == (pdf["weight"] == 1.0)).all()

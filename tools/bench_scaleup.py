@@ -108,6 +108,9 @@ QUERIES = [
     # r9: substring-dedup surgery over the x40 perturbed corpus (same
     # growth axis as dup_windows/dedup_report — window digests).
     "remove_dup_windows",
+    # r10: soft dedup over the x40 corpus — pair mining + pair-graph CC;
+    # marginal cost over minhash_pairs is one broadcast join.
+    "dedup_weights",
     # r10: epoch planner over the x40 corpus — one partial-agg'd groupBy
     # to a #sources-row table; expected ~flat (scan-bound).
     "data_budget",
