@@ -2524,6 +2524,28 @@ def q_dedup_drop_near(spark, sf_dir):
     )
 
 
+def q_dedup_against_index(spark, sf_dir):
+    """Incremental cross-corpus near-dedup (r10): the reference side's
+    MinHash signatures come from a PRECOMPUTED minhash_index frame (the
+    persist-once artifact a daily-ingest pipeline reuses), so the ref
+    corpus is never re-signatured — output is IDENTICAL to the inline
+    dedup_against_near path, so the oracle is the same SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    idx = dedup.minhash_index(ref, "text", "doc_id", num_perm=16)
+    return dedup.dedup_against(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        ref,
+        "text",
+        "doc_id",
+        mode="near",
+        num_perm=16,
+        bands=4,
+        jaccard_threshold=0.5,
+        ref_index=idx,
+    )
+
+
 def q_connected_components(spark, sf_dir):
     """Distributed connected components (large-star/small-star,
     functions/graph.py) over the verified MinHash-LSH pair graph — the
@@ -3278,7 +3300,7 @@ _R10_WINDOW = [
     # oracles r10; data_budget's oracle gained the planned-strata outer
     # join r10.
     "bpe_encode", "compression_signals", "data_budget",
-    "dedup_weights",
+    "dedup_weights", "dedup_against_index",
     # the r5-era evidence gap (COVERAGE.md #116-145 as of r9): the
     # TPC-H q2-q22 tail and the bm25/chunk/tfidf/mix/dedup_against
     # family — no driver row since round 5.
@@ -3297,7 +3319,7 @@ _R10_WINDOW = [
     "funnel_steps", "retention_cohorts", "hybrid_search",
     "funnel_conversion", "fuzzy_pairs", "event_transitions",
     "session_cooccurrence", "weighted_sample", "agg_q1", "join_q3",
-    "selective_agg_q6", "dedup_exact", "rollup_counts",
+    "selective_agg_q6", "rollup_counts",
     # (r11 rotation queue: late_lines_q12 + the r7 block
     #  token_entropy..source_quality + the r6/r7 codec/graph rows, then
     #  the rows-only re-record block — split_rng, classifier_*,
@@ -3442,6 +3464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": q_tfidf,
         "dedup_against_exact": q_dedup_against_exact,
         "dedup_against_near": q_dedup_against_near,
+        "dedup_against_index": q_dedup_against_index,
         "tokenize_ids": q_tokenize_ids,
         "chunk_pack": q_chunk_pack,
         "corpus_sequences": q_corpus_sequences,
@@ -4440,7 +4463,7 @@ FROM lp GROUP BY doc_id
 
     stupid_backoff_sql = sb_sql()
 
-    return {
+    out = {
         "scan_parquet": "SELECT * FROM region",
         "select_column": "SELECT c_name FROM customer",
         "take_rows": """
@@ -6836,6 +6859,10 @@ GROUP BY node
 ORDER BY node
 """,
     }
+    # the index-reuse path is output-identical to the inline near path,
+    # so the oracle is literally the same SQL
+    out["dedup_against_index"] = out["dedup_against_near"]
+    return out
 
 
 # --------------------------------------------------------------------- #

@@ -915,6 +915,40 @@ def clean_corpus(
     )
 
 
+def minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Persistable MinHash signature index: ``(id, sig, n_sh)`` — the
+    expensive part of near-dedup (shingling + ``num_perm`` permutation
+    mins over every document) materialized once so growing-corpus
+    pipelines become INCREMENTAL: build the index over days 1..N−1,
+    write it to parquet, and each day-N ingest passes it to
+    :func:`dedup_against` as ``ref_index=`` — the reference corpus's
+    text is then touched only for candidate verification (semi-join
+    pruned to colliding docs), never re-signatured. ~``num_perm × 8``
+    bytes/doc (256 B at the default), so the index is ~1000× smaller
+    than the text it summarizes.
+
+    The banding layout is derived from the signature at join time, so
+    one index serves ANY ``bands`` dividing ``num_perm``. Blank docs
+    (no shingles) carry ``n_sh = 0`` and are skipped by consumers, same
+    as the inline path."""
+    sc = minhash_sig_count_udf(num_perm, shingle_k)(F.col(text_col))
+    return (
+        ensure_min_partitions(df)
+        .select(F.col(id_col), sc.alias("__sc"))
+        .select(
+            id_col,
+            F.col("__sc.sig").alias("sig"),
+            F.col("__sc.n_sh").alias("n_sh"),
+        )
+    )
+
+
 def dedup_against(
     new_df: DataFrame,
     ref_df: DataFrame,
@@ -926,6 +960,7 @@ def dedup_against(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
     bloom_bits_per_key: int = 0,
+    ref_index: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus dedup: keep only ``new_df`` rows that do NOT
     (exactly / nearly) match anything in ``ref_df`` — the incremental
@@ -948,9 +983,17 @@ def dedup_against(
     (band, band-sig) keys — so the huge new crawl's rows (or band rows)
     that cannot match never enter the join shuffle; false positives are
     caught by the join/verify, output identical.
+
+    ``ref_index`` (near mode): a :func:`minhash_index` frame for
+    ``ref_df`` (same ``num_perm``/``shingle_k``) — skips the reference
+    corpus's signature pass entirely, making the daily-ingest loop
+    incremental; output is IDENTICAL to the inline path (the index is
+    an internal artifact, verification still reads candidate ref text).
     """
     from ..functions import text as tx
 
+    if ref_index is not None and mode != "near":
+        raise ValueError("ref_index applies to mode='near' only")
     if mode == "exact":
         ref_fp = ref_df.select(tx.fingerprint(text_col).alias("__fp")).distinct()
         if bloom_bits_per_key > 0:
@@ -981,18 +1024,25 @@ def dedup_against(
 
     rows_per_band = num_perm // bands
 
-    def banded(df: DataFrame, side: str) -> DataFrame:
-        sc = minhash_sig_count_udf(num_perm, shingle_k)(F.col(text_col))
-        base = (
-            ensure_min_partitions(df)
-            .select(F.col(id_col).alias(side), sc.alias("__sc"))
-            .select(
-                side,
-                F.col("__sc.sig").alias("sig"),
-                F.col("__sc.n_sh").alias("n_sh"),
+    def banded(
+        df: DataFrame, side: str, index: DataFrame | None = None
+    ) -> DataFrame:
+        if index is not None:
+            base = index.select(
+                F.col(id_col).alias(side), "sig", "n_sh"
+            ).filter(F.col("n_sh") > 0)
+        else:
+            sc = minhash_sig_count_udf(num_perm, shingle_k)(F.col(text_col))
+            base = (
+                ensure_min_partitions(df)
+                .select(F.col(id_col).alias(side), sc.alias("__sc"))
+                .select(
+                    side,
+                    F.col("__sc.sig").alias("sig"),
+                    F.col("__sc.n_sh").alias("n_sh"),
+                )
+                .filter(F.col("n_sh") > 0)
             )
-            .filter(F.col("n_sh") > 0)
-        )
         return base.select(
             side,
             F.explode(
@@ -1023,7 +1073,7 @@ def dedup_against(
         )
 
     new_banded = banded(new_df, "new_doc")
-    ref_banded = banded(ref_df, "ref_doc")
+    ref_banded = banded(ref_df, "ref_doc", ref_index)
     if bloom_bits_per_key > 0:
         # Map-side band prune: bloom over the REF (band, band_sig) keys —
         # new band rows that cannot collide never enter the join shuffle.

@@ -60,3 +60,60 @@ def test_near_keeps_disjoint_corpora(spark, corpora):
         fresh, ref, "text", "doc_id", mode="near", num_perm=16, bands=8
     ).count()
     assert kept == 1
+
+
+def test_ref_index_parquet_roundtrip_identical(spark, corpora, tmp_path):
+    """The incremental-pipeline contract: build the signature index
+    once, persist it to parquet, and dedup reuse over the READ-BACK
+    index must equal the inline path row-for-row — the ref corpus is
+    never re-signatured."""
+    from krnel_graph_spark.functions.dedup import minhash_index
+
+    new, ref = corpora
+    inline = sorted(
+        r.doc_id
+        for r in dedup_against(
+            new, ref, "text", "doc_id", mode="near",
+            num_perm=16, bands=8, jaccard_threshold=0.5,
+        ).collect()
+    )
+    path = str(tmp_path / "ref_minhash_idx")
+    minhash_index(ref, "text", "doc_id", num_perm=16).write.parquet(path)
+    idx = spark.read.parquet(path)
+    reused = sorted(
+        r.doc_id
+        for r in dedup_against(
+            new, ref, "text", "doc_id", mode="near",
+            num_perm=16, bands=8, jaccard_threshold=0.5,
+            ref_index=idx,
+        ).collect()
+    )
+    assert reused == inline == [7, 9]
+    # one index serves any band layout dividing num_perm
+    reused_b4 = sorted(
+        r.doc_id
+        for r in dedup_against(
+            new, ref, "text", "doc_id", mode="near",
+            num_perm=16, bands=4, jaccard_threshold=0.5,
+            ref_index=idx,
+        ).collect()
+    )
+    inline_b4 = sorted(
+        r.doc_id
+        for r in dedup_against(
+            new, ref, "text", "doc_id", mode="near",
+            num_perm=16, bands=4, jaccard_threshold=0.5,
+        ).collect()
+    )
+    assert reused_b4 == inline_b4
+
+
+def test_ref_index_rejected_for_exact_mode(spark, corpora):
+    from krnel_graph_spark.functions.dedup import minhash_index
+
+    new, ref = corpora
+    idx = minhash_index(ref, "text", "doc_id", num_perm=16)
+    with pytest.raises(ValueError, match="near"):
+        dedup_against(
+            new, ref, "text", "doc_id", mode="exact", ref_index=idx
+        )
