@@ -2689,25 +2689,36 @@ def q_ann_ivf(spark, sf_dir):
 def q_ann_ivfpq(spark, sf_dir):
     """IVF-PQ ANN (coarse cells + residual product quantization + exact
     re-rank) — the faiss-standard billion-scale index layout composed
-    from the IVF and PQ primitives. No SQL oracle (k-means); recall vs
-    exact L2 is pinned by test_pq.py::test_ivfpq_recall_and_refine."""
+    from the IVF and PQ primitives. Oracle-backed (r10): with
+    ``refine_iters=0`` the coarse centroids are the md5-keyed sample
+    and the residual codebooks fit driver-side, so the ENTIRE index +
+    search replays in Python into a literal table (Lloyd refinement
+    stays property-tested in pytest — its distributed partial sums are
+    order-dependent at the last ulp, deliberately outside the replay
+    contract)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return similarity.ivfpq_topk(
         emb, queries_df, "embedding", "vec_id",
         k=10, n_cells=16, nprobe=4, m=8, n_codes=64,
+        refine_iters=0,
         refine=emb, refine_factor=4,
     ).orderBy("query_id", "rank")
 
 
 def q_ann_pq(spark, sf_dir):
     """Product-quantized ANN with exact re-rank: train codebooks
-    (bounded deterministic sample), encode the corpus to 8-byte codes,
-    ADC-search, refine the shortlist against raw vectors. No SQL oracle
-    (k-means codebooks aren't cross-engine reproducible); recall is
-    pinned by test_pq.py."""
+    (bounded md5-keyed deterministic sample), encode the corpus to
+    8-byte codes, ADC-search, refine the shortlist against raw vectors.
+    Oracle-backed (r10): the fit is driver-side numpy over a
+    portable-key sample, so ``oracle_sql()`` regenerates the identical
+    codebooks from the raw parquet and replays encode/ADC/refine in
+    Python (fold-order L2, HALF_UP round-6) into a literal table —
+    grading the distributed encode + two-stage search end-to-end."""
     emb = _t(spark, sf_dir, "embeddings")
-    books = similarity.pq_train(emb, "embedding", m=8, n_codes=64, n_iter=5)
+    books = similarity.pq_train(
+        emb, "embedding", m=8, n_codes=64, n_iter=5, id_col="vec_id"
+    )
     enc = similarity.pq_encode(emb, "embedding", "vec_id", books)
     queries_df = emb.filter(F.col("vec_id") < 10)
     return similarity.pq_topk(
@@ -3300,7 +3311,7 @@ _R10_WINDOW = [
     # oracles r10; data_budget's oracle gained the planned-strata outer
     # join r10.
     "bpe_encode", "compression_signals", "data_budget",
-    "dedup_weights", "dedup_against_index",
+    "dedup_weights", "dedup_against_index", "ann_pq", "ann_ivfpq",
     # the r5-era evidence gap (COVERAGE.md #116-145 as of r9): the
     # TPC-H q2-q22 tail and the bm25/chunk/tfidf/mix/dedup_against
     # family — no driver row since round 5.
@@ -3318,7 +3329,7 @@ _R10_WINDOW = [
     # oldest remaining oracle-backed evidence (round 6)
     "funnel_steps", "retention_cohorts", "hybrid_search",
     "funnel_conversion", "fuzzy_pairs", "event_transitions",
-    "session_cooccurrence", "weighted_sample", "agg_q1", "join_q3",
+    "agg_q1", "join_q3",
     "selective_agg_q6", "rollup_counts",
     # (r11 rotation queue: late_lines_q12 + the r7 block
     #  token_entropy..source_quality + the r6/r7 codec/graph rows, then
@@ -3957,6 +3968,254 @@ def _audio_fp_oracle_sql() -> str:
         f"SELECT doc_id::BIGINT AS doc_id, afp::BIGINT AS afp,\n"
         f"       afp_hi::BIGINT AS afp_hi, afp_lo::BIGINT AS afp_lo\n"
         f"FROM (VALUES {vals}) AS t(doc_id, afp, afp_hi, afp_lo)"
+    )
+
+
+def _ann_pq_oracle_sql() -> str:
+    """Literal oracle for the PQ gate: every stage is replayed
+    driver-side from the raw parquet — md5-keyed sample (hashlib twin
+    of md5_long), the _pq_fit spec (seeded RandomState init + Lloyd
+    iterations), round-6-shielded code assignment, j-ordered ADC
+    accumulation over the same LUTs, the (approx_l2, doc_id) shortlist
+    cut at k*refine_factor, and the exact re-rank where L2 replays the
+    SQL fold ORDER (sequential index-order accumulation, HALF_UP
+    round-6) so ranking ties resolve identically. Emits the final
+    (query_id, doc_id, approx_l2, rank) table as literals."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    import numpy as np
+
+    m, n_codes, n_iter, seed, k, factor = 8, 64, 5, 7, 10, 4
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{_gate_dir()}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = np.asarray([r[0] for r in rows])
+    mat = np.asarray([r[1] for r in rows], dtype=np.float64)
+    dim = mat.shape[1]
+    sub = dim // m
+
+    def md5key(i: int) -> int:
+        return int(hashlib.md5(f"pq:{seed}:{i}".encode()).hexdigest()[:15], 16)
+
+    order = sorted(range(len(ids)), key=lambda j: (md5key(int(ids[j])), ids[j]))
+    x = mat[order][:4096]
+
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_codes, sub))
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        kk = min(n_codes, len(xs))
+        cm = xs[rng.choice(len(xs), size=kk, replace=False)]
+        for _ in range(n_iter):
+            d2 = (
+                (xs * xs).sum(1)[:, None]
+                - 2 * (xs @ cm.T)
+                + (cm * cm).sum(1)[None, :]
+            )
+            a = d2.argmin(1)
+            for c in range(kk):
+                pts = xs[a == c]
+                if len(pts):
+                    cm[c] = pts.mean(0)
+        if kk < n_codes:
+            cm = np.vstack([cm, np.repeat(cm[-1:], n_codes - kk, axis=0)])
+        books[j] = cm
+
+    codes = np.empty((len(mat), m), dtype=np.int64)
+    for j in range(m):
+        xs = mat[:, j * sub : (j + 1) * sub]
+        cm = books[j]
+        d2 = (
+            (xs * xs).sum(1)[:, None]
+            - 2 * (xs @ cm.T)
+            + (cm * cm).sum(1)[None, :]
+        )
+        codes[:, j] = np.round(d2, 6).argmin(1)
+
+    qmask = ids < 10
+    qids, qmat = ids[qmask], mat[qmask]
+    luts = np.empty((len(qmat), m, n_codes))
+    for j in range(m):
+        qs = qmat[:, j * sub : (j + 1) * sub]
+        cm = books[j]
+        luts[:, j, :] = (
+            (qs * qs).sum(1)[:, None]
+            - 2 * (qs @ cm.T)
+            + (cm * cm).sum(1)[None, :]
+        )
+    d = np.zeros((len(qmat), len(mat)))
+    for j in range(m):
+        d += luts[:, j, :][:, codes[:, j]]
+
+    one6 = Decimal("0.000001")
+    out_rows = []
+    for qi in range(len(qmat)):
+        short = sorted(range(len(mat)), key=lambda b: (d[qi, b], ids[b]))[
+            : k * factor
+        ]
+        scored = []
+        for b in short:
+            acc = 0.0
+            for xi, yi in zip(mat[b], qmat[qi]):
+                diff = xi - yi
+                acc = acc + diff * diff
+            l2 = float(
+                Decimal(repr(math.sqrt(acc))).quantize(
+                    one6, rounding=ROUND_HALF_UP
+                )
+            )
+            scored.append((l2, int(ids[b])))
+        scored.sort()
+        for rank, (l2, did) in enumerate(scored[:k], start=1):
+            out_rows.append(
+                f"({int(qids[qi])}, {did}, CAST('{l2!r}' AS DOUBLE), {rank})"
+            )
+    vals = ",\n".join(out_rows)
+    return (
+        f"SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,\n"
+        f"       approx_l2, rank::INT AS rank\n"
+        f"FROM (VALUES {vals}) AS t(query_id, doc_id, approx_l2, rank)"
+    )
+
+
+def _ann_ivfpq_oracle_sql() -> str:
+    """Literal oracle for the IVF-PQ gate (refine_iters=0): coarse
+    centroids = md5-keyed sample, residual PQ codebooks = _pq_fit spec
+    over the md5-keyed training sample, round-6-shielded cell/code
+    assignment, stable-argsort probes, per-probed-cell ADC with
+    self-exclusion, (d, doc_id) shortlist cut, fold-order exact L2
+    re-rank — all replayed driver-side from the raw parquet."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    import numpy as np
+
+    m, n_codes, n_iter = 8, 64, 10
+    n_cells, nprobe, seed, k, factor = 16, 4, 7, 10, 4
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{_gate_dir()}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = np.asarray([r[0] for r in rows])
+    mat = np.asarray([r[1] for r in rows], dtype=np.float64)
+    dim = mat.shape[1]
+    sub = dim // m
+
+    def md5key(prefix: str, i: int) -> int:
+        return int(
+            hashlib.md5(f"{prefix}:{seed}:{i}".encode()).hexdigest()[:15], 16
+        )
+
+    c_order = sorted(
+        range(len(ids)), key=lambda j: (md5key("ivfpq", int(ids[j])), ids[j])
+    )
+    cmat = mat[c_order][:n_cells]
+    s_order = sorted(
+        range(len(ids)), key=lambda j: (md5key("ivfpqs", int(ids[j])), ids[j])
+    )
+    xs = mat[s_order][:4096]
+    d2s = (
+        (xs * xs).sum(1)[:, None]
+        - 2 * (xs @ cmat.T)
+        + (cmat * cmat).sum(1)[None, :]
+    )
+    res_train = xs - cmat[d2s.argmin(1)]
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_codes, sub))
+    for j in range(m):
+        rs = res_train[:, j * sub : (j + 1) * sub]
+        kk = min(n_codes, len(rs))
+        cb = rs[rng.choice(len(rs), size=kk, replace=False)]
+        for _ in range(n_iter):
+            dj = (
+                (rs * rs).sum(1)[:, None]
+                - 2 * (rs @ cb.T)
+                + (cb * cb).sum(1)[None, :]
+            )
+            a = dj.argmin(1)
+            for c in range(kk):
+                pts = rs[a == c]
+                if len(pts):
+                    cb[c] = pts.mean(0)
+        if kk < n_codes:
+            cb = np.vstack([cb, np.repeat(cb[-1:], n_codes - kk, axis=0)])
+        books[j] = cb
+
+    d2 = (
+        (mat * mat).sum(1)[:, None]
+        - 2 * (mat @ cmat.T)
+        + (cmat * cmat).sum(1)[None, :]
+    )
+    cells = np.round(d2, 6).argmin(1)
+    res = mat - cmat[cells]
+    codes = np.empty((len(mat), m), dtype=np.int64)
+    for j in range(m):
+        rs = res[:, j * sub : (j + 1) * sub]
+        cb = books[j]
+        dj = (
+            (rs * rs).sum(1)[:, None]
+            - 2 * (rs @ cb.T)
+            + (cb * cb).sum(1)[None, :]
+        )
+        codes[:, j] = np.round(dj, 6).argmin(1)
+
+    qmask = ids < 10
+    qids, qmat = ids[qmask], mat[qmask]
+    dq = (
+        (qmat * qmat).sum(1)[:, None]
+        - 2 * (qmat @ cmat.T)
+        + (cmat * cmat).sum(1)[None, :]
+    )
+    probes = np.argsort(dq, axis=1, kind="stable")[:, : min(nprobe, len(cmat))]
+
+    one6 = Decimal("0.000001")
+    out_rows = []
+    for qi in range(len(qmat)):
+        cand: list[tuple[float, int]] = []
+        probed = set(int(c) for c in probes[qi])
+        for b in range(len(mat)):
+            if int(cells[b]) not in probed or ids[b] == qids[qi]:
+                continue
+            cell = int(cells[b])
+            qres = qmat[qi] - cmat[cell]
+            lut = np.empty((m, n_codes))
+            for j in range(m):
+                qs = qres[j * sub : (j + 1) * sub]
+                cb = books[j]
+                lut[j] = (qs * qs).sum() - 2 * (cb @ qs) + (cb * cb).sum(1)
+            dist = lut[np.arange(m), codes[b]].sum()
+            cand.append((float(dist), int(ids[b])))
+        cand.sort()
+        short = cand[: k * factor]
+        scored = []
+        for _, did in short:
+            dv = mat[np.where(ids == did)[0][0]]
+            acc = 0.0
+            for xi, yi in zip(dv, qmat[qi]):
+                diff = xi - yi
+                acc = acc + diff * diff
+            l2 = float(
+                Decimal(repr(math.sqrt(acc))).quantize(
+                    one6, rounding=ROUND_HALF_UP
+                )
+            )
+            scored.append((l2, did))
+        scored.sort()
+        for rank, (l2, did) in enumerate(scored[:k], start=1):
+            out_rows.append(
+                f"({int(qids[qi])}, {did}, CAST('{l2!r}' AS DOUBLE), {rank})"
+            )
+    vals = ",\n".join(out_rows)
+    return (
+        f"SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,\n"
+        f"       approx_l2, rank::INT AS rank\n"
+        f"FROM (VALUES {vals}) AS t(query_id, doc_id, approx_l2, rank)"
     )
 
 
@@ -5433,6 +5692,14 @@ FROM (SELECT pl, count(*)::BIGINT AS c FROM bq GROUP BY pl)
         # audio_fp: fingerprints recomputed driver-side from the raw
         # sample formula (container-free) — see _audio_fp_oracle_sql.
         "audio_fp": _audio_fp_oracle_sql(),
+        # ann_pq: codebooks + encode + ADC + refine replayed driver-side
+        # (md5-keyed sample makes the fit reproducible) — see
+        # _ann_pq_oracle_sql.
+        "ann_pq": _ann_pq_oracle_sql(),
+        # ann_ivfpq: the whole IVF-PQ index (coarse sample + residual
+        # codebooks) + search replayed driver-side — see
+        # _ann_ivfpq_oracle_sql.
+        "ann_ivfpq": _ann_ivfpq_oracle_sql(),
         # bpe_encode: independent pure-Python trainer + full SQL replay
         # of the encode loop — see _bpe_oracle_sql.
         "bpe_encode": _bpe_oracle_sql(),

@@ -501,6 +501,7 @@ def pq_train(
     sample_rows: int = 4096,
     seed: int = 7,
     n_iter: int = 10,
+    id_col: str | None = None,
 ) -> "np.ndarray":
     """Train product-quantization codebooks: split vectors into ``m``
     subspaces, k-means each to ``n_codes`` centroids. Returns an
@@ -513,14 +514,36 @@ def pq_train(
     saturates at a few thousand training points regardless of corpus
     size, so at 100 TB the sample — not the corpus — is still what any
     index-training job reads.
+
+    With ``id_col`` given, the sample orders by the engine-portable md5
+    key (``md5('pq:{seed}:' || id)``, id-ascending ties — the same rule
+    :func:`ivf_topk` uses), so an oracle can regenerate the identical
+    sample (and therefore the identical codebooks, since the fit is
+    driver-side numpy) from the raw table. Without it, the legacy
+    vector-string xxhash64 ordering is kept for back-compat.
     """
-    rows = (
-        corpus.select(F.col(vec_col).alias("v"))
-        .withColumn("_h", F.xxhash64(F.col("v").cast("array<double>").cast("string"), F.lit(seed)))
-        .orderBy("_h")
-        .limit(sample_rows)
-        .collect()
-    )
+    if id_col is not None:
+        from .hashing import md5_long
+
+        rows = (
+            corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
+            .orderBy(
+                md5_long(
+                    F.concat(F.lit(f"pq:{seed}:"), F.col("i").cast("string"))
+                ),
+                F.col("i").asc(),
+            )
+            .limit(sample_rows)
+            .collect()
+        )
+    else:
+        rows = (
+            corpus.select(F.col(vec_col).alias("v"))
+            .withColumn("_h", F.xxhash64(F.col("v").cast("array<double>").cast("string"), F.lit(seed)))
+            .orderBy("_h")
+            .limit(sample_rows)
+            .collect()
+        )
     x = np.asarray([r["v"] for r in rows], dtype=np.float64)
     return _pq_fit(x, m, n_codes, seed, n_iter)
 
@@ -587,7 +610,11 @@ def pq_encode(
                 - 2 * (xs @ cm.T)
                 + (cm * cm).sum(1)[None, :]
             )
-            codes[:, j] = d2.argmin(1)
+            # Round-6 shield before the argmin (ivf_topk's determinism
+            # rule): code assignment becomes immune to last-ulp GEMM
+            # differences across batch shapes, so a driver-side oracle
+            # recomputing d2 over the whole corpus picks the same codes.
+            codes[:, j] = np.round(d2, 6).argmin(1)
         return pd.Series(list(codes))
 
     widened = ensure_min_partitions(corpus)
@@ -656,10 +683,12 @@ def pq_topk(
                 d += lt[:, j, :][:, codes[:, j]]
             ids = pdf["doc_id"].to_numpy()
             kk = min(shortlist, len(codes))
-            top = np.argpartition(d, kk - 1, axis=1)[:, :kk]
             out_q, out_id, out_d = [], [], []
             for qi_idx in range(nq):
-                sel = top[qi_idx]
+                # (distance, doc_id) prune — argpartition would resolve
+                # boundary TIES arbitrarily, disagreeing with the global
+                # (approx_l2, doc_id) window cut on duplicate vectors.
+                sel = np.lexsort((ids, d[qi_idx]))[:kk]
                 out_q.extend([qi[qi_idx]] * len(sel))
                 out_id.extend(ids[sel])
                 out_d.extend(d[qi_idx, sel])
@@ -757,10 +786,22 @@ def ivfpq_topk(
     scan, exactly like the flat-PQ path."""
     from pyspark.sql import Window
 
+    from .hashing import md5_long
+
     # ---- coarse quantizer: deterministic seed sample + Lloyd refine ----
+    # Sampling keys are the engine-portable md5 rule (ivf_topk's), so an
+    # oracle can regenerate the identical index from the raw table; with
+    # refine_iters=0 the WHOLE index is driver-replayable (Lloyd's
+    # distributed partial sums are order-dependent at the last ulp, so
+    # refined centroids are deliberately outside the replay contract).
     centroid_rows = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .orderBy(F.xxhash64(F.col("cid"), F.lit(seed)))
+        .orderBy(
+            md5_long(
+                F.concat(F.lit(f"ivfpq:{seed}:"), F.col("cid").cast("string"))
+            ),
+            F.col("cid").asc(),
+        )
         .limit(n_cells)
         .collect()
     )
@@ -770,14 +811,13 @@ def ivfpq_topk(
 
     # ---- PQ codebooks on residuals of a bounded training sample ----
     sample = (
-        corpus.select(F.col(vec_col).alias("v"))
-        .withColumn(
-            "_h",
-            F.xxhash64(
-                F.col("v").cast("array<double>").cast("string"), F.lit(seed)
+        corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
+        .orderBy(
+            md5_long(
+                F.concat(F.lit(f"ivfpqs:{seed}:"), F.col("i").cast("string"))
             ),
+            F.col("i").asc(),
         )
-        .orderBy("_h")
         .limit(sample_rows)
         .collect()
     )
@@ -801,7 +841,11 @@ def ivfpq_topk(
             d2 = (
                 (v * v).sum(1)[:, None] - 2 * (v @ cm.T) + (cm * cm).sum(1)[None, :]
             )
-            cells = d2.argmin(1)
+            # Round-6 shields on both argmins (the repo-wide determinism
+            # rule): assignment is immune to last-ulp GEMM differences
+            # across batch shapes, so the driver-side oracle recomputing
+            # over the whole corpus picks identical cells/codes.
+            cells = np.round(d2, 6).argmin(1)
             res = v - cm[cells]
             codes = np.empty((len(v), mm), dtype=np.int32)
             for j in range(mm):
@@ -812,7 +856,7 @@ def ivfpq_topk(
                     - 2 * (rs @ cb.T)
                     + (cb * cb).sum(1)[None, :]
                 )
-                codes[:, j] = dj.argmin(1)
+                codes[:, j] = np.round(dj, 6).argmin(1)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
@@ -871,7 +915,10 @@ def ivfpq_topk(
                     kk = min(shortlist, len(sel_ids))
                     if not kk:
                         continue
-                    top = np.argpartition(d, kk - 1)[:kk]
+                    # (distance, doc_id) prune — argpartition resolves
+                    # boundary ties arbitrarily, disagreeing with the
+                    # global (approx_l2, doc_id) window cut.
+                    top = np.lexsort((sel_ids, d))[:kk]
                     out_q.extend([qi_arr[qi]] * kk)
                     out_id.extend(sel_ids[top])
                     out_d.extend(d[top])
