@@ -242,10 +242,16 @@ def q_split_hash(spark, sf_dir):
 
 
 def q_split_rng(spark, sf_dir):
+    """Reference-parity RNG split (CPython random.Random(seed).sample
+    over row positions). Oracle-backed (r10): the split is a
+    deterministic function of (seed, row count), so ``oracle_sql()``
+    replays random.Random(42).sample on the same interpreter into a
+    literal table; exporting the MASKED test-row keys makes the hash
+    sensitive to WHICH rows landed in test, not just how many (a bare
+    label column would sort to a count check)."""
     runner, ds = _ds(spark, sf_dir, "customer")
-    return runner.dataframe(
-        ds.assign_train_test_split(test_size=0.25, random_state=42)
-    )
+    split = ds.assign_train_test_split(test_size=0.25, random_state=42)
+    return runner.dataframe(ds.mask_rows(split.test)).select("c_custkey")
 
 
 def q_assign_row_id(spark, sf_dir):
@@ -284,13 +290,27 @@ def q_classifier_evaluate(spark, sf_dir):
     )
     clf = x.train_classifier(positives=pos, model_type="logistic_regression")
     report = runner.to_json(clf.predict(x).evaluate(gt_positives=pos, split=split))
+    # Round-6 HALF_UP on export: order-sensitive float means (avg_score)
+    # vary at the ulp level with shuffle arrival order; rounding makes
+    # the frame stable AND lets the r10 literal oracle (driver refit +
+    # hash-split replay through the same metrics spec) hash-match.
     rows = [
-        (split_name, metric, float(val))
+        (split_name, metric, _round6(val))
         for split_name, metrics in sorted(report.items())
         for metric, val in sorted(metrics.items())
         if isinstance(val, (int, float)) and not isinstance(val, bool)
     ]
     return spark.createDataFrame(rows, "split string, metric string, value double")
+
+
+def _round6(val) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(val))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
 
 
 def _micro_join(col) -> "F.Column":
@@ -3012,15 +3032,14 @@ def q_image_features_stub(spark, sf_dir):
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     out = extract_image_features(docs, "payload", "doc_id", fake=True)
-    # Rounded comma-joined features: sortable by the driver's canonicalizer
-    # (raw array<float> is unhashable in pandas sort), stable across runs.
+    # Micro-int |-joined features (the no-arrays compared-frame
+    # convention; float-repr strings would diverge from Python's
+    # shortest-repr below 1e-3 where Java switches to scientific).
     return out.select(
         "doc_id",
         "width",
         "height",
-        F.array_join(
-            F.transform("features", lambda x: F.round(x, 4).cast("string")), ","
-        ).alias("features"),
+        _micro_join(F.col("features")).alias("features"),
     )
 
 
@@ -3034,9 +3053,7 @@ def q_audio_features_stub(spark, sf_dir):
     return out.select(
         "doc_id",
         "duration_s",
-        F.array_join(
-            F.transform("features", lambda x: F.round(x, 4).cast("string")), ","
-        ).alias("features"),
+        _micro_join(F.col("features")).alias("features"),
     )
 
 
@@ -3312,6 +3329,8 @@ _R10_WINDOW = [
     # join r10.
     "bpe_encode", "compression_signals", "data_budget",
     "dedup_weights", "dedup_against_index", "ann_pq", "ann_ivfpq",
+    "split_rng", "classifier_predict", "classifier_evaluate",
+    "image_features_stub", "audio_features_stub", "video_frames_stub",
     # the r5-era evidence gap (COVERAGE.md #116-145 as of r9): the
     # TPC-H q2-q22 tail and the bm25/chunk/tfidf/mix/dedup_against
     # family — no driver row since round 5.
@@ -3327,14 +3346,13 @@ _R10_WINDOW = [
     # displaced from the r9 window by late-r9 additions (r4 evidence)
     "window_topk", "lead_lag", "sql_entry",
     # oldest remaining oracle-backed evidence (round 6)
-    "funnel_steps", "retention_cohorts", "hybrid_search",
-    "funnel_conversion", "fuzzy_pairs", "event_transitions",
-    "agg_q1", "join_q3",
-    "selective_agg_q6", "rollup_counts",
-    # (r11 rotation queue: late_lines_q12 + the r7 block
-    #  token_entropy..source_quality + the r6/r7 codec/graph rows, then
-    #  the rows-only re-record block — split_rng, classifier_*,
-    #  llm_*_fake, umap_pca, image/audio/video stubs.)
+    "agg_q1", "join_q3", "selective_agg_q6", "rollup_counts",
+    # (r11 rotation queue: the displaced r6 behavior block —
+    #  funnel_steps/retention_cohorts/hybrid_search/funnel_conversion/
+    #  fuzzy_pairs/event_transitions/session_cooccurrence/
+    #  weighted_sample/dedup_exact/text_stats — then late_lines_q12 +
+    #  the r7 block token_entropy..source_quality + the r6/r7
+    #  codec/graph rows; rows-only is down to 5 by-design entries.)
 ]
 
 
@@ -4216,6 +4234,199 @@ def _ann_ivfpq_oracle_sql() -> str:
         f"SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,\n"
         f"       approx_l2, rank::INT AS rank\n"
         f"FROM (VALUES {vals}) AS t(query_id, doc_id, approx_l2, rank)"
+    )
+
+
+def _stub_media_oracle_sql(kind: str) -> str:
+    """Literal oracles for the stubbed media decoders: each fake is a
+    pinned deterministic spec over the UTF-8 payload bytes —
+    image: sha256-derived (width, height) + seeded-RandomState features;
+    audio: sha256-derived duration + seeded features;
+    video: crc32-derived frame count + per-frame sha256(data||idx) —
+    recomputed driver-side from the gate parquet, so the Spark
+    mapInPandas plumbing (encode, batching, explode, id alignment) is
+    hash-graded even though the decode itself is a stub."""
+    import hashlib
+    import zlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    import numpy as np
+
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{_gate_dir()}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    one = Decimal("1")
+
+    def micros(vec) -> str:
+        return "|".join(
+            str(
+                int(
+                    Decimal(repr(float(x) * 1e6)).quantize(
+                        one, rounding=ROUND_HALF_UP
+                    )
+                )
+            )
+            for x in vec
+        )
+
+    rows = []
+    for doc_id, t in texts:
+        data = (t or "").encode("utf-8")
+        digest = hashlib.sha256(data).digest()
+        if kind == "image":
+            w = 64 + digest[0] % 64
+            h = 64 + digest[1] % 64
+            seed = int.from_bytes(digest[2:10], "big") % (2**32)
+            f = np.random.RandomState(seed).standard_normal(16).astype(
+                np.float32
+            )
+            rows.append(f"({doc_id}, {w}, {h}, '{micros(f)}')")
+        elif kind == "audio":
+            dur = 1.0 + digest[0] % 120
+            seed = int.from_bytes(digest[4:12], "big") % (2**32)
+            f = np.random.RandomState(seed).standard_normal(16).astype(
+                np.float32
+            )
+            rows.append(
+                f"({doc_id}, CAST('{dur!r}' AS DOUBLE), '{micros(f)}')"
+            )
+        else:  # video: one row per sampled frame (every_n=5)
+            n_frames = 1 + (zlib.crc32(data) % 30)
+            for idx in range(0, n_frames, 5):
+                fp = hashlib.sha256(data + idx.to_bytes(4, "big")).hexdigest()
+                rows.append(f"({doc_id}, {idx}, '{fp}')")
+    vals = ",\n".join(rows)
+    if kind == "image":
+        return (
+            f"SELECT doc_id::BIGINT AS doc_id, width::INT AS width,\n"
+            f"       height::INT AS height, features\n"
+            f"FROM (VALUES {vals}) AS t(doc_id, width, height, features)"
+        )
+    if kind == "audio":
+        return (
+            f"SELECT doc_id::BIGINT AS doc_id, duration_s, features\n"
+            f"FROM (VALUES {vals}) AS t(doc_id, duration_s, features)"
+        )
+    return (
+        f"SELECT doc_id::BIGINT AS doc_id, frame_idx::INT AS frame_idx,\n"
+        f"       frame_sha256\n"
+        f"FROM (VALUES {vals}) AS t(doc_id, frame_idx, frame_sha256)"
+    )
+
+
+def _classifier_predict_oracle_sql() -> str:
+    """Literal oracle for the classifier gate: training is driver-side
+    (NumpyLogisticRegression — the repo's deterministic solver — fit on
+    the file-ordered gathered frame), so refitting on the file-ordered
+    parquet reproduces the model bit-for-bit and the decision scores
+    replay exactly. Grades the distributed predict path (broadcast
+    model -> Arrow batches -> round-4 export) end-to-end."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    import numpy as np
+
+    from krnel_graph_spark.runners.classifier_impl import classifier_model
+
+    rows = duckdb.sql(
+        f"SELECT embedding, label FROM "
+        f"read_parquet('{_gate_dir()}/embeddings.parquet')"
+    ).fetchall()
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    y = np.asarray([str(r[1]) == "2" for r in rows])
+    model = classifier_model("logistic_regression", None)
+    model.fit(x, y)
+    scores = model.decision_function(x)
+    one4 = Decimal("0.0001")
+    vals = ",\n".join(
+        f"(CAST('{float(Decimal(repr(float(v))).quantize(one4, rounding=ROUND_HALF_UP))!r}' AS DOUBLE))"
+        for v in scores
+    )
+    return f"SELECT value FROM (VALUES {vals}) AS t(value)"
+
+
+def _classifier_evaluate_oracle_sql() -> str:
+    """Literal oracle for the evaluation gate: deterministic driver
+    refit (as in the predict oracle), hash-split membership replayed
+    via hashlib (md5_long(row_id || ':42') % 1e6 < 250000 — the
+    engine-portable split rule), per-split metrics through the SAME
+    metrics spec (functions/metrics.py:evaluate_split), values rounded
+    6 HALF_UP exactly as the gate exports them."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    import numpy as np
+
+    from krnel_graph_spark.functions.metrics import evaluate_split
+    from krnel_graph_spark.runners.classifier_impl import classifier_model
+
+    rows = duckdb.sql(
+        f"SELECT embedding, label FROM "
+        f"read_parquet('{_gate_dir()}/embeddings.parquet')"
+    ).fetchall()
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    y = np.asarray([str(r[1]) == "2" for r in rows])
+    model = classifier_model("logistic_regression", None)
+    model.fit(x, y)
+    scores = model.decision_function(x)
+    splits = np.asarray(
+        [
+            "test"
+            if int(hashlib.md5(f"{i}:42".encode()).hexdigest()[:15], 16)
+            % 1_000_000
+            < 250_000
+            else "train"
+            for i in range(len(rows))
+        ]
+    )
+    one6 = Decimal("0.000001")
+    out = []
+    for split_name in sorted(set(splits)):
+        mask = splits == split_name
+        report = evaluate_split(scores[mask], y[mask], None)
+        for metric, val in sorted(report.items()):
+            if isinstance(val, (int, float)) and not isinstance(val, bool):
+                v = float(
+                    Decimal(repr(float(val))).quantize(
+                        one6, rounding=ROUND_HALF_UP
+                    )
+                )
+                out.append(f"('{split_name}', '{metric}', CAST('{v!r}' AS DOUBLE))")
+    vals = ",\n".join(out)
+    return (
+        f"SELECT split, metric, value "
+        f"FROM (VALUES {vals}) AS t(split, metric, value)"
+    )
+
+
+def _split_rng_oracle_sql() -> str:
+    """Literal oracle for the RNG-parity split gate: the reference's
+    split is ``random.Random(seed).sample(range(n), n_test)`` over row
+    positions (n_test = ceil(test_size·n) — the reference's float-test
+    rounding), replayed here on the same interpreter against the
+    customer table's file order and mapped to the masked test-row
+    keys."""
+    import math
+    import random
+
+    import duckdb
+
+    keys = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT c_custkey FROM "
+            f"read_parquet('{_gate_dir()}/customer.parquet')"
+        ).fetchall()
+    ]
+    n_test = math.ceil(0.25 * len(keys))
+    idx = sorted(random.Random(42).sample(range(len(keys)), n_test))
+    vals = ",\n".join(f"({keys[i]})" for i in idx)
+    return (
+        f"SELECT c_custkey::BIGINT AS c_custkey "
+        f"FROM (VALUES {vals}) AS t(c_custkey)"
     )
 
 
@@ -5692,6 +5903,20 @@ FROM (SELECT pl, count(*)::BIGINT AS c FROM bq GROUP BY pl)
         # audio_fp: fingerprints recomputed driver-side from the raw
         # sample formula (container-free) — see _audio_fp_oracle_sql.
         "audio_fp": _audio_fp_oracle_sql(),
+        # split_rng: CPython RNG replayed on the same interpreter —
+        # see _split_rng_oracle_sql.
+        "split_rng": _split_rng_oracle_sql(),
+        # classifier_predict: deterministic driver-side refit -> exact
+        # score replay — see _classifier_predict_oracle_sql.
+        "classifier_predict": _classifier_predict_oracle_sql(),
+        # classifier_evaluate: refit + hash-split replay + shared
+        # metrics spec — see _classifier_evaluate_oracle_sql.
+        "classifier_evaluate": _classifier_evaluate_oracle_sql(),
+        # stubbed media decoders: pinned deterministic fakes recomputed
+        # driver-side — see _stub_media_oracle_sql.
+        "image_features_stub": _stub_media_oracle_sql("image"),
+        "audio_features_stub": _stub_media_oracle_sql("audio"),
+        "video_frames_stub": _stub_media_oracle_sql("video"),
         # ann_pq: codebooks + encode + ADC + refine replayed driver-side
         # (md5-keyed sample makes the fit reproducible) — see
         # _ann_pq_oracle_sql.
