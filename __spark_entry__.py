@@ -3265,10 +3265,12 @@ def q_image_dups(spark, sf_dir):
 def q_video_dups(spark, sf_dir):
     """Video near-dup pairs over the synthetic Y4M corpus: real frame
     decode → frame-set MinHash → LSH bands → exact Jaccard verify.
-    Rows-only by design: LSH candidate recall is probabilistic (the
-    1-(1-j^r)^b curve), so a deterministic SQL oracle would have to
-    replicate xxhash64 banding; set semantics + Jaccard values are pinned
-    exactly by test_codecs.py::test_video_near_dups."""
+    Oracle-backed (r10): the signature/banding machinery moved to the
+    engine-portable md5_long + universal-hash permute family, so the
+    ENTIRE candidate pipeline — synthetic luma planes from the id
+    formula, frame sha256, signatures, banding, exact Jaccard —
+    replays driver-side into a literal table (an xxhash64 band would
+    have been unreplayable)."""
     from krnel_graph_spark.functions.multimodal import (
         synth_y4m_table,
         video_near_dups,
@@ -3276,7 +3278,8 @@ def q_video_dups(spark, sf_dir):
 
     ids = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 120)
     return video_near_dups(
-        synth_y4m_table(ids), "data", "doc_id", jaccard_threshold=0.3
+        synth_y4m_table(ids, twin_offset=100_000), "data", "doc_id",
+        jaccard_threshold=0.3
     ).orderBy("doc_a", "doc_b")
 
 
@@ -4399,6 +4402,90 @@ def _classifier_evaluate_oracle_sql() -> str:
     return (
         f"SELECT split, metric, value "
         f"FROM (VALUES {vals}) AS t(split, metric, value)"
+    )
+
+
+def _video_dups_oracle_sql() -> str:
+    """Literal oracle for the video near-dup gate: regenerate the
+    synthetic Y4M luma planes from the id formula (synth_y4m_table's
+    spec — no container decode, so a codec bug cannot hash-match),
+    sha256 each frame, then replay the portable MinHash pipeline
+    (md5_long frame keys → perm_params universal-hash mins → md5 band
+    signatures → exact frame-set Jaccard, round-6 HALF_UP)."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    import numpy as np
+
+    num_perm, bands, thr = 16, 8, 0.3
+    rpb = num_perm // bands
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM "
+            f"read_parquet('{_gate_dir()}/documents.parquet') "
+            f"WHERE doc_id < 120 ORDER BY doc_id"
+        ).fetchall()
+    ]
+    fsets: dict[int, set[int]] = {}
+    sigs: dict[int, list[int]] = {}
+
+    def frame_keys(i: int, n_frames: int) -> set[int]:
+        w = 8 + i % 16
+        h = 8 + (i * 5) % 16
+        hashes = set()
+        for fidx in range(n_frames):
+            frame = (
+                (i + 3 * fidx + np.arange(h, dtype=np.int64)[:, None]) % 256
+                + np.zeros((1, w), dtype=np.int64)
+            ).astype(np.uint8)
+            hx = hashlib.sha256(frame.tobytes()).hexdigest()
+            hashes.add(int(hashlib.md5(hx.encode()).hexdigest()[:15], 16))
+        return hashes
+
+    for i in ids:
+        n = 1 + i % 12
+        # base doc + its planted twin (same frames + one continuation
+        # frame) — synth_y4m_table(twin_offset=100_000)'s spec
+        fsets[i] = frame_keys(i, n)
+        fsets[i + 100_000] = frame_keys(i, n + 1)
+    for i, hashes in fsets.items():
+        sig = []
+        for p in range(num_perm):
+            a, b = perm_params(p)
+            sig.append(
+                min((a * (fh % MOD_INPUT) + b) % MERSENNE_P for fh in hashes)
+            )
+        sigs[i] = sig
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for i in sorted(fsets):
+        for b in range(bands):
+            bsig = hashlib.md5(
+                ",".join(str(v) for v in sigs[i][b * rpb : (b + 1) * rpb])
+                .encode()
+            ).hexdigest()
+            buckets.setdefault((b, bsig), []).append(i)
+    cand = set()
+    for members in buckets.values():
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                a, b = members[ai], members[bi]
+                cand.add((min(a, b), max(a, b)))
+    one6 = Decimal("0.000001")
+    rows = []
+    for a, b in sorted(cand):
+        inter = len(fsets[a] & fsets[b])
+        union = len(fsets[a] | fsets[b])
+        jac = float(
+            Decimal(repr(inter / union)).quantize(one6, rounding=ROUND_HALF_UP)
+        )
+        if jac >= thr:
+            rows.append(f"({a}, {b}, CAST('{jac!r}' AS DOUBLE))")
+    vals = ",\n".join(rows)
+    return (
+        f"SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b, jaccard "
+        f"FROM (VALUES {vals}) AS t(doc_a, doc_b, jaccard)"
     )
 
 
@@ -5917,6 +6004,9 @@ FROM (SELECT pl, count(*)::BIGINT AS c FROM bq GROUP BY pl)
         "image_features_stub": _stub_media_oracle_sql("image"),
         "audio_features_stub": _stub_media_oracle_sql("audio"),
         "video_frames_stub": _stub_media_oracle_sql("video"),
+        # video_dups_q: full portable-minhash replay from the id formula
+        # — see _video_dups_oracle_sql.
+        "video_dups_q": _video_dups_oracle_sql(),
         # ann_pq: codebooks + encode + ADC + refine replayed driver-side
         # (md5-keyed sample makes the fit reproducible) — see
         # _ann_pq_oracle_sql.

@@ -376,11 +376,17 @@ def video_near_dups(
     as the text near-dup path."""
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
+    from .hashing import md5_long, permute
+
+    # Engine-portable hashes throughout (md5_long + the universal-hash
+    # permute family, the text-minhash machinery) instead of xxhash64:
+    # a driver/SQL oracle can then replay the ENTIRE candidate pipeline
+    # — frame hash → signature → banding — not just the exact verify.
     frames = (
         sample_frames(df, binary_col, id_col, every_n=every_n)
         .select(
             "doc_id",
-            F.xxhash64(F.col("frame_sha256")).alias("fh"),
+            md5_long(F.col("frame_sha256")).alias("fh"),
         )
         .distinct()  # set semantics: repeated identical frames count once
     )
@@ -394,7 +400,7 @@ def video_near_dups(
     sig = frames.groupBy("doc_id").agg(
         F.array(
             *[
-                F.min(F.xxhash64(F.col("fh"), F.lit(i))).alias(f"_m{i}")
+                F.min(permute(F.col("fh"), i)).alias(f"_m{i}")
                 for i in range(num_perm)
             ]
         ).alias("sig")
@@ -404,11 +410,14 @@ def video_near_dups(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[
-                        F.col("sig")[b * rows_per_band + r]
-                        for r in range(rows_per_band)
-                    ]
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("sig")[b * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
                 ).alias("bsig"),
             )
             for b in range(bands)
@@ -456,7 +465,9 @@ def video_near_dups(
     )
 
 
-def synth_y4m_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synth_y4m_table(
+    df: DataFrame, id_col: str = "doc_id", twin_offset: int | None = None
+) -> DataFrame:
     """Deterministic synthetic Y4M corpus: for each id, a REAL Cmono
     YUV4MPEG2 stream with
 
@@ -464,6 +475,13 @@ def synth_y4m_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     - ``height   = 8 + (id * 5) % 16``
     - ``n_frames = 1 + id % 12``  at 25 fps
     - frame ``f`` luma ``(y, x) = (id + 3f + y) % 256``  (row-constant)
+
+    Distinct ids provably share NO frames (the id->frame map is
+    injective within the gate id range), so a near-dup gate over the
+    plain corpus is vacuous. ``twin_offset`` fixes that: each id also
+    emits a twin ``id + twin_offset`` whose stream is the SAME frames
+    plus one continuation frame (``f = n``) — a planted near-dup pair
+    with frame-set Jaccard exactly ``n / (n + 1)``.
     """
     from .codecs import encode_y4m
 
@@ -477,14 +495,21 @@ def synth_y4m_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 w = 8 + doc_id % 16
                 h = 8 + (doc_id * 5) % 16
                 n = 1 + doc_id % 12
-                f_idx = np.arange(n, dtype=np.int64)[:, None, None]
                 y_idx = np.arange(h, dtype=np.int64)[None, :, None]
-                frames = (
-                    (doc_id + 3 * f_idx + y_idx) % 256
-                    + np.zeros((1, 1, w), dtype=np.int64)
-                ).astype(np.uint8)
+
+                def mk(n_frames: int) -> bytes:
+                    f_idx = np.arange(n_frames, dtype=np.int64)[:, None, None]
+                    frames = (
+                        (doc_id + 3 * f_idx + y_idx) % 256
+                        + np.zeros((1, 1, w), dtype=np.int64)
+                    ).astype(np.uint8)
+                    return encode_y4m(frames)
+
                 rows["doc_id"].append(doc_id)
-                rows["data"].append(encode_y4m(frames))
+                rows["data"].append(mk(n))
+                if twin_offset is not None:
+                    rows["doc_id"].append(doc_id + twin_offset)
+                    rows["data"].append(mk(n + 1))
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(run, schema="doc_id long, data binary")
