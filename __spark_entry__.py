@@ -2726,6 +2726,29 @@ def q_ann_ivfpq(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+# Shared by the mmr_select gate query and its unrolled SQL oracle:
+# exact-repr doubles so the literals match bit-for-bit in both engines.
+_MMR_QUERY = [float((i % 8) + 1) / 8.0 for i in range(64)]
+
+
+def q_mmr_select(spark, sf_dir):
+    """Maximal Marginal Relevance top-12 (r10): diversity-aware
+    selection — relevance to the query traded against redundancy with
+    earlier picks (the classic retrieval/RAG reranker and non-redundant
+    exemplar picker). Driver rounds with scan-side scoring (the kcenter
+    idiom: one broadcast literal + TakeOrdered argmax per round); the
+    oracle replays the greedy pick sequence as an unrolled CTE chain
+    with identical fold dots and the round-6 + id-asc argmax shield."""
+    return similarity.mmr_select(
+        _t(spark, sf_dir, "embeddings"),
+        _MMR_QUERY,
+        "embedding",
+        "vec_id",
+        k=12,
+        lam=0.7,
+    )
+
+
 def q_ann_pq(spark, sf_dir):
     """Product-quantized ANN with exact re-rank: train codebooks
     (bounded md5-keyed deterministic sample), encode the corpus to
@@ -3333,7 +3356,8 @@ _R10_WINDOW = [
     "bpe_encode", "compression_signals", "data_budget",
     "dedup_weights", "dedup_against_index", "ann_pq", "ann_ivfpq",
     "split_rng", "classifier_predict", "classifier_evaluate",
-    "image_features_stub", "audio_features_stub", "video_frames_stub",
+    "image_features_stub", "audio_features_stub", "video_frames_stub", "video_dups_q",
+    "mmr_select",
     # the r5-era evidence gap (COVERAGE.md #116-145 as of r9): the
     # TPC-H q2-q22 tail and the bm25/chunk/tfidf/mix/dedup_against
     # family — no driver row since round 5.
@@ -3349,7 +3373,7 @@ _R10_WINDOW = [
     # displaced from the r9 window by late-r9 additions (r4 evidence)
     "window_topk", "lead_lag", "sql_entry",
     # oldest remaining oracle-backed evidence (round 6)
-    "agg_q1", "join_q3", "selective_agg_q6", "rollup_counts",
+    "selective_agg_q6", "rollup_counts",
     # (r11 rotation queue: the displaced r6 behavior block —
     #  funnel_steps/retention_cohorts/hybrid_search/funnel_conversion/
     #  fuzzy_pairs/event_transitions/session_cooccurrence/
@@ -3556,6 +3580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_report": q_packing_report,
         "quality_buckets": q_quality_buckets,
         "kcenter_select": q_kcenter_select,
+        "mmr_select": q_mmr_select,
         "gopher_rules": q_gopher_rules,
         "stupid_backoff": q_stupid_backoff,
         "stupid_backoff_fixed": q_stupid_backoff_fixed,
@@ -3633,6 +3658,63 @@ def _kcenter_sql(k: int = 8) -> str:
         sel.append(
             f"SELECT {r}::BIGINT, id, round(mind, 6)::DOUBLE FROM c{r}"
         )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sel)
+
+
+def _mmr_sql(k: int = 12, lam: float = 0.7) -> str:
+    """Unrolled greedy MMR CTE chain mirroring
+    ``functions/similarity.py:mmr_select``: identical left-fold dots
+    (list_reduce seeded 0.0), the same normalized query literal, and
+    the round-6 + id-ascending argmax shield, so every pick — and both
+    exported round-6 scores — match bit-for-bit."""
+    qn = sum(x * x for x in _MMR_QUERY) ** 0.5
+    qu = [x / qn for x in _MMR_QUERY]
+    q_lit = "[" + ", ".join(repr(x) for x in qu) + "]::DOUBLE[]"
+    lam_l = f"CAST('{lam!r}' AS DOUBLE)"
+    inv_l = f"CAST('{(1.0 - lam)!r}' AS DOUBLE)"
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_concat([0.0::DOUBLE], list_transform("
+            f"list_zip({a}, {b}), p -> p[1] * p[2])), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    sq = (
+        "list_reduce(list_concat([0.0::DOUBLE], "
+        "list_transform(v, y -> y * y)), (acc, x) -> acc + x)"
+    )
+    parts = [
+        """e AS (SELECT vec_id AS id,
+       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings)""",
+        f"""u AS (SELECT id, list_transform(v, x -> x / sqrt({sq})) AS uv
+  FROM e WHERE sqrt({sq}) > 0)""",
+        f"""m0 AS (SELECT id, uv, {dot("uv", q_lit)} AS rel,
+    0.0::DOUBLE AS ms FROM u)""",
+    ]
+    for r in range(1, k + 1):
+        # MATERIALIZED: DuckDB inlines plain CTEs, and each round
+        # references the previous one twice — unmaterialized, the
+        # expression tree doubles per round (2^k base re-evaluations;
+        # k=12 measured minutes). Materialization makes the chain O(k).
+        parts.append(
+            f"""c{r} AS MATERIALIZED (SELECT id, uv, rel, ms,
+    {lam_l} * rel - {inv_l} * ms AS sc FROM m{r - 1}
+  ORDER BY round(sc, 6) DESC, id LIMIT 1)"""
+        )
+        if r < k:
+            parts.append(
+                f"""m{r} AS MATERIALIZED (SELECT t.id, t.uv, t.rel,
+    greatest(t.ms, {dot("t.uv", "c.uv")}) AS ms
+  FROM m{r - 1} t, c{r} c WHERE t.id <> c.id)"""
+            )
+    sel = [
+        f"SELECT {r}::BIGINT AS rank, id AS vec_id, "
+        f"round(rel, 6)::DOUBLE AS relevance, "
+        f"round(sc, 6)::DOUBLE AS mmr FROM c{r}"
+        for r in range(1, k + 1)
+    ]
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sel)
 
 
@@ -6351,6 +6433,7 @@ FROM (SELECT doc_id, lang, n_chars,
 """,
         # kcenter_select: unrolled greedy farthest-point CTE chain.
         "kcenter_select": _kcenter_sql(8),
+        "mmr_select": _mmr_sql(12, 0.7),
         # stupid_backoff: digest-keyed gram tables, identical CASE
         # ladder and (0.4::DOUBLE) arithmetic, round-6 decimal sums.
         "stupid_backoff": stupid_backoff_sql,

@@ -202,6 +202,7 @@ HEADLINE = [
     # r10 surface
     "bpe_encode",
     "dedup_weights",
+    "mmr_select",
     "containment",
     "data_budget",
     "cdc_dedup",

@@ -1183,6 +1183,124 @@ def kcenter_select(
     )
 
 
+def mmr_select(
+    df: DataFrame,
+    query_vec: list[float],
+    vector_col: str,
+    id_col: str,
+    k: int,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998): greedily pick ``k`` rows maximizing ``λ·cos(q, d) −
+    (1−λ)·max_{s∈S} cos(d, s)`` — relevance to the query traded
+    against redundancy with what is already selected. The classic
+    diversity-aware top-k for retrieval reranking, RAG context
+    assembly, and picking k non-redundant training exemplars near a
+    concept anchor. ``λ=1`` degenerates to plain cosine top-k; ``λ=0``
+    ignores the query entirely (pure anti-redundancy).
+
+    Deterministic contract (the :func:`kcenter_select` idiom): the
+    redundancy term starts at 0 (so the FIRST pick is the uniform
+    ``round(λ·rel, 6)`` argmax — identical ranking to relevance for
+    λ>0), every argmax orders by ``(round(score, 6) DESC, id ASC)``,
+    and vectors are unit-normalized scan-side with zero-norm rows
+    excluded — an unrolled SQL oracle replays the exact pick sequence.
+
+    Returns ``(rank, id, relevance, mmr)`` — both round-6; relevance
+    is cosine to the query, ``mmr`` the greedy objective at selection
+    time.
+
+    Scale shape: one normalization scan computes ``__rel`` against the
+    broadcast query literal; each of the k−1 subsequent rounds is a
+    scan-side ``greatest(__maxsim, dot(u, picked))`` update against
+    ONE dim-sized literal plus a TakeOrderedAndProject argmax
+    collecting one row — state localCheckpoint-pinned per round, plan
+    size flat in k, driver holds only the k picks.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+
+    def _r6(x: float) -> float:
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    qn = sum(float(x) * float(x) for x in query_vec) ** 0.5
+    if qn == 0:
+        raise ValueError("query_vec has zero norm")
+    qu = [float(x) / qn for x in query_vec]
+
+    sq = F.aggregate(
+        F.transform(F.col("__v"), lambda x: x * x),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+    def dot_lit(vec: list[float]):
+        arr = F.array(*[F.lit(float(x)) for x in vec])
+        return F.aggregate(
+            F.zip_with(F.col("__u"), arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    lam_c, inv_c = F.lit(float(lam)), F.lit(1.0 - float(lam))
+    state = (
+        df.select(
+            F.col(id_col),
+            F.transform(F.col(vector_col), lambda x: x.cast("double")).alias(
+                "__v"
+            ),
+        )
+        .withColumn("__n", F.sqrt(sq))
+        .filter(F.col("__n") > 0)
+        .select(
+            id_col,
+            F.transform(F.col("__v"), lambda x: x / F.col("__n")).alias(
+                "__u"
+            ),
+        )
+        .withColumn("__rel", dot_lit(qu))
+        .withColumn("__maxsim", F.lit(0.0))
+        .localCheckpoint(eager=False)
+    )
+    score = lam_c * F.col("__rel") - inv_c * F.col("__maxsim")
+    picked = []
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    for rank in range(1, k + 1):
+        top = (
+            state.withColumn("__s", score)
+            .orderBy(F.round(F.col("__s"), 6).desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        row = top[0]
+        picked.append((rank, row[id_col], _r6(row["__rel"]), _r6(row["__s"])))
+        if rank == k:
+            break
+        state = (
+            state.filter(F.col(id_col) != F.lit(row[id_col]))
+            .withColumn(
+                "__maxsim",
+                F.greatest(F.col("__maxsim"), dot_lit(list(row["__u"]))),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return spark.createDataFrame(
+        picked, f"rank long, {id_col} {id_type}, relevance double, mmr double"
+    )
+
+
 def centroid_filter(
     df: DataFrame,
     ref: DataFrame,

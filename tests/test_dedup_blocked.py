@@ -312,3 +312,34 @@ def test_dedup_weights_fluent_twin(lazy_runner):
     assert len(pdf) == 500
     assert (pdf["weight"] <= 1.0).all() and (pdf["weight"] > 0).all()
     assert ((pdf["cluster_size"] == 1) == (pdf["weight"] == 1.0)).all()
+
+
+def test_mmr_select_diversity_vs_pure_relevance(spark):
+    from krnel_graph_spark.functions.similarity import cosine_topk, mmr_select
+
+    # doc 0/1: near-copies maximally relevant; doc 2: relevant but in a
+    # different direction; doc 3: irrelevant.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.998, 0.0, 0.01]),
+        (2, [0.7, 0.7, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [1.0, 0.2, 0.0]
+    # pure relevance would pick the redundant near-copy second...
+    lam1 = [r["vec_id"] for r in mmr_select(df, q, "embedding", "vec_id", k=3, lam=1.0).collect()]
+    assert lam1[:2] == [0, 1]
+    # ...MMR at lam=0.5 demotes it in favor of the diverse direction
+    got = mmr_select(df, q, "embedding", "vec_id", k=3, lam=0.5).collect()
+    ids = [r["vec_id"] for r in got]
+    assert ids[0] == 0 and ids[1] == 2
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    # relevance column is plain cosine; mmr <= lam*relevance after rank 1
+    assert got[0]["mmr"] == pytest.approx(0.5 * got[0]["relevance"], abs=1e-6)
+    assert got[1]["mmr"] <= 0.5 * got[1]["relevance"] + 1e-9
+
+    with pytest.raises(ValueError, match="lam"):
+        mmr_select(df, q, "embedding", "vec_id", k=2, lam=1.5)
+    with pytest.raises(ValueError, match="zero norm"):
+        mmr_select(df, [0.0, 0.0, 0.0], "embedding", "vec_id", k=2)

@@ -93,6 +93,9 @@ QUERIES = [
     "packing_report",
     "quality_buckets",
     "kcenter_select",
+    # r10: MMR diversity selection over the x20 perturbed embeddings —
+    # same k-round driver shape as kcenter; scan CPU is the growth axis.
+    "mmr_select",
     "gopher_rules",
     "stupid_backoff",
     # late-r8 surface: four documents-x40 consumers; centroid_filter
