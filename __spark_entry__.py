@@ -2586,6 +2586,21 @@ def q_connected_components(spark, sf_dir):
     )
 
 
+def q_span_corruption(spark, sf_dir):
+    """T5-style denoising span layout (r10): deterministic chunked
+    masking — exact noise density, non-overlapping spans, a pure
+    function of (id, length, knobs) so training data reproduces across
+    shard orders/retries/engines. One codegen'd scan projection
+    (tokenize → per-chunk hash offset → posexplode), zero shuffles;
+    the oracle replays the identical arithmetic in SQL."""
+    from krnel_graph_spark.functions.curation import span_corruption
+
+    return span_corruption(
+        _docs(spark, sf_dir), "text", "doc_id",
+        noise_density=0.15, mean_span=3, seed=0,
+    )
+
+
 def q_dedup_weights(spark, sf_dir):
     """SOFT dedup (r10): every doc keeps a row with its near-dup
     cluster size and the inverse sampling weight (singletons weight
@@ -3357,7 +3372,7 @@ _R10_WINDOW = [
     "dedup_weights", "dedup_against_index", "ann_pq", "ann_ivfpq",
     "split_rng", "classifier_predict", "classifier_evaluate",
     "image_features_stub", "audio_features_stub", "video_frames_stub", "video_dups_q",
-    "mmr_select",
+    "mmr_select", "span_corruption",
     # the r5-era evidence gap (COVERAGE.md #116-145 as of r9): the
     # TPC-H q2-q22 tail and the bm25/chunk/tfidf/mix/dedup_against
     # family — no driver row since round 5.
@@ -3373,7 +3388,7 @@ _R10_WINDOW = [
     # displaced from the r9 window by late-r9 additions (r4 evidence)
     "window_topk", "lead_lag", "sql_entry",
     # oldest remaining oracle-backed evidence (round 6)
-    "selective_agg_q6", "rollup_counts",
+    "rollup_counts",
     # (r11 rotation queue: the displaced r6 behavior block —
     #  funnel_steps/retention_cohorts/hybrid_search/funnel_conversion/
     #  fuzzy_pairs/event_transitions/session_cooccurrence/
@@ -3492,6 +3507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "connected_components": q_connected_components,
         "dedup_weights": q_dedup_weights,
+        "span_corruption": q_span_corruption,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "shuffle_export": q_shuffle_export,
@@ -5740,6 +5756,32 @@ WHERE doc_id % 2 = 1
         "dedup_drop_near": drop_near_sql,
         "connected_components": connected_components_sql,
         "dedup_weights": dedup_weights_sql,
+        # span_corruption: chunk=20 (mean_span 3 / density 0.15), one
+        # hash-offset span per full chunk + the tail when a span fits;
+        # identical md5 offset arithmetic, 0-based starts.
+        "span_corruption": f"""
+WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents),
+b AS (SELECT doc_id,
+             CASE WHEN len(toks) = 1 AND toks[1] = '' THEN 0
+                  ELSE len(toks) END AS n
+      FROM t),
+d AS (SELECT doc_id, n, (n // 20)::INT AS n_chunks, (n % 20)::INT AS tail
+      FROM b),
+s AS (SELECT doc_id,
+             [{{
+                 'span_id': c,
+                 'start': (c * 20 + (
+                     {md5_long_sql("'0:' || doc_id::VARCHAR || ':' || c::VARCHAR")}
+                     % (CASE WHEN c < n_chunks THEN 18 ELSE tail - 2 END)
+                 ))::BIGINT,
+                 'length': 3::BIGINT
+             }} for c in range(0,
+                 n_chunks + (CASE WHEN tail >= 3 THEN 1 ELSE 0 END))]
+             AS spans
+      FROM d),
+u AS (SELECT doc_id, unnest(spans, recursive := true) FROM s)
+SELECT doc_id, span_id::INT AS span_id, start, length FROM u
+""",
         "hash_sample": f"""
 SELECT * FROM orders
 WHERE {md5_long_sql("'7:' || o_orderkey::VARCHAR")} % 1000000 < 100000

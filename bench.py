@@ -203,6 +203,7 @@ HEADLINE = [
     "bpe_encode",
     "dedup_weights",
     "mmr_select",
+    "span_corruption",
     "containment",
     "data_budget",
     "cdc_dedup",

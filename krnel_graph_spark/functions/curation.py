@@ -683,3 +683,94 @@ def schema_drift(
         f"stack({n}, {flat}) AS (col_name, status, type_old, type_new, "
         "n_null_old, n_null_new, ndv_old, ndv_new)"
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    noise_density: float = 0.15,
+    mean_span: int = 3,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic T5-style denoising spans: for every document, the
+    set of token spans a span-corruption pretraining objective masks
+    (Raffel et al. 2020 §3.1.4's noise_density / mean_span knobs) — the
+    data-prep step that turns a packed corpus into masked-LM training
+    pairs. True T5 samples spans with an RNG; this is the deterministic
+    chunked variant: the token stream is cut into fixed chunks of
+    ``floor(mean_span / noise_density)`` tokens and each chunk masks ONE
+    ``mean_span``-token span at a hash-chosen offset
+    (``md5('{seed}:{id}:{chunk}') % (chunk - mean_span + 1)``) — exact
+    density by construction, spans never overlap, and the whole layout
+    is a pure function of (id, length, knobs), so shard order, retries,
+    and engines all agree (an RNG-based layout would make training data
+    non-reproducible across re-runs — the property this variant exists
+    to fix). A trailing partial chunk masks a span under the same rule
+    when it still fits one, else nothing.
+
+    Returns long format ``(id, span_id, start, length)`` — 0-based
+    token offsets, ``span_id`` counting chunks — ready to drive sentinel
+    insertion or target extraction; docs shorter than ``mean_span``
+    emit no rows.
+
+    Scale shape: ONE codegen'd scan projection — tokenize, a
+    ``transform`` over the chunk-index sequence computing each chunk's
+    hash offset, one ``posexplode`` — zero shuffles, embarrassingly
+    parallel, no Python.
+    """
+    if not 0.0 < noise_density <= 1.0:
+        raise ValueError(f"noise_density must be in (0, 1], got {noise_density}")
+    if mean_span < 1:
+        raise ValueError(f"mean_span must be >= 1, got {mean_span}")
+    chunk = int(mean_span / noise_density)
+    if chunk < mean_span:
+        chunk = mean_span
+    from .hashing import md5_long
+    from .text import token_count
+
+    n = token_count(F.col(text_col))
+    n_chunks = F.floor(n / F.lit(chunk)).cast("int")
+    tail = n - n_chunks * F.lit(chunk)
+    # one span per full chunk + one for a tail that still fits a span
+    total = n_chunks + F.when(tail >= mean_span, F.lit(1)).otherwise(F.lit(0))
+
+    def offset(c):
+        # chunk c's usable offset range: full chunks have
+        # chunk - mean_span + 1 slots; the tail chunk has tail - mean_span + 1
+        slots = F.when(
+            c < n_chunks, F.lit(chunk - mean_span + 1)
+        ).otherwise(tail - F.lit(mean_span) + 1)
+        h = md5_long(
+            F.concat_ws(
+                ":",
+                F.lit(str(seed)),
+                F.col(id_col).cast("string"),
+                c.cast("string"),
+            )
+        )
+        return F.pmod(h, slots)
+
+    spans = F.transform(
+        F.sequence(F.lit(0), total - 1),
+        lambda c: F.struct(
+            c.alias("span_id"),
+            (c * F.lit(chunk) + offset(c)).cast("long").alias("start"),
+            F.lit(mean_span).cast("long").alias("length"),
+        ),
+    )
+    base = df.select(
+        F.col(id_col), F.when(total > 0, spans).otherwise(
+            F.array().cast(
+                "array<struct<span_id:int,start:long,length:long>>"
+            )
+        ).alias("__spans"),
+    )
+    return base.select(
+        id_col, F.explode("__spans").alias("__s")
+    ).select(
+        id_col,
+        F.col("__s.span_id").cast("int").alias("span_id"),
+        F.col("__s.start").alias("start"),
+        F.col("__s.length").alias("length"),
+    )

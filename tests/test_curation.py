@@ -389,3 +389,58 @@ def test_paragraph_dedup_empty_paragraphs_exempt(spark):
     assert got[2] == ("C\n\nD\n\nE", 5, 5)
     # doc 3's non-empty paras are dups, but its blank line survives
     assert got[3] == ("", 3, 1)
+
+
+def test_span_corruption_layout_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from krnel_graph_spark.functions.curation import span_corruption
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"w{i}" for i in range(100))),  # 5 full chunks
+            (1, " ".join(f"w{i}" for i in range(47))),   # 2 chunks + tail 7
+            (2, "a b"),                                  # shorter than a span
+            (3, ""),                                     # blank
+            (4, " ".join(f"w{i}" for i in range(3))),    # exactly one span
+        ],
+        "doc_id long, text string",
+    )
+    out = span_corruption(docs, "text", "doc_id", 0.15, 3, seed=0)
+    rows = out.collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # chunk = floor(3/0.15) = 20: doc 0 -> 5 spans, doc 1 -> 3 (tail 7
+    # fits a span), doc 2/3 -> none, doc 4 -> exactly one at offset 0
+    assert {d: len(v) for d, v in by_doc.items()} == {0: 5, 1: 3, 4: 1}
+    assert by_doc[4][0]["start"] == 0 and by_doc[4][0]["length"] == 3
+    n_tok = {0: 100, 1: 47, 4: 3}
+    for d, spans in by_doc.items():
+        spans = sorted(spans, key=lambda r: r["span_id"])
+        covered = set()
+        for i, r in enumerate(spans):
+            assert r["span_id"] == i
+            # span lives inside its own chunk and inside the doc
+            assert r["start"] >= i * 20
+            assert r["start"] + r["length"] <= min((i + 1) * 20, n_tok[d]) or (
+                # tail span: bounded by the doc end
+                r["start"] + r["length"] <= n_tok[d]
+            )
+            span = set(range(r["start"], r["start"] + r["length"]))
+            assert not span & covered  # non-overlap by construction
+            covered |= span
+    # determinism: identical layout on a re-run and order-insensitive
+    again = sorted(map(tuple, span_corruption(
+        docs, "text", "doc_id", 0.15, 3, seed=0).collect()))
+    assert again == sorted(map(tuple, rows))
+    # different seed moves offsets for at least one doc
+    moved = sorted(map(tuple, span_corruption(
+        docs, "text", "doc_id", 0.15, 3, seed=1).collect()))
+    assert moved != again
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="noise_density"):
+        span_corruption(docs, "text", "doc_id", 0.0, 3)
+    with _pytest.raises(ValueError, match="mean_span"):
+        span_corruption(docs, "text", "doc_id", 0.15, 0)

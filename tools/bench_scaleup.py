@@ -114,6 +114,9 @@ QUERIES = [
     # r10: soft dedup over the x40 corpus — pair mining + pair-graph CC;
     # marginal cost over minhash_pairs is one broadcast join.
     "dedup_weights",
+    # r10: span-corruption layout over the x40 corpus — one codegen scan
+    # projection, zero shuffles; expect ~linear scan CPU.
+    "span_corruption",
     # r10: epoch planner over the x40 corpus — one partial-agg'd groupBy
     # to a #sources-row table; expected ~flat (scan-bound).
     "data_budget",
