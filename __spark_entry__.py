@@ -2601,6 +2601,20 @@ def q_span_corruption(spark, sf_dir):
     )
 
 
+def q_span_corruption_text(spark, sf_dir):
+    """T5 training-pair materialization (r10): inputs with
+    <extra_id_k> sentinels in place of the masked spans, targets as the
+    sentinel-delimited span concatenation + closing sentinel (Raffel
+    fig. 2). Same deterministic layout as span_corruption, constructed
+    entirely in one codegen projection; full SQL-replay oracle."""
+    from krnel_graph_spark.functions.curation import span_corruption_text
+
+    return span_corruption_text(
+        _docs(spark, sf_dir), "text", "doc_id",
+        noise_density=0.15, mean_span=3, seed=0,
+    )
+
+
 def q_dedup_weights(spark, sf_dir):
     """SOFT dedup (r10): every doc keeps a row with its near-dup
     cluster size and the inverse sampling weight (singletons weight
@@ -3372,7 +3386,7 @@ _R10_WINDOW = [
     "dedup_weights", "dedup_against_index", "ann_pq", "ann_ivfpq",
     "split_rng", "classifier_predict", "classifier_evaluate",
     "image_features_stub", "audio_features_stub", "video_frames_stub", "video_dups_q",
-    "mmr_select", "span_corruption",
+    "mmr_select", "span_corruption", "span_corruption_text",
     # the r5-era evidence gap (COVERAGE.md #116-145 as of r9): the
     # TPC-H q2-q22 tail and the bm25/chunk/tfidf/mix/dedup_against
     # family — no driver row since round 5.
@@ -3387,9 +3401,8 @@ _R10_WINDOW = [
     "canonical_urls", "snapshot_diff",
     # displaced from the r9 window by late-r9 additions (r4 evidence)
     "window_topk", "lead_lag", "sql_entry",
-    # oldest remaining oracle-backed evidence (round 6)
-    "rollup_counts",
-    # (r11 rotation queue: the displaced r6 behavior block —
+    # (r11 rotation queue: rollup_counts + agg_q1/join_q3/
+    #  selective_agg_q6 + the displaced r6 behavior block —
     #  funnel_steps/retention_cohorts/hybrid_search/funnel_conversion/
     #  fuzzy_pairs/event_transitions/session_cooccurrence/
     #  weighted_sample/dedup_exact/text_stats — then late_lines_q12 +
@@ -3508,6 +3521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "dedup_weights": q_dedup_weights,
         "span_corruption": q_span_corruption,
+        "span_corruption_text": q_span_corruption_text,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "shuffle_export": q_shuffle_export,
@@ -5781,6 +5795,44 @@ s AS (SELECT doc_id,
       FROM d),
 u AS (SELECT doc_id, unnest(spans, recursive := true) FROM s)
 SELECT doc_id, span_id::INT AS span_id, start, length FROM u
+""",
+        # span_corruption_text: same layout, materialized into T5
+        # (inputs, targets) strings — sentinel per span start, masked
+        # positions dropped, sentinel-delimited targets + closing id.
+        "span_corruption_text": f"""
+WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents),
+b AS (SELECT doc_id, toks,
+             CASE WHEN len(toks) = 1 AND toks[1] = '' THEN 0
+                  ELSE len(toks) END AS n
+      FROM t),
+d AS (SELECT doc_id, toks, n, (n // 20)::INT AS n_chunks, (n % 20)::INT AS tail
+      FROM b),
+s AS (SELECT doc_id, toks, n,
+             [(c * 20 + (
+                 {md5_long_sql("'0:' || doc_id::VARCHAR || ':' || c::VARCHAR")}
+                 % (CASE WHEN c < n_chunks THEN 18 ELSE tail - 2 END)
+             ))::BIGINT
+              for c in range(0,
+                  n_chunks + (CASE WHEN tail >= 3 THEN 1 ELSE 0 END))]
+             AS st
+      FROM d),
+built AS (SELECT doc_id,
+       coalesce(array_to_string(list_filter(
+           [CASE WHEN list_contains(st, p::BIGINT)
+                 THEN '<extra_id_' || (list_position(st, p::BIGINT) - 1)::VARCHAR || '>'
+                 WHEN len(list_filter(st, x -> p > x AND p < x + 3)) > 0
+                 THEN NULL
+                 ELSE toks[p + 1] END
+            for p in range(0, n)], x -> x IS NOT NULL), ' '), '') AS inputs,
+       (CASE WHEN len(st) > 0
+             THEN array_to_string(
+                 ['<extra_id_' || (k)::VARCHAR || '> ' ||
+                  array_to_string(toks[st[k + 1] + 1 : st[k + 1] + 3], ' ')
+                  for k in range(0, len(st))], ' ') || ' '
+             ELSE '' END)
+       || '<extra_id_' || len(st)::VARCHAR || '>' AS targets
+  FROM s)
+SELECT doc_id, inputs, targets FROM built
 """,
         "hash_sample": f"""
 SELECT * FROM orders

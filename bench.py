@@ -204,6 +204,7 @@ HEADLINE = [
     "dedup_weights",
     "mmr_select",
     "span_corruption",
+    "span_corruption_text",
     "containment",
     "data_budget",
     "cdc_dedup",

@@ -774,3 +774,134 @@ def span_corruption(
         F.col("__s.start").alias("start"),
         F.col("__s.length").alias("length"),
     )
+
+
+def span_corruption_text(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    noise_density: float = 0.15,
+    mean_span: int = 3,
+    seed: int = 0,
+) -> DataFrame:
+    """Materialize :func:`span_corruption`'s layout into actual T5
+    training pairs: ``inputs`` is the document with each masked span
+    replaced by its ``<extra_id_k>`` sentinel, ``targets`` is the
+    sentinel-delimited concatenation of the masked spans plus the
+    closing ``<extra_id_n>`` (Raffel et al. 2020 fig. 2's format).
+    Layout determinism is inherited — the same (id, length, knobs)
+    always yields the same pair, so resumed/re-sharded runs train on
+    identical examples.
+
+    Docs with no span (shorter than ``mean_span``) pass through with
+    ``inputs = normalized text`` and ``targets = '<extra_id_0>'`` (an
+    empty denoising target), keeping the op row-aligned.
+
+    Scale shape: the whole pair construction is ONE codegen'd scan
+    projection — the span layout expression, a position-indexed
+    transform emitting token/sentinel/nothing, and two array_joins.
+    Zero shuffles, no Python.
+    """
+    if not 0.0 < noise_density <= 1.0:
+        raise ValueError(f"noise_density must be in (0, 1], got {noise_density}")
+    if mean_span < 1:
+        raise ValueError(f"mean_span must be >= 1, got {mean_span}")
+    chunk = int(mean_span / noise_density)
+    if chunk < mean_span:
+        chunk = mean_span
+    from .hashing import md5_long
+    from .text import whitespace_tokens
+
+    toks = whitespace_tokens(F.col(text_col))
+    n = F.when(
+        (F.size(toks) == 1) & (F.element_at(toks, 1) == ""), F.lit(0)
+    ).otherwise(F.size(toks))
+    n_chunks = F.floor(n / F.lit(chunk)).cast("int")
+    tail = n - n_chunks * F.lit(chunk)
+    total = n_chunks + F.when(tail >= mean_span, F.lit(1)).otherwise(F.lit(0))
+
+    def offset(c):
+        slots = F.when(
+            c < n_chunks, F.lit(chunk - mean_span + 1)
+        ).otherwise(tail - F.lit(mean_span) + 1)
+        h = md5_long(
+            F.concat_ws(
+                ":",
+                F.lit(str(seed)),
+                F.col(id_col).cast("string"),
+                c.cast("string"),
+            )
+        )
+        return F.pmod(h, slots)
+
+    starts = F.when(total > 0, F.transform(
+        F.sequence(F.lit(0), total - 1),
+        lambda c: (c * F.lit(chunk) + offset(c)).cast("long"),
+    )).otherwise(F.array().cast("array<long>"))
+
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__t"),
+        n.alias("__n"),
+        starts.alias("__st"),
+    )
+    pos = F.sequence(F.lit(0), F.col("__n") - 1)
+    span_of = lambda p: F.array_position(  # noqa: E731  1-based; 0 = none
+        F.col("__st"),
+        # the span containing p starts at the unique start in
+        # (p - mean_span, p]; filter+element_at finds it (spans are
+        # disjoint so at most one matches)
+        F.element_at(
+            F.filter(
+                F.col("__st"),
+                lambda s: (p >= s) & (p < s + F.lit(mean_span)),
+            ),
+            1,
+        ),
+    )
+    inputs_arr = F.when(F.col("__n") > 0, F.transform(
+        pos,
+        lambda p: F.when(
+            F.exists(F.col("__st"), lambda s: p == s),
+            F.concat(
+                F.lit("<extra_id_"),
+                (span_of(p) - 1).cast("string"),
+                F.lit(">"),
+            ),
+        ).otherwise(
+            F.when(
+                F.exists(
+                    F.col("__st"),
+                    lambda s: (p > s) & (p < s + F.lit(mean_span)),
+                ),
+                F.lit(None).cast("string"),
+            ).otherwise(F.element_at(F.col("__t"), p.cast("int") + 1))
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    targets_arr = F.transform(
+        F.col("__st"),
+        lambda s: F.concat(
+            F.lit("<extra_id_"),
+            (F.array_position(F.col("__st"), s) - 1).cast("string"),
+            F.lit("> "),
+            F.array_join(
+                F.slice(F.col("__t"), s.cast("int") + 1, mean_span), " "
+            ),
+        ),
+    )
+    closing = F.concat(
+        F.lit("<extra_id_"), F.size("__st").cast("string"), F.lit(">")
+    )
+    return base.select(
+        id_col,
+        F.array_join(F.filter(inputs_arr, lambda x: x.isNotNull()), " ").alias(
+            "inputs"
+        ),
+        F.concat(
+            F.when(
+                F.size("__st") > 0,
+                F.concat(F.array_join(targets_arr, " "), F.lit(" ")),
+            ).otherwise(F.lit("")),
+            closing,
+        ).alias("targets"),
+    )

@@ -444,3 +444,48 @@ def test_span_corruption_layout_invariants(spark):
         span_corruption(docs, "text", "doc_id", 0.0, 3)
     with _pytest.raises(ValueError, match="mean_span"):
         span_corruption(docs, "text", "doc_id", 0.15, 0)
+
+
+def test_span_corruption_text_t5_format(spark):
+    from krnel_graph_spark.functions.curation import (
+        span_corruption,
+        span_corruption_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(47))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in span_corruption_text(docs, "text", "doc_id").collect()
+    }
+    spans = sorted(
+        (r["span_id"], r["start"])
+        for r in span_corruption(docs, "text", "doc_id").collect()
+        if r["doc_id"] == 0
+    )
+    # inputs: every span start shows its sentinel; masked tokens absent
+    toks = [f"w{i}" for i in range(47)]
+    inp = out[0]["inputs"].split(" ")
+    for sid, start in spans:
+        assert f"<extra_id_{sid}>" in inp
+        for p in range(start, start + 3):
+            assert toks[p] not in inp
+    # targets: sentinel-delimited masked spans + closing sentinel
+    expected_tg = " ".join(
+        f"<extra_id_{sid}> " + " ".join(toks[start : start + 3])
+        for sid, start in spans
+    ) + f" <extra_id_{len(spans)}>"
+    assert out[0]["targets"] == expected_tg
+    # reconstruction property: interleaving inputs and targets restores
+    # the document
+    merged = out[0]["inputs"]
+    for sid, start in spans:
+        merged = merged.replace(
+            f"<extra_id_{sid}>", " ".join(toks[start : start + 3])
+        )
+    assert merged == " ".join(toks)
+    # span-less and blank docs pass through with empty denoising targets
+    assert out[2]["inputs"] == "a b" and out[2]["targets"] == "<extra_id_0>"
+    assert out[3]["inputs"] == "" and out[3]["targets"] == "<extra_id_0>"
