@@ -36,6 +36,7 @@ from .scale_ops import (
     MixToWeightsOp,
     CdcChunkDedupOp,
     DedupWeightsOp,
+    SpanCorruptionOp,
     SequencePackOp,
     StratifiedSampleOp,
     ChunkDocumentsOp,

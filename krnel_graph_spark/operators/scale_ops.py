@@ -257,6 +257,23 @@ class SequencePackOp(DatasetType):
     partition_by: Optional[str] = None
 
 
+class SpanCorruptionOp(DatasetType):
+    """Row-aligned T5 denoising-pair enrichment: appends ``inputs``
+    (document with masked spans replaced by ``<extra_id_k>`` sentinels)
+    and ``targets`` (sentinel-delimited masked spans + closing
+    sentinel) for ``text_column``, under the deterministic chunked
+    layout (exact noise density, non-overlapping, a pure function of
+    (row, length, knobs)). Lowering: ``curation.py:span_corruption_text``
+    keyed on the row id — one codegen projection, ids and density
+    preserved (span-less docs get an empty denoising target)."""
+
+    dataset: DatasetType
+    text_column: str
+    noise_density: float = 0.15
+    mean_span: int = 3
+    seed: int = 0
+
+
 class DedupWeightsOp(DatasetType):
     """Row-aligned SOFT-dedup enrichment: appends ``cluster_size`` and
     ``weight`` (``1/|near-dup cluster|``, or ``1/sqrt`` with

@@ -38,6 +38,7 @@ from ..operators.scale_ops import (
     MixToWeightsOp,
     CdcChunkDedupOp,
     DedupWeightsOp,
+    SpanCorruptionOp,
     SequencePackOp,
     StratifiedSampleOp,
     C4RulesOp,
@@ -1136,6 +1137,26 @@ def cdc_chunk_dedup_op(runner: SparkRunner, op: CdcChunkDedupOp) -> DatasetPlan:
         ROW_ID,
         window=op.window,
         modulus=op.modulus,
+    )
+    out = ds.df.join(rep, ROW_ID)
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=ds.dense)
+
+
+@SparkRunner.implementation
+def span_corruption_op(runner: SparkRunner, op: SpanCorruptionOp) -> DatasetPlan:
+    """T5 denoising-pair enrichment keyed on the engine row id: the
+    (inputs, targets) columns join back onto the parent's columns;
+    every input row reports, so ids and density are preserved."""
+    from ..functions.curation import span_corruption_text as _impl
+
+    ds = runner.dataset_plan(op.dataset)
+    rep = _impl(
+        ds.df.select(ROW_ID, op.text_column),
+        op.text_column,
+        ROW_ID,
+        noise_density=op.noise_density,
+        mean_span=op.mean_span,
+        seed=op.seed,
     )
     out = ds.df.join(rep, ROW_ID)
     return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=ds.dense)

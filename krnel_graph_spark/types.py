@@ -249,6 +249,26 @@ class DatasetType(OpSpec):
             dataset=self, text_column=text_column, window=window, modulus=modulus
         )
 
+    def span_corruption(
+        self,
+        text_column: str,
+        noise_density: float = 0.15,
+        mean_span: int = 3,
+        seed: int = 0,
+    ) -> "DatasetType":
+        """Append deterministic T5 denoising pairs: ``inputs`` with
+        <extra_id_k> sentinels over the masked spans, ``targets`` as
+        the sentinel-delimited span concatenation."""
+        from .operators.scale_ops import SpanCorruptionOp
+
+        return SpanCorruptionOp(
+            dataset=self,
+            text_column=text_column,
+            noise_density=noise_density,
+            mean_span=mean_span,
+            seed=seed,
+        )
+
     def dedup_weights(
         self,
         text_column: str,

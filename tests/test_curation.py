@@ -489,3 +489,13 @@ def test_span_corruption_text_t5_format(spark):
     # span-less and blank docs pass through with empty denoising targets
     assert out[2]["inputs"] == "a b" and out[2]["targets"] == "<extra_id_0>"
     assert out[3]["inputs"] == "" and out[3]["targets"] == "<extra_id_0>"
+
+
+def test_span_corruption_fluent_twin(lazy_runner):
+    ds = lazy_runner.from_parquet("/root/testdata/sf0.001/documents.parquet")
+    pdf = lazy_runner.to_pandas(ds.span_corruption("text"))
+    assert {"inputs", "targets"} <= set(pdf.columns)
+    assert len(pdf) == 500  # row-aligned: every doc reports
+    assert pdf["targets"].str.endswith(">").all()
+    # sentinel ids in targets are contiguous from 0
+    assert (pdf["targets"].str.count("<extra_id_") >= 1).all()
