@@ -277,7 +277,58 @@ def _extra_queries():
             s.read.parquet(f"{OUT}/documents.parquet"), "text", "doc_id"
         )
 
+    def dedup_against_index_x40(s):
+        # The r10 incremental-ingest A/B at x40: the ref side (even doc
+        # copies, ~100k docs) uses a PRE-PERSISTED minhash_index read
+        # back from parquet, so the run pays only the new-side
+        # signatures + band join + candidate verify. Compare against
+        # dedup_against_near_x40 (same split, inline) — the delta is
+        # the ref re-signature cost the index amortizes away each day.
+        from pyspark.sql import functions as F  # noqa: N812
+
+        from krnel_graph_spark.functions import dedup as dd
+
+        docs = s.read.parquet(f"{OUT}/documents.parquet")
+        ref = docs.filter(F.col("doc_id") % 2 == 0)
+        idx_path = f"{OUT}/__minhash_idx_ref"
+        import os as _os
+
+        if not _os.path.isdir(idx_path):
+            dd.minhash_index(ref, "text", "doc_id", num_perm=16).write.mode(
+                "overwrite"
+            ).parquet(idx_path)
+        return dd.dedup_against(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            ref,
+            "text",
+            "doc_id",
+            mode="near",
+            num_perm=16,
+            bands=4,
+            jaccard_threshold=0.5,
+            ref_index=s.read.parquet(idx_path),
+        )
+
+    def dedup_against_near_x40(s):
+        from pyspark.sql import functions as F  # noqa: N812
+
+        from krnel_graph_spark.functions import dedup as dd
+
+        docs = s.read.parquet(f"{OUT}/documents.parquet")
+        return dd.dedup_against(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            docs.filter(F.col("doc_id") % 2 == 0),
+            "text",
+            "doc_id",
+            mode="near",
+            num_perm=16,
+            bands=4,
+            jaccard_threshold=0.5,
+        )
+
     return {
+        "dedup_against_near_x40": dedup_against_near_x40,
+        "dedup_against_index_x40": dedup_against_index_x40,
         "ngram_coverage_x40": ngram_coverage_x40,
         "margin_pairs_ann_x20": margin_ann_x20,
         "containment_x40": containment_x40,
