@@ -445,3 +445,59 @@ def test_cdc_chunk_dedup_matches_python_oracle(spark, texts):
         assert got[i]["n_tokens"] == n_tok == len(tk), i
         expect_frac = round(dup_tok / n_tok, 6) if n_tok else 0.0
         assert got[i]["dup_token_fraction"] == expect_frac, i
+
+
+@_spark_settings
+@given(texts=_corpus)
+def test_span_corruption_matches_python_oracle(spark, texts):
+    """span_corruption vs a pure-Python re-derivation of the chunked
+    layout (mean_span=2, density=0.5 -> chunk=4: boundaries and tail
+    chunks are common even on the tiny corpus), plus the structural
+    invariants: exact per-chunk span count, non-overlap, containment."""
+    import hashlib
+
+    from krnel_graph_spark.functions.curation import span_corruption
+
+    mean_span, chunk, seed = 2, 4, 3
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = sorted(
+        map(
+            tuple,
+            span_corruption(
+                df, "text", "doc_id",
+                noise_density=0.5, mean_span=mean_span, seed=seed,
+            ).collect(),
+        )
+    )
+
+    def md5_long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    expect = []
+    for doc_id, t in enumerate(texts):
+        toks = " ".join((t or "").lower().split()).split(" ")
+        n = 0 if toks == [""] else len(toks)
+        n_chunks, tail = n // chunk, n % chunk
+        total = n_chunks + (1 if tail >= mean_span else 0)
+        for c in range(total):
+            slots = (
+                chunk - mean_span + 1 if c < n_chunks else tail - mean_span + 1
+            )
+            off = md5_long(f"{seed}:{doc_id}:{c}") % slots
+            expect.append((doc_id, c, c * chunk + off, mean_span))
+    assert got == sorted(expect)
+    # structural invariants on the engine output
+    by_doc: dict = {}
+    for d, _, s0, ln in got:
+        by_doc.setdefault(d, []).append((s0, ln))
+    for d, spans in by_doc.items():
+        toks = " ".join((texts[d] or "").lower().split()).split(" ")
+        n = 0 if toks == [""] else len(toks)
+        seen: set = set()
+        for s0, ln in spans:
+            span = set(range(s0, s0 + ln))
+            assert max(span) < n
+            assert not span & seen
+            seen |= span
