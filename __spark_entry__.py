@@ -2615,6 +2615,28 @@ def q_span_corruption_text(spark, sf_dir):
     )
 
 
+def q_winnow_fp(spark, sf_dir):
+    """Winnowing fingerprint selection (r10, the MOSS algorithm): hash
+    every token 4-gram, keep each 4-window's rightmost-min hash — a
+    LOCAL fingerprint sample with the shared-run guarantee (any common
+    w+k−1-token substring shares a fingerprint). One codegen scan
+    projection, zero shuffles; the oracle replays gram hashing and the
+    engine-portable reverse/position rightmost-min rule in SQL."""
+    return dedup.winnow_fingerprints(
+        _docs(spark, sf_dir), "text", "doc_id", k=4, w=4
+    )
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Plagiarism-style candidate pairs from shared winnowing
+    fingerprints (MOSS match criterion, min_shared=2): the inverted
+    index joins the winnowed ~n/w sample, not raw grams — both join
+    sides shrink w-fold."""
+    return dedup.winnow_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", k=4, w=4, min_shared=2
+    )
+
+
 def q_dedup_weights(spark, sf_dir):
     """SOFT dedup (r10): every doc keeps a row with its near-dup
     cluster size and the inverse sampling weight (singletons weight
@@ -3387,6 +3409,7 @@ _R10_WINDOW = [
     "split_rng", "classifier_predict", "classifier_evaluate",
     "image_features_stub", "audio_features_stub", "video_frames_stub", "video_dups_q",
     "mmr_select", "span_corruption", "span_corruption_text",
+    "winnow_fp", "winnow_pairs",
     # the r5-era evidence gap (COVERAGE.md #116-145 as of r9): the
     # TPC-H q2-q22 tail and the bm25/chunk/tfidf/mix/dedup_against
     # family — no driver row since round 5.
@@ -3398,10 +3421,11 @@ _R10_WINDOW = [
     "waiting_supplier_q21", "chunk_docs", "bm25_search", "bm25_many",
     "tfidf", "dedup_against_exact", "dedup_against_near", "tokenize_ids",
     "chunk_pack", "corpus_sequences", "dup_windows", "mix_corpus",
-    "canonical_urls", "snapshot_diff",
+
     # displaced from the r9 window by late-r9 additions (r4 evidence)
     "window_topk", "lead_lag", "sql_entry",
-    # (r11 rotation queue: rollup_counts + agg_q1/join_q3/
+    # (r11 rotation queue: canonical_urls + snapshot_diff (displaced
+    #  r5 rows) + rollup_counts + agg_q1/join_q3/
     #  selective_agg_q6 + the displaced r6 behavior block —
     #  funnel_steps/retention_cohorts/hybrid_search/funnel_conversion/
     #  fuzzy_pairs/event_transitions/session_cooccurrence/
@@ -3522,6 +3546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_weights": q_dedup_weights,
         "span_corruption": q_span_corruption,
         "span_corruption_text": q_span_corruption_text,
+        "winnow_fp": q_winnow_fp,
+        "winnow_pairs": q_winnow_pairs,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "shuffle_export": q_shuffle_export,
@@ -5833,6 +5859,68 @@ built AS (SELECT doc_id,
        || '<extra_id_' || len(st)::VARCHAR || '>' AS targets
   FROM s)
 SELECT doc_id, inputs, targets FROM built
+""",
+        # winnow_fp: gram hashes + rightmost-window-min selection; the
+        # reverse/list_position formulation mirrors the Spark
+        # expressions exactly, so tie handling is identical.
+        "winnow_fp": f"""
+WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents),
+b AS (SELECT doc_id, toks,
+             CASE WHEN len(toks) = 1 AND toks[1] = '' THEN 0
+                  ELSE len(toks) END AS n
+      FROM t),
+g AS (SELECT doc_id,
+             CASE WHEN n >= 4 THEN
+                 [{md5_long_sql("array_to_string(toks[i + 1 : i + 4], ' ')")}
+                  for i in range(0, n - 3)]
+             ELSE []::BIGINT[] END AS gr
+      FROM b),
+d AS (SELECT doc_id, gr, len(gr) AS ng,
+             CASE WHEN len(gr) >= 4 THEN len(gr) - 3
+                  WHEN len(gr) > 0 THEN 1 ELSE 0 END AS n_win
+      FROM g),
+p AS (SELECT doc_id, gr,
+             list_distinct([
+                 j + (least(4, ng)
+                      - list_position(
+                            list_reverse(gr[j + 1 : j + least(4, ng)]),
+                            list_min(gr[j + 1 : j + least(4, ng)])))
+                 for j in range(0, n_win)]) AS poss
+      FROM d),
+u AS (SELECT doc_id, unnest(poss) AS pos, gr FROM p)
+SELECT doc_id, pos::BIGINT AS pos, gr[pos + 1] AS fp FROM u
+""",
+        # winnow_pairs: distinct (doc, fp) from the same selection,
+        # inverted-index self-join, shared-count filter.
+        "winnow_pairs": f"""
+WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents),
+b AS (SELECT doc_id, toks,
+             CASE WHEN len(toks) = 1 AND toks[1] = '' THEN 0
+                  ELSE len(toks) END AS n
+      FROM t),
+g AS (SELECT doc_id,
+             CASE WHEN n >= 4 THEN
+                 [{md5_long_sql("array_to_string(toks[i + 1 : i + 4], ' ')")}
+                  for i in range(0, n - 3)]
+             ELSE []::BIGINT[] END AS gr
+      FROM b),
+d AS (SELECT doc_id, gr, len(gr) AS ng,
+             CASE WHEN len(gr) >= 4 THEN len(gr) - 3
+                  WHEN len(gr) > 0 THEN 1 ELSE 0 END AS n_win
+      FROM g),
+p AS (SELECT doc_id, gr,
+             list_distinct([
+                 j + (least(4, ng)
+                      - list_position(
+                            list_reverse(gr[j + 1 : j + least(4, ng)]),
+                            list_min(gr[j + 1 : j + least(4, ng)])))
+                 for j in range(0, n_win)]) AS poss
+      FROM d),
+u AS (SELECT doc_id, unnest(poss) AS pos, gr FROM p),
+f AS (SELECT DISTINCT doc_id AS doc, gr[pos + 1] AS fp FROM u)
+SELECT a.doc AS doc_a, b2.doc AS doc_b, count(*)::BIGINT AS n_shared
+FROM f a JOIN f b2 ON a.fp = b2.fp AND a.doc < b2.doc
+GROUP BY 1, 2 HAVING count(*) >= 2
 """,
         "hash_sample": f"""
 SELECT * FROM orders

@@ -205,6 +205,8 @@ HEADLINE = [
     "mmr_select",
     "span_corruption",
     "span_corruption_text",
+    "winnow_fp",
+    "winnow_pairs",
     "containment",
     "data_budget",
     "cdc_dedup",

@@ -874,6 +874,130 @@ def dedup_weights(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every token ``k``-gram, slide a
+    window of ``w`` consecutive hashes, and keep the window's minimum
+    (rightmost on ties), deduplicated. The selected set is a LOCAL
+    fingerprint sample with the winnowing guarantee — any shared
+    substring of at least ``w + k − 1`` tokens yields at least one
+    shared fingerprint — the position-robust middle ground between
+    exact window digests (:func:`duplicate_window_stats`, shift-fragile
+    at matching granularity) and MinHash (document-global, no locality).
+
+    Returns ``(id, pos, fp)`` — 0-based gram position and the 60-bit
+    md5 gram hash. Docs with fewer than ``k`` tokens emit nothing; docs
+    with fewer than ``w`` grams winnow a single window over all grams.
+
+    Scale shape: one codegen'd scan projection — gram hashes, a
+    transform over window starts picking each window's rightmost-min
+    via the engine-portable ``array_position(reverse(win), min)``
+    formulation, ``array_distinct``, one posexplode. Zero shuffles, no
+    Python; ~``n/w`` fingerprints per document.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1 (got k={k}, w={w})")
+    from .text import whitespace_tokens
+
+    toks = whitespace_tokens(F.col(text_col))
+    n = F.when(
+        (F.size(toks) == 1) & (F.element_at(toks, 1) == ""), F.lit(0)
+    ).otherwise(F.size(toks))
+    base = ensure_min_partitions(df).select(
+        F.col(id_col), toks.alias("__t"), n.alias("__n")
+    )
+    n_grams = F.col("__n") - F.lit(k) + 1  # grams at 0-based i < n_grams
+    grams = F.when(n_grams > 0, F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: md5_long(
+            F.concat_ws(" ", F.slice(F.col("__t"), i + 1, k))
+        ),
+    )).otherwise(F.array().cast("array<long>"))
+    withg = base.select(id_col, grams.alias("__g"))
+    ng = F.size("__g")
+    n_win = F.greatest(ng - F.lit(w) + 1, F.when(ng > 0, F.lit(1)))
+
+    def pick(j):
+        win = F.slice(F.col("__g"), j + 1, F.least(F.lit(w), ng))
+        minv = F.array_min(win)
+        # rightmost occurrence of the window min: first position in the
+        # reversed window, mirrored — identical formulation in the SQL
+        # oracle, so tie handling is engine-portable by construction.
+        off = F.size(win) - F.array_position(F.reverse(win), minv)
+        return F.struct(
+            (j + off).cast("long").alias("pos"),
+            F.element_at(F.col("__g"), (j + off).cast("int") + 1).alias("fp"),
+        )
+
+    selected = F.when(ng > 0, F.array_distinct(
+        F.transform(F.sequence(F.lit(0), n_win - 1), pick)
+    )).otherwise(F.array().cast("array<struct<pos:long,fp:long>>"))
+    return withg.select(id_col, F.explode(selected).alias("__s")).select(
+        id_col, F.col("__s.pos").alias("pos"), F.col("__s.fp").alias("fp")
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Plagiarism-style candidate pairs from shared winnowing
+    fingerprints: two documents pair when they share at least
+    ``min_shared`` selected fingerprint VALUES (the MOSS match
+    criterion; by the winnowing guarantee every shared run of
+    ``w + k − 1`` tokens contributes one). Returns
+    ``(doc_a, doc_b, n_shared)`` with ``doc_a < doc_b``.
+
+    ``max_doc_freq`` is MOSS's own boilerplate defense: a fingerprint
+    appearing in more than that many documents (assignment templates,
+    license headers, common idioms) is dropped BEFORE the join — a hot
+    fingerprint in ``f`` docs otherwise contributes ``f·(f−1)/2`` join
+    rows, the same co-occurrence blowup :func:`containment_pairs`
+    guards against. One extra partial-agg'd count over the winnowed
+    sample; matches lost this way are boilerplate by definition.
+
+    Scale shape: the inverted-index join runs on the winnowed sample
+    (~``n/w`` rows per doc, not every gram), so the co-occurrence join
+    is ``w``× smaller than a raw-gram join on both sides; shuffles
+    carry only (id, 8-byte fp) tuples.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w).select(
+        F.col(id_col).alias("doc"), "fp"
+    ).distinct()
+    if max_doc_freq is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    l, r = fps.alias("l"), fps.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.fp") == F.col("r.fp"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .groupBy(
+            F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def clean_corpus(
     df: DataFrame,
     text_col: str,

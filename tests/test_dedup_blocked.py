@@ -343,3 +343,42 @@ def test_mmr_select_diversity_vs_pure_relevance(spark):
         mmr_select(df, q, "embedding", "vec_id", k=2, lam=1.5)
     with pytest.raises(ValueError, match="zero norm"):
         mmr_select(df, [0.0, 0.0, 0.0], "embedding", "vec_id", k=2)
+
+
+def test_winnowing_guarantee_and_pairs(spark):
+    from krnel_graph_spark.functions.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, "intro words here " + base + " trailing bits"),  # embedded copy
+            (2, "completely different text about nothing shared with anyone"),
+            (3, "tiny doc"),  # < k tokens: no grams
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, "text", "doc_id", k=4, w=4)
+    rows = fps.collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    assert 3 not in by_doc and 4 not in by_doc
+    # winnowing guarantee: the 14-token shared run (>= w+k-1 = 7) must
+    # yield at least one shared fingerprint VALUE between 0 and 1
+    shared = {f for _, f in by_doc[0]} & {f for _, f in by_doc[1]}
+    assert shared
+    # density: ~one selection per window, far fewer than grams
+    n_toks = len(base.split())
+    assert len(by_doc[0]) <= n_toks - 4 + 1
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+             for r in winnow_pairs(docs, "text", "doc_id", min_shared=2).collect()}
+    assert set(pairs) == {(0, 1)} and pairs[(0, 1)] >= 2
+    import pytest as _p
+
+    with _p.raises(ValueError, match="k and w"):
+        winnow_fingerprints(docs, "text", "doc_id", k=0)

@@ -114,6 +114,13 @@ QUERIES = [
     # r10: soft dedup over the x40 corpus — pair mining + pair-graph CC;
     # marginal cost over minhash_pairs is one broadcast join.
     "dedup_weights",
+    # winnow_pairs is deliberately absent (fuzzy_pairs' regime): the x40
+    # corpus's every-5-words insertion leaves 4-gram windows BETWEEN
+    # insertions identical across all 40 copies, so cross-copy shared
+    # fingerprints make the valid pair OUTPUT itself near-quadratic
+    # (308 pairs at sf0.1 -> 3.9M at x40, measured 2026-08-15; 46.8 s
+    # for 3.9M pairs). Real corpora use max_doc_freq= (MOSS's own
+    # boilerplate drop) against exactly this. BASELINE.md records it.
     # r10: span-corruption layout over the x40 corpus — one codegen scan
     # projection, zero shuffles; expect ~linear scan CPU.
     "span_corruption",
