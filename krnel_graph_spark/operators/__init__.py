@@ -37,6 +37,7 @@ from .scale_ops import (
     CdcChunkDedupOp,
     DedupWeightsOp,
     SpanCorruptionOp,
+    WinnowPairsOp,
     SequencePackOp,
     StratifiedSampleOp,
     ChunkDocumentsOp,

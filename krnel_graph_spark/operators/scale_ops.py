@@ -257,6 +257,22 @@ class SequencePackOp(DatasetType):
     partition_by: Optional[str] = None
 
 
+class WinnowPairsOp(DatasetType):
+    """Plagiarism-style candidate pairs from shared winnowing (MOSS)
+    fingerprints of ``text_column``: ``(doc_a, doc_b, n_shared)`` keyed
+    on the engine row id, pairs sharing >= ``min_shared`` selected
+    fingerprints; ``max_doc_freq`` drops boilerplate-hot fingerprints
+    before the join. Lowering: ``dedup.py:winnow_pairs`` — a bounded
+    pair table with fresh dense row ids (the AnnTopKOp contract)."""
+
+    dataset: DatasetType
+    text_column: str
+    k: int = 4
+    w: int = 4
+    min_shared: int = 2
+    max_doc_freq: Optional[int] = None
+
+
 class SpanCorruptionOp(DatasetType):
     """Row-aligned T5 denoising-pair enrichment: appends ``inputs``
     (document with masked spans replaced by ``<extra_id_k>`` sentinels)

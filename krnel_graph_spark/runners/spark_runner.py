@@ -39,6 +39,7 @@ from ..operators.scale_ops import (
     CdcChunkDedupOp,
     DedupWeightsOp,
     SpanCorruptionOp,
+    WinnowPairsOp,
     SequencePackOp,
     StratifiedSampleOp,
     C4RulesOp,
@@ -1140,6 +1141,32 @@ def cdc_chunk_dedup_op(runner: SparkRunner, op: CdcChunkDedupOp) -> DatasetPlan:
     )
     out = ds.df.join(rep, ROW_ID)
     return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=ds.dense)
+
+
+@SparkRunner.implementation
+def winnow_pairs_op(runner: SparkRunner, op: WinnowPairsOp) -> DatasetPlan:
+    """Winnowing pair mining keyed on the engine row id; the result is
+    a bounded pair table, so fresh dense row ids in (doc_a, doc_b)
+    order (the AnnTopKOp contract)."""
+    from pyspark.sql import Window as _W
+
+    from ..functions.dedup import winnow_pairs as _impl
+
+    ds = runner.dataset_plan(op.dataset)
+    out = _impl(
+        ds.df.select(ROW_ID, op.text_column),
+        op.text_column,
+        ROW_ID,
+        k=op.k,
+        w=op.w,
+        min_shared=op.min_shared,
+        max_doc_freq=op.max_doc_freq,
+    )
+    w = _W.orderBy("doc_a", "doc_b")
+    out = out.select(
+        (F.row_number().over(w) - 1).cast("long").alias(ROW_ID), "*"
+    )
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=True)
 
 
 @SparkRunner.implementation

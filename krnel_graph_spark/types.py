@@ -249,6 +249,27 @@ class DatasetType(OpSpec):
             dataset=self, text_column=text_column, window=window, modulus=modulus
         )
 
+    def winnow_pairs(
+        self,
+        text_column: str,
+        k: int = 4,
+        w: int = 4,
+        min_shared: int = 2,
+        max_doc_freq: Optional[int] = None,
+    ) -> "DatasetType":
+        """Candidate pairs sharing >= min_shared winnowing (MOSS)
+        fingerprints; max_doc_freq drops boilerplate-hot prints."""
+        from .operators.scale_ops import WinnowPairsOp
+
+        return WinnowPairsOp(
+            dataset=self,
+            text_column=text_column,
+            k=k,
+            w=w,
+            min_shared=min_shared,
+            max_doc_freq=max_doc_freq,
+        )
+
     def span_corruption(
         self,
         text_column: str,

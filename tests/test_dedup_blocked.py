@@ -382,3 +382,11 @@ def test_winnowing_guarantee_and_pairs(spark):
 
     with _p.raises(ValueError, match="k and w"):
         winnow_fingerprints(docs, "text", "doc_id", k=0)
+
+
+def test_winnow_pairs_fluent_twin(lazy_runner):
+    ds = lazy_runner.from_parquet("/root/testdata/sf0.001/documents.parquet")
+    pdf = lazy_runner.to_pandas(ds.winnow_pairs("text", min_shared=2))
+    assert list(pdf.columns) == ["doc_a", "doc_b", "n_shared"]
+    assert len(pdf) > 0 and (pdf["doc_a"] < pdf["doc_b"]).all()
+    assert (pdf["n_shared"] >= 2).all()
