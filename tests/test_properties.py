@@ -501,3 +501,51 @@ def test_span_corruption_matches_python_oracle(spark, texts):
             assert max(span) < n
             assert not span & seen
             seen |= span
+
+
+@_spark_settings
+@given(texts=_corpus)
+def test_winnow_fingerprints_matches_python_oracle(spark, texts):
+    """winnow_fingerprints vs a pure-Python re-derivation: identical
+    gram hashing, identical rightmost-window-min selection (k=2, w=2
+    so grams/windows are common on the tiny corpus), plus the
+    winnowing-density invariant (#selected <= #windows)."""
+    import hashlib
+
+    from krnel_graph_spark.functions.dedup import winnow_fingerprints
+
+    k, w = 2, 2
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = sorted(
+        map(
+            tuple,
+            winnow_fingerprints(df, "text", "doc_id", k=k, w=w).collect(),
+        )
+    )
+
+    def md5_long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    expect = set()
+    for doc_id, t in enumerate(texts):
+        toks = " ".join((t or "").lower().split()).split(" ")
+        if toks == [""]:
+            toks = []
+        grams = [
+            md5_long(" ".join(toks[i : i + k]))
+            for i in range(len(toks) - k + 1)
+        ]
+        ng = len(grams)
+        if ng == 0:
+            continue
+        n_win = ng - w + 1 if ng >= w else 1
+        for j in range(n_win):
+            win = grams[j : j + min(w, ng)]
+            minv = min(win)
+            # rightmost occurrence of the window min
+            off = len(win) - 1 - win[::-1].index(minv)
+            expect.add((doc_id, j + off, grams[j + off]))
+        assert sum(1 for d, _, _ in expect if d == doc_id) <= n_win
+    assert got == sorted(expect)
