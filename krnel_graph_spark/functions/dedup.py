@@ -416,11 +416,20 @@ def containment_pairs(
     ``pair_budget`` guards the exact path against co-occurrence blowup:
     a boilerplate shingle appearing in ``f`` documents contributes
     ``f·(f−1)/2`` join rows, so one hot shingle on a web-scale corpus
-    can turn "exact baseline" into a runaway cartesian. When set, a
-    cheap pre-pass (one count over the inverted index, driver receives
-    ONE number) computes the exact co-occurrence row bound
-    ``Σ_s f_s·(f_s−1)/2`` and raises ``ValueError`` if it exceeds the
-    budget, telling the caller to pass ``candidates=``. It deliberately
+    can turn "exact baseline" into a runaway cartesian.
+
+    .. warning:: ``pair_budget`` is EAGER: setting it runs a Spark job
+       (full shingle scan + single-value collect) at DataFrame-
+       **construction** time, and the ``ValueError`` is raised then —
+       not at first action. Callers composing plans ahead of execution
+       should either leave it ``None`` (the default keeps the operator
+       fully lazy) or construct the frame where an immediate job is
+       acceptable.
+
+    When set, the pre-pass (driver receives ONE number) computes the
+    exact co-occurrence row bound ``Σ_s f_s·(f_s−1)/2`` and raises
+    ``ValueError`` if it exceeds the budget, telling the caller to pass
+    ``candidates=``. It deliberately
     does NOT auto-route to MinHash banding: band-collision probability
     tracks *Jaccard*, which is structurally ≈0 for the
     tiny-doc-in-huge-doc pairs this operator exists to catch, so a
@@ -840,10 +849,13 @@ def dedup_weights(
     Scale shape: MinHash-LSH pairs (banded, never all-pairs) →
     distributed connected components on the PAIR graph only (O(log n)
     contraction rounds over pair-graph-sized shuffles) → component-size
-    aggregate → ONE broadcast join of the node-sized (id, size) table
-    back onto the corpus scan. The corpus itself never shuffles, so the
-    marginal cost over pair mining is one map-side join at any scale
-    (AQE demotes the broadcast if the pair graph is boilerplate-huge).
+    aggregate → one join of the node-sized (id, size) table back onto
+    the corpus scan. The join strategy is left to AQE: on a typical
+    corpus the (id, size) table is tiny and AQE picks a broadcast
+    (map-side, corpus never shuffles); on a boilerplate-heavy corpus
+    whose cluster table approaches corpus size AQE falls back to a
+    shuffle join instead of OOMing the driver — which is why the
+    broadcast is NOT forced with an explicit hint here.
     """
     if mode not in ("inverse", "sqrt"):
         raise ValueError(f"mode must be 'inverse' or 'sqrt': {mode!r}")
@@ -866,7 +878,7 @@ def dedup_weights(
     if mode == "sqrt":
         w = F.sqrt(w)
     return df.select(id_col).join(
-        F.broadcast(node_sizes), id_col, "left"
+        node_sizes, id_col, "left"
     ).select(
         id_col,
         size.alias("cluster_size"),
@@ -951,6 +963,7 @@ def winnow_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_doc_freq: int | None = None,
+    pair_budget: int | None = None,
 ) -> DataFrame:
     """Plagiarism-style candidate pairs from shared winnowing
     fingerprints: two documents pair when they share at least
@@ -966,6 +979,20 @@ def winnow_pairs(
     rows, the same co-occurrence blowup :func:`containment_pairs`
     guards against. One extra partial-agg'd count over the winnowed
     sample; matches lost this way are boilerplate by definition.
+
+    ``pair_budget`` is the undefended-default backstop (the
+    :func:`containment_pairs` idiom): with ``max_doc_freq`` unset, a
+    corpus of near-copies makes the fingerprint co-occurrence join
+    near-quadratic (measured ×40 on a cloned harness corpus: 3.9M pairs
+    undefended vs 265k with ``max_doc_freq``). When set, a cheap
+    pre-pass (one count over the winnowed (doc, fp) sample AFTER the
+    ``max_doc_freq`` drop; driver receives ONE number) computes the
+    exact join-row bound ``Σ_fp f·(f−1)/2`` and raises ``ValueError``
+    steering toward ``max_doc_freq`` if it exceeds the budget.
+
+    .. warning:: like ``containment_pairs(pair_budget=)``, the guard is
+       EAGER — it runs a Spark job at DataFrame-construction time.
+       Default ``None`` keeps the operator fully lazy.
 
     Scale shape: the inverted-index join runs on the winnowed sample
     (~``n/w`` rows per doc, not every gram), so the co-occurrence join
@@ -983,6 +1010,24 @@ def winnow_pairs(
             .select("fp")
         )
         fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    if pair_budget is not None:
+        bound = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .agg(
+                F.sum(F.col("f") * (F.col("f") - 1) / F.lit(2))
+                .cast("long")
+                .alias("b")
+            )
+            .collect()[0]["b"]
+        ) or 0
+        if bound > pair_budget:
+            raise ValueError(
+                f"winnow_pairs would generate {bound:,} fingerprint "
+                f"co-occurrence join rows (pair_budget={pair_budget:,}); "
+                f"set max_doc_freq= (MOSS's boilerplate defense) to drop "
+                f"over-shared fingerprints before the join"
+            )
     l, r = fps.alias("l"), fps.alias("r")
     return (
         l.join(
@@ -1060,7 +1105,14 @@ def minhash_index(
     The banding layout is derived from the signature at join time, so
     one index serves ANY ``bands`` dividing ``num_perm``. Blank docs
     (no shingles) carry ``n_sh = 0`` and are skipped by consumers, same
-    as the inline path."""
+    as the inline path.
+
+    The build parameters travel WITH the index (literal ``num_perm`` /
+    ``shingle_k`` columns, surviving any parquet round-trip):
+    :func:`dedup_against` checks them against its own arguments, so a
+    stale or mismatched persisted index (the failure mode a daily-ingest
+    pipeline reusing indexes eventually hits) fails loudly instead of
+    silently degrading candidate recall."""
     sc = minhash_sig_count_udf(num_perm, shingle_k)(F.col(text_col))
     return (
         ensure_min_partitions(df)
@@ -1069,6 +1121,8 @@ def minhash_index(
             id_col,
             F.col("__sc.sig").alias("sig"),
             F.col("__sc.n_sh").alias("n_sh"),
+            F.lit(int(num_perm)).alias("num_perm"),
+            F.lit(int(shingle_k)).alias("shingle_k"),
         )
     )
 
@@ -1152,9 +1206,31 @@ def dedup_against(
         df: DataFrame, side: str, index: DataFrame | None = None
     ) -> DataFrame:
         if index is not None:
-            base = index.select(
-                F.col(id_col).alias(side), "sig", "n_sh"
-            ).filter(F.col("n_sh") > 0)
+            # Layout guard: an index built with different num_perm /
+            # shingle_k would silently slice a wrong band layout and
+            # degrade candidate recall (near-dups silently kept) — fail
+            # loudly instead. Param columns exist on any index built by
+            # minhash_index; a bare (id, sig, n_sh) frame still gets the
+            # signature-width check. coalesce(assert_true(...), true)
+            # keeps the row-level assert from being pruned away.
+            checks = F.size("sig") == F.lit(num_perm)
+            if "num_perm" in index.columns:
+                checks = checks & (F.col("num_perm") == F.lit(num_perm))
+            if "shingle_k" in index.columns:
+                checks = checks & (F.col("shingle_k") == F.lit(shingle_k))
+            guard = F.assert_true(
+                checks,
+                F.lit(
+                    "ref_index layout mismatch: index was built with "
+                    "different num_perm/shingle_k than dedup_against("
+                    f"num_perm={num_perm}, shingle_k={shingle_k})"
+                ),
+            )
+            base = (
+                index.filter(F.col("n_sh") > 0)
+                .filter(F.coalesce(guard.cast("boolean"), F.lit(True)))
+                .select(F.col(id_col).alias(side), "sig", "n_sh")
+            )
         else:
             sc = minhash_sig_count_udf(num_perm, shingle_k)(F.col(text_col))
             base = (

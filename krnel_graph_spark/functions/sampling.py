@@ -361,6 +361,10 @@ def data_budget(
         # the Py4J local-relation roundtrip measured ~0.4 s of
         # plan-build latency per call at 20 keys).
         t_type = base.schema["__t"].dataType
+        # Marker literals must match the strata column's type: with a
+        # non-string strata_col the untyped F.lit(key) would make
+        # unionByName fail on a type mismatch, so cast explicitly.
+        s_type = base.schema["source"].dataType
         zeros = (
             df.sparkSession.range(1)
             .select(
@@ -368,7 +372,7 @@ def data_budget(
                     F.array(
                         *[
                             F.struct(
-                                F.lit(s).alias("source"),
+                                F.lit(s).cast(s_type).alias("source"),
                                 F.lit(0).alias("__d"),
                                 F.lit(0).cast(t_type).alias("__t"),
                             )

@@ -117,3 +117,52 @@ def test_ref_index_rejected_for_exact_mode(spark, corpora):
         dedup_against(
             new, ref, "text", "doc_id", mode="exact", ref_index=idx
         )
+
+def test_ref_index_layout_mismatch_fails_loudly(spark, corpora):
+    """A persisted index built with different num_perm/shingle_k must
+    raise at execution, not silently slice a wrong band layout (which
+    would degrade recall and KEEP near-duplicates)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from krnel_graph_spark.functions.dedup import minhash_index
+
+    new, ref = corpora
+    idx32 = minhash_index(ref, "text", "doc_id", num_perm=32)
+    with pytest.raises(SparkRuntimeException, match="layout mismatch"):
+        dedup_against(
+            new, ref, "text", "doc_id", mode="near",
+            num_perm=16, bands=8, ref_index=idx32,
+        ).collect()
+
+    idx_k5 = minhash_index(ref, "text", "doc_id", num_perm=16, shingle_k=5)
+    with pytest.raises(SparkRuntimeException, match="layout mismatch"):
+        dedup_against(
+            new, ref, "text", "doc_id", mode="near",
+            num_perm=16, bands=8, shingle_k=3, ref_index=idx_k5,
+        ).collect()
+
+
+def test_ref_index_bare_frame_width_guard(spark, corpora):
+    """A bare (id, sig, n_sh) index without the param columns still gets
+    the signature-width check; a matching bare index still works."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from krnel_graph_spark.functions.dedup import minhash_index
+
+    new, ref = corpora
+    bare = minhash_index(ref, "text", "doc_id", num_perm=16).select(
+        "doc_id", "sig", "n_sh"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup_against(
+            new, ref, "text", "doc_id", mode="near",
+            num_perm=16, bands=8, jaccard_threshold=0.5, ref_index=bare,
+        ).collect()
+    )
+    assert kept == [7, 9]
+    with pytest.raises(SparkRuntimeException, match="layout mismatch"):
+        dedup_against(
+            new, ref, "text", "doc_id", mode="near",
+            num_perm=32, bands=8, ref_index=bare,
+        ).collect()

@@ -390,3 +390,35 @@ def test_winnow_pairs_fluent_twin(lazy_runner):
     assert list(pdf.columns) == ["doc_a", "doc_b", "n_shared"]
     assert len(pdf) > 0 and (pdf["doc_a"] < pdf["doc_b"]).all()
     assert (pdf["n_shared"] >= 2).all()
+
+
+def test_winnow_pairs_pair_budget_guard(spark):
+    """pair_budget raises (eagerly, at construction) when the fingerprint
+    co-occurrence bound exceeds the budget, steering toward max_doc_freq;
+    a sufficient budget — or the max_doc_freq drop lowering the bound —
+    leaves output identical to the unguarded path."""
+    from krnel_graph_spark.functions.dedup import winnow_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    docs = spark.createDataFrame(
+        [(i, f"copy marker {i} " + base) for i in range(8)]
+        + [(100, "entirely different text about nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    import pytest as _p
+
+    with _p.raises(ValueError, match="max_doc_freq"):
+        winnow_pairs(docs, "text", "doc_id", pair_budget=5)
+
+    free = {(r["doc_a"], r["doc_b"]) for r in winnow_pairs(
+        docs, "text", "doc_id").collect()}
+    guarded = {(r["doc_a"], r["doc_b"]) for r in winnow_pairs(
+        docs, "text", "doc_id", pair_budget=10_000).collect()}
+    assert guarded == free and free  # 8 near-copies pair up
+
+    # max_doc_freq drops the 8-doc boilerplate fingerprints BEFORE the
+    # budget pre-pass, so the same tight budget now passes.
+    few = winnow_pairs(
+        docs, "text", "doc_id", max_doc_freq=4, pair_budget=5
+    ).collect()
+    assert len(few) == 0

@@ -1057,3 +1057,26 @@ def test_data_budget_epoch_planner_contracts(spark):
     assert out["unlisted"]["weight"] == 0.0
     assert out["unlisted"]["target_tokens"] == 0
     assert out["unlisted"]["epochs"] == 0.0 and not out["unlisted"]["over_cap"]
+
+
+def test_data_budget_non_string_strata(spark):
+    """Marker zero-rows must cast to the strata column's type: an int
+    source column with weights keyed by int must not fail unionByName
+    on a type mismatch (regression guard for the literal-typed marker)."""
+    from pyspark.sql import functions as F
+
+    from krnel_graph_spark.functions.sampling import data_budget
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5)], "src int, toks int"
+    )
+    rows = {
+        r["source"]: r
+        for r in data_budget(
+            df, "src", F.col("toks"), budget=100,
+            weights={1: 0.5, 2: 0.25, 3: 0.25},
+        ).collect()
+    }
+    assert rows[1]["n_tokens"] == 30 and rows[2]["n_tokens"] == 5
+    # planned-but-missing stratum 3 still surfaces, typed as int
+    assert rows[3]["n_docs"] == 0 and rows[3]["epochs"] is None
