@@ -21,8 +21,59 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from krnel_graph_spark.runners.spark_runner import get_spark  # noqa: E402
 
 
+def read_schema_widths(plan: str) -> list[int]:
+    """Top-level field count of every ``ReadSchema: struct<...>`` in a plan
+    string — the column-pruning audit signal.
+
+    The naive ``struct<([^>]*)>`` regex is wrong twice: nested types
+    (``array<int>``, inner structs) contain ``>`` so it stops early, and
+    Spark TRUNCATES plan metadata at ``spark.sql.maxMetadataStringLength``
+    chars — a truncated schema has no closing ``>`` on its line, so
+    ``[^>]*`` swallowed following PLAN LINES up to the next ``>`` and
+    counted their commas as columns (PLANS.md reported a 19-column scan
+    for a perfectly pruned 5-column lineitem read). Parse per line,
+    counting commas only at angle-bracket depth 0, and honor Spark's
+    ``... N more fields`` truncation marker.
+    """
+    widths = []
+    for line in plan.splitlines():
+        m = re.search(r"ReadSchema: struct<(.*)$", line)
+        if not m:
+            continue
+        body = m.group(1)
+        more = re.search(r"\.\.\. (\d+) more fields", body)
+        extra = int(more.group(1)) if more else 0
+        if more:
+            body = body[: more.start()]
+        depth = 0
+        fields = 0
+        content = False
+        for ch in body:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                if depth == 0:
+                    break  # closing bracket of the ReadSchema struct
+                depth -= 1
+            elif ch == "," and depth == 0:
+                fields += 1
+            elif not ch.isspace() and depth == 0:
+                content = True
+        widths.append(fields + (1 if content else 0) + extra)
+    return widths
+
+
 def audit(df):
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    spark = df.sparkSession
+    # Spark truncates plan metadata (incl. ReadSchema) at 100 chars by
+    # default; widen so schemas print whole and widths are exact.
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", None)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.maxMetadataStringLength", prev)
     return {
         "exchanges": len(re.findall(r"\bExchange (?:hash|range|Single)", plan)),
         "broadcasts": plan.count("BroadcastExchange"),
@@ -31,10 +82,7 @@ def audit(df):
         "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "pushed": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
         "scans": plan.count("FileScan"),
-        "scan_cols": [
-            len(s.split(","))
-            for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-        ],
+        "scan_cols": read_schema_widths(plan),
         "python_evals": plan.count("BatchEvalPython"),
         "arrow_evals": plan.count("ArrowEvalPython") + plan.count("MapInPandas")
         + plan.count("FlatMapGroupsInPandas"),
