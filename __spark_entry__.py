@@ -2380,21 +2380,37 @@ def q_profile_table(spark, sf_dir):
 
 
 def q_profile_table_hll(spark, sf_dir):
-    """100-TB profile mode: HLL distinct counts — one wide aggregation pass,
-    no per-column Expand. Rows-only BY DESIGN, permanently: Spark's
-    HLL++ and DuckDB's HLL are different estimator families whose
-    estimates legitimately differ (e.g. l_extendedprice NDV ~60k at
-    sf0.01 is past both sparse-exact regimes), so a hash-graded oracle
-    would pin one engine's estimator internals, not correctness. The
-    EXACT twin `profile_table` is hash-graded; this mode's estimates are
-    differential-tested against exact NDV within rsd bounds in pytest."""
+    """100-TB profile mode: HLL distinct counts — one wide aggregation
+    pass, no per-column Expand. HASH-GRADED since r11 through the
+    estimator's CONTRACT rather than its internals: Spark's HLL++ and
+    DuckDB's HLL are different estimator families whose point estimates
+    legitimately differ (e.g. l_extendedprice NDV ~60k at sf0.01 is past
+    both sparse-exact regimes), so the compared frame carries the exact
+    per-column stats (hash-identical across engines) plus
+    ``hll_within_band`` — each engine's OWN deterministic HLL estimate
+    checked inside 3× the default rsd (|est − exact| ≤ 0.15·exact, vs
+    Spark's rsd=0.05) — which grades the property that makes an
+    estimator correct (bounded relative error) without pinning either
+    implementation. The HLL path is still fully exercised: the boolean
+    derives from ``approx_count_distinct`` on both sides. Differential
+    rsd tests live in pytest (tests/test_sketches.py)."""
     from krnel_graph_spark.functions.sketches import profile_table
 
-    return profile_table(
-        _t(spark, sf_dir, "lineitem"),
-        ["l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate",
-         "l_orderkey", "l_suppkey"],
-        exact_distinct=False,
+    cols = ["l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate",
+            "l_orderkey", "l_suppkey"]
+    t = _t(spark, sf_dir, "lineitem")
+    exact = profile_table(t, cols, exact_distinct=True)
+    hll = profile_table(t, cols, exact_distinct=False).select(
+        "column", F.col("n_distinct").alias("__hll")
+    )
+    return exact.join(hll, "column").select(
+        "column", "n_rows", "n_nonnull",
+        F.col("n_distinct").alias("n_distinct_exact"),
+        "min_num", "max_num",
+        (
+            F.abs(F.col("__hll") - F.col("n_distinct"))
+            <= 0.15 * F.col("n_distinct")
+        ).alias("hll_within_band"),
     )
 
 
@@ -2823,9 +2839,11 @@ def q_ann_pq(spark, sf_dir):
 
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup: k-means bucketing + intra-cluster cosine collapse (min-id
-    representative). No SQL oracle — the cluster assignment is iterative
-    float k-means — so the gate records rows; the pytest pins the result
-    against a global numpy union-find on duplicate-seeded blobs."""
+    representative). ORACLE-BACKED since r11: the k-means fit is now
+    deterministic (see kmeans_assign), so _semantic_dedup_oracle_sql
+    replays the whole pipeline — literal centroids, round-6 cosine
+    pairs, recursive-CTE components, min-id keeper. The pytest pins the
+    result against a global numpy union-find on duplicate-seeded blobs."""
     emb = _t(spark, sf_dir, "embeddings")
     out = dedup.semantic_dedup(
         emb, "embedding", "vec_id", n_clusters=8, threshold=0.35, n_iter=3
@@ -2835,10 +2853,14 @@ def q_semantic_dedup(spark, sf_dir):
 
 def q_embedding_clusters(spark, sf_dir):
     """Distributed k-means (seed sample + Lloyd passes, broadcast-GEMM
-    assignment): per-vector cluster id + distance. No SQL oracle —
-    iterative float means aren't cross-engine reproducible — so the gate
-    records rows; the pytest pins nearest-centroid consistency and
-    label-recovery on separated blobs."""
+    assignment): per-vector cluster id + distance. ORACLE-BACKED since
+    r11: the fit is now deterministic (md5-portable seed sample, exact
+    int64 micro-unit Lloyd sums, round-6 stable-argmin routing — see
+    kmeans_assign's determinism contract), so the oracle replays the
+    whole fit driver-side and assigns against the final centroids as
+    SQL literals (_kmeans_oracle_sql). The pytest additionally pins
+    nearest-centroid consistency, label-recovery on separated blobs,
+    and partitioning invariance."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.kmeans_assign(emb, "embedding", "vec_id", k=8, n_iter=3)
 
@@ -4239,6 +4261,129 @@ def _ann_pq_oracle_sql() -> str:
         f"       approx_l2, rank::INT AS rank\n"
         f"FROM (VALUES {vals}) AS t(query_id, doc_id, approx_l2, rank)"
     )
+
+
+def _kmeans_centroids_replica(
+    k: int = 8, n_iter: int = 3, seed: int = 7
+) -> "list[list[float]]":
+    """Driver-side replica of kmeans_assign's deterministic fit (see
+    _kmeans_oracle_sql) — shared by the embedding_clusters and
+    semantic_dedup oracles."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{_gate_dir()}/embeddings.parquet')"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    V = np.asarray([r[1] for r in rows], dtype=np.float64)
+
+    def md5_key(i):
+        return int(
+            hashlib.md5(f"km:{seed}:{i}".encode()).hexdigest()[:15], 16
+        )
+
+    order = sorted(range(len(ids)), key=lambda j: (md5_key(ids[j]), ids[j]))
+    cmat = V[order[:k]].copy()
+    for _ in range(n_iter):
+        d2 = (
+            (V * V).sum(axis=1)[:, None]
+            - 2.0 * (V @ cmat.T)
+            + (cmat * cmat).sum(axis=1)[None, :]
+        )
+        cells = np.argmin(np.round(d2, 6), axis=1)
+        new = cmat.copy()
+        for c in range(k):
+            m = cells == c
+            if m.any():
+                s = np.round(V[m] * 1e6).astype(np.int64).sum(axis=0)
+                new[c] = (s.astype(np.float64) / 1e6) / int(m.sum())
+        cmat = new
+    return [[float(x) for x in row] for row in cmat]
+
+
+def _cent_values_sql(cmat) -> str:
+    return ",\n".join(
+        f"({c}, [{', '.join(repr(x) for x in row)}]::DOUBLE[])"
+        for c, row in enumerate(cmat)
+    )
+
+
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 3, seed: int = 7) -> str:
+    """Literal oracle for the embedding_clusters gate: an INDEPENDENT
+    driver-side replica of ``similarity.kmeans_assign``'s deterministic
+    fit — md5-keyed seed sample ('km:{seed}:' || id, id-ascending ties),
+    ``n_iter`` Lloyd passes with round-6 stable-argmin routing and exact
+    int64 micro-unit component sums, cell mean as (micro/1e6)/n — whose
+    FINAL centroids embed as SQL literals; the SQL then assigns every
+    vector by the same |v|^2 - 2v·c + |c|^2 expansion with the round-6
+    (dist, cluster) tie rule and emits round-6 distances. Possible only
+    because the r11 determinism contract made the distributed refit a
+    pure function of (corpus, seed, n_iter) — the float partial sums it
+    replaced were partition-order-dependent, which is what kept every
+    k-means consumer rows-only through r10."""
+    cent_rows = _cent_values_sql(_kmeans_centroids_replica(k, n_iter, seed))
+    return f"""
+WITH cent(cell, cv) AS (VALUES {cent_rows}),
+d AS (SELECT e.vec_id, c.cell,
+             {_dot_sql("e.embedding", "e.embedding")}
+             - 2 * {_dot_sql("e.embedding", "c.cv")}
+             + {_dot_sql("c.cv", "c.cv")} AS d2
+      FROM embeddings e CROSS JOIN cent c),
+a AS (SELECT vec_id, cell, d2,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY round(d2, 6) ASC, cell ASC) AS rn
+      FROM d)
+SELECT vec_id, cell AS cluster, round(sqrt(greatest(d2, 0.0)), 6) AS dist
+FROM a WHERE rn = 1
+"""
+
+
+def _semantic_dedup_oracle_sql(
+    k: int = 8, n_iter: int = 3, seed: int = 7, threshold: float = 0.35
+) -> str:
+    """Literal oracle for the semantic_dedup gate (SemDeDup): the same
+    deterministic k-means replica as _kmeans_oracle_sql supplies the
+    final centroids as literals; the SQL then re-derives every cluster
+    assignment (round-6 stable argmin), mines intra-cluster pairs with
+    round-6 cosine > threshold (the shield the Spark kernel applies on
+    its normalize-then-GEMM side), closes them transitively (the
+    dedup_weights recursive-CTE idiom), and keeps each component's
+    min-id representative — the full pipeline, independently."""
+    cent_rows = _cent_values_sql(_kmeans_centroids_replica(k, n_iter, seed))
+    cos = _cosine_sql("ex.embedding", "ey.embedding")
+    return f"""
+WITH RECURSIVE cent(cell, cv) AS (VALUES {cent_rows}),
+dst AS (SELECT e.vec_id, c.cell,
+             {_dot_sql("e.embedding", "e.embedding")}
+             - 2 * {_dot_sql("e.embedding", "c.cv")}
+             + {_dot_sql("c.cv", "c.cv")} AS d2
+      FROM embeddings e CROSS JOIN cent c),
+a AS MATERIALIZED (SELECT vec_id, cell FROM (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY round(d2, 6) ASC, cell ASC) AS rn
+      FROM dst) WHERE rn = 1),
+p AS MATERIALIZED (
+      SELECT x.vec_id AS a, y.vec_id AS b
+      FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      JOIN embeddings ex ON ex.vec_id = x.vec_id
+      JOIN embeddings ey ON ey.vec_id = y.vec_id
+      WHERE round({cos}, 6) > {threshold!r}),
+und AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+reach(s, d) AS (
+    SELECT a, a FROM und
+    UNION
+    SELECT r.s, u.b FROM reach r JOIN und u ON r.d = u.a
+),
+comp AS (SELECT s AS node, min(d) AS keeper FROM reach GROUP BY s),
+removal AS (SELECT node FROM comp WHERE keeper < node)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT node FROM removal)
+"""
 
 
 def _ann_ivfpq_oracle_sql() -> str:
@@ -5654,6 +5799,51 @@ SELECT 'l_returnflag', count(*), count(l_returnflag),
        count(DISTINCT l_returnflag), NULL::DOUBLE, NULL::DOUBLE
 FROM lineitem
 """,
+        # profile_table_hll: exact stats hash-graded; the HLL estimate is
+        # graded through its CONTRACT (each engine's own estimate within
+        # 3x rsd of exact) — see q_profile_table_hll.
+        "profile_table_hll": """
+SELECT 'l_quantity' AS "column", count(*) AS n_rows,
+       count(l_quantity) AS n_nonnull,
+       count(DISTINCT l_quantity) AS n_distinct_exact,
+       min(l_quantity)::DOUBLE AS min_num, max(l_quantity)::DOUBLE AS max_num,
+       abs(approx_count_distinct(l_quantity) - count(DISTINCT l_quantity))
+           <= 0.15 * count(DISTINCT l_quantity) AS hll_within_band
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*), count(l_extendedprice),
+       count(DISTINCT l_extendedprice),
+       min(l_extendedprice)::DOUBLE, max(l_extendedprice)::DOUBLE,
+       abs(approx_count_distinct(l_extendedprice) - count(DISTINCT l_extendedprice))
+           <= 0.15 * count(DISTINCT l_extendedprice)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(*), count(l_returnflag),
+       count(DISTINCT l_returnflag), NULL::DOUBLE, NULL::DOUBLE,
+       abs(approx_count_distinct(l_returnflag) - count(DISTINCT l_returnflag))
+           <= 0.15 * count(DISTINCT l_returnflag)
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', count(*), count(l_shipdate),
+       count(DISTINCT l_shipdate), NULL::DOUBLE, NULL::DOUBLE,
+       abs(approx_count_distinct(l_shipdate) - count(DISTINCT l_shipdate))
+           <= 0.15 * count(DISTINCT l_shipdate)
+FROM lineitem
+UNION ALL
+SELECT 'l_orderkey', count(*), count(l_orderkey),
+       count(DISTINCT l_orderkey),
+       min(l_orderkey)::DOUBLE, max(l_orderkey)::DOUBLE,
+       abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey))
+           <= 0.15 * count(DISTINCT l_orderkey)
+FROM lineitem
+UNION ALL
+SELECT 'l_suppkey', count(*), count(l_suppkey),
+       count(DISTINCT l_suppkey),
+       min(l_suppkey)::DOUBLE, max(l_suppkey)::DOUBLE,
+       abs(approx_count_distinct(l_suppkey) - count(DISTINCT l_suppkey))
+           <= 0.15 * count(DISTINCT l_suppkey)
+FROM lineitem
+""",
         "interval_join": """
 WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
 c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
@@ -6275,6 +6465,13 @@ FROM (SELECT pl, count(*)::BIGINT AS c FROM bq GROUP BY pl)
         # (md5-keyed sample makes the fit reproducible) — see
         # _ann_pq_oracle_sql.
         "ann_pq": _ann_pq_oracle_sql(),
+        # embedding_clusters: the full k-means fit replayed driver-side
+        # (deterministic since r11) -> final centroids as literals; SQL
+        # does the round-6-shielded assignment. See _kmeans_oracle_sql.
+        "embedding_clusters": _kmeans_oracle_sql(),
+        # semantic_dedup: same centroid replay + intra-cluster round-6
+        # cosine pairs + recursive-CTE components + min-id keeper.
+        "semantic_dedup": _semantic_dedup_oracle_sql(),
         # ann_ivfpq: the whole IVF-PQ index (coarse sample + residual
         # codebooks) + search replayed driver-side — see
         # _ann_ivfpq_oracle_sql.

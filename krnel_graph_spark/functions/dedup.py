@@ -1586,7 +1586,12 @@ def semantic_dedup(
         for lo in range(0, n, block):
             hi = min(lo + block, n)
             sims = x[lo:hi] @ x.T
-            for i_off, j in zip(*np.nonzero(sims > threshold)):
+            # Round-6 shield on the threshold comparison (r11): an oracle
+            # computing cosine as dot/(|a||b|) differs from this
+            # normalize-then-GEMM by last-ulp amounts; rounding both
+            # sides makes edge membership engine-portable unless a true
+            # cosine sits exactly on the 5e-7 grid at the threshold.
+            for i_off, j in zip(*np.nonzero(np.round(sims, 6) > threshold)):
                 i = lo + i_off
                 if j <= i:
                     continue

@@ -234,6 +234,16 @@ def kmeans_refine_centroids(
     ``groupBy`` — nothing corpus-sized ever reaches the driver; the driver
     collects exactly cells × dim cell means. Empty cells keep their previous
     centroid (standard Lloyd degeneracy handling).
+
+    Determinism contract (r11): component sums are INT64 MICRO-UNITS of
+    the round-6 coordinates (exact, order-free addition — a float sum
+    here was the partition-order nondeterminism that kept every k-means
+    consumer rows-only), and each pass's nearest-centroid pick is the
+    round-6 stable argmin. Result: the refined centroid matrix is a
+    pure function of (corpus values, seed matrix, n_iter) — identical
+    under any partitioning, and replayable by an oracle applying the
+    same arithmetic. Each cell mean is computed as
+    ``(micro_sum / 1e6) / count`` in float64, in that order.
     """
     import pandas as pd  # noqa: F811 (module-level alias shadows fine)
 
@@ -246,7 +256,7 @@ def kmeans_refine_centroids(
         def partials(batches):
             cm = bc_it.value
             counts = np.zeros(len(cm), dtype=np.int64)
-            sums = np.zeros_like(cm)
+            sums = np.zeros((len(cm), cm.shape[1]), dtype=np.int64)
             for pdf in batches:
                 if not len(pdf):
                     continue
@@ -256,13 +266,19 @@ def kmeans_refine_centroids(
                     - 2.0 * (v @ cm.T)
                     + (cm * cm).sum(axis=1)[None, :]
                 )
-                cells = np.argmin(d2, axis=1)
+                # Round-6 stable argmin: lowest cell wins ties — the same
+                # shield the assignment UDFs use, so an oracle replica
+                # routes every vector identically.
+                cells = np.argmin(np.round(d2, 6), axis=1)
                 np.add.at(counts, cells, 1)
-                np.add.at(sums, cells, v)
+                # Integer micro-units: exact, order-free addition — the
+                # cross-partition float sum this replaces was the
+                # partition-order nondeterminism in the refit.
+                np.add.at(sums, cells, np.round(v * 1e6).astype(np.int64))
             hit = np.nonzero(counts)[0]
             # Empty partitions yield nothing: a zero-row frame would give
             # the "s" column float64 dtype (pandas' empty-list inference),
-            # which Arrow refuses to cast to list<double>.
+            # which Arrow refuses to cast to list<bigint>.
             if len(hit):
                 yield pd.DataFrame(
                     {
@@ -274,9 +290,9 @@ def kmeans_refine_centroids(
 
         # Each partition emits ONE partial row per non-empty cell, so after
         # posexplode, sum(n) within a (cell, idx) group is the cell's total
-        # count (identical for every idx of that cell).
+        # count (identical for every idx of that cell). Long sums are exact.
         agg = (
-            vecs.mapInPandas(partials, "cell int, n long, s array<double>")
+            vecs.mapInPandas(partials, "cell int, n long, s array<long>")
             .select("cell", "n", F.posexplode("s").alias("idx", "val"))
             .groupBy("cell", "idx")
             .agg(F.sum("val").alias("sv"), F.sum("n").alias("n"))
@@ -286,11 +302,15 @@ def kmeans_refine_centroids(
         comp: dict[int, np.ndarray] = {}
         cnt: dict[int, int] = {}
         for r in agg:
-            comp.setdefault(r["cell"], np.zeros(dim))[r["idx"]] = r["sv"]
+            comp.setdefault(r["cell"], np.zeros(dim, dtype=np.int64))[
+                r["idx"]
+            ] = r["sv"]
             cnt[r["cell"]] = r["n"]
         for cell, s in comp.items():
             if cnt.get(cell, 0) > 0:
-                new[cell] = s / cnt[cell]
+                # Fixed op order (micro→unit, then mean) — part of the
+                # determinism contract oracles replay.
+                new[cell] = (s.astype(np.float64) / 1e6) / cnt[cell]
         cmat = new
         bc_it.destroy()
     return cmat
@@ -425,12 +445,21 @@ def kmeans_assign(
     don't pay a second join-on-id vector shuffle.
 
     Seeds are a deterministic hash-ordered sample of corpus vectors (the
-    same trick ``ivf_topk`` uses — no RNG state to ship), refined by
-    ``n_iter`` distributed Lloyd passes (:func:`kmeans_refine_centroids`:
-    one corpus scan per pass, O(k × dim) partials per partition). The
-    final assignment is one more scan through the broadcast-centroid GEMM
+    engine-portable md5 key ``md5('km:{seed}:' || id)``, id-ascending
+    ties — the exact rule ``ivf_topk`` uses, so a SQL oracle regenerates
+    the identical seed set; no RNG state to ship), refined by ``n_iter``
+    distributed Lloyd passes (:func:`kmeans_refine_centroids`: one
+    corpus scan per pass, O(k × dim) partials per partition). The final
+    assignment is one more scan through the broadcast-centroid GEMM
     assigner, so the whole fit-and-assign touches the corpus ``n_iter+1``
     times and never shuffles vectors at all.
+
+    Determinism contract (r11): the whole fit is partitioning-invariant
+    and replayable — Lloyd sums are exact integer micro-units and every
+    nearest-centroid pick (refinement AND final assignment) is the
+    round-6 stable argmin (ties toward the lower cluster id), so an
+    oracle replaying the seed rule + Lloyd arithmetic reproduces
+    cluster ids and round-6 distances bit-for-bit.
     """
     from pyspark.sql.types import (
         DoubleType,
@@ -439,9 +468,16 @@ def kmeans_assign(
         StructType,
     )
 
+    from .hashing import md5_long
+
     seed_rows = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .orderBy(F.xxhash64(F.col("cid"), F.lit(seed)))
+        .orderBy(
+            md5_long(
+                F.concat(F.lit(f"km:{seed}:"), F.col("cid").cast("string"))
+            ),
+            F.col("cid").asc(),
+        )
         .limit(k)
         .collect()
     )
@@ -468,7 +504,10 @@ def kmeans_assign(
             - 2.0 * (v @ cm.T)
             + (cm * cm).sum(axis=1)[None, :]
         )
-        cells = np.argmin(d2, axis=1)
+        # Round-6 stable argmin (first index wins = lowest cluster id):
+        # the ivf_topk routing shield, here so an oracle evaluating the
+        # same expansion as a SQL fold picks identical clusters.
+        cells = np.argmin(np.round(d2, 6), axis=1)
         best = np.sqrt(np.maximum(d2[np.arange(len(v)), cells], 0.0))
         return pd.DataFrame(
             {"cluster": cells.astype("int32"), "dist": best}

@@ -74,3 +74,40 @@ def test_kmeans_deterministic(spark, blobs_df):
     b = {r.vec_id: r.cluster
          for r in kmeans_assign(blobs_df, "embedding", "vec_id", k=3, n_iter=2).collect()}
     assert a == b
+
+
+def test_kmeans_partitioning_invariant(spark, blobs_df):
+    """The r11 determinism contract: Lloyd sums are exact int64
+    micro-units and routing is the round-6 stable argmin, so the fit —
+    clusters AND round-6 distances — is identical under any input
+    partitioning (the float partial sums this replaced were
+    partition-order-dependent)."""
+    base = {(r.vec_id, r.cluster, r.dist)
+            for r in kmeans_assign(
+                blobs_df, "embedding", "vec_id", k=3, n_iter=3).collect()}
+    for n_parts in (1, 7, 32):
+        got = {(r.vec_id, r.cluster, r.dist)
+               for r in kmeans_assign(
+                   blobs_df.repartition(n_parts), "embedding", "vec_id",
+                   k=3, n_iter=3).collect()}
+        assert got == base
+
+
+def test_kmeans_seed_sample_is_md5_portable(spark, blobs_df):
+    """Seed centroids must follow the engine-portable md5 rule
+    (md5('km:{seed}:' || id), id-ascending ties) so oracles can replay
+    the sample from the raw table."""
+    import hashlib
+
+    rows = blobs_df.select("vec_id", "embedding").collect()
+    ids = sorted(
+        (int(hashlib.md5(f"km:7:{r.vec_id}".encode()).hexdigest()[:15], 16),
+         r.vec_id)
+        for r in rows
+    )[:3]
+    expect = {i for _, i in ids}
+    out = kmeans_assign(blobs_df, "embedding", "vec_id", k=3, n_iter=0)
+    # with n_iter=0 every centroid IS a seed vector: each seed id must
+    # sit at distance 0 from its own cluster centroid
+    d = {r.vec_id: r.dist for r in out.collect() if r.vec_id in expect}
+    assert set(d) == expect and all(v == 0.0 for v in d.values())
