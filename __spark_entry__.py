@@ -2779,10 +2779,11 @@ def q_ann_ivfpq(spark, sf_dir):
     from the IVF and PQ primitives. Oracle-backed (r10): with
     ``refine_iters=0`` the coarse centroids are the md5-keyed sample
     and the residual codebooks fit driver-side, so the ENTIRE index +
-    search replays in Python into a literal table (Lloyd refinement
-    stays property-tested in pytest — its distributed partial sums are
-    order-dependent at the last ulp, deliberately outside the replay
-    contract)."""
+    search replays in Python into a literal table. (Since r11 Lloyd
+    refinement is deterministic too — see kmeans_refine_centroids — so
+    the gate's refine_iters=0 is now just oracle simplicity, not a
+    replay boundary; refinement is property-tested in pytest and
+    replayed end-to-end by the embedding_clusters oracle.)"""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return similarity.ivfpq_topk(
@@ -2790,6 +2791,26 @@ def q_ann_ivfpq(spark, sf_dir):
         k=10, n_cells=16, nprobe=4, m=8, n_codes=64,
         refine_iters=0,
         refine=emb, refine_factor=4,
+    ).orderBy("query_id", "rank")
+
+
+def q_ann_index_search(spark, sf_dir):
+    """Persisted-index retrieval (r11): the search runs against a
+    PRECOMPUTED ann_index (model + encoded-codes frames — the
+    persist-once artifacts a query service reuses), so codebooks are
+    never retrained and the float corpus is touched only by the
+    shortlist re-rank. Output is IDENTICAL to the inline ivfpq_topk
+    path at the same params (the minhash_index/dedup_against_index
+    contract), so the oracle is the same SQL as ann_ivfpq."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    model, encoded = similarity.ann_index(
+        emb, "embedding", "vec_id", n_cells=16, m=8, n_codes=64,
+        refine_iters=0,
+    )
+    return similarity.ann_search(
+        model, encoded, queries_df, "embedding", "vec_id",
+        k=10, nprobe=4, refine=emb, refine_factor=4,
     ).orderBy("query_id", "rank")
 
 
@@ -3514,6 +3535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "ann_pq": q_ann_pq,
         "ann_ivfpq": q_ann_ivfpq,
+        "ann_index_search": q_ann_index_search,
         "audio_features_stub": q_audio_features_stub,
         "video_frames_stub": q_video_frames_stub,
         "bpe_encode": q_bpe_encode,
@@ -6476,6 +6498,9 @@ FROM (SELECT pl, count(*)::BIGINT AS c FROM bq GROUP BY pl)
         # codebooks) + search replayed driver-side — see
         # _ann_ivfpq_oracle_sql.
         "ann_ivfpq": _ann_ivfpq_oracle_sql(),
+        # ann_index_search: output-identical to the inline IVF-PQ path
+        # (the index is an internal artifact) — same oracle.
+        "ann_index_search": _ann_ivfpq_oracle_sql(),
         # bpe_encode: independent pure-Python trainer + full SQL replay
         # of the encode loop — see _bpe_oracle_sql.
         "bpe_encode": _bpe_oracle_sql(),

@@ -823,16 +823,35 @@ def ivfpq_topk(
     m=8); everything collected driver-side is bounded (centroid seeds,
     PQ training sample, query matrix) — corpus size only affects the
     scan, exactly like the flat-PQ path."""
-    from pyspark.sql import Window
+    cmat, books = _ivfpq_train(
+        corpus, vec_col, id_col, n_cells, m, n_codes, seed,
+        refine_iters, sample_rows,
+    )
+    encoded = _ivfpq_encode(corpus, vec_col, id_col, cmat, books)
+    return _ivfpq_search(
+        encoded, queries, vec_col, id_col, cmat, books,
+        k=k, nprobe=nprobe, refine=refine, refine_factor=refine_factor,
+    )
 
+
+def _ivfpq_train(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int,
+    m: int,
+    n_codes: int,
+    seed: int,
+    refine_iters: int,
+    sample_rows: int,
+) -> "tuple[np.ndarray, np.ndarray]":
+    """IVF-PQ model fit: coarse centroids (engine-portable md5 seed
+    sample + optional deterministic Lloyd refine) and residual PQ
+    codebooks over a bounded md5-keyed training sample. Everything
+    collected is model-sized; the corpus is only scanned by the Lloyd
+    passes (``refine_iters`` of them)."""
     from .hashing import md5_long
 
-    # ---- coarse quantizer: deterministic seed sample + Lloyd refine ----
-    # Sampling keys are the engine-portable md5 rule (ivf_topk's), so an
-    # oracle can regenerate the identical index from the raw table; with
-    # refine_iters=0 the WHOLE index is driver-replayable (Lloyd's
-    # distributed partial sums are order-dependent at the last ulp, so
-    # refined centroids are deliberately outside the replay contract).
     centroid_rows = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
         .orderBy(
@@ -848,7 +867,6 @@ def ivfpq_topk(
     if refine_iters > 0:
         cmat = kmeans_refine_centroids(corpus, vec_col, cmat, refine_iters)
 
-    # ---- PQ codebooks on residuals of a bounded training sample ----
     sample = (
         corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
         .orderBy(
@@ -865,11 +883,21 @@ def ivfpq_topk(
         (xs * xs).sum(1)[:, None] - 2 * (xs @ cmat.T) + (cmat * cmat).sum(1)[None, :]
     )
     books = _pq_fit(xs - cmat[d2s.argmin(1)], m, n_codes, seed, n_iter=10)
+    return cmat, books
 
-    sc = corpus.sparkSession.sparkContext
-    bc_index = sc.broadcast((cmat, books))
 
-    # ---- one corpus pass: assign cell, encode residual ----
+def _ivfpq_encode(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cmat: "np.ndarray",
+    books: "np.ndarray",
+) -> DataFrame:
+    """One corpus pass: assign each vector to its nearest coarse cell and
+    PQ-encode its residual — ``(doc_id, cell, codes)``, the 8-byte-per-
+    vector artifact every later search scans instead of float vectors."""
+    bc_index = corpus.sparkSession.sparkContext.broadcast((cmat, books))
+
     def build(batches):
         cm, bk = bc_index.value
         mm, _, sub = bk.shape
@@ -904,9 +932,30 @@ def ivfpq_topk(
                 }
             )
 
-    encoded = ensure_min_partitions(corpus).select(
+    return ensure_min_partitions(corpus).select(
         F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v")
     ).mapInPandas(build, "doc_id long, cell int, codes array<int>")
+
+
+def _ivfpq_search(
+    encoded: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cmat: "np.ndarray",
+    books: "np.ndarray",
+    k: int = 10,
+    nprobe: int = 4,
+    refine: DataFrame | None = None,
+    refine_factor: int = 4,
+) -> DataFrame:
+    """The search half of IVF-PQ: probe ``nprobe`` cells per query, ADC
+    over the encoded corpus, optional exact re-rank. Scans ONLY the
+    ``(doc_id, cell, codes)`` frame — this is what makes a persisted
+    :func:`ann_index` pay off: the daily query path never touches float
+    vectors except for the shortlist re-rank."""
+    sc = encoded.sparkSession.sparkContext
+    m, n_codes, sub = books.shape
 
     # ---- per-(query, probed cell) residual LUTs, driver-built ----
     q_rows = queries.select(
@@ -920,7 +969,6 @@ def ivfpq_topk(
         + (cmat * cmat).sum(1)[None, :]
     )
     probes = np.argsort(dq, axis=1, kind="stable")[:, : min(nprobe, len(cmat))]
-    sub = qmat.shape[1] // m
     # luts_by_cell[cell] = list of (query_index, (m, n_codes) LUT)
     luts_by_cell: dict[int, list] = {}
     for qi in range(len(qmat)):
@@ -1012,6 +1060,125 @@ def ivfpq_topk(
         exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "approx_l2", "rank")
+    )
+
+
+def ann_index(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 16,
+    m: int = 8,
+    n_codes: int = 256,
+    seed: int = 7,
+    refine_iters: int = 1,
+    sample_rows: int = 4096,
+) -> "tuple[DataFrame, DataFrame]":
+    """Persistable IVF-PQ index — the similarity-search twin of
+    :func:`~krnel_graph_spark.functions.dedup.minhash_index`: train the
+    model and encode the corpus ONCE, write both frames to parquet, and
+    every later :func:`ann_search` (the daily-ingest retrieval loop)
+    reads only them — never re-training codebooks, never re-encoding or
+    even re-reading the float corpus (except the optional shortlist
+    re-rank). This is what a retrieval pipeline actually does at 100 TB:
+    ``ivfpq_topk`` re-fits and re-encodes per call, which is fine for a
+    one-shot query but absurd for a query service.
+
+    Returns ``(model, encoded)``:
+
+    - ``model``: one row per centroid (``kind='centroid', i=cell``) and
+      per codeword (``kind='codebook', i=subspace, j=code``), vector
+      payload in ``vec`` — |cells| + m·n_codes rows, KB-scale. Build
+      params (``n_cells/m/n_codes/seed/refine_iters``) travel as literal
+      columns on every row and are validated by :func:`ann_search`, so a
+      stale or mismatched persisted model fails loudly (the
+      ``dedup_against(ref_index=)`` lesson).
+    - ``encoded``: ``(doc_id, cell, codes)`` — m bytes of codes per
+      vector (32× smaller than float32 at m=8), the only corpus-sized
+      artifact any search scans.
+
+    Output-identity contract: ``ann_search(model, encoded, queries,
+    ...)`` equals ``ivfpq_topk(corpus, queries, ...)`` with the same
+    parameters, row for row — the index is an internal artifact (pinned
+    by tests/test_pq.py's roundtrip test)."""
+    cmat, books = _ivfpq_train(
+        corpus, vec_col, id_col, n_cells, m, n_codes, seed,
+        refine_iters, sample_rows,
+    )
+    rows = [
+        ("centroid", int(i), 0, [float(x) for x in cmat[i]])
+        for i in range(len(cmat))
+    ] + [
+        ("codebook", int(j), int(c), [float(x) for x in books[j, c]])
+        for j in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    model = corpus.sparkSession.createDataFrame(
+        rows, "kind string, i int, j int, vec array<double>"
+    ).select(
+        "*",
+        F.lit(int(n_cells)).alias("n_cells"),
+        F.lit(int(m)).alias("m"),
+        F.lit(int(n_codes)).alias("n_codes"),
+        F.lit(int(seed)).alias("seed"),
+        F.lit(int(refine_iters)).alias("refine_iters"),
+    )
+    encoded = _ivfpq_encode(corpus, vec_col, id_col, cmat, books)
+    return model, encoded
+
+
+def ann_search(
+    model: DataFrame,
+    encoded: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    nprobe: int = 4,
+    refine: DataFrame | None = None,
+    refine_factor: int = 4,
+) -> DataFrame:
+    """Search a persisted :func:`ann_index`: reconstruct the KB-scale
+    model driver-side (a bounded collect — |cells| + m·n_codes rows),
+    then run the standard IVF-PQ probe/ADC/re-rank over the ``encoded``
+    codes frame. The float corpus is touched only if ``refine`` is
+    passed (shortlist re-rank), so the recurring cost of a query batch
+    is one scan of the m-bytes-per-vector codes — the whole point of
+    persisting the index.
+
+    Raises ``ValueError`` if the model frame is structurally
+    inconsistent with its own recorded build params (truncated parquet,
+    mixed snapshots) — a wrong-layout model must fail, not degrade
+    recall silently."""
+    mrows = model.select(
+        "kind", "i", "j", "vec", "n_cells", "m", "n_codes"
+    ).collect()
+    if not mrows:
+        raise ValueError("ann_search: empty model frame")
+    n_cells = mrows[0]["n_cells"]
+    m, n_codes = mrows[0]["m"], mrows[0]["n_codes"]
+    cent = {r["i"]: r["vec"] for r in mrows if r["kind"] == "centroid"}
+    code = {
+        (r["i"], r["j"]): r["vec"] for r in mrows if r["kind"] == "codebook"
+    }
+    if sorted(cent) != list(range(n_cells)):
+        raise ValueError(
+            f"ann_search: model centroid set inconsistent with its own "
+            f"n_cells={n_cells} (got {len(cent)} centroids)"
+        )
+    if len(code) != m * n_codes:
+        raise ValueError(
+            f"ann_search: model codebook set inconsistent with its own "
+            f"m={m}, n_codes={n_codes} (got {len(code)} codewords)"
+        )
+    cmat = np.asarray([cent[i] for i in range(n_cells)], dtype=np.float64)
+    books = np.asarray(
+        [[code[(j, c)] for c in range(n_codes)] for j in range(m)],
+        dtype=np.float64,
+    )
+    return _ivfpq_search(
+        encoded, queries, vec_col, id_col, cmat, books,
+        k=k, nprobe=nprobe, refine=refine, refine_factor=refine_factor,
     )
 
 

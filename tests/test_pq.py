@@ -144,3 +144,61 @@ def test_ivfpq_deterministic(spark, vecs_df):
         vecs_df, queries, "embedding", "vec_id", k=5, n_cells=8, m=4, n_codes=32
     ).toPandas()
     assert a.equals(b)
+
+
+def test_ann_index_parquet_roundtrip_identical(spark, vecs_df, tmp_path):
+    """The retrieval-pipeline contract (the minhash_index twin): train +
+    encode once, persist BOTH frames, and ann_search over the READ-BACK
+    index must equal the inline ivfpq_topk row-for-row — codebooks are
+    never retrained, the float corpus never re-encoded."""
+    from krnel_graph_spark.functions.similarity import (
+        ann_index,
+        ann_search,
+        ivfpq_topk,
+    )
+
+    queries = vecs_df.filter("vec_id < 4")
+    inline = ivfpq_topk(
+        vecs_df, queries, "embedding", "vec_id",
+        k=5, n_cells=8, nprobe=3, m=4, n_codes=32, refine_iters=1,
+        refine=vecs_df, refine_factor=4,
+    ).orderBy("query_id", "rank").collect()
+
+    model, encoded = ann_index(
+        vecs_df, "embedding", "vec_id",
+        n_cells=8, m=4, n_codes=32, refine_iters=1,
+    )
+    mp, ep = str(tmp_path / "model"), str(tmp_path / "encoded")
+    model.write.parquet(mp)
+    encoded.write.parquet(ep)
+    reused = ann_search(
+        spark.read.parquet(mp), spark.read.parquet(ep), queries,
+        "embedding", "vec_id", k=5, nprobe=3,
+        refine=vecs_df, refine_factor=4,
+    ).orderBy("query_id", "rank").collect()
+    assert [tuple(r) for r in reused] == [tuple(r) for r in inline]
+    assert len(inline) == 20
+
+
+def test_ann_search_rejects_inconsistent_model(spark, vecs_df):
+    """A truncated / mixed-snapshot model frame must raise, not silently
+    search a wrong layout."""
+    import pytest
+
+    from krnel_graph_spark.functions.similarity import ann_index, ann_search
+
+    queries = vecs_df.filter("vec_id < 2")
+    model, encoded = ann_index(
+        vecs_df, "embedding", "vec_id", n_cells=8, m=4, n_codes=32,
+        refine_iters=0,
+    )
+    truncated = model.filter("kind != 'centroid' OR i < 4")
+    with pytest.raises(ValueError, match="centroid set inconsistent"):
+        ann_search(truncated, encoded, queries, "embedding", "vec_id", k=3)
+    no_codes = model.filter("kind = 'centroid'")
+    with pytest.raises(ValueError, match="codebook set inconsistent"):
+        ann_search(no_codes, encoded, queries, "embedding", "vec_id", k=3)
+    with pytest.raises(ValueError, match="empty model"):
+        ann_search(
+            model.filter("1=0"), encoded, queries, "embedding", "vec_id",
+        )
