@@ -3434,53 +3434,53 @@ def q_video_stats_y4m(spark, sf_dir):
 
 
 # The driver records hash-graded evidence only for the FIRST 50 entries
-# of queries(). r8 policy (the r7 verdict's top ask): the window rotates
-# onto the OLDEST-evidence oracle-backed queries — first the entries
-# whose semantics changed this round (fluent_quality gained a composed
-# oracle; paragraph_dedup's empty-paragraph/separator contract changed),
-# then the 30 queries whose newest driver record is round 4, then the 18
-# oldest round-5 rows. All 50 are oracle-backed, so the window should
-# record >= 45 hash-green with 0 no_oracle slots wasted. The remaining
-# 30 round-5 rows rotate in next round.
-_R10_WINDOW = [
-    # new-or-changed this round (zero or stale driver evidence under the
-    # new semantics): bpe_encode + compression_signals gained hash
-    # oracles r10; data_budget's oracle gained the planned-strata outer
-    # join r10.
-    "bpe_encode", "compression_signals", "data_budget",
-    "dedup_weights", "dedup_against_index", "ann_pq", "ann_ivfpq",
-    "split_rng", "classifier_predict", "classifier_evaluate",
-    "image_features_stub", "audio_features_stub", "video_frames_stub", "video_dups_q",
-    "mmr_select", "span_corruption", "span_corruption_text",
-    "winnow_fp", "winnow_pairs",
-    # the r5-era evidence gap (COVERAGE.md #116-145 as of r9): the
-    # TPC-H q2-q22 tail and the bm25/chunk/tfidf/mix/dedup_against
-    # family — no driver row since round 5.
-    "semi_join_q4", "volume_q7", "market_share_q8", "returned_topk_q10",
-    "order_dist_q13", "promo_share_q14", "supplier_cnt_q16",
-    "small_qty_q17", "large_orders_q18", "disjunct_q19",
-    "rich_no_orders_q22", "min_cost_supplier_q2", "product_profit_q9",
-    "important_stock_q11", "top_supplier_q15", "excess_supply_q20",
-    "waiting_supplier_q21", "chunk_docs", "bm25_search", "bm25_many",
-    "tfidf", "dedup_against_exact", "dedup_against_near", "tokenize_ids",
-    "chunk_pack", "corpus_sequences", "dup_windows", "mix_corpus",
-
-    # displaced from the r9 window by late-r9 additions (r4 evidence)
-    "window_topk", "lead_lag", "sql_entry",
-    # (r11 rotation queue: canonical_urls + snapshot_diff (displaced
-    #  r5 rows) + rollup_counts + agg_q1/join_q3/
-    #  selective_agg_q6 + the displaced r6 behavior block —
-    #  funnel_steps/retention_cohorts/hybrid_search/funnel_conversion/
-    #  fuzzy_pairs/event_transitions/session_cooccurrence/
-    #  weighted_sample/dedup_exact/text_stats — then late_lines_q12 +
-    #  the r7 block token_entropy..source_quality + the r6/r7
-    #  codec/graph rows; rows-only is down to 5 by-design entries.)
+# of queries(). r11 rotation (the r10 verdict's item 2): first the four
+# entries whose oracles are NEW or CHANGED this round, then the
+# verdict-named oldest-evidence rows (the two fake-LLM queries were
+# oracle-backed in r10 but have never had a driver HASH row; umap_pca
+# is the one remaining rows-only-by-design entry, deliberately given a
+# slot per the verdict; ann_ivf last recorded r1/r9), then the r5/r6/r7
+# evidence blocks oldest-first per COVERAGE.md.
+_R11_WINDOW = [
+    # new/changed oracles this round: profile_table_hll (error-band
+    # contract), embedding_clusters + semantic_dedup (deterministic
+    # k-means replay), ann_index_search (new persisted-index gate).
+    "profile_table_hll", "embedding_clusters", "semantic_dedup",
+    "ann_index_search",
+    # verdict-named oldest evidence
+    "llm_logit_scores_fake", "llm_activations_fake", "umap_pca", "ann_ivf",
+    # r5-evidence pair displaced from the r10 window
+    "canonical_urls", "snapshot_diff",
+    # the r6 block (newest driver record round 6)
+    "funnel_steps", "retention_cohorts", "hybrid_search",
+    "funnel_conversion", "fuzzy_pairs", "event_transitions",
+    "session_cooccurrence", "weighted_sample",
+    "agg_q1", "join_q3", "selective_agg_q6", "dedup_exact", "text_stats",
+    # the r7 block (COVERAGE.md #51-64 minus the two r8-refreshed rows)
+    "token_entropy", "dsir_weights", "zipf_fit", "ngram_coverage",
+    "corpus_report", "expect_rules", "quarantine", "label_propagation",
+    "layout_report", "ewma_smooth", "contrastive_triplets",
+    "source_quality",
+    "late_lines_q12", "rollup_counts",
+    # r6/r7 codec + analytics rows (newest record round 7)
+    "image_stats_png", "image_phash", "image_dups_q", "audio_stats_wav",
+    "video_stats_y4m", "avro_roundtrip", "upsert_merge",
+    "window_anomalies", "events_hopping", "unigram_logprob",
+    "bigram_logprob", "histogram_price", "corr_matrix",
+    # (r12 rotation queue: pagerank/triangle_count/clustering_coeff/
+    #  k_core/assortativity/top_terms/simhash_pairs_q/orc_roundtrip/
+    #  text_roundtrip/audio_fp — the r7 remainder — then the r8 block
+    #  COVERAGE.md #141-175: local_supply_q5, mask_isin, boolean_logic,
+    #  jinja_template, split_hash, llm_generate_fake, mask_not_in,
+    #  pairwise_arithmetic, vector_to_scalar, anti_join, set_except,
+    #  simhash, lang_id, multimodal_meta, ... then the r10-recorded
+    #  blocks age back in. Rows-only is down to 1 (umap_pca).)
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The literal dict below keeps its r7 grouping for readability; the
-    # driver-visible ORDER is _R10_WINDOW first (see its comment), then
+    # driver-visible ORDER is _R11_WINDOW first (see its comment), then
     # everything else in literal order.
     d = {
         # ---- driver 50-slot recording window (r7 rotation) ---- #
@@ -3701,8 +3701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "margin_pairs": q_margin_pairs,
         "margin_pairs_ann": q_margin_pairs_ann,
     }
-    out = {k: d[k] for k in _R10_WINDOW}
-    missing = [k for k in _R10_WINDOW if k not in d]
+    out = {k: d[k] for k in _R11_WINDOW}
+    missing = [k for k in _R11_WINDOW if k not in d]
     assert not missing, f"window names drifted: {missing}"
     for k, v in d.items():
         out.setdefault(k, v)

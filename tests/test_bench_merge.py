@@ -83,3 +83,15 @@ def test_merge_is_idempotent():
     once = min_merge(floor, run)
     twice = min_merge(once, run)
     assert once == twice
+
+
+def test_reset_drops_floor_entry_so_run_refloors():
+    # bench.py main() pops reset names from the floor before merging —
+    # simulate that protocol: a deliberately-changed query re-floors at
+    # its new raw time instead of keeping the unreachable old floor.
+    floor = _payload({"changed_op": 0.5, "other": 1.0})
+    run = _payload({"changed_op": 2.0, "other": 1.0})
+    floor["queries"].pop("changed_op")  # the --reset path
+    merged = min_merge(floor, run)
+    assert merged["queries"]["changed_op"] == 2.0
+    assert merged["queries"]["other"] == 1.0
