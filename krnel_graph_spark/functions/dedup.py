@@ -1112,7 +1112,13 @@ def minhash_index(
     :func:`dedup_against` checks them against its own arguments, so a
     stale or mismatched persisted index (the failure mode a daily-ingest
     pipeline reusing indexes eventually hits) fails loudly instead of
-    silently degrading candidate recall."""
+    silently degrading candidate recall.
+
+    Growing the index is a plain union: append day N by unioning
+    ``minhash_index(day_n_docs, ...)`` built with the SAME params (and
+    re-writing or appending the parquet) — signatures are per-document,
+    so no re-computation over days 1..N−1 ever happens, and a
+    mixed-param union fails at use via the param-column check."""
     sc = minhash_sig_count_udf(num_perm, shingle_k)(F.col(text_col))
     return (
         ensure_min_partitions(df)
