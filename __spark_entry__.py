@@ -3433,6 +3433,84 @@ def q_video_stats_y4m(spark, sf_dir):
     ).orderBy("doc_id", "frame_idx")
 
 
+def q_skyline_docs(spark, sf_dir):
+    """Pareto-frontier (skyline) data selection over the documents
+    corpus: keep exactly the docs not dominated on (n_words max,
+    n_chars min, n_lines max) — the "most tokens / line structure per
+    stored byte" compactness frontier, deliberately anti-correlated
+    axes so the frontier is non-trivial (65 docs at sf0.01, not a
+    single maximum). The multi-objective curation primitive
+    (functions/sampling.py:skyline_select, Borzsony et al. ICDE 2001).
+    Two-phase distributed design: vectorized per-partition numpy prune,
+    then one candidate-sized global prune; the frontier is a
+    partition-invariant row SET, graded against a brute-force
+    NOT EXISTS dominance oracle. All three axes are exact integers."""
+    from krnel_graph_spark.functions.sampling import skyline_select
+    from krnel_graph_spark.functions.text import token_count
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        "n_chars",
+        token_count(F.col("text")).cast("long").alias("n_words"),
+        F.expr(
+            "length(text) - length(replace(text, chr(10), '')) + 1"
+        ).cast("long").alias("n_lines"),
+    )
+    return skyline_select(
+        base, {"n_words": "max", "n_chars": "min", "n_lines": "max"}
+    )
+
+
+def q_calibration_curve(spark, sf_dir):
+    """Reliability-curve bins (Guo et al. 2017) for a [0,1] scorer: the
+    length percent-rank scoring 'is this doc English' — per-bin count,
+    confidence (exact decimal-sum mean score, round 6), empirical
+    accuracy, and their |gap| (the per-bin ECE term). The thresholding
+    companion the quality-classifier curation loop needs
+    (functions/metrics.py:calibration_bins). Integer-rank percent_rank
+    keeps the bin boundary exact in both engines."""
+    from pyspark.sql import Window
+
+    from krnel_graph_spark.functions.metrics import calibration_bins
+
+    scored = _docs(spark, sf_dir).select(
+        F.percent_rank().over(Window.orderBy("n_chars")).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return calibration_bins(scored, "score", "label", bins=10)
+
+
+def q_pmi_colloc(spark, sf_dir):
+    """Top-50 bigram collocations by round-6 PMI with a min_count=5
+    hapax floor (functions/text.py:pmi_collocations, Church & Hanks
+    1990) — the phrase-mining / boilerplate-template signal. Pair and
+    unigram tables are partial-agg'd groupBys; probability lookups are
+    vocab-sized broadcasts; deterministic (pmi desc, w1, w2) top-k."""
+    from krnel_graph_spark.functions.text import pmi_collocations
+
+    return pmi_collocations(
+        _docs(spark, sf_dir), "text", min_count=5, top_k=50
+    )
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Near-dedup keeping the BEST page of each cluster (RefinedWeb
+    rule): same verified MinHash-LSH pair graph as dedup_drop_near, but
+    the component representative is the max-n_chars member (ties ->
+    min id) via one min_by over pair-graph nodes only
+    (functions/dedup.py:drop_near_dups keep_by=). The oracle replays
+    components by transitive closure + the same keeper ranking."""
+    return dedup.drop_near_dups(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        num_perm=16,
+        bands=4,
+        jaccard_threshold=0.5,
+        keep_by="n_chars",
+    )
+
+
 # The driver records hash-graded evidence only for the FIRST 50 entries
 # of queries(). r11 rotation (the r10 verdict's item 2): first the four
 # entries whose oracles are NEW or CHANGED this round, then the
@@ -3444,9 +3522,12 @@ def q_video_stats_y4m(spark, sf_dir):
 _R11_WINDOW = [
     # new/changed oracles this round: profile_table_hll (error-band
     # contract), embedding_clusters + semantic_dedup (deterministic
-    # k-means replay), ann_index_search (new persisted-index gate).
+    # k-means replay), ann_index_search (new persisted-index gate),
+    # plus the four NEW r11 operators (skyline / calibration / PMI /
+    # keep-best dedup) which need their first driver hash row.
     "profile_table_hll", "embedding_clusters", "semantic_dedup",
     "ann_index_search",
+    "skyline_docs", "calibration_curve", "pmi_colloc", "dedup_keep_best",
     # verdict-named oldest evidence
     "llm_logit_scores_fake", "llm_activations_fake", "umap_pca", "ann_ivf",
     # r5-evidence pair displaced from the r10 window
@@ -3465,9 +3546,11 @@ _R11_WINDOW = [
     # r6/r7 codec + analytics rows (newest record round 7)
     "image_stats_png", "image_phash", "image_dups_q", "audio_stats_wav",
     "video_stats_y4m", "avro_roundtrip", "upsert_merge",
-    "window_anomalies", "events_hopping", "unigram_logprob",
-    "bigram_logprob", "histogram_price", "corr_matrix",
-    # (r12 rotation queue: pagerank/triangle_count/clustering_coeff/
+    "window_anomalies", "events_hopping",
+    # (r12 rotation queue: unigram_logprob/bigram_logprob/
+    #  histogram_price/corr_matrix (displaced by the four new r11
+    #  operators above; last recorded r7), then
+    #  pagerank/triangle_count/clustering_coeff/
     #  k_core/assortativity/top_terms/simhash_pairs_q/orc_roundtrip/
     #  text_roundtrip/audio_fp — the r7 remainder — then the r8 block
     #  COVERAGE.md #141-175: local_supply_q5, mask_isin, boolean_logic,
@@ -3700,6 +3783,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets_fixed": q_perplexity_buckets_fixed,
         "margin_pairs": q_margin_pairs,
         "margin_pairs_ann": q_margin_pairs_ann,
+        # ---- new r11 surface ---- #
+        "skyline_docs": q_skyline_docs,
+        "calibration_curve": q_calibration_curve,
+        "pmi_colloc": q_pmi_colloc,
+        "dedup_keep_best": q_dedup_keep_best,
     }
     out = {k: d[k] for k in _R11_WINDOW}
     missing = [k for k in _R11_WINDOW if k not in d]
@@ -7931,6 +8019,89 @@ ORDER BY node
     # the index-reuse path is output-identical to the inline near path,
     # so the oracle is literally the same SQL
     out["dedup_against_index"] = out["dedup_against_near"]
+
+    # skyline_docs: brute-force NOT EXISTS dominance on exact integer
+    # axes — the reference definition the two-phase prune must equal.
+    out["skyline_docs"] = f"""
+WITH t AS (SELECT doc_id, n_chars,
+       CASE WHEN {norm_text} = '' THEN 0
+            ELSE len({toks_text}) END::BIGINT AS n_words,
+       (length(text) - length(replace(text, chr(10), '')) + 1)::BIGINT
+         AS n_lines
+  FROM documents)
+SELECT doc_id, n_chars, n_words, n_lines FROM t p
+WHERE NOT EXISTS (
+  SELECT 1 FROM t q
+  WHERE q.n_words >= p.n_words AND q.n_chars <= p.n_chars
+    AND q.n_lines >= p.n_lines
+    AND (q.n_words > p.n_words OR q.n_chars < p.n_chars
+         OR q.n_lines > p.n_lines))
+"""
+
+    # calibration_curve: identical integer-rank percent_rank scoring,
+    # identical floor-bin arithmetic, decimal-exact mean score, gap
+    # computed from the ROUNDED values (both engines).
+    out["calibration_curve"] = """
+WITH s AS (SELECT percent_rank() OVER (ORDER BY n_chars) AS score,
+                  (lang = 'en')::INT AS label
+           FROM documents),
+g AS (SELECT least(9, CAST(floor(score * 10) AS INT)) AS bin,
+             count(*)::BIGINT AS n,
+             sum(label)::BIGINT AS n_pos,
+             round(sum(score::DECIMAL(38,12))::DOUBLE / count(*), 6)
+               AS mean_score,
+             round(sum(label)::DOUBLE / count(*), 6) AS frac_pos
+      FROM s GROUP BY 1)
+SELECT bin, n, n_pos, mean_score, frac_pos,
+       round(abs(mean_score - frac_pos), 6) AS gap
+FROM g
+"""
+
+    # pmi_colloc: same tokenization, same left-associated double
+    # products (n_pair*N1*N1)/(N2*c1*c2), round-6 before ranking.
+    out["pmi_colloc"] = f"""
+WITH t AS (SELECT {toks_text} AS toks FROM documents
+           WHERE {norm_text} != ''),
+b AS (SELECT toks, len(toks) AS L FROM t),
+uni AS (SELECT unnest(toks) AS w FROM b),
+uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+n1 AS (SELECT count(*) AS n FROM uni),
+pr AS (SELECT toks[s] AS w1, toks[s + 1] AS w2
+       FROM (SELECT toks, unnest(range(1, L)) AS s FROM b WHERE L >= 2)),
+n2 AS (SELECT count(*) AS n FROM pr),
+pc AS (SELECT w1, w2, count(*) AS n_pair FROM pr GROUP BY w1, w2
+       HAVING count(*) >= 5)
+SELECT pc.w1, pc.w2, pc.n_pair::BIGINT AS n_pair,
+       round(log10((pc.n_pair::DOUBLE * n1.n * n1.n)
+                   / (n2.n::DOUBLE * u1.c * u2.c)), 6) AS pmi
+FROM pc
+JOIN uc u1 ON u1.w = pc.w1
+JOIN uc u2 ON u2.w = pc.w2
+CROSS JOIN n1 CROSS JOIN n2
+ORDER BY pmi DESC, w1, w2
+LIMIT 50
+"""
+
+    # dedup_keep_best: same pair graph + transitive-closure components
+    # as dedup_drop_near, keeper = max n_chars then min id — the
+    # min_by(node, struct(-kv, node)) ranking, replayed as a window.
+    out["dedup_keep_best"] = f"""
+WITH RECURSIVE pairs AS ({minhash_pairs_sql}),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(s, d) AS (
+    SELECT a, a FROM und
+    UNION
+    SELECT r.s, u.b FROM reach r JOIN und u ON r.d = u.a
+),
+comp AS (SELECT s AS doc, min(d) AS cmp FROM reach GROUP BY s),
+ranked AS (SELECT c.doc, c.cmp,
+                  row_number() OVER (PARTITION BY c.cmp
+                      ORDER BY d.n_chars DESC, c.doc ASC) AS rn
+           FROM comp c JOIN documents d ON d.doc_id = c.doc),
+removal AS (SELECT doc FROM ranked WHERE rn > 1)
+SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc FROM removal)
+"""
     return out
 
 

@@ -149,3 +149,57 @@ def evaluate_split(scores: np.ndarray, labels: np.ndarray, threshold=None) -> di
             for level in PRECISION_AT_RECALL_LEVELS
         }
     return report
+
+
+# ---------------------------------------------------------------------------
+# Distributed calibration analysis (Spark-side; everything above is the
+# numpy kernel surface used by the classifier evaluator)
+# ---------------------------------------------------------------------------
+
+
+def calibration_bins(df, score_col: str, label_col: str, bins: int = 10):
+    """Reliability-curve table for a probabilistic scorer: bucket rows
+    by score into ``bins`` equal-width bins over [0, 1] and report, per
+    bin, the row count, positive count, mean score (confidence) and
+    positive fraction (empirical accuracy) plus their absolute gap —
+    the per-bin term of Expected Calibration Error (Guo et al. 2017).
+    The thresholding companion to the classifier-evaluation op: a
+    quality classifier that is over-confident in its top bin silently
+    biases what a curation pipeline keeps.
+
+    Determinism contract: bin assignment is exact integer/float floor
+    arithmetic (scores == 1.0 fold into the top bin); mean score is an
+    exact DECIMAL(38,12) sum divided by the count, rounded to 6 — the
+    corr_matrix idiom — so the result is bit-identical under any
+    partitioning and SQL-oracle-checkable. Scale shape: one
+    partial-agg'd groupBy onto ``bins`` rows; nothing else touches the
+    corpus. Rows with a null score are dropped.
+    """
+    from pyspark.sql import functions as F
+
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    b = F.least(
+        F.lit(bins - 1),
+        F.floor(F.col(score_col).cast("double") * bins).cast("int"),
+    )
+    lbl = F.col(label_col).cast("boolean").cast("int")
+    dec = F.col(score_col).cast("double").cast("decimal(38,12)")
+    out = (
+        df.filter(F.col(score_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(lbl).cast("long").alias("n_pos"),
+            F.round(
+                F.sum(dec).cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_score"),
+            F.round(
+                F.sum(lbl).cast("double") / F.count(F.lit(1)), 6
+            ).alias("frac_pos"),
+        )
+        .withColumn(
+            "gap", F.round(F.abs(F.col("mean_score") - F.col("frac_pos")), 6)
+        )
+    )
+    return out

@@ -410,3 +410,116 @@ def data_budget(
             F.coalesce(F.col("epochs") > F.lit(float(epoch_cap)), F.lit(False)),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto-frontier (skyline) data selection
+# ---------------------------------------------------------------------------
+
+
+def _pareto_survivors(A, chunk: int):
+    """Indices of the exact Pareto frontier of ``A`` (rows = points,
+    columns = criteria, already sign-normalized so every axis is
+    maximize). Blockwise-iterative prune: pairwise dominance inside
+    fixed-size chunks (one vectorized ``c x c x d`` comparison per
+    chunk) repeatedly shrinks the candidate set; pruning is safe
+    (a dominated point can never re-enter the frontier), so when the
+    survivors fit one chunk a final full pairwise pass is exact.
+
+    Random/correlated data collapses geometrically (the frontier of n
+    random points is ~O(log^(d-1) n)); if a pass makes no progress the
+    chunk doubles, degrading gracefully toward the one-shot O(n^2 d)
+    pass that fully anti-correlated data (frontier = everything)
+    genuinely requires."""
+    import numpy as np
+
+    n = len(A)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    # Sum-descending order puts likely dominators first, so early chunks
+    # carry the strong points that prune later ones fastest.
+    idx = np.argsort(-A.sum(axis=1), kind="stable")
+
+    def block_alive(B):
+        ge = (B[:, None, :] >= B[None, :, :]).all(axis=-1)
+        gt = (B[:, None, :] > B[None, :, :]).any(axis=-1)
+        return ~(ge & gt).any(axis=0)
+
+    while len(idx) > chunk:
+        parts = []
+        before = len(idx)
+        for s in range(0, len(idx), chunk):
+            blk = idx[s : s + chunk]
+            parts.append(blk[block_alive(A[blk])])
+        idx = np.concatenate(parts)
+        if len(idx) == before:
+            chunk *= 2
+    return np.sort(idx[block_alive(A[idx])])
+
+
+def skyline_select(
+    df: DataFrame,
+    criteria: dict[str, str],
+    chunk: int = 2048,
+) -> DataFrame:
+    """Pareto-frontier (skyline) selection: keep exactly the rows not
+    dominated on the given criteria — ``{"col": "max" | "min"}`` —
+    where q dominates p iff q is >= p on every axis (after direction
+    normalization) and strictly better on at least one. The
+    multi-objective data-selection primitive (Borzsony et al., ICDE
+    2001): "documents on the (quality up, toxicity down) frontier",
+    "sources on the (volume, avg-length) frontier" — anywhere a single
+    weighted score would bake in an arbitrary trade-off.
+
+    Scale shape (the classic two-phase distributed skyline): a
+    map-side local prune per partition (vectorized numpy dominance in
+    Arrow batches — the frontier of a random partition is tiny, so
+    ~everything dies before any shuffle), then one single-task global
+    prune over the surviving candidates. The skyline is
+    partition-invariant (dominance is transitive and prune-safe), so
+    output is a deterministic row SET under any layout or retry.
+    Worst case is honest: fully anti-correlated axes make the frontier
+    the whole input and no algorithm shrinks it; the local phase then
+    degrades to per-partition O(n^2 d) and the global task inherits
+    whatever survives. Rows with a null criterion are dropped
+    (dominance is undefined on missing values).
+    """
+    import numpy as np
+
+    if not criteria:
+        raise ValueError("need at least one criterion column")
+    cols = sorted(criteria)
+    signs = []
+    for c in cols:
+        d = criteria[c]
+        if d not in ("max", "min"):
+            raise ValueError(f"direction for {c!r} must be 'max' or 'min'")
+        signs.append(1.0 if d == "max" else -1.0)
+    sign_vec = np.asarray(signs)
+
+    base = df.dropna(subset=cols)
+    schema = base.schema
+    local_chunk = int(chunk)
+
+    def prune(iterator):
+        import pandas as pd
+
+        held = None
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            held = pdf if held is None else pd.concat(
+                [held, pdf], ignore_index=True
+            )
+            if len(held) > 2 * local_chunk:
+                A = held[cols].to_numpy(dtype="float64") * sign_vec
+                held = held.iloc[_pareto_survivors(A, local_chunk)]
+                held = held.reset_index(drop=True)
+        if held is not None and len(held):
+            A = held[cols].to_numpy(dtype="float64") * sign_vec
+            yield held.iloc[_pareto_survivors(A, local_chunk)]
+
+    candidates = base.mapInPandas(prune, schema=schema)
+    # Global phase: candidates are frontier-of-partition sized; one task
+    # computes the exact frontier of their union.
+    return candidates.repartition(1).mapInPandas(prune, schema=schema)

@@ -1871,3 +1871,93 @@ def unicode_normalize(
             )
 
     return df.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 100,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Top-``top_k`` bigram collocations by pointwise mutual
+    information: ``pmi = log10(p(w1,w2) / (p(w1) p(w2)))`` with unigram
+    probabilities over all tokens and the joint over all adjacent
+    pairs (Church & Hanks 1990). The phrase-mining signal a tokenizer/
+    vocab-construction pass wants ("new york", "et al") and a cheap
+    boilerplate detector (absurdly high-PMI pairs are templates).
+
+    ``min_count`` floors the joint count first — PMI famously explodes
+    on hapax pairs — then rows order by (pmi desc, w1, w2) for a
+    deterministic top-k. PMI is rounded to 6 places BEFORE ranking so
+    both engines rank identical keys (the repo-wide round-then-compare
+    contract).
+
+    Scale shape: one partial-agg'd groupBy per table (pair counts keyed
+    on the two words, unigram counts on one); the two probability
+    lookups broadcast by default (vocab-sized, corpus-independent) —
+    ``broadcast_vocab=False`` for open vocabularies falls back to AQE
+    hash joins. The final top-k is a TakeOrdered, never a global sort.
+    """
+    toks = whitespace_tokens(F.col(text_col))
+    base = (
+        df.filter(normalize_text(F.col(text_col)) != "")
+        .select(toks.alias("__toks"))
+        .withColumn("__L", F.size("__toks"))
+    )
+    uni = (
+        base.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs_all = (
+        base.filter(F.col("__L") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, __L - 1),"
+                    " s -> struct(__toks[s - 1] AS w1, __toks[s] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    pairs = pairs_all.filter(F.col("n_pair") >= int(min_count))
+    # Totals fold out of the count tables (vocab-sized aggregates), so
+    # the corpus is scanned once per explode — never for a scalar.
+    n_uni = uni.select(F.sum("c").alias("__n1"))
+    n_pairs = pairs_all.select(F.sum("n_pair").alias("__n2"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    if broadcast_vocab:
+        u1, u2 = F.broadcast(u1), F.broadcast(u2)
+    scored = (
+        pairs.join(u1, "w1").join(u2, "w2")
+        # 1-row scalar totals: a broadcast-nested-loop join with no key,
+        # the repo-wide idiom for corpus-level constants.
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_pairs))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log10(
+                    F.col("n_pair").cast("double")
+                    * F.col("__n1").cast("double")
+                    * F.col("__n1").cast("double")
+                    / (
+                        F.col("__n2").cast("double")
+                        * F.col("c1").cast("double")
+                        * F.col("c2").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1"), F.col("w2")
+    ).limit(int(top_k))

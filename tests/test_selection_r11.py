@@ -1,0 +1,202 @@
+"""r11 surface: Pareto-frontier skyline selection, calibration bins,
+and PMI collocations. Each pinned against a brute-force numpy/pure-
+Python reference on hand-built frames, plus partition-invariance checks
+(the property the distributed two-phase designs must preserve)."""
+
+import itertools
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from krnel_graph_spark.functions.sampling import skyline_select, _pareto_survivors
+from krnel_graph_spark.functions.metrics import calibration_bins
+from krnel_graph_spark.functions.text import pmi_collocations
+
+
+# --------------------------------------------------------------------- #
+# skyline_select
+# --------------------------------------------------------------------- #
+
+
+def _brute_skyline(points, signs):
+    pts = [tuple(s * v for s, v in zip(signs, p)) for p in points]
+    out = []
+    for i, p in enumerate(pts):
+        dominated = any(
+            all(qv >= pv for qv, pv in zip(q, p))
+            and any(qv > pv for qv, pv in zip(q, p))
+            for j, q in enumerate(pts)
+            if j != i
+        )
+        if not dominated:
+            out.append(i)
+    return sorted(out)
+
+
+def test_pareto_survivors_matches_brute_force():
+    rng = np.random.RandomState(7)
+    for n, d in [(1, 2), (40, 2), (200, 3), (500, 4)]:
+        A = rng.randint(0, 12, size=(n, d)).astype("float64")
+        got = sorted(_pareto_survivors(A, chunk=32).tolist())
+        want = _brute_skyline(A.tolist(), [1.0] * d)
+        # survivors are index SETS over identical points: dedupe via
+        # the point values (duplicates all survive in both).
+        assert sorted(map(tuple, A[got].tolist())) == sorted(
+            map(tuple, A[want].tolist())
+        )
+        assert len(got) == len(want)
+
+
+def test_pareto_survivors_duplicates_all_survive():
+    A = np.array([[5.0, 5.0], [5.0, 5.0], [1.0, 1.0]])
+    got = _pareto_survivors(A, chunk=2048).tolist()
+    assert got == [0, 1]
+
+
+def test_skyline_select_small_frame(spark):
+    rows = [
+        (0, 10, 1),  # frontier (max chars among low lines)
+        (1, 10, 1),  # exact duplicate -> also survives
+        (2, 9, 1),   # dominated by 0
+        (3, 12, 3),  # frontier
+        (4, 12, 4),  # dominated by 3 (same chars, more lines)
+        (5, 1, 0),   # frontier (min lines)
+        (6, None, 1),  # null criterion -> dropped
+    ]
+    df = spark.createDataFrame(rows, "id long, chars int, lines int")
+    out = skyline_select(df, {"chars": "max", "lines": "min"})
+    got = sorted(r.id for r in out.collect())
+    assert got == [0, 1, 3, 5]
+
+
+def test_skyline_select_partition_invariant(spark):
+    rng = np.random.RandomState(11)
+    rows = [
+        (int(i), int(a), int(b), int(c))
+        for i, (a, b, c) in enumerate(rng.randint(0, 50, size=(3000, 3)))
+    ]
+    df = spark.createDataFrame(rows, "id long, x int, y int, z int")
+    crit = {"x": "max", "y": "max", "z": "min"}
+    one = sorted(r.id for r in skyline_select(df.coalesce(1), crit).collect())
+    many = sorted(
+        r.id for r in skyline_select(df.repartition(13), crit, chunk=64).collect()
+    )
+    want = _brute_skyline(
+        [(a, b, c) for _, a, b, c in rows], [1.0, 1.0, -1.0]
+    )
+    assert one == many == [rows[i][0] for i in want]
+
+
+def test_skyline_select_rejects_bad_direction(spark):
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    with pytest.raises(ValueError):
+        skyline_select(df, {"a": "up"})
+    with pytest.raises(ValueError):
+        skyline_select(df, {})
+
+
+# --------------------------------------------------------------------- #
+# calibration_bins
+# --------------------------------------------------------------------- #
+
+
+def test_calibration_bins_hand_computed(spark):
+    rows = [
+        (0.05, 1), (0.08, 0),          # bin 0: n=2, pos=1
+        (0.55, 1), (0.52, 1), (0.58, 0),  # bin 5: n=3, pos=2
+        (1.00, 1),                     # score == 1.0 folds into bin 9
+        (0.95, 0),                     # bin 9
+        (None, 1),                     # dropped
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {r.bin: r for r in calibration_bins(df, "score", "label").collect()}
+    assert set(got) == {0, 5, 9}
+    assert got[0].n == 2 and got[0].n_pos == 1
+    assert got[0].mean_score == round((0.05 + 0.08) / 2, 6)
+    assert got[0].frac_pos == 0.5
+    assert got[5].n == 3 and got[5].n_pos == 2
+    assert got[5].mean_score == round((0.55 + 0.52 + 0.58) / 3, 6)
+    assert got[9].n == 2 and got[9].n_pos == 1
+    g = got[5]
+    assert g.gap == round(abs(g.mean_score - g.frac_pos), 6)
+
+
+def test_calibration_bins_partition_invariant(spark):
+    rng = np.random.RandomState(3)
+    rows = [(float(s), int(l)) for s, l in zip(rng.rand(2000), rng.randint(0, 2, 2000))]
+    df = spark.createDataFrame(rows, "score double, label int")
+    a = sorted(map(tuple, calibration_bins(df.coalesce(1), "score", "label").collect()))
+    b = sorted(map(tuple, calibration_bins(df.repartition(17), "score", "label").collect()))
+    assert a == b
+    assert sum(r[1] for r in a) == 2000
+
+
+def test_calibration_bins_rejects_zero_bins(spark):
+    df = spark.createDataFrame([(0.5, 1)], "score double, label int")
+    with pytest.raises(ValueError):
+        calibration_bins(df, "score", "label", bins=0)
+
+
+# --------------------------------------------------------------------- #
+# pmi_collocations
+# --------------------------------------------------------------------- #
+
+
+def _brute_pmi(texts, min_count, top_k):
+    toks = []
+    for t in texts:
+        norm = " ".join(t.lower().split())
+        if norm:
+            toks.append(norm.split(" "))
+    uni, pair = {}, {}
+    n1 = n2 = 0
+    for ts in toks:
+        n1 += len(ts)
+        for w in ts:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+            n2 += 1
+    out = []
+    for (a, b), c in pair.items():
+        if c < min_count:
+            continue
+        pmi = round(math.log10((c * n1 * n1) / (n2 * uni[a] * uni[b])), 6)
+        out.append((a, b, c, pmi))
+    out.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return out[:top_k]
+
+
+def test_pmi_collocations_matches_pure_python(spark):
+    texts = [
+        "new york is big and new york is loud",
+        "the quick brown fox and the quick brown dog",
+        "new york again and again the quick end",
+        "",
+        "   ",
+        "single",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.w1, r.w2, r.n_pair, r.pmi)
+        for r in pmi_collocations(df, "text", min_count=2, top_k=10).collect()
+    ]
+    assert got == _brute_pmi(texts, 2, 10)
+
+
+def test_pmi_collocations_min_count_floors_hapax(spark):
+    df = spark.createDataFrame(
+        [("alpha beta",), ("alpha beta",), ("gamma delta",)], "text string"
+    )
+    got = pmi_collocations(df, "text", min_count=2, top_k=10).collect()
+    assert [(r.w1, r.w2) for r in got] == [("alpha", "beta")]
+
+
+def test_pmi_collocations_partition_invariant(spark):
+    texts = [f"tok{i % 7} tok{(i + 1) % 7} tok{i % 5} filler" for i in range(300)]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    a = [tuple(r) for r in pmi_collocations(df.coalesce(1), "text", 3, 20).collect()]
+    b = [tuple(r) for r in pmi_collocations(df.repartition(11), "text", 3, 20).collect()]
+    assert a == b == _brute_pmi(texts, 3, 20)
