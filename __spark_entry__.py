@@ -3511,6 +3511,32 @@ def q_dedup_keep_best(spark, sf_dir):
     )
 
 
+def q_kneser_ney(spark, sf_dir):
+    """Interpolated bigram Kneser-Ney self-scoring of the documents
+    corpus (functions/text.py:kneser_ney_logprob) — the KenLM/CCNet
+    smoothing with absolute discounting and continuation-count backoff,
+    completing the LM family (unigram / bigram ML / Stupid Backoff).
+    Self-scoring = both axes grow; the `_fixed` twin is the
+    representative frozen-LM scale path."""
+    from krnel_graph_spark.functions.text import kneser_ney_logprob
+
+    docs = _docs(spark, sf_dir)
+    return kneser_ney_logprob(docs, docs, "text", "doc_id")
+
+
+def q_kneser_ney_fixed(spark, sf_dir):
+    """Kneser-Ney scoring against a FROZEN train slice (doc_id%5=0) —
+    the production shape: the LM trains once on a reference corpus and
+    scores a growing ingest stream; gram tables are corpus-fraction
+    bounded, scoring is one positions explode + three digest joins."""
+    from krnel_graph_spark.functions.text import kneser_ney_logprob
+
+    docs = _docs(spark, sf_dir)
+    return kneser_ney_logprob(
+        docs.filter(F.col("doc_id") % 5 == 0), docs, "text", "doc_id"
+    )
+
+
 # The driver records hash-graded evidence only for the FIRST 50 entries
 # of queries(). r11 rotation (the r10 verdict's item 2): first the four
 # entries whose oracles are NEW or CHANGED this round, then the
@@ -3528,6 +3554,7 @@ _R11_WINDOW = [
     "profile_table_hll", "embedding_clusters", "semantic_dedup",
     "ann_index_search",
     "skyline_docs", "calibration_curve", "pmi_colloc", "dedup_keep_best",
+    "kneser_ney", "kneser_ney_fixed",
     # verdict-named oldest evidence
     "llm_logit_scores_fake", "llm_activations_fake", "umap_pca", "ann_ivf",
     # r5-evidence pair displaced from the r10 window
@@ -3546,10 +3573,10 @@ _R11_WINDOW = [
     # r6/r7 codec + analytics rows (newest record round 7)
     "image_stats_png", "image_phash", "image_dups_q", "audio_stats_wav",
     "video_stats_y4m", "avro_roundtrip", "upsert_merge",
-    "window_anomalies", "events_hopping",
-    # (r12 rotation queue: unigram_logprob/bigram_logprob/
-    #  histogram_price/corr_matrix (displaced by the four new r11
-    #  operators above; last recorded r7), then
+    # (r12 rotation queue: window_anomalies/events_hopping/
+    #  unigram_logprob/bigram_logprob/histogram_price/corr_matrix
+    #  (displaced by the six new r11 operators above; last recorded
+    #  r7), then
     #  pagerank/triangle_count/clustering_coeff/
     #  k_core/assortativity/top_terms/simhash_pairs_q/orc_roundtrip/
     #  text_roundtrip/audio_fp — the r7 remainder — then the r8 block
@@ -3788,6 +3815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_curve": q_calibration_curve,
         "pmi_colloc": q_pmi_colloc,
         "dedup_keep_best": q_dedup_keep_best,
+        "kneser_ney": q_kneser_ney,
+        "kneser_ney_fixed": q_kneser_ney_fixed,
     }
     out = {k: d[k] for k in _R11_WINDOW}
     missing = [k for k in _R11_WINDOW if k not in d]
@@ -8102,6 +8131,62 @@ ranked AS (SELECT c.doc, c.cmp,
 removal AS (SELECT doc FROM ranked WHERE rn > 1)
 SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc FROM removal)
 """
+
+    # kneser_ney: identical count tables (bigram/context/continuation +
+    # the three scalars), identical left-associated double arithmetic
+    # with the 0.75 discount literal, per-term round-6 log10, exact
+    # decimal per-doc sum. Joins here are on raw words; Spark joins on
+    # md5 digests of the same strings — same matches, same counts.
+    def kn_sql(train_filter: str) -> str:
+        return f"""
+WITH tt AS (SELECT {toks_text} AS toks FROM documents
+            WHERE {norm_text} != ''{train_filter}),
+bg AS (SELECT toks[s] AS w1, toks[s + 1] AS w2
+       FROM (SELECT toks, unnest(range(1, len(toks))) AS s FROM tt
+             WHERE len(toks) >= 2)),
+big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS n1fwd FROM big GROUP BY w1),
+back AS (SELECT w2, count(*) AS n1back FROM big GROUP BY w2),
+tot AS (SELECT count(*) AS B FROM big),
+vc AS (SELECT count(*) AS Vc FROM back),
+vv AS (SELECT count(DISTINCT w) + 1 AS V
+       FROM (SELECT unnest(toks) AS w FROM tt)),
+st AS (SELECT doc_id, {toks_text} AS toks FROM documents
+       WHERE {norm_text} != ''),
+sp AS (SELECT doc_id, toks[s] AS w,
+              CASE WHEN s >= 2 THEN toks[s - 1] END AS w1
+       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS s
+             FROM st)),
+j AS (SELECT sp.doc_id, big.c12, ctx.c1, ctx.n1fwd,
+             coalesce(back.n1back, 0) AS nb
+      FROM sp
+      LEFT JOIN big ON big.w1 = sp.w1 AND big.w2 = sp.w
+      LEFT JOIN ctx ON ctx.w1 = sp.w1
+      LEFT JOIN back ON back.w2 = sp.w),
+p AS (SELECT doc_id, c12, c1, n1fwd, nb,
+             CASE WHEN (SELECT B FROM tot) > 0 THEN
+                 greatest(nb::DOUBLE - 0.75, 0.0)
+                   / (SELECT B FROM tot)::DOUBLE
+                 + (0.75 * (SELECT Vc FROM vc)::DOUBLE
+                      / (SELECT B FROM tot)::DOUBLE)
+                   * (1.0 / (SELECT V FROM vv)::DOUBLE)
+             ELSE 1.0 / (SELECT V FROM vv)::DOUBLE END AS pcont
+      FROM j),
+q AS (SELECT doc_id,
+             CASE WHEN c1 IS NOT NULL THEN
+                 greatest(coalesce(c12, 0)::DOUBLE - 0.75, 0.0) / c1::DOUBLE
+                 + (0.75 * n1fwd::DOUBLE / c1::DOUBLE) * pcont
+             ELSE pcont END AS prob,
+             (nb = 0)::INT AS oov
+      FROM p)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       sum(oov)::BIGINT AS n_oov,
+       sum(round(log10(prob), 6)::DECIMAL(20,6))::DOUBLE AS logprob_sum
+FROM q GROUP BY doc_id
+"""
+
+    out["kneser_ney"] = kn_sql("")
+    out["kneser_ney_fixed"] = kn_sql(" AND doc_id % 5 = 0")
     return out
 
 

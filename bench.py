@@ -223,6 +223,16 @@ HEADLINE = [
     "data_budget",
     "cdc_dedup",
     "remove_dup_windows",
+    # r11 surface: skyline selection, calibration curve, PMI
+    # collocations, quality-aware near-dedup representative, and the
+    # Kneser-Ney LM pair (self-scored outlier + frozen-train
+    # representative, same policy as the stupid_backoff pair).
+    "skyline_docs",
+    "calibration_curve",
+    "pmi_colloc",
+    "dedup_keep_best",
+    "kneser_ney",
+    "kneser_ney_fixed",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

@@ -1961,3 +1961,149 @@ def pmi_collocations(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("w1"), F.col("w2")
     ).limit(int(top_k))
+
+
+def kneser_ney_logprob(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str,
+    id_col: str,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated bigram Kneser-Ney LM scoring (Kneser & Ney 1995;
+    the smoothing KenLM implements and CCNet's perplexity filter
+    actually runs) — the absolute-discounting companion to
+    :func:`stupid_backoff_logprob`: instead of a fixed backoff penalty,
+    probability mass ``D`` is discounted from every seen bigram and
+    redistributed through the CONTINUATION distribution (how many
+    distinct contexts a word completes, not how often it occurs — the
+    "San Francisco" correction: 'Francisco' is frequent but only ever
+    continues 'San', so its weight as a novel continuation is tiny).
+
+    Per token at position i:
+    ``P(w|w1) = max(c(w1,w)-D, 0)/c(w1.) + (D*N1+(w1,.)/c(w1.)) * Pcont(w)``
+    when ``w1`` was seen as a context, else ``Pcont(w)`` (document
+    starts and unseen contexts back off to the continuation level),
+    where ``Pcont(w) = max(N1+(.,w)-D, 0)/B + (D*Vcont/B) * (1/V)`` —
+    the continuation level itself discounted and interpolated with the
+    uniform floor over ``V`` = train vocabulary + 1 (the OOV bucket),
+    so every token scores a strictly positive probability.
+    ``B`` = distinct bigram types, ``Vcont`` = words seen as a
+    continuation, ``N1+`` are distinct-neighbor counts.
+
+    Returns ``(id, n_tokens, n_oov, logprob_sum)`` for non-blank docs;
+    each term is log10, rounded to 6 places, then an exact decimal
+    per-doc sum (the repo-wide order-free contract; a SQL oracle
+    replays every count and the same left-associated arithmetic).
+
+    Scale shape: the bigram/context/continuation tables are
+    partial-agg'd groupBys over ONE train scan, keyed by md5 digests
+    (grams never shuffle as raw text); B/Vcont/V are 1-row aggregates
+    crossJoined as broadcast scalars; scoring explodes positions once
+    and LEFT-joins three digest-keyed tables. Self-scoring grows both
+    axes; freeze the tables for the flat-axis path exactly like
+    ``stupid_backoff_train``/``score``.
+    """
+    D = float(discount)
+    if not (0.0 < D < 1.0):
+        raise ValueError("discount must be in (0, 1)")
+
+    def _toks(df, *extra):
+        return (
+            df.filter(normalize_text(F.col(text_col)) != "")
+            .select(*extra, whitespace_tokens(F.col(text_col)).alias("__t"))
+            .withColumn("__L", F.size("__t"))
+        )
+
+    tt = _toks(train)
+    big = (
+        tt.filter(F.col("__L") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, __L - 1),"
+                    " s -> struct(__t[s - 1] AS w1, __t[s] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    ctx = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1fwd")
+    )
+    back = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n1back"))
+    b_tot = big.agg(F.count(F.lit(1)).alias("__B"))
+    v_cont = back.agg(F.count(F.lit(1)).alias("__Vc"))
+    v_uni = (
+        tt.select(F.explode("__t").alias("w"))
+        .agg((F.count_distinct("w") + 1).alias("__V"))
+    )
+
+    # Digest-keyed join tables: raw grams never shuffle.
+    big_d = big.select(
+        F.md5(F.concat_ws(" ", "w1", "w2")).alias("__gd"), "c12"
+    )
+    ctx_d = ctx.select(F.md5("w1").alias("__cd"), "c1", "n1fwd")
+    back_d = back.select(F.md5("w2").alias("__wd"), "n1back")
+
+    pos = (
+        _toks(score, F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, __L),"
+                    " s -> struct(__t[s - 1] AS w,"
+                    " IF(s >= 2, __t[s - 2], NULL) AS w1))"
+                )
+            ).alias("p"),
+        )
+        .select(
+            F.col(id_col),
+            F.md5(F.concat_ws(" ", "p.w1", "p.w")).alias("__gd"),
+            F.md5("p.w1").alias("__cd"),
+            F.md5("p.w").alias("__wd"),
+            F.col("p.w1").isNotNull().alias("__has_ctx"),
+        )
+    )
+    joined = (
+        pos.join(big_d, "__gd", "left")
+        .join(ctx_d, "__cd", "left")
+        .join(back_d, "__wd", "left")
+        .crossJoin(F.broadcast(b_tot))
+        .crossJoin(F.broadcast(v_cont))
+        .crossJoin(F.broadcast(v_uni))
+    )
+    nb = F.coalesce(F.col("n1back"), F.lit(0)).cast("double")
+    Bd = F.col("__B").cast("double")
+    unif = F.lit(1.0) / F.col("__V").cast("double")
+    pcont = F.when(
+        F.col("__B") > 0,
+        F.greatest(nb - F.lit(D), F.lit(0.0)) / Bd
+        + (F.lit(D) * F.col("__Vc").cast("double") / Bd) * unif,
+    ).otherwise(unif)
+    c1d = F.col("c1").cast("double")
+    p = F.when(
+        F.col("__has_ctx") & F.col("c1").isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("c12"), F.lit(0)).cast("double") - F.lit(D),
+            F.lit(0.0),
+        )
+        / c1d
+        + (F.lit(D) * F.col("n1fwd").cast("double") / c1d) * pcont,
+    ).otherwise(pcont)
+    return (
+        joined.select(
+            F.col(id_col),
+            F.round(F.log10(p), 6).cast("decimal(20,6)").alias("__term"),
+            (F.col("n1back").isNull()).cast("int").alias("__oov"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("__oov").cast("long").alias("n_oov"),
+            F.sum("__term").cast("double").alias("logprob_sum"),
+        )
+    )

@@ -200,3 +200,119 @@ def test_pmi_collocations_partition_invariant(spark):
     a = [tuple(r) for r in pmi_collocations(df.coalesce(1), "text", 3, 20).collect()]
     b = [tuple(r) for r in pmi_collocations(df.repartition(11), "text", 3, 20).collect()]
     assert a == b == _brute_pmi(texts, 3, 20)
+
+
+# --------------------------------------------------------------------- #
+# kneser_ney_logprob
+# --------------------------------------------------------------------- #
+
+
+def _kn_brute(train_texts, score_docs, D=0.75):
+    import decimal
+    from collections import Counter
+
+    def toks(t):
+        n = " ".join((t or "").lower().split())
+        return n.split(" ") if n else None
+
+    train_toks = [ts for ts in (toks(t) for t in train_texts) if ts]
+    big = Counter()
+    for ts in train_toks:
+        for a, b in zip(ts, ts[1:]):
+            big[(a, b)] += 1
+    c1, n1fwd, n1back = Counter(), Counter(), Counter()
+    for (a, b), c in big.items():
+        c1[a] += c
+        n1fwd[a] += 1
+        n1back[b] += 1
+    B = len(big)
+    Vc = len(n1back)
+    V = len({w for ts in train_toks for w in ts}) + 1
+
+    def pcont(w):
+        if B > 0:
+            return max(n1back.get(w, 0) - D, 0) / B + (D * Vc / B) * (1.0 / V)
+        return 1.0 / V
+
+    out = {}
+    for i, t in score_docs:
+        ts = toks(t)
+        if not ts:
+            continue
+        total = decimal.Decimal(0)
+        n_oov = 0
+        for j, w in enumerate(ts):
+            w1 = ts[j - 1] if j >= 1 else None
+            if w1 is not None and w1 in c1:
+                cc = c1[w1]
+                p = max(big.get((w1, w), 0) - D, 0) / cc + (
+                    D * n1fwd[w1] / cc
+                ) * pcont(w)
+            else:
+                p = pcont(w)
+            total += decimal.Decimal(str(math.log10(p))).quantize(
+                decimal.Decimal("1e-6"), rounding=decimal.ROUND_HALF_UP
+            )
+            if n1back.get(w, 0) == 0:
+                n_oov += 1
+        out[i] = (len(ts), n_oov, float(total))
+    return out
+
+
+def test_kneser_ney_matches_pure_python(spark):
+    from krnel_graph_spark.functions.text import kneser_ney_logprob
+
+    texts = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the log"),
+        (2, "a new cat and a new dog"),
+        (3, "zebra quark the cat"),      # OOV-heavy continuations
+        (4, "the the the the"),          # degenerate repetition
+        (5, ""),                          # blank -> dropped
+        (6, "single"),                    # 1 token, no bigram position
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.logprob_sum)
+        for r in kneser_ney_logprob(df, df, "text", "doc_id").collect()
+    }
+    want = _kn_brute([t for _, t in texts], texts)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0], i
+        assert got[i][1] == want[i][1], i
+        assert got[i][2] == pytest.approx(want[i][2], abs=1e-5), i
+
+
+def test_kneser_ney_split_train_and_invariance(spark):
+    from krnel_graph_spark.functions.text import kneser_ney_logprob
+
+    texts = [(i, f"tok{i % 5} tok{(i + 2) % 7} tok{i % 3} end") for i in range(60)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    train = df.filter("doc_id % 5 = 0")
+    a = sorted(
+        map(tuple, kneser_ney_logprob(train, df, "text", "doc_id").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            kneser_ney_logprob(
+                train.repartition(7), df.repartition(11), "text", "doc_id"
+            ).collect(),
+        )
+    )
+    assert a == b
+    want = _kn_brute(
+        [t for i, t in texts if i % 5 == 0], texts
+    )
+    assert len(a) == len(want)
+    for row in a:
+        assert row[3] == pytest.approx(want[row[0]][2], abs=1e-5)
+
+
+def test_kneser_ney_rejects_bad_discount(spark):
+    from krnel_graph_spark.functions.text import kneser_ney_logprob
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        kneser_ney_logprob(df, df, "text", "doc_id", discount=1.5)

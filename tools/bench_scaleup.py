@@ -127,6 +127,28 @@ QUERIES = [
     # r10: epoch planner over the x40 corpus — one partial-agg'd groupBy
     # to a #sources-row table; expected ~flat (scan-bound).
     "data_budget",
+    # r11: skyline over the x40 corpus — per-partition numpy prune then
+    # a candidate-sized global pass; expect ~linear scan CPU (the
+    # frontier of the perturbed corpus stays small).
+    "skyline_docs",
+    # r11: calibration rides the x40 corpus; the gate's global
+    # percent_rank scorer is a single-task window (the documented demo
+    # scorer), the op itself is the 10-row groupBy.
+    "calibration_curve",
+    # r11: PMI over the x40 corpus — two explode+groupBy count tables;
+    # growth axis is token volume, vocab tables stay broadcast-sized.
+    "pmi_colloc",
+    # r11: keep-best dedup — same pair graph as dedup_weights, plus one
+    # min_by over pair-graph nodes; marginal cost is the keeper lookup.
+    "dedup_keep_best",
+    # r11: Kneser-Ney against the doc_id%5 train slice — on this
+    # harness the train side grows at 1/5 corpus rate (ids stay
+    # stride-disjoint), so the curve mixes scoring (linear) with gram
+    # tables (sublinear); the fully frozen path persists the tables
+    # like stupid_backoff_train. The self-scored twin follows the
+    # stupid_backoff two-sided-growth regime and is deliberately
+    # absent here.
+    "kneser_ney_fixed",
     "random_projection",
     "export_manifest",
     "schema_drift",
