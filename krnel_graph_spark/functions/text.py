@@ -1905,10 +1905,15 @@ def pmi_collocations(
         .select(toks.alias("__toks"))
         .withColumn("__L", F.size("__toks"))
     )
+    # Both count tables feed multiple branches (lookups + totals):
+    # persist-pin them so the corpus explode+groupBy runs ONCE per
+    # table instead of once per consumer (vocab-sized cache, corpus
+    # never cached).
     uni = (
         base.select(F.explode("__toks").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     pairs_all = (
         base.filter(F.col("__L") >= 2)
@@ -1923,6 +1928,7 @@ def pmi_collocations(
         .select("p.*")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_pair"))
+        .persist()
     )
     pairs = pairs_all.filter(F.col("n_pair") >= int(min_count))
     # Totals fold out of the count tables (vocab-sized aggregates), so
@@ -2029,6 +2035,10 @@ def kneser_ney_logprob(
         .select("p.*")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
+        # Five consumers (lookup, context, continuation, B, Vcont):
+        # persist-pin the vocab^2-bounded type table so the train
+        # corpus is exploded and shuffled ONCE, not per consumer.
+        .persist()
     )
     ctx = big.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1fwd")
