@@ -321,3 +321,55 @@ class CdcChunkDedupOp(DatasetType):
     text_column: str
     window: int = 4
     modulus: int = 64
+
+
+class SkylineSelectOp(DatasetType):
+    """Pareto-frontier (skyline) selection: keep exactly the rows not
+    dominated on ``criteria`` (column -> 'max' | 'min') — the
+    multi-objective data-selection primitive. Lowering:
+    ``sampling.py:skyline_select`` (two-phase distributed prune);
+    survivors keep their ORIGINAL row ids, like a mask (dense=False).
+    The frontier is a partition-invariant row set, so the
+    content-addressed result reproduces under any cluster layout."""
+
+    dataset: DatasetType
+    criteria: Dict[str, str]
+    chunk: int = 2048
+
+
+class CalibrationBinsOp(DatasetType):
+    """Reliability-curve table for a [0,1] scorer: per equal-width bin,
+    count / positives / mean score / positive fraction / |gap| (the
+    per-bin ECE term). Lowering: ``metrics.py:calibration_bins`` — a
+    bounded ``bins``-row aggregate, fresh dense row ids in bin order."""
+
+    dataset: DatasetType
+    score_column: str
+    label_column: str
+    bins: int = 10
+
+
+class PmiCollocationsOp(DatasetType):
+    """Top-``top_k`` bigram collocations of ``text_column`` by round-6
+    PMI with a ``min_count`` hapax floor (Church & Hanks). Lowering:
+    ``text.py:pmi_collocations``; the result is a bounded top-k table,
+    fresh dense row ids in (pmi desc, w1, w2) rank order."""
+
+    dataset: DatasetType
+    text_column: str
+    min_count: int = 5
+    top_k: int = 100
+
+
+class KneserNeyScoreOp(DatasetType):
+    """Interpolated bigram Kneser-Ney LM score — a TWO-PARENT op: this
+    dataset is scored against the ``train`` parent's count tables; both
+    content-address the result. Appends ``n_tokens`` / ``n_oov`` /
+    ``logprob_sum`` (nulls for blank docs). Lowering:
+    ``text.py:kneser_ney_logprob`` left-joined back on the row id."""
+
+    dataset: DatasetType
+    train: DatasetType
+    text_column: str
+    train_column: str
+    discount: float = 0.75

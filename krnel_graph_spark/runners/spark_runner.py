@@ -37,6 +37,10 @@ from ..operators.scale_ops import (
     PiiScrubOp,
     MixToWeightsOp,
     CdcChunkDedupOp,
+    SkylineSelectOp,
+    CalibrationBinsOp,
+    PmiCollocationsOp,
+    KneserNeyScoreOp,
     DedupWeightsOp,
     SpanCorruptionOp,
     WinnowPairsOp,
@@ -1839,6 +1843,84 @@ def _resolve_split_counts(op: AssignTrainTestSplitOp, total: int) -> tuple[int, 
             )
         n_train = total - n_test
     return n_train, n_test
+
+
+@SparkRunner.implementation
+def skyline_select_op(runner: SparkRunner, op: SkylineSelectOp) -> DatasetPlan:
+    """Pareto-frontier selection as a memoized op: survivors keep their
+    ORIGINAL row ids (mask semantics, dense=False). The frontier is a
+    partition-invariant row SET (sampling.py:skyline_select), so the
+    content-addressed result reproduces on any layout or retry."""
+    from ..functions.sampling import skyline_select as _impl
+
+    ds = runner.dataset_plan(op.dataset)
+    out = _impl(ds.df, dict(op.criteria), chunk=op.chunk)
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=False)
+
+
+@SparkRunner.implementation
+def calibration_bins_op(
+    runner: SparkRunner, op: CalibrationBinsOp
+) -> DatasetPlan:
+    """Reliability-curve aggregate: a bounded ``bins``-row table, fresh
+    dense row ids in bin order (the bounded-aggregate contract)."""
+    from pyspark.sql import Window as _W
+
+    from ..functions.metrics import calibration_bins as _impl
+
+    ds = runner.dataset_plan(op.dataset)
+    out = _impl(ds.df, op.score_column, op.label_column, bins=op.bins)
+    w = _W.orderBy("bin")
+    out = out.select(
+        (F.row_number().over(w) - 1).cast("long").alias(ROW_ID), "*"
+    )
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=True)
+
+
+@SparkRunner.implementation
+def pmi_collocations_op(
+    runner: SparkRunner, op: PmiCollocationsOp
+) -> DatasetPlan:
+    """PMI collocation mining: a bounded top-k table, fresh dense row
+    ids in the deterministic (pmi desc, w1, w2) rank order."""
+    from pyspark.sql import Window as _W
+
+    from ..functions.text import pmi_collocations as _impl
+
+    ds = runner.dataset_plan(op.dataset)
+    out = _impl(
+        ds.df, op.text_column, min_count=op.min_count, top_k=op.top_k
+    )
+    w = _W.orderBy(F.col("pmi").desc(), "w1", "w2")
+    out = out.select(
+        (F.row_number().over(w) - 1).cast("long").alias(ROW_ID), "*"
+    )
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=True)
+
+
+@SparkRunner.implementation
+def kneser_ney_score_op(
+    runner: SparkRunner, op: KneserNeyScoreOp
+) -> DatasetPlan:
+    """Two-parent Kneser-Ney enrichment: this dataset scored against the
+    train parent's count tables; n_tokens/n_oov/logprob_sum left-joined
+    back on the row id (blank docs null). Both parents content-address
+    the result."""
+    from ..functions.text import kneser_ney_logprob as _impl
+
+    ds = runner.dataset_plan(op.dataset)
+    train = runner.dataset_plan(op.train)
+    scores = _impl(
+        train.df.select(
+            ROW_ID, F.col(op.train_column).alias(op.text_column)
+        ),
+        ds.df.select(ROW_ID, op.text_column),
+        op.text_column,
+        ROW_ID,
+        discount=op.discount,
+    )
+    out = ds.df.join(scores, ROW_ID, "left")
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=ds.dense)
 
 
 @SparkRunner.implementation

@@ -312,6 +312,63 @@ class DatasetType(OpSpec):
             mode=mode,
         )
 
+    def skyline_select(
+        self, criteria: dict, chunk: int = 2048
+    ) -> "DatasetType":
+        """Keep exactly the Pareto-frontier rows over ``criteria``
+        (column -> 'max' | 'min') — multi-objective selection without a
+        baked-in weighted score. Mask semantics: survivors keep ids."""
+        from .operators.scale_ops import SkylineSelectOp
+
+        return SkylineSelectOp(dataset=self, criteria=dict(criteria), chunk=chunk)
+
+    def calibration_bins(
+        self, score_column: str, label_column: str, bins: int = 10
+    ) -> "DatasetType":
+        """Reliability-curve table (per-bin confidence vs accuracy +
+        ECE gap) for a [0,1] score column against a boolean label."""
+        from .operators.scale_ops import CalibrationBinsOp
+
+        return CalibrationBinsOp(
+            dataset=self,
+            score_column=score_column,
+            label_column=label_column,
+            bins=bins,
+        )
+
+    def pmi_collocations(
+        self, text_column: str, min_count: int = 5, top_k: int = 100
+    ) -> "DatasetType":
+        """Top-k bigram collocations by PMI with a hapax floor."""
+        from .operators.scale_ops import PmiCollocationsOp
+
+        return PmiCollocationsOp(
+            dataset=self,
+            text_column=text_column,
+            min_count=min_count,
+            top_k=top_k,
+        )
+
+    def kneser_ney_score(
+        self,
+        train: "DatasetType",
+        text_column: str,
+        train_column: Optional[str] = None,
+        discount: float = 0.75,
+    ) -> "DatasetType":
+        """Append interpolated bigram Kneser-Ney LM scores
+        (n_tokens / n_oov / logprob_sum) against the ``train`` parent's
+        count tables — the KenLM/CCNet perplexity-filter signal."""
+        from .operators.scale_ops import KneserNeyScoreOp
+
+        return KneserNeyScoreOp(
+            dataset=self,
+            train=train,
+            text_column=text_column,
+            train_column=train_column or text_column,
+            discount=discount,
+        )
+
     def gopher_rules(self, text_column: str) -> "DatasetType":
         """Append the Gopher quality-rule flags + keep verdict."""
         from .operators.scale_ops import GopherRulesOp

@@ -316,3 +316,57 @@ def test_kneser_ney_rejects_bad_discount(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         kneser_ney_logprob(df, df, "text", "doc_id", discount=1.5)
+
+
+# --------------------------------------------------------------------- #
+# OpSpec / fluent twins
+# --------------------------------------------------------------------- #
+
+
+def test_skyline_select_fluent_twin(lazy_runner):
+    ds = lazy_runner.from_parquet("/root/testdata/sf0.001/documents.parquet")
+    op = ds.skyline_select({"n_chars": "max"})
+    pdf = lazy_runner.to_pandas(op)
+    # 1-axis frontier = all rows tied at the max n_chars; ids original.
+    assert len(pdf) >= 1
+    assert pdf["n_chars"].nunique() == 1
+    # uuid stability: same spec -> same content address
+    assert op.uuid == ds.skyline_select({"n_chars": "max"}).uuid
+    assert op.uuid != ds.skyline_select({"n_chars": "min"}).uuid
+
+
+def test_calibration_bins_fluent_twin(lazy_runner):
+    ds = lazy_runner.from_parquet("/root/testdata/sf0.001/documents.parquet")
+    # Score/label semantics over a [0,1] score column are pinned by the
+    # functions-layer unit tests; here pin that the op round-trips
+    # through the runner and the bin table is bounded. n_chars >= 1
+    # everywhere, so every row folds into the top bin.
+    op = ds.calibration_bins("n_chars", "n_chars", bins=10)
+    pdf = lazy_runner.to_pandas(op)
+    assert set(pdf.columns) >= {"bin", "n", "n_pos", "mean_score", "frac_pos", "gap"}
+    assert len(pdf) <= 10
+
+
+def test_pmi_collocations_fluent_twin(lazy_runner):
+    ds = lazy_runner.from_parquet("/root/testdata/sf0.001/documents.parquet")
+    op = ds.pmi_collocations("text", min_count=3, top_k=20)
+    pdf = lazy_runner.to_pandas(op)
+    assert list(pdf.columns)[:4] == ["w1", "w2", "n_pair", "pmi"] or {
+        "w1", "w2", "n_pair", "pmi"
+    } <= set(pdf.columns)
+    assert len(pdf) <= 20
+    assert (pdf["n_pair"] >= 3).all()
+    # rank order is (pmi desc, w1, w2)
+    key = list(zip(-pdf["pmi"], pdf["w1"], pdf["w2"]))
+    assert key == sorted(key)
+
+
+def test_kneser_ney_fluent_twin(lazy_runner):
+    ds = lazy_runner.from_parquet("/root/testdata/sf0.001/documents.parquet")
+    train = ds.mask_rows(ds.col_categorical("lang").is_in({"en"}))
+    op = ds.kneser_ney_score(train, "text")
+    pdf = lazy_runner.to_pandas(op)
+    assert {"n_tokens", "n_oov", "logprob_sum"} <= set(pdf.columns)
+    assert len(pdf) == 500  # enrichment: every parent row reports
+    scored = pdf[pdf["n_tokens"].notna()]
+    assert (scored["logprob_sum"] < 0).all()
