@@ -179,9 +179,16 @@ def calibration_bins(df, score_col: str, label_col: str, bins: int = 10):
 
     if bins < 1:
         raise ValueError("bins must be >= 1")
-    b = F.least(
-        F.lit(bins - 1),
-        F.floor(F.col(score_col).cast("double") * bins).cast("int"),
+    # Scores are a [0,1] contract, but out-of-range values clamp into
+    # the edge bins instead of minting phantom negative / >bins bins —
+    # a mis-scaled scorer shows up as mass piled at the edges, not as
+    # rows silently grouped under impossible bin ids.
+    b = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(bins - 1),
+            F.floor(F.col(score_col).cast("double") * bins).cast("int"),
+        ),
     )
     lbl = F.col(label_col).cast("boolean").cast("int")
     dec = F.col(score_col).cast("double").cast("decimal(38,12)")

@@ -488,7 +488,20 @@ def skyline_select(
 
     if not criteria:
         raise ValueError("need at least one criterion column")
+    if chunk < 1:
+        raise ValueError("chunk must be >= 1")
     cols = sorted(criteria)
+    numeric = ("int", "bigint", "smallint", "tinyint", "float", "double",
+               "decimal")
+    for c in cols:
+        if c not in df.columns:
+            raise ValueError(f"criterion column {c!r} not in dataframe")
+        t = df.schema[c].dataType.simpleString()
+        if not t.startswith(numeric):
+            raise ValueError(
+                f"criterion {c!r} has non-orderable-numeric type {t};"
+                " dominance needs a numeric axis"
+            )
     signs = []
     for c in cols:
         d = criteria[c]

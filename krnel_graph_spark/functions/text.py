@@ -1887,9 +1887,9 @@ def pmi_collocations(
     vocab-construction pass wants ("new york", "et al") and a cheap
     boilerplate detector (absurdly high-PMI pairs are templates).
 
-    ``min_count`` floors the joint count first — PMI famously explodes
-    on hapax pairs — then rows order by (pmi desc, w1, w2) for a
-    deterministic top-k. PMI is rounded to 6 places BEFORE ranking so
+    ``min_count`` (>= 1) floors the joint count first — PMI famously
+    explodes on hapax pairs — then rows order by (pmi desc, w1, w2)
+    for a deterministic top-k. PMI is rounded to 6 places BEFORE ranking so
     both engines rank identical keys (the repo-wide round-then-compare
     contract).
 
@@ -1899,6 +1899,10 @@ def pmi_collocations(
     ``broadcast_vocab=False`` for open vocabularies falls back to AQE
     hash joins. The final top-k is a TakeOrdered, never a global sort.
     """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
     toks = whitespace_tokens(F.col(text_col))
     base = (
         df.filter(normalize_text(F.col(text_col)) != "")

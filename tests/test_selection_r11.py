@@ -370,3 +370,62 @@ def test_kneser_ney_fluent_twin(lazy_runner):
     assert len(pdf) == 500  # enrichment: every parent row reports
     scored = pdf[pdf["n_tokens"].notna()]
     assert (scored["logprob_sum"] < 0).all()
+
+
+# --------------------------------------------------------------------- #
+# r11 hardening: edge-case guards
+# --------------------------------------------------------------------- #
+
+
+def test_skyline_rejects_non_numeric_and_missing_columns(spark):
+    df = spark.createDataFrame([(1, "x")], "a int, s string")
+    with pytest.raises(ValueError, match="non-orderable-numeric"):
+        skyline_select(df, {"s": "max"})
+    with pytest.raises(ValueError, match="not in dataframe"):
+        skyline_select(df, {"zzz": "max"})
+    with pytest.raises(ValueError, match="chunk"):
+        skyline_select(df, {"a": "max"}, chunk=0)
+
+
+def test_calibration_bins_clamps_out_of_range_scores(spark):
+    df = spark.createDataFrame(
+        [(-0.3, 1), (0.5, 0), (1.7, 1)], "score double, label int"
+    )
+    got = {r.bin: r.n for r in calibration_bins(df, "score", "label").collect()}
+    # mis-scaled scores pile into the edge bins, never phantom bins
+    assert got == {0: 1, 5: 1, 9: 1}
+
+
+def test_pmi_rejects_bad_params(spark):
+    df = spark.createDataFrame([("a b",)], "text string")
+    with pytest.raises(ValueError, match="min_count"):
+        pmi_collocations(df, "text", min_count=0)
+    with pytest.raises(ValueError, match="top_k"):
+        pmi_collocations(df, "text", top_k=0)
+
+
+def test_pareto_survivors_hypothesis_property():
+    """Any point set: survivors == brute-force frontier (as value
+    multisets), regardless of chunk size."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        pts=st.lists(
+            st.tuples(
+                st.integers(0, 8), st.integers(0, 8), st.integers(0, 8)
+            ),
+            min_size=1,
+            max_size=120,
+        ),
+        chunk=st.sampled_from([1, 2, 7, 64]),
+    )
+    def check(pts, chunk):
+        A = np.asarray(pts, dtype="float64")
+        got = _pareto_survivors(A, chunk=chunk)
+        want = _brute_skyline(pts, [1.0, 1.0, 1.0])
+        assert sorted(map(tuple, A[got].tolist())) == sorted(
+            tuple(map(float, pts[i])) for i in want
+        )
+
+    check()

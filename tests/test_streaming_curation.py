@@ -257,3 +257,54 @@ def test_centroid_filter_stream_static(spark):
         assert got == batch and len(got) > 0
     finally:
         q.stop()
+
+
+def test_calibration_bins_stream_equals_batch(spark):
+    """The reliability-curve table is a standard grouped aggregation, so
+    the SAME calibration_bins call runs on a readStream source in
+    complete mode and agrees with batch — live calibration monitoring of
+    a quality scorer during ingest."""
+    from krnel_graph_spark.functions.metrics import calibration_bins
+
+    def pipeline(df):
+        scored = df.select(
+            (F.col("n_chars").cast("double") / 4000.0).alias("score"),
+            (F.col("lang") == "en").cast("int").alias("label"),
+        )
+        return calibration_bins(scored, "score", "label", bins=10)
+
+    batch = sorted(
+        tuple(r) for r in pipeline(spark.read.parquet(DOCS)).collect()
+    )
+    q = _drain(pipeline(_stream_docs(spark)), "calib_stream", mode="complete")
+    try:
+        q.awaitTermination(60)
+        got = sorted(tuple(r) for r in spark.table("calib_stream").collect())
+        assert got == batch and len(got) > 0
+    finally:
+        q.stop()
+
+
+def test_kneser_ney_stream_static_train(spark):
+    """Perplexity filtering in its production shape: the LM's count
+    tables come from a STATIC train corpus, the scored docs are a
+    STREAM. The scoring side is stream-static left joins + a per-doc
+    aggregation (complete mode) — the same kneser_ney_logprob call,
+    unchanged."""
+    from krnel_graph_spark.functions.text import kneser_ney_logprob
+
+    train = spark.read.parquet(DOCS).filter("doc_id % 5 = 0")
+
+    def pipeline(score_df):
+        return kneser_ney_logprob(train, score_df, "text", "doc_id")
+
+    batch = sorted(
+        tuple(r) for r in pipeline(spark.read.parquet(DOCS)).collect()
+    )
+    q = _drain(pipeline(_stream_docs(spark)), "kn_stream", mode="complete")
+    try:
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.table("kn_stream").collect())
+        assert got == batch and len(got) > 0
+    finally:
+        q.stop()
