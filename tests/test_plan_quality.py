@@ -543,3 +543,46 @@ def test_remove_dup_windows_no_token_shuffle(spark, entry):
     assert "CartesianProduct" not in plan
     # canonical pick + span grouping + rejoin: bounded exchange count
     assert _exchanges(plan) <= 6, _exchanges(plan)
+
+
+def test_skyline_two_phase_shape(spark, entry):
+    """Skyline: local prune + ONE single-partition global pass — the
+    only exchange is the candidate repartition(1); both phases are
+    Arrow-batched mapInPandas, never row-Python."""
+    plan = _plan(spark, entry, "skyline_docs")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") == 2
+    assert _exchanges(plan) <= 1, _exchanges(plan)
+
+
+def test_calibration_bins_single_agg_no_python(spark, entry):
+    """Calibration: one partial-agg'd groupBy onto <=bins rows. The
+    gate's percent_rank scorer adds its (documented) single-task
+    window; the op itself contributes exactly one hash exchange and
+    zero Python."""
+    plan = _plan(spark, entry, "calibration_curve")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial" in plan.lower() or "HashAggregate" in plan
+    assert _exchanges(plan) <= 2, _exchanges(plan)
+
+
+def test_pmi_colloc_broadcast_lookups_no_cartesian(spark, entry):
+    """PMI: unigram probability lookups broadcast (vocab-sized); the
+    1-row totals ride broadcast nested loops; no Cartesian product, no
+    Python, and the top-k is a TakeOrdered, not a global sort."""
+    plan = _plan(spark, entry, "pmi_colloc")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kneser_ney_digest_joins_no_python(spark, entry):
+    """Kneser-Ney scoring: positions explode scan-side and LEFT-join
+    the three digest-keyed count tables; scalars ride broadcast nested
+    loops. No Python, no Cartesian, no window."""
+    plan = _plan(spark, entry, "kneser_ney_fixed")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
