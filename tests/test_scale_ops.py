@@ -366,3 +366,53 @@ def test_cdc_dedup_op_row_aligned(lazy_runner):
     # uuid sensitive to the cut parameters
     assert ds.cdc_dedup("text").uuid == ds.cdc_dedup("text").uuid
     assert ds.cdc_dedup("text").uuid != ds.cdc_dedup("text", modulus=32).uuid
+
+
+def test_skyline_memoized_and_rehydrates(runner):
+    """r11 twins inherit the full content-address contract: store hit
+    skips the two-phase prune, and the op graph rebuilds by uuid."""
+    import time
+
+    ds = runner.from_parquet(DOCS)
+    op = ds.skyline_select({"n_chars": "max"})
+    first = runner.to_pandas(op)
+
+    from krnel_graph_spark import SparkRunner
+
+    fresh = SparkRunner(
+        spark=runner.spark,
+        store_path=runner.store.root_path
+        if hasattr(runner.store, "root_path")
+        else str(runner.store.root),
+    )
+    t0 = time.time()
+    second = fresh.to_pandas(op)
+    assert time.time() - t0 < 1.5
+    pd.testing.assert_frame_equal(first, second)
+    rebuilt = fresh.uuid_to_op(op.uuid)
+    assert type(rebuilt).__name__ == "SkylineSelectOp"
+    assert rebuilt.uuid == op.uuid
+    # criteria dict participates in the content address
+    assert op.uuid != ds.skyline_select({"n_chars": "min"}).uuid
+
+
+def test_kneser_ney_two_parent_rehydrates(runner):
+    ds = runner.from_parquet(DOCS)
+    train = ds.take(100)
+    op = ds.take(200).kneser_ney_score(train, "text")
+    pdf = runner.to_pandas(op)
+    assert {"n_tokens", "n_oov", "logprob_sum"} <= set(pdf.columns)
+
+    from krnel_graph_spark import SparkRunner
+
+    fresh = SparkRunner(
+        spark=runner.spark,
+        store_path=runner.store.root_path
+        if hasattr(runner.store, "root_path")
+        else str(runner.store.root),
+    )
+    rebuilt = fresh.uuid_to_op(op.uuid)
+    assert type(rebuilt).__name__ == "KneserNeyScoreOp"
+    assert rebuilt.uuid == op.uuid
+    # both parents content-address the result
+    assert op.uuid != ds.take(200).kneser_ney_score(ds.take(150), "text").uuid

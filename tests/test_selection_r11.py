@@ -429,3 +429,58 @@ def test_pareto_survivors_hypothesis_property():
         )
 
     check()
+
+
+def test_pareto_survivors_anticorrelated_worst_case_memory_bounded():
+    """Fully anti-correlated axes: the frontier IS the whole input.
+    The exact BNL sweep must return everything without materializing
+    an n x n dominance cube (20k points, chunk 1024 -> peak temp
+    arrays are chunk^2-bounded ~2 MB, not 3.2 GB)."""
+    n = 20_000
+    x = np.arange(n, dtype="float64")
+    A = np.stack([x, -x], axis=1)
+    got = _pareto_survivors(A, chunk=1024)
+    assert len(got) == n
+    # and a near-worst mixed case still matches brute force
+    rng = np.random.RandomState(5)
+    B = np.stack([x[:400], -x[:400] + rng.randint(0, 3, 400)], axis=1)
+    got2 = sorted(_pareto_survivors(B, chunk=64).tolist())
+    assert got2 == _brute_skyline(B.tolist(), [1.0, 1.0])
+
+
+def test_pareto_2d_fast_path_matches_brute_and_scales():
+    """d <= 2 dispatches to the O(n log n) sort path: exact on ties/
+    duplicates, and 1M fully incomparable points finish instantly."""
+    import time
+
+    rng = np.random.RandomState(13)
+    for _ in range(20):
+        n = rng.randint(1, 150)
+        A = rng.randint(0, 6, size=(n, 2)).astype("float64")
+        got = sorted(map(tuple, A[_pareto_survivors(A, 16)].tolist()))
+        want = _brute_skyline(A.tolist(), [1.0, 1.0])
+        assert got == sorted(tuple(A[i]) for i in want)
+    n = 1_000_000
+    x = np.arange(n, dtype="float64")
+    A = np.stack([x, -x], axis=1)
+    t0 = time.time()
+    assert len(_pareto_survivors(A, chunk=2048)) == n
+    assert time.time() - t0 < 5.0
+
+
+def test_skyline_global_limit_raises_loudly(spark):
+    """Anti-correlated d>=3 axes: the global task refuses to grind a
+    quadratic sweep past global_limit and names the regime."""
+    from py4j.protocol import Py4JJavaError
+
+    n = 3000
+    df = spark.range(n).selectExpr(
+        "id", "cast(id as double) as x", "cast(-id as double) as y",
+        "cast(id % 7 as double) as z"
+    )
+    crit = {"x": "max", "y": "max", "z": "max"}
+    with pytest.raises(Exception) as exc:
+        skyline_select(df, crit, global_limit=1000).collect()
+    assert "anti-correlated" in str(exc.value)
+    # and the default limit leaves normal frontiers untouched
+    assert skyline_select(df.limit(100), crit).count() == 100
