@@ -3537,6 +3537,19 @@ def q_kneser_ney_fixed(spark, sf_dir):
     )
 
 
+def q_bm25_index_search(spark, sf_dir):
+    """BM25 served from the persistable index artifact
+    (functions/text.py:bm25_index — postings/term_df/stats frames,
+    the sparse-retrieval twin of minhash_index and ann_index): the
+    recurring query cost is a term-filtered postings read + two
+    broadcast joins, never a corpus re-tokenize. Output-IDENTICAL to
+    the inline bm25_search path, so the oracle is the same SQL."""
+    from krnel_graph_spark.functions.text import bm25_index, bm25_search_index
+
+    idx = bm25_index(_docs(spark, sf_dir), "text", "doc_id")
+    return bm25_search_index(idx, "doc_id", "hash join spark", k=20)
+
+
 # The driver records hash-graded evidence only for the FIRST 50 entries
 # of queries(). r11 rotation (the r10 verdict's item 2): first the four
 # entries whose oracles are NEW or CHANGED this round, then the
@@ -3554,7 +3567,7 @@ _R11_WINDOW = [
     "profile_table_hll", "embedding_clusters", "semantic_dedup",
     "ann_index_search",
     "skyline_docs", "calibration_curve", "pmi_colloc", "dedup_keep_best",
-    "kneser_ney", "kneser_ney_fixed",
+    "kneser_ney", "kneser_ney_fixed", "bm25_index_search",
     # verdict-named oldest evidence
     "llm_logit_scores_fake", "llm_activations_fake", "umap_pca", "ann_ivf",
     # r5-evidence pair displaced from the r10 window
@@ -3572,10 +3585,10 @@ _R11_WINDOW = [
     "late_lines_q12", "rollup_counts",
     # r6/r7 codec + analytics rows (newest record round 7)
     "image_stats_png", "image_phash", "image_dups_q", "audio_stats_wav",
-    "video_stats_y4m", "avro_roundtrip", "upsert_merge",
-    # (r12 rotation queue: window_anomalies/events_hopping/
+    "video_stats_y4m", "avro_roundtrip",
+    # (r12 rotation queue: upsert_merge/window_anomalies/events_hopping/
     #  unigram_logprob/bigram_logprob/histogram_price/corr_matrix
-    #  (displaced by the six new r11 operators above; last recorded
+    #  (displaced by the seven new r11 operators above; last recorded
     #  r7), then
     #  pagerank/triangle_count/clustering_coeff/
     #  k_core/assortativity/top_terms/simhash_pairs_q/orc_roundtrip/
@@ -3817,6 +3830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "kneser_ney": q_kneser_ney,
         "kneser_ney_fixed": q_kneser_ney_fixed,
+        "bm25_index_search": q_bm25_index_search,
     }
     out = {k: d[k] for k in _R11_WINDOW}
     missing = [k for k in _R11_WINDOW if k not in d]
@@ -8187,6 +8201,10 @@ FROM q GROUP BY doc_id
 
     out["kneser_ney"] = kn_sql("")
     out["kneser_ney_fixed"] = kn_sql(" AND doc_id % 5 = 0")
+    # the index-served path is output-identical to the inline scan, so
+    # the oracle is literally the same SQL (the dedup_against_index /
+    # ann_index_search idiom)
+    out["bm25_index_search"] = out["bm25_search"]
     return out
 
 

@@ -233,6 +233,7 @@ HEADLINE = [
     "dedup_keep_best",
     "kneser_ney",
     "kneser_ney_fixed",
+    "bm25_index_search",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

@@ -2014,14 +2014,35 @@ def kneser_ney_logprob(
     axes; freeze the tables for the flat-axis path exactly like
     ``stupid_backoff_train``/``score``.
     """
-    D = float(discount)
-    if not (0.0 < D < 1.0):
-        raise ValueError("discount must be in (0, 1)")
+    return kneser_ney_score(
+        kneser_ney_train(train, text_col),
+        score,
+        text_col,
+        id_col,
+        discount=discount,
+    )
 
-    def _toks(df, *extra):
+
+def kneser_ney_train(train: DataFrame, text_col: str) -> dict[str, DataFrame]:
+    """Build the persistable Kneser-Ney LM artifact — four plain
+    parquet-writable frames of raw integer counts (the discount is a
+    SCORE-time knob, so one trained artifact serves any ``discount``):
+
+    * ``big``: ``(w1, w2, c12)`` bigram type counts;
+    * ``ctx``: ``(w1, c1, n1fwd)`` context totals + distinct
+      continuations;
+    * ``back``: ``(w2, n1back)`` distinct left-context counts;
+    * ``scalars``: 1-row ``(B, Vc, V)`` — bigram types, continuation
+      vocabulary, unigram vocabulary + 1 (the OOV bucket).
+
+    The production shape: train once on the reference corpus, persist,
+    and :func:`kneser_ney_score` any ingest stream against it — the
+    same split as ``stupid_backoff_train``/``score``."""
+
+    def _toks(df):
         return (
             df.filter(normalize_text(F.col(text_col)) != "")
-            .select(*extra, whitespace_tokens(F.col(text_col)).alias("__t"))
+            .select(whitespace_tokens(F.col(text_col)).alias("__t"))
             .withColumn("__L", F.size("__t"))
         )
 
@@ -2048,11 +2069,40 @@ def kneser_ney_logprob(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1fwd")
     )
     back = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n1back"))
-    b_tot = big.agg(F.count(F.lit(1)).alias("__B"))
-    v_cont = back.agg(F.count(F.lit(1)).alias("__Vc"))
-    v_uni = (
-        tt.select(F.explode("__t").alias("w"))
-        .agg((F.count_distinct("w") + 1).alias("__V"))
+    scalars = (
+        big.agg(F.count(F.lit(1)).alias("B"))
+        .crossJoin(back.agg(F.count(F.lit(1)).alias("Vc")))
+        .crossJoin(
+            tt.select(F.explode("__t").alias("w")).agg(
+                (F.count_distinct("w") + 1).alias("V")
+            )
+        )
+    )
+    return {"big": big, "ctx": ctx, "back": back, "scalars": scalars}
+
+
+def kneser_ney_score(
+    lm: dict[str, DataFrame],
+    score: DataFrame,
+    text_col: str,
+    id_col: str,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Score a corpus against a FROZEN Kneser-Ney artifact — ``lm`` is
+    :func:`kneser_ney_train`'s frame dict (possibly re-read from
+    parquet). Semantics identical to :func:`kneser_ney_logprob`; the
+    count tables are joined digest-to-digest (digests derived from the
+    vocab-bounded tables at plan time, raw grams never shuffle)."""
+    D = float(discount)
+    if not (0.0 < D < 1.0):
+        raise ValueError("discount must be in (0, 1)")
+    for key in ("big", "ctx", "back", "scalars"):
+        if key not in lm:
+            raise ValueError(f"lm missing frame {key!r} — not a kneser_ney_train artifact")
+
+    big, ctx, back = lm["big"], lm["ctx"], lm["back"]
+    scalars = lm["scalars"].select(
+        F.col("B").alias("__B"), F.col("Vc").alias("__Vc"), F.col("V").alias("__V")
     )
 
     # Digest-keyed join tables: raw grams never shuffle.
@@ -2063,7 +2113,11 @@ def kneser_ney_logprob(
     back_d = back.select(F.md5("w2").alias("__wd"), "n1back")
 
     pos = (
-        _toks(score, F.col(id_col))
+        score.filter(normalize_text(F.col(text_col)) != "")
+        .select(
+            F.col(id_col), whitespace_tokens(F.col(text_col)).alias("__t")
+        )
+        .withColumn("__L", F.size("__t"))
         .select(
             F.col(id_col),
             F.explode(
@@ -2086,9 +2140,7 @@ def kneser_ney_logprob(
         pos.join(big_d, "__gd", "left")
         .join(ctx_d, "__cd", "left")
         .join(back_d, "__wd", "left")
-        .crossJoin(F.broadcast(b_tot))
-        .crossJoin(F.broadcast(v_cont))
-        .crossJoin(F.broadcast(v_uni))
+        .crossJoin(F.broadcast(scalars))
     )
     nb = F.coalesce(F.col("n1back"), F.lit(0)).cast("double")
     Bd = F.col("__B").cast("double")
@@ -2119,5 +2171,88 @@ def kneser_ney_logprob(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
             F.sum("__oov").cast("long").alias("n_oov"),
             F.sum("__term").cast("double").alias("logprob_sum"),
+        )
+    )
+
+
+def bm25_index(df: DataFrame, text_col: str, id_col: str) -> dict[str, DataFrame]:
+    """Build the persistable BM25 index artifact — the sparse-retrieval
+    twin of ``minhash_index`` (dedup) and ``ann_index`` (dense ANN):
+    tokenize and invert the corpus ONCE, persist three plain
+    parquet-writable frames, and serve every later query from the index
+    without touching the text again.
+
+    * ``postings``: ``(id, dl, term, tf)`` — the inverted index,
+      denormalized with the doc length so scoring needs no extra join.
+      At 100 TB, write it partitioned/sorted by ``term`` so a query's
+      ``isin`` filter becomes parquet predicate pushdown over a few
+      row groups instead of a full postings scan.
+    * ``term_df``: ``(term, df_t)`` — per-term document frequencies,
+      vocab-sized.
+    * ``stats``: 1-row ``(n_docs, total_len)`` — includes docs sharing
+      no term with any query, exactly like the inline scan.
+
+    :func:`bm25_search_index` over these frames is output-IDENTICAL to
+    :func:`bm25_search` over the original corpus (same oracle; pinned
+    by a parquet-roundtrip test)."""
+    docs = df.select(
+        F.col(id_col), whitespace_tokens(F.col(text_col)).alias("toks")
+    ).filter(normalize_text(F.col(text_col)) != "").withColumn(
+        "dl", F.size("toks")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    postings = (
+        docs.select(F.col(id_col), F.col("dl"), F.explode("toks").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    term_df = postings.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df_t")
+    )
+    return {"postings": postings, "term_df": term_df, "stats": stats}
+
+
+def bm25_search_index(
+    index: dict[str, DataFrame],
+    id_col: str,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """BM25 top-``k`` served from a prebuilt :func:`bm25_index` — the
+    recurring query-service cost is a term-filtered postings read +
+    two broadcast joins + the decimal-exact per-doc sum; the corpus
+    text is never re-tokenized. Identical scoring arithmetic (and
+    output) to :func:`bm25_search`."""
+    terms = sorted(set(t for t in re.split(r"\s+", query.lower().strip()) if t))
+    if not terms:
+        raise ValueError("query has no terms")
+    for key in ("postings", "term_df", "stats"):
+        if key not in index:
+            raise ValueError(f"index missing frame {key!r} — not a bm25_index")
+    tf = index["postings"].filter(F.col("term").isin(terms))
+    df_t = index["term_df"].filter(F.col("term").isin(terms))
+    stats = index["stats"]
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    part = idf * (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
+    )
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(part.cast("decimal(30,10)")).alias("_s"))
+        .orderBy(F.col("_s").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.col(id_col), F.round(F.col("_s"), 6).cast("double").alias("score")
         )
     )

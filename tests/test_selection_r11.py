@@ -484,3 +484,84 @@ def test_skyline_global_limit_raises_loudly(spark):
     assert "anti-correlated" in str(exc.value)
     # and the default limit leaves normal frontiers untouched
     assert skyline_select(df.limit(100), crit).count() == 100
+
+
+# --------------------------------------------------------------------- #
+# persistable index artifacts: bm25_index + kneser_ney_train
+# --------------------------------------------------------------------- #
+
+DOCS_SF = "/root/testdata/sf0.001/documents.parquet"
+
+
+def test_bm25_index_parquet_roundtrip_identical(spark, tmp_path):
+    """The sparse-retrieval index contract (the bm25 twin of
+    minhash_index/ann_index): build the postings once, persist to
+    parquet, and searching the READ-BACK index equals the inline
+    corpus-scanning path row-for-row."""
+    from krnel_graph_spark.functions.text import (
+        bm25_index,
+        bm25_search,
+        bm25_search_index,
+    )
+
+    docs = spark.read.parquet(DOCS_SF)
+    inline = [
+        tuple(r) for r in bm25_search(
+            docs, "text", "doc_id", "hash join spark", k=15
+        ).collect()
+    ]
+    idx = bm25_index(docs, "text", "doc_id")
+    base = str(tmp_path / "bm25_idx")
+    for name, frame in idx.items():
+        frame.write.parquet(f"{base}/{name}")
+    reread = {
+        name: spark.read.parquet(f"{base}/{name}") for name in idx
+    }
+    reused = [
+        tuple(r) for r in bm25_search_index(
+            reread, "doc_id", "hash join spark", k=15
+        ).collect()
+    ]
+    assert reused == inline and len(inline) == 15
+    with pytest.raises(ValueError, match="missing frame"):
+        bm25_search_index({"postings": reread["postings"]}, "doc_id", "x")
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_search_index(reread, "doc_id", "   ")
+
+
+def test_kneser_ney_train_parquet_roundtrip_identical(spark, tmp_path):
+    """Frozen-LM contract: persist the four count frames, score a
+    corpus against the READ-BACK artifact, equal the inline path —
+    and one artifact serves any discount (score-time knob)."""
+    from krnel_graph_spark.functions.text import (
+        kneser_ney_logprob,
+        kneser_ney_score,
+        kneser_ney_train,
+    )
+
+    docs = spark.read.parquet(DOCS_SF).limit(200)
+    train = docs.filter("doc_id % 3 = 0")
+    inline = sorted(
+        tuple(r)
+        for r in kneser_ney_logprob(train, docs, "text", "doc_id").collect()
+    )
+    lm = kneser_ney_train(train, "text")
+    base = str(tmp_path / "kn_lm")
+    for name, frame in lm.items():
+        frame.write.parquet(f"{base}/{name}")
+    reread = {name: spark.read.parquet(f"{base}/{name}") for name in lm}
+    reused = sorted(
+        tuple(r)
+        for r in kneser_ney_score(reread, docs, "text", "doc_id").collect()
+    )
+    assert reused == inline and len(inline) > 0
+    # different discount, same artifact: output changes, no retrain
+    other = sorted(
+        tuple(r)
+        for r in kneser_ney_score(
+            reread, docs, "text", "doc_id", discount=0.4
+        ).collect()
+    )
+    assert other != reused
+    with pytest.raises(ValueError, match="missing frame"):
+        kneser_ney_score({"big": reread["big"]}, docs, "text", "doc_id")

@@ -149,6 +149,11 @@ QUERIES = [
     # stupid_backoff two-sided-growth regime and is deliberately
     # absent here.
     "kneser_ney_fixed",
+    # r11: BM25 via the persisted-index artifact — the gate query
+    # rebuilds the index inline, so this curve is build+search; the
+    # serve-only cost is the BASELINE.md A/B row (0.67 s vs 2.71 s
+    # inline at x40).
+    "bm25_index_search",
     "random_projection",
     "export_manifest",
     "schema_drift",
