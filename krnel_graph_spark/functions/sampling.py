@@ -593,6 +593,7 @@ def skyline_select(
 
             held = None
             seen = 0
+            last_kept = 0
             for pdf in iterator:
                 if len(pdf) == 0:
                     continue
@@ -609,10 +610,15 @@ def skyline_select(
                 held = pdf if held is None else pd.concat(
                     [held, pdf], ignore_index=True
                 )
-                if len(held) > 2 * local_chunk:
+                # Geometric re-prune schedule: prune only once held has
+                # DOUBLED since the last prune's survivor count, so an
+                # incompressible (anti-correlated d>=3) partition pays
+                # amortized O(n^2) total, not O(n^2) per arriving batch.
+                if len(held) > max(2 * local_chunk, 2 * last_kept):
                     A = held[cols].to_numpy(dtype="float64") * sign_vec
                     held = held.iloc[_pareto_survivors(A, local_chunk)]
                     held = held.reset_index(drop=True)
+                    last_kept = len(held)
             if held is not None and len(held):
                 A = held[cols].to_numpy(dtype="float64") * sign_vec
                 yield held.iloc[_pareto_survivors(A, local_chunk)]
