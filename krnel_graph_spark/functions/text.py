@@ -2256,3 +2256,38 @@ def bm25_search_index(
             F.col(id_col), F.round(F.col("_s"), 6).cast("double").alias("score")
         )
     )
+
+
+def bm25_index_merge(
+    a: dict[str, DataFrame], b: dict[str, DataFrame]
+) -> dict[str, DataFrame]:
+    """Merge two :func:`bm25_index` artifacts (disjoint doc sets) into
+    one — the day-N ingest step: index ONLY the new documents, merge
+    with the persisted corpus index, and the old corpus text is never
+    re-tokenized. Pure frame arithmetic:
+
+    * ``postings``: union (doc sets are disjoint, so no combining);
+    * ``term_df``: summed per term (full-outer via union+groupBy);
+    * ``stats``: element-wise sum of the two 1-row frames.
+
+    ``merge(index(A), index(B)) == index(A union B)`` exactly (pinned
+    by test), so searches over the merged artifact match a from-scratch
+    rebuild row-for-row."""
+    for key in ("postings", "term_df", "stats"):
+        for side in (a, b):
+            if key not in side:
+                raise ValueError(f"index missing frame {key!r} — not a bm25_index")
+    postings = a["postings"].unionByName(b["postings"])
+    term_df = (
+        a["term_df"].unionByName(b["term_df"])
+        .groupBy("term")
+        .agg(F.sum("df_t").cast("long").alias("df_t"))
+    )
+    stats = (
+        a["stats"].unionByName(b["stats"])
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_len").cast("long").alias("total_len"),
+        )
+    )
+    return {"postings": postings, "term_df": term_df, "stats": stats}

@@ -565,3 +565,28 @@ def test_kneser_ney_train_parquet_roundtrip_identical(spark, tmp_path):
     assert other != reused
     with pytest.raises(ValueError, match="missing frame"):
         kneser_ney_score({"big": reread["big"]}, docs, "text", "doc_id")
+
+
+def test_bm25_index_merge_equals_rebuild(spark):
+    """Incremental ingest contract: index only the NEW half, merge with
+    the old index, and search results equal a from-scratch rebuild of
+    the full corpus — old text never re-tokenized."""
+    from krnel_graph_spark.functions.text import (
+        bm25_index,
+        bm25_index_merge,
+        bm25_search_index,
+    )
+
+    docs = spark.read.parquet(DOCS_SF)
+    old = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    merged = bm25_index_merge(
+        bm25_index(old, "text", "doc_id"), bm25_index(new, "text", "doc_id")
+    )
+    full = bm25_index(docs, "text", "doc_id")
+    q = "hash join spark"
+    got = [tuple(r) for r in bm25_search_index(merged, "doc_id", q, k=15).collect()]
+    want = [tuple(r) for r in bm25_search_index(full, "doc_id", q, k=15).collect()]
+    assert got == want and len(got) == 15
+    with pytest.raises(ValueError, match="missing frame"):
+        bm25_index_merge({"postings": full["postings"]}, full)
