@@ -1127,6 +1127,65 @@ def ann_index(
     return model, encoded
 
 
+def _model_to_numpy(model: DataFrame, caller: str):
+    """Reconstruct an :func:`ann_index` model frame driver-side — a
+    bounded collect (|cells| + m*n_codes rows, KB-scale) — validating
+    structural consistency against the frame's own recorded build
+    params so a truncated/mixed-snapshot model fails loudly."""
+    mrows = model.select(
+        "kind", "i", "j", "vec", "n_cells", "m", "n_codes"
+    ).collect()
+    if not mrows:
+        raise ValueError(f"{caller}: empty model frame")
+    n_cells = mrows[0]["n_cells"]
+    m, n_codes = mrows[0]["m"], mrows[0]["n_codes"]
+    cent = {r["i"]: r["vec"] for r in mrows if r["kind"] == "centroid"}
+    code = {
+        (r["i"], r["j"]): r["vec"] for r in mrows if r["kind"] == "codebook"
+    }
+    if sorted(cent) != list(range(n_cells)):
+        raise ValueError(
+            f"{caller}: model centroid set inconsistent with its own "
+            f"n_cells={n_cells} (got {len(cent)} centroids)"
+        )
+    if len(code) != m * n_codes:
+        raise ValueError(
+            f"{caller}: model codebook set inconsistent with its own "
+            f"m={m}, n_codes={n_codes} (got {len(code)} codewords)"
+        )
+    cmat = np.asarray([cent[i] for i in range(n_cells)], dtype=np.float64)
+    books = np.asarray(
+        [[code[(j, c)] for c in range(n_codes)] for j in range(m)],
+        dtype=np.float64,
+    )
+    return cmat, books
+
+
+def ann_index_append(
+    model: DataFrame,
+    new_corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Encode NEW vectors with an EXISTING persisted :func:`ann_index`
+    model — the day-N dense-retrieval ingest step: the codebooks and
+    centroids are never retrained and the old corpus is never
+    re-encoded; the caller unions the returned ``(doc_id, cell,
+    codes)`` frame with (or appends it to) the persisted ``encoded``
+    parquet. Encoding is per-row deterministic, so
+    ``append(model, A) union append(model, B) == ann_index(A union
+    B).encoded`` for the same model — searches over the merged codes
+    match a monolithic encode row-for-row (pinned by test).
+
+    The quantization-drift caveat is real and documented: codebooks
+    trained on day-0 data quantize day-N vectors with day-0 cells, so
+    recall decays if the embedding distribution shifts — re-train on a
+    fresh sample (one ann_index call) when recall_at_k on a probe set
+    drops below target."""
+    cmat, books = _model_to_numpy(model, "ann_index_append")
+    return _ivfpq_encode(new_corpus, vec_col, id_col, cmat, books)
+
+
 def ann_search(
     model: DataFrame,
     encoded: DataFrame,
@@ -1150,32 +1209,7 @@ def ann_search(
     inconsistent with its own recorded build params (truncated parquet,
     mixed snapshots) — a wrong-layout model must fail, not degrade
     recall silently."""
-    mrows = model.select(
-        "kind", "i", "j", "vec", "n_cells", "m", "n_codes"
-    ).collect()
-    if not mrows:
-        raise ValueError("ann_search: empty model frame")
-    n_cells = mrows[0]["n_cells"]
-    m, n_codes = mrows[0]["m"], mrows[0]["n_codes"]
-    cent = {r["i"]: r["vec"] for r in mrows if r["kind"] == "centroid"}
-    code = {
-        (r["i"], r["j"]): r["vec"] for r in mrows if r["kind"] == "codebook"
-    }
-    if sorted(cent) != list(range(n_cells)):
-        raise ValueError(
-            f"ann_search: model centroid set inconsistent with its own "
-            f"n_cells={n_cells} (got {len(cent)} centroids)"
-        )
-    if len(code) != m * n_codes:
-        raise ValueError(
-            f"ann_search: model codebook set inconsistent with its own "
-            f"m={m}, n_codes={n_codes} (got {len(code)} codewords)"
-        )
-    cmat = np.asarray([cent[i] for i in range(n_cells)], dtype=np.float64)
-    books = np.asarray(
-        [[code[(j, c)] for c in range(n_codes)] for j in range(m)],
-        dtype=np.float64,
-    )
+    cmat, books = _model_to_numpy(model, "ann_search")
     return _ivfpq_search(
         encoded, queries, vec_col, id_col, cmat, books,
         k=k, nprobe=nprobe, refine=refine, refine_factor=refine_factor,

@@ -202,3 +202,37 @@ def test_ann_search_rejects_inconsistent_model(spark, vecs_df):
         ann_search(
             model.filter("1=0"), encoded, queries, "embedding", "vec_id",
         )
+
+
+def test_ann_index_append_equals_monolithic_encode(spark, vecs_df):
+    """Day-N ingest contract: encode only the NEW vectors with the
+    existing model, union with the old encoded frame, and searches
+    equal the monolithic encode row-for-row — codebooks never
+    retrained, old vectors never re-encoded."""
+    from krnel_graph_spark.functions.similarity import (
+        ann_index,
+        ann_index_append,
+        ann_search,
+    )
+
+    old = vecs_df.filter("vec_id % 2 = 0")
+    new = vecs_df.filter("vec_id % 2 = 1")
+    model, encoded_old_full = ann_index(
+        vecs_df, "embedding", "vec_id", n_cells=8, m=4, n_codes=32,
+        refine_iters=1,
+    )
+    # model trained on the FULL corpus sample in both paths; encode the
+    # halves separately through the append API
+    enc_a = ann_index_append(model, old, "embedding", "vec_id")
+    enc_b = ann_index_append(model, new, "embedding", "vec_id")
+    merged = enc_a.unionByName(enc_b)
+
+    queries = vecs_df.filter("vec_id < 4")
+    got = ann_search(
+        model, merged, queries, "embedding", "vec_id", k=5, nprobe=3
+    ).orderBy("query_id", "rank").collect()
+    want = ann_search(
+        model, encoded_old_full, queries, "embedding", "vec_id", k=5, nprobe=3
+    ).orderBy("query_id", "rank").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(want) == 20
