@@ -173,7 +173,9 @@ def calibration_bins(df, score_col: str, label_col: str, bins: int = 10):
     corr_matrix idiom — so the result is bit-identical under any
     partitioning and SQL-oracle-checkable. Scale shape: one
     partial-agg'd groupBy onto ``bins`` rows; nothing else touches the
-    corpus. Rows with a null score are dropped.
+    corpus. Rows with a null OR NaN score are dropped (a NaN would
+    otherwise fold into an edge bin with a NULL mean/gap — a phantom
+    row that poisons any downstream ECE sum).
     """
     from pyspark.sql import functions as F
 
@@ -192,8 +194,9 @@ def calibration_bins(df, score_col: str, label_col: str, bins: int = 10):
     )
     lbl = F.col(label_col).cast("boolean").cast("int")
     dec = F.col(score_col).cast("double").cast("decimal(38,12)")
+    sc = F.col(score_col).cast("double")
     out = (
-        df.filter(F.col(score_col).isNotNull())
+        df.filter(sc.isNotNull() & ~F.isnan(sc))
         .groupBy(b.alias("bin"))
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -564,16 +564,20 @@ def skyline_select(
     if chunk < 1:
         raise ValueError("chunk must be >= 1")
     cols = sorted(criteria)
-    numeric = ("int", "bigint", "smallint", "tinyint", "float", "double",
-               "decimal")
+    from pyspark.sql.types import NumericType
+
     for c in cols:
         if c not in df.columns:
             raise ValueError(f"criterion column {c!r} not in dataframe")
-        t = df.schema[c].dataType.simpleString()
-        if not t.startswith(numeric):
+        dt = df.schema[c].dataType
+        # isinstance, not simpleString prefixes: "interval day to
+        # second" starts with "int" and would sneak past a string
+        # check, then fail opaquely (or compare as raw nanoseconds)
+        # executor-side.
+        if not isinstance(dt, NumericType):
             raise ValueError(
-                f"criterion {c!r} has non-orderable-numeric type {t};"
-                " dominance needs a numeric axis"
+                f"criterion {c!r} has non-numeric type "
+                f"{dt.simpleString()}; dominance needs a numeric axis"
             )
     signs = []
     for c in cols:

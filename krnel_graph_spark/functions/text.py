@@ -331,9 +331,7 @@ def bm25_search(
     the explode before it shuffles), then TakeOrderedAndProject for the
     top-k — never a global sort.
     """
-    terms = sorted(set(t for t in re.split(r"\s+", query.lower().strip()) if t))
-    if not terms:
-        raise ValueError("query has no terms")
+    terms = _query_terms(query)
     docs = df.select(
         F.col(id_col), whitespace_tokens(F.col(text_col)).alias("toks")
     ).filter(normalize_text(F.col(text_col)) != "").withColumn(
@@ -349,6 +347,43 @@ def bm25_search(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_t = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
+    return _bm25_rank(tf, df_t, stats, id_col, k1, b, k)
+
+
+def _adjacent_word_pairs(df: DataFrame, toks_col: str) -> DataFrame:
+    """Explode a tokenized frame (carrying ``__L`` = array length) into
+    adjacent ``(w1, w2)`` bigram rows — the ONE copy of the pair idiom
+    shared by PMI mining and the Kneser-Ney trainer, whose SQL oracles
+    both replay exactly this layout (a fork would break one gate while
+    the other stayed green, hiding the divergence)."""
+    return (
+        df.filter(F.col("__L") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, __L - 1),"
+                    f" s -> struct({toks_col}[s - 1] AS w1,"
+                    f" {toks_col}[s] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+    )
+
+
+def _query_terms(query: str) -> list[str]:
+    terms = sorted(set(t for t in re.split(r"\s+", query.lower().strip()) if t))
+    if not terms:
+        raise ValueError("query has no terms")
+    return terms
+
+
+def _bm25_rank(tf, df_t, stats, id_col, k1, b, k):
+    """The ONE copy of the BM25 scoring arithmetic (idf, saturation,
+    decimal-exact per-doc sum, (score desc, id asc) top-k) shared by
+    the inline and index-served paths — the output-identity contract
+    between them (and the shared gate oracle) depends on these staying
+    bit-identical, so they must not fork."""
     avgdl = F.col("total_len").cast("double") / F.col("n_docs")
     idf = F.log(
         F.lit(1.0)
@@ -1912,7 +1947,10 @@ def pmi_collocations(
     # Both count tables feed multiple branches (lookups + totals):
     # persist-pin them so the corpus explode+groupBy runs ONCE per
     # table instead of once per consumer (vocab-sized cache, corpus
-    # never cached).
+    # never cached). The pin lives until the session drops it —
+    # long-lived sessions running many corpora should
+    # spark.catalog.clearCache() between batches (the bench harness
+    # does exactly this between reps).
     uni = (
         base.select(F.explode("__toks").alias("w"))
         .groupBy("w")
@@ -1920,16 +1958,7 @@ def pmi_collocations(
         .persist()
     )
     pairs_all = (
-        base.filter(F.col("__L") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, __L - 1),"
-                    " s -> struct(__toks[s - 1] AS w1, __toks[s] AS w2))"
-                )
-            ).alias("p")
-        )
-        .select("p.*")
+        _adjacent_word_pairs(base, "__toks")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .persist()
@@ -2037,7 +2066,10 @@ def kneser_ney_train(train: DataFrame, text_col: str) -> dict[str, DataFrame]:
 
     The production shape: train once on the reference corpus, persist,
     and :func:`kneser_ney_score` any ingest stream against it — the
-    same split as ``stupid_backoff_train``/``score``."""
+    same split as ``stupid_backoff_train``/``score``. The returned
+    ``big`` frame is persist-pinned (five consumers); callers running
+    many models in one session can ``lm["big"].unpersist()`` once the
+    tables are written out (or ``spark.catalog.clearCache()``)."""
 
     def _toks(df):
         return (
@@ -2048,16 +2080,7 @@ def kneser_ney_train(train: DataFrame, text_col: str) -> dict[str, DataFrame]:
 
     tt = _toks(train)
     big = (
-        tt.filter(F.col("__L") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, __L - 1),"
-                    " s -> struct(__t[s - 1] AS w1, __t[s] AS w2))"
-                )
-            ).alias("p")
-        )
-        .select("p.*")
+        _adjacent_word_pairs(tt, "__t")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
         # Five consumers (lookup, context, continuation, B, Vcont):
@@ -2226,36 +2249,15 @@ def bm25_search_index(
     recurring query-service cost is a term-filtered postings read +
     two broadcast joins + the decimal-exact per-doc sum; the corpus
     text is never re-tokenized. Identical scoring arithmetic (and
-    output) to :func:`bm25_search`."""
-    terms = sorted(set(t for t in re.split(r"\s+", query.lower().strip()) if t))
-    if not terms:
-        raise ValueError("query has no terms")
+    output) to :func:`bm25_search` — both paths score through the
+    single shared :func:`_bm25_rank` kernel, so they cannot fork."""
+    terms = _query_terms(query)
     for key in ("postings", "term_df", "stats"):
         if key not in index:
             raise ValueError(f"index missing frame {key!r} — not a bm25_index")
     tf = index["postings"].filter(F.col("term").isin(terms))
     df_t = index["term_df"].filter(F.col("term").isin(terms))
-    stats = index["stats"]
-    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
-    )
-    part = idf * (
-        F.col("tf") * (k1 + 1)
-        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
-    )
-    return (
-        tf.join(F.broadcast(df_t), "term")
-        .crossJoin(F.broadcast(stats))
-        .groupBy(id_col)
-        .agg(F.sum(part.cast("decimal(30,10)")).alias("_s"))
-        .orderBy(F.col("_s").desc(), F.col(id_col).asc())
-        .limit(k)
-        .select(
-            F.col(id_col), F.round(F.col("_s"), 6).cast("double").alias("score")
-        )
-    )
+    return _bm25_rank(tf, df_t, index["stats"], id_col, k1, b, k)
 
 
 def bm25_index_merge(

@@ -19,8 +19,9 @@ Row-id semantics follow the engine's positional contract:
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Annotated, Dict, List, Optional, Tuple
 
+from ..plans.op_spec import ExcludeFromUUID
 from ..types import DatasetType
 
 
@@ -330,11 +331,14 @@ class SkylineSelectOp(DatasetType):
     ``sampling.py:skyline_select`` (two-phase distributed prune);
     survivors keep their ORIGINAL row ids, like a mask (dense=False).
     The frontier is a partition-invariant row set, so the
-    content-addressed result reproduces under any cluster layout."""
+    content-addressed result reproduces under any cluster layout.
+    ``chunk`` is a purely physical knob (output is chunk-invariant by
+    construction — pinned by test), so it is excluded from the
+    content address: retuning it reuses the memoized result."""
 
     dataset: DatasetType
     criteria: Dict[str, str]
-    chunk: int = 2048
+    chunk: Annotated[int, ExcludeFromUUID()] = 2048
 
 
 class CalibrationBinsOp(DatasetType):

@@ -379,7 +379,7 @@ def test_kneser_ney_fluent_twin(lazy_runner):
 
 def test_skyline_rejects_non_numeric_and_missing_columns(spark):
     df = spark.createDataFrame([(1, "x")], "a int, s string")
-    with pytest.raises(ValueError, match="non-orderable-numeric"):
+    with pytest.raises(ValueError, match="non-numeric"):
         skyline_select(df, {"s": "max"})
     with pytest.raises(ValueError, match="not in dataframe"):
         skyline_select(df, {"zzz": "max"})
@@ -590,3 +590,23 @@ def test_bm25_index_merge_equals_rebuild(spark):
     assert got == want and len(got) == 15
     with pytest.raises(ValueError, match="missing frame"):
         bm25_index_merge({"postings": full["postings"]}, full)
+
+
+def test_calibration_bins_drops_nan_scores(spark):
+    """A NaN score must be dropped like a null — not folded into an
+    edge bin as a phantom row with NULL mean/gap."""
+    rows = [(float("nan"), 1), (0.95, 0), (0.91, 1)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {r.bin: r for r in calibration_bins(df, "score", "label").collect()}
+    assert set(got) == {9}
+    assert got[9].n == 2 and got[9].mean_score is not None
+
+
+def test_skyline_rejects_interval_types(spark):
+    """'interval day to second' starts with 'int' — the type guard
+    must still reject it (isinstance, not string prefixes)."""
+    df = spark.range(3).selectExpr(
+        "id", "make_dt_interval(0, 0, 0, id) as iv"
+    )
+    with pytest.raises(ValueError, match="non-numeric"):
+        skyline_select(df, {"iv": "max"})
