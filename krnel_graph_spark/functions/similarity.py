@@ -1216,6 +1216,114 @@ def ann_search(
     )
 
 
+def l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact L2 top-k per query (queries broadcast, corpus scanned once,
+    self-matches excluded) — the Euclidean twin of :func:`cosine_topk`
+    and the ground-truth side of :func:`recall_probe`. Distances use
+    the same fold-order ``l2_distance`` + round-6 + (distance, doc_id)
+    window the IVF-PQ refine path uses, so rank boundaries are
+    engine-portable."""
+    from .vector import l2_distance
+
+    c = ensure_min_partitions(corpus).select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("dv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    scored = c.join(F.broadcast(q), F.col("doc_id") != F.col("query_id")).select(
+        "query_id",
+        "doc_id",
+        F.round(
+            l2_distance(
+                F.col("dv").cast("array<double>"),
+                F.col("qv").cast("array<double>"),
+            ),
+            6,
+        ).alias("l2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2").asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "l2", "rank")
+    )
+
+
+def recall_probe(
+    model: DataFrame,
+    encoded: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    nprobe: int = 4,
+    refine_factor: int = 4,
+    band: float = 0.8,
+) -> DataFrame:
+    """Index-health monitor for a persisted :func:`ann_index` — the
+    runnable form of the re-train trigger SCALING.md documents for
+    :func:`ann_index_append`: codebooks trained on day-0 data quantize
+    drifted day-N vectors with day-0 cells, so recall decays as the
+    embedding distribution shifts. Run this on a probe set drawn from
+    the NEWEST ingest batch; when ``mean_recall`` drops below ``band``,
+    re-train (one ``ann_index`` call over a fresh sample) and re-encode.
+
+    Emits ONE row: ``(k, n_queries, mean_recall, min_recall,
+    below_band)``. The approximate side is :func:`ann_search` over the
+    frozen model with exact shortlist re-rank (``refine=corpus`` —
+    re-ranking keeps ranks engine-portable and preserves the drift
+    signal, which lives in cell routing / shortlist membership, not in
+    shortlist order); ground truth is :func:`l2_topk` over the same
+    corpus. Recall compares ID SETS per query, then one tiny aggregate.
+
+    Cost shape: one scan of the codes frame + one scan of the float
+    corpus (broadcast probe queries on both) — safe to run per ingest
+    batch at any corpus size."""
+    approx = ann_search(
+        model, encoded, queries, vec_col, id_col,
+        k=k, nprobe=nprobe, refine=corpus, refine_factor=refine_factor,
+    )
+    exact = l2_topk(corpus, queries, vec_col, id_col, k=k)
+    # Aggregate INTEGER hit counts, not float ratios: sums of ints are
+    # partition-order-invariant, so mean_recall is one deterministic
+    # division (micro-average == macro-average here — every query has
+    # the same denominator k when the corpus has >= k+1 rows).
+    hits = (
+        approx.select("query_id", "doc_id")
+        .join(
+            exact.select("query_id", "doc_id"),
+            ["query_id", "doc_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    denom = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("__n"))
+    per_q = denom.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("__hits"), F.lit(0)).alias("__hits"),
+        "__n",
+    )
+    mean = F.sum("__hits") / F.sum("__n")
+    return per_q.agg(
+        F.lit(int(k)).alias("k"),
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(mean, 6).alias("mean_recall"),
+        F.round(F.min(F.col("__hits") / F.col("__n")), 6).alias("min_recall"),
+        (mean < F.lit(float(band))).alias("below_band"),
+    )
+
+
 def recall_at_k(
     approx: DataFrame,
     exact: DataFrame,

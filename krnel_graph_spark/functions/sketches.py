@@ -84,7 +84,10 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def profile_table(
-    df: DataFrame, cols: list[str], exact_distinct: bool = False
+    df: DataFrame,
+    cols: list[str],
+    exact_distinct: bool = False,
+    hll_band: float | None = None,
 ) -> DataFrame:
     """Long-format table profile: one output row per column with row count,
     non-null count, distinct count, and numeric min/max (NULL for
@@ -96,12 +99,23 @@ def profile_table(
     ``True`` swaps in exact ``count(DISTINCT)`` (Spark plans an Expand of
     |cols| replicas — fine for profiling passes, and what a SQL oracle can
     reproduce bit-for-bit).
+
+    ``hll_band`` (implies the exact path) additionally computes the HLL
+    estimate for every column IN THE SAME aggregation and emits a boolean
+    ``hll_within_band`` = |hll − exact| ≤ band·exact. This is the
+    estimator-contract grading mode: exact stats are engine-portable,
+    the band checks each engine's own HLL against bounded relative error
+    without pinning estimator internals — and the table is still scanned
+    exactly once (r11 ran exact and HLL as two separate passes joined on
+    column; the fusion halves the scans and drops the join).
     """
     from pyspark.sql.types import NumericType
 
     numeric = {
         f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
     }
+    if hll_band is not None:
+        exact_distinct = True
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
     for c in cols:
         distinct = (
@@ -121,6 +135,8 @@ def profile_table(
                 else F.lit(None).cast("double")
             ).alias(f"__max_{c}"),
         ]
+        if hll_band is not None:
+            aggs.append(F.approx_count_distinct(c).alias(f"__hll_{c}"))
     wide = df.agg(*aggs)
     per_col = [
         F.struct(
@@ -130,6 +146,16 @@ def profile_table(
             F.col(f"__distinct_{c}").alias("n_distinct"),
             F.col(f"__min_{c}").alias("min_num"),
             F.col(f"__max_{c}").alias("max_num"),
+            *(
+                [
+                    (
+                        F.abs(F.col(f"__hll_{c}") - F.col(f"__distinct_{c}"))
+                        <= F.lit(hll_band) * F.col(f"__distinct_{c}")
+                    ).alias("hll_within_band")
+                ]
+                if hll_band is not None
+                else []
+            ),
         )
         for c in cols
     ]

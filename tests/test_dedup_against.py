@@ -166,3 +166,55 @@ def test_ref_index_bare_frame_width_guard(spark, corpora):
             new, ref, "text", "doc_id", mode="near",
             num_perm=32, bands=8, ref_index=bare,
         ).collect()
+
+
+def test_minhash_index_append_union_equals_monolithic(spark, corpora):
+    """append(index(A), B) == minhash_index(A ∪ B) as a row set, params
+    taken from the index itself (not re-specified by the caller)."""
+    from krnel_graph_spark.functions.dedup import (
+        minhash_index,
+        minhash_index_append,
+    )
+
+    new, ref = corpora
+    day0 = ref.filter("doc_id % 2 = 0")
+    day1 = ref.filter("doc_id % 2 = 1")
+    idx = minhash_index(day0, "text", "doc_id", num_perm=16, shingle_k=3)
+    appended = minhash_index_append(idx, day1, "text", "doc_id")
+    mono = minhash_index(ref, "text", "doc_id", num_perm=16, shingle_k=3)
+    got = sorted(map(tuple, appended.collect()))
+    want = sorted(map(tuple, mono.collect()))
+    assert got == want
+    # and the appended index drives dedup_against identically
+    kept_app = sorted(
+        r.doc_id
+        for r in dedup_against(
+            new, ref, "text", "doc_id", mode="near",
+            num_perm=16, bands=8, jaccard_threshold=0.5, ref_index=appended,
+        ).collect()
+    )
+    kept_mono = sorted(
+        r.doc_id
+        for r in dedup_against(
+            new, ref, "text", "doc_id", mode="near",
+            num_perm=16, bands=8, jaccard_threshold=0.5, ref_index=mono,
+        ).collect()
+    )
+    assert kept_app == kept_mono
+
+
+def test_minhash_index_append_rejects_mixed_or_bare(spark, corpora):
+    from krnel_graph_spark.functions.dedup import (
+        minhash_index,
+        minhash_index_append,
+    )
+
+    _, ref = corpora
+    idx16 = minhash_index(ref, "text", "doc_id", num_perm=16)
+    idx32 = minhash_index(ref, "text", "doc_id", num_perm=32)
+    mixed = idx16.unionByName(idx32)
+    with pytest.raises(ValueError, match="distinct .*layouts"):
+        minhash_index_append(mixed, ref, "text", "doc_id")
+    bare = idx16.select("doc_id", "sig", "n_sh")
+    with pytest.raises(ValueError, match="no layout to validate"):
+        minhash_index_append(bare, ref, "text", "doc_id")

@@ -236,3 +236,82 @@ def test_ann_index_append_equals_monolithic_encode(spark, vecs_df):
     ).orderBy("query_id", "rank").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert len(want) == 20
+
+
+def test_l2_topk_matches_numpy_brute_force(spark, vecs_df):
+    from krnel_graph_spark.functions.similarity import l2_topk
+
+    rows = [(r.vec_id, r.embedding) for r in vecs_df.collect()]
+    ids = np.array([r[0] for r in rows])
+    mat = np.stack([np.array(r[1], dtype=np.float64) for r in rows])
+    exact = {}
+    for q in range(5):
+        qv = mat[ids == q][0]
+        # replicate l2_topk's round-6 + (distance, id) tie order and
+        # self-exclusion
+        d6 = np.round(np.sqrt(((mat - qv) ** 2).sum(1)), 6)
+        keep = ids != q
+        order = np.lexsort((ids[keep], d6[keep]))
+        exact[q] = set(ids[keep][order][:10])
+    out = l2_topk(
+        vecs_df, vecs_df.filter("vec_id < 5"), "embedding", "vec_id", k=10
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, set()).add(r.doc_id)
+    assert len(by_q) == 5
+    for q, got in by_q.items():
+        assert got == exact[q]
+
+
+def test_recall_probe_mechanics(spark, vecs_df):
+    """The monitor's deterministic contracts: probing ALL cells with an
+    exact re-rank recovers ground truth exactly (recall 1.0 — candidate
+    set is the whole corpus, re-rank is the same round-6 L2 as the
+    ground-truth side), a partial probe stays in [0, 1], below_band is
+    consistent with the band on both, and the row shape is stable.
+    (Whether a particular drift lowers recall is data-dependent — the
+    sf0.01 gate query demonstrates that narrative; this test pins only
+    what is guaranteed.)"""
+    from pyspark.sql import functions as F
+
+    from krnel_graph_spark.functions.similarity import (
+        ann_index,
+        ann_index_append,
+        recall_probe,
+    )
+
+    day0 = vecs_df.filter("vec_id % 2 = 0").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    model, enc0 = ann_index(
+        day0, "embedding", "vec_id", n_cells=8, m=4, n_codes=32,
+        refine_iters=0,
+    )
+    batch = vecs_df.filter("vec_id % 2 = 1").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x * F.lit(3.0) + F.lit(2.0),
+        ).alias("embedding"),
+    )
+    enc1 = ann_index_append(model, batch, "embedding", "vec_id")
+    encoded = enc0.unionByName(enc1)
+    corpus = day0.unionByName(batch)
+    probes = batch.filter("vec_id < 40")
+
+    def run(nprobe, refine_factor, band):
+        row = recall_probe(
+            model, encoded, probes, corpus, "embedding", "vec_id",
+            k=10, nprobe=nprobe, refine_factor=refine_factor, band=band,
+        ).collect()[0]
+        assert row.k == 10 and row.n_queries == 20
+        assert 0.0 <= row.min_recall <= row.mean_recall <= 1.0
+        assert row.below_band == (row.mean_recall < band)
+        return row
+
+    # all-cells probe + shortlist covering the whole corpus == exact
+    full = run(nprobe=8, refine_factor=100, band=0.99)
+    assert full.mean_recall == 1.0 and full.min_recall == 1.0
+    assert not full.below_band
+    run(nprobe=2, refine_factor=4, band=0.99)
