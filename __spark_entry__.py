@@ -3601,6 +3601,37 @@ def q_kneser_ney_fixed(spark, sf_dir):
     )
 
 
+def q_kneser_ney3(spark, sf_dir):
+    """TRIGRAM interpolated Kneser-Ney (r12, the r11 verdict's item 6):
+    the order-3 model KenLM-grade perplexity filtering actually ships —
+    trigram raw level, continuation-count bigram level (stats derived
+    from the trigram type table so discounted mass matches backoff
+    weight), and the shared bigram-table continuation floor. Count
+    tables stay discount-free integers (one artifact, any discount);
+    scoring is one positions explode + five digest joins."""
+    from krnel_graph_spark.functions.text import kneser_ney3_logprob
+
+    docs = _docs(spark, sf_dir)
+    return kneser_ney3_logprob(docs, docs, "text", "doc_id")
+
+
+def q_kneser_ney3_pruned(spark, sf_dir):
+    """Trigram KN with KenLM-style count pruning (min_count=2): hapax
+    trigram types leave the lookup table — the dominant artifact on a
+    100-TB corpus shrinks by the Zipf tail — while context totals and
+    backoff weights keep their unpruned values, so pruned grams fall
+    through to the already-discounted backoff term. Trains on the
+    frozen doc_id%5 slice and scores the full stream (the production
+    shape)."""
+    from krnel_graph_spark.functions.text import kneser_ney3_logprob
+
+    docs = _docs(spark, sf_dir)
+    return kneser_ney3_logprob(
+        docs.filter(F.col("doc_id") % 5 == 0), docs, "text", "doc_id",
+        min_count=2,
+    )
+
+
 def q_bm25_index_search(spark, sf_dir):
     """BM25 served from the persistable index artifact
     (functions/text.py:bm25_index — postings/term_df/stats frames,
@@ -3615,59 +3646,42 @@ def q_bm25_index_search(spark, sf_dir):
 
 
 # The driver records hash-graded evidence only for the FIRST 50 entries
-# of queries(). r11 rotation (the r10 verdict's item 2): first the four
-# entries whose oracles are NEW or CHANGED this round, then the
-# verdict-named oldest-evidence rows (the two fake-LLM queries were
-# oracle-backed in r10 but have never had a driver HASH row; umap_pca
-# is the one remaining rows-only-by-design entry, deliberately given a
-# slot per the verdict; ann_ivf last recorded r1/r9), then the r5/r6/r7
-# evidence blocks oldest-first per COVERAGE.md.
-_R11_WINDOW = [
-    # new/changed oracles this round: profile_table_hll (error-band
-    # contract), embedding_clusters + semantic_dedup (deterministic
-    # k-means replay), ann_index_search (new persisted-index gate),
-    # plus the four NEW r11 operators (skyline / calibration / PMI /
-    # keep-best dedup) which need their first driver hash row.
-    "profile_table_hll", "embedding_clusters", "semantic_dedup",
-    "ann_index_search",
-    "skyline_docs", "calibration_curve", "pmi_colloc", "dedup_keep_best",
-    "kneser_ney", "kneser_ney_fixed", "bm25_index_search",
-    # verdict-named oldest evidence
-    "llm_logit_scores_fake", "llm_activations_fake", "umap_pca", "ann_ivf",
-    # r5-evidence pair displaced from the r10 window
-    "canonical_urls", "snapshot_diff",
-    # the r6 block (newest driver record round 6)
-    "funnel_steps", "retention_cohorts", "hybrid_search",
-    "funnel_conversion", "fuzzy_pairs", "event_transitions",
-    "session_cooccurrence", "weighted_sample",
-    "agg_q1", "join_q3", "selective_agg_q6", "dedup_exact", "text_stats",
-    # the r7 block (COVERAGE.md #51-64 minus the two r8-refreshed rows)
-    "token_entropy", "dsir_weights", "zipf_fit", "ngram_coverage",
-    "corpus_report", "expect_rules", "quarantine", "label_propagation",
-    "layout_report", "ewma_smooth", "contrastive_triplets",
-    "source_quality",
-    "late_lines_q12", "rollup_counts",
-    # r6/r7 codec + analytics rows (newest record round 7)
-    "image_stats_png", "image_phash", "image_dups_q", "audio_stats_wav",
-    "video_stats_y4m", "avro_roundtrip",
-    # (r12 rotation queue: upsert_merge/window_anomalies/events_hopping/
-    #  unigram_logprob/bigram_logprob/histogram_price/corr_matrix
-    #  (displaced by the seven new r11 operators above; last recorded
-    #  r7), then
-    #  pagerank/triangle_count/clustering_coeff/
-    #  k_core/assortativity/top_terms/simhash_pairs_q/orc_roundtrip/
-    #  text_roundtrip/audio_fp — the r7 remainder — then the r8 block
-    #  COVERAGE.md #141-175: local_supply_q5, mask_isin, boolean_logic,
-    #  jinja_template, split_hash, llm_generate_fake, mask_not_in,
-    #  pairwise_arithmetic, vector_to_scalar, anti_join, set_except,
-    #  simhash, lang_id, multimodal_meta, ... then the r10-recorded
-    #  blocks age back in. Rows-only is down to 1 (umap_pca).)
+# of queries(). r12 rotation (the r11 verdict's item 1, executed as
+# queued): first the five entries whose impls/oracles are NEW or
+# CHANGED this round (recall_probe / trigram KN pair / minhash_append
+# need their first driver row; profile_table_hll's implementation was
+# fused into one aggregation pass), then the ENTIRE remaining r7
+# evidence block (upsert_merge ... audio_fp — oldest driver records in
+# the ledger), then the head of the r8 block in COVERAGE.md order.
+# (r13 rotation queue: the r8 remainder — set_intersect, sort_topk,
+# split_train_mask, stupid_backoff, take_rows, temperature_mixture,
+# tokenizer_fertility, vocab_growth, select_column, schema_drift tail —
+# then the r9 blocks age back in. Rows-only remains 1: umap_pca.)
+_R12_WINDOW = [
+    # new/changed this round
+    "recall_probe", "kneser_ney3", "kneser_ney3_pruned", "minhash_append",
+    "profile_table_hll",
+    # the r7 remainder: every query whose newest driver record is r7
+    "upsert_merge", "window_anomalies", "events_hopping",
+    "unigram_logprob", "bigram_logprob", "histogram_price", "corr_matrix",
+    "pagerank", "triangle_count", "clustering_coeff", "k_core",
+    "assortativity", "top_terms", "simhash_pairs_q", "orc_roundtrip",
+    "text_roundtrip", "audio_fp",
+    # head of the r8 block (newest record round 8), COVERAGE order
+    "local_supply_q5", "mask_isin", "boolean_logic", "jinja_template",
+    "split_hash", "llm_generate_fake", "mask_not_in",
+    "pairwise_arithmetic", "vector_to_scalar", "anti_join", "set_except",
+    "simhash", "lang_id", "multimodal_meta",
+    "c4_rules", "centroid_filter", "corpus_divergence", "dedup_report",
+    "distinct_flags", "embedding_quantize", "export_manifest",
+    "fingerprint", "fluent_quality", "gopher_rules", "k_anonymity",
+    "kcenter_select", "leakage_safe_split", "llm_chat_generate",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The literal dict below keeps its r7 grouping for readability; the
-    # driver-visible ORDER is _R11_WINDOW first (see its comment), then
+    # driver-visible ORDER is _R12_WINDOW first (see its comment), then
     # everything else in literal order.
     d = {
         # ---- driver 50-slot recording window (r7 rotation) ---- #
@@ -3896,10 +3910,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "kneser_ney": q_kneser_ney,
         "kneser_ney_fixed": q_kneser_ney_fixed,
+        "kneser_ney3": q_kneser_ney3,
+        "kneser_ney3_pruned": q_kneser_ney3_pruned,
         "bm25_index_search": q_bm25_index_search,
     }
-    out = {k: d[k] for k in _R11_WINDOW}
-    missing = [k for k in _R11_WINDOW if k not in d]
+    out = {k: d[k] for k in _R12_WINDOW}
+    missing = [k for k in _R12_WINDOW if k not in d]
     assert not missing, f"window names drifted: {missing}"
     for k, v in d.items():
         out.setdefault(k, v)
@@ -8440,6 +8456,87 @@ FROM q GROUP BY doc_id
 
     out["kneser_ney"] = kn_sql("")
     out["kneser_ney_fixed"] = kn_sql(" AND doc_id % 5 = 0")
+
+    # kneser_ney3: the trigram extension — identical count derivations
+    # (trigram types -> context totals / mid continuation counts /
+    # middle normalizers, bigram table for the continuation floor),
+    # identical left-associated arithmetic per interpolation level.
+    # min_count pruning filters ONLY the trigram lookup table; every
+    # derived stat is computed from the unpruned types, mirroring
+    # kneser_ney3_train.
+    def kn3_sql(train_filter: str, min_count: int) -> str:
+        prune = (
+            f" WHERE c3 >= {min_count}" if min_count > 1 else ""
+        )
+        return f"""
+WITH tt AS (SELECT {toks_text} AS toks FROM documents
+            WHERE {norm_text} != ''{train_filter}),
+bg AS (SELECT toks[s] AS w1, toks[s + 1] AS w2
+       FROM (SELECT toks, unnest(range(1, len(toks))) AS s FROM tt
+             WHERE len(toks) >= 2)),
+big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+back AS (SELECT w2, count(*) AS n1back FROM big GROUP BY w2),
+tot AS (SELECT count(*) AS B FROM big),
+vc AS (SELECT count(*) AS Vc FROM back),
+vv AS (SELECT count(DISTINCT w) + 1 AS V
+       FROM (SELECT unnest(toks) AS w FROM tt)),
+tg AS (SELECT toks[s] AS u, toks[s + 1] AS v, toks[s + 2] AS w
+       FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS s FROM tt
+             WHERE len(toks) >= 3)),
+tri_all AS (SELECT u, v, w, count(*) AS c3 FROM tg GROUP BY u, v, w),
+tctx AS (SELECT u, v, sum(c3) AS c_uv, count(*) AS n1f_uv
+         FROM tri_all GROUP BY u, v),
+mid AS (SELECT v, w, count(*) AS n1mid FROM tri_all GROUP BY v, w),
+vstats AS (SELECT v, sum(n1mid) AS m_ctx, count(*) AS n1f_mid
+           FROM mid GROUP BY v),
+tri AS (SELECT * FROM tri_all{prune}),
+st AS (SELECT doc_id, {toks_text} AS toks FROM documents
+       WHERE {norm_text} != ''),
+sp AS (SELECT doc_id, toks[s] AS w,
+              CASE WHEN s >= 2 THEN toks[s - 1] END AS v,
+              CASE WHEN s >= 3 THEN toks[s - 2] END AS u
+       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS s
+             FROM st)),
+j AS (SELECT sp.doc_id, tri.c3, tctx.c_uv, tctx.n1f_uv, mid.n1mid,
+             vstats.m_ctx, vstats.n1f_mid,
+             coalesce(back.n1back, 0) AS nb,
+             sp.v IS NOT NULL AS has_v, sp.u IS NOT NULL AS has_u
+      FROM sp
+      LEFT JOIN tri ON tri.u = sp.u AND tri.v = sp.v AND tri.w = sp.w
+      LEFT JOIN tctx ON tctx.u = sp.u AND tctx.v = sp.v
+      LEFT JOIN mid ON mid.v = sp.v AND mid.w = sp.w
+      LEFT JOIN vstats ON vstats.v = sp.v
+      LEFT JOIN back ON back.w2 = sp.w),
+p AS (SELECT *, CASE WHEN (SELECT B FROM tot) > 0 THEN
+                 greatest(nb::DOUBLE - 0.75, 0.0)
+                   / (SELECT B FROM tot)::DOUBLE
+                 + (0.75 * (SELECT Vc FROM vc)::DOUBLE
+                      / (SELECT B FROM tot)::DOUBLE)
+                   * (1.0 / (SELECT V FROM vv)::DOUBLE)
+             ELSE 1.0 / (SELECT V FROM vv)::DOUBLE END AS pcont
+      FROM j),
+q2 AS (SELECT *, CASE WHEN has_v AND m_ctx IS NOT NULL THEN
+                 greatest(coalesce(n1mid, 0)::DOUBLE - 0.75, 0.0)
+                   / m_ctx::DOUBLE
+                 + (0.75 * n1f_mid::DOUBLE / m_ctx::DOUBLE) * pcont
+             ELSE pcont END AS p2
+       FROM p),
+q3 AS (SELECT doc_id,
+              CASE WHEN has_u AND c_uv IS NOT NULL THEN
+                  greatest(coalesce(c3, 0)::DOUBLE - 0.75, 0.0)
+                    / c_uv::DOUBLE
+                  + (0.75 * n1f_uv::DOUBLE / c_uv::DOUBLE) * p2
+              ELSE p2 END AS prob,
+              (nb = 0)::INT AS oov
+       FROM q2)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       sum(oov)::BIGINT AS n_oov,
+       sum(round(log10(prob), 6)::DECIMAL(20,6))::DOUBLE AS logprob_sum
+FROM q3 GROUP BY doc_id
+"""
+
+    out["kneser_ney3"] = kn3_sql("", 1)
+    out["kneser_ney3_pruned"] = kn3_sql(" AND doc_id % 5 = 0", 2)
     # the index-served path is output-identical to the inline scan, so
     # the oracle is literally the same SQL (the dedup_against_index /
     # ann_index_search idiom)

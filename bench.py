@@ -234,6 +234,13 @@ HEADLINE = [
     "kneser_ney",
     "kneser_ney_fixed",
     "bm25_index_search",
+    # r12 surface: trigram KN pair (self-scored + pruned frozen-train),
+    # the ANN index-health monitor, and the MinHash append leg of the
+    # index-maintenance trilogy.
+    "kneser_ney3",
+    "kneser_ney3_pruned",
+    "recall_probe",
+    "minhash_append",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

@@ -1154,27 +1154,40 @@ def minhash_index_append(
     re-signatured. Callers appending to parquet can equivalently write
     just the new-batch half; the union is lazy either way.
 
-    The param read is a bounded collect: ``distinct()`` over two
-    literal columns partial-aggregates to one row per layout."""
+    Validation is deliberately LAZY: the layout is read from the first
+    index row (a ``limit(1)`` collect — one early-out task, never a
+    full pass), and a row-level ``assert_true`` guard rides the
+    returned frame so a MIXED-layout index fails loudly when it is
+    actually scanned. An eager ``distinct()`` check would re-signature
+    an inline-derived index end-to-end just to validate it (measured
+    2× the whole append query at ×40)."""
     if "num_perm" not in index.columns or "shingle_k" not in index.columns:
         raise ValueError(
             "minhash_index_append needs an index built by minhash_index "
             "(carrying literal num_perm/shingle_k columns); a bare "
             "(id, sig, n_sh) frame has no layout to validate against"
         )
-    layouts = index.select("num_perm", "shingle_k").distinct().collect()
-    if len(layouts) != 1:
-        raise ValueError(
-            "minhash_index_append: index carries "
-            f"{len(layouts)} distinct (num_perm, shingle_k) layouts "
-            f"({sorted((r[0], r[1]) for r in layouts)}); a mixed-layout "
-            "index cannot be banded consistently — rebuild one side"
-        )
-    num_perm, shingle_k = int(layouts[0][0]), int(layouts[0][1])
+    head = index.select("num_perm", "shingle_k").limit(1).collect()
+    if not head:
+        raise ValueError("minhash_index_append: empty index frame")
+    num_perm, shingle_k = int(head[0][0]), int(head[0][1])
+    guard = F.assert_true(
+        (F.col("num_perm") == F.lit(num_perm))
+        & (F.col("shingle_k") == F.lit(shingle_k))
+        & (F.size("sig") == F.lit(num_perm)),
+        F.lit(
+            "minhash_index_append: mixed index layouts — a row does not "
+            f"match the index's own head layout (num_perm={num_perm}, "
+            f"shingle_k={shingle_k}); rebuild one side"
+        ),
+    )
+    validated = index.filter(
+        F.coalesce(guard.cast("boolean"), F.lit(True))
+    )
     new_idx = minhash_index(
         new_df, text_col, id_col, num_perm=num_perm, shingle_k=shingle_k
     )
-    return index.unionByName(new_idx)
+    return validated.unionByName(new_idx)
 
 
 def dedup_against(

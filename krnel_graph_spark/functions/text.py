@@ -1914,6 +1914,7 @@ def pmi_collocations(
     min_count: int = 5,
     top_k: int = 100,
     broadcast_vocab: bool = True,
+    pins: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """Top-``top_k`` bigram collocations by pointwise mutual
     information: ``pmi = log10(p(w1,w2) / (p(w1) p(w2)))`` with unigram
@@ -1947,10 +1948,12 @@ def pmi_collocations(
     # Both count tables feed multiple branches (lookups + totals):
     # persist-pin them so the corpus explode+groupBy runs ONCE per
     # table instead of once per consumer (vocab-sized cache, corpus
-    # never cached). The pin lives until the session drops it —
-    # long-lived sessions running many corpora should
-    # spark.catalog.clearCache() between batches (the bench harness
-    # does exactly this between reps).
+    # never cached). Pass ``pins=[]`` to receive the pinned frames and
+    # ``unpersist()`` them once the top-k has materialized (the OpSpec
+    # path does exactly this); otherwise the pin lives until the
+    # session drops it — long-lived sessions running many corpora
+    # should release per-call or spark.catalog.clearCache() between
+    # batches (the bench harness does the latter between reps).
     uni = (
         base.select(F.explode("__toks").alias("w"))
         .groupBy("w")
@@ -1963,6 +1966,8 @@ def pmi_collocations(
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .persist()
     )
+    if pins is not None:
+        pins.extend([uni, pairs_all])
     pairs = pairs_all.filter(F.col("n_pair") >= int(min_count))
     # Totals fold out of the count tables (vocab-sized aggregates), so
     # the corpus is scanned once per explode — never for a scalar.
@@ -2198,6 +2203,271 @@ def kneser_ney_score(
     )
 
 
+def _adjacent_word_triples(df: DataFrame, toks_col: str) -> DataFrame:
+    """Explode a tokenized frame (carrying ``__L``) into adjacent
+    ``(u, v, w)`` trigram rows — the order-3 sibling of
+    :func:`_adjacent_word_pairs`, shared by the trigram Kneser-Ney
+    trainer and replayed verbatim by its SQL oracle."""
+    return (
+        df.filter(F.col("__L") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, __L - 2),"
+                    f" s -> struct({toks_col}[s - 1] AS u,"
+                    f" {toks_col}[s] AS v,"
+                    f" {toks_col}[s + 1] AS w))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+    )
+
+
+def kneser_ney3_logprob(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str,
+    id_col: str,
+    discount: float = 0.75,
+    min_count: int = 1,
+) -> DataFrame:
+    """Interpolated TRIGRAM Kneser-Ney scoring — the order-3 model
+    KenLM-grade perplexity filtering (CCNet) actually ships. Same
+    artifact philosophy as the bigram :func:`kneser_ney_logprob`
+    (discount-free integer count tables, one trained artifact serves
+    any ``discount``), one more interpolation level:
+
+    ``P3(w|uv) = max(c(uvw)−D,0)/c(uv·) + D·N1+(uv·)/c(uv·) · P2c(w|v)``
+    when context ``(u,v)`` was seen, else ``P2c(w|v)``;
+    ``P2c(w|v) = max(N1+(·vw)−D,0)/N1+(·v·) + D·N1f(v)/N1+(·v·) · Pc(w)``
+    — the CONTINUATION bigram level (distinct-left-context counts
+    derived from the trigram type table, so each level's discounted
+    mass matches its backoff weight), else ``Pc(w)``; ``Pc`` is the
+    same bigram-table continuation distribution the order-2 model
+    bottoms out in. Document positions 1 and 2 score at the levels
+    their shortened context supports (``Pc`` / ``P2c``).
+
+    ``min_count`` prunes trigram types with ``c(uvw) < min_count``
+    from the lookup table while keeping context totals and backoff
+    weights at their UNPRUNED values — pruned grams fall through to
+    the (already-discounted) backoff term, the KenLM pruning shape
+    that bounds the dominant artifact on a 100-TB corpus without
+    touching lower-order tables.
+
+    Returns ``(id, n_tokens, n_oov, logprob_sum)`` — the
+    :func:`kneser_ney_logprob` contract (log10 terms, round-6, exact
+    decimal per-doc sum)."""
+    return kneser_ney3_score(
+        kneser_ney3_train(train, text_col, min_count=min_count),
+        score,
+        text_col,
+        id_col,
+        discount=discount,
+    )
+
+
+def kneser_ney3_train(
+    train: DataFrame, text_col: str, min_count: int = 1
+) -> dict[str, DataFrame]:
+    """Build the persistable trigram Kneser-Ney artifact — six plain
+    parquet-writable integer-count frames (discount stays a score-time
+    knob):
+
+    * ``tri``: ``(u, v, w, c3)`` trigram type counts (pruned to
+      ``c3 >= min_count``; all derived stats below are computed BEFORE
+      pruning so backoff weights stay consistent);
+    * ``tctx``: ``(u, v, c_uv, n1f_uv)`` trigram-context totals;
+    * ``mid``: ``(v, w, n1mid)`` distinct left contexts per bigram —
+      the continuation counts of the middle level;
+    * ``vstats``: ``(v, m_ctx, n1f_mid)`` middle-level normalizers
+      (``N1+(·v·)`` and its type count);
+    * ``back``: ``(w2, n1back)`` / ``scalars``: ``(B, Vc, V)`` — the
+      bigram-table continuation floor, shared with the order-2 model.
+
+    Scale shape: the corpus is tokenized by three embarrassingly
+    parallel scans (pair explode, triple explode, vocab count) — token
+    arrays are deliberately NOT cached (corpus-sized); the type tables
+    they reduce to are vocab-bounded, and the two multi-consumer ones
+    (``big``: 3 consumers, ``tri``: 4) are persist-pinned. Callers
+    running many models in one session can ``unpersist()`` them via
+    the returned frames once written out."""
+
+    def _toks(df):
+        return (
+            df.filter(normalize_text(F.col(text_col)) != "")
+            .select(whitespace_tokens(F.col(text_col)).alias("__t"))
+            .withColumn("__L", F.size("__t"))
+        )
+
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    tt = _toks(train)
+    big = (
+        _adjacent_word_pairs(tt, "__t")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .persist()
+    )
+    back = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n1back"))
+    scalars = (
+        big.agg(F.count(F.lit(1)).alias("B"))
+        .crossJoin(back.agg(F.count(F.lit(1)).alias("Vc")))
+        .crossJoin(
+            tt.select(F.explode("__t").alias("w")).agg(
+                (F.count_distinct("w") + 1).alias("V")
+            )
+        )
+    )
+    tri_all = (
+        _adjacent_word_triples(tt, "__t")
+        .groupBy("u", "v", "w")
+        .agg(F.count(F.lit(1)).alias("c3"))
+        .persist()
+    )
+    tctx = tri_all.groupBy("u", "v").agg(
+        F.sum("c3").alias("c_uv"), F.count(F.lit(1)).alias("n1f_uv")
+    )
+    mid = tri_all.groupBy("v", "w").agg(F.count(F.lit(1)).alias("n1mid"))
+    vstats = mid.groupBy("v").agg(
+        F.sum("n1mid").alias("m_ctx"), F.count(F.lit(1)).alias("n1f_mid")
+    )
+    tri = (
+        tri_all.filter(F.col("c3") >= F.lit(int(min_count)))
+        if min_count > 1
+        else tri_all
+    )
+    return {
+        "tri": tri,
+        "tctx": tctx,
+        "mid": mid,
+        "vstats": vstats,
+        "back": back,
+        "scalars": scalars,
+        # handles for callers that want to release the pinned tables
+        "_pinned_big": big,
+        "_pinned_tri": tri_all,
+    }
+
+
+def kneser_ney3_score(
+    lm: dict[str, DataFrame],
+    score: DataFrame,
+    text_col: str,
+    id_col: str,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Score a corpus against a FROZEN trigram Kneser-Ney artifact
+    (:func:`kneser_ney3_train`'s frame dict, possibly re-read from
+    parquet). One positions explode, five digest-keyed LEFT joins
+    (trigram, trigram-context, mid-continuation, middle normalizer,
+    unigram continuation) + the broadcast 1-row scalars — raw grams
+    never shuffle."""
+    D = float(discount)
+    if not (0.0 < D < 1.0):
+        raise ValueError("discount must be in (0, 1)")
+    for key in ("tri", "tctx", "mid", "vstats", "back", "scalars"):
+        if key not in lm:
+            raise ValueError(
+                f"lm missing frame {key!r} — not a kneser_ney3_train artifact"
+            )
+
+    scalars = lm["scalars"].select(
+        F.col("B").alias("__B"), F.col("Vc").alias("__Vc"), F.col("V").alias("__V")
+    )
+    tri_d = lm["tri"].select(
+        F.md5(F.concat_ws(" ", "u", "v", "w")).alias("__td"), "c3"
+    )
+    tctx_d = lm["tctx"].select(
+        F.md5(F.concat_ws(" ", "u", "v")).alias("__ud"), "c_uv", "n1f_uv"
+    )
+    mid_d = lm["mid"].select(
+        F.md5(F.concat_ws(" ", "v", "w")).alias("__md"), "n1mid"
+    )
+    vstats_d = lm["vstats"].select(
+        F.md5("v").alias("__vd"), "m_ctx", "n1f_mid"
+    )
+    back_d = lm["back"].select(F.md5("w2").alias("__wd"), "n1back")
+
+    pos = (
+        score.filter(normalize_text(F.col(text_col)) != "")
+        .select(
+            F.col(id_col), whitespace_tokens(F.col(text_col)).alias("__t")
+        )
+        .withColumn("__L", F.size("__t"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, __L),"
+                    " s -> struct(__t[s - 1] AS w,"
+                    " IF(s >= 2, __t[s - 2], NULL) AS v,"
+                    " IF(s >= 3, __t[s - 3], NULL) AS u))"
+                )
+            ).alias("p"),
+        )
+        .select(
+            F.col(id_col),
+            F.md5(F.concat_ws(" ", "p.u", "p.v", "p.w")).alias("__td"),
+            F.md5(F.concat_ws(" ", "p.u", "p.v")).alias("__ud"),
+            F.md5(F.concat_ws(" ", "p.v", "p.w")).alias("__md"),
+            F.md5("p.v").alias("__vd"),
+            F.md5("p.w").alias("__wd"),
+            F.col("p.v").isNotNull().alias("__has_v"),
+            F.col("p.u").isNotNull().alias("__has_u"),
+        )
+    )
+    joined = (
+        pos.join(tri_d, "__td", "left")
+        .join(tctx_d, "__ud", "left")
+        .join(mid_d, "__md", "left")
+        .join(vstats_d, "__vd", "left")
+        .join(back_d, "__wd", "left")
+        .crossJoin(F.broadcast(scalars))
+    )
+    nb = F.coalesce(F.col("n1back"), F.lit(0)).cast("double")
+    Bd = F.col("__B").cast("double")
+    unif = F.lit(1.0) / F.col("__V").cast("double")
+    pcont = F.when(
+        F.col("__B") > 0,
+        F.greatest(nb - F.lit(D), F.lit(0.0)) / Bd
+        + (F.lit(D) * F.col("__Vc").cast("double") / Bd) * unif,
+    ).otherwise(unif)
+    mctx_d_ = F.col("m_ctx").cast("double")
+    p2 = F.when(
+        F.col("__has_v") & F.col("m_ctx").isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("n1mid"), F.lit(0)).cast("double") - F.lit(D),
+            F.lit(0.0),
+        )
+        / mctx_d_
+        + (F.lit(D) * F.col("n1f_mid").cast("double") / mctx_d_) * pcont,
+    ).otherwise(pcont)
+    cuv_d = F.col("c_uv").cast("double")
+    p3 = F.when(
+        F.col("__has_u") & F.col("c_uv").isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("c3"), F.lit(0)).cast("double") - F.lit(D),
+            F.lit(0.0),
+        )
+        / cuv_d
+        + (F.lit(D) * F.col("n1f_uv").cast("double") / cuv_d) * p2,
+    ).otherwise(p2)
+    return (
+        joined.select(
+            F.col(id_col),
+            F.round(F.log10(p3), 6).cast("decimal(20,6)").alias("__term"),
+            (F.col("n1back").isNull()).cast("int").alias("__oov"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("__oov").cast("long").alias("n_oov"),
+            F.sum("__term").cast("double").alias("logprob_sum"),
+        )
+    )
+
+
 def bm25_index(df: DataFrame, text_col: str, id_col: str) -> dict[str, DataFrame]:
     """Build the persistable BM25 index artifact — the sparse-retrieval
     twin of ``minhash_index`` (dedup) and ``ann_index`` (dense ANN):
@@ -2261,7 +2531,9 @@ def bm25_search_index(
 
 
 def bm25_index_merge(
-    a: dict[str, DataFrame], b: dict[str, DataFrame]
+    a: dict[str, DataFrame],
+    b: dict[str, DataFrame],
+    validate: bool = True,
 ) -> dict[str, DataFrame]:
     """Merge two :func:`bm25_index` artifacts (disjoint doc sets) into
     one — the day-N ingest step: index ONLY the new documents, merge
@@ -2274,11 +2546,42 @@ def bm25_index_merge(
 
     ``merge(index(A), index(B)) == index(A union B)`` exactly (pinned
     by test), so searches over the merged artifact match a from-scratch
-    rebuild row-for-row."""
+    rebuild row-for-row.
+
+    Disjointness is an input CONTRACT the arithmetic depends on — an
+    overlapping merge would duplicate postings and double-count
+    df_t/n_docs/total_len, corrupting scores silently. ``validate=True``
+    (default) runs one eager semi-join over the two postings id sets
+    (digest-width shuffle, stops at the first hit) and raises on
+    overlap; pipelines that guarantee disjointness structurally (e.g.
+    date-partitioned ingest) can pass ``validate=False`` to skip the
+    job."""
     for key in ("postings", "term_df", "stats"):
         for side in (a, b):
             if key not in side:
                 raise ValueError(f"index missing frame {key!r} — not a bm25_index")
+    if validate:
+        id_cols = [
+            c for c in a["postings"].columns if c not in ("dl", "term", "tf")
+        ]
+        if len(id_cols) != 1:
+            raise ValueError(
+                f"cannot infer postings id column from {a['postings'].columns}"
+            )
+        id_col = id_cols[0]
+        clash = (
+            a["postings"].select(id_col).distinct()
+            .join(b["postings"].select(id_col).distinct(), id_col, "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                "bm25_index_merge: doc sets overlap (e.g. "
+                f"{id_col}={clash[0][0]!r}); merging would double-count "
+                "postings/df_t/n_docs — dedup the ingest batch first or "
+                "pass validate=False only if overlap is impossible"
+            )
     postings = a["postings"].unionByName(b["postings"])
     term_df = (
         a["term_df"].unionByName(b["term_df"])

@@ -377,3 +377,19 @@ class KneserNeyScoreOp(DatasetType):
     text_column: str
     train_column: str
     discount: float = 0.75
+
+
+class KneserNey3ScoreOp(DatasetType):
+    """TRIGRAM interpolated Kneser-Ney LM score (order-3 KenLM shape,
+    optional count pruning) — same two-parent contract and output
+    columns as :class:`KneserNeyScoreOp`. A separate class (not an
+    ``order`` field on the bigram op) so existing bigram UUIDs keep
+    their content address. Lowering: ``text.py:kneser_ney3_logprob``
+    left-joined back on the row id."""
+
+    dataset: DatasetType
+    train: DatasetType
+    text_column: str
+    train_column: str
+    discount: float = 0.75
+    min_count: int = 1

@@ -40,6 +40,7 @@ from ..operators.scale_ops import (
     SkylineSelectOp,
     CalibrationBinsOp,
     PmiCollocationsOp,
+    KneserNey3ScoreOp,
     KneserNeyScoreOp,
     DedupWeightsOp,
     SpanCorruptionOp,
@@ -1882,17 +1883,29 @@ def pmi_collocations_op(
     runner: SparkRunner, op: PmiCollocationsOp
 ) -> DatasetPlan:
     """PMI collocation mining: a bounded top-k table, fresh dense row
-    ids in the deterministic (pmi desc, w1, w2) rank order."""
-    from pyspark.sql import Window as _W
+    ids in the deterministic (pmi desc, w1, w2) rank order.
 
+    The result is top_k rows by construction, so the op path
+    materializes it eagerly (bounded collect) and releases the two
+    vocab-sized count-table pins immediately — repeated
+    PmiCollocationsOp runs over different corpora in one long-lived
+    session no longer accumulate cached tables until a blanket
+    clearCache."""
     from ..functions.text import pmi_collocations as _impl
 
     ds = runner.dataset_plan(op.dataset)
-    out = _impl(
-        ds.df, op.text_column, min_count=op.min_count, top_k=op.top_k
+    pins: list = []
+    scored = _impl(
+        ds.df, op.text_column, min_count=op.min_count, top_k=op.top_k,
+        pins=pins,
     )
+    rows = scored.collect()
+    for frame in pins:
+        frame.unpersist()
+    from pyspark.sql import Window as _W
+
     w = _W.orderBy(F.col("pmi").desc(), "w1", "w2")
-    out = out.select(
+    out = runner.spark.createDataFrame(rows, scored.schema).select(
         (F.row_number().over(w) - 1).cast("long").alias(ROW_ID), "*"
     )
     return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=True)
@@ -1905,20 +1918,57 @@ def kneser_ney_score_op(
     """Two-parent Kneser-Ney enrichment: this dataset scored against the
     train parent's count tables; n_tokens/n_oov/logprob_sum left-joined
     back on the row id (blank docs null). Both parents content-address
-    the result."""
-    from ..functions.text import kneser_ney_logprob as _impl
+    the result.
+
+    The op path eagerly checkpoints the NARROW scores frame (4 columns
+    per doc) and releases the trainer's vocab²-sized count-table pin —
+    repeated LM ops over different corpora in one session must not
+    accumulate cached tables (the pmi_collocations_op lesson)."""
+    from ..functions.text import kneser_ney_score as _score
+    from ..functions.text import kneser_ney_train as _train
 
     ds = runner.dataset_plan(op.dataset)
     train = runner.dataset_plan(op.train)
-    scores = _impl(
+    lm = _train(
         train.df.select(
             ROW_ID, F.col(op.train_column).alias(op.text_column)
         ),
-        ds.df.select(ROW_ID, op.text_column),
         op.text_column,
-        ROW_ID,
-        discount=op.discount,
     )
+    scores = _score(
+        lm, ds.df.select(ROW_ID, op.text_column),
+        op.text_column, ROW_ID, discount=op.discount,
+    ).localCheckpoint(eager=True)
+    lm["big"].unpersist()
+    out = ds.df.join(scores, ROW_ID, "left")
+    return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=ds.dense)
+
+
+@SparkRunner.implementation
+def kneser_ney3_score_op(
+    runner: SparkRunner, op: KneserNey3ScoreOp
+) -> DatasetPlan:
+    """Trigram twin of kneser_ney_score_op: same two-parent enrichment
+    contract, order-3 count tables with optional hapax pruning; same
+    checkpoint-then-release pin hygiene."""
+    from ..functions.text import kneser_ney3_score as _score
+    from ..functions.text import kneser_ney3_train as _train
+
+    ds = runner.dataset_plan(op.dataset)
+    train = runner.dataset_plan(op.train)
+    lm = _train(
+        train.df.select(
+            ROW_ID, F.col(op.train_column).alias(op.text_column)
+        ),
+        op.text_column,
+        min_count=op.min_count,
+    )
+    scores = _score(
+        lm, ds.df.select(ROW_ID, op.text_column),
+        op.text_column, ROW_ID, discount=op.discount,
+    ).localCheckpoint(eager=True)
+    lm["_pinned_big"].unpersist()
+    lm["_pinned_tri"].unpersist()
     out = ds.df.join(scores, ROW_ID, "left")
     return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=ds.dense)
 

@@ -369,6 +369,28 @@ class DatasetType(OpSpec):
             discount=discount,
         )
 
+    def kneser_ney3_score(
+        self,
+        train: "DatasetType",
+        text_column: str,
+        train_column: Optional[str] = None,
+        discount: float = 0.75,
+        min_count: int = 1,
+    ) -> "DatasetType":
+        """Append TRIGRAM interpolated Kneser-Ney LM scores — the
+        order-3 KenLM shape CCNet-grade perplexity filtering ships,
+        with optional hapax pruning of the trigram table."""
+        from .operators.scale_ops import KneserNey3ScoreOp
+
+        return KneserNey3ScoreOp(
+            dataset=self,
+            train=train,
+            text_column=text_column,
+            train_column=train_column or text_column,
+            discount=discount,
+            min_count=min_count,
+        )
+
     def gopher_rules(self, text_column: str) -> "DatasetType":
         """Append the Gopher quality-rule flags + keep verdict."""
         from .operators.scale_ops import GopherRulesOp

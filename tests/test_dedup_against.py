@@ -204,6 +204,8 @@ def test_minhash_index_append_union_equals_monolithic(spark, corpora):
 
 
 def test_minhash_index_append_rejects_mixed_or_bare(spark, corpora):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
     from krnel_graph_spark.functions.dedup import (
         minhash_index,
         minhash_index_append,
@@ -212,9 +214,11 @@ def test_minhash_index_append_rejects_mixed_or_bare(spark, corpora):
     _, ref = corpora
     idx16 = minhash_index(ref, "text", "doc_id", num_perm=16)
     idx32 = minhash_index(ref, "text", "doc_id", num_perm=32)
+    # mixed layouts fail LAZILY (row-level assert at scan time — the
+    # eager distinct() alternative costs a full extra signature pass)
     mixed = idx16.unionByName(idx32)
-    with pytest.raises(ValueError, match="distinct .*layouts"):
-        minhash_index_append(mixed, ref, "text", "doc_id")
+    with pytest.raises(SparkRuntimeException, match="mixed index layouts"):
+        minhash_index_append(mixed, ref, "text", "doc_id").collect()
     bare = idx16.select("doc_id", "sig", "n_sh")
     with pytest.raises(ValueError, match="no layout to validate"):
         minhash_index_append(bare, ref, "text", "doc_id")

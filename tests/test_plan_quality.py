@@ -586,3 +586,36 @@ def test_kneser_ney_digest_joins_no_python(spark, entry):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_kneser_ney3_digest_joins_no_python(spark, entry):
+    """Trigram Kneser-Ney scoring: one positions explode, five
+    digest-keyed LEFT joins, broadcast 1-row scalars — still zero
+    Python, zero Cartesian, zero window at order 3."""
+    plan = _plan(spark, entry, "kneser_ney3_pruned")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_minhash_append_banded_join_shape(spark, entry):
+    """Appended-index dedup keeps the inline path's plan class: banded
+    candidate join (never all-pairs Cartesian), signature UDFs only on
+    the Arrow path, and one anti-join back to the new corpus."""
+    plan = _plan(spark, entry, "minhash_append")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan or "left_anti" in plan.lower()
+
+
+def test_recall_probe_bounded_scans(spark, entry):
+    """The index-health monitor costs one codes-frame scan + one
+    float-corpus scan with broadcast probes: no Cartesian product, the
+    exact side's query join is broadcast, and the final monitor row is
+    a single aggregate (no global sort)."""
+    plan = _plan(spark, entry, "recall_probe")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast probe queries
+    # per-query ranking is a window over broadcast-joined pairs; the
+    # monitor aggregate itself is one HashAggregate pass
+    assert "HashAggregate" in plan

@@ -371,13 +371,12 @@ def test_cdc_dedup_op_row_aligned(lazy_runner):
 def test_skyline_memoized_and_rehydrates(runner):
     """r11 twins inherit the full content-address contract: store hit
     skips the two-phase prune, and the op graph rebuilds by uuid."""
-    import time
-
     ds = runner.from_parquet(DOCS)
     op = ds.skyline_select({"n_chars": "max"})
     first = runner.to_pandas(op)
 
     from krnel_graph_spark import SparkRunner
+    from krnel_graph_spark.operators.scale_ops import SkylineSelectOp
 
     fresh = SparkRunner(
         spark=runner.spark,
@@ -385,9 +384,18 @@ def test_skyline_memoized_and_rehydrates(runner):
         if hasattr(runner.store, "root_path")
         else str(runner.store.root),
     )
-    t0 = time.time()
+
+    # Prove the memoization DIRECTLY (not via wall-clock, which is
+    # flaky on loaded machines): shadow the skyline implementation on
+    # this runner instance with one that raises — a store hit must
+    # satisfy the op without ever dispatching to it.
+    def _must_not_run(r, o):
+        raise AssertionError("store hit expected — skyline impl re-ran")
+
+    fresh._impl_table = {
+        **type(fresh)._impl_table, SkylineSelectOp: _must_not_run
+    }
     second = fresh.to_pandas(op)
-    assert time.time() - t0 < 1.5
     pd.testing.assert_frame_equal(first, second)
     rebuilt = fresh.uuid_to_op(op.uuid)
     assert type(rebuilt).__name__ == "SkylineSelectOp"

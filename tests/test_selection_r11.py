@@ -359,6 +359,27 @@ def test_pmi_collocations_fluent_twin(lazy_runner):
     # rank order is (pmi desc, w1, w2)
     key = list(zip(-pdf["pmi"], pdf["w1"], pdf["w2"]))
     assert key == sorted(key)
+    # the op path releases its two vocab-sized count-table pins after
+    # the bounded top-k collect. Lazy mode intentionally keeps ONE
+    # localCheckpoint barrier per op result (top_k rows, ContextCleaner
+    # reclaimed), so the assertion is: nothing persisted except
+    # checkpoint barriers — the count tables (InMemoryRelation persists)
+    # must all be gone.
+    spark = lazy_runner.spark
+
+    def _cached(tag=""):
+        out = {}
+        it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+        while it.hasNext():
+            e = it.next()
+            out[e.getKey()] = e.getValue().toString()
+        return out
+
+    before = set(_cached())
+    lazy_runner.to_pandas(ds.pmi_collocations("text", min_count=4, top_k=5))
+    for rid, desc in _cached().items():
+        if rid not in before:
+            assert "localCheckpoint" in desc, f"leaked cached table: {desc}"
 
 
 def test_kneser_ney_fluent_twin(lazy_runner):
@@ -590,6 +611,15 @@ def test_bm25_index_merge_equals_rebuild(spark):
     assert got == want and len(got) == 15
     with pytest.raises(ValueError, match="missing frame"):
         bm25_index_merge({"postings": full["postings"]}, full)
+    # overlapping doc sets would double-count postings/df_t/n_docs:
+    # the default validate pass must fail loudly, not corrupt scores
+    with pytest.raises(ValueError, match="overlap"):
+        bm25_index_merge(full, bm25_index(new, "text", "doc_id"))
+    # structurally-disjoint pipelines can skip the validation job
+    skipped = bm25_index_merge(
+        full, bm25_index(new, "text", "doc_id"), validate=False
+    )
+    assert set(skipped) == {"postings", "term_df", "stats"}
 
 
 def test_calibration_bins_drops_nan_scores(spark):

@@ -154,6 +154,13 @@ QUERIES = [
     # serve-only cost is the BASELINE.md A/B row (0.67 s vs 2.71 s
     # inline at x40).
     "bm25_index_search",
+    # r12: trigram KN, pruned frozen-train variant (the production
+    # shape — same 1/5-rate train growth as kneser_ney_fixed; the
+    # trigram table is the new dominant artifact, pruning bounds it).
+    "kneser_ney3_pruned",
+    # r12: MinHash append leg — same banded-join growth as
+    # dedup_against_index, plus the bounded param-layout collect.
+    "minhash_append",
     "random_projection",
     "export_manifest",
     "schema_drift",
@@ -390,10 +397,45 @@ def _extra_queries():
             k=10, nprobe=4, refine=emb, refine_factor=4,
         )
 
+    def recall_probe_x20(s):
+        # r12: the index-health monitor at x20 — frozen day-0 model
+        # (even vec_ids), drifted odd batch appended with the frozen
+        # codebooks, recall@10 vs exact L2 over the merged corpus.
+        # Cost shape: one codes-frame scan + one float-corpus scan
+        # (broadcast 10 probes) — the per-ingest-batch monitoring cost.
+        from pyspark.sql import functions as F  # noqa: N812
+
+        from krnel_graph_spark.functions import similarity as sim
+
+        emb = s.read.parquet(f"{OUT}/embeddings.parquet")
+        day0 = emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        ).filter(F.col("vec_id") % 2 == 0)
+        drift = emb.filter(F.col("vec_id") % 2 == 1).select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x * F.lit(1.25) + F.lit(0.05),
+            ).alias("embedding"),
+        )
+        model, enc0 = sim.ann_index(
+            day0, "embedding", "vec_id", n_cells=16, m=8, n_codes=64,
+            refine_iters=0,
+        )
+        enc1 = sim.ann_index_append(model, drift, "embedding", "vec_id")
+        return sim.recall_probe(
+            model, enc0.unionByName(enc1),
+            drift.filter(F.col("vec_id") < 20),
+            day0.unionByName(drift), "embedding", "vec_id",
+            k=10, nprobe=4, band=0.8,
+        )
+
     return {
         "dedup_against_near_x40": dedup_against_near_x40,
         "dedup_against_index_x40": dedup_against_index_x40,
         "ann_index_search_x20": ann_index_search_x20,
+        "recall_probe_x20": recall_probe_x20,
         "ngram_coverage_x40": ngram_coverage_x40,
         "margin_pairs_ann_x20": margin_ann_x20,
         "containment_x40": containment_x40,
