@@ -3632,6 +3632,23 @@ def q_kneser_ney3_pruned(spark, sf_dir):
     )
 
 
+def q_kneser_ney3_modified(spark, sf_dir):
+    """MODIFIED Kneser-Ney (Chen & Goodman 1998) — KenLM's actual
+    default smoothing: three per-level discounts D1/D2/D3+ chosen by
+    count class, estimated in closed form from the artifact's own
+    count-of-counts, per-class backoff weights. Crucially a SCORE-TIME
+    flag over the same discount-free count tables — switching from
+    single-discount to modified KN never retrains. Frozen doc_id%5
+    train slice, full stream scored."""
+    from krnel_graph_spark.functions.text import kneser_ney3_logprob
+
+    docs = _docs(spark, sf_dir)
+    return kneser_ney3_logprob(
+        docs.filter(F.col("doc_id") % 5 == 0), docs, "text", "doc_id",
+        discount="modified",
+    )
+
+
 def q_bm25_index_search(spark, sf_dir):
     """BM25 served from the persistable index artifact
     (functions/text.py:bm25_index — postings/term_df/stats frames,
@@ -3653,13 +3670,17 @@ def q_bm25_index_search(spark, sf_dir):
 # fused into one aggregation pass), then the ENTIRE remaining r7
 # evidence block (upsert_merge ... audio_fp — oldest driver records in
 # the ledger), then the head of the r8 block in COVERAGE.md order.
-# (r13 rotation queue: the r8 remainder — set_intersect, sort_topk,
-# split_train_mask, stupid_backoff, take_rows, temperature_mixture,
-# tokenizer_fertility, vocab_growth, select_column, schema_drift tail —
-# then the r9 blocks age back in. Rows-only remains 1: umap_pca.)
+# (r13 rotation queue: the r8 remainder — llm_chat_generate,
+# set_intersect, sort_topk, split_train_mask, stupid_backoff,
+# take_rows, temperature_mixture, tokenizer_fertility, vocab_growth,
+# minhash_signature, ngram_jaccard, packing_report, paragraph_dedup,
+# perplexity_buckets, pii_report, quality_buckets, scan_parquet,
+# schema_drift, select_column — then the r9 blocks age back in.
+# Rows-only remains 1: umap_pca.)
 _R12_WINDOW = [
     # new/changed this round
-    "recall_probe", "kneser_ney3", "kneser_ney3_pruned", "minhash_append",
+    "recall_probe", "kneser_ney3", "kneser_ney3_pruned",
+    "kneser_ney3_modified", "minhash_append",
     "profile_table_hll",
     # the r7 remainder: every query whose newest driver record is r7
     "upsert_merge", "window_anomalies", "events_hopping",
@@ -3675,7 +3696,7 @@ _R12_WINDOW = [
     "c4_rules", "centroid_filter", "corpus_divergence", "dedup_report",
     "distinct_flags", "embedding_quantize", "export_manifest",
     "fingerprint", "fluent_quality", "gopher_rules", "k_anonymity",
-    "kcenter_select", "leakage_safe_split", "llm_chat_generate",
+    "kcenter_select", "leakage_safe_split",
 ]
 
 
@@ -3912,6 +3933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kneser_ney_fixed": q_kneser_ney_fixed,
         "kneser_ney3": q_kneser_ney3,
         "kneser_ney3_pruned": q_kneser_ney3_pruned,
+        "kneser_ney3_modified": q_kneser_ney3_modified,
         "bm25_index_search": q_bm25_index_search,
     }
     out = {k: d[k] for k in _R12_WINDOW}
@@ -8464,10 +8486,79 @@ FROM q GROUP BY doc_id
     # min_count pruning filters ONLY the trigram lookup table; every
     # derived stat is computed from the unpruned types, mirroring
     # kneser_ney3_train.
-    def kn3_sql(train_filter: str, min_count: int) -> str:
+    def kn3_sql(train_filter: str, min_count: int, modified: bool = False) -> str:
         prune = (
             f" WHERE c3 >= {min_count}" if min_count > 1 else ""
         )
+        if modified:
+            # Chen & Goodman closed-form discounts from each level's
+            # count-of-counts, clamped to [0, k]; degenerate levels
+            # fall back to the 0.75 base discount — the exact
+            # expression shapes kneser_ney3_score evaluates.
+            def dlvl(p):
+                t = {k: f"{p}{k}::DOUBLE" for k in (1, 2, 3, 4)}
+                y = f"({t[1]} / ({t[1]} + 2.0 * {t[2]}))"
+                return f"""
+SELECT CASE WHEN {p}1 > 0 THEN
+         greatest(0.0, least(1.0 - 2.0 * {y} * {t[2]} / {t[1]}, 1.0))
+       ELSE 0.75 END AS d1,
+       CASE WHEN {p}1 > 0 AND {p}2 > 0 THEN
+         greatest(0.0, least(2.0 - 3.0 * {y} * {t[3]} / {t[2]}, 2.0))
+       ELSE 0.75 END AS d2,
+       CASE WHEN {p}1 > 0 AND {p}3 > 0 THEN
+         greatest(0.0, least(3.0 - 4.0 * {y} * {t[4]} / {t[3]}, 3.0))
+       ELSE 0.75 END AS d3"""
+
+            extra_counts_t = """,
+         sum((c3 = 1)::BIGINT) AS nn1, sum((c3 = 2)::BIGINT) AS nn2,
+         sum((c3 >= 3)::BIGINT) AS nn3p"""
+            extra_counts_m = """,
+           sum((n1mid = 1)::BIGINT) AS mm1, sum((n1mid = 2)::BIGINT) AS mm2,
+           sum((n1mid >= 3)::BIGINT) AS mm3p"""
+            coc_ctes = f""",
+coc_t AS (SELECT sum((c3 = 1)::BIGINT) AS t1, sum((c3 = 2)::BIGINT) AS t2,
+                 sum((c3 = 3)::BIGINT) AS t3, sum((c3 = 4)::BIGINT) AS t4
+          FROM tri_all),
+coc_m AS (SELECT sum((n1mid = 1)::BIGINT) AS m1, sum((n1mid = 2)::BIGINT) AS m2,
+                 sum((n1mid = 3)::BIGINT) AS m3, sum((n1mid = 4)::BIGINT) AS m4
+          FROM mid),
+dts AS ({dlvl('t')} FROM coc_t),
+dms AS ({dlvl('m')} FROM coc_m)"""
+            extra_j_cols = """,
+             tctx.nn1, tctx.nn2, tctx.nn3p,
+             vstats.mm1, vstats.mm2, vstats.mm3p,
+             dts.d1 AS d1t, dts.d2 AS d2t, dts.d3 AS d3t,
+             dms.d1 AS d1m, dms.d2 AS d2m, dms.d3 AS d3m"""
+            extra_j_from = "\n      CROSS JOIN dts CROSS JOIN dms"
+            p2_expr = """CASE WHEN has_v AND m_ctx IS NOT NULL THEN
+                 greatest(coalesce(n1mid, 0)::DOUBLE
+                     - (CASE WHEN n1mid = 1 THEN d1m
+                             WHEN n1mid = 2 THEN d2m ELSE d3m END), 0.0)
+                   / m_ctx::DOUBLE
+                 + ((d1m * mm1::DOUBLE + d2m * mm2::DOUBLE
+                       + d3m * mm3p::DOUBLE) / m_ctx::DOUBLE) * pcont
+             ELSE pcont END"""
+            p3_expr = """CASE WHEN has_u AND c_uv IS NOT NULL THEN
+                  greatest(coalesce(c3, 0)::DOUBLE
+                      - (CASE WHEN c3 = 1 THEN d1t
+                              WHEN c3 = 2 THEN d2t ELSE d3t END), 0.0)
+                    / c_uv::DOUBLE
+                  + ((d1t * nn1::DOUBLE + d2t * nn2::DOUBLE
+                        + d3t * nn3p::DOUBLE) / c_uv::DOUBLE) * p2
+              ELSE p2 END"""
+        else:
+            extra_counts_t = extra_counts_m = coc_ctes = ""
+            extra_j_cols = extra_j_from = ""
+            p2_expr = """CASE WHEN has_v AND m_ctx IS NOT NULL THEN
+                 greatest(coalesce(n1mid, 0)::DOUBLE - 0.75, 0.0)
+                   / m_ctx::DOUBLE
+                 + (0.75 * n1f_mid::DOUBLE / m_ctx::DOUBLE) * pcont
+             ELSE pcont END"""
+            p3_expr = """CASE WHEN has_u AND c_uv IS NOT NULL THEN
+                  greatest(coalesce(c3, 0)::DOUBLE - 0.75, 0.0)
+                    / c_uv::DOUBLE
+                  + (0.75 * n1f_uv::DOUBLE / c_uv::DOUBLE) * p2
+              ELSE p2 END"""
         return f"""
 WITH tt AS (SELECT {toks_text} AS toks FROM documents
             WHERE {norm_text} != ''{train_filter}),
@@ -8484,12 +8575,12 @@ tg AS (SELECT toks[s] AS u, toks[s + 1] AS v, toks[s + 2] AS w
        FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS s FROM tt
              WHERE len(toks) >= 3)),
 tri_all AS (SELECT u, v, w, count(*) AS c3 FROM tg GROUP BY u, v, w),
-tctx AS (SELECT u, v, sum(c3) AS c_uv, count(*) AS n1f_uv
+tctx AS (SELECT u, v, sum(c3) AS c_uv, count(*) AS n1f_uv{extra_counts_t}
          FROM tri_all GROUP BY u, v),
 mid AS (SELECT v, w, count(*) AS n1mid FROM tri_all GROUP BY v, w),
-vstats AS (SELECT v, sum(n1mid) AS m_ctx, count(*) AS n1f_mid
+vstats AS (SELECT v, sum(n1mid) AS m_ctx, count(*) AS n1f_mid{extra_counts_m}
            FROM mid GROUP BY v),
-tri AS (SELECT * FROM tri_all{prune}),
+tri AS (SELECT * FROM tri_all{prune}){coc_ctes},
 st AS (SELECT doc_id, {toks_text} AS toks FROM documents
        WHERE {norm_text} != ''),
 sp AS (SELECT doc_id, toks[s] AS w,
@@ -8500,13 +8591,13 @@ sp AS (SELECT doc_id, toks[s] AS w,
 j AS (SELECT sp.doc_id, tri.c3, tctx.c_uv, tctx.n1f_uv, mid.n1mid,
              vstats.m_ctx, vstats.n1f_mid,
              coalesce(back.n1back, 0) AS nb,
-             sp.v IS NOT NULL AS has_v, sp.u IS NOT NULL AS has_u
+             sp.v IS NOT NULL AS has_v, sp.u IS NOT NULL AS has_u{extra_j_cols}
       FROM sp
       LEFT JOIN tri ON tri.u = sp.u AND tri.v = sp.v AND tri.w = sp.w
       LEFT JOIN tctx ON tctx.u = sp.u AND tctx.v = sp.v
       LEFT JOIN mid ON mid.v = sp.v AND mid.w = sp.w
       LEFT JOIN vstats ON vstats.v = sp.v
-      LEFT JOIN back ON back.w2 = sp.w),
+      LEFT JOIN back ON back.w2 = sp.w{extra_j_from}),
 p AS (SELECT *, CASE WHEN (SELECT B FROM tot) > 0 THEN
                  greatest(nb::DOUBLE - 0.75, 0.0)
                    / (SELECT B FROM tot)::DOUBLE
@@ -8515,18 +8606,10 @@ p AS (SELECT *, CASE WHEN (SELECT B FROM tot) > 0 THEN
                    * (1.0 / (SELECT V FROM vv)::DOUBLE)
              ELSE 1.0 / (SELECT V FROM vv)::DOUBLE END AS pcont
       FROM j),
-q2 AS (SELECT *, CASE WHEN has_v AND m_ctx IS NOT NULL THEN
-                 greatest(coalesce(n1mid, 0)::DOUBLE - 0.75, 0.0)
-                   / m_ctx::DOUBLE
-                 + (0.75 * n1f_mid::DOUBLE / m_ctx::DOUBLE) * pcont
-             ELSE pcont END AS p2
+q2 AS (SELECT *, {p2_expr} AS p2
        FROM p),
 q3 AS (SELECT doc_id,
-              CASE WHEN has_u AND c_uv IS NOT NULL THEN
-                  greatest(coalesce(c3, 0)::DOUBLE - 0.75, 0.0)
-                    / c_uv::DOUBLE
-                  + (0.75 * n1f_uv::DOUBLE / c_uv::DOUBLE) * p2
-              ELSE p2 END AS prob,
+              {p3_expr} AS prob,
               (nb = 0)::INT AS oov
        FROM q2)
 SELECT doc_id, count(*)::BIGINT AS n_tokens,
@@ -8537,6 +8620,7 @@ FROM q3 GROUP BY doc_id
 
     out["kneser_ney3"] = kn3_sql("", 1)
     out["kneser_ney3_pruned"] = kn3_sql(" AND doc_id % 5 = 0", 2)
+    out["kneser_ney3_modified"] = kn3_sql(" AND doc_id % 5 = 0", 1, modified=True)
     # the index-served path is output-identical to the inline scan, so
     # the oracle is literally the same SQL (the dedup_against_index /
     # ann_index_search idiom)

@@ -239,6 +239,7 @@ HEADLINE = [
     # index-maintenance trilogy.
     "kneser_ney3",
     "kneser_ney3_pruned",
+    "kneser_ney3_modified",
     "recall_probe",
     "minhash_append",
 ]

@@ -1133,6 +1133,31 @@ def minhash_index(
     )
 
 
+def minhash_index_save(
+    index: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Persist a :func:`minhash_index` (single plain-parquet frame; the
+    param columns are literals, so they compress to nothing). Kept for
+    symmetry with ``bm25_index_save``/``ann_index_save`` — the banding
+    layout is derived from the signature at join time, so no physical
+    clustering helps a later ``dedup_against``."""
+    index.write.mode(mode).parquet(path)
+
+
+def minhash_index_load(spark, path: str) -> DataFrame:
+    """Read a persisted :func:`minhash_index`, fail-fast checking the
+    layout columns travel with it (a frame without them cannot be
+    validated by consumers)."""
+    out = spark.read.parquet(path)
+    for col in ("sig", "n_sh", "num_perm", "shingle_k"):
+        if col not in out.columns:
+            raise ValueError(
+                f"minhash_index_load: column {col!r} missing under "
+                f"{path!r} — not a minhash_index artifact"
+            )
+    return out
+
+
 def minhash_index_append(
     index: DataFrame,
     new_df: DataFrame,

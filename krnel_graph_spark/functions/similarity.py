@@ -1161,6 +1161,34 @@ def _model_to_numpy(model: DataFrame, caller: str):
     return cmat, books
 
 
+def ann_index_save(
+    model: DataFrame,
+    encoded: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an :func:`ann_index` pair: the KB-scale ``model`` plain,
+    the corpus-sized ``encoded`` codes CLUSTERED by cell (repartition +
+    sort-within-partitions) so an nprobe-cell search read prunes to the
+    probed cells' row groups via parquet min/max stats. Load with
+    :func:`ann_index_load`."""
+    model.write.mode(mode).parquet(f"{path}/model")
+    encoded.repartition("cell").sortWithinPartitions("cell").write.mode(
+        mode
+    ).parquet(f"{path}/encoded")
+
+
+def ann_index_load(spark, path: str) -> "tuple[DataFrame, DataFrame]":
+    """Read a persisted :func:`ann_index` pair back, fail-fast
+    validating the model's structural consistency against its own
+    recorded build params (the :func:`ann_search` check, run eagerly at
+    load so a truncated snapshot is caught before any query)."""
+    model = spark.read.parquet(f"{path}/model")
+    encoded = spark.read.parquet(f"{path}/encoded")
+    _model_to_numpy(model, "ann_index_load")
+    return model, encoded
+
+
 def ann_index_append(
     model: DataFrame,
     new_corpus: DataFrame,

@@ -2229,7 +2229,7 @@ def kneser_ney3_logprob(
     score: DataFrame,
     text_col: str,
     id_col: str,
-    discount: float = 0.75,
+    discount: "float | str" = 0.75,
     min_count: int = 1,
 ) -> DataFrame:
     """Interpolated TRIGRAM Kneser-Ney scoring — the order-3 model
@@ -2325,13 +2325,42 @@ def kneser_ney3_train(
         .agg(F.count(F.lit(1)).alias("c3"))
         .persist()
     )
+
+    def _class_counts(cnt, prefix):
+        """Per-group counts of count-CLASSES (how many types occur
+        once / twice / three-plus) — the inputs to modified-KN's
+        per-class backoff weights."""
+        return [
+            F.sum((cnt == 1).cast("long")).alias(f"{prefix}1"),
+            F.sum((cnt == 2).cast("long")).alias(f"{prefix}2"),
+            F.sum((cnt >= 3).cast("long")).alias(f"{prefix}3p"),
+        ]
+
     tctx = tri_all.groupBy("u", "v").agg(
-        F.sum("c3").alias("c_uv"), F.count(F.lit(1)).alias("n1f_uv")
+        F.sum("c3").alias("c_uv"),
+        F.count(F.lit(1)).alias("n1f_uv"),
+        *_class_counts(F.col("c3"), "nn"),
     )
     mid = tri_all.groupBy("v", "w").agg(F.count(F.lit(1)).alias("n1mid"))
     vstats = mid.groupBy("v").agg(
-        F.sum("n1mid").alias("m_ctx"), F.count(F.lit(1)).alias("n1f_mid")
+        F.sum("n1mid").alias("m_ctx"),
+        F.count(F.lit(1)).alias("n1f_mid"),
+        *_class_counts(F.col("n1mid"), "mm"),
     )
+    # Global count-of-counts (types seen exactly k times, k=1..4) for
+    # the trigram level and the mid continuation level — the Chen &
+    # Goodman statistics ``discount="modified"`` estimates D1/D2/D3+
+    # from at SCORE time, so the artifact stays discount-free.
+    def _coc(frame, cnt_col, prefix):
+        c = F.col(cnt_col)
+        return frame.agg(
+            *[
+                F.sum((c == k).cast("long")).alias(f"{prefix}{k}")
+                for k in (1, 2, 3, 4)
+            ]
+        )
+
+    coc = _coc(tri_all, "c3", "t").crossJoin(_coc(mid, "n1mid", "m"))
     tri = (
         tri_all.filter(F.col("c3") >= F.lit(int(min_count)))
         if min_count > 1
@@ -2344,6 +2373,7 @@ def kneser_ney3_train(
         "vstats": vstats,
         "back": back,
         "scalars": scalars,
+        "coc": coc,
         # handles for callers that want to release the pinned tables
         "_pinned_big": big,
         "_pinned_tri": tri_all,
@@ -2355,18 +2385,39 @@ def kneser_ney3_score(
     score: DataFrame,
     text_col: str,
     id_col: str,
-    discount: float = 0.75,
+    discount: "float | str" = 0.75,
+    base_discount: float = 0.75,
 ) -> DataFrame:
     """Score a corpus against a FROZEN trigram Kneser-Ney artifact
     (:func:`kneser_ney3_train`'s frame dict, possibly re-read from
     parquet). One positions explode, five digest-keyed LEFT joins
     (trigram, trigram-context, mid-continuation, middle normalizer,
     unigram continuation) + the broadcast 1-row scalars — raw grams
-    never shuffle."""
-    D = float(discount)
+    never shuffle.
+
+    ``discount="modified"`` switches the trigram and mid levels to
+    MODIFIED Kneser-Ney (Chen & Goodman 1998 — KenLM's default): three
+    per-level discounts D1/D2/D3+ chosen by count class and estimated
+    in closed form from the artifact's own count-of-counts
+    (``Y = t1/(t1+2·t2)``, ``Dk = k − (k+1)·Y·t(k+1)/tk``, clamped to
+    ``[0, k]``; a level whose needed tk is zero falls back to
+    ``base_discount``). The backoff weight becomes
+    ``(D1·n1 + D2·n2 + D3·n3+)/total`` over the context's count-class
+    type counts. The bigram-table continuation floor keeps the single
+    ``base_discount`` (the order-1 level has no count classes to
+    split). All of it evaluates from the same discount-free artifact —
+    switching smoothing is a score-time flag, never a retrain."""
+    modified = discount == "modified"
+    if modified:
+        D = float(base_discount)
+    else:
+        D = float(discount)
     if not (0.0 < D < 1.0):
         raise ValueError("discount must be in (0, 1)")
-    for key in ("tri", "tctx", "mid", "vstats", "back", "scalars"):
+    needed = ("tri", "tctx", "mid", "vstats", "back", "scalars") + (
+        ("coc",) if modified else ()
+    )
+    for key in needed:
         if key not in lm:
             raise ValueError(
                 f"lm missing frame {key!r} — not a kneser_ney3_train artifact"
@@ -2378,14 +2429,20 @@ def kneser_ney3_score(
     tri_d = lm["tri"].select(
         F.md5(F.concat_ws(" ", "u", "v", "w")).alias("__td"), "c3"
     )
+    tctx_cols = ["c_uv", "n1f_uv"] + (
+        ["nn1", "nn2", "nn3p"] if modified else []
+    )
     tctx_d = lm["tctx"].select(
-        F.md5(F.concat_ws(" ", "u", "v")).alias("__ud"), "c_uv", "n1f_uv"
+        F.md5(F.concat_ws(" ", "u", "v")).alias("__ud"), *tctx_cols
     )
     mid_d = lm["mid"].select(
         F.md5(F.concat_ws(" ", "v", "w")).alias("__md"), "n1mid"
     )
+    vstats_cols = ["m_ctx", "n1f_mid"] + (
+        ["mm1", "mm2", "mm3p"] if modified else []
+    )
     vstats_d = lm["vstats"].select(
-        F.md5("v").alias("__vd"), "m_ctx", "n1f_mid"
+        F.md5("v").alias("__vd"), *vstats_cols
     )
     back_d = lm["back"].select(F.md5("w2").alias("__wd"), "n1back")
 
@@ -2425,6 +2482,28 @@ def kneser_ney3_score(
         .join(back_d, "__wd", "left")
         .crossJoin(F.broadcast(scalars))
     )
+    def _mkn_discounts(row, prefix):
+        """Chen & Goodman closed-form discounts from the level's
+        count-of-counts, clamped to [0, k]; degenerate levels (needed
+        t_k = 0) fall back to the single base discount. Computed
+        DRIVER-side from the collected 1-row coc frame (bounded, KB) —
+        embedding the six discounts as literals keeps the per-position
+        expression tree fixed-mode-sized (a column-expression version
+        measured 3.5× the whole query at ×40: every D subtree was
+        re-evaluated inside each interpolation level). Python float64
+        arithmetic is the same IEEE ops in the same order the SQL
+        oracle replays."""
+        t = [float(row[f"{prefix}{k}"]) for k in (1, 2, 3, 4)]
+        out = []
+        for k in (1, 2, 3):
+            if t[0] > 0 and (k == 1 or t[k - 1] > 0):
+                y = t[0] / (t[0] + 2.0 * t[1])
+                d = k - (k + 1) * y * t[k] / t[k - 1]
+                out.append(max(0.0, min(d, float(k))))
+            else:
+                out.append(D)
+        return [F.lit(v) for v in out]
+
     nb = F.coalesce(F.col("n1back"), F.lit(0)).cast("double")
     Bd = F.col("__B").cast("double")
     unif = F.lit(1.0) / F.col("__V").cast("double")
@@ -2434,25 +2513,62 @@ def kneser_ney3_score(
         + (F.lit(D) * F.col("__Vc").cast("double") / Bd) * unif,
     ).otherwise(unif)
     mctx_d_ = F.col("m_ctx").cast("double")
-    p2 = F.when(
-        F.col("__has_v") & F.col("m_ctx").isNotNull(),
-        F.greatest(
-            F.coalesce(F.col("n1mid"), F.lit(0)).cast("double") - F.lit(D),
-            F.lit(0.0),
-        )
-        / mctx_d_
-        + (F.lit(D) * F.col("n1f_mid").cast("double") / mctx_d_) * pcont,
-    ).otherwise(pcont)
     cuv_d = F.col("c_uv").cast("double")
-    p3 = F.when(
-        F.col("__has_u") & F.col("c_uv").isNotNull(),
-        F.greatest(
-            F.coalesce(F.col("c3"), F.lit(0)).cast("double") - F.lit(D),
-            F.lit(0.0),
+    if modified:
+        coc_row = lm["coc"].collect()[0]
+        d1m, d2m, d3m = _mkn_discounts(coc_row, "m")
+        n1mid_d = F.coalesce(F.col("n1mid"), F.lit(0)).cast("double")
+        dm = (
+            F.when(F.col("n1mid") == 1, d1m)
+            .when(F.col("n1mid") == 2, d2m)
+            .otherwise(d3m)
         )
-        / cuv_d
-        + (F.lit(D) * F.col("n1f_uv").cast("double") / cuv_d) * p2,
-    ).otherwise(p2)
+        gamma_m = (
+            d1m * F.col("mm1").cast("double")
+            + d2m * F.col("mm2").cast("double")
+            + d3m * F.col("mm3p").cast("double")
+        )
+        p2 = F.when(
+            F.col("__has_v") & F.col("m_ctx").isNotNull(),
+            F.greatest(n1mid_d - dm, F.lit(0.0)) / mctx_d_
+            + (gamma_m / mctx_d_) * pcont,
+        ).otherwise(pcont)
+        d1t, d2t, d3t = _mkn_discounts(coc_row, "t")
+        c3_d = F.coalesce(F.col("c3"), F.lit(0)).cast("double")
+        dt = (
+            F.when(F.col("c3") == 1, d1t)
+            .when(F.col("c3") == 2, d2t)
+            .otherwise(d3t)
+        )
+        gamma_t = (
+            d1t * F.col("nn1").cast("double")
+            + d2t * F.col("nn2").cast("double")
+            + d3t * F.col("nn3p").cast("double")
+        )
+        p3 = F.when(
+            F.col("__has_u") & F.col("c_uv").isNotNull(),
+            F.greatest(c3_d - dt, F.lit(0.0)) / cuv_d
+            + (gamma_t / cuv_d) * p2,
+        ).otherwise(p2)
+    else:
+        p2 = F.when(
+            F.col("__has_v") & F.col("m_ctx").isNotNull(),
+            F.greatest(
+                F.coalesce(F.col("n1mid"), F.lit(0)).cast("double") - F.lit(D),
+                F.lit(0.0),
+            )
+            / mctx_d_
+            + (F.lit(D) * F.col("n1f_mid").cast("double") / mctx_d_) * pcont,
+        ).otherwise(pcont)
+        p3 = F.when(
+            F.col("__has_u") & F.col("c_uv").isNotNull(),
+            F.greatest(
+                F.coalesce(F.col("c3"), F.lit(0)).cast("double") - F.lit(D),
+                F.lit(0.0),
+            )
+            / cuv_d
+            + (F.lit(D) * F.col("n1f_uv").cast("double") / cuv_d) * p2,
+        ).otherwise(p2)
     return (
         joined.select(
             F.col(id_col),
@@ -2528,6 +2644,95 @@ def bm25_search_index(
     tf = index["postings"].filter(F.col("term").isin(terms))
     df_t = index["term_df"].filter(F.col("term").isin(terms))
     return _bm25_rank(tf, df_t, index["stats"], id_col, k1, b, k)
+
+
+_BM25_FRAMES = ("postings", "term_df", "stats")
+_KN_FRAMES = ("big", "ctx", "back", "scalars")
+_KN3_FRAMES = ("tri", "tctx", "mid", "vstats", "back", "scalars", "coc")
+
+
+def _index_save(frames, keys, path, mode, cluster=None):
+    for key in keys:
+        df = frames[key]
+        if cluster and key in cluster:
+            # Cluster the corpus-sized frame by its filter key so a
+            # keyed read touches few parquet row groups (min/max stats
+            # prune the rest) — NOT partitionBy, which would explode a
+            # vocab-sized key into a directory per value.
+            df = df.repartition(*cluster[key]).sortWithinPartitions(
+                *cluster[key]
+            )
+        df.write.mode(mode).parquet(f"{path}/{key}")
+
+
+def _index_load(spark, keys, path, caller):
+    out = {}
+    for key in keys:
+        try:
+            out[key] = spark.read.parquet(f"{path}/{key}")
+        except Exception as exc:  # noqa: BLE001 — annotate which frame
+            raise ValueError(
+                f"{caller}: cannot read frame {key!r} under {path!r} — "
+                f"not a {caller.replace('_load', '')} artifact ({exc})"
+            ) from exc
+    return out
+
+
+def bm25_index_save(
+    idx: dict[str, DataFrame], path: str, mode: str = "overwrite"
+) -> None:
+    """Persist a :func:`bm25_index` artifact with the layout the scale
+    story promises: ``postings`` CLUSTERED by term (repartition +
+    sort-within-partitions — parquet row-group min/max stats then prune
+    a term-filtered query read down to a few row groups; deliberately
+    not ``partitionBy``, which would create a directory per vocabulary
+    term), ``term_df``/``stats`` plain. Load with
+    :func:`bm25_index_load`."""
+    for key in _BM25_FRAMES:
+        if key not in idx:
+            raise ValueError(f"index missing frame {key!r} — not a bm25_index")
+    _index_save(
+        idx, _BM25_FRAMES, path, mode, cluster={"postings": ("term",)}
+    )
+
+
+def bm25_index_load(spark, path: str) -> dict[str, DataFrame]:
+    """Read a persisted :func:`bm25_index` artifact back into the frame
+    dict :func:`bm25_search_index` / :func:`bm25_index_merge` consume;
+    missing or unreadable frames fail loudly with the frame name."""
+    out = _index_load(spark, _BM25_FRAMES, path, "bm25_index_load")
+    for key, col in (("postings", "term"), ("term_df", "df_t"),
+                     ("stats", "n_docs")):
+        if col not in out[key].columns:
+            raise ValueError(
+                f"bm25_index_load: frame {key!r} lacks column {col!r} — "
+                "not a bm25_index artifact"
+            )
+    return out
+
+
+def kneser_ney_save(
+    lm: dict[str, DataFrame], path: str, mode: str = "overwrite"
+) -> None:
+    """Persist a :func:`kneser_ney_train` artifact (four count frames,
+    ``big`` clustered by its join key)."""
+    _index_save(lm, _KN_FRAMES, path, mode, cluster={"big": ("w1",)})
+
+
+def kneser_ney_load(spark, path: str) -> dict[str, DataFrame]:
+    return _index_load(spark, _KN_FRAMES, path, "kneser_ney_load")
+
+
+def kneser_ney3_save(
+    lm: dict[str, DataFrame], path: str, mode: str = "overwrite"
+) -> None:
+    """Persist a :func:`kneser_ney3_train` artifact (seven frames; the
+    trigram lookup clustered by its leading context word)."""
+    _index_save(lm, _KN3_FRAMES, path, mode, cluster={"tri": ("u",)})
+
+
+def kneser_ney3_load(spark, path: str) -> dict[str, DataFrame]:
+    return _index_load(spark, _KN3_FRAMES, path, "kneser_ney3_load")
 
 
 def bm25_index_merge(

@@ -393,3 +393,4 @@ class KneserNey3ScoreOp(DatasetType):
     train_column: str
     discount: float = 0.75
     min_count: int = 1
+    smoothing: str = "fixed"  # "fixed" | "modified" (Chen-Goodman)

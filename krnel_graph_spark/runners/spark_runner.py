@@ -1965,7 +1965,9 @@ def kneser_ney3_score_op(
     )
     scores = _score(
         lm, ds.df.select(ROW_ID, op.text_column),
-        op.text_column, ROW_ID, discount=op.discount,
+        op.text_column, ROW_ID,
+        discount="modified" if op.smoothing == "modified" else op.discount,
+        base_discount=op.discount,
     ).localCheckpoint(eager=True)
     lm["_pinned_big"].unpersist()
     lm["_pinned_tri"].unpersist()

@@ -376,12 +376,18 @@ class DatasetType(OpSpec):
         train_column: Optional[str] = None,
         discount: float = 0.75,
         min_count: int = 1,
+        smoothing: str = "fixed",
     ) -> "DatasetType":
         """Append TRIGRAM interpolated Kneser-Ney LM scores — the
         order-3 KenLM shape CCNet-grade perplexity filtering ships,
-        with optional hapax pruning of the trigram table."""
+        with optional hapax pruning of the trigram table and
+        ``smoothing="modified"`` for Chen-Goodman three-discount KN
+        (KenLM's default; ``discount`` then serves as the degenerate-
+        level fallback and continuation-floor discount)."""
         from .operators.scale_ops import KneserNey3ScoreOp
 
+        if smoothing not in ("fixed", "modified"):
+            raise ValueError("smoothing must be 'fixed' or 'modified'")
         return KneserNey3ScoreOp(
             dataset=self,
             train=train,
@@ -389,6 +395,7 @@ class DatasetType(OpSpec):
             train_column=train_column or text_column,
             discount=discount,
             min_count=min_count,
+            smoothing=smoothing,
         )
 
     def gopher_rules(self, text_column: str) -> "DatasetType":

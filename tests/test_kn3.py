@@ -9,7 +9,7 @@ import math
 import pytest
 
 
-def _kn3_brute(train_texts, score_docs, D=0.75, min_count=1):
+def _kn3_brute(train_texts, score_docs, D=0.75, min_count=1, modified=False):
     import decimal
     from collections import Counter
 
@@ -45,6 +45,33 @@ def _kn3_brute(train_texts, score_docs, D=0.75, min_count=1):
     # pruning drops rows from the LOOKUP table only
     tri = {g: c for g, c in tri_all.items() if c >= min_count}
 
+    def _mkn(counts):
+        t = [sum(1 for c in counts if c == k) for k in (1, 2, 3, 4)]
+        out = []
+        for k in (1, 2, 3):
+            if t[0] > 0 and (k == 1 or t[k - 1] > 0):
+                Y = t[0] / (t[0] + 2.0 * t[1])
+                d = k - (k + 1) * Y * t[k] / t[k - 1]
+                out.append(max(0.0, min(d, float(k))))
+            else:
+                out.append(D)
+        return out
+
+    if modified:
+        dts = _mkn(list(tri_all.values()))
+        dms = _mkn(list(mid.values()))
+        nn = {}
+        for (u, v, w), c in tri_all.items():
+            cls = 0 if c == 1 else (1 if c == 2 else 2)
+            nn.setdefault((u, v), [0, 0, 0])[cls] += 1
+        mm = {}
+        for (v, w), c in mid.items():
+            cls = 0 if c == 1 else (1 if c == 2 else 2)
+            mm.setdefault(v, [0, 0, 0])[cls] += 1
+
+    def _dk(ds, c):
+        return ds[0] if c == 1 else (ds[1] if c == 2 else ds[2])
+
     def pcont(w):
         if B > 0:
             return max(n1back.get(w, 0) - D, 0) / B + (D * Vc / B) * (1.0 / V)
@@ -53,17 +80,21 @@ def _kn3_brute(train_texts, score_docs, D=0.75, min_count=1):
     def p2(v, w):
         if v is not None and v in m_ctx:
             mc = m_ctx[v]
-            return max(mid.get((v, w), 0) - D, 0) / mc + (
-                D * n1f_mid[v] / mc
-            ) * pcont(w)
+            c = mid.get((v, w), 0)
+            if modified:
+                gam = sum(d * n for d, n in zip(dms, mm[v]))
+                return max(c - _dk(dms, c), 0) / mc + (gam / mc) * pcont(w)
+            return max(c - D, 0) / mc + (D * n1f_mid[v] / mc) * pcont(w)
         return pcont(w)
 
     def p3(u, v, w):
         if u is not None and (u, v) in c_uv:
             cc = c_uv[(u, v)]
-            return max(tri.get((u, v, w), 0) - D, 0) / cc + (
-                D * n1f_uv[(u, v)] / cc
-            ) * p2(v, w)
+            c = tri.get((u, v, w), 0)
+            if modified:
+                gam = sum(d * n for d, n in zip(dts, nn[(u, v)]))
+                return max(c - _dk(dts, c), 0) / cc + (gam / cc) * p2(v, w)
+            return max(c - D, 0) / cc + (D * n1f_uv[(u, v)] / cc) * p2(v, w)
         return p2(v, w)
 
     out = {}
@@ -143,6 +174,33 @@ def test_kn3_pruning_matches_brute_and_changes_scores(spark):
         assert want[i][2] <= unpruned[i][2] + 1e-9
 
 
+def test_kn3_modified_discounts_match_pure_python(spark):
+    """discount='modified' = Chen & Goodman three-discount KN (KenLM's
+    default): D1/D2/D3+ estimated from the artifact's count-of-counts,
+    per-count-class backoff weights — same discount-free artifact, a
+    score-time flag."""
+    from krnel_graph_spark.functions.text import kneser_ney3_logprob
+
+    df = spark.createDataFrame(TEXTS, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.logprob_sum)
+        for r in kneser_ney3_logprob(
+            df, df, "text", "doc_id", discount="modified"
+        ).collect()
+    }
+    want = _kn3_brute([t for _, t in TEXTS], TEXTS, modified=True)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0], i
+        assert got[i][1] == want[i][1], i
+        assert got[i][2] == pytest.approx(want[i][2], abs=1e-5), i
+    # and it genuinely differs from single-discount KN on this corpus
+    fixed = _kn3_brute([t for _, t in TEXTS], TEXTS)
+    assert any(
+        want[i][2] != pytest.approx(fixed[i][2], abs=1e-9) for i in want
+    )
+
+
 def test_kn3_partition_invariance(spark):
     from krnel_graph_spark.functions.text import kneser_ney3_logprob
 
@@ -182,7 +240,15 @@ def test_kn3_artifact_parquet_roundtrip(spark, tmp_path):
     direct = sorted(
         map(tuple, kneser_ney3_score(lm, df, "text", "doc_id").collect())
     )
-    frames = ("tri", "tctx", "mid", "vstats", "back", "scalars")
+    direct_mod = sorted(
+        map(
+            tuple,
+            kneser_ney3_score(
+                lm, df, "text", "doc_id", discount="modified"
+            ).collect(),
+        )
+    )
+    frames = ("tri", "tctx", "mid", "vstats", "back", "scalars", "coc")
     for key in frames:
         lm[key].write.parquet(str(tmp_path / key))
     lm["_pinned_big"].unpersist()
@@ -192,6 +258,16 @@ def test_kn3_artifact_parquet_roundtrip(spark, tmp_path):
         map(tuple, kneser_ney3_score(reloaded, df, "text", "doc_id").collect())
     )
     assert direct == rt
+    # modified smoothing from the SAME persisted artifact, no retrain
+    rt_mod = sorted(
+        map(
+            tuple,
+            kneser_ney3_score(
+                reloaded, df, "text", "doc_id", discount="modified"
+            ).collect(),
+        )
+    )
+    assert direct_mod == rt_mod and rt_mod != rt
 
 
 def test_kn3_rejects_bad_params(spark):
@@ -223,3 +299,18 @@ def test_kn3_fluent_twin(lazy_runner):
     assert len(pdf) == 500  # enrichment: every parent row reports
     scored = pdf[pdf["n_tokens"].notna()]
     assert (scored["logprob_sum"] < 0).all()
+
+
+def test_kn3_modified_fluent_fork(lazy_runner):
+    ds = lazy_runner.from_parquet("/root/testdata/sf0.001/documents.parquet")
+    train = ds.mask_rows(ds.col_categorical("lang").is_in({"en"}))
+    fixed = ds.kneser_ney3_score(train, "text")
+    mod = ds.kneser_ney3_score(train, "text", smoothing="modified")
+    assert fixed.uuid != mod.uuid
+    with pytest.raises(ValueError, match="smoothing"):
+        ds.kneser_ney3_score(train, "text", smoothing="kn")
+    pdf = lazy_runner.to_pandas(mod)
+    fdf = lazy_runner.to_pandas(fixed)
+    scored = pdf[pdf["n_tokens"].notna()]
+    assert (scored["logprob_sum"] < 0).all()
+    assert not pdf["logprob_sum"].equals(fdf["logprob_sum"])

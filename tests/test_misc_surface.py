@@ -110,15 +110,15 @@ def test_driver_window_hygiene():
     as an intentional rows-only re-record."""
     import __spark_entry__ as em
 
-    window = em._R11_WINDOW
+    window = em._R12_WINDOW
     assert len(window) == 50
     assert len(set(window)) == 50, "duplicate window entries"
     q = em.queries()
     assert list(q)[:50] == window, "queries() head order drifted"
     oracles = em.oracle_sql()
-    # umap_pca: the one remaining rows-only-by-design query, given an
-    # r11 slot on the judge's explicit ask (oldest driver evidence).
-    intentional_rows_only: set[str] = {"umap_pca"}
+    # r12: every windowed entry is oracle-backed (umap_pca got its
+    # rows-only re-record in r11 and rotated out).
+    intentional_rows_only: set[str] = set()
     burned = [n for n in window if n not in oracles] 
     assert set(burned) <= intentional_rows_only, (
         f"rows-only entries burning hash slots: {burned}"

@@ -591,12 +591,15 @@ def test_kneser_ney_digest_joins_no_python(spark, entry):
 def test_kneser_ney3_digest_joins_no_python(spark, entry):
     """Trigram Kneser-Ney scoring: one positions explode, five
     digest-keyed LEFT joins, broadcast 1-row scalars — still zero
-    Python, zero Cartesian, zero window at order 3."""
-    plan = _plan(spark, entry, "kneser_ney3_pruned")
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "CartesianProduct" not in plan
-    assert "Window" not in plan
-    assert "BroadcastNestedLoopJoin" in plan
+    Python, zero Cartesian, zero window at order 3. The modified
+    (Chen-Goodman) variant must keep the same plan class: its six
+    discounts are driver-collected literals, NOT extra joins."""
+    for q in ("kneser_ney3_pruned", "kneser_ney3_modified"):
+        plan = _plan(spark, entry, q)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan, q
+        assert "Window" not in plan, q
+        assert "BroadcastNestedLoopJoin" in plan, q
 
 
 def test_minhash_append_banded_join_shape(spark, entry):

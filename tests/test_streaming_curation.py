@@ -308,3 +308,30 @@ def test_kneser_ney_stream_static_train(spark):
         assert got == batch and len(got) > 0
     finally:
         q.stop()
+
+
+def test_kneser_ney3_stream_static_train(spark):
+    """The trigram LM inherits the bigram's streaming shape verbatim:
+    count tables from a STATIC train corpus, scored docs a STREAM —
+    stream-static digest left joins + per-doc aggregation (complete
+    mode), the same kneser_ney3_logprob call, unchanged (pruning
+    included: the pruned lookup table is still a static side)."""
+    from krnel_graph_spark.functions.text import kneser_ney3_logprob
+
+    train = spark.read.parquet(DOCS).filter("doc_id % 5 = 0")
+
+    def pipeline(score_df):
+        return kneser_ney3_logprob(
+            train, score_df, "text", "doc_id", min_count=2
+        )
+
+    batch = sorted(
+        tuple(r) for r in pipeline(spark.read.parquet(DOCS)).collect()
+    )
+    q = _drain(pipeline(_stream_docs(spark)), "kn3_stream", mode="complete")
+    try:
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.table("kn3_stream").collect())
+        assert got == batch and len(got) > 0
+    finally:
+        q.stop()

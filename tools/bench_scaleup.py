@@ -158,6 +158,10 @@ QUERIES = [
     # shape — same 1/5-rate train growth as kneser_ney_fixed; the
     # trigram table is the new dominant artifact, pruning bounds it).
     "kneser_ney3_pruned",
+    # r12: modified (Chen-Goodman) smoothing over the same artifact —
+    # the marginal cost over kneser_ney3_pruned is the count-of-count
+    # scalars + per-class context counts, all in existing aggregations.
+    "kneser_ney3_modified",
     # r12: MinHash append leg — same banded-join growth as
     # dedup_against_index, plus the bounded param-layout collect.
     "minhash_append",
