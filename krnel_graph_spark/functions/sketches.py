@@ -101,13 +101,17 @@ def profile_table(
     reproduce bit-for-bit).
 
     ``hll_band`` (implies the exact path) additionally computes the HLL
-    estimate for every column IN THE SAME aggregation and emits a boolean
-    ``hll_within_band`` = |hll − exact| ≤ band·exact. This is the
-    estimator-contract grading mode: exact stats are engine-portable,
-    the band checks each engine's own HLL against bounded relative error
-    without pinning estimator internals — and the table is still scanned
-    exactly once (r11 ran exact and HLL as two separate passes joined on
-    column; the fusion halves the scans and drops the join).
+    estimate for every column and emits a boolean ``hll_within_band`` =
+    |hll − exact| ≤ band·exact. This is the estimator-contract grading
+    mode: exact stats are engine-portable, the band checks each
+    engine's own HLL against bounded relative error without pinning
+    estimator internals. Physically it is the exact aggregation plus a
+    MINIMAL sketches-only aggregation crossJoined as two 1-row wides —
+    deliberately NOT one fused aggregation: Catalyst rewrites
+    multi-column count(DISTINCT) via Expand, and pushing the HLL
+    sketches through the expanded stream measured 6.8 s vs 2.5 s for
+    the split form at sf0.1 (and the r11 two-FULL-profile + 6-row-join
+    form this replaces sat between them).
     """
     from pyspark.sql.types import NumericType
 
@@ -135,9 +139,12 @@ def profile_table(
                 else F.lit(None).cast("double")
             ).alias(f"__max_{c}"),
         ]
-        if hll_band is not None:
-            aggs.append(F.approx_count_distinct(c).alias(f"__hll_{c}"))
     wide = df.agg(*aggs)
+    if hll_band is not None:
+        hll_wide = df.agg(
+            *[F.approx_count_distinct(c).alias(f"__hll_{c}") for c in cols]
+        )
+        wide = wide.crossJoin(F.broadcast(hll_wide))
     per_col = [
         F.struct(
             F.lit(c).alias("column"),
