@@ -394,9 +394,23 @@ def q_llm_chat_generate(spark, sf_dir):
 
 
 def q_umap_pca(spark, sf_dir):
+    """Distributed 2-component PCA embedding (the dependency-free
+    UMAPVizOp path). HASH-GRADED since r12 — the last rows-only gate
+    entry converted: the oracle replays the whole fit driver-side
+    (single-pass centered scatter == the one-partition case of the
+    parallel-scatter merge, numpy eigh + the sign convention, same
+    projection GEMM), and coords are compared at round-6, where the
+    layout-dependent partial-merge wiggle (measured 2.5e-15 across
+    1/5/13 partitions at sf0.01, eigengap ~1%) is 6 orders below the
+    rounding grain. Partition-invariance at round-6 is pinned in
+    tests/test_alignment.py."""
     runner, ds = _ds(spark, sf_dir, "embeddings")
     op = ds.col_vector("embedding").umap_vis(method="pca")
-    return runner.dataframe(op)
+    df = runner.dataframe(op)
+    return df.select(
+        F.round(F.col("value")[0], 6).alias("x"),
+        F.round(F.col("value")[1], 6).alias("y"),
+    )
 
 
 # ---- beyond-reference: sources & sinks --------------------------------- #
@@ -3670,17 +3684,20 @@ def q_bm25_index_search(spark, sf_dir):
 # fused into one aggregation pass), then the ENTIRE remaining r7
 # evidence block (upsert_merge ... audio_fp — oldest driver records in
 # the ledger), then the head of the r8 block in COVERAGE.md order.
-# (r13 rotation queue: the r8 remainder — llm_chat_generate,
-# set_intersect, sort_topk, split_train_mask, stupid_backoff,
-# take_rows, temperature_mixture, tokenizer_fertility, vocab_growth,
-# minhash_signature, ngram_jaccard, packing_report, paragraph_dedup,
-# perplexity_buckets, pii_report, quality_buckets, scan_parquet,
-# schema_drift, select_column — then the r9 blocks age back in.
-# Rows-only remains 1: umap_pca.)
+# (r13 rotation queue: the r8 remainder — leakage_safe_split,
+# llm_chat_generate, set_intersect, sort_topk, split_train_mask,
+# stupid_backoff, take_rows, temperature_mixture, tokenizer_fertility,
+# vocab_growth, minhash_signature, ngram_jaccard, packing_report,
+# paragraph_dedup, perplexity_buckets, pii_report, quality_buckets,
+# scan_parquet, schema_drift, select_column — then the r9 blocks age
+# back in. Rows-only is ZERO since r12: umap_pca, the last one, is
+# hash-graded via the driver-replayed PCA oracle.)
 _R12_WINDOW = [
-    # new/changed this round
+    # new/changed this round (umap_pca: the LAST rows-only entry
+    # converted to hash-graded via the driver-replayed PCA oracle —
+    # its first HASH row lands this round)
     "recall_probe", "kneser_ney3", "kneser_ney3_pruned",
-    "kneser_ney3_modified", "minhash_append",
+    "kneser_ney3_modified", "minhash_append", "umap_pca",
     "profile_table_hll",
     # the r7 remainder: every query whose newest driver record is r7
     "upsert_merge", "window_anomalies", "events_hopping",
@@ -3696,7 +3713,7 @@ _R12_WINDOW = [
     "c4_rules", "centroid_filter", "corpus_divergence", "dedup_report",
     "distinct_flags", "embedding_quantize", "export_manifest",
     "fingerprint", "fluent_quality", "gopher_rules", "k_anonymity",
-    "kcenter_select", "leakage_safe_split",
+    "kcenter_select",
 ]
 
 
@@ -4948,6 +4965,50 @@ def _recall_probe_oracle_sql() -> str:
         f"       CAST('{min6!r}' AS DOUBLE) AS min_recall,\n"
         f"       {below} AS below_band"
     )
+
+
+def _umap_pca_oracle_sql() -> str:
+    """Literal oracle for the distributed-PCA gate (converted from
+    rows-only in r12): single-pass centered scatter over the raw
+    parquet — mathematically the one-partition case of
+    viz_impl._distributed_pca_components's parallel-scatter merge —
+    then the same numpy eigh, largest-|loading|-positive sign
+    convention, and (X−μ)·Vᵀ projection, rounded HALF_UP to 6 like the
+    Spark side. The compared frame is the (x, y) coordinate multiset
+    (column plans export the value column; the driver's compare sorts
+    rows)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.sql(
+        f"SELECT embedding FROM "
+        f"read_parquet('{_gate_dir()}/embeddings.parquet')"
+    ).fetchall()
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    mu = X.mean(axis=0)
+    C = X - mu
+    _, eigvecs = np.linalg.eigh((C.T @ C) / len(X))
+    comp = eigvecs[:, ::-1][:, :2].T.copy()
+    for i in range(comp.shape[0]):
+        j = int(np.argmax(np.abs(comp[i])))
+        if comp[i, j] < 0:
+            comp[i] = -comp[i]
+    Y = C @ comp.T
+    one6 = Decimal("0.000001")
+
+    def r6(v: float) -> float:
+        return float(
+            Decimal(repr(float(v))).quantize(one6, rounding=ROUND_HALF_UP)
+        )
+
+    vals = ",\n".join(
+        f"(CAST('{r6(Y[i, 0])!r}' AS DOUBLE), "
+        f"CAST('{r6(Y[i, 1])!r}' AS DOUBLE))"
+        for i in range(len(Y))
+    )
+    return f"SELECT x, y FROM (VALUES {vals}) AS t(x, y)"
 
 
 def _stub_media_oracle_sql(kind: str) -> str:
@@ -6907,6 +6968,7 @@ FROM (SELECT pl, count(*)::BIGINT AS c FROM bq GROUP BY pl)
         # (the index is an internal artifact) — same oracle.
         "ann_index_search": _ann_ivfpq_oracle_sql(),
         "recall_probe": _recall_probe_oracle_sql(),
+        "umap_pca": _umap_pca_oracle_sql(),
         # bpe_encode: independent pure-Python trainer + full SQL replay
         # of the encode loop — see _bpe_oracle_sql.
         "bpe_encode": _bpe_oracle_sql(),

@@ -175,3 +175,35 @@ def test_umap_import_gate_raises_cleanly(lazy_runner, monkeypatch):
     ds = lazy_runner.from_inline_dataset({"v": [[1.0, 2.0]]})
     with pytest.raises(NotImplementedError, match="umap-learn is not installed"):
         lazy_runner.to_pandas(ds.col_vector("v").umap_vis(method="umap"))
+
+
+def test_distributed_pca_partition_invariant_at_round6(spark):
+    """The distributed scatter merge sums per-partition partials, so raw
+    float64 coords can wiggle in the last ulps across layouts — but at
+    round-6 (the repo-wide compare grain) the embedding must be
+    layout-invariant. This is the evidence bar a future hash-graded
+    umap_pca oracle would need; pinned here so a regression in the
+    parallel-scatter merge (e.g. reverting to the E[xx]-mumu form)
+    shows up as cross-layout drift."""
+    import random
+
+    import numpy as np
+
+    from krnel_graph_spark.runners.viz_impl import (
+        _distributed_pca_components,
+    )
+
+    rng = random.Random(33)
+    vecs = [[rng.gauss(0, 1) + 100.0 for _ in range(8)] for _ in range(400)]
+    df = spark.createDataFrame([(v,) for v in vecs], "v array<double>")
+
+    def coords(frame):
+        mean, comp = _distributed_pca_components(frame, "v")
+        X = np.asarray(vecs, dtype=np.float64)
+        return np.round((X - mean) @ comp.T, 6)
+
+    a = coords(df.coalesce(1))
+    b = coords(df.repartition(13))
+    c = coords(df.repartition(5))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, c)
