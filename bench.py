@@ -242,6 +242,9 @@ HEADLINE = [
     "kneser_ney3_modified",
     "recall_probe",
     "minhash_append",
+    # r12: the converted distributed-PCA gate (hash-graded since r12);
+    # stats pass + broadcast projection, floors with the rest.
+    "umap_pca",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds
