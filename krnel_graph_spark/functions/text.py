@@ -2493,7 +2493,10 @@ def kneser_ney3_score(
         re-evaluated inside each interpolation level). Python float64
         arithmetic is the same IEEE ops in the same order the SQL
         oracle replays."""
-        t = [float(row[f"{prefix}{k}"]) for k in (1, 2, 3, 4)]
+        # an empty train corpus leaves NULL sums in the coc aggregate
+        # row — treat as zero counts so every level falls back to the
+        # base discount instead of raising on float(None)
+        t = [float(row[f"{prefix}{k}"] or 0) for k in (1, 2, 3, 4)]
         out = []
         for k in (1, 2, 3):
             if t[0] > 0 and (k == 1 or t[k - 1] > 0):

@@ -314,3 +314,20 @@ def test_kn3_modified_fluent_fork(lazy_runner):
     scored = pdf[pdf["n_tokens"].notna()]
     assert (scored["logprob_sum"] < 0).all()
     assert not pdf["logprob_sum"].equals(fdf["logprob_sum"])
+
+
+def test_kn3_modified_empty_train_falls_back(spark):
+    """An empty (or all-blank) train corpus leaves NULL count-of-count
+    sums; modified mode must fall back to the base discount and score
+    everything at the uniform floor rather than raising."""
+    train = spark.createDataFrame([(0, "")], "doc_id long, text string")
+    score = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    from krnel_graph_spark.functions.text import kneser_ney3_logprob
+
+    rows = kneser_ney3_logprob(
+        train, score, "text", "doc_id", discount="modified"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_tokens == 3 and r.n_oov == 3
+    assert r.logprob_sum == 3 * round(__import__("math").log10(1.0), 6)
