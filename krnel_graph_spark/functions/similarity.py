@@ -1317,6 +1317,12 @@ def recall_probe(
     Cost shape: one scan of the codes frame + one scan of the float
     corpus (broadcast probe queries on both) — safe to run per ingest
     batch at any corpus size."""
+    if queries.limit(1).count() == 0:
+        raise ValueError(
+            "recall_probe: empty probe set — a monitor row computed "
+            "over zero queries would be meaningless; probe with a "
+            "sample of the newest ingest batch"
+        )
     approx = ann_search(
         model, encoded, queries, vec_col, id_col,
         k=k, nprobe=nprobe, refine=corpus, refine_factor=refine_factor,

@@ -315,3 +315,22 @@ def test_recall_probe_mechanics(spark, vecs_df):
     assert full.mean_recall == 1.0 and full.min_recall == 1.0
     assert not full.below_band
     run(nprobe=2, refine_factor=4, band=0.99)
+
+
+def test_recall_probe_rejects_empty_probe_set(spark, vecs_df):
+    from pyspark.sql import functions as F
+
+    from krnel_graph_spark.functions.similarity import ann_index, recall_probe
+
+    day0 = vecs_df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    model, enc = ann_index(
+        day0, "embedding", "vec_id", n_cells=4, m=4, n_codes=16,
+        refine_iters=0,
+    )
+    with pytest.raises(ValueError, match="empty probe set"):
+        recall_probe(
+            model, enc, day0.filter("vec_id < 0"), day0,
+            "embedding", "vec_id",
+        )

@@ -507,6 +507,24 @@ def test_skyline_global_limit_raises_loudly(spark):
     assert skyline_select(df.limit(100), crit).count() == 100
 
 
+def test_skyline_limit_fires_in_local_phase_too(spark):
+    """r12 (ADVICE): one giant incomparable partition must fail fast in
+    the LOCAL prune — on its per-partition frontier survivors — rather
+    than grinding its quadratic sweep before the global check can run.
+    A single coalesced partition guarantees the raise can only come
+    from the local phase (nothing has reached the global task yet when
+    the survivor count first exceeds the limit)."""
+    n = 3000
+    df = spark.range(n).selectExpr(
+        "id", "cast(id as double) as x", "cast(-id as double) as y",
+        "cast(id % 7 as double) as z"
+    ).coalesce(1)
+    crit = {"x": "max", "y": "max", "z": "max"}
+    with pytest.raises(Exception) as exc:
+        skyline_select(df, crit, global_limit=500).collect()
+    assert "local phase" in str(exc.value)
+
+
 # --------------------------------------------------------------------- #
 # persistable index artifacts: bm25_index + kneser_ney_train
 # --------------------------------------------------------------------- #
