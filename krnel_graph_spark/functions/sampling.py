@@ -505,13 +505,19 @@ def _pareto_survivors(A, chunk: int):
     if len(idx) <= chunk:
         return np.sort(idx[block_alive(A[idx])])
 
-    # Exact block-nested-loop sweep, chunk-bounded memory. One
-    # direction only: blocks arrive in normalized-sum-DESCENDING order,
-    # and q dominates p implies key(q) > key(p) strictly (per-axis
-    # normalization is monotone; a strict raw axis has positive span,
-    # so it stays strict normalized) — a later block member can never
-    # dominate an already-accepted survivor, so the reverse cross-prune
-    # the pre-r12 sweep ran was provably dead work (~2x the sweep).
+    # Exact block-nested-loop sweep, chunk-bounded memory. Mostly one
+    # direction: blocks arrive in normalized-sum-DESCENDING order, and
+    # q dominates p implies key(q) >= key(p) — per-axis subtraction,
+    # positive-span division, and left-to-right summation are all
+    # MONOTONE in float64, but only NON-strictly: rounding can collapse
+    # a strict raw-axis difference into a key TIE, and the stable sort
+    # then places the dominated row first. So a later block member CAN
+    # dominate an already-accepted survivor — exactly when their keys
+    # tie, and (keys being non-increasing along idx) the only value the
+    # accepted set and the current block can share is the block's max
+    # key. The reverse cross-prune therefore runs ONLY on that tied
+    # boundary slice (normally zero or a handful of rows — the full
+    # reverse pass the pre-r12 sweep ran remains dead work).
     surv = np.empty(0, dtype=idx.dtype)
     for s in range(0, len(idx), chunk):
         blk = idx[s : s + chunk]
@@ -526,7 +532,21 @@ def _pareto_survivors(A, chunk: int):
             keep_b &= ~(ge & gt).any(axis=0)
             if not keep_b.any():
                 break
-        surv = np.concatenate([surv, blk[keep_b]])
+        new = blk[keep_b]
+        if len(surv) and len(new):
+            # fp-tie boundary: reverse-prune accepted survivors whose
+            # key equals this block's max key against the tied new rows.
+            bmax = key[new].max()
+            tied_s = surv[key[surv] == bmax]
+            tied_n = new[key[new] == bmax]
+            if len(tied_s) and len(tied_n):
+                NV, SV = A[tied_n], A[tied_s]
+                ge = (NV[:, None, :] >= SV[None, :, :]).all(axis=-1)
+                gt = (NV[:, None, :] > SV[None, :, :]).any(axis=-1)
+                dead = tied_s[(ge & gt).any(axis=0)]
+                if len(dead):
+                    surv = surv[~np.isin(surv, dead)]
+        surv = np.concatenate([surv, new])
     return np.sort(surv)
 
 
@@ -621,8 +641,12 @@ def skyline_select(
                         f"in the {phase} phase — the criteria look "
                         "anti-correlated (mutually incomparable rows), "
                         "where the exact finisher is inherently "
-                        "quadratic. Raise global_limit / pass None if "
-                        "an enormous frontier is really intended."
+                        "quadratic. (The local phase fails fast on a "
+                        "mid-partition prefix frontier, which a later "
+                        "batch could in principle prune back down.) "
+                        "Raise global_limit / pass None if an enormous "
+                        "frontier — or such a prefix spike — is really "
+                        "intended."
                     )
 
             for pdf in iterator:
@@ -648,14 +672,20 @@ def skyline_select(
                     last_kept = len(held)
                     # Local phase: raw partition rows may legitimately
                     # exceed the limit (they prune down), so the guard
-                    # watches the SURVIVOR count: once a prefix's
-                    # frontier alone tops the limit, the global task is
-                    # guaranteed to receive more than the limit too
-                    # (local survivors all reach it), and total local
-                    # work so far is bounded by ~O(limit^2) amortized —
-                    # the guard fires here instead of letting one
-                    # incomparable partition grind for hours before the
-                    # global-phase check can ever run.
+                    # watches the SURVIVOR count. A PREFIX frontier is
+                    # not monotone — later rows in this partition could
+                    # in principle dominate it back below the limit —
+                    # so this mid-partition check is a HEURISTIC
+                    # fail-fast (a partition that has already
+                    # accumulated >limit mutually-incomparable rows is
+                    # overwhelmingly headed for a quadratic grind, and
+                    # amortized local work so far is ~O(limit^2));
+                    # the authoritative check is the final per-partition
+                    # yield below, where survivors ARE the partition's
+                    # frontier and all of them reach the global task.
+                    # A workload whose final frontier is legitimately
+                    # small but whose prefixes spike past the limit
+                    # should raise global_limit (the error says so).
                     guard(last_kept)
             if held is not None and len(held):
                 A = held[cols].to_numpy(dtype="float64") * sign_vec

@@ -2669,11 +2669,18 @@ def _index_save(frames, keys, path, mode, cluster=None):
 
 
 def _index_load(spark, keys, path, caller):
+    from pyspark.errors import AnalysisException
+
     out = {}
     for key in keys:
         try:
             out[key] = spark.read.parquet(f"{path}/{key}")
-        except Exception as exc:  # noqa: BLE001 — annotate which frame
+        except AnalysisException as exc:
+            # Path missing / not parquet — an artifact-SHAPE problem,
+            # so say so. Genuine I/O, permission, or filesystem errors
+            # (Py4J/IOException) propagate untouched: labelling those
+            # "not an artifact" would send the operator down the wrong
+            # debugging path.
             raise ValueError(
                 f"{caller}: cannot read frame {key!r} under {path!r} — "
                 f"not a {caller.replace('_load', '')} artifact ({exc})"

@@ -1886,8 +1886,9 @@ def pmi_collocations_op(
     ids in the deterministic (pmi desc, w1, w2) rank order.
 
     The result is top_k rows by construction, so the op path
-    materializes it eagerly (bounded collect) and releases the two
-    vocab-sized count-table pins immediately — repeated
+    materializes it eagerly (an eager localCheckpoint — executor-side,
+    no driver round-trip) and releases the two vocab-sized count-table
+    pins immediately, on the error path too — repeated
     PmiCollocationsOp runs over different corpora in one long-lived
     session no longer accumulate cached tables until a blanket
     clearCache."""
@@ -1895,17 +1896,18 @@ def pmi_collocations_op(
 
     ds = runner.dataset_plan(op.dataset)
     pins: list = []
-    scored = _impl(
-        ds.df, op.text_column, min_count=op.min_count, top_k=op.top_k,
-        pins=pins,
-    )
-    rows = scored.collect()
-    for frame in pins:
-        frame.unpersist()
+    try:
+        scored = _impl(
+            ds.df, op.text_column, min_count=op.min_count, top_k=op.top_k,
+            pins=pins,
+        ).localCheckpoint(eager=True)
+    finally:
+        for frame in pins:
+            frame.unpersist()
     from pyspark.sql import Window as _W
 
     w = _W.orderBy(F.col("pmi").desc(), "w1", "w2")
-    out = runner.spark.createDataFrame(rows, scored.schema).select(
+    out = scored.select(
         (F.row_number().over(w) - 1).cast("long").alias(ROW_ID), "*"
     )
     return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=True)
@@ -1935,11 +1937,15 @@ def kneser_ney_score_op(
         ),
         op.text_column,
     )
-    scores = _score(
-        lm, ds.df.select(ROW_ID, op.text_column),
-        op.text_column, ROW_ID, discount=op.discount,
-    ).localCheckpoint(eager=True)
-    lm["big"].unpersist()
+    try:
+        scores = _score(
+            lm, ds.df.select(ROW_ID, op.text_column),
+            op.text_column, ROW_ID, discount=op.discount,
+        ).localCheckpoint(eager=True)
+    finally:
+        # Release the trainer's pin on the error path too — a failed
+        # checkpoint must not leak a vocab²-sized cached table.
+        lm["big"].unpersist()
     out = ds.df.join(scores, ROW_ID, "left")
     return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=ds.dense)
 
@@ -1963,14 +1969,16 @@ def kneser_ney3_score_op(
         op.text_column,
         min_count=op.min_count,
     )
-    scores = _score(
-        lm, ds.df.select(ROW_ID, op.text_column),
-        op.text_column, ROW_ID,
-        discount="modified" if op.smoothing == "modified" else op.discount,
-        base_discount=op.discount,
-    ).localCheckpoint(eager=True)
-    lm["_pinned_big"].unpersist()
-    lm["_pinned_tri"].unpersist()
+    try:
+        scores = _score(
+            lm, ds.df.select(ROW_ID, op.text_column),
+            op.text_column, ROW_ID,
+            discount="modified" if op.smoothing == "modified" else op.discount,
+            base_discount=op.discount,
+        ).localCheckpoint(eager=True)
+    finally:
+        lm["_pinned_big"].unpersist()
+        lm["_pinned_tri"].unpersist()
     out = ds.df.join(scores, ROW_ID, "left")
     return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=ds.dense)
 

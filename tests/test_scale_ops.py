@@ -46,20 +46,27 @@ def test_chunk_docs_ids_deterministic(lazy_runner):
 
 
 def test_dedup_memoized_and_rehydrates(runner):
-    import time
-
     ds = runner.from_parquet(DOCS)
     op = ds.take(200).drop_near_dups("text", num_perm=16, bands=4)
     first = runner.to_pandas(op)
 
     from krnel_graph_spark import SparkRunner
+    from krnel_graph_spark.operators.scale_ops import DropNearDupsOp
 
     fresh = SparkRunner(spark=runner.spark, store_path=runner.store.root_path
                         if hasattr(runner.store, "root_path") else str(runner.store.root))
-    t0 = time.time()
+
+    # Prove the memoization DIRECTLY (not via wall-clock, which is
+    # flaky on loaded machines — the test_skyline_memoized pattern):
+    # shadow the dedup implementation with one that raises; a store hit
+    # must satisfy the op without ever dispatching to the LSH pipeline.
+    def _must_not_run(r, o):
+        raise AssertionError("store hit expected — LSH dedup impl re-ran")
+
+    fresh._impl_table = {
+        **type(fresh)._impl_table, DropNearDupsOp: _must_not_run
+    }
     second = fresh.to_pandas(op)
-    dt = time.time() - t0
-    assert dt < 1.5, f"store hit should skip the LSH pipeline ({dt:.2f}s)"
     pd.testing.assert_frame_equal(first, second)
 
     # rehydration: the op graph rebuilds from the store by uuid alone

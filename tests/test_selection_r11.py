@@ -49,6 +49,29 @@ def test_pareto_survivors_matches_brute_force():
         assert len(got) == len(want)
 
 
+def test_pareto_survivors_fp_key_tie_boundary():
+    """r13 ADVICE (medium): the normalized-sum sort key is only
+    NON-strictly monotone in float64 — a strict raw-axis difference can
+    round away in the row sum (absorption: 1.0 + 2^-54 == 1.0), tying
+    the keys. The stable sort then places the DOMINATED row first, and
+    without the tied-boundary reverse prune the BNL sweep accepted it
+    as a survivor forever. Rows engineered so q dominates p strictly on
+    axis 1 while key(p) == key(q) exactly."""
+    eps = 2.0 ** -54  # below half-ulp of 1.0: 1.0 + eps rounds to 1.0
+    p = [1.0, 0.0, 5.0]   # dominated by q (strictly smaller axis 1)
+    q = [1.0, eps, 5.0]
+    r = [0.0, 1.0, 0.0]   # sets axis-1 span to 1 so eps stays eps
+    A = np.array([p, q, r])
+    key = ((A - A.min(axis=0)) / (A.max(axis=0) - A.min(axis=0))).sum(axis=1)
+    assert key[0] == key[1]  # the tie this test exists to exercise
+    # chunk=1 forces p and q into different BNL blocks, p first (stable
+    # sort, original-index tiebreak).
+    got = sorted(_pareto_survivors(A, chunk=1).tolist())
+    assert got == [1, 2], f"dominated fp-tied row survived: {got}"
+    # and the big-chunk path (single all-pairs block) agrees
+    assert sorted(_pareto_survivors(A, chunk=2048).tolist()) == [1, 2]
+
+
 def test_pareto_survivors_duplicates_all_survive():
     A = np.array([[5.0, 5.0], [5.0, 5.0], [1.0, 1.0]])
     got = _pareto_survivors(A, chunk=2048).tolist()
