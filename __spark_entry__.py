@@ -2896,6 +2896,53 @@ def q_recall_probe(spark, sf_dir):
     )
 
 
+def q_ann_retrain(spark, sf_dir):
+    """The monitor→ACTION loop closed end-to-end (r13, the r12
+    verdict's item 4): day-0 index frozen, day-N batch drifted by a
+    pure +2.0 offset (the embedding-model-swap failure mode) and
+    appended — recall_probe FIRES (phase 'frozen': mean_recall ~0.16,
+    below_band) — then one ann_index_retrain call re-fits at the
+    recorded config (params read from the artifact itself) and
+    re-encodes, and the SAME probe comes back inside the band (phase
+    'retrained': ~0.86, not below_band). Two monitor rows, one graded
+    artifact: trigger, action, recovery. refine_iters=1 exercises the
+    deterministic distributed Lloyd pass in the retrain path; the
+    oracle replays both lifecycles driver-side (the ann_pq idiom)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    day0 = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).filter(F.col("vec_id") % 2 == 0)
+    drift = emb.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x + F.lit(2.0),
+        ).alias("embedding"),
+    )
+    model, enc0 = similarity.ann_index(
+        day0, "embedding", "vec_id", n_cells=16, m=8, n_codes=64,
+        refine_iters=1,
+    )
+    enc1 = similarity.ann_index_append(model, drift, "embedding", "vec_id")
+    corpus = day0.unionByName(drift)
+    probes = drift.filter(F.col("vec_id") < 20)
+    frozen = similarity.recall_probe(
+        model, enc0.unionByName(enc1), probes, corpus,
+        "embedding", "vec_id", k=10, nprobe=8, band=0.8,
+    )
+    new_model, new_enc = similarity.ann_index_retrain(
+        model, corpus, "embedding", "vec_id"
+    )
+    healed = similarity.recall_probe(
+        new_model, new_enc, probes, corpus,
+        "embedding", "vec_id", k=10, nprobe=8, band=0.8,
+    )
+    return (
+        frozen.select(F.lit("frozen").alias("phase"), "*")
+        .unionByName(healed.select(F.lit("retrained").alias("phase"), "*"))
+    )
+
+
 # Shared by the mmr_select gate query and its unrolled SQL oracle:
 # exact-repr doubles so the literals match bit-for-bit in both engines.
 _MMR_QUERY = [float((i % 8) + 1) / 8.0 for i in range(64)]
@@ -3780,6 +3827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": q_ann_ivfpq,
         "ann_index_search": q_ann_index_search,
         "recall_probe": q_recall_probe,
+        "ann_retrain": q_ann_retrain,
         "audio_features_stub": q_audio_features_stub,
         "video_frames_stub": q_video_frames_stub,
         "bpe_encode": q_bpe_encode,
@@ -4801,17 +4849,36 @@ def _ann_ivfpq_oracle_sql() -> str:
     )
 
 
-def _recall_probe_oracle_sql() -> str:
-    """Literal one-row oracle for the recall_probe gate: replays the
-    ENTIRE index lifecycle driver-side (the ann_pq idiom) — train the
-    IVF-PQ model on day-0 (even vec_ids) exactly as _ivfpq_train does
-    (md5-keyed centroid pick + codebook sample, refine_iters=0), encode
-    day-0 AND the drifted day-N batch (odd ids, x*1.25+0.05) with the
-    frozen model (round-6 argmin shields), run the probe search
-    (stable-argsort probes, ADC, (dist, id) shortlist cut, fold-order
-    round-6 exact re-rank), compute exact L2 top-k ground truth over
-    the merged corpus, and aggregate integer hits into the
-    (k, n_queries, mean_recall, min_recall, below_band) monitor row."""
+def _ivfpq_monitor_replica(
+    n_cells: int,
+    m: int,
+    n_codes: int,
+    seed: int,
+    refine_iters: int,
+    k: int,
+    nprobe: int,
+    factor: int,
+    drift_scale: float,
+    drift_off: float,
+    train_on: str,
+):
+    """Driver-side replay of the full (ann_index [+ ann_index_append /
+    ann_index_retrain] + recall_probe) lifecycle — the ann_pq idiom,
+    shared by the recall_probe and ann_retrain oracles. Day-0 = even
+    vec_ids raw; day-N = odd vec_ids through the deterministic drift
+    ``x*scale + off``. ``train_on='day0'`` replays the FROZEN index
+    (model fit on day-0 only, merged corpus encoded with it — exactly
+    ann_index_append's contract); ``train_on='merged'`` replays
+    ann_index_retrain (same recorded config, model re-fit on the full
+    current corpus — retrain IS a fresh build, pinned by test). The
+    model fit replays _ivfpq_train: md5-keyed centroid pick,
+    ``refine_iters`` deterministic Lloyd passes (round-6 stable-argmin
+    routing, exact int64 micro-unit component sums, mean =
+    (micro/1e6)/n — the kmeans_refine_centroids r11 determinism
+    contract), md5-keyed codebook sample, seeded-RandomState PQ fit.
+    Probes are drifted ids < 20; search replays probe/ADC/shortlist/
+    round-6 exact re-rank; ground truth is round-6 L2 over the merged
+    corpus. Returns (k, n_queries, mean6, min6, below_bool)."""
     import hashlib
     import math
     from decimal import ROUND_HALF_UP, Decimal
@@ -4819,9 +4886,7 @@ def _recall_probe_oracle_sql() -> str:
     import duckdb
     import numpy as np
 
-    m, n_codes, n_iter = 8, 64, 10
-    n_cells, nprobe, seed, k, factor = 16, 4, 7, 10, 4
-    band = 0.8
+    sample_rows, n_iter = 4096, 10
     rows = duckdb.sql(
         f"SELECT vec_id, embedding FROM "
         f"read_parquet('{_gate_dir()}/embeddings.parquet') ORDER BY vec_id"
@@ -4830,9 +4895,16 @@ def _recall_probe_oracle_sql() -> str:
     mat = np.asarray([r[1] for r in rows], dtype=np.float64)
     even = ids % 2 == 0
     d0_ids, d0 = ids[even], mat[even]
-    dr_ids, dr = ids[~even], mat[~even] * 1.25 + 0.05
+    dr_ids = ids[~even]
+    dr = mat[~even] * drift_scale + drift_off
     all_ids = np.concatenate([d0_ids, dr_ids])
     all_mat = np.vstack([d0, dr])
+    if train_on == "day0":
+        t_ids, t_mat = d0_ids, d0
+    elif train_on == "merged":
+        t_ids, t_mat = all_ids, all_mat
+    else:  # pragma: no cover - oracle-author error
+        raise ValueError(train_on)
     dim = mat.shape[1]
     sub = dim // m
 
@@ -4841,17 +4913,36 @@ def _recall_probe_oracle_sql() -> str:
             hashlib.md5(f"{prefix}:{seed}:{i}".encode()).hexdigest()[:15], 16
         )
 
-    # model fit on DAY-0 ONLY (the frozen index recall_probe monitors)
+    # coarse centroids: md5-keyed pick over the TRAIN corpus
     c_order = sorted(
-        range(len(d0_ids)),
-        key=lambda j: (md5key("ivfpq", int(d0_ids[j])), d0_ids[j]),
+        range(len(t_ids)),
+        key=lambda j: (md5key("ivfpq", int(t_ids[j])), t_ids[j]),
     )
-    cmat = d0[c_order][:n_cells]
+    cmat = t_mat[c_order][:n_cells].copy()
+    # deterministic Lloyd refinement over the train corpus
+    # (kmeans_refine_centroids replica: round-6 stable argmin, int64
+    # micro-unit sums, empty cells keep their previous centroid)
+    for _ in range(refine_iters):
+        d2r = (
+            (t_mat * t_mat).sum(1)[:, None]
+            - 2.0 * (t_mat @ cmat.T)
+            + (cmat * cmat).sum(1)[None, :]
+        )
+        cells_r = np.argmin(np.round(d2r, 6), axis=1)
+        new = cmat.copy()
+        for c in range(len(cmat)):
+            msk = cells_r == c
+            if msk.any():
+                s = np.round(t_mat[msk] * 1e6).astype(np.int64).sum(axis=0)
+                new[c] = (s.astype(np.float64) / 1e6) / int(msk.sum())
+        cmat = new
+
+    # residual PQ codebooks over the md5-keyed train sample
     s_order = sorted(
-        range(len(d0_ids)),
-        key=lambda j: (md5key("ivfpqs", int(d0_ids[j])), d0_ids[j]),
+        range(len(t_ids)),
+        key=lambda j: (md5key("ivfpqs", int(t_ids[j])), t_ids[j]),
     )
-    xs = d0[s_order][:4096]
+    xs = t_mat[s_order][:sample_rows]
     d2s = (
         (xs * xs).sum(1)[:, None]
         - 2 * (xs @ cmat.T)
@@ -4879,9 +4970,8 @@ def _recall_probe_oracle_sql() -> str:
             cb = np.vstack([cb, np.repeat(cb[-1:], n_codes - kk, axis=0)])
         books[j] = cb
 
-    # encode the MERGED corpus (day-0 + appended drifted batch) with
-    # the frozen model — identical arithmetic for both halves, which is
-    # exactly ann_index_append's contract
+    # encode the MERGED corpus with the (frozen or retrained) model —
+    # identical arithmetic for both halves (ann_index_append contract)
     d2 = (
         (all_mat * all_mat).sum(1)[:, None]
         - 2 * (all_mat @ cmat.T)
@@ -4962,13 +5052,54 @@ def _recall_probe_oracle_sql() -> str:
     min6 = float(
         Decimal(repr(min_recall)).quantize(one6, rounding=ROUND_HALF_UP)
     )
-    below = "TRUE" if mean < band else "FALSE"
+    return k, len(qmat), mean6, min6
+
+
+def _recall_probe_oracle_sql() -> str:
+    """Literal one-row oracle for the recall_probe gate: the
+    _ivfpq_monitor_replica lifecycle replay with the model frozen on
+    day-0 (train_on='day0') and the r12 gate drift x*1.25 + 0.05."""
+    band = 0.8
+    k, n_q, mean6, min6 = _ivfpq_monitor_replica(
+        n_cells=16, m=8, n_codes=64, seed=7, refine_iters=0,
+        k=10, nprobe=4, factor=4,
+        drift_scale=1.25, drift_off=0.05, train_on="day0",
+    )
+    below = "TRUE" if mean6 < band else "FALSE"
     return (
-        f"SELECT {k}::INT AS k, {len(qmat)}::BIGINT AS n_queries,\n"
+        f"SELECT {k}::INT AS k, {n_q}::BIGINT AS n_queries,\n"
         f"       CAST('{mean6!r}' AS DOUBLE) AS mean_recall,\n"
         f"       CAST('{min6!r}' AS DOUBLE) AS min_recall,\n"
         f"       {below} AS below_band"
     )
+
+
+def _ann_retrain_oracle_sql() -> str:
+    """Literal two-row oracle for the ann_retrain gate: the SAME
+    lifecycle replay twice — phase 'frozen' trains on day-0 and encodes
+    the merged corpus with the stale model (the failing monitor row),
+    phase 'retrained' re-fits on the merged corpus at the recorded
+    config (the ann_index_retrain contract: retrain IS a fresh build)
+    and the monitor row comes back inside the band. Drift is the pure
+    offset x + 2.0 (embedding-model-swap shift), refine_iters=1 (the
+    Lloyd replica), nprobe=8."""
+    band = 0.8
+    parts = []
+    for phase, train_on in (("frozen", "day0"), ("retrained", "merged")):
+        k, n_q, mean6, min6 = _ivfpq_monitor_replica(
+            n_cells=16, m=8, n_codes=64, seed=7, refine_iters=1,
+            k=10, nprobe=8, factor=4,
+            drift_scale=1.0, drift_off=2.0, train_on=train_on,
+        )
+        below = "TRUE" if mean6 < band else "FALSE"
+        parts.append(
+            f"SELECT '{phase}' AS phase, {k}::INT AS k,\n"
+            f"       {n_q}::BIGINT AS n_queries,\n"
+            f"       CAST('{mean6!r}' AS DOUBLE) AS mean_recall,\n"
+            f"       CAST('{min6!r}' AS DOUBLE) AS min_recall,\n"
+            f"       {below} AS below_band"
+        )
+    return " UNION ALL ".join(parts)
 
 
 def _umap_pca_oracle_sql() -> str:
@@ -6972,6 +7103,7 @@ FROM (SELECT pl, count(*)::BIGINT AS c FROM bq GROUP BY pl)
         # (the index is an internal artifact) — same oracle.
         "ann_index_search": _ann_ivfpq_oracle_sql(),
         "recall_probe": _recall_probe_oracle_sql(),
+        "ann_retrain": _ann_retrain_oracle_sql(),
         "umap_pca": _umap_pca_oracle_sql(),
         # bpe_encode: independent pure-Python trainer + full SQL replay
         # of the encode loop — see _bpe_oracle_sql.

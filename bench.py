@@ -245,6 +245,10 @@ HEADLINE = [
     # r12: the converted distributed-PCA gate (hash-graded since r12);
     # stats pass + broadcast projection, floors with the rest.
     "umap_pca",
+    # r13: the monitor→action loop closed — frozen-index probe fires,
+    # one ann_index_retrain re-fit + re-encode brings the same probe
+    # back inside the band (two monitor rows, one artifact).
+    "ann_retrain",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

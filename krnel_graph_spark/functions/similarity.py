@@ -1089,10 +1089,12 @@ def ann_index(
     - ``model``: one row per centroid (``kind='centroid', i=cell``) and
       per codeword (``kind='codebook', i=subspace, j=code``), vector
       payload in ``vec`` — |cells| + m·n_codes rows, KB-scale. Build
-      params (``n_cells/m/n_codes/seed/refine_iters``) travel as literal
-      columns on every row and are validated by :func:`ann_search`, so a
-      stale or mismatched persisted model fails loudly (the
-      ``dedup_against(ref_index=)`` lesson).
+      params (``n_cells/m/n_codes/seed/refine_iters/sample_rows``)
+      travel as literal columns on every row and are validated by
+      :func:`ann_search`, so a stale or mismatched persisted model
+      fails loudly (the ``dedup_against(ref_index=)`` lesson) — and
+      :func:`ann_index_retrain` can rebuild with the SAME operational
+      config without the caller re-specifying it.
     - ``encoded``: ``(doc_id, cell, codes)`` — m bytes of codes per
       vector (32× smaller than float32 at m=8), the only corpus-sized
       artifact any search scans.
@@ -1122,6 +1124,7 @@ def ann_index(
         F.lit(int(n_codes)).alias("n_codes"),
         F.lit(int(seed)).alias("seed"),
         F.lit(int(refine_iters)).alias("refine_iters"),
+        F.lit(int(sample_rows)).alias("sample_rows"),
     )
     encoded = _ivfpq_encode(corpus, vec_col, id_col, cmat, books)
     return model, encoded
@@ -1212,6 +1215,63 @@ def ann_index_append(
     drops below target."""
     cmat, books = _model_to_numpy(model, "ann_index_append")
     return _ivfpq_encode(new_corpus, vec_col, id_col, cmat, books)
+
+
+def ann_index_retrain(
+    model: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    seed: int | None = None,
+) -> "tuple[DataFrame, DataFrame]":
+    """Re-train + re-encode a drifted :func:`ann_index` — the ACTION the
+    :func:`recall_probe` monitor triggers, closing the operational loop
+    the append story documents: when ``below_band`` fires (day-0
+    codebooks quantizing drifted day-N vectors), call this with the
+    CURRENT full corpus; it samples, re-fits centroids and codebooks,
+    re-encodes every vector, and returns the fresh ``(model, encoded)``
+    pair ready for one :func:`ann_index_save` swap (write to a new
+    path, then atomically repoint the serving path — the standard
+    blue/green index flip).
+
+    The operational config — ``n_cells/m/n_codes/refine_iters/
+    sample_rows`` and (unless overridden via ``seed=``) the RNG seed —
+    is read from the OLD model's own literal param columns (one bounded
+    ``limit(1)`` row, the minhash_index_append layout-read idiom), so a
+    retrain can never silently change the index geometry the serving
+    layer was tuned for. ``sample_rows`` falls back to the build
+    default for artifacts persisted before it was recorded.
+
+    Output-identity contract (pinned by test): equals
+    ``ann_index(corpus, vec_col, id_col, **old_params)`` frame-for-frame
+    — retrain IS a fresh build at the recorded config; there is no
+    separate retrain arithmetic to drift out of sync.
+
+    Scale shape: identical to :func:`ann_index` — a bounded md5-keyed
+    sample fits the KB-scale model driver-side, and the one corpus-wide
+    pass is the unavoidable re-encode (the whole point: the old codes
+    are wrong for the new distribution). Run it at the recall_probe
+    cadence's failure rate, not per ingest batch."""
+    first = model.select(
+        "n_cells", "m", "n_codes", "seed", "refine_iters",
+        *(
+            ["sample_rows"]
+            if "sample_rows" in model.columns
+            else []
+        ),
+    ).limit(1).collect()
+    if not first:
+        raise ValueError("ann_index_retrain: empty model frame")
+    p = first[0].asDict()
+    return ann_index(
+        corpus, vec_col, id_col,
+        n_cells=int(p["n_cells"]),
+        m=int(p["m"]),
+        n_codes=int(p["n_codes"]),
+        seed=int(p["seed"]) if seed is None else int(seed),
+        refine_iters=int(p["refine_iters"]),
+        sample_rows=int(p.get("sample_rows", 4096)),
+    )
 
 
 def ann_search(

@@ -611,6 +611,19 @@ def test_minhash_append_banded_join_shape(spark, entry):
     assert "LeftAnti" in plan or "left_anti" in plan.lower()
 
 
+def test_ann_retrain_bounded_scans(spark, entry):
+    """The retrain gate runs TWO monitor probes (frozen + retrained)
+    unioned; each keeps the recall_probe shape — broadcast probe
+    queries, no Cartesian product anywhere, single-aggregate monitor
+    rows. The model fits themselves are bounded driver-side collects
+    (sample + Lloyd partials), invisible to this final-query plan."""
+    plan = _plan(spark, entry, "ann_retrain")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast probe queries
+    assert "HashAggregate" in plan
+    assert "Union" in plan  # the two labeled monitor rows
+
+
 def test_recall_probe_bounded_scans(spark, entry):
     """The index-health monitor costs one codes-frame scan + one
     float-corpus scan with broadcast probes: no Cartesian product, the

@@ -334,3 +334,82 @@ def test_recall_probe_rejects_empty_probe_set(spark, vecs_df):
             model, enc, day0.filter("vec_id < 0"), day0,
             "embedding", "vec_id",
         )
+
+
+def test_ann_index_retrain_output_identity(spark, vecs_df):
+    """retrain IS a fresh ann_index build at the old model's recorded
+    config — frame-for-frame identical (no separate retrain arithmetic
+    to drift out of sync), and the config is read from the artifact, not
+    re-specified by the caller."""
+    from pyspark.sql import functions as F
+
+    from krnel_graph_spark.functions.similarity import (
+        ann_index,
+        ann_index_retrain,
+    )
+
+    day0 = vecs_df.filter("vec_id % 2 = 0").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = vecs_df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    old_model, _ = ann_index(
+        day0, "embedding", "vec_id", n_cells=8, m=4, n_codes=32,
+        seed=11, refine_iters=1, sample_rows=512,
+    )
+    new_model, new_enc = ann_index_retrain(
+        old_model, corpus, "embedding", "vec_id"
+    )
+    want_model, want_enc = ann_index(
+        corpus, "embedding", "vec_id", n_cells=8, m=4, n_codes=32,
+        seed=11, refine_iters=1, sample_rows=512,
+    )
+    assert new_model.exceptAll(want_model).count() == 0
+    assert want_model.exceptAll(new_model).count() == 0
+    assert new_enc.exceptAll(want_enc).count() == 0
+    assert want_enc.exceptAll(new_enc).count() == 0
+    # the recorded config survived the retrain (geometry can't silently
+    # change under the serving layer)
+    got = new_model.select(
+        "n_cells", "m", "n_codes", "seed", "refine_iters", "sample_rows"
+    ).limit(1).collect()[0]
+    assert tuple(got) == (8, 4, 32, 11, 1, 512)
+
+
+def test_ann_index_retrain_seed_override_and_legacy_model(spark, vecs_df):
+    from pyspark.sql import functions as F
+
+    from krnel_graph_spark.functions.similarity import (
+        ann_index,
+        ann_index_retrain,
+    )
+
+    corpus = vecs_df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    old_model, _ = ann_index(
+        corpus, "embedding", "vec_id", n_cells=4, m=4, n_codes=16,
+        seed=7, refine_iters=0,
+    )
+    # seed override: a DIFFERENT sample/codebook fit
+    m_a, _ = ann_index_retrain(old_model, corpus, "embedding", "vec_id")
+    m_b, _ = ann_index_retrain(
+        old_model, corpus, "embedding", "vec_id", seed=99
+    )
+    assert m_a.filter("kind = 'centroid'").exceptAll(
+        m_b.filter("kind = 'centroid'")
+    ).count() > 0
+    assert m_b.select("seed").limit(1).collect()[0][0] == 99
+    # a pre-r13 artifact without the sample_rows column still retrains
+    # (falls back to the build default)
+    legacy = old_model.drop("sample_rows")
+    m_c, _ = ann_index_retrain(legacy, corpus, "embedding", "vec_id")
+    assert m_c.select("sample_rows").limit(1).collect()[0][0] == 4096
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty model"):
+        ann_index_retrain(
+            old_model.filter("kind = 'nope'"), corpus, "embedding", "vec_id"
+        )

@@ -435,11 +435,55 @@ def _extra_queries():
             k=10, nprobe=4, band=0.8,
         )
 
+    def ann_retrain_x20(s):
+        # r13: the monitor's ACTION at x20 — the day-0 model is the
+        # persisted artifact (built once, cached like
+        # ann_index_search_x20), so the timed region is what a real
+        # re-train event costs: read the stale model's recorded config,
+        # re-fit on the merged drifted corpus (bounded sample + one
+        # Lloyd pass), re-encode every vector, and re-probe. The
+        # re-encode pass IS the unavoidable cost — the old codes are
+        # wrong for the new distribution.
+        import os as _os
+
+        from pyspark.sql import functions as F  # noqa: N812
+
+        from krnel_graph_spark.functions import similarity as sim
+
+        emb = s.read.parquet(f"{OUT}/embeddings.parquet")
+        day0 = emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        ).filter(F.col("vec_id") % 2 == 0)
+        drift = emb.filter(F.col("vec_id") % 2 == 1).select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x + F.lit(2.0),
+            ).alias("embedding"),
+        )
+        mp = f"{OUT}/__ann_retrain_model"
+        if not _os.path.isdir(mp):
+            model, _ = sim.ann_index(
+                day0, "embedding", "vec_id", n_cells=16, m=8, n_codes=64,
+                refine_iters=1,
+            )
+            model.write.mode("overwrite").parquet(mp)
+        corpus = day0.unionByName(drift)
+        new_model, new_enc = sim.ann_index_retrain(
+            s.read.parquet(mp), corpus, "embedding", "vec_id"
+        )
+        return sim.recall_probe(
+            new_model, new_enc, drift.filter(F.col("vec_id") < 20),
+            corpus, "embedding", "vec_id", k=10, nprobe=8, band=0.8,
+        )
+
     return {
         "dedup_against_near_x40": dedup_against_near_x40,
         "dedup_against_index_x40": dedup_against_index_x40,
         "ann_index_search_x20": ann_index_search_x20,
         "recall_probe_x20": recall_probe_x20,
+        "ann_retrain_x20": ann_retrain_x20,
         "ngram_coverage_x40": ngram_coverage_x40,
         "margin_pairs_ann_x20": margin_ann_x20,
         "containment_x40": containment_x40,
