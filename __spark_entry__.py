@@ -3703,8 +3703,14 @@ def q_kneser_ney3_modified(spark, sf_dir):
     count class, estimated in closed form from the artifact's own
     count-of-counts, per-class backoff weights. Crucially a SCORE-TIME
     flag over the same discount-free count tables — switching from
-    single-discount to modified KN never retrains. Frozen doc_id%5
-    train slice, full stream scored."""
+    single-discount to modified KN never retrains. Since r13 the
+    per-class treatment reaches the BOTTOM continuation level too
+    (Chen & Goodman apply it at every order); on THIS dense train
+    slice every continuation type has 5+ left contexts (b1=b2=0), so
+    the bottom level coincides with the base-discount fallback here —
+    the sparse-corpus case where it differs is pinned by
+    tests/test_kn3.py::test_kn3_modified_pcont_per_class_is_not_vacuous.
+    Frozen doc_id%5 train slice, full stream scored."""
     from krnel_graph_spark.functions.text import kneser_ney3_logprob
 
     docs = _docs(spark, sf_dir)
@@ -3712,6 +3718,27 @@ def q_kneser_ney3_modified(spark, sf_dir):
         docs.filter(F.col("doc_id") % 5 == 0), docs, "text", "doc_id",
         discount="modified",
     )
+
+
+def q_kn3_arpa(spark, sf_dir):
+    """ARPA export of the trigram KN artifact (r13) — the portability
+    story: the parquet frame dict becomes the standard backoff format
+    every KenLM-consuming pipeline reads. The graded frame is the row
+    form (order, w1, w2, w3, log10_p, log10_bow): 1-grams = the bottom
+    continuation distribution + mid-level backoff weights, 2-grams =
+    mid events ∪ trigram contexts with interpolated P2c + trigram
+    backoff weights, 3-grams = full interpolated P3. Faithfulness to
+    the engine's score path is differentially tested (an independent
+    ARPA-backoff evaluator reproduces kneser_ney3_score's sums,
+    tests/test_arpa.py); the oracle replays counts and the exact
+    per-level arithmetic in SQL. Every section is type-table-bounded —
+    the MODEL, never the corpus."""
+    from krnel_graph_spark.functions.arpa import kneser_ney3_arpa_rows
+    from krnel_graph_spark.functions.text import kneser_ney3_train
+
+    docs = _docs(spark, sf_dir)
+    lm = kneser_ney3_train(docs.filter(F.col("doc_id") % 5 == 0), "text")
+    return kneser_ney3_arpa_rows(lm)
 
 
 def q_bm25_index_search(spark, sf_dir):
@@ -3828,6 +3855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_search": q_ann_index_search,
         "recall_probe": q_recall_probe,
         "ann_retrain": q_ann_retrain,
+        "kn3_arpa": q_kn3_arpa,
         "audio_features_stub": q_audio_features_stub,
         "video_frames_stub": q_video_frames_stub,
         "bpe_encode": q_bpe_encode,
@@ -8720,14 +8748,38 @@ coc_t AS (SELECT sum((c3 = 1)::BIGINT) AS t1, sum((c3 = 2)::BIGINT) AS t2,
 coc_m AS (SELECT sum((n1mid = 1)::BIGINT) AS m1, sum((n1mid = 2)::BIGINT) AS m2,
                  sum((n1mid = 3)::BIGINT) AS m3, sum((n1mid = 4)::BIGINT) AS m4
           FROM mid),
+coc_b AS (SELECT sum((n1back = 1)::BIGINT) AS b1,
+                 sum((n1back = 2)::BIGINT) AS b2,
+                 sum((n1back = 3)::BIGINT) AS b3,
+                 sum((n1back = 4)::BIGINT) AS b4,
+                 count(*) AS btot
+          FROM back),
 dts AS ({dlvl('t')} FROM coc_t),
-dms AS ({dlvl('m')} FROM coc_m)"""
+dms AS ({dlvl('m')} FROM coc_m),
+dbs AS (SELECT d.*, c.b1, c.b2, c.btot
+        FROM ({dlvl('b')} FROM coc_b) d CROSS JOIN coc_b c)"""
             extra_j_cols = """,
              tctx.nn1, tctx.nn2, tctx.nn3p,
              vstats.mm1, vstats.mm2, vstats.mm3p,
              dts.d1 AS d1t, dts.d2 AS d2t, dts.d3 AS d3t,
-             dms.d1 AS d1m, dms.d2 AS d2m, dms.d3 AS d3m"""
-            extra_j_from = "\n      CROSS JOIN dts CROSS JOIN dms"
+             dms.d1 AS d1m, dms.d2 AS d2m, dms.d3 AS d3m,
+             dbs.d1 AS d1b, dbs.d2 AS d2b, dbs.d3 AS d3b,
+             (dbs.d1 * dbs.b1::DOUBLE + dbs.d2 * dbs.b2::DOUBLE
+                + dbs.d3 * (dbs.btot::DOUBLE - dbs.b1::DOUBLE
+                              - dbs.b2::DOUBLE)) AS gamma_b"""
+            extra_j_from = "\n      CROSS JOIN dts CROSS JOIN dms CROSS JOIN dbs"
+            # r13: per-class discounts at the bottom continuation level
+            # too — one global context, scalar class counts, literal
+            # backoff mass (mirrors kneser_ney3_score's driver-side
+            # gamma_b = d1*b1 + d2*b2 + d3*(btot-b1-b2) fold order)
+            pcont_expr = """CASE WHEN (SELECT B FROM tot) > 0 THEN
+                 greatest(nb::DOUBLE
+                     - (CASE WHEN nb = 1 THEN d1b
+                             WHEN nb = 2 THEN d2b ELSE d3b END), 0.0)
+                   / (SELECT B FROM tot)::DOUBLE
+                 + (gamma_b / (SELECT B FROM tot)::DOUBLE)
+                   * (1.0 / (SELECT V FROM vv)::DOUBLE)
+             ELSE 1.0 / (SELECT V FROM vv)::DOUBLE END"""
             p2_expr = """CASE WHEN has_v AND m_ctx IS NOT NULL THEN
                  greatest(coalesce(n1mid, 0)::DOUBLE
                      - (CASE WHEN n1mid = 1 THEN d1m
@@ -8747,6 +8799,13 @@ dms AS ({dlvl('m')} FROM coc_m)"""
         else:
             extra_counts_t = extra_counts_m = coc_ctes = ""
             extra_j_cols = extra_j_from = ""
+            pcont_expr = """CASE WHEN (SELECT B FROM tot) > 0 THEN
+                 greatest(nb::DOUBLE - 0.75, 0.0)
+                   / (SELECT B FROM tot)::DOUBLE
+                 + (0.75 * (SELECT Vc FROM vc)::DOUBLE
+                      / (SELECT B FROM tot)::DOUBLE)
+                   * (1.0 / (SELECT V FROM vv)::DOUBLE)
+             ELSE 1.0 / (SELECT V FROM vv)::DOUBLE END"""
             p2_expr = """CASE WHEN has_v AND m_ctx IS NOT NULL THEN
                  greatest(coalesce(n1mid, 0)::DOUBLE - 0.75, 0.0)
                    / m_ctx::DOUBLE
@@ -8796,13 +8855,7 @@ j AS (SELECT sp.doc_id, tri.c3, tctx.c_uv, tctx.n1f_uv, mid.n1mid,
       LEFT JOIN mid ON mid.v = sp.v AND mid.w = sp.w
       LEFT JOIN vstats ON vstats.v = sp.v
       LEFT JOIN back ON back.w2 = sp.w{extra_j_from}),
-p AS (SELECT *, CASE WHEN (SELECT B FROM tot) > 0 THEN
-                 greatest(nb::DOUBLE - 0.75, 0.0)
-                   / (SELECT B FROM tot)::DOUBLE
-                 + (0.75 * (SELECT Vc FROM vc)::DOUBLE
-                      / (SELECT B FROM tot)::DOUBLE)
-                   * (1.0 / (SELECT V FROM vv)::DOUBLE)
-             ELSE 1.0 / (SELECT V FROM vv)::DOUBLE END AS pcont
+p AS (SELECT *, {pcont_expr} AS pcont
       FROM j),
 q2 AS (SELECT *, {p2_expr} AS p2
        FROM p),
@@ -8819,6 +8872,116 @@ FROM q3 GROUP BY doc_id
     out["kneser_ney3"] = kn3_sql("", 1)
     out["kneser_ney3_pruned"] = kn3_sql(" AND doc_id % 5 = 0", 2)
     out["kneser_ney3_modified"] = kn3_sql(" AND doc_id % 5 = 0", 1, modified=True)
+
+    # kn3_arpa: the ARPA row export — same count CTEs, then the three
+    # sections with the exact per-level expressions
+    # kneser_ney3_arpa_rows builds (fixed D=0.75; bow=1 contexts round
+    # to 0.0, zero-mass bows would hit the -99 convention).
+    def kn3_arpa_sql(train_filter: str) -> str:
+        def pcont(nb: str) -> str:
+            return (
+                f"CASE WHEN (SELECT B FROM tot) > 0 THEN "
+                f"greatest({nb}::DOUBLE - 0.75, 0.0)"
+                f" / (SELECT B FROM tot)::DOUBLE "
+                f"+ (0.75 * (SELECT Vc FROM vc)::DOUBLE"
+                f" / (SELECT B FROM tot)::DOUBLE)"
+                f" * (1.0 / (SELECT V FROM vv)::DOUBLE) "
+                f"ELSE 1.0 / (SELECT V FROM vv)::DOUBLE END"
+            )
+
+        bow1 = (
+            "CASE WHEN m_ctx IS NOT NULL THEN"
+            " 0.75 * n1f_mid::DOUBLE / m_ctx::DOUBLE ELSE 1.0 END"
+        )
+        bow2 = (
+            "CASE WHEN c_uv IS NOT NULL THEN"
+            " 0.75 * n1f_uv::DOUBLE / c_uv::DOUBLE ELSE 1.0 END"
+        )
+        p2v = (
+            "CASE WHEN m_ctx IS NOT NULL THEN "
+            "greatest(coalesce(n1mid, 0)::DOUBLE - 0.75, 0.0)"
+            " / m_ctx::DOUBLE "
+            "+ (0.75 * n1f_mid::DOUBLE / m_ctx::DOUBLE) * pc "
+            "ELSE pc END"
+        )
+        return f"""
+WITH tt AS (SELECT {toks_text} AS toks FROM documents
+            WHERE {norm_text} != ''{train_filter}),
+bg AS (SELECT toks[s] AS w1, toks[s + 1] AS w2
+       FROM (SELECT toks, unnest(range(1, len(toks))) AS s FROM tt
+             WHERE len(toks) >= 2)),
+big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+back AS (SELECT w2, count(*) AS n1back FROM big GROUP BY w2),
+tot AS (SELECT count(*) AS B FROM big),
+vc AS (SELECT count(*) AS Vc FROM back),
+vv AS (SELECT count(DISTINCT w) + 1 AS V
+       FROM (SELECT unnest(toks) AS w FROM tt)),
+tg AS (SELECT toks[s] AS u, toks[s + 1] AS v, toks[s + 2] AS w
+       FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS s FROM tt
+             WHERE len(toks) >= 3)),
+tri_all AS (SELECT u, v, w, count(*) AS c3 FROM tg GROUP BY u, v, w),
+tctx AS (SELECT u, v, sum(c3) AS c_uv, count(*) AS n1f_uv
+         FROM tri_all GROUP BY u, v),
+mid AS (SELECT v, w, count(*) AS n1mid FROM tri_all GROUP BY v, w),
+vstats AS (SELECT v, sum(n1mid) AS m_ctx, count(*) AS n1f_mid
+           FROM mid GROUP BY v),
+words AS (SELECT DISTINCT w FROM (
+            SELECT u AS w FROM tctx UNION SELECT v AS w FROM tctx
+            UNION SELECT v AS w FROM mid UNION SELECT w AS w FROM mid
+            UNION SELECT w2 AS w FROM back)),
+uni0 AS (SELECT wd.w, bk.n1back, vs.m_ctx, vs.n1f_mid
+         FROM words wd
+         LEFT JOIN back bk ON bk.w2 = wd.w
+         LEFT JOIN vstats vs ON vs.v = wd.w),
+uni AS (SELECT 1 AS "order", w AS w1,
+               NULL::VARCHAR AS w2, NULL::VARCHAR AS w3,
+               round(log10({pcont('coalesce(n1back, 0)')}), 6) AS log10_p,
+               CASE WHEN ({bow1}) > 0
+                    THEN round(log10({bow1}), 6)
+                    ELSE -99.0 END AS log10_bow
+        FROM uni0),
+unkr AS (SELECT 1 AS "order", '<unk>' AS w1,
+                NULL::VARCHAR AS w2, NULL::VARCHAR AS w3,
+                round(log10({pcont('0')}), 6) AS log10_p,
+                0.0 AS log10_bow),
+pairs AS (SELECT v AS a, w AS b FROM mid
+          UNION SELECT u AS a, v AS b FROM tctx),
+bi0 AS (SELECT p.a, p.b, m.n1mid, vs.m_ctx, vs.n1f_mid,
+               bk.n1back, tc.c_uv, tc.n1f_uv
+        FROM pairs p
+        LEFT JOIN mid m ON m.v = p.a AND m.w = p.b
+        LEFT JOIN vstats vs ON vs.v = p.a
+        LEFT JOIN back bk ON bk.w2 = p.b
+        LEFT JOIN tctx tc ON tc.u = p.a AND tc.v = p.b),
+bi1 AS (SELECT *, {pcont('coalesce(n1back, 0)')} AS pc FROM bi0),
+bisec AS (SELECT 2 AS "order", a AS w1, b AS w2, NULL::VARCHAR AS w3,
+                 round(log10({p2v}), 6) AS log10_p,
+                 CASE WHEN ({bow2}) > 0
+                      THEN round(log10({bow2}), 6)
+                      ELSE -99.0 END AS log10_bow
+          FROM bi1),
+tg0 AS (SELECT t.u, t.v, t.w, t.c3, tc.c_uv, tc.n1f_uv,
+               m.n1mid, vs.m_ctx, vs.n1f_mid, bk.n1back
+        FROM tri_all t
+        JOIN tctx tc ON tc.u = t.u AND tc.v = t.v
+        LEFT JOIN mid m ON m.v = t.v AND m.w = t.w
+        LEFT JOIN vstats vs ON vs.v = t.v
+        LEFT JOIN back bk ON bk.w2 = t.w),
+tg1 AS (SELECT *, {pcont('coalesce(n1back, 0)')} AS pc FROM tg0),
+tg2 AS (SELECT *, {p2v} AS p2v FROM tg1),
+trisec AS (SELECT 3 AS "order", u AS w1, v AS w2, w AS w3,
+                  round(log10(
+                    greatest(coalesce(c3, 0)::DOUBLE - 0.75, 0.0)
+                      / c_uv::DOUBLE
+                    + (0.75 * n1f_uv::DOUBLE / c_uv::DOUBLE) * p2v
+                  ), 6) AS log10_p,
+                  NULL::DOUBLE AS log10_bow
+           FROM tg2)
+SELECT * FROM uni UNION ALL SELECT * FROM unkr
+UNION ALL SELECT * FROM bisec UNION ALL SELECT * FROM trisec
+"""
+
+    out["kn3_arpa"] = kn3_arpa_sql(" AND doc_id % 5 = 0")
     # the index-served path is output-identical to the inline scan, so
     # the oracle is literally the same SQL (the dedup_against_index /
     # ann_index_search idiom)

@@ -249,6 +249,9 @@ HEADLINE = [
     # one ann_index_retrain re-fit + re-encode brings the same probe
     # back inside the band (two monitor rows, one artifact).
     "ann_retrain",
+    # r13: ARPA export of the trigram KN artifact — type-table-bounded
+    # section builds (the MODEL, never the corpus).
+    "kn3_arpa",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

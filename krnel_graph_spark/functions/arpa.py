@@ -1,0 +1,460 @@
+"""ARPA export for the Kneser-Ney artifacts — the portability story.
+
+The engine's LM artifacts (:func:`~krnel_graph_spark.functions.text.
+kneser_ney_train` / ``kneser_ney3_train``) are parquet frame dicts —
+great inside this engine, opaque to everything else. The ARPA backoff
+format is the lingua franca of n-gram LMs (KenLM, SRILM, kenlm-python
+perplexity filtering pipelines all consume it), so an exporter makes a
+Spark-trained model portable to every KenLM-consuming pipeline.
+
+Reference parity note: the reference engine (krnel-graph) has no n-gram
+LM at all — this whole family is beyond-reference training-data-pipeline
+surface; the exporter follows the PUBLIC format (Chen & Goodman 1998;
+the KenLM docs' interpolated-KN-in-ARPA encoding), not any internal
+system.
+
+Encoding (the standard interpolated-KN-in-backoff-form identity):
+
+* each listed n-gram stores its FULL interpolated probability
+  ``log10 P(w | context)`` — exactly what the engine's score path
+  computes for a seen n-gram;
+* each listed non-highest-order n-gram stores its backoff weight
+  ``log10 γ(context)`` — the engine's interpolation coefficient — so a
+  consumer's backoff lookup ``γ(context) · P(w | shorter context)``
+  reproduces the engine's unseen-gram arithmetic exactly;
+* a context the engine never saw gets no (or a zero) backoff weight:
+  backoff coefficient 1, matching the engine's "unseen context falls
+  through to the lower level with coefficient 1" branch;
+* words the model only ever treats as OOV fold into ``<unk>`` (the
+  engine's ``V = vocab + 1`` uniform slot).
+
+The faithfulness contract is tested differentially: an independent
+ARPA-backoff evaluator over the exported rows reproduces
+``kneser_ney(3)_score``'s per-document logprob sums (tests/test_arpa.py).
+
+Scale shape: every section is a vocab/type-table-bounded DataFrame (the
+MODEL, not the corpus) built from broadcast-scalar + type-table joins —
+no corpus scan at all. The single-file ``.arpa`` writer streams sections
+through ``toLocalIterator`` (bounded driver memory; a one-file text
+format is inherently a single-writer sink).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "kneser_ney_arpa_rows",
+    "kneser_ney3_arpa_rows",
+    "kneser_ney_export_arpa",
+    "kneser_ney3_export_arpa",
+]
+
+# log10(0) stand-in for a zero backoff weight (a modified-KN discount
+# clamped to 0 can zero a context's whole backoff mass) — the KenLM/
+# SRILM "-99" convention.
+_LOG10_ZERO = -99.0
+
+
+def _log10_bow(bow_col):
+    """round-6 log10 of a backoff weight, with the -99 convention for
+    zero mass (log10(0) would be NULL/-inf in Spark)."""
+    return F.when(
+        bow_col > 0, F.round(F.log10(bow_col), 6)
+    ).otherwise(F.lit(_LOG10_ZERO))
+
+
+def _scalars(lm):
+    return lm["scalars"].select(
+        F.col("B").alias("__B"),
+        F.col("Vc").alias("__Vc"),
+        F.col("V").alias("__V"),
+    )
+
+
+def _row_select(order, w1, w2, w3, log10_p, log10_bow):
+    return [
+        F.lit(order).cast("int").alias("order"),
+        w1.alias("w1"),
+        (w2 if w2 is not None else F.lit(None).cast("string")).alias("w2"),
+        (w3 if w3 is not None else F.lit(None).cast("string")).alias("w3"),
+        log10_p.alias("log10_p"),
+        (
+            log10_bow
+            if log10_bow is not None
+            else F.lit(None).cast("double")
+        ).alias("log10_bow"),
+    ]
+
+
+def kneser_ney_arpa_rows(
+    lm: "dict[str, DataFrame]", discount: float = 0.75
+) -> DataFrame:
+    """The bigram Kneser-Ney artifact as ARPA rows — ``(order, w1, w2,
+    w3, log10_p, log10_bow)``, ``w3`` always null for an order-2 model,
+    ``log10_bow`` null on the highest order.
+
+    Faithful to :func:`~krnel_graph_spark.functions.text.
+    kneser_ney_score` by construction: 1-gram probs are the
+    continuation distribution ``Pc(w)`` (uniform-interpolated, so the
+    section sums to 1 with ``<unk>``), 1-gram backoff weights are the
+    contexts' interpolation coefficients ``D·N1+(w·)/c(w·)``, and
+    2-gram probs are the full interpolated ``P(w2|w1)`` — an ARPA
+    consumer's stored-else-``bow·P(w2)`` lookup reproduces the engine's
+    seen/unseen branches exactly (differentially tested). Words the
+    model only ever saw in positions that left no bigram counts score
+    as OOV in the engine and are likewise folded into ``<unk>`` here.
+    """
+    D = float(discount)
+    if not (0.0 < D < 1.0):
+        raise ValueError("discount must be in (0, 1)")
+    for key in ("big", "ctx", "back", "scalars"):
+        if key not in lm:
+            raise ValueError(
+                f"lm missing frame {key!r} — not a kneser_ney_train artifact"
+            )
+    big, ctx, back = lm["big"], lm["ctx"], lm["back"]
+    scalars = _scalars(lm)
+
+    def pcont(nb_col):
+        nb = F.coalesce(nb_col, F.lit(0)).cast("double")
+        Bd = F.col("__B").cast("double")
+        unif = F.lit(1.0) / F.col("__V").cast("double")
+        return F.when(
+            F.col("__B") > 0,
+            F.greatest(nb - F.lit(D), F.lit(0.0)) / Bd
+            + (F.lit(D) * F.col("__Vc").cast("double") / Bd) * unif,
+        ).otherwise(unif)
+
+    words = (
+        big.select(F.col("w1").alias("w"))
+        .unionByName(big.select(F.col("w2").alias("w")))
+        .distinct()
+    )
+    uni_base = (
+        words.join(back.withColumnRenamed("w2", "w"), "w", "left")
+        .join(ctx.withColumnRenamed("w1", "w"), "w", "left")
+        .crossJoin(F.broadcast(scalars))
+    )
+    c1d = F.col("c1").cast("double")
+    bow1 = F.when(
+        F.col("c1").isNotNull(),
+        F.lit(D) * F.col("n1fwd").cast("double") / c1d,
+    ).otherwise(F.lit(1.0))
+    uni = uni_base.select(
+        *_row_select(
+            1, F.col("w"), None, None,
+            F.round(F.log10(pcont(F.col("n1back"))), 6),
+            _log10_bow(bow1),
+        )
+    )
+    unk = scalars.select(
+        *_row_select(
+            1, F.lit("<unk>"), None, None,
+            F.round(F.log10(pcont(F.lit(None))), 6),
+            _log10_bow(F.lit(1.0)),
+        )
+    )
+    bi_base = (
+        big.join(ctx, "w1")
+        .join(back, "w2", "left")
+        .crossJoin(F.broadcast(scalars))
+    )
+    p2 = (
+        F.greatest(F.col("c12").cast("double") - F.lit(D), F.lit(0.0)) / c1d
+        + (F.lit(D) * F.col("n1fwd").cast("double") / c1d)
+        * pcont(F.col("n1back"))
+    )
+    bi = bi_base.select(
+        *_row_select(
+            2, F.col("w1"), F.col("w2"), None,
+            F.round(F.log10(p2), 6), None,
+        )
+    )
+    return uni.unionByName(unk).unionByName(bi)
+
+
+def kneser_ney3_arpa_rows(
+    lm: "dict[str, DataFrame]",
+    discount: "float | str" = 0.75,
+    base_discount: float = 0.75,
+) -> DataFrame:
+    """The trigram Kneser-Ney artifact as ARPA rows — same row schema
+    as :func:`kneser_ney_arpa_rows` with a populated ``w3`` on order 3.
+
+    Sections (each a type-table-bounded frame, no corpus scan):
+
+    * 1-grams: every word any listed n-gram mentions, prob =
+      the bottom continuation ``Pc(w)``, bow = the mid level's
+      interpolation coefficient ``γ2(w)`` (1 for words never seen as a
+      mid context);
+    * 2-grams: mid-level EVENTS ``(v, w)`` ∪ trigram CONTEXTS
+      ``(u, v)`` (ARPA requires every listed trigram's prefix to be
+      listed so its bow is reachable), prob = the interpolated
+      continuation-bigram ``P2c(w|v)``, bow = ``γ3(u, v)``;
+    * 3-grams: the (possibly ``min_count``-pruned) trigram lookup
+      table, prob = full interpolated ``P3(w|u, v)`` — pruned grams are
+      simply unlisted, so a consumer backs off through the UNPRUNED
+      weights, exactly the engine's pruning semantics.
+
+    ``discount="modified"`` bakes the Chen & Goodman per-class
+    discounts (all three levels since r13, incl. the scalar-context
+    bottom level) into the emitted probabilities and weights — an ARPA
+    file is discount-baked by nature, so the score-time-knob property
+    ends at export; export once per smoothing you want to ship. A
+    zero-mass backoff (a clamped-to-0 discount over an all-hapax
+    context class) is written as the conventional ``-99``.
+    """
+    from .text import _mkn3_discounts
+
+    modified = discount == "modified"
+    D = float(base_discount) if modified else float(discount)
+    if not (0.0 < D < 1.0):
+        raise ValueError("discount must be in (0, 1)")
+    needed = ("tri", "tctx", "mid", "vstats", "back", "scalars") + (
+        ("coc",) if modified else ()
+    )
+    for key in needed:
+        if key not in lm:
+            raise ValueError(
+                f"lm missing frame {key!r} — not a kneser_ney3_train artifact"
+            )
+    tri, tctx, mid = lm["tri"], lm["tctx"], lm["mid"]
+    vstats, back = lm["vstats"], lm["back"]
+    scalars = _scalars(lm)
+
+    if modified:
+        coc_row = lm["coc"].collect()[0]
+        d1m, d2m, d3m = _mkn3_discounts(coc_row, "m", D)
+        d1t, d2t, d3t = _mkn3_discounts(coc_row, "t", D)
+        has_b = "b1" in lm["coc"].columns
+        if has_b:
+            d1b, d2b, d3b = _mkn3_discounts(coc_row, "b", D)
+            b1 = float(coc_row["b1"] or 0)
+            b2 = float(coc_row["b2"] or 0)
+            b3p = float(coc_row["btot"] or 0) - b1 - b2
+            gamma_b = d1b * b1 + d2b * b2 + d3b * b3p
+
+    def pcont(nb_col):
+        nb = F.coalesce(nb_col, F.lit(0)).cast("double")
+        Bd = F.col("__B").cast("double")
+        unif = F.lit(1.0) / F.col("__V").cast("double")
+        if modified and has_b:
+            db = (
+                F.when(nb_col == 1, F.lit(d1b))
+                .when(nb_col == 2, F.lit(d2b))
+                .otherwise(F.lit(d3b))
+            )
+            return F.when(
+                F.col("__B") > 0,
+                F.greatest(nb - db, F.lit(0.0)) / Bd
+                + (F.lit(gamma_b) / Bd) * unif,
+            ).otherwise(unif)
+        return F.when(
+            F.col("__B") > 0,
+            F.greatest(nb - F.lit(D), F.lit(0.0)) / Bd
+            + (F.lit(D) * F.col("__Vc").cast("double") / Bd) * unif,
+        ).otherwise(unif)
+
+    mctx_d = F.col("m_ctx").cast("double")
+
+    def gamma2():
+        """mid level's backoff mass / m_ctx — the 1-gram bow."""
+        if modified:
+            return (
+                F.lit(d1m) * F.col("mm1").cast("double")
+                + F.lit(d2m) * F.col("mm2").cast("double")
+                + F.lit(d3m) * F.col("mm3p").cast("double")
+            ) / mctx_d
+        return F.lit(D) * F.col("n1f_mid").cast("double") / mctx_d
+
+    def p2_expr(pcont_col):
+        n1mid0 = F.coalesce(F.col("n1mid"), F.lit(0)).cast("double")
+        if modified:
+            dm = (
+                F.when(F.col("n1mid") == 1, F.lit(d1m))
+                .when(F.col("n1mid") == 2, F.lit(d2m))
+                .otherwise(F.lit(d3m))
+            )
+            core = (
+                F.greatest(n1mid0 - dm, F.lit(0.0)) / mctx_d
+                + gamma2() * pcont_col
+            )
+        else:
+            core = (
+                F.greatest(n1mid0 - F.lit(D), F.lit(0.0)) / mctx_d
+                + gamma2() * pcont_col
+            )
+        return F.when(F.col("m_ctx").isNotNull(), core).otherwise(pcont_col)
+
+    cuv_d = F.col("c_uv").cast("double")
+
+    def gamma3():
+        if modified:
+            return (
+                F.lit(d1t) * F.col("nn1").cast("double")
+                + F.lit(d2t) * F.col("nn2").cast("double")
+                + F.lit(d3t) * F.col("nn3p").cast("double")
+            ) / cuv_d
+        return F.lit(D) * F.col("n1f_uv").cast("double") / cuv_d
+
+    tctx_cols = ["c_uv", "n1f_uv"] + (["nn1", "nn2", "nn3p"] if modified else [])
+    vstats_cols = ["m_ctx", "n1f_mid"] + (
+        ["mm1", "mm2", "mm3p"] if modified else []
+    )
+    tctx_s = tctx.select("u", "v", *tctx_cols)
+    vstats_s = vstats.select("v", *vstats_cols)
+
+    # ---- 1-grams: every word a listed n-gram mentions -----------------
+    words = (
+        tctx.select(F.col("u").alias("w"))
+        .unionByName(tctx.select(F.col("v").alias("w")))
+        .unionByName(mid.select(F.col("v").alias("w")))
+        .unionByName(mid.select(F.col("w").alias("w")))
+        .unionByName(back.select(F.col("w2").alias("w")))
+        .distinct()
+    )
+    uni_base = (
+        words.join(back.withColumnRenamed("w2", "w"), "w", "left")
+        .join(vstats_s.withColumnRenamed("v", "w"), "w", "left")
+        .crossJoin(F.broadcast(scalars))
+    )
+    bow1 = F.when(F.col("m_ctx").isNotNull(), gamma2()).otherwise(F.lit(1.0))
+    uni = uni_base.select(
+        *_row_select(
+            1, F.col("w"), None, None,
+            F.round(F.log10(pcont(F.col("n1back"))), 6),
+            _log10_bow(bow1),
+        )
+    )
+    unk = scalars.select(
+        *_row_select(
+            1, F.lit("<unk>"), None, None,
+            F.round(F.log10(pcont(F.lit(None))), 6),
+            _log10_bow(F.lit(1.0)),
+        )
+    )
+
+    # ---- 2-grams: mid EVENTS ∪ trigram CONTEXTS ------------------------
+    pairs = (
+        mid.select(F.col("v").alias("a"), F.col("w").alias("b"))
+        .unionByName(tctx.select(F.col("u").alias("a"), F.col("v").alias("b")))
+        .distinct()
+    )
+    bi_base = (
+        pairs.join(
+            mid.select(
+                F.col("v").alias("a"), F.col("w").alias("b"), "n1mid"
+            ),
+            ["a", "b"],
+            "left",
+        )
+        .join(vstats_s.withColumnRenamed("v", "a"), "a", "left")
+        .join(back.withColumnRenamed("w2", "b"), "b", "left")
+        .join(
+            tctx_s.withColumnRenamed("u", "a").withColumnRenamed("v", "b"),
+            ["a", "b"],
+            "left",
+        )
+        .crossJoin(F.broadcast(scalars))
+    )
+    bow2 = F.when(F.col("c_uv").isNotNull(), gamma3()).otherwise(F.lit(1.0))
+    bi = bi_base.select(
+        *_row_select(
+            2, F.col("a"), F.col("b"), None,
+            F.round(F.log10(p2_expr(pcont(F.col("n1back")))), 6),
+            _log10_bow(bow2),
+        )
+    )
+
+    # ---- 3-grams: the (pruned) trigram lookup table --------------------
+    tg_base = (
+        tri.join(tctx_s, ["u", "v"])
+        .join(mid, ["v", "w"], "left")
+        .join(vstats_s, "v", "left")
+        .join(back.withColumnRenamed("w2", "w"), "w", "left")
+        .crossJoin(F.broadcast(scalars))
+    )
+    c3d = F.coalesce(F.col("c3"), F.lit(0)).cast("double")
+    if modified:
+        dt = (
+            F.when(F.col("c3") == 1, F.lit(d1t))
+            .when(F.col("c3") == 2, F.lit(d2t))
+            .otherwise(F.lit(d3t))
+        )
+        p3 = (
+            F.greatest(c3d - dt, F.lit(0.0)) / cuv_d
+            + gamma3() * p2_expr(pcont(F.col("n1back")))
+        )
+    else:
+        p3 = (
+            F.greatest(c3d - F.lit(D), F.lit(0.0)) / cuv_d
+            + gamma3() * p2_expr(pcont(F.col("n1back")))
+        )
+    tg = tg_base.select(
+        *_row_select(
+            3, F.col("u"), F.col("v"), F.col("w"),
+            F.round(F.log10(p3), 6), None,
+        )
+    )
+    return uni.unionByName(unk).unionByName(bi).unionByName(tg)
+
+
+def _write_arpa(rows: DataFrame, path: str, max_order: int) -> None:
+    """Stream ARPA rows into one ``.arpa`` text file — header counts,
+    per-order sections sorted by words, ``\\end\\`` trailer. Sections
+    stream through ``toLocalIterator`` (bounded driver memory; the
+    format is a single text file, inherently single-writer). Backoff
+    weights are written for every non-highest-order entry (0.0 when the
+    context carries none — the explicit form every consumer accepts)."""
+    counts = {
+        r["order"]: r["n"]
+        for r in rows.groupBy("order").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\\data\\\n")
+        for o in range(1, max_order + 1):
+            f.write(f"ngram {o}={counts.get(o, 0)}\n")
+        for o in range(1, max_order + 1):
+            f.write(f"\n\\{o}-grams:\n")
+            section = (
+                rows.filter(F.col("order") == o)
+                .orderBy("w1", "w2", "w3")
+            )
+            for r in section.toLocalIterator():
+                gram = " ".join(
+                    w for w in (r["w1"], r["w2"], r["w3"]) if w is not None
+                )
+                line = f"{r['log10_p']:.6f}\t{gram}"
+                if o < max_order:
+                    line += f"\t{r['log10_bow']:.6f}"
+                f.write(line + "\n")
+        f.write("\n\\end\\\n")
+
+
+def kneser_ney_export_arpa(
+    lm: "dict[str, DataFrame]", path: str, discount: float = 0.75
+) -> None:
+    """Write a :func:`~krnel_graph_spark.functions.text.
+    kneser_ney_train` artifact as a standard order-2 ``.arpa`` file
+    (KenLM/SRILM-consumable). ``path`` is a driver-local file path —
+    the format is one text file, so this is a driver-streamed sink."""
+    _write_arpa(kneser_ney_arpa_rows(lm, discount=discount), path, 2)
+
+
+def kneser_ney3_export_arpa(
+    lm: "dict[str, DataFrame]",
+    path: str,
+    discount: "float | str" = 0.75,
+    base_discount: float = 0.75,
+) -> None:
+    """Order-3 twin of :func:`kneser_ney_export_arpa`; supports
+    ``discount="modified"`` (the discounts are baked into the file)."""
+    _write_arpa(
+        kneser_ney3_arpa_rows(
+            lm, discount=discount, base_discount=base_discount
+        ),
+        path,
+        3,
+    )

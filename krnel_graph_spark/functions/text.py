@@ -2360,7 +2360,25 @@ def kneser_ney3_train(
             ]
         )
 
-    coc = _coc(tri_all, "c3", "t").crossJoin(_coc(mid, "n1mid", "m"))
+    # r13: back-level (bottom continuation) count-of-counts + type
+    # total — modified-KN now applies per-class discounts at EVERY
+    # level, including the unigram continuation floor (the r12 verdict's
+    # documented fidelity gap vs Chen & Goodman). btot rides along so
+    # the 3+ class count (btot − b1 − b2) is derivable from the same
+    # bounded 1-row collect.
+    coc = (
+        _coc(tri_all, "c3", "t")
+        .crossJoin(_coc(mid, "n1mid", "m"))
+        .crossJoin(
+            back.agg(
+                *[
+                    F.sum((F.col("n1back") == k).cast("long")).alias(f"b{k}")
+                    for k in (1, 2, 3, 4)
+                ],
+                F.count(F.lit(1)).alias("btot"),
+            )
+        )
+    )
     tri = (
         tri_all.filter(F.col("c3") >= F.lit(int(min_count)))
         if min_count > 1
@@ -2378,6 +2396,34 @@ def kneser_ney3_train(
         "_pinned_big": big,
         "_pinned_tri": tri_all,
     }
+
+
+def _mkn3_discounts(row, prefix, base):
+    """Chen & Goodman closed-form discounts from a level's
+    count-of-counts, clamped to [0, k]; degenerate levels (needed
+    t_k = 0) fall back to the single ``base`` discount. Computed
+    DRIVER-side from the collected 1-row coc frame (bounded, KB) —
+    embedding the discounts as literals keeps the per-position
+    expression tree fixed-mode-sized (a column-expression version
+    measured 3.5× the whole query at ×40: every D subtree was
+    re-evaluated inside each interpolation level). Python float64
+    arithmetic is the same IEEE ops in the same order the SQL
+    oracle replays. Returns raw floats; callers wrap in F.lit where a
+    column is needed. Shared by :func:`kneser_ney3_score` and the ARPA
+    exporter."""
+    # an empty train corpus leaves NULL sums in the coc aggregate
+    # row — treat as zero counts so every level falls back to the
+    # base discount instead of raising on float(None)
+    t = [float(row[f"{prefix}{k}"] or 0) for k in (1, 2, 3, 4)]
+    out = []
+    for k in (1, 2, 3):
+        if t[0] > 0 and (k == 1 or t[k - 1] > 0):
+            y = t[0] / (t[0] + 2.0 * t[1])
+            d = k - (k + 1) * y * t[k] / t[k - 1]
+            out.append(max(0.0, min(d, float(k))))
+        else:
+            out.append(base)
+    return out
 
 
 def kneser_ney3_score(
@@ -2403,10 +2449,14 @@ def kneser_ney3_score(
     ``[0, k]``; a level whose needed tk is zero falls back to
     ``base_discount``). The backoff weight becomes
     ``(D1·n1 + D2·n2 + D3·n3+)/total`` over the context's count-class
-    type counts. The bigram-table continuation floor keeps the single
-    ``base_discount`` (the order-1 level has no count classes to
-    split). All of it evaluates from the same discount-free artifact —
-    switching smoothing is a score-time flag, never a retrain."""
+    type counts. Since r13 the bottom continuation floor gets
+    per-class discounts too (Chen & Goodman apply them at every
+    order): its single global context makes the class counts scalars,
+    so the whole backoff mass is one literal; pre-r13 artifacts whose
+    ``coc`` frame predates the back-level count-of-counts fall back to
+    the single ``base_discount`` there. All of it evaluates from the
+    same discount-free artifact — switching smoothing is a score-time
+    flag, never a retrain."""
     modified = discount == "modified"
     if modified:
         D = float(base_discount)
@@ -2483,43 +2533,48 @@ def kneser_ney3_score(
         .crossJoin(F.broadcast(scalars))
     )
     def _mkn_discounts(row, prefix):
-        """Chen & Goodman closed-form discounts from the level's
-        count-of-counts, clamped to [0, k]; degenerate levels (needed
-        t_k = 0) fall back to the single base discount. Computed
-        DRIVER-side from the collected 1-row coc frame (bounded, KB) —
-        embedding the six discounts as literals keeps the per-position
-        expression tree fixed-mode-sized (a column-expression version
-        measured 3.5× the whole query at ×40: every D subtree was
-        re-evaluated inside each interpolation level). Python float64
-        arithmetic is the same IEEE ops in the same order the SQL
-        oracle replays."""
-        # an empty train corpus leaves NULL sums in the coc aggregate
-        # row — treat as zero counts so every level falls back to the
-        # base discount instead of raising on float(None)
-        t = [float(row[f"{prefix}{k}"] or 0) for k in (1, 2, 3, 4)]
-        out = []
-        for k in (1, 2, 3):
-            if t[0] > 0 and (k == 1 or t[k - 1] > 0):
-                y = t[0] / (t[0] + 2.0 * t[1])
-                d = k - (k + 1) * y * t[k] / t[k - 1]
-                out.append(max(0.0, min(d, float(k))))
-            else:
-                out.append(D)
-        return [F.lit(v) for v in out]
+        return _mkn3_discounts(row, prefix, D)
 
     nb = F.coalesce(F.col("n1back"), F.lit(0)).cast("double")
     Bd = F.col("__B").cast("double")
     unif = F.lit(1.0) / F.col("__V").cast("double")
-    pcont = F.when(
-        F.col("__B") > 0,
-        F.greatest(nb - F.lit(D), F.lit(0.0)) / Bd
-        + (F.lit(D) * F.col("__Vc").cast("double") / Bd) * unif,
-    ).otherwise(unif)
+    coc_row = lm["coc"].collect()[0] if modified else None
+    if modified and "b1" in lm["coc"].columns:
+        # r13: per-class discounts at the BOTTOM continuation level too
+        # (Chen & Goodman apply them at every order; r12 kept the single
+        # base discount here). The level's context is the one global
+        # empty context, so its class type counts (how many unigram
+        # continuation types occur once / twice / 3+) are scalars from
+        # the same bounded coc row, and the backoff mass
+        # (D1·b1 + D2·b2 + D3+·b3p) folds into ONE literal.
+        d1b, d2b, d3b = _mkn_discounts(coc_row, "b")
+        b1 = float(coc_row["b1"] or 0)
+        b2 = float(coc_row["b2"] or 0)
+        b3p = float(coc_row["btot"] or 0) - b1 - b2
+        gamma_b = d1b * b1 + d2b * b2 + d3b * b3p
+        db = (
+            F.when(F.col("n1back") == 1, F.lit(d1b))
+            .when(F.col("n1back") == 2, F.lit(d2b))
+            .otherwise(F.lit(d3b))
+        )
+        pcont = F.when(
+            F.col("__B") > 0,
+            F.greatest(nb - db, F.lit(0.0)) / Bd
+            + (F.lit(gamma_b) / Bd) * unif,
+        ).otherwise(unif)
+    else:
+        # single-discount floor: the non-modified path, and the
+        # documented fallback for pre-r13 persisted artifacts whose coc
+        # frame predates the back-level count-of-counts
+        pcont = F.when(
+            F.col("__B") > 0,
+            F.greatest(nb - F.lit(D), F.lit(0.0)) / Bd
+            + (F.lit(D) * F.col("__Vc").cast("double") / Bd) * unif,
+        ).otherwise(unif)
     mctx_d_ = F.col("m_ctx").cast("double")
     cuv_d = F.col("c_uv").cast("double")
     if modified:
-        coc_row = lm["coc"].collect()[0]
-        d1m, d2m, d3m = _mkn_discounts(coc_row, "m")
+        d1m, d2m, d3m = [F.lit(v) for v in _mkn_discounts(coc_row, "m")]
         n1mid_d = F.coalesce(F.col("n1mid"), F.lit(0)).cast("double")
         dm = (
             F.when(F.col("n1mid") == 1, d1m)
@@ -2536,7 +2591,7 @@ def kneser_ney3_score(
             F.greatest(n1mid_d - dm, F.lit(0.0)) / mctx_d_
             + (gamma_m / mctx_d_) * pcont,
         ).otherwise(pcont)
-        d1t, d2t, d3t = _mkn_discounts(coc_row, "t")
+        d1t, d2t, d3t = [F.lit(v) for v in _mkn_discounts(coc_row, "t")]
         c3_d = F.coalesce(F.col("c3"), F.lit(0)).cast("double")
         dt = (
             F.when(F.col("c3") == 1, d1t)

@@ -624,6 +624,17 @@ def test_ann_retrain_bounded_scans(spark, entry):
     assert "Union" in plan  # the two labeled monitor rows
 
 
+def test_kn3_arpa_sections_are_model_sized(spark, entry):
+    """The ARPA exporter joins type tables (vocab-bounded), never the
+    corpus: no Cartesian product (the 1-row scalars ride a broadcast),
+    the four sections union, and every n-gram probability is assembled
+    from hash/broadcast joins over the count frames."""
+    plan = _plan(spark, entry, "kn3_arpa")
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalars frame
+
+
 def test_recall_probe_bounded_scans(spark, entry):
     """The index-health monitor costs one codes-frame scan + one
     float-corpus scan with broadcast probes: no Cartesian product, the

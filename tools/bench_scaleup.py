@@ -165,6 +165,10 @@ QUERIES = [
     # r12: MinHash append leg — same banded-join growth as
     # dedup_against_index, plus the bounded param-layout collect.
     "minhash_append",
+    # r13: ARPA export rows — train (the dominant cost: the same count
+    # tables kneser_ney3 builds) + three type-table-bounded section
+    # joins; the corpus is never rescanned by the sections themselves.
+    "kn3_arpa",
     "random_projection",
     "export_manifest",
     "schema_drift",
