@@ -3755,49 +3755,47 @@ def q_bm25_index_search(spark, sf_dir):
 
 
 # The driver records hash-graded evidence only for the FIRST 50 entries
-# of queries(). r12 rotation (the r11 verdict's item 1, executed as
-# queued): first the five entries whose impls/oracles are NEW or
-# CHANGED this round (recall_probe / trigram KN pair / minhash_append
-# need their first driver row; profile_table_hll's implementation was
-# fused into one aggregation pass), then the ENTIRE remaining r7
-# evidence block (upsert_merge ... audio_fp — oldest driver records in
-# the ledger), then the head of the r8 block in COVERAGE.md order.
-# (r13 rotation queue: the r8 remainder — leakage_safe_split,
-# llm_chat_generate, set_intersect, sort_topk, split_train_mask,
-# stupid_backoff, take_rows, temperature_mixture, tokenizer_fertility,
-# vocab_growth, minhash_signature, ngram_jaccard, packing_report,
-# paragraph_dedup, perplexity_buckets, pii_report, quality_buckets,
-# scan_parquet, schema_drift, select_column — then the r9 blocks age
-# back in. Rows-only is ZERO since r12: umap_pca, the last one, is
-# hash-graded via the driver-replayed PCA oracle.)
-_R12_WINDOW = [
-    # new/changed this round (umap_pca: the LAST rows-only entry
-    # converted to hash-graded via the driver-replayed PCA oracle —
-    # its first HASH row lands this round)
-    "recall_probe", "kneser_ney3", "kneser_ney3_pruned",
-    "kneser_ney3_modified", "minhash_append", "umap_pca",
-    "profile_table_hll",
-    # the r7 remainder: every query whose newest driver record is r7
-    "upsert_merge", "window_anomalies", "events_hopping",
-    "unigram_logprob", "bigram_logprob", "histogram_price", "corr_matrix",
-    "pagerank", "triangle_count", "clustering_coeff", "k_core",
-    "assortativity", "top_terms", "simhash_pairs_q", "orc_roundtrip",
-    "text_roundtrip", "audio_fp",
-    # head of the r8 block (newest record round 8), COVERAGE order
-    "local_supply_q5", "mask_isin", "boolean_logic", "jinja_template",
-    "split_hash", "llm_generate_fake", "mask_not_in",
-    "pairwise_arithmetic", "vector_to_scalar", "anti_join", "set_except",
-    "simhash", "lang_id", "multimodal_meta",
-    "c4_rules", "centroid_filter", "corpus_divergence", "dedup_report",
-    "distinct_flags", "embedding_quantize", "export_manifest",
-    "fingerprint", "fluent_quality", "gopher_rules", "k_anonymity",
-    "kcenter_select",
+# of queries(). r13 rotation (executed as the r12 comment queued):
+# first the entries whose impls/oracles are NEW or CHANGED this round
+# (ann_retrain and kn3_arpa need their first driver row;
+# kneser_ney3_modified's bottom continuation level moved to per-class
+# discounts — value unchanged on this dense slice by construction, but
+# the impl AND oracle both changed so it re-records), then the ENTIRE
+# r8 remainder (oldest driver records in the ledger after the r12
+# rotation), then the head of the r9 block in COVERAGE.md order.
+# (r14 rotation queue: the r9 remainder — hash_sample,
+# stratified_sample, shuffle_export, decontaminate, repetition_stats,
+# remove_dup_windows, containment, cdc_dedup, assign_row_id,
+# inline_dataset, csv_roundtrip, jsonl_roundtrip, ann_lsh, blocklist,
+# stupid_backoff_fixed, hash_embedding, random_projection,
+# unicode_normalize, perplexity_buckets_fixed, margin_pairs,
+# margin_pairs_ann — then the r10 blocks age back in. Rows-only
+# remains ZERO: 218/218 oracle-backed.)
+_R13_WINDOW = [
+    # new/changed this round
+    "ann_retrain", "kn3_arpa", "kneser_ney3_modified",
+    # the r8 remainder: every query whose newest driver record is r8
+    "leakage_safe_split", "llm_chat_generate", "set_intersect",
+    "sort_topk", "split_train_mask", "stupid_backoff", "take_rows",
+    "temperature_mixture", "tokenizer_fertility", "vocab_growth",
+    "minhash_signature", "ngram_jaccard", "packing_report",
+    "paragraph_dedup", "perplexity_buckets", "pii_report",
+    "quality_buckets", "scan_parquet", "schema_drift", "select_column",
+    # head of the r9 block (newest record round 9), COVERAGE order
+    "ann_recall", "fluent_pipeline", "fluent_decontaminate", "ann_topk",
+    "asof_join", "minhash_pairs", "sessionize", "events_windowed",
+    "dedup_drop_near", "broadcast_join_region", "parse_json_get",
+    "heavy_hitters", "running_user_totals", "embedding_dups",
+    "interval_join", "profile_table", "clean_corpus", "cube_agg",
+    "pivot_priority", "percentiles", "ntile_quartiles", "pivot_dynamic",
+    "group_cap", "pii_scrub", "domain_stats", "sequence_pack",
+    "connected_components",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The literal dict below keeps its r7 grouping for readability; the
-    # driver-visible ORDER is _R12_WINDOW first (see its comment), then
+    # driver-visible ORDER is _R13_WINDOW first (see its comment), then
     # everything else in literal order.
     d = {
         # ---- driver 50-slot recording window (r7 rotation) ---- #
@@ -4033,8 +4031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kneser_ney3_modified": q_kneser_ney3_modified,
         "bm25_index_search": q_bm25_index_search,
     }
-    out = {k: d[k] for k in _R12_WINDOW}
-    missing = [k for k in _R12_WINDOW if k not in d]
+    out = {k: d[k] for k in _R13_WINDOW}
+    missing = [k for k in _R13_WINDOW if k not in d]
     assert not missing, f"window names drifted: {missing}"
     for k, v in d.items():
         out.setdefault(k, v)

@@ -110,14 +110,14 @@ def test_driver_window_hygiene():
     as an intentional rows-only re-record."""
     import __spark_entry__ as em
 
-    window = em._R12_WINDOW
+    window = em._R13_WINDOW
     assert len(window) == 50
     assert len(set(window)) == 50, "duplicate window entries"
     q = em.queries()
     assert list(q)[:50] == window, "queries() head order drifted"
     oracles = em.oracle_sql()
-    # r12: every windowed entry is oracle-backed (umap_pca got its
-    # rows-only re-record in r11 and rotated out).
+    # r13: every windowed entry is oracle-backed (rows-only has been
+    # zero since r12).
     intentional_rows_only: set[str] = set()
     burned = [n for n in window if n not in oracles] 
     assert set(burned) <= intentional_rows_only, (
