@@ -3741,6 +3741,27 @@ def q_kn3_arpa(spark, sf_dir):
     return kneser_ney3_arpa_rows(lm)
 
 
+def q_arpa_score(spark, sf_dir):
+    """The generic ARPA-consumer scorer (r13): score the FULL corpus
+    against the exported sections of the %5-trained trigram KN model —
+    what perplexity filtering with a KenLM-built model looks like in
+    this engine (arpa_load reads any .arpa into the same rows frame;
+    here the rows come straight from the exporter, exercising the
+    identical lookup path). Backoff chain in pure column expressions
+    over five digest-keyed LEFT joins; n_oov = unlisted 1-grams scored
+    as <unk>. Differentially pinned against the native kneser_ney3
+    scorer in tests/test_arpa.py."""
+    from krnel_graph_spark.functions.arpa import (
+        arpa_score,
+        kneser_ney3_arpa_rows,
+    )
+    from krnel_graph_spark.functions.text import kneser_ney3_train
+
+    docs = _docs(spark, sf_dir)
+    lm = kneser_ney3_train(docs.filter(F.col("doc_id") % 5 == 0), "text")
+    return arpa_score(kneser_ney3_arpa_rows(lm), docs, "text", "doc_id")
+
+
 def q_bm25_index_search(spark, sf_dir):
     """BM25 served from the persistable index artifact
     (functions/text.py:bm25_index — postings/term_df/stats frames,
@@ -3763,7 +3784,8 @@ def q_bm25_index_search(spark, sf_dir):
 # the impl AND oracle both changed so it re-records), then the ENTIRE
 # r8 remainder (oldest driver records in the ledger after the r12
 # rotation), then the head of the r9 block in COVERAGE.md order.
-# (r14 rotation queue: the r9 remainder — hash_sample,
+# (r14 rotation queue: the r9 remainder — connected_components,
+# hash_sample,
 # stratified_sample, shuffle_export, decontaminate, repetition_stats,
 # remove_dup_windows, containment, cdc_dedup, assign_row_id,
 # inline_dataset, csv_roundtrip, jsonl_roundtrip, ann_lsh, blocklist,
@@ -3773,7 +3795,7 @@ def q_bm25_index_search(spark, sf_dir):
 # remains ZERO: 218/218 oracle-backed.)
 _R13_WINDOW = [
     # new/changed this round
-    "ann_retrain", "kn3_arpa", "kneser_ney3_modified",
+    "ann_retrain", "kn3_arpa", "arpa_score", "kneser_ney3_modified",
     # the r8 remainder: every query whose newest driver record is r8
     "leakage_safe_split", "llm_chat_generate", "set_intersect",
     "sort_topk", "split_train_mask", "stupid_backoff", "take_rows",
@@ -3789,7 +3811,6 @@ _R13_WINDOW = [
     "interval_join", "profile_table", "clean_corpus", "cube_agg",
     "pivot_priority", "percentiles", "ntile_quartiles", "pivot_dynamic",
     "group_cap", "pii_scrub", "domain_stats", "sequence_pack",
-    "connected_components",
 ]
 
 
@@ -3854,6 +3875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_probe": q_recall_probe,
         "ann_retrain": q_ann_retrain,
         "kn3_arpa": q_kn3_arpa,
+        "arpa_score": q_arpa_score,
         "audio_features_stub": q_audio_features_stub,
         "video_frames_stub": q_video_frames_stub,
         "bpe_encode": q_bpe_encode,
@@ -8875,7 +8897,7 @@ FROM q3 GROUP BY doc_id
     # sections with the exact per-level expressions
     # kneser_ney3_arpa_rows builds (fixed D=0.75; bow=1 contexts round
     # to 0.0, zero-mass bows would hit the -99 convention).
-    def kn3_arpa_sql(train_filter: str) -> str:
+    def _kn3_arpa_ctes(train_filter: str) -> str:
         def pcont(nb: str) -> str:
             return (
                 f"CASE WHEN (SELECT B FROM tot) > 0 THEN "
@@ -8974,12 +8996,62 @@ trisec AS (SELECT 3 AS "order", u AS w1, v AS w2, w AS w3,
                     + (0.75 * n1f_uv::DOUBLE / c_uv::DOUBLE) * p2v
                   ), 6) AS log10_p,
                   NULL::DOUBLE AS log10_bow
-           FROM tg2)
-SELECT * FROM uni UNION ALL SELECT * FROM unkr
-UNION ALL SELECT * FROM bisec UNION ALL SELECT * FROM trisec
-"""
+           FROM tg2)"""
+
+    def kn3_arpa_sql(train_filter: str) -> str:
+        return (
+            _kn3_arpa_ctes(train_filter)
+            + "\nSELECT * FROM uni UNION ALL SELECT * FROM unkr\n"
+            "UNION ALL SELECT * FROM bisec UNION ALL SELECT * FROM trisec\n"
+        )
 
     out["kn3_arpa"] = kn3_arpa_sql(" AND doc_id % 5 = 0")
+
+    # arpa_score: the generic ARPA-consumer lookup over the exported
+    # sections — stored n-gram log-prob if listed, else the backoff
+    # chain (bow 0 for unlisted contexts), positions 1/2 at the orders
+    # their shortened context supports (the engine's no-<s> document
+    # convention), OOV = unlisted 1-gram scored as <unk>.
+    def kn3_arpa_score_sql(train_filter: str) -> str:
+        unk_lp = "(SELECT log10_p FROM unkr)"
+        p_wv = f"""CASE WHEN has_v THEN
+             CASE WHEN lp2 IS NOT NULL THEN lp2
+                  ELSE coalesce(lbow1v, 0.0) + coalesce(lp1, {unk_lp}) END
+           ELSE coalesce(lp1, {unk_lp}) END"""
+        return f"""{_kn3_arpa_ctes(train_filter)},
+st AS (SELECT doc_id, {toks_text} AS toks FROM documents
+       WHERE {norm_text} != ''),
+sp AS (SELECT doc_id, toks[s] AS w,
+              CASE WHEN s >= 2 THEN toks[s - 1] END AS v,
+              CASE WHEN s >= 3 THEN toks[s - 2] END AS u
+       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS s
+             FROM st)),
+lk AS (SELECT sp.doc_id,
+              u1.log10_p AS lp1, u1v.log10_bow AS lbow1v,
+              b2.log10_p AS lp2, b2c.log10_bow AS lbow2,
+              t3.log10_p AS lp3,
+              sp.v IS NOT NULL AS has_v, sp.u IS NOT NULL AS has_u
+       FROM sp
+       LEFT JOIN uni u1 ON u1.w1 = sp.w
+       LEFT JOIN uni u1v ON u1v.w1 = sp.v
+       LEFT JOIN bisec b2 ON b2.w1 = sp.v AND b2.w2 = sp.w
+       LEFT JOIN bisec b2c ON b2c.w1 = sp.u AND b2c.w2 = sp.v
+       LEFT JOIN trisec t3 ON t3.w1 = sp.u AND t3.w2 = sp.v
+                          AND t3.w3 = sp.w),
+term AS (SELECT doc_id,
+                round(CASE WHEN has_u THEN
+                        CASE WHEN lp3 IS NOT NULL THEN lp3
+                             ELSE coalesce(lbow2, 0.0) + ({p_wv}) END
+                      ELSE {p_wv} END, 6)::DECIMAL(20,6) AS t,
+                (lp1 IS NULL)::INT AS oov
+         FROM lk)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       sum(oov)::BIGINT AS n_oov,
+       sum(t)::DOUBLE AS logprob_sum
+FROM term GROUP BY doc_id
+"""
+
+    out["arpa_score"] = kn3_arpa_score_sql(" AND doc_id % 5 = 0")
     # the index-served path is output-identical to the inline scan, so
     # the oracle is literally the same SQL (the dedup_against_index /
     # ann_index_search idiom)

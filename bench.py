@@ -250,8 +250,11 @@ HEADLINE = [
     # back inside the band (two monitor rows, one artifact).
     "ann_retrain",
     # r13: ARPA export of the trigram KN artifact — type-table-bounded
-    # section builds (the MODEL, never the corpus).
+    # section builds (the MODEL, never the corpus) — and the generic
+    # ARPA-consumer scorer over those sections (perplexity filtering
+    # with any KenLM-built model).
     "kn3_arpa",
+    "arpa_score",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

@@ -49,6 +49,8 @@ __all__ = [
     "kneser_ney3_arpa_rows",
     "kneser_ney_export_arpa",
     "kneser_ney3_export_arpa",
+    "arpa_load",
+    "arpa_score",
 ]
 
 # log10(0) stand-in for a zero backoff weight (a modified-KN discount
@@ -457,4 +459,253 @@ def kneser_ney3_export_arpa(
         ),
         path,
         3,
+    )
+
+
+def arpa_load(spark, path: str) -> DataFrame:
+    """Parse a driver-local ``.arpa`` file back into the rows frame
+    :func:`kneser_ney3_arpa_rows` emits — ``(order, w1, w2, w3,
+    log10_p, log10_bow)`` — so a model built by ANYTHING that writes
+    ARPA (KenLM's ``lmplz``, SRILM) can drive :func:`arpa_score` over a
+    100-TB corpus in this engine. Roundtrip identity is exact and
+    pinned: ``arpa_load(export(rows)) == rows`` as a row multiset
+    (round-6 values survive the ``%.6f`` print/parse bit-for-bit).
+
+    The parse is a driver-side stream (the ARPA section structure is
+    stateful — a space-separated file is ambiguous without knowing the
+    current section, so a distributed line parse would be wrong for
+    valid files), batched into the session 500k rows at a time:
+    bounded by the MODEL size, never the corpus. For a multi-GB model,
+    import once and persist the frame to parquet."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("order", IntegerType(), False),
+            StructField("w1", StringType(), True),
+            StructField("w2", StringType(), True),
+            StructField("w3", StringType(), True),
+            StructField("log10_p", DoubleType(), True),
+            StructField("log10_bow", DoubleType(), True),
+        ]
+    )
+    frames = []
+    batch: list = []
+    section = None
+
+    def flush():
+        if batch:
+            frames.append(spark.createDataFrame(batch, schema))
+            batch.clear()
+
+    with open(path, encoding="utf-8") as f:
+        for raw in f:
+            line = raw.strip()
+            if not line:
+                continue
+            if line.startswith("\\") and line.endswith("-grams:"):
+                section = int(line[1:].split("-")[0])
+                if section > 3:
+                    raise ValueError(
+                        f"arpa_load: order-{section} model — this engine "
+                        "scores up to order 3"
+                    )
+                continue
+            if line.startswith("\\"):  # \data\ or \end\
+                section = None
+                continue
+            if section is None:  # header 'ngram N=...' lines
+                continue
+            fields = line.split()
+            if len(fields) == section + 2:
+                bow = float(fields[-1])
+                words = fields[1:-1]
+            elif len(fields) == section + 1:
+                bow = None
+                words = fields[1:]
+            else:
+                raise ValueError(
+                    f"arpa_load: malformed {section}-gram line "
+                    f"({len(fields)} fields): {line[:80]!r}"
+                )
+            batch.append(
+                (
+                    section,
+                    words[0],
+                    words[1] if section >= 2 else None,
+                    words[2] if section >= 3 else None,
+                    float(fields[0]),
+                    bow,
+                )
+            )
+            if len(batch) >= 500_000:
+                flush()
+    flush()
+    if not frames:
+        raise ValueError(f"arpa_load: no n-gram entries found in {path!r}")
+    out = frames[0]
+    for extra in frames[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
+def arpa_score(
+    rows: DataFrame,
+    score: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_order: int | None = None,
+    pins: "list | None" = None,
+) -> DataFrame:
+    """Score a corpus against ANY ARPA backoff model — the generic
+    consumer side of the portability story: perplexity-filter an ingest
+    stream with a model KenLM built (via :func:`arpa_load`), or with
+    this engine's own exports. Returns ``(id, n_tokens, n_oov,
+    logprob_sum)`` — the :func:`~krnel_graph_spark.functions.text.
+    kneser_ney_score` contract (log10 terms, round-6, exact decimal
+    per-doc sum); ``n_oov`` counts tokens absent from the 1-gram
+    section (they score as ``<unk>``, which the model must list —
+    KenLM always does).
+
+    The backoff chain is pure column expressions over digest-keyed
+    LEFT joins (the kneser_ney3_score shape — raw grams never
+    shuffle): stored trigram hit → its log-prob; miss → ``bow(u,v) +
+    [stored bigram | bow(v) + unigram]`` in log domain, with unlisted
+    contexts contributing bow 0 (coefficient 1) exactly per the
+    format. Document positions 1 and 2 score at the orders their
+    shortened context supports — the same no-sentence-marker
+    convention the engine's own KN scorers use (an ARPA file consumed
+    WITH ``<s>`` markers would score differently; this scorer is the
+    twin of the trainers here, differentially pinned against them).
+
+    Scale shape: the model tables are vocab/type-bounded join sides;
+    the corpus does one positions explode + five digest joins + one
+    per-doc aggregate. ``rows`` feeds SIX consumers (five lookup
+    tables + the <unk> probe), so it is persist-pinned here (the
+    kneser_ney3_train count-table convention — without the pin a rows
+    frame with an expensive lineage, e.g. straight from the exporter,
+    re-derives the whole model per join branch; measured 2× the gate
+    query at sf0.01). Pass ``pins=[]`` to receive the pinned handle
+    and ``unpersist()`` it when done scoring in a long-lived session;
+    :func:`arpa_load` output has a cheap local lineage either way."""
+    rows = rows.persist()
+    if pins is not None:
+        pins.append(rows)
+    orders = [
+        r["order"]
+        for r in rows.select("order").distinct().collect()
+    ]
+    mo = max_order if max_order is not None else max(orders)
+    if mo not in (2, 3):
+        raise ValueError(f"arpa_score: unsupported max_order {mo}")
+    unk = (
+        rows.filter((F.col("order") == 1) & (F.col("w1") == "<unk>"))
+        .select("log10_p")
+        .limit(1)
+        .collect()
+    )
+    if not unk:
+        raise ValueError(
+            "arpa_score: model lists no <unk> 1-gram — OOV tokens would "
+            "be unscorable (KenLM/SRILM models always include it)"
+        )
+    unk_lp = float(unk[0][0])
+
+    uni = rows.filter(F.col("order") == 1).select(
+        F.md5("w1").alias("__wd"),
+        F.col("log10_p").alias("__lp1"),
+        F.col("log10_bow").alias("__lbow1"),
+    )
+    uni_ctx = rows.filter(F.col("order") == 1).select(
+        F.md5("w1").alias("__vd"),
+        F.col("log10_bow").alias("__lbow1v"),
+    )
+    bi = rows.filter(F.col("order") == 2).select(
+        F.md5(F.concat_ws(" ", "w1", "w2")).alias("__md"),
+        F.col("log10_p").alias("__lp2"),
+    )
+    bi_ctx = rows.filter(F.col("order") == 2).select(
+        F.md5(F.concat_ws(" ", "w1", "w2")).alias("__ud"),
+        F.col("log10_bow").alias("__lbow2"),
+    )
+    tri = rows.filter(F.col("order") == 3).select(
+        F.md5(F.concat_ws(" ", "w1", "w2", "w3")).alias("__td"),
+        F.col("log10_p").alias("__lp3"),
+    )
+
+    from .text import normalize_text, whitespace_tokens
+
+    pos = (
+        score.filter(normalize_text(F.col(text_col)) != "")
+        .select(
+            F.col(id_col), whitespace_tokens(F.col(text_col)).alias("__t")
+        )
+        .withColumn("__L", F.size("__t"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, __L),"
+                    " s -> struct(__t[s - 1] AS w,"
+                    " IF(s >= 2, __t[s - 2], NULL) AS v,"
+                    " IF(s >= 3, __t[s - 3], NULL) AS u))"
+                )
+            ).alias("p"),
+        )
+        .select(
+            F.col(id_col),
+            F.md5(F.concat_ws(" ", "p.u", "p.v", "p.w")).alias("__td"),
+            F.md5(F.concat_ws(" ", "p.v", "p.w")).alias("__md"),
+            F.md5(F.concat_ws(" ", "p.u", "p.v")).alias("__ud"),
+            F.md5("p.v").alias("__vd"),
+            F.md5("p.w").alias("__wd"),
+            F.col("p.v").isNotNull().alias("__has_v"),
+            F.col("p.u").isNotNull().alias("__has_u"),
+        )
+    )
+    joined = (
+        pos.join(uni, "__wd", "left")
+        .join(uni_ctx, "__vd", "left")
+        .join(bi, "__md", "left")
+        .join(bi_ctx, "__ud", "left")
+    )
+    if mo == 3:
+        joined = joined.join(tri, "__td", "left")
+
+    lp1_eff = F.coalesce(F.col("__lp1"), F.lit(unk_lp))
+    # p(w|v) in log domain: stored bigram, else bow(v) (0 if unlisted
+    # or the word itself is unlisted) + unigram
+    p_wv = F.when(
+        F.col("__has_v"),
+        F.when(F.col("__lp2").isNotNull(), F.col("__lp2")).otherwise(
+            F.coalesce(F.col("__lbow1v"), F.lit(0.0)) + lp1_eff
+        ),
+    ).otherwise(lp1_eff)
+    if mo == 3:
+        term = F.when(
+            F.col("__has_u"),
+            F.when(F.col("__lp3").isNotNull(), F.col("__lp3")).otherwise(
+                F.coalesce(F.col("__lbow2"), F.lit(0.0)) + p_wv
+            ),
+        ).otherwise(p_wv)
+    else:
+        term = p_wv
+    return (
+        joined.select(
+            F.col(id_col),
+            F.round(term, 6).cast("decimal(20,6)").alias("__term"),
+            (F.col("__lp1").isNull()).cast("int").alias("__oov"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("__oov").cast("long").alias("n_oov"),
+            F.sum("__term").cast("double").alias("logprob_sum"),
+        )
     )

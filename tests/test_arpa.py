@@ -240,3 +240,118 @@ def test_arpa_rows_validation(spark):
         kneser_ney_arpa_rows(lm)  # wrong artifact family
     with pytest.raises(ValueError, match="discount"):
         kneser_ney3_arpa_rows(lm, discount=1.5)
+
+
+def test_arpa_load_roundtrips_export_exactly(spark, tmp_path):
+    """load(export(rows)) == rows as a row multiset, bit-for-bit: the
+    round-6 doubles survive the %.6f print/parse."""
+    from krnel_graph_spark.functions.arpa import (
+        arpa_load,
+        kneser_ney3_arpa_rows,
+        kneser_ney3_export_arpa,
+    )
+    from krnel_graph_spark.functions.text import kneser_ney3_train
+
+    df = _docs_df(spark)
+    lm = kneser_ney3_train(df, "text")
+    path = str(tmp_path / "rt.arpa")
+    kneser_ney3_export_arpa(lm, path)
+    want = kneser_ney3_arpa_rows(lm)
+    got = arpa_load(spark, path)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_arpa_score_matches_native_scorers(spark):
+    """The generic ARPA scorer over the engine's own export reproduces
+    the native KN scorers — order 3 AND order 2 — within the round-6
+    backoff-composition drift (the evaluator-test bound)."""
+    from krnel_graph_spark.functions.arpa import (
+        arpa_score,
+        kneser_ney3_arpa_rows,
+        kneser_ney_arpa_rows,
+    )
+    from krnel_graph_spark.functions.text import (
+        kneser_ney3_score,
+        kneser_ney3_train,
+        kneser_ney_score,
+        kneser_ney_train,
+    )
+
+    df = _docs_df(spark)
+    lm3 = kneser_ney3_train(df, "text")
+    got3 = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.logprob_sum)
+        for r in arpa_score(
+            kneser_ney3_arpa_rows(lm3), df, "text", "doc_id"
+        ).collect()
+    }
+    want3 = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.logprob_sum)
+        for r in kneser_ney3_score(lm3, df, "text", "doc_id").collect()
+    }
+    assert set(got3) == set(want3)
+    for i in want3:
+        assert got3[i][0] == want3[i][0]
+        # OOV notions differ by design: the native scorer counts
+        # zero-continuation-evidence words (n1back null — they SCORE as
+        # <unk> even when listed as context words), the ARPA consumer
+        # counts truly-unlisted unigrams. Consumer OOV is therefore a
+        # subset; the PROBABILITIES still agree (a listed
+        # zero-evidence word's p1 equals the <unk> value).
+        assert got3[i][1] <= want3[i][1], i
+        assert got3[i][2] == pytest.approx(
+            want3[i][2], abs=3e-5 * want3[i][0]
+        ), i
+    # the subset relation is non-vacuous on this corpus: doc 4's
+    # "zebra" is context-listed but continuation-free
+    assert got3[4][1] < want3[4][1]
+
+    lm2 = kneser_ney_train(df, "text")
+    got2 = {
+        r.doc_id: r.logprob_sum
+        for r in arpa_score(
+            kneser_ney_arpa_rows(lm2), df, "text", "doc_id"
+        ).collect()
+    }
+    want2 = {
+        r.doc_id: (r.n_tokens, r.logprob_sum)
+        for r in kneser_ney_score(lm2, df, "text", "doc_id").collect()
+    }
+    for i in want2:
+        assert got2[i] == pytest.approx(
+            want2[i][1], abs=3e-5 * want2[i][0]
+        ), i
+
+
+def test_arpa_score_validation(spark):
+    from krnel_graph_spark.functions.arpa import (
+        arpa_score,
+        kneser_ney3_arpa_rows,
+    )
+    from krnel_graph_spark.functions.text import kneser_ney3_train
+
+    df = _docs_df(spark)
+    rows = kneser_ney3_arpa_rows(kneser_ney3_train(df, "text"))
+    no_unk = rows.filter(
+        ~((rows["order"] == 1) & (rows["w1"] == "<unk>"))
+    )
+    with pytest.raises(ValueError, match="<unk>"):
+        arpa_score(no_unk, df, "text", "doc_id")
+    with pytest.raises(ValueError, match="max_order"):
+        arpa_score(rows, df, "text", "doc_id", max_order=5)
+
+
+def test_arpa_load_rejects_malformed(spark, tmp_path):
+    from krnel_graph_spark.functions.arpa import arpa_load
+
+    bad = tmp_path / "bad.arpa"
+    bad.write_text(
+        "\\data\\\nngram 1=1\n\n\\1-grams:\n-1.0\tthe\textra\tfield\n\\end\\\n"
+    )
+    with pytest.raises(ValueError, match="malformed"):
+        arpa_load(spark, str(bad))
+    empty = tmp_path / "empty.arpa"
+    empty.write_text("\\data\\\n\\end\\\n")
+    with pytest.raises(ValueError, match="no n-gram"):
+        arpa_load(spark, str(empty))

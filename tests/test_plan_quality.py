@@ -635,6 +635,17 @@ def test_kn3_arpa_sections_are_model_sized(spark, entry):
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalars frame
 
 
+def test_arpa_score_lookup_shape(spark, entry):
+    """The generic ARPA scorer: positions explode + five digest-keyed
+    LEFT joins against the pinned sections frame — no Cartesian
+    product, the section tables reused from cache (InMemoryTableScan),
+    one per-doc aggregate."""
+    plan = _plan(spark, entry, "arpa_score")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # the persist-pinned rows frame
+    assert "HashAggregate" in plan
+
+
 def test_recall_probe_bounded_scans(spark, entry):
     """The index-health monitor costs one codes-frame scan + one
     float-corpus scan with broadcast probes: no Cartesian product, the

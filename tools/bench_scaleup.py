@@ -169,6 +169,10 @@ QUERIES = [
     # tables kneser_ney3 builds) + three type-table-bounded section
     # joins; the corpus is never rescanned by the sections themselves.
     "kn3_arpa",
+    # r13: the generic ARPA-consumer scorer (gate shape = export + the
+    # five-join lookup scoring of the FULL corpus; the serve-only path
+    # loads persisted rows and pays scoring alone).
+    "arpa_score",
     "random_projection",
     "export_manifest",
     "schema_drift",
