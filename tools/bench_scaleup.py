@@ -486,9 +486,43 @@ def _extra_queries():
             corpus, "embedding", "vec_id", k=10, nprobe=8, band=0.8,
         )
 
+    def minhash_ingest_x40(s):
+        # r13: the minhash PRODUCTION ingest shape codified as a
+        # repeatable entry (the r12 BASELINE A/B row measured it by
+        # hand at 7.7 s vs the 17.95 s gate shape): day-0 index
+        # persisted ONCE via minhash_index_save; the timed recurring
+        # ingest is minhash_index_load (validated read) + sign ONLY
+        # the day-1 batch + dedup it against the index. Days 1..N-1
+        # are never re-signatured — the saving grows with the ref/new
+        # ratio. (Extending the index for tomorrow is
+        # minhash_index_append over the same day-1 signatures — one
+        # more linear pass, benched by the minhash_append gate row.)
+        import os as _os
+
+        from pyspark.sql import functions as F  # noqa: N812
+
+        from krnel_graph_spark.functions import dedup as dd
+
+        docs = s.read.parquet(f"{OUT}/documents.parquet")
+        day0 = docs.filter(F.col("doc_id") % 2 == 0)
+        day1 = docs.filter(F.col("doc_id") % 2 == 1)
+        idx_path = f"{OUT}/__minhash_ingest_day0"
+        if not _os.path.isdir(idx_path):
+            dd.minhash_index_save(
+                dd.minhash_index(day0, "text", "doc_id", num_perm=16),
+                idx_path,
+            )
+        idx = dd.minhash_index_load(s, idx_path)
+        return dd.dedup_against(
+            day1, day0, "text", "doc_id",
+            mode="near", num_perm=16, bands=4, jaccard_threshold=0.5,
+            ref_index=idx,
+        )
+
     return {
         "dedup_against_near_x40": dedup_against_near_x40,
         "dedup_against_index_x40": dedup_against_index_x40,
+        "minhash_ingest_x40": minhash_ingest_x40,
         "ann_index_search_x20": ann_index_search_x20,
         "recall_probe_x20": recall_probe_x20,
         "ann_retrain_x20": ann_retrain_x20,
