@@ -53,6 +53,10 @@ __all__ = [
     "arpa_score",
 ]
 
+# rows per createDataFrame batch in arpa_load (patchable in tests to
+# exercise the multi-flush path on small files)
+_LOAD_BATCH_ROWS = 500_000
+
 # log10(0) stand-in for a zero backoff weight (a modified-KN discount
 # clamped to 0 can zero a context's whole backoff mass) — the KenLM/
 # SRILM "-99" convention.
@@ -501,7 +505,10 @@ def arpa_load(spark, path: str) -> DataFrame:
 
     def flush():
         if batch:
-            frames.append(spark.createDataFrame(batch, schema))
+            # copy before clear: createDataFrame's local-data conversion
+            # is eager today, but holding a reference to a list we then
+            # mutate would be a silent data-loss trap if that ever lazified
+            frames.append(spark.createDataFrame(list(batch), schema))
             batch.clear()
 
     with open(path, encoding="utf-8") as f:
@@ -544,7 +551,7 @@ def arpa_load(spark, path: str) -> DataFrame:
                     bow,
                 )
             )
-            if len(batch) >= 500_000:
+            if len(batch) >= _LOAD_BATCH_ROWS:
                 flush()
     flush()
     if not frames:

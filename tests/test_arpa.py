@@ -355,3 +355,21 @@ def test_arpa_load_rejects_malformed(spark, tmp_path):
     empty.write_text("\\data\\\n\\end\\\n")
     with pytest.raises(ValueError, match="no n-gram"):
         arpa_load(spark, str(empty))
+
+
+def test_arpa_load_multi_batch_flush(spark, tmp_path, monkeypatch):
+    """The batched createDataFrame path (big-model imports) loses no
+    rows across flushes — exercised by shrinking the batch size below
+    the model's row count."""
+    from krnel_graph_spark.functions import arpa as arpa_mod
+    from krnel_graph_spark.functions.text import kneser_ney3_train
+
+    df = _docs_df(spark)
+    lm = kneser_ney3_train(df, "text")
+    path = str(tmp_path / "mb.arpa")
+    arpa_mod.kneser_ney3_export_arpa(lm, path)
+    want = arpa_mod.kneser_ney3_arpa_rows(lm)
+    monkeypatch.setattr(arpa_mod, "_LOAD_BATCH_ROWS", 7)
+    got = arpa_mod.arpa_load(spark, path)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
