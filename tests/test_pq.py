@@ -413,3 +413,32 @@ def test_ann_index_retrain_seed_override_and_legacy_model(spark, vecs_df):
         ann_index_retrain(
             old_model.filter("kind = 'nope'"), corpus, "embedding", "vec_id"
         )
+
+
+def test_recall_probe_precomputed_exact_identical(spark, vecs_df):
+    """recall_probe(exact=) — the multi-probe ground-truth share the
+    retrain gate uses — must be output-identical to the default path."""
+    from pyspark.sql import functions as F
+
+    from krnel_graph_spark.functions.similarity import (
+        ann_index,
+        l2_topk,
+        recall_probe,
+    )
+
+    corpus = vecs_df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    model, enc = ann_index(
+        corpus, "embedding", "vec_id", n_cells=8, m=4, n_codes=32,
+        refine_iters=0,
+    )
+    probes = corpus.filter("vec_id < 12")
+    default = recall_probe(
+        model, enc, probes, corpus, "embedding", "vec_id", k=5, nprobe=4
+    ).collect()[0]
+    shared = recall_probe(
+        model, enc, probes, corpus, "embedding", "vec_id", k=5, nprobe=4,
+        exact=l2_topk(corpus, probes, "embedding", "vec_id", k=5),
+    ).collect()[0]
+    assert default.asDict() == shared.asDict()

@@ -519,10 +519,39 @@ def _extra_queries():
             ref_index=idx,
         )
 
+    def arpa_serve_x40(s):
+        # r13: the ARPA serve-only A/B — the gate shape (arpa_score in
+        # QUERIES) trains + exports + scores in one run; production
+        # persists the exported rows ONCE (parquet here; arpa_load for
+        # a KenLM-built file) and every later scoring batch pays a
+        # model-sized rows read + the five-join lookup scoring alone.
+        # This entry times that recurring path over the FULL x40 corpus.
+        import os as _os
+
+        from krnel_graph_spark.functions.arpa import arpa_score
+        from pyspark.sql import functions as F  # noqa: N812
+
+        docs = s.read.parquet(f"{OUT}/documents.parquet")
+        rows_path = f"{OUT}/__arpa_rows_day0"
+        if not _os.path.isdir(rows_path):
+            from krnel_graph_spark.functions.arpa import kneser_ney3_arpa_rows
+            from krnel_graph_spark.functions.text import kneser_ney3_train
+
+            lm = kneser_ney3_train(
+                docs.filter(F.col("doc_id") % 5 == 0), "text"
+            )
+            kneser_ney3_arpa_rows(lm).write.mode("overwrite").parquet(
+                rows_path
+            )
+        return arpa_score(
+            s.read.parquet(rows_path), docs, "text", "doc_id"
+        )
+
     return {
         "dedup_against_near_x40": dedup_against_near_x40,
         "dedup_against_index_x40": dedup_against_index_x40,
         "minhash_ingest_x40": minhash_ingest_x40,
+        "arpa_serve_x40": arpa_serve_x40,
         "ann_index_search_x20": ann_index_search_x20,
         "recall_probe_x20": recall_probe_x20,
         "ann_retrain_x20": ann_retrain_x20,
