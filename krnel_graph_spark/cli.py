@@ -451,6 +451,41 @@ def cmd_table_diff(args) -> int:
     return 0
 
 
+def cmd_arpa_export(args) -> int:
+    """LM portability: train a Kneser-Ney model (order 2 or 3) on a
+    parquet corpus and write a standard ``.arpa`` file any
+    KenLM-consuming pipeline reads. ``--modified`` bakes Chen-Goodman
+    per-class discounts in (order 3 only); ``--min-count`` prunes the
+    trigram lookup table KenLM-style."""
+    from .functions.arpa import kneser_ney3_export_arpa, kneser_ney_export_arpa
+    from .runners.spark_runner import get_spark
+
+    spark = get_spark("cli-arpa-export")
+    df = spark.read.parquet(args.src)
+    if args.order == 2:
+        if args.modified:
+            print("--modified requires --order 3", file=sys.stderr)
+            return 2
+        from .functions.text import kneser_ney_train
+
+        lm = kneser_ney_train(df, args.text_column)
+        kneser_ney_export_arpa(lm, args.out, discount=args.discount)
+    else:
+        from .functions.text import kneser_ney3_train
+
+        lm = kneser_ney3_train(
+            df, args.text_column, min_count=args.min_count
+        )
+        kneser_ney3_export_arpa(
+            lm,
+            args.out,
+            discount="modified" if args.modified else args.discount,
+            base_discount=args.discount,
+        )
+    print(args.out)
+    return 0
+
+
 def cmd_config(args) -> int:
     """Get or set engine configuration (reference ``cli.py:608-646``).
 
@@ -659,6 +694,26 @@ def build_parser() -> argparse.ArgumentParser:
         "--out", help="write the per-key status table to this parquet dir"
     )
     p_tdiff.set_defaults(fn=cmd_table_diff)
+
+    p_arpa = sub.add_parser(
+        "arpa-export",
+        help="train a Kneser-Ney LM on a parquet corpus, write a .arpa "
+        "file (KenLM/SRILM-consumable)",
+    )
+    p_arpa.add_argument("src", help="parquet dir of the training corpus")
+    p_arpa.add_argument("text_column")
+    p_arpa.add_argument("out", help="output .arpa path (driver-local)")
+    p_arpa.add_argument("--order", type=int, choices=(2, 3), default=3)
+    p_arpa.add_argument("--discount", type=float, default=0.75)
+    p_arpa.add_argument(
+        "--modified", action="store_true",
+        help="Chen-Goodman per-class discounts (order 3)",
+    )
+    p_arpa.add_argument(
+        "--min-count", type=int, default=1,
+        help="prune trigram types below this count (order 3)",
+    )
+    p_arpa.set_defaults(fn=cmd_arpa_export)
     return parser
 
 

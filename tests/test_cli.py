@@ -375,3 +375,32 @@ def test_cli_manifest(tmp_path, capsys):
     assert sum(r["n_rows"] for r in rows) == 200
     assert [r["shard"] for r in rows] == sorted(r["shard"] for r in rows)
     assert all("checksum_xor" in r for r in rows)
+
+
+def test_cli_arpa_export(tmp_path, capsys):
+    from krnel_graph_spark.cli import main
+    from krnel_graph_spark.runners.spark_runner import get_spark
+
+    spark = get_spark("test-cli-arpa")
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the dog sat on the log")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "m.arpa")
+    assert main(["arpa-export", src, "text", out, "--order", "3"]) == 0
+    text = open(out, encoding="utf-8").read()
+    assert text.startswith("\\data\\\n") and "\\3-grams:" in text
+    capsys.readouterr()
+
+    out2 = str(tmp_path / "m2.arpa")
+    assert main(["arpa-export", src, "text", out2, "--order", "2"]) == 0
+    assert "\\2-grams:" in open(out2, encoding="utf-8").read()
+    capsys.readouterr()
+
+    # --modified is an order-3 concept; order 2 refuses loudly
+    assert (
+        main(["arpa-export", src, "text", out2, "--order", "2",
+              "--modified"]) == 2
+    )
