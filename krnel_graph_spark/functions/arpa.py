@@ -594,14 +594,18 @@ def arpa_score(
     Scale shape: the model tables are vocab/type-bounded join sides;
     the corpus does one positions explode + five digest joins + one
     per-doc aggregate. ``rows`` feeds SIX consumers (five lookup
-    tables + the <unk> probe), so it is persist-pinned here (the
-    kneser_ney3_train count-table convention — without the pin a rows
-    frame with an expensive lineage, e.g. straight from the exporter,
-    re-derives the whole model per join branch; measured 2× the gate
-    query at sf0.01). Pass ``pins=[]`` to receive the pinned handle
-    and ``unpersist()`` it when done scoring in a long-lived session;
-    :func:`arpa_load` output has a cheap local lineage either way."""
-    rows = rows.persist()
+    tables + the <unk> probe), so it is materialized here via an eager
+    ``localCheckpoint`` (the kneser_ney score-op convention): without
+    it, a rows frame with an expensive lineage — e.g. straight from
+    the exporter — re-derives the whole model per join branch
+    (measured 2× the gate query at sf0.01), and the checkpoint also
+    TRUNCATES that lineage so the final query plan is the five joins,
+    not five copies of the model build. The checkpoint blocks free
+    when the frame is garbage-collected; pass ``pins=[]`` to receive
+    the handle for an explicit ``unpersist()`` in a long-lived
+    session. The two bounded actions below (order probe, <unk> probe)
+    execute immediately anyway, so eagerness costs nothing extra."""
+    rows = rows.localCheckpoint(eager=True)
     if pins is not None:
         pins.append(rows)
     orders = [

@@ -637,13 +637,17 @@ def test_kn3_arpa_sections_are_model_sized(spark, entry):
 
 def test_arpa_score_lookup_shape(spark, entry):
     """The generic ARPA scorer: positions explode + five digest-keyed
-    LEFT joins against the pinned sections frame — no Cartesian
-    product, the section tables reused from cache (InMemoryTableScan),
-    one per-doc aggregate."""
+    LEFT joins against the CHECKPOINTED sections frame — no Cartesian
+    product, and the eager localCheckpoint truncates the model-build
+    lineage so the final plan reads the materialized rows (ExistingRDD
+    scans), not five re-derivations of the model."""
     plan = _plan(spark, entry, "arpa_score")
     assert "CartesianProduct" not in plan
-    assert "InMemoryTableScan" in plan  # the persist-pinned rows frame
+    assert "ExistingRDD" in plan  # the checkpointed rows frame
     assert "HashAggregate" in plan
+    # lineage truncation is the point: the KN count-table build (its
+    # corpus tokenize scans) must NOT appear in the scoring plan
+    assert plan.count("Scan parquet") <= 2  # the scored corpus only
 
 
 def test_recall_probe_bounded_scans(spark, entry):
