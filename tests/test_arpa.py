@@ -373,3 +373,34 @@ def test_arpa_load_multi_batch_flush(spark, tmp_path, monkeypatch):
     got = arpa_mod.arpa_load(spark, path)
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_arpa_full_loop_file_scoring_identical(spark, tmp_path):
+    """The complete portability loop — export to a .arpa FILE, load it
+    back, score — produces byte-identical results to scoring the
+    in-memory rows (round-6 values survive the print/parse, so the
+    file is a lossless transport, not an approximation)."""
+    from krnel_graph_spark.functions.arpa import (
+        arpa_load,
+        arpa_score,
+        kneser_ney3_arpa_rows,
+        kneser_ney3_export_arpa,
+    )
+    from krnel_graph_spark.functions.text import kneser_ney3_train
+
+    df = _docs_df(spark)
+    lm = kneser_ney3_train(df, "text")
+    rows = kneser_ney3_arpa_rows(lm, discount="modified")
+    path = str(tmp_path / "loop.arpa")
+    kneser_ney3_export_arpa(lm, path, discount="modified")
+    via_mem = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.logprob_sum)
+        for r in arpa_score(rows, df, "text", "doc_id").collect()
+    }
+    via_file = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.logprob_sum)
+        for r in arpa_score(
+            arpa_load(spark, path), df, "text", "doc_id"
+        ).collect()
+    }
+    assert via_mem == via_file
