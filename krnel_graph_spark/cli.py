@@ -466,6 +466,11 @@ def cmd_arpa_export(args) -> int:
         if args.modified:
             print("--modified requires --order 3", file=sys.stderr)
             return 2
+        if args.min_count and args.min_count > 1:
+            # only the order-3 trainer prunes; silently ignoring the
+            # flag would ship an unpruned model the user asked to prune
+            print("--min-count requires --order 3", file=sys.stderr)
+            return 2
         from .functions.text import kneser_ney_train
 
         lm = kneser_ney_train(df, args.text_column)

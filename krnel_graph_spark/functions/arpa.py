@@ -407,36 +407,63 @@ def kneser_ney3_arpa_rows(
     return uni.unionByName(unk).unionByName(bi).unionByName(tg)
 
 
+def _word_cols(df: DataFrame) -> "list[str]":
+    """``w1..wN`` columns of a rows frame, numeric order."""
+    ks = sorted(
+        int(c[1:]) for c in df.columns if c[0] == "w" and c[1:].isdigit()
+    )
+    return [f"w{k}" for k in ks]
+
+
 def _write_arpa(rows: DataFrame, path: str, max_order: int) -> None:
     """Stream ARPA rows into one ``.arpa`` text file — header counts,
-    per-order sections sorted by words, ``\\end\\`` trailer. Sections
-    stream through ``toLocalIterator`` (bounded driver memory; the
-    format is a single text file, inherently single-writer). Backoff
-    weights are written for every non-highest-order entry (0.0 when the
-    context carries none — the explicit form every consumer accepts)."""
-    counts = {
-        r["order"]: r["n"]
-        for r in rows.groupBy("order").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    with open(path, "w", encoding="utf-8") as f:
-        f.write("\\data\\\n")
-        for o in range(1, max_order + 1):
-            f.write(f"ngram {o}={counts.get(o, 0)}\n")
-        for o in range(1, max_order + 1):
-            f.write(f"\n\\{o}-grams:\n")
-            section = (
-                rows.filter(F.col("order") == o)
-                .orderBy("w1", "w2", "w3")
-            )
-            for r in section.toLocalIterator():
-                gram = " ".join(
-                    w for w in (r["w1"], r["w2"], r["w3"]) if w is not None
+    per-order sections sorted by words, ``\\end\\`` trailer. Order-
+    generic: writes whatever ``w1..wN`` columns the rows frame carries.
+    Sections stream through ``toLocalIterator`` (bounded driver memory;
+    the format is a single text file, inherently single-writer).
+    Backoff weights are written for every non-highest-order entry
+    (0.0 when the context carries none — the explicit form every
+    consumer accepts; a null bow, legal on :func:`arpa_load`-ed rows,
+    writes as 0.0 too).
+
+    The writer runs ``1 + max_order`` separate actions (header counts
+    plus one sorted stream per section), so the rows frame is pinned
+    here via an eager ``localCheckpoint`` — without it a frame straight
+    off the exporter re-derives the whole model-join DAG per section
+    (the same repeated-lineage cost :func:`arpa_score` checkpoints
+    against) — and released when the file is written."""
+    rows = rows.localCheckpoint(eager=True)
+    try:
+        wcols = _word_cols(rows)
+        counts = {
+            r["order"]: r["n"]
+            for r in rows.groupBy("order")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        with open(path, "w", encoding="utf-8") as f:
+            f.write("\\data\\\n")
+            for o in range(1, max_order + 1):
+                f.write(f"ngram {o}={counts.get(o, 0)}\n")
+            for o in range(1, max_order + 1):
+                f.write(f"\n\\{o}-grams:\n")
+                section = (
+                    rows.filter(F.col("order") == o).orderBy(*wcols)
                 )
-                line = f"{r['log10_p']:.6f}\t{gram}"
-                if o < max_order:
-                    line += f"\t{r['log10_bow']:.6f}"
-                f.write(line + "\n")
-        f.write("\n\\end\\\n")
+                for r in section.toLocalIterator():
+                    gram = " ".join(
+                        w
+                        for w in (r[c] for c in wcols)
+                        if w is not None
+                    )
+                    line = f"{r['log10_p']:.6f}\t{gram}"
+                    if o < max_order:
+                        bow = r["log10_bow"]
+                        line += f"\t{0.0 if bow is None else bow:.6f}"
+                    f.write(line + "\n")
+            f.write("\n\\end\\\n")
+    finally:
+        rows.unpersist()
 
 
 def kneser_ney_export_arpa(
@@ -466,21 +493,7 @@ def kneser_ney3_export_arpa(
     )
 
 
-def arpa_load(spark, path: str) -> DataFrame:
-    """Parse a driver-local ``.arpa`` file back into the rows frame
-    :func:`kneser_ney3_arpa_rows` emits — ``(order, w1, w2, w3,
-    log10_p, log10_bow)`` — so a model built by ANYTHING that writes
-    ARPA (KenLM's ``lmplz``, SRILM) can drive :func:`arpa_score` over a
-    100-TB corpus in this engine. Roundtrip identity is exact and
-    pinned: ``arpa_load(export(rows)) == rows`` as a row multiset
-    (round-6 values survive the ``%.6f`` print/parse bit-for-bit).
-
-    The parse is a driver-side stream (the ARPA section structure is
-    stateful — a space-separated file is ambiguous without knowing the
-    current section, so a distributed line parse would be wrong for
-    valid files), batched into the session 500k rows at a time:
-    bounded by the MODEL size, never the corpus. For a multi-GB model,
-    import once and persist the frame to parquet."""
+def _rows_schema(n_words: int):
     from pyspark.sql.types import (
         DoubleType,
         IntegerType,
@@ -489,26 +502,52 @@ def arpa_load(spark, path: str) -> DataFrame:
         StructType,
     )
 
-    schema = StructType(
-        [
-            StructField("order", IntegerType(), False),
-            StructField("w1", StringType(), True),
-            StructField("w2", StringType(), True),
-            StructField("w3", StringType(), True),
+    return StructType(
+        [StructField("order", IntegerType(), False)]
+        + [
+            StructField(f"w{k}", StringType(), True)
+            for k in range(1, n_words + 1)
+        ]
+        + [
             StructField("log10_p", DoubleType(), True),
             StructField("log10_bow", DoubleType(), True),
         ]
     )
+
+
+def arpa_load(spark, path: str) -> DataFrame:
+    """Parse a driver-local ``.arpa`` file of ANY order back into the
+    rows frame :func:`arpa_score` consumes — ``(order, w1..wN,
+    log10_p, log10_bow)`` — so a model built by ANYTHING that writes
+    ARPA (KenLM's ``lmplz``, SRILM — real perplexity-filter pipelines
+    ship order-5 KenLM models) can drive :func:`arpa_score` over a
+    100-TB corpus in this engine. The frame always carries at least
+    ``w1..w3`` (the exporters' fixed shape), plus ``w4..wN`` when the
+    file lists higher orders. Roundtrip identity is exact and pinned:
+    ``arpa_load(export(rows)) == rows`` as a row multiset (round-6
+    values survive the ``%.6f`` print/parse bit-for-bit).
+
+    The parse is a driver-side stream (the ARPA section structure is
+    stateful — a space-separated file is ambiguous without knowing the
+    current section, so a distributed line parse would be wrong for
+    valid files), batched into the session 500k rows at a time:
+    bounded by the MODEL size, never the corpus. For a multi-GB model,
+    import once and persist the frame to parquet. The row width is
+    taken from the ``\\data\\`` header when present (the normal case)
+    and widened on the fly otherwise (``unionByName`` with null fill)."""
     frames = []
     batch: list = []
     section = None
+    n_words = 3  # minimum row width: the exporters' fixed shape
 
     def flush():
         if batch:
             # copy before clear: createDataFrame's local-data conversion
             # is eager today, but holding a reference to a list we then
             # mutate would be a silent data-loss trap if that ever lazified
-            frames.append(spark.createDataFrame(list(batch), schema))
+            frames.append(
+                spark.createDataFrame(list(batch), _rows_schema(n_words))
+            )
             batch.clear()
 
     with open(path, encoding="utf-8") as f:
@@ -518,16 +557,23 @@ def arpa_load(spark, path: str) -> DataFrame:
                 continue
             if line.startswith("\\") and line.endswith("-grams:"):
                 section = int(line[1:].split("-")[0])
-                if section > 3:
-                    raise ValueError(
-                        f"arpa_load: order-{section} model — this engine "
-                        "scores up to order 3"
-                    )
+                if section > n_words:
+                    # header-less file listing a higher order than any
+                    # row so far: flush the narrower batch, widen
+                    flush()
+                    n_words = section
                 continue
             if line.startswith("\\"):  # \data\ or \end\
                 section = None
                 continue
             if section is None:  # header 'ngram N=...' lines
+                if line.startswith("ngram ") and "=" in line:
+                    try:
+                        n_words = max(
+                            n_words, int(line[6:].split("=")[0])
+                        )
+                    except ValueError:
+                        pass
                 continue
             fields = line.split()
             if len(fields) == section + 2:
@@ -542,14 +588,12 @@ def arpa_load(spark, path: str) -> DataFrame:
                     f"({len(fields)} fields): {line[:80]!r}"
                 )
             batch.append(
-                (
-                    section,
-                    words[0],
-                    words[1] if section >= 2 else None,
-                    words[2] if section >= 3 else None,
-                    float(fields[0]),
-                    bow,
+                (section,)
+                + tuple(
+                    words[k] if section >= k + 1 else None
+                    for k in range(n_words)
                 )
+                + (float(fields[0]), bow)
             )
             if len(batch) >= _LOAD_BATCH_ROWS:
                 flush()
@@ -558,8 +602,13 @@ def arpa_load(spark, path: str) -> DataFrame:
         raise ValueError(f"arpa_load: no n-gram entries found in {path!r}")
     out = frames[0]
     for extra in frames[1:]:
-        out = out.unionByName(extra)
-    return out
+        out = out.unionByName(extra, allowMissingColumns=True)
+    cols = (
+        ["order"]
+        + [f"w{k}" for k in range(1, n_words + 1)]
+        + ["log10_p", "log10_bow"]
+    )
+    return out.select(*cols)
 
 
 def arpa_score(
@@ -569,42 +618,71 @@ def arpa_score(
     id_col: str,
     max_order: int | None = None,
     pins: "list | None" = None,
+    bos: bool = False,
+    eos: bool = False,
+    oov_mode: str = "keep",
 ) -> DataFrame:
     """Score a corpus against ANY ARPA backoff model — the generic
     consumer side of the portability story: perplexity-filter an ingest
-    stream with a model KenLM built (via :func:`arpa_load`), or with
-    this engine's own exports. Returns ``(id, n_tokens, n_oov,
+    stream with a model KenLM built (via :func:`arpa_load` — incl. the
+    order-5 models real CCNet-style pipelines ship), or with this
+    engine's own exports. Returns ``(id, n_tokens, n_oov,
     logprob_sum)`` — the :func:`~krnel_graph_spark.functions.text.
     kneser_ney_score` contract (log10 terms, round-6, exact decimal
     per-doc sum); ``n_oov`` counts tokens absent from the 1-gram
     section (they score as ``<unk>``, which the model must list —
     KenLM always does).
 
-    The backoff chain is pure column expressions over digest-keyed
-    LEFT joins (the kneser_ney3_score shape — raw grams never
-    shuffle): stored trigram hit → its log-prob; miss → ``bow(u,v) +
-    [stored bigram | bow(v) + unigram]`` in log domain, with unlisted
-    contexts contributing bow 0 (coefficient 1) exactly per the
-    format. Document positions 1 and 2 score at the orders their
-    shortened context supports — the same no-sentence-marker
-    convention the engine's own KN scorers use (an ARPA file consumed
-    WITH ``<s>`` markers would score differently; this scorer is the
-    twin of the trainers here, differentially pinned against them).
+    Order-generic backoff chain, pure column expressions over
+    digest-keyed LEFT joins (the kneser_ney3_score shape — raw grams
+    never shuffle): stored N-gram hit → its log-prob; miss →
+    ``bow(context) + [score at order N-1]`` in log domain, recursively
+    down to the unigram, with unlisted contexts contributing bow 0
+    (coefficient 1) exactly per the format. A position whose history
+    is shorter than ``N-1`` scores at the order its context supports
+    (null gram digests never match, null bows coalesce to 0 — the
+    fall-through IS the shortened-context rule).
+
+    ``bos``/``eos`` implement the KenLM ``<s>``/``</s>`` sentence-
+    marker convention: ``<s>`` is prepended as CONTEXT only (never
+    scored, never counted in ``n_tokens``), ``</s>`` is appended and
+    scored as a real token (KenLM's perplexity denominator is
+    ``len(words) + 1`` for exactly this reason). Default off — the
+    engine's own KN trainers are marker-free, and the differential
+    pins against them hold in the default mode.
+
+    ``oov_mode`` controls unlisted-token handling:
+
+    * ``"keep"`` (default): an unlisted token scores as ``<unk>`` but
+      keeps its surface form inside gram/context digests, so grams
+      containing it never match and an unlisted CONTEXT word
+      contributes backoff 0. Deviation from KenLM (documented): KenLM
+      rewrites the token to ``<unk>`` first, so ``<unk>``-containing
+      n-grams can match and ``<unk>``'s own bow applies. Identical for
+      this engine's exports (its ``<unk>`` carries bow 1 and no
+      ``<unk>`` n-grams), different on external models where they do.
+    * ``"unk"``: KenLM-faithful — tokens absent from the 1-gram
+      section are rewritten to ``<unk>`` before grams are built (one
+      extra corpus shuffle: token explode → vocab-digest join →
+      per-doc reassembly; the vocab side is model-bounded). ``n_oov``
+      counts the rewritten corpus tokens (markers excluded).
 
     Scale shape: the model tables are vocab/type-bounded join sides;
-    the corpus does one positions explode + five digest joins + one
-    per-doc aggregate. ``rows`` feeds SIX consumers (five lookup
-    tables + the <unk> probe), so it is materialized here via an eager
-    ``localCheckpoint`` (the kneser_ney score-op convention): without
-    it, a rows frame with an expensive lineage — e.g. straight from
-    the exporter — re-derives the whole model per join branch
+    the corpus does one positions explode + ``2·N−1`` digest joins
+    (N prob + N−1 bow) + one per-doc aggregate. ``rows`` feeds every
+    lookup table plus the <unk> probe, so it is materialized here via
+    an eager ``localCheckpoint`` (the kneser_ney score-op convention):
+    without it, a rows frame with an expensive lineage — e.g. straight
+    from the exporter — re-derives the whole model per join branch
     (measured 2× the gate query at sf0.01), and the checkpoint also
-    TRUNCATES that lineage so the final query plan is the five joins,
-    not five copies of the model build. The checkpoint blocks free
-    when the frame is garbage-collected; pass ``pins=[]`` to receive
-    the handle for an explicit ``unpersist()`` in a long-lived
-    session. The two bounded actions below (order probe, <unk> probe)
-    execute immediately anyway, so eagerness costs nothing extra."""
+    TRUNCATES that lineage so the final query plan is the joins, not
+    N copies of the model build. The checkpoint blocks free when the
+    frame is garbage-collected; pass ``pins=[]`` to receive the handle
+    for an explicit ``unpersist()`` in a long-lived session. The two
+    bounded actions below (order probe, <unk> probe) execute
+    immediately anyway, so eagerness costs nothing extra."""
+    if oov_mode not in ("keep", "unk"):
+        raise ValueError(f"arpa_score: unknown oov_mode {oov_mode!r}")
     rows = rows.localCheckpoint(eager=True)
     if pins is not None:
         pins.append(rows)
@@ -613,8 +691,17 @@ def arpa_score(
         for r in rows.select("order").distinct().collect()
     ]
     mo = max_order if max_order is not None else max(orders)
-    if mo not in (2, 3):
-        raise ValueError(f"arpa_score: unsupported max_order {mo}")
+    if mo < 1 or mo > max(orders):
+        raise ValueError(
+            f"arpa_score: max_order={mo} but the model lists orders "
+            f"1..{max(orders)}"
+        )
+    wcols = _word_cols(rows)
+    if mo > len(wcols):
+        raise ValueError(
+            f"arpa_score: max_order={mo} needs word columns w1..w{mo}; "
+            f"rows frame carries {wcols}"
+        )
     unk = (
         rows.filter((F.col("order") == 1) & (F.col("w1") == "<unk>"))
         .select("log10_p")
@@ -628,95 +715,133 @@ def arpa_score(
         )
     unk_lp = float(unk[0][0])
 
-    uni = rows.filter(F.col("order") == 1).select(
-        F.md5("w1").alias("__wd"),
-        F.col("log10_p").alias("__lp1"),
-        F.col("log10_bow").alias("__lbow1"),
-    )
-    uni_ctx = rows.filter(F.col("order") == 1).select(
-        F.md5("w1").alias("__vd"),
-        F.col("log10_bow").alias("__lbow1v"),
-    )
-    bi = rows.filter(F.col("order") == 2).select(
-        F.md5(F.concat_ws(" ", "w1", "w2")).alias("__md"),
-        F.col("log10_p").alias("__lp2"),
-    )
-    bi_ctx = rows.filter(F.col("order") == 2).select(
-        F.md5(F.concat_ws(" ", "w1", "w2")).alias("__ud"),
-        F.col("log10_bow").alias("__lbow2"),
-    )
-    tri = rows.filter(F.col("order") == 3).select(
-        F.md5(F.concat_ws(" ", "w1", "w2", "w3")).alias("__td"),
-        F.col("log10_p").alias("__lp3"),
-    )
+    # per-order lookup tables: prob keyed on the gram digest, backoff
+    # weight keyed on the same digest used as a CONTEXT
+    prob, bow = {}, {}
+    for k in range(1, mo + 1):
+        digest = F.md5(F.concat_ws(" ", *wcols[:k]))
+        sec = rows.filter(F.col("order") == k)
+        prob[k] = sec.select(
+            digest.alias(f"__d{k}"), F.col("log10_p").alias(f"__lp{k}")
+        )
+        if k < mo:
+            bow[k] = sec.select(
+                digest.alias(f"__c{k}"),
+                F.col("log10_bow").alias(f"__lbow{k}"),
+            )
 
     from .text import normalize_text, whitespace_tokens
 
-    pos = (
-        score.filter(normalize_text(F.col(text_col)) != "")
-        .select(
-            F.col(id_col), whitespace_tokens(F.col(text_col)).alias("__t")
+    toks = score.filter(normalize_text(F.col(text_col)) != "").select(
+        F.col(id_col), whitespace_tokens(F.col(text_col)).alias("__t")
+    )
+    extras: list = []
+    if oov_mode == "unk":
+        vocab = rows.filter(F.col("order") == 1).select(
+            F.md5("w1").alias("__wd0"), F.lit(1).alias("__inv")
         )
-        .withColumn("__L", F.size("__t"))
+        toks = (
+            toks.select(
+                F.col(id_col),
+                F.posexplode("__t").alias("__s", "__w"),
+            )
+            .withColumn("__wd0", F.md5("__w"))
+            .join(vocab, "__wd0", "left")
+            .select(
+                F.col(id_col),
+                F.col("__s"),
+                F.when(F.col("__inv").isNotNull(), F.col("__w"))
+                .otherwise(F.lit("<unk>"))
+                .alias("__wm"),
+                F.col("__inv").isNull().cast("int").alias("__ov"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.collect_list(F.struct("__s", "__wm")).alias("__sw"),
+                F.sum("__ov").cast("long").alias("__oovn"),
+            )
+            .select(
+                F.col(id_col),
+                F.expr("transform(array_sort(__sw), x -> x.__wm)").alias(
+                    "__t"
+                ),
+                F.col("__oovn"),
+            )
+        )
+        extras = [F.col("__oovn")]
+    if bos:
+        toks = toks.withColumn(
+            "__t", F.concat(F.array(F.lit("<s>")), F.col("__t"))
+        )
+    if eos:
+        toks = toks.withColumn(
+            "__t", F.concat(F.col("__t"), F.array(F.lit("</s>")))
+        )
+    start = 2 if bos else 1
+
+    # per-position struct: dK = digest of the K-gram ending here (null
+    # when the history is shorter), cK = digest of the length-K context
+    fields = []
+    for k in range(1, mo + 1):
+        words = ", ".join(f"__t[s - {j}]" for j in range(k, 0, -1))
+        fields.append(
+            f"IF(s >= {k}, md5(concat_ws(' ', {words})), NULL) AS d{k}"
+        )
+    for k in range(1, mo):
+        words = ", ".join(f"__t[s - {j}]" for j in range(k + 1, 1, -1))
+        fields.append(
+            f"IF(s >= {k + 1}, md5(concat_ws(' ', {words})), NULL) AS c{k}"
+        )
+    pos = (
+        toks.withColumn("__L", F.size("__t"))
         .select(
             F.col(id_col),
+            *extras,
             F.explode(
                 F.expr(
-                    "transform(sequence(1, __L),"
-                    " s -> struct(__t[s - 1] AS w,"
-                    " IF(s >= 2, __t[s - 2], NULL) AS v,"
-                    " IF(s >= 3, __t[s - 3], NULL) AS u))"
+                    f"transform(sequence({start}, __L),"
+                    f" s -> struct({', '.join(fields)}))"
                 )
             ).alias("p"),
         )
         .select(
             F.col(id_col),
-            F.md5(F.concat_ws(" ", "p.u", "p.v", "p.w")).alias("__td"),
-            F.md5(F.concat_ws(" ", "p.v", "p.w")).alias("__md"),
-            F.md5(F.concat_ws(" ", "p.u", "p.v")).alias("__ud"),
-            F.md5("p.v").alias("__vd"),
-            F.md5("p.w").alias("__wd"),
-            F.col("p.v").isNotNull().alias("__has_v"),
-            F.col("p.u").isNotNull().alias("__has_u"),
+            *extras,
+            *[F.col(f"p.d{k}").alias(f"__d{k}") for k in range(1, mo + 1)],
+            *[F.col(f"p.c{k}").alias(f"__c{k}") for k in range(1, mo)],
         )
     )
-    joined = (
-        pos.join(uni, "__wd", "left")
-        .join(uni_ctx, "__vd", "left")
-        .join(bi, "__md", "left")
-        .join(bi_ctx, "__ud", "left")
-    )
-    if mo == 3:
-        joined = joined.join(tri, "__td", "left")
+    joined = pos
+    for k in range(1, mo + 1):
+        joined = joined.join(prob[k], f"__d{k}", "left")
+    for k in range(1, mo):
+        joined = joined.join(bow[k], f"__c{k}", "left")
 
-    lp1_eff = F.coalesce(F.col("__lp1"), F.lit(unk_lp))
-    # p(w|v) in log domain: stored bigram, else bow(v) (0 if unlisted
-    # or the word itself is unlisted) + unigram
-    p_wv = F.when(
-        F.col("__has_v"),
-        F.when(F.col("__lp2").isNotNull(), F.col("__lp2")).otherwise(
-            F.coalesce(F.col("__lbow1v"), F.lit(0.0)) + lp1_eff
-        ),
-    ).otherwise(lp1_eff)
-    if mo == 3:
+    # the backoff chain, bottom-up: stored k-gram hit → its log-prob;
+    # miss → bow(length k-1 context, 0 if unlisted/absent) + chain(k-1)
+    term = F.coalesce(F.col("__lp1"), F.lit(unk_lp))
+    for k in range(2, mo + 1):
         term = F.when(
-            F.col("__has_u"),
-            F.when(F.col("__lp3").isNotNull(), F.col("__lp3")).otherwise(
-                F.coalesce(F.col("__lbow2"), F.lit(0.0)) + p_wv
-            ),
-        ).otherwise(p_wv)
-    else:
-        term = p_wv
+            F.col(f"__lp{k}").isNotNull(), F.col(f"__lp{k}")
+        ).otherwise(
+            F.coalesce(F.col(f"__lbow{k - 1}"), F.lit(0.0)) + term
+        )
+    n_oov_agg = (
+        F.first("__oovn").alias("n_oov")
+        if oov_mode == "unk"
+        else F.sum("__oov").cast("long").alias("n_oov")
+    )
     return (
         joined.select(
             F.col(id_col),
+            *extras,
             F.round(term, 6).cast("decimal(20,6)").alias("__term"),
             (F.col("__lp1").isNull()).cast("int").alias("__oov"),
         )
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum("__oov").cast("long").alias("n_oov"),
+            n_oov_agg,
             F.sum("__term").cast("double").alias("logprob_sum"),
         )
     )

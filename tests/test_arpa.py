@@ -404,3 +404,271 @@ def test_arpa_full_loop_file_scoring_identical(spark, tmp_path):
         ).collect()
     }
     assert via_mem == via_file
+
+
+# --------------------------------------------------------------------- #
+# order-generic consumer (r14): order-5 models, <s>/</s> markers,       #
+# KenLM-faithful OOV→<unk> rewriting                                    #
+# --------------------------------------------------------------------- #
+
+# a hand-written order-5 ARPA model (the shape a KenLM lmplz order-5
+# perplexity-filter model has): <unk> with a NONZERO bow and a listed
+# <unk>-containing bigram (exercises the oov_mode difference), <s>/</s>
+# entries, and full backoff weights on every non-highest order.
+_ARPA5 = """\\data\\
+ngram 1=6
+ngram 2=5
+ngram 3=2
+ngram 4=2
+ngram 5=1
+
+\\1-grams:
+-5.000000\t<unk>\t-0.301030
+-99.000000\t<s>\t-0.500000
+-1.000000\t</s>\t0.000000
+-0.700000\ta\t-0.200000
+-0.800000\tb\t-0.250000
+-0.900000\tc\t-0.300000
+
+\\2-grams:
+-0.500000\ta b\t-0.100000
+-0.400000\tb c\t-0.150000
+-0.600000\t<s> a\t-0.120000
+-0.450000\tc </s>\t-0.050000
+-0.350000\t<unk> b\t-0.180000
+
+\\3-grams:
+-0.300000\ta b c\t-0.080000
+-0.250000\t<s> a b\t-0.090000
+
+\\4-grams:
+-0.200000\ta b c </s>\t-0.040000
+-0.150000\t<s> a b c\t-0.060000
+
+\\5-grams:
+-0.100000\t<s> a b c </s>
+
+\\end\\
+"""
+
+_SCORE_DOCS = [
+    (0, "a b c"),
+    (1, "a b x c"),  # x is OOV
+    (2, "b"),
+    (3, "x b"),  # OOV in context position: <unk> b IS listed
+]
+
+
+class _EvalN:
+    """Order-generic ARPA backoff evaluator in the log10 domain — the
+    exact association order the engine's column chain uses, so the
+    comparison is bit-tight, with optional KenLM conventions."""
+
+    def __init__(self, rows, mo):
+        self.mo = mo
+        self.p, self.bow = {}, {}
+        for r in rows:
+            d = r.asDict()
+            gram = tuple(
+                d[f"w{k}"]
+                for k in range(1, 99)
+                if f"w{k}" in d and d[f"w{k}"] is not None
+            )
+            self.p[gram] = d["log10_p"]
+            if d["log10_bow"] is not None:
+                self.bow[gram] = d["log10_bow"]
+
+    def term(self, ctx, w):
+        def chain(k):
+            if k == 1:
+                return self.p.get((w,), self.p[("<unk>",)])
+            if len(ctx) < k - 1:
+                return chain(k - 1)
+            c = tuple(ctx[-(k - 1):])
+            if c + (w,) in self.p:
+                return self.p[c + (w,)]
+            return self.bow.get(c, 0.0) + chain(k - 1)
+
+        return chain(self.mo)
+
+    def doc(self, toks, bos=False, eos=False, unk_map=False):
+        n_oov = 0
+        if unk_map:
+            mapped = []
+            for w in toks:
+                if (w,) in self.p:
+                    mapped.append(w)
+                else:
+                    mapped.append("<unk>")
+                    n_oov += 1
+            toks = mapped
+        if bos:
+            toks = ["<s>"] + toks
+        if eos:
+            toks = toks + ["</s>"]
+        total = decimal.Decimal(0)
+        start = 1 if bos else 0
+        for j in range(start, len(toks)):
+            t = self.term(toks[max(0, j - self.mo + 1):j], toks[j])
+            if not unk_map and (toks[j],) not in self.p:
+                n_oov += 1
+            total += decimal.Decimal(str(t)).quantize(
+                decimal.Decimal("1e-6"), rounding=decimal.ROUND_HALF_UP
+            )
+        return len(toks) - start, n_oov, float(total)
+
+
+def _load5(spark, tmp_path):
+    from krnel_graph_spark.functions.arpa import arpa_load
+
+    path = tmp_path / "o5.arpa"
+    path.write_text(_ARPA5, encoding="utf-8")
+    return arpa_load(spark, str(path))
+
+
+def test_arpa_load_order5_widens_schema(spark, tmp_path):
+    rows = _load5(spark, tmp_path)
+    assert [c for c in rows.columns if c.startswith("w")] == [
+        "w1", "w2", "w3", "w4", "w5",
+    ]
+    got = {r["order"]: 0 for r in rows.collect()}
+    for r in rows.collect():
+        got[r["order"]] += 1
+    assert got == {1: 6, 2: 5, 3: 2, 4: 2, 5: 1}
+    five = rows.filter(rows["order"] == 5).collect()[0]
+    assert (five.w1, five.w2, five.w3, five.w4, five.w5) == (
+        "<s>", "a", "b", "c", "</s>",
+    )
+    assert five.log10_bow is None
+
+
+def test_arpa_score_order5_matches_hand_chain(spark, tmp_path):
+    from krnel_graph_spark.functions.arpa import arpa_score
+
+    rows = _load5(spark, tmp_path)
+    docs = spark.createDataFrame(_SCORE_DOCS, "doc_id long, text string")
+    ev = _EvalN(rows.collect(), 5)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.logprob_sum)
+        for r in arpa_score(rows, docs, "text", "doc_id").collect()
+    }
+    for i, t in _SCORE_DOCS:
+        assert got[i] == pytest.approx(ev.doc(_toks(t)), abs=1e-9), (i, t)
+    # the order-5 chain is live via the 4-gram on doc 0's last
+    # position: a b c scores p1(a) + p2(b|a) + p3(c|a b)
+    assert got[0][2] == pytest.approx(-0.7 + -0.5 + -0.3, abs=1e-9)
+
+
+def test_arpa_score_order5_truncates_at_max_order(spark, tmp_path):
+    from krnel_graph_spark.functions.arpa import arpa_score
+
+    rows = _load5(spark, tmp_path)
+    docs = spark.createDataFrame(_SCORE_DOCS, "doc_id long, text string")
+    ev = _EvalN(rows.collect(), 3)
+    got = {
+        r.doc_id: r.logprob_sum
+        for r in arpa_score(
+            rows, docs, "text", "doc_id", max_order=3
+        ).collect()
+    }
+    for i, t in _SCORE_DOCS:
+        assert got[i] == pytest.approx(ev.doc(_toks(t))[2], abs=1e-9)
+    with pytest.raises(ValueError, match="max_order"):
+        arpa_score(rows, docs, "text", "doc_id", max_order=7)
+
+
+def test_arpa_order5_file_roundtrip(spark, tmp_path):
+    """load → re-export → load is an exact multiset identity at order 5
+    (the writer is order-generic too)."""
+    from krnel_graph_spark.functions.arpa import _write_arpa, arpa_load
+
+    rows = _load5(spark, tmp_path)
+    path2 = str(tmp_path / "o5_rt.arpa")
+    _write_arpa(rows, path2, 5)
+    again = arpa_load(spark, path2)
+    assert again.exceptAll(rows).count() == 0
+    assert rows.exceptAll(again).count() == 0
+
+
+def test_arpa_score_bos_eos_markers(spark, tmp_path):
+    """bos/eos implements the KenLM convention: <s> is context-only
+    (unscored, uncounted), </s> is scored; n_tokens = len + 1."""
+    from krnel_graph_spark.functions.arpa import arpa_score
+
+    rows = _load5(spark, tmp_path)
+    docs = spark.createDataFrame(_SCORE_DOCS, "doc_id long, text string")
+    ev = _EvalN(rows.collect(), 5)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.logprob_sum)
+        for r in arpa_score(
+            rows, docs, "text", "doc_id", bos=True, eos=True
+        ).collect()
+    }
+    for i, t in _SCORE_DOCS:
+        want = ev.doc(_toks(t), bos=True, eos=True)
+        assert got[i] == pytest.approx(want, abs=1e-9), (i, t)
+        assert got[i][0] == len(_toks(t)) + 1
+    # marker scoring is live: "a b c" + markers walks <s> a → <s> a b →
+    # <s> a b c → the full 5-gram <s> a b c </s>
+    assert got[0][2] == pytest.approx(
+        -0.6 + -0.25 + -0.15 + -0.1, abs=1e-9
+    )
+
+
+def test_arpa_score_oov_unk_mode_is_kenlm_faithful(spark, tmp_path):
+    """oov_mode='unk' rewrites unlisted tokens to <unk> BEFORE grams
+    are built, so <unk>-containing n-grams match and <unk>'s own bow
+    applies — KenLM's semantics on external models; the default 'keep'
+    mode deviates exactly where documented."""
+    from krnel_graph_spark.functions.arpa import arpa_score
+
+    rows = _load5(spark, tmp_path)
+    docs = spark.createDataFrame(_SCORE_DOCS, "doc_id long, text string")
+    ev = _EvalN(rows.collect(), 5)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.logprob_sum)
+        for r in arpa_score(
+            rows, docs, "text", "doc_id", oov_mode="unk"
+        ).collect()
+    }
+    for i, t in _SCORE_DOCS:
+        want = ev.doc(_toks(t), unk_map=True)
+        assert got[i] == pytest.approx(want, abs=1e-9), (i, t)
+    # the difference is non-vacuous on this model: "x b" hits the
+    # listed "<unk> b" bigram in unk mode (-0.35) but backs off through
+    # a dead context in keep mode (bow 0 + p1(b) = -0.8)
+    keep = {
+        r.doc_id: r.logprob_sum
+        for r in arpa_score(rows, docs, "text", "doc_id").collect()
+    }
+    assert got[3][2] != pytest.approx(keep[3], abs=1e-6)
+    assert got[3][2] == pytest.approx(-5.0 + -0.35, abs=1e-9)
+    assert keep[3] == pytest.approx(-5.0 + -0.8, abs=1e-9)
+    # n_oov still counts the REWRITTEN corpus tokens
+    assert got[1][1] == 1 and got[3][1] == 1 and got[0][1] == 0
+    with pytest.raises(ValueError, match="oov_mode"):
+        arpa_score(rows, docs, "text", "doc_id", oov_mode="wat")
+
+
+def test_write_arpa_null_bow_writes_zero(spark, tmp_path):
+    """A loaded model whose lower-order grams omitted their bow (legal
+    ARPA) re-exports with the explicit 0.0 form instead of raising."""
+    from krnel_graph_spark.functions.arpa import _write_arpa, arpa_load
+
+    src = tmp_path / "nobow.arpa"
+    src.write_text(
+        "\\data\\\nngram 1=2\nngram 2=1\n\n\\1-grams:\n"
+        "-5.000000\t<unk>\n-0.500000\ta\t-0.200000\n\n\\2-grams:\n"
+        "-0.300000\ta a\n\n\\end\\\n",
+        encoding="utf-8",
+    )
+    rows = arpa_load(spark, str(src))
+    out = str(tmp_path / "rt.arpa")
+    _write_arpa(rows, out, 2)
+    text = open(out, encoding="utf-8").read()
+    assert "-5.000000\t<unk>\t0.000000" in text
+    again = arpa_load(spark, out)
+    # the omitted bow becomes an explicit 0.0 — semantically identical
+    assert again.filter(
+        (again["order"] == 1) & (again["w1"] == "<unk>")
+    ).collect()[0]["log10_bow"] == 0.0

@@ -404,3 +404,11 @@ def test_cli_arpa_export(tmp_path, capsys):
         main(["arpa-export", src, "text", out2, "--order", "2",
               "--modified"]) == 2
     )
+    capsys.readouterr()
+
+    # --min-count pruning is likewise order-3-only: refuse rather than
+    # silently ship an unpruned model
+    assert (
+        main(["arpa-export", src, "text", out2, "--order", "2",
+              "--min-count", "2"]) == 2
+    )
