@@ -1,0 +1,376 @@
+"""Order-generic interpolated Kneser-Ney training (orders 3-5) — the
+trainer side of the order-5 portability story.
+
+r13 made :func:`~krnel_graph_spark.functions.arpa.arpa_score` /
+``arpa_load`` consume any-order ARPA models (real CCNet-style
+perplexity filters ship order-5 KenLM models); this module lets the
+engine BUILD them too: ``kneser_ney_ngram_train(df, col, order=5)``
+generalizes the :func:`~krnel_graph_spark.functions.text.
+kneser_ney3_train` count-table recursion (its trigram path is the
+template; see text.py:2270), and ``kneser_ney_ngram_arpa_rows``
+generalizes the ARPA encoding in ``functions/arpa.py`` — so scoring,
+file export (``_write_arpa``) and import (``arpa_load``) all reuse the
+order-generic consumer machinery unchanged.
+
+Reference parity note: the reference engine (krnel-graph) has no n-gram
+LM; this is beyond-reference training-data-pipeline surface following
+the PUBLIC Chen & Goodman 1998 formulation.
+
+Model structure (interpolated KN, single score-time discount ``D``):
+
+* level ``N`` (top) uses RAW n-gram counts ``c``;
+* every lower level ``k`` uses CONTINUATION counts ``cc_k(g) =
+  |{w0 : c_raw(w0 · g) > 0}|`` — distinct left extensions in the raw
+  ``(k+1)``-gram TYPE table (each level's continuation counts derive
+  from the RAW types one order up, per Chen & Goodman — NOT from the
+  level-above's continuation types);
+* ``P_k(w | ctx) = max(cnt_k - D, 0) / tot_k(ctx)
+  + (D · n1f_k(ctx) / tot_k(ctx)) · P_{k-1}(w | ctx')``, unseen
+  contexts falling through with coefficient 1;
+* ``P_1`` is the uniform-interpolated bottom continuation shared with
+  the order-2/3 trainers (``B``/``Vc``/``V`` scalars).
+
+Scale shape: ONE corpus scan explodes every gram order at once
+(k=1..N from the same token array — the kn3 trainer pays one scan per
+order); the single ``groupBy(k, w1..wN)`` reduces to a type table that
+every later frame derives from, so the persisted pin is one frame, not
+two. All derived frames are type-table-bounded (the MODEL, never the
+corpus); the rows builder is broadcast-scalar + type-table joins with
+no corpus scan at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "kneser_ney_ngram_train",
+    "kneser_ney_ngram_arpa_rows",
+    "kneser_ney_ngram_export_arpa",
+]
+
+
+def _wc(k: int) -> "list[str]":
+    return [f"w{i}" for i in range(1, k + 1)]
+
+
+def kneser_ney_ngram_train(
+    train: DataFrame, text_col: str, order: int = 5, min_count: int = 1
+) -> dict[str, DataFrame]:
+    """Build the persistable order-``N`` interpolated Kneser-Ney
+    artifact — plain parquet-writable integer-count frames (the
+    discount stays a score-time knob, the kn3 contract):
+
+    * ``top``: ``(w1..wN, c)`` raw N-gram type counts, pruned to
+      ``c >= min_count`` (all derived stats below are computed BEFORE
+      pruning so backoff weights stay consistent — the kn3 rule);
+    * ``cont{k}`` (2 <= k < N): ``(w1..wk, cc)`` continuation counts —
+      distinct left extensions in the raw (k+1)-gram type table;
+    * ``ctx{k}`` (2 <= k <= N): ``(w1..w{k-1}, tot, n1f, cls1, cls2,
+      cls3p)`` — level-k context totals, distinct-continuation type
+      counts, and count-class type counts (carried for a future
+      modified-KN rows builder, same as kn3's nn*/mm* columns);
+    * ``back``: ``(w1, cc)`` / ``scalars``: ``(B, Vc, V, order)`` —
+      the bottom continuation floor, structurally identical to the
+      order-2/3 trainers'.
+
+    The returned dict carries ``_pinned_counts`` — the one persist-
+    pinned multi-consumer type table every frame derives from; callers
+    running many models in one session can ``unpersist()`` it once the
+    artifact is written out.
+    """
+    from .text import normalize_text, whitespace_tokens
+
+    if order < 3 or order > 8:
+        raise ValueError(f"order must be in 3..8, got {order}")
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    n = order
+    tt = (
+        train.filter(normalize_text(F.col(text_col)) != "")
+        .select(whitespace_tokens(F.col(text_col)).alias("__t"))
+    )
+    # one scan: every gram order k=1..N as a (k, w1..wN) struct
+    struct_fields = {
+        k: ", ".join(
+            [f"{k} AS k"]
+            + [f"__t[i + {j} - 2] AS w{j}" for j in range(1, k + 1)]
+            + [
+                f"CAST(NULL AS STRING) AS w{j}"
+                for j in range(k + 1, n + 1)
+            ]
+        )
+        for k in range(1, n + 1)
+    }
+    gram_arrays = [
+        F.expr(
+            f"CASE WHEN size(__t) >= {k} THEN"
+            f" transform(sequence(1, size(__t) - {k} + 1),"
+            f" i -> struct({struct_fields[k]}))"
+            f" ELSE CAST(array() AS ARRAY<STRUCT<k: INT,"
+            f" {', '.join(f'w{j}: STRING' for j in range(1, n + 1))}>>)"
+            f" END"
+        )
+        for k in range(1, n + 1)
+    ]
+    counts = (
+        tt.select(F.explode(F.flatten(F.array(*gram_arrays))).alias("g"))
+        .select("g.*")
+        .groupBy("k", *_wc(n))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+
+    def raw(k):
+        return counts.filter(F.col("k") == k).select(*_wc(k), "c")
+
+    def _cls(cnt):
+        return [
+            F.sum((cnt == 1).cast("long")).alias("cls1"),
+            F.sum((cnt == 2).cast("long")).alias("cls2"),
+            F.sum((cnt >= 3).cast("long")).alias("cls3p"),
+        ]
+
+    out: dict[str, DataFrame] = {}
+    top_all = raw(n)
+    out["top"] = (
+        top_all.filter(F.col("c") >= F.lit(int(min_count)))
+        if min_count > 1
+        else top_all
+    )
+    out[f"ctx{n}"] = top_all.groupBy(*_wc(n - 1)).agg(
+        F.sum("c").alias("tot"),
+        F.count(F.lit(1)).alias("n1f"),
+        *_cls(F.col("c")),
+    )
+    # continuation levels: cc_k derives from the RAW (k+1)-gram types
+    for k in range(n - 1, 1, -1):
+        cont = (
+            raw(k + 1)
+            .groupBy(
+                *[F.col(f"w{j + 1}").alias(f"w{j}") for j in range(1, k + 1)]
+            )
+            .agg(F.count(F.lit(1)).alias("cc"))
+        )
+        out[f"cont{k}"] = cont
+        out[f"ctx{k}"] = cont.groupBy(*_wc(k - 1)).agg(
+            F.sum("cc").alias("tot"),
+            F.count(F.lit(1)).alias("n1f"),
+            *_cls(F.col("cc")),
+        )
+    back = (
+        raw(2)
+        .groupBy(F.col("w2").alias("w1"))
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    out["back"] = back
+    out["scalars"] = (
+        raw(2)
+        .agg(F.count(F.lit(1)).alias("B"))
+        .crossJoin(back.agg(F.count(F.lit(1)).alias("Vc")))
+        .crossJoin(raw(1).agg((F.count(F.lit(1)) + 1).alias("V")))
+        .select("*", F.lit(int(n)).alias("order"))
+    )
+    out["_pinned_counts"] = counts
+    return out
+
+
+def _ngram_order(lm: "dict[str, DataFrame]") -> int:
+    for key in ("top", "back", "scalars"):
+        if key not in lm:
+            raise ValueError(
+                f"lm missing frame {key!r} — not a kneser_ney_ngram_train "
+                "artifact"
+            )
+    n = int(lm["scalars"].select("order").limit(1).collect()[0][0])
+    for k in range(2, n + 1):
+        if f"ctx{k}" not in lm or (k < n and f"cont{k}" not in lm):
+            raise ValueError(
+                f"lm missing level-{k} frame — not an order-{n} artifact"
+            )
+    return n
+
+
+def kneser_ney_ngram_arpa_rows(
+    lm: "dict[str, DataFrame]", discount: float = 0.75
+) -> DataFrame:
+    """The order-N artifact as ARPA rows ``(order, w1..wN, log10_p,
+    log10_bow)`` — the frame :func:`~krnel_graph_spark.functions.arpa.
+    arpa_score` scores with and ``_write_arpa`` files. Order-generic
+    twin of :func:`~krnel_graph_spark.functions.arpa.
+    kneser_ney3_arpa_rows` (same encoding identity: stored probs are
+    the full interpolated ``P_k``, backoff weights are the
+    interpolation coefficients ``gamma``, ARPA prefix-closure holds —
+    every listed k-gram's context is listed so its bow is reachable);
+    at ``order=3`` the output is row-for-row identical to the kn3
+    exporter (pinned in tests/test_ngram_lm.py).
+
+    Every section is a type-table-bounded frame: section k joins the
+    chain of lower-level count tables to evaluate ``P_k`` in closed
+    form — ``2k+1`` model-bounded joins, no corpus scan.
+    """
+    D = float(discount)
+    if not (0.0 < D < 1.0):
+        raise ValueError("discount must be in (0, 1)")
+    n = _ngram_order(lm)
+    scalars = lm["scalars"].select(
+        F.col("B").alias("__B"),
+        F.col("Vc").alias("__Vc"),
+        F.col("V").alias("__V"),
+    )
+
+    def pcont(nb_col):
+        nb = F.coalesce(nb_col, F.lit(0)).cast("double")
+        Bd = F.col("__B").cast("double")
+        unif = F.lit(1.0) / F.col("__V").cast("double")
+        return F.when(
+            F.col("__B") > 0,
+            F.greatest(nb - F.lit(D), F.lit(0.0)) / Bd
+            + (F.lit(D) * F.col("__Vc").cast("double") / Bd) * unif,
+        ).otherwise(unif)
+
+    def p_level(j):
+        """P_j over a frame carrying cc{j}/tot{j}/n1f{j} (suffix-keyed
+        per section below) and n1back — unseen context falls through
+        with coefficient 1, the kn3 p2_expr shape."""
+        if j == 1:
+            return pcont(F.col("n1back"))
+        tot = F.col(f"tot{j}").cast("double")
+        cnt = F.coalesce(F.col(f"cc{j}"), F.lit(0)).cast("double")
+        core = (
+            F.greatest(cnt - F.lit(D), F.lit(0.0)) / tot
+            + (F.lit(D) * F.col(f"n1f{j}").cast("double") / tot)
+            * p_level(j - 1)
+        )
+        return F.when(F.col(f"tot{j}").isNotNull(), core).otherwise(
+            p_level(j - 1)
+        )
+
+    def events(k):
+        """The grams listed in section k: level-k events plus level-
+        (k+1) contexts (prefix closure), as columns g1..gk."""
+        gc = [f"g{i}" for i in range(1, k + 1)]
+        if k == 1:
+            # every word ANY listed gram mentions (kn3's `words` union,
+            # order-generic): all positions of top + cont frames, plus
+            # the UNPRUNED ctx keys (a word whose every top-level gram
+            # was min_count-pruned still backs lower grams off) + back
+            parts = [lm["back"].select(F.col("w1").alias("g1"))]
+            for j in range(2, n + 1):
+                src = lm["top"] if j == n else lm[f"cont{j}"]
+                for i in range(1, j + 1):
+                    parts.append(src.select(F.col(f"w{i}").alias("g1")))
+                for i in range(1, j):
+                    parts.append(
+                        lm[f"ctx{j}"].select(F.col(f"w{i}").alias("g1"))
+                    )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out.distinct()
+        ev = lm["top"] if k == n else lm[f"cont{k}"]
+        out = ev.select(
+            *[F.col(f"w{i}").alias(f"g{i}") for i in range(1, k + 1)]
+        )
+        if k < n:
+            nxt = lm[f"ctx{k + 1}"].select(
+                *[F.col(f"w{i}").alias(f"g{i}") for i in range(1, k + 1)]
+            )
+            out = out.unionByName(nxt)
+        return out.distinct()
+
+    def section(k):
+        base = events(k)
+        gc = [f"g{i}" for i in range(1, k + 1)]
+        # level-j count + context stats for every j in the chain: the
+        # level-j event is the gram's last j words, its context the
+        # j-1 words before the final one
+        for j in range(2, k + 1):
+            src = lm["top"] if j == n else lm[f"cont{j}"]
+            cnt_col = "c" if j == n else "cc"
+            ev = src.select(
+                *[
+                    F.col(f"w{i}").alias(f"g{k - j + i}")
+                    for i in range(1, j + 1)
+                ],
+                F.col(cnt_col).alias(f"cc{j}"),
+            )
+            base = base.join(ev, gc[k - j:], "left")
+            ctx = lm[f"ctx{j}"].select(
+                *[
+                    F.col(f"w{i}").alias(f"g{k - j + i}")
+                    for i in range(1, j)
+                ],
+                F.col("tot").alias(f"tot{j}"),
+                F.col("n1f").alias(f"n1f{j}"),
+            )
+            base = base.join(ctx, gc[k - j:k - 1], "left")
+        base = base.join(
+            lm["back"].select(
+                F.col("w1").alias(f"g{k}"), F.col("cc").alias("n1back")
+            ),
+            f"g{k}",
+            "left",
+        )
+        if k < n:
+            bowctx = lm[f"ctx{k + 1}"].select(
+                *[F.col(f"w{i}").alias(f"g{i}") for i in range(1, k + 1)],
+                F.col("tot").alias("__btot"),
+                F.col("n1f").alias("__bn1f"),
+            )
+            base = base.join(bowctx, gc, "left")
+            bow = F.when(
+                F.col("__btot").isNotNull(),
+                F.lit(D)
+                * F.col("__bn1f").cast("double")
+                / F.col("__btot").cast("double"),
+            ).otherwise(F.lit(1.0))
+        else:
+            bow = None
+        base = base.crossJoin(F.broadcast(scalars))
+        from .arpa import _log10_bow
+
+        return base.select(
+            F.lit(k).cast("int").alias("order"),
+            *[F.col(f"g{i}").alias(f"w{i}") for i in range(1, k + 1)],
+            *[
+                F.lit(None).cast("string").alias(f"w{i}")
+                for i in range(k + 1, n + 1)
+            ],
+            F.round(F.log10(p_level(k)), 6).alias("log10_p"),
+            (
+                _log10_bow(bow)
+                if bow is not None
+                else F.lit(None).cast("double")
+            ).alias("log10_bow"),
+        )
+
+    from .arpa import _log10_bow
+
+    unk = scalars.select(
+        F.lit(1).cast("int").alias("order"),
+        F.lit("<unk>").alias("w1"),
+        *[F.lit(None).cast("string").alias(f"w{i}") for i in range(2, n + 1)],
+        F.round(F.log10(pcont(F.lit(None))), 6).alias("log10_p"),
+        _log10_bow(F.lit(1.0)).alias("log10_bow"),
+    )
+    out = section(1).unionByName(unk)
+    for k in range(2, n + 1):
+        out = out.unionByName(section(k))
+    return out
+
+
+def kneser_ney_ngram_export_arpa(
+    lm: "dict[str, DataFrame]", path: str, discount: float = 0.75
+) -> None:
+    """Write an order-N artifact as a standard ``.arpa`` file any
+    KenLM-consuming pipeline reads (the order-generic ``_write_arpa``
+    sink; ``path`` is driver-local — one text file, single-writer)."""
+    from .arpa import _write_arpa
+
+    _write_arpa(
+        kneser_ney_ngram_arpa_rows(lm, discount=discount),
+        path,
+        _ngram_order(lm),
+    )
