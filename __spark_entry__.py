@@ -3915,6 +3915,29 @@ def q_arpa_score_o5(spark, sf_dir):
     )
 
 
+def q_kneser_ney5(spark, sf_dir):
+    """Order-5 interpolated Kneser-Ney TRAINING (r14, closing the loop
+    the order-5 consumer opened): the generic trainer
+    (functions/ngram_lm.py — one corpus scan for all five gram orders,
+    continuation counts from the raw (k+1)-gram types per Chen &
+    Goodman) exported as ARPA rows, the artifact a KenLM-consuming
+    perplexity pipeline ships. Graded frame = the full five-section
+    model (order, w1..w5, log10_p, log10_bow); the oracle replays the
+    count recursion and the per-level interpolation arithmetic in SQL.
+    Differentials: order-3 output is row-identical to the kn3 exporter,
+    orders 4/5 match an independent Python KN (tests/test_ngram_lm.py)."""
+    from krnel_graph_spark.functions.ngram_lm import (
+        kneser_ney_ngram_arpa_rows,
+        kneser_ney_ngram_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lm = kneser_ney_ngram_train(
+        docs.filter(F.col("doc_id") % 5 == 0), "text", order=5
+    )
+    return kneser_ney_ngram_arpa_rows(lm)
+
+
 def q_bm25_index_search(spark, sf_dir):
     """BM25 served from the persistable index artifact
     (functions/text.py:bm25_index — postings/term_df/stats frames,
@@ -4030,6 +4053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn3_arpa": q_kn3_arpa,
         "arpa_score": q_arpa_score,
         "arpa_score_o5": q_arpa_score_o5,
+        "kneser_ney5": q_kneser_ney5,
         "audio_features_stub": q_audio_features_stub,
         "video_frames_stub": q_video_frames_stub,
         "bpe_encode": q_bpe_encode,
@@ -9279,6 +9303,162 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
        sum(tm)::DOUBLE AS logprob_sum
 FROM term GROUP BY doc_id
 """
+
+    # kneser_ney5: replay the order-5 generic trainer (raw counts for
+    # every gram order, continuation counts from the raw (k+1)-gram
+    # types, context totals) and the per-level interpolation arithmetic
+    # of the ARPA rows builder — the kn3_arpa oracle pattern, generated
+    # programmatically for five levels.
+    def _p1_kn5(nb: str) -> str:
+        return (
+            f"CASE WHEN (SELECT B FROM k5tot) > 0 THEN "
+            f"greatest({nb}::DOUBLE - 0.75, 0.0)"
+            f" / (SELECT B FROM k5tot)::DOUBLE "
+            f"+ (0.75 * (SELECT Vc FROM k5vc)::DOUBLE"
+            f" / (SELECT B FROM k5tot)::DOUBLE)"
+            f" * (1.0 / (SELECT V FROM k5vv)::DOUBLE) "
+            f"ELSE 1.0 / (SELECT V FROM k5vv)::DOUBLE END"
+        )
+
+    kn5 = [
+        f"tt AS (SELECT {toks_text} AS toks FROM documents"
+        f" WHERE {norm_text} != '' AND doc_id % 5 = 0)"
+    ]
+    for k in range(1, 6):
+        cols = ", ".join(f"toks[s + {i}] AS w{i + 1}" for i in range(k))
+        keys = ", ".join(f"w{i}" for i in range(1, k + 1))
+        kn5.append(
+            f"raw{k} AS (SELECT {cols}, count(*) AS c"
+            f" FROM (SELECT toks, unnest(range(1, len(toks) - {k} + 2))"
+            f" AS s FROM tt WHERE len(toks) >= {k}) GROUP BY {keys})"
+        )
+    for k in range(2, 5):
+        cols = ", ".join(f"w{i + 1} AS w{i}" for i in range(1, k + 1))
+        keys = ", ".join(f"w{i + 1}" for i in range(1, k + 1))
+        kn5.append(
+            f"cont{k} AS (SELECT {cols}, count(*) AS cc"
+            f" FROM raw{k + 1} GROUP BY {keys})"
+        )
+    kn5.append("back AS (SELECT w2 AS w1, count(*) AS cc FROM raw2 GROUP BY w2)")
+    for k in range(2, 6):
+        src, cval = ("raw5", "c") if k == 5 else (f"cont{k}", "cc")
+        keys = ", ".join(f"w{i}" for i in range(1, k))
+        kn5.append(
+            f"ctx{k} AS (SELECT {keys}, sum({cval}) AS tot,"
+            f" count(*) AS n1f FROM {src} GROUP BY {keys})"
+        )
+    kn5.append("k5tot AS (SELECT count(*) AS B FROM raw2)")
+    kn5.append("k5vc AS (SELECT count(*) AS Vc FROM back)")
+    kn5.append("k5vv AS (SELECT count(*) + 1 AS V FROM raw1)")
+    w_parts = ["SELECT w1 AS w FROM back"]
+    for j in range(2, 6):
+        src = "raw5" if j == 5 else f"cont{j}"
+        w_parts += [f"SELECT w{i} FROM {src}" for i in range(1, j + 1)]
+        w_parts += [f"SELECT w{i} FROM ctx{j}" for i in range(1, j)]
+    kn5.append(
+        "words AS (SELECT DISTINCT w FROM ("
+        + " UNION ALL ".join(w_parts)
+        + "))"
+    )
+    for k in range(2, 6):
+        if k == 5:
+            ev = (
+                "SELECT "
+                + ", ".join(f"w{i} AS g{i}" for i in range(1, 6))
+                + " FROM raw5"
+            )
+        else:
+            ev = (
+                "SELECT "
+                + ", ".join(f"w{i} AS g{i}" for i in range(1, k + 1))
+                + f" FROM cont{k} UNION SELECT "
+                + ", ".join(f"w{i}" for i in range(1, k + 1))
+                + f" FROM ctx{k + 1}"
+            )
+        kn5.append(f"ev{k} AS ({ev})")
+        joins, sel = [], []
+        for j in range(2, k + 1):
+            src, cval = ("raw5", "c") if j == 5 else (f"cont{j}", "cc")
+            on = " AND ".join(
+                f"c{j}.w{i} = e.g{k - j + i}" for i in range(1, j + 1)
+            )
+            joins.append(f"LEFT JOIN {src} c{j} ON {on}")
+            sel.append(f"c{j}.{cval} AS cc{j}")
+            onx = " AND ".join(
+                f"x{j}.w{i} = e.g{k - j + i}" for i in range(1, j)
+            )
+            joins.append(f"LEFT JOIN ctx{j} x{j} ON {onx}")
+            sel += [f"x{j}.tot AS tot{j}", f"x{j}.n1f AS n1f{j}"]
+        joins.append(f"LEFT JOIN back bk ON bk.w1 = e.g{k}")
+        sel.append("bk.cc AS n1back")
+        if k < 5:
+            on = " AND ".join(f"bx.w{i} = e.g{i}" for i in range(1, k + 1))
+            joins.append(f"LEFT JOIN ctx{k + 1} bx ON {on}")
+            sel += ["bx.tot AS btot", "bx.n1f AS bn1f"]
+        gcols = ", ".join(f"e.g{i}" for i in range(1, k + 1))
+        kn5.append(
+            f"s{k}1 AS (SELECT {gcols}, {', '.join(sel)} FROM ev{k} e "
+            + " ".join(joins)
+            + ")"
+        )
+        kn5.append(
+            f"s{k}p1 AS (SELECT *, {_p1_kn5('coalesce(n1back, 0)')}"
+            f" AS p1 FROM s{k}1)"
+        )
+        for j in range(2, k + 1):
+            pj = (
+                f"CASE WHEN tot{j} IS NOT NULL THEN"
+                f" greatest(coalesce(cc{j}, 0)::DOUBLE - 0.75, 0.0)"
+                f" / tot{j}::DOUBLE"
+                f" + (0.75 * n1f{j}::DOUBLE / tot{j}::DOUBLE) * p{j - 1}"
+                f" ELSE p{j - 1} END"
+            )
+            kn5.append(
+                f"s{k}p{j} AS (SELECT *, {pj} AS p{j} FROM s{k}p{j - 1})"
+            )
+        wsel = ", ".join(
+            [f"g{i} AS w{i}" for i in range(1, k + 1)]
+            + [f"NULL::VARCHAR AS w{i}" for i in range(k + 1, 6)]
+        )
+        bow = (
+            "CASE WHEN btot IS NOT NULL THEN"
+            " round(log10(0.75 * bn1f::DOUBLE / btot::DOUBLE), 6)"
+            " ELSE 0.0 END"
+            if k < 5
+            else "NULL::DOUBLE"
+        )
+        kn5.append(
+            f'sec{k} AS (SELECT {k} AS "order", {wsel},'
+            f" round(log10(p{k}), 6) AS log10_p, {bow} AS log10_bow"
+            f" FROM s{k}p{k})"
+        )
+    nulls15 = ", ".join(f"NULL::VARCHAR AS w{i}" for i in range(2, 6))
+    kn5.append(
+        "u0 AS (SELECT wd.w AS g1, bk.cc AS n1back,"
+        " x2.tot AS btot, x2.n1f AS bn1f FROM words wd"
+        " LEFT JOIN back bk ON bk.w1 = wd.w"
+        " LEFT JOIN ctx2 x2 ON x2.w1 = wd.w)"
+    )
+    kn5.append(
+        f'sec1 AS (SELECT 1 AS "order", g1 AS w1, {nulls15},'
+        f" round(log10({_p1_kn5('coalesce(n1back, 0)')}), 6) AS log10_p,"
+        f" CASE WHEN btot IS NOT NULL THEN"
+        f" round(log10(0.75 * bn1f::DOUBLE / btot::DOUBLE), 6)"
+        f" ELSE 0.0 END AS log10_bow FROM u0)"
+    )
+    kn5.append(
+        f'unkr5 AS (SELECT 1 AS "order", \'<unk>\' AS w1, {nulls15},'
+        f" round(log10({_p1_kn5('0')}), 6) AS log10_p,"
+        f" 0.0 AS log10_bow)"
+    )
+    out["kneser_ney5"] = (
+        "WITH "
+        + ",\n".join(kn5)
+        + "\nSELECT * FROM sec1 UNION ALL SELECT * FROM unkr5"
+        + "".join(
+            f"\nUNION ALL SELECT * FROM sec{k}" for k in range(2, 6)
+        )
+    )
 
     # the index-served path is output-identical to the inline scan, so
     # the oracle is literally the same SQL (the dedup_against_index /

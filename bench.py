@@ -255,6 +255,15 @@ HEADLINE = [
     # with any KenLM-built model).
     "kn3_arpa",
     "arpa_score",
+    # r14: the order-5 story both ways — the generic consumer scoring
+    # the corpus against a synthetic order-5 model with KenLM <s>/</s>
+    # markers (9 digest joins), and order-5 interpolated KN TRAINING
+    # (one corpus scan for all five gram orders; 5-section ARPA rows,
+    # every frame model-bounded) — plus the minhash ingest lifecycle
+    # (save → load → append → dedup) promoted into the gate.
+    "arpa_score_o5",
+    "kneser_ney5",
+    "minhash_ingest",
 ]
 
 # Each query is timed RUNS times and the min reported: a single run folds

@@ -75,10 +75,13 @@ def kneser_ney_ngram_train(
       the bottom continuation floor, structurally identical to the
       order-2/3 trainers'.
 
-    The returned dict carries ``_pinned_counts`` — the one persist-
-    pinned multi-consumer type table every frame derives from; callers
-    running many models in one session can ``unpersist()`` it once the
-    artifact is written out.
+    Every returned count frame is persist-pinned (all are type-table-
+    bounded and multi-consumer in the rows builder — ctx_j feeds
+    section j-1's bow plus every section >= j's interpolation chain);
+    ``_pinned_counts`` is the one combined type table they all derive
+    from. Callers running many models in one session can
+    ``unpersist()`` them via the returned frames once the artifact is
+    written out.
     """
     from .text import normalize_text, whitespace_tokens
 
@@ -139,10 +142,18 @@ def kneser_ney_ngram_train(
         if min_count > 1
         else top_all
     )
-    out[f"ctx{n}"] = top_all.groupBy(*_wc(n - 1)).agg(
-        F.sum("c").alias("tot"),
-        F.count(F.lit(1)).alias("n1f"),
-        *_cls(F.col("c")),
+    # every cont/ctx frame is multi-consumer in the ARPA rows builder
+    # (ctx_j feeds section j-1's bow plus every section >= j's
+    # interpolation chain — up to N references each): persist-pin them
+    # all; they are type-table-bounded (the MODEL, never the corpus)
+    out[f"ctx{n}"] = (
+        top_all.groupBy(*_wc(n - 1))
+        .agg(
+            F.sum("c").alias("tot"),
+            F.count(F.lit(1)).alias("n1f"),
+            *_cls(F.col("c")),
+        )
+        .persist()
     )
     # continuation levels: cc_k derives from the RAW (k+1)-gram types
     for k in range(n - 1, 1, -1):
@@ -152,17 +163,23 @@ def kneser_ney_ngram_train(
                 *[F.col(f"w{j + 1}").alias(f"w{j}") for j in range(1, k + 1)]
             )
             .agg(F.count(F.lit(1)).alias("cc"))
+            .persist()
         )
         out[f"cont{k}"] = cont
-        out[f"ctx{k}"] = cont.groupBy(*_wc(k - 1)).agg(
-            F.sum("cc").alias("tot"),
-            F.count(F.lit(1)).alias("n1f"),
-            *_cls(F.col("cc")),
+        out[f"ctx{k}"] = (
+            cont.groupBy(*_wc(k - 1))
+            .agg(
+                F.sum("cc").alias("tot"),
+                F.count(F.lit(1)).alias("n1f"),
+                *_cls(F.col("cc")),
+            )
+            .persist()
         )
     back = (
         raw(2)
         .groupBy(F.col("w2").alias("w1"))
         .agg(F.count(F.lit(1)).alias("cc"))
+        .persist()
     )
     out["back"] = back
     out["scalars"] = (

@@ -650,6 +650,43 @@ def test_arpa_score_lookup_shape(spark, entry):
     assert plan.count("Scan parquet") <= 2  # the scored corpus only
 
 
+def test_arpa_score_o5_lookup_shape(spark, entry):
+    """The ORDER-5 consumer keeps the arpa_score plan class at nine
+    joins (5 prob + 4 bow): positions explode over the marker-augmented
+    token array, digest-keyed LEFT joins against the checkpointed rows
+    frame, no Cartesian product, and the synthetic model build stays
+    out of the scoring plan (the eager localCheckpoint truncation)."""
+    plan = _plan(spark, entry, "arpa_score_o5")
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan  # the checkpointed rows frame
+    assert "HashAggregate" in plan
+    # one corpus scan for scoring; the model-build lineage is truncated
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_kneser_ney5_sections_are_model_sized(spark, entry):
+    """The order-5 trainer + ARPA rows builder: every section joins
+    type-table-bounded count frames (the MODEL), the 1-row scalars ride
+    a broadcast, the five sections (+ <unk>) union, and the corpus
+    appears only through the single combined gram explode feeding the
+    persist-pinned counts table (InMemoryTableScan reuse)."""
+    plan = _plan(spark, entry, "kneser_ney5")
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalars frame
+    assert "InMemoryTableScan" in plan  # the pinned counts/cont/ctx
+
+
+def test_minhash_ingest_lifecycle_shape(spark, entry):
+    """save → load → append → dedup keeps the banded-join plan class
+    end-to-end: the loaded index is a parquet artifact scan (not a
+    re-signature of day 0), candidates come from the banded join
+    (never all-pairs), matched docs leave via one anti-join."""
+    plan = _plan(spark, entry, "minhash_ingest")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan or "left_anti" in plan.lower()
+
+
 def test_recall_probe_bounded_scans(spark, entry):
     """The index-health monitor costs one codes-frame scan + one
     float-corpus scan with broadcast probes: no Cartesian product, the

@@ -547,11 +547,63 @@ def _extra_queries():
             s.read.parquet(rows_path), docs, "text", "doc_id"
         )
 
+    def arpa_serve_o5_x40(s):
+        # r14: the order-5 serve path over the FULL x40 corpus —
+        # production persists an order-5 rows frame once (here: trained
+        # by kneser_ney_ngram_train on the %5 slice; arpa_load for a
+        # KenLM-built file) and every scoring batch pays the 9-join
+        # lookup with <s>/</s> markers. The growth axis vs
+        # arpa_serve_x40 is the extra 4 model-bounded joins — the
+        # corpus pass stays the only linear term.
+        import os as _os
+
+        from krnel_graph_spark.functions.arpa import arpa_score
+        from pyspark.sql import functions as F  # noqa: N812
+
+        docs = s.read.parquet(f"{OUT}/documents.parquet")
+        rows_path = f"{OUT}/__arpa_rows_o5_day0"
+        if not _os.path.isdir(rows_path):
+            from krnel_graph_spark.functions.ngram_lm import (
+                kneser_ney_ngram_arpa_rows,
+                kneser_ney_ngram_train,
+            )
+
+            lm = kneser_ney_ngram_train(
+                docs.filter(F.col("doc_id") % 5 == 0), "text", order=5
+            )
+            kneser_ney_ngram_arpa_rows(lm).write.mode("overwrite").parquet(
+                rows_path
+            )
+            lm["_pinned_counts"].unpersist()
+        return arpa_score(
+            s.read.parquet(rows_path), docs, "text", "doc_id",
+            bos=True, eos=True,
+        )
+
+    def kneser_ney5_x40(s):
+        # r14: order-5 KN TRAINING at x40 — the train-once artifact
+        # cost. One corpus scan explodes all five gram orders into the
+        # single pinned type table; everything after is model-bounded.
+        from pyspark.sql import functions as F  # noqa: N812
+
+        from krnel_graph_spark.functions.ngram_lm import (
+            kneser_ney_ngram_arpa_rows,
+            kneser_ney_ngram_train,
+        )
+
+        docs = s.read.parquet(f"{OUT}/documents.parquet")
+        lm = kneser_ney_ngram_train(
+            docs.filter(F.col("doc_id") % 5 == 0), "text", order=5
+        )
+        return kneser_ney_ngram_arpa_rows(lm)
+
     return {
         "dedup_against_near_x40": dedup_against_near_x40,
         "dedup_against_index_x40": dedup_against_index_x40,
         "minhash_ingest_x40": minhash_ingest_x40,
         "arpa_serve_x40": arpa_serve_x40,
+        "arpa_serve_o5_x40": arpa_serve_o5_x40,
+        "kneser_ney5_x40": kneser_ney5_x40,
         "ann_index_search_x20": ann_index_search_x20,
         "recall_probe_x20": recall_probe_x20,
         "ann_retrain_x20": ann_retrain_x20,
