@@ -3952,47 +3952,43 @@ def q_bm25_index_search(spark, sf_dir):
 
 
 # The driver records hash-graded evidence only for the FIRST 50 entries
-# of queries(). r13 rotation (executed as the r12 comment queued):
-# first the entries whose impls/oracles are NEW or CHANGED this round
-# (ann_retrain and kn3_arpa need their first driver row;
-# kneser_ney3_modified's bottom continuation level moved to per-class
-# discounts — value unchanged on this dense slice by construction, but
-# the impl AND oracle both changed so it re-records), then the ENTIRE
-# r8 remainder (oldest driver records in the ledger after the r12
-# rotation), then the head of the r9 block in COVERAGE.md order.
-# (r14 rotation queue: the r9 remainder — connected_components,
-# hash_sample,
-# stratified_sample, shuffle_export, decontaminate, repetition_stats,
-# remove_dup_windows, containment, cdc_dedup, assign_row_id,
-# inline_dataset, csv_roundtrip, jsonl_roundtrip, ann_lsh, blocklist,
-# stupid_backoff_fixed, hash_embedding, random_projection,
-# unicode_normalize, perplexity_buckets_fixed, margin_pairs,
-# margin_pairs_ann — then the r10 blocks age back in. Rows-only
-# remains ZERO: 218/218 oracle-backed.)
-_R13_WINDOW = [
-    # new/changed this round
-    "ann_retrain", "kn3_arpa", "arpa_score", "kneser_ney3_modified",
-    # the r8 remainder: every query whose newest driver record is r8
-    "leakage_safe_split", "llm_chat_generate", "set_intersect",
-    "sort_topk", "split_train_mask", "stupid_backoff", "take_rows",
-    "temperature_mixture", "tokenizer_fertility", "vocab_growth",
-    "minhash_signature", "ngram_jaccard", "packing_report",
-    "paragraph_dedup", "perplexity_buckets", "pii_report",
-    "quality_buckets", "scan_parquet", "schema_drift", "select_column",
-    # head of the r9 block (newest record round 9), COVERAGE order
-    "ann_recall", "fluent_pipeline", "fluent_decontaminate", "ann_topk",
-    "asof_join", "minhash_pairs", "sessionize", "events_windowed",
-    "dedup_drop_near", "broadcast_join_region", "parse_json_get",
-    "heavy_hitters", "running_user_totals", "embedding_dups",
-    "interval_join", "profile_table", "clean_corpus", "cube_agg",
-    "pivot_priority", "percentiles", "ntile_quartiles", "pivot_dynamic",
-    "group_cap", "pii_scrub", "domain_stats", "sequence_pack",
+# of queries(). r14 rotation (executed as the r13 comment queued):
+# first the NEW entries (arpa_score_o5, kneser_ney5, minhash_ingest
+# need their first driver row — arpa_score itself was generalized to
+# order-N this round but its r13 hash is unchanged and re-verified by
+# the full local gate, so its slot goes to older evidence), then the
+# ENTIRE r9 remainder (oldest driver records after the r13 rotation),
+# then the head of the r10 block in COVERAGE.md order.
+# (r15 rotation queue: the r10 remainder — rich_no_orders_q22,
+# min_cost_supplier_q2, product_profit_q9, important_stock_q11,
+# top_supplier_q15, and the rest of the r10 block in COVERAGE order —
+# then r11 ages back in. Rows-only remains ZERO: 222/222
+# oracle-backed.)
+_R14_WINDOW = [
+    # new this round
+    "arpa_score_o5", "kneser_ney5", "minhash_ingest",
+    # the r9 remainder: every query whose newest driver record is r9
+    "connected_components", "hash_sample", "stratified_sample",
+    "shuffle_export", "decontaminate", "repetition_stats",
+    "remove_dup_windows", "containment", "cdc_dedup", "assign_row_id",
+    "inline_dataset", "csv_roundtrip", "jsonl_roundtrip", "ann_lsh",
+    "blocklist", "stupid_backoff_fixed", "hash_embedding",
+    "random_projection", "unicode_normalize", "perplexity_buckets_fixed",
+    "margin_pairs", "margin_pairs_ann",
+    # head of the r10 block (newest record round 10), COVERAGE order
+    "compression_signals", "ann_pq", "ann_ivfpq", "audio_features_stub",
+    "video_frames_stub", "bpe_encode", "video_dups_q", "window_topk",
+    "lead_lag", "sql_entry", "dedup_weights", "span_corruption",
+    "span_corruption_text", "winnow_fp", "winnow_pairs", "semi_join_q4",
+    "volume_q7", "market_share_q8", "returned_topk_q10", "order_dist_q13",
+    "promo_share_q14", "supplier_cnt_q16", "small_qty_q17",
+    "large_orders_q18", "disjunct_q19",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The literal dict below keeps its r7 grouping for readability; the
-    # driver-visible ORDER is _R13_WINDOW first (see its comment), then
+    # driver-visible ORDER is _R14_WINDOW first (see its comment), then
     # everything else in literal order.
     d = {
         # ---- driver 50-slot recording window (r7 rotation) ---- #
@@ -4232,8 +4228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kneser_ney3_modified": q_kneser_ney3_modified,
         "bm25_index_search": q_bm25_index_search,
     }
-    out = {k: d[k] for k in _R13_WINDOW}
-    missing = [k for k in _R13_WINDOW if k not in d]
+    out = {k: d[k] for k in _R14_WINDOW}
+    missing = [k for k in _R14_WINDOW if k not in d]
     assert not missing, f"window names drifted: {missing}"
     for k, v in d.items():
         out.setdefault(k, v)

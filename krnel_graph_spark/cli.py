@@ -452,11 +452,11 @@ def cmd_table_diff(args) -> int:
 
 
 def cmd_arpa_export(args) -> int:
-    """LM portability: train a Kneser-Ney model (order 2 or 3) on a
-    parquet corpus and write a standard ``.arpa`` file any
-    KenLM-consuming pipeline reads. ``--modified`` bakes Chen-Goodman
-    per-class discounts in (order 3 only); ``--min-count`` prunes the
-    trigram lookup table KenLM-style."""
+    """LM portability: train a Kneser-Ney model (order 2-5; 4/5 via
+    the generic trainer) on a parquet corpus and write a standard
+    ``.arpa`` file any KenLM-consuming pipeline reads. ``--modified``
+    bakes Chen-Goodman per-class discounts in (order 3 only);
+    ``--min-count`` prunes the top-order lookup table KenLM-style."""
     from .functions.arpa import kneser_ney3_export_arpa, kneser_ney_export_arpa
     from .runners.spark_runner import get_spark
 
@@ -475,7 +475,7 @@ def cmd_arpa_export(args) -> int:
 
         lm = kneser_ney_train(df, args.text_column)
         kneser_ney_export_arpa(lm, args.out, discount=args.discount)
-    else:
+    elif args.order == 3:
         from .functions.text import kneser_ney3_train
 
         lm = kneser_ney3_train(
@@ -487,6 +487,23 @@ def cmd_arpa_export(args) -> int:
             discount="modified" if args.modified else args.discount,
             base_discount=args.discount,
         )
+    else:
+        # orders 4/5: the generic trainer (r14). Modified-KN discounts
+        # are an order-2/3 exporter feature today; refuse loudly rather
+        # than bake a different smoothing than asked.
+        if args.modified:
+            print("--modified supports --order 3 only", file=sys.stderr)
+            return 2
+        from .functions.ngram_lm import (
+            kneser_ney_ngram_export_arpa,
+            kneser_ney_ngram_train,
+        )
+
+        lm = kneser_ney_ngram_train(
+            df, args.text_column, order=args.order,
+            min_count=args.min_count,
+        )
+        kneser_ney_ngram_export_arpa(lm, args.out, discount=args.discount)
     print(args.out)
     return 0
 
@@ -708,7 +725,10 @@ def build_parser() -> argparse.ArgumentParser:
     p_arpa.add_argument("src", help="parquet dir of the training corpus")
     p_arpa.add_argument("text_column")
     p_arpa.add_argument("out", help="output .arpa path (driver-local)")
-    p_arpa.add_argument("--order", type=int, choices=(2, 3), default=3)
+    p_arpa.add_argument(
+        "--order", type=int, choices=(2, 3, 4, 5), default=3,
+        help="n-gram order; 4/5 use the generic trainer (r14)",
+    )
     p_arpa.add_argument("--discount", type=float, default=0.75)
     p_arpa.add_argument(
         "--modified", action="store_true",
@@ -716,7 +736,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_arpa.add_argument(
         "--min-count", type=int, default=1,
-        help="prune trigram types below this count (order 3)",
+        help="prune top-order types below this count (order >= 3)",
     )
     p_arpa.set_defaults(fn=cmd_arpa_export)
     return parser

@@ -412,3 +412,16 @@ def test_cli_arpa_export(tmp_path, capsys):
         main(["arpa-export", src, "text", out2, "--order", "2",
               "--min-count", "2"]) == 2
     )
+    capsys.readouterr()
+
+    # orders 4/5 route to the generic trainer (r14); the file lists
+    # every section and loads back through the order-generic parser
+    out5 = str(tmp_path / "m5.arpa")
+    assert main(["arpa-export", src, "text", out5, "--order", "5"]) == 0
+    text5 = open(out5, encoding="utf-8").read()
+    assert "\\5-grams:" in text5 and "ngram 5=" in text5
+    capsys.readouterr()
+    assert (
+        main(["arpa-export", src, "text", out5, "--order", "5",
+              "--modified"]) == 2
+    )

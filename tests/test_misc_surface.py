@@ -110,7 +110,7 @@ def test_driver_window_hygiene():
     as an intentional rows-only re-record."""
     import __spark_entry__ as em
 
-    window = em._R13_WINDOW
+    window = em._R14_WINDOW
     assert len(window) == 50
     assert len(set(window)) == 50, "duplicate window entries"
     q = em.queries()
