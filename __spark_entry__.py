@@ -3915,6 +3915,25 @@ def q_arpa_score_o5(spark, sf_dir):
     )
 
 
+def q_arpa_score_unk(spark, sf_dir):
+    """The KenLM-faithful OOV mode (r14): ``oov_mode="unk"`` rewrites
+    tokens absent from the 1-gram section to ``<unk>`` BEFORE grams
+    are built, so ``<unk>``-containing n-grams can match and
+    ``<unk>``'s own backoff weight applies — the semantics KenLM
+    applies to external models (the default ``"keep"`` mode's
+    documented deviation). Same synthetic order-5 model as
+    arpa_score_o5, no markers; the extra cost is one token explode +
+    model-bounded vocab join + per-doc reassembly (one corpus
+    shuffle). ``n_oov`` counts the rewritten corpus tokens. The oracle
+    replays the rewrite token-for-token, then the same 9-join chain."""
+    from krnel_graph_spark.functions.arpa import arpa_score
+
+    rows = _synthetic_arpa5_rows(spark, sf_dir)
+    return arpa_score(
+        rows, _docs(spark, sf_dir), "text", "doc_id", oov_mode="unk"
+    )
+
+
 def q_kneser_ney5(spark, sf_dir):
     """Order-5 interpolated Kneser-Ney TRAINING (r14, closing the loop
     the order-5 consumer opened): the generic trainer
@@ -3959,14 +3978,14 @@ def q_bm25_index_search(spark, sf_dir):
 # the full local gate, so its slot goes to older evidence), then the
 # ENTIRE r9 remainder (oldest driver records after the r13 rotation),
 # then the head of the r10 block in COVERAGE.md order.
-# (r15 rotation queue: the r10 remainder — rich_no_orders_q22,
-# min_cost_supplier_q2, product_profit_q9, important_stock_q11,
-# top_supplier_q15, and the rest of the r10 block in COVERAGE order —
-# then r11 ages back in. Rows-only remains ZERO: 222/222
-# oracle-backed.)
+# (r15 rotation queue: the r10 remainder — disjunct_q19,
+# rich_no_orders_q22, min_cost_supplier_q2, product_profit_q9,
+# important_stock_q11, top_supplier_q15, and the rest of the r10 block
+# in COVERAGE order — then r11 ages back in. Rows-only remains ZERO:
+# 223/223 oracle-backed.)
 _R14_WINDOW = [
     # new this round
-    "arpa_score_o5", "kneser_ney5", "minhash_ingest",
+    "arpa_score_o5", "arpa_score_unk", "kneser_ney5", "minhash_ingest",
     # the r9 remainder: every query whose newest driver record is r9
     "connected_components", "hash_sample", "stratified_sample",
     "shuffle_export", "decontaminate", "repetition_stats",
@@ -3982,7 +4001,7 @@ _R14_WINDOW = [
     "span_corruption_text", "winnow_fp", "winnow_pairs", "semi_join_q4",
     "volume_q7", "market_share_q8", "returned_topk_q10", "order_dist_q13",
     "promo_share_q14", "supplier_cnt_q16", "small_qty_q17",
-    "large_orders_q18", "disjunct_q19",
+    "large_orders_q18",
 ]
 
 
@@ -4049,6 +4068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn3_arpa": q_kn3_arpa,
         "arpa_score": q_arpa_score,
         "arpa_score_o5": q_arpa_score_o5,
+        "arpa_score_unk": q_arpa_score_unk,
         "kneser_ney5": q_kneser_ney5,
         "audio_features_stub": q_audio_features_stub,
         "video_frames_stub": q_video_frames_stub,
@@ -9296,6 +9316,59 @@ term AS (SELECT doc_id,
          FROM lk)
 SELECT doc_id, count(*)::BIGINT AS n_tokens,
        sum(oov)::BIGINT AS n_oov,
+       sum(tm)::DOUBLE AS logprob_sum
+FROM term GROUP BY doc_id
+"""
+
+    # arpa_score_unk: same synthetic model, KenLM-faithful OOV mode —
+    # rewrite unlisted tokens to <unk> token-for-token BEFORE the gram
+    # windows are built (so <unk>-containing grams can match and
+    # <unk>'s bow applies), then the identical 9-join chain. No
+    # markers; n_oov = the rewritten corpus tokens, carried per doc.
+    out["arpa_score_unk"] = f"""WITH tr AS (
+  SELECT ['<s>'] || {toks_text} || ['</s>'] AS t FROM documents
+  WHERE {norm_text} != '' AND doc_id % 7 = 0),
+g AS (SELECT ks.k AS k, array_to_string(t[i : i + ks.k - 1], ' ') AS gram
+      FROM tr, unnest([1, 2, 3, 4, 5]) AS ks(k),
+           unnest(range(1, len(t) - ks.k + 2)) AS pos(i)
+      WHERE len(t) >= ks.k),
+cnt AS (SELECT k, gram, count(*) AS c FROM g GROUP BY 1, 2),
+tot AS (SELECT k, sum(c) AS tot FROM cnt GROUP BY 1),
+m5 AS (SELECT k AS ord, gram,
+              round(log10(c::DOUBLE / tot::DOUBLE), 6) AS lp,
+              CASE WHEN k < 5
+                   THEN round(log10(c::DOUBLE / (c + 1.0)), 6) END AS bw
+       FROM cnt JOIN tot USING (k)
+       WHERE c >= 2 AND gram != '<unk>'
+       UNION ALL SELECT 1, '<unk>', -5.0, 0.0),
+st0 AS (SELECT doc_id, {toks_text} AS toks FROM documents
+        WHERE {norm_text} != ''),
+tok AS (SELECT doc_id, s, toks[s] AS w
+        FROM (SELECT doc_id, toks,
+                     unnest(range(1, len(toks) + 1)) AS s FROM st0)),
+tokm AS (SELECT tk.doc_id, tk.s,
+                CASE WHEN v.gram IS NOT NULL THEN tk.w
+                     ELSE '<unk>' END AS wm,
+                (v.gram IS NULL)::INT AS ov
+         FROM tok tk
+         LEFT JOIN (SELECT gram FROM m5 WHERE ord = 1) v
+                ON v.gram = tk.w),
+st AS (SELECT doc_id, list(wm ORDER BY s) AS t,
+              sum(ov)::BIGINT AS n_oov0
+       FROM tokm GROUP BY doc_id),
+sp AS (SELECT doc_id, n_oov0,
+              {g5},
+              {c5}
+       FROM (SELECT doc_id, n_oov0, t,
+                    unnest(range(1, len(t) + 1)) AS s FROM st)),
+lk AS (SELECT sp.doc_id, sp.n_oov0, {lk5}
+       FROM sp
+       {j5}),
+term AS (SELECT doc_id, n_oov0,
+                round({chain5}, 6)::DECIMAL(20,6) AS tm
+         FROM lk)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       any_value(n_oov0) AS n_oov,
        sum(tm)::DOUBLE AS logprob_sum
 FROM term GROUP BY doc_id
 """

@@ -262,6 +262,7 @@ HEADLINE = [
     # every frame model-bounded) — plus the minhash ingest lifecycle
     # (save → load → append → dedup) promoted into the gate.
     "arpa_score_o5",
+    "arpa_score_unk",
     "kneser_ney5",
     "minhash_ingest",
 ]

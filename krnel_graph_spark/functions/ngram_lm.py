@@ -267,7 +267,6 @@ def kneser_ney_ngram_arpa_rows(
     def events(k):
         """The grams listed in section k: level-k events plus level-
         (k+1) contexts (prefix closure), as columns g1..gk."""
-        gc = [f"g{i}" for i in range(1, k + 1)]
         if k == 1:
             # every word ANY listed gram mentions (kn3's `words` union,
             # order-generic): all positions of top + cont frames, plus

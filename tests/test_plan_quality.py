@@ -664,6 +664,19 @@ def test_arpa_score_o5_lookup_shape(spark, entry):
     assert plan.count("Scan parquet") <= 2
 
 
+def test_arpa_score_unk_rewrite_shape(spark, entry):
+    """oov_mode='unk' pays ONE extra corpus shuffle (token explode →
+    model-bounded vocab join → per-doc reassembly) before the same
+    9-join chain: no Cartesian product, the checkpointed rows frame
+    (ExistingRDD) is the only model source, and the per-doc token
+    collect is a single aggregate pass."""
+    plan = _plan(spark, entry, "arpa_score_unk")
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+    assert plan.count("Scan parquet") <= 2
+
+
 def test_kneser_ney5_sections_are_model_sized(spark, entry):
     """The order-5 trainer + ARPA rows builder: every section joins
     type-table-bounded count frames (the MODEL), the 1-row scalars ride
