@@ -3957,6 +3957,29 @@ def q_kneser_ney5(spark, sf_dir):
     return kneser_ney_ngram_arpa_rows(lm)
 
 
+def q_kneser_ney5_modified(spark, sf_dir):
+    """Order-5 MODIFIED Kneser-Ney (r14): Chen & Goodman per-class
+    D1/D2/D3+ at every level — top, three continuation levels, and the
+    scalar-context bottom — estimated in closed form from the
+    artifact's own per-level count-of-counts and baked into the
+    exported ARPA rows (KenLM's default smoothing at KenLM's default
+    order). Same graded frame shape as kneser_ney5; the oracle adds
+    per-level coc + closed-form discount CTEs and class-mass backoff
+    weights. Differentials: order-3 modified output row-identical to
+    the kn3 exporter's, order-5 matches an independent Python
+    modified-KN (tests/test_ngram_lm.py)."""
+    from krnel_graph_spark.functions.ngram_lm import (
+        kneser_ney_ngram_arpa_rows,
+        kneser_ney_ngram_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lm = kneser_ney_ngram_train(
+        docs.filter(F.col("doc_id") % 5 == 0), "text", order=5
+    )
+    return kneser_ney_ngram_arpa_rows(lm, discount="modified")
+
+
 def q_bm25_index_search(spark, sf_dir):
     """BM25 served from the persistable index artifact
     (functions/text.py:bm25_index — postings/term_df/stats frames,
@@ -3978,14 +4001,15 @@ def q_bm25_index_search(spark, sf_dir):
 # the full local gate, so its slot goes to older evidence), then the
 # ENTIRE r9 remainder (oldest driver records after the r13 rotation),
 # then the head of the r10 block in COVERAGE.md order.
-# (r15 rotation queue: the r10 remainder — disjunct_q19,
-# rich_no_orders_q22, min_cost_supplier_q2, product_profit_q9,
+# (r15 rotation queue: the r10 remainder — large_orders_q18,
+# disjunct_q19, rich_no_orders_q22, min_cost_supplier_q2, product_profit_q9,
 # important_stock_q11, top_supplier_q15, and the rest of the r10 block
 # in COVERAGE order — then r11 ages back in. Rows-only remains ZERO:
 # 223/223 oracle-backed.)
 _R14_WINDOW = [
     # new this round
-    "arpa_score_o5", "arpa_score_unk", "kneser_ney5", "minhash_ingest",
+    "arpa_score_o5", "arpa_score_unk", "kneser_ney5",
+    "kneser_ney5_modified", "minhash_ingest",
     # the r9 remainder: every query whose newest driver record is r9
     "connected_components", "hash_sample", "stratified_sample",
     "shuffle_export", "decontaminate", "repetition_stats",
@@ -4001,7 +4025,6 @@ _R14_WINDOW = [
     "span_corruption_text", "winnow_fp", "winnow_pairs", "semi_join_q4",
     "volume_q7", "market_share_q8", "returned_topk_q10", "order_dist_q13",
     "promo_share_q14", "supplier_cnt_q16", "small_qty_q17",
-    "large_orders_q18",
 ]
 
 
@@ -4070,6 +4093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arpa_score_o5": q_arpa_score_o5,
         "arpa_score_unk": q_arpa_score_unk,
         "kneser_ney5": q_kneser_ney5,
+        "kneser_ney5_modified": q_kneser_ney5_modified,
         "audio_features_stub": q_audio_features_stub,
         "video_frames_stub": q_video_frames_stub,
         "bpe_encode": q_bpe_encode,
@@ -9373,161 +9397,298 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
 FROM term GROUP BY doc_id
 """
 
-    # kneser_ney5: replay the order-5 generic trainer (raw counts for
-    # every gram order, continuation counts from the raw (k+1)-gram
-    # types, context totals) and the per-level interpolation arithmetic
-    # of the ARPA rows builder — the kn3_arpa oracle pattern, generated
-    # programmatically for five levels.
-    def _p1_kn5(nb: str) -> str:
+    # kneser_ney5(_modified): replay the order-5 generic trainer (raw
+    # counts for every gram order, continuation counts from the raw
+    # (k+1)-gram types, context totals) and the per-level interpolation
+    # arithmetic of the ARPA rows builder — the kn3_arpa oracle
+    # pattern, generated programmatically for five levels. modified=
+    # True adds per-level count-of-counts CTEs, the closed-form
+    # Chen-Goodman discount CTEs (the kn3 dlvl pattern), per-class D
+    # selection and class-mass backoff weights.
+    def _kn5_dsel(cnt: str, lvl: str) -> str:
+        """per-class discount pick for a count expression (NULL and 0
+        fall to the 3+ class, harmless: greatest() clamps to 0)."""
         return (
-            f"CASE WHEN (SELECT B FROM k5tot) > 0 THEN "
-            f"greatest({nb}::DOUBLE - 0.75, 0.0)"
-            f" / (SELECT B FROM k5tot)::DOUBLE "
-            f"+ (0.75 * (SELECT Vc FROM k5vc)::DOUBLE"
-            f" / (SELECT B FROM k5tot)::DOUBLE)"
-            f" * (1.0 / (SELECT V FROM k5vv)::DOUBLE) "
+            f"(CASE WHEN {cnt} = 1 THEN (SELECT d1 FROM dl{lvl})"
+            f" WHEN {cnt} = 2 THEN (SELECT d2 FROM dl{lvl})"
+            f" ELSE (SELECT d3 FROM dl{lvl}) END)"
+        )
+
+    def _p1_kn5(nb: str, modified: bool) -> str:
+        if modified:
+            core = (
+                f"greatest({nb}::DOUBLE - {_kn5_dsel(nb, 'b')}, 0.0)"
+                f" / (SELECT B FROM k5tot)::DOUBLE "
+                f"+ ((SELECT gamma_b FROM gb)"
+                f" / (SELECT B FROM k5tot)::DOUBLE)"
+                f" * (1.0 / (SELECT V FROM k5vv)::DOUBLE)"
+            )
+        else:
+            core = (
+                f"greatest({nb}::DOUBLE - 0.75, 0.0)"
+                f" / (SELECT B FROM k5tot)::DOUBLE "
+                f"+ (0.75 * (SELECT Vc FROM k5vc)::DOUBLE"
+                f" / (SELECT B FROM k5tot)::DOUBLE)"
+                f" * (1.0 / (SELECT V FROM k5vv)::DOUBLE)"
+            )
+        return (
+            f"CASE WHEN (SELECT B FROM k5tot) > 0 THEN {core} "
             f"ELSE 1.0 / (SELECT V FROM k5vv)::DOUBLE END"
         )
 
-    kn5 = [
-        f"tt AS (SELECT {toks_text} AS toks FROM documents"
-        f" WHERE {norm_text} != '' AND doc_id % 5 = 0)"
-    ]
-    for k in range(1, 6):
-        cols = ", ".join(f"toks[s + {i}] AS w{i + 1}" for i in range(k))
-        keys = ", ".join(f"w{i}" for i in range(1, k + 1))
-        kn5.append(
-            f"raw{k} AS (SELECT {cols}, count(*) AS c"
-            f" FROM (SELECT toks, unnest(range(1, len(toks) - {k} + 2))"
-            f" AS s FROM tt WHERE len(toks) >= {k}) GROUP BY {keys})"
-        )
-    for k in range(2, 5):
-        cols = ", ".join(f"w{i + 1} AS w{i}" for i in range(1, k + 1))
-        keys = ", ".join(f"w{i + 1}" for i in range(1, k + 1))
-        kn5.append(
-            f"cont{k} AS (SELECT {cols}, count(*) AS cc"
-            f" FROM raw{k + 1} GROUP BY {keys})"
-        )
-    kn5.append("back AS (SELECT w2 AS w1, count(*) AS cc FROM raw2 GROUP BY w2)")
-    for k in range(2, 6):
-        src, cval = ("raw5", "c") if k == 5 else (f"cont{k}", "cc")
-        keys = ", ".join(f"w{i}" for i in range(1, k))
-        kn5.append(
-            f"ctx{k} AS (SELECT {keys}, sum({cval}) AS tot,"
-            f" count(*) AS n1f FROM {src} GROUP BY {keys})"
-        )
-    kn5.append("k5tot AS (SELECT count(*) AS B FROM raw2)")
-    kn5.append("k5vc AS (SELECT count(*) AS Vc FROM back)")
-    kn5.append("k5vv AS (SELECT count(*) + 1 AS V FROM raw1)")
-    w_parts = ["SELECT w1 AS w FROM back"]
-    for j in range(2, 6):
-        src = "raw5" if j == 5 else f"cont{j}"
-        w_parts += [f"SELECT w{i} FROM {src}" for i in range(1, j + 1)]
-        w_parts += [f"SELECT w{i} FROM ctx{j}" for i in range(1, j)]
-    kn5.append(
-        "words AS (SELECT DISTINCT w FROM ("
-        + " UNION ALL ".join(w_parts)
-        + "))"
-    )
-    for k in range(2, 6):
-        if k == 5:
-            ev = (
-                "SELECT "
-                + ", ".join(f"w{i} AS g{i}" for i in range(1, 6))
-                + " FROM raw5"
+    def _kn5_dlvl(coc: str) -> str:
+        t = {k: f"t{k}::DOUBLE" for k in (1, 2, 3, 4)}
+        y = f"({t[1]} / ({t[1]} + 2.0 * {t[2]}))"
+        return f"""SELECT CASE WHEN t1 > 0 THEN
+         greatest(0.0, least(1.0 - 2.0 * {y} * {t[2]} / {t[1]}, 1.0))
+       ELSE 0.75 END AS d1,
+       CASE WHEN t1 > 0 AND t2 > 0 THEN
+         greatest(0.0, least(2.0 - 3.0 * {y} * {t[3]} / {t[2]}, 2.0))
+       ELSE 0.75 END AS d2,
+       CASE WHEN t1 > 0 AND t3 > 0 THEN
+         greatest(0.0, least(3.0 - 4.0 * {y} * {t[4]} / {t[3]}, 3.0))
+       ELSE 0.75 END AS d3 FROM {coc}"""
+
+    def _kn5_sql(modified: bool) -> str:
+        kn5 = [
+            f"tt AS (SELECT {toks_text} AS toks FROM documents"
+            f" WHERE {norm_text} != '' AND doc_id % 5 = 0)"
+        ]
+        for k in range(1, 6):
+            cols = ", ".join(f"toks[s + {i}] AS w{i + 1}" for i in range(k))
+            keys = ", ".join(f"w{i}" for i in range(1, k + 1))
+            kn5.append(
+                f"raw{k} AS (SELECT {cols}, count(*) AS c"
+                f" FROM (SELECT toks, unnest(range(1, len(toks) - {k} + 2))"
+                f" AS s FROM tt WHERE len(toks) >= {k}) GROUP BY {keys})"
             )
-        else:
-            ev = (
-                "SELECT "
-                + ", ".join(f"w{i} AS g{i}" for i in range(1, k + 1))
-                + f" FROM cont{k} UNION SELECT "
-                + ", ".join(f"w{i}" for i in range(1, k + 1))
-                + f" FROM ctx{k + 1}"
+        for k in range(2, 5):
+            cols = ", ".join(f"w{i + 1} AS w{i}" for i in range(1, k + 1))
+            keys = ", ".join(f"w{i + 1}" for i in range(1, k + 1))
+            kn5.append(
+                f"cont{k} AS (SELECT {cols}, count(*) AS cc"
+                f" FROM raw{k + 1} GROUP BY {keys})"
             )
-        kn5.append(f"ev{k} AS ({ev})")
-        joins, sel = [], []
-        for j in range(2, k + 1):
-            src, cval = ("raw5", "c") if j == 5 else (f"cont{j}", "cc")
-            on = " AND ".join(
-                f"c{j}.w{i} = e.g{k - j + i}" for i in range(1, j + 1)
-            )
-            joins.append(f"LEFT JOIN {src} c{j} ON {on}")
-            sel.append(f"c{j}.{cval} AS cc{j}")
-            onx = " AND ".join(
-                f"x{j}.w{i} = e.g{k - j + i}" for i in range(1, j)
-            )
-            joins.append(f"LEFT JOIN ctx{j} x{j} ON {onx}")
-            sel += [f"x{j}.tot AS tot{j}", f"x{j}.n1f AS n1f{j}"]
-        joins.append(f"LEFT JOIN back bk ON bk.w1 = e.g{k}")
-        sel.append("bk.cc AS n1back")
-        if k < 5:
-            on = " AND ".join(f"bx.w{i} = e.g{i}" for i in range(1, k + 1))
-            joins.append(f"LEFT JOIN ctx{k + 1} bx ON {on}")
-            sel += ["bx.tot AS btot", "bx.n1f AS bn1f"]
-        gcols = ", ".join(f"e.g{i}" for i in range(1, k + 1))
         kn5.append(
-            f"s{k}1 AS (SELECT {gcols}, {', '.join(sel)} FROM ev{k} e "
-            + " ".join(joins)
-            + ")"
+            "back AS (SELECT w2 AS w1, count(*) AS cc FROM raw2 GROUP BY w2)"
         )
-        kn5.append(
-            f"s{k}p1 AS (SELECT *, {_p1_kn5('coalesce(n1back, 0)')}"
-            f" AS p1 FROM s{k}1)"
-        )
-        for j in range(2, k + 1):
-            pj = (
-                f"CASE WHEN tot{j} IS NOT NULL THEN"
-                f" greatest(coalesce(cc{j}, 0)::DOUBLE - 0.75, 0.0)"
-                f" / tot{j}::DOUBLE"
-                f" + (0.75 * n1f{j}::DOUBLE / tot{j}::DOUBLE) * p{j - 1}"
-                f" ELSE p{j - 1} END"
+        for k in range(2, 6):
+            src, cval = ("raw5", "c") if k == 5 else (f"cont{k}", "cc")
+            keys = ", ".join(f"w{i}" for i in range(1, k))
+            cls = (
+                f", sum(({cval} = 1)::BIGINT) AS cls1,"
+                f" sum(({cval} = 2)::BIGINT) AS cls2,"
+                f" sum(({cval} >= 3)::BIGINT) AS cls3p"
+                if modified
+                else ""
             )
             kn5.append(
-                f"s{k}p{j} AS (SELECT *, {pj} AS p{j} FROM s{k}p{j - 1})"
+                f"ctx{k} AS (SELECT {keys}, sum({cval}) AS tot,"
+                f" count(*) AS n1f{cls} FROM {src} GROUP BY {keys})"
             )
-        wsel = ", ".join(
-            [f"g{i} AS w{i}" for i in range(1, k + 1)]
-            + [f"NULL::VARCHAR AS w{i}" for i in range(k + 1, 6)]
+        kn5.append("k5tot AS (SELECT count(*) AS B FROM raw2)")
+        kn5.append("k5vc AS (SELECT count(*) AS Vc FROM back)")
+        kn5.append("k5vv AS (SELECT count(*) + 1 AS V FROM raw1)")
+        if modified:
+            # per-level count-of-counts + closed-form discount CTEs +
+            # the bottom level's scalar backoff mass
+            for k in range(2, 6):
+                src, cval = ("raw5", "c") if k == 5 else (f"cont{k}", "cc")
+                kn5.append(
+                    f"coc_l{k} AS (SELECT"
+                    f" sum(({cval} = 1)::BIGINT) AS t1,"
+                    f" sum(({cval} = 2)::BIGINT) AS t2,"
+                    f" sum(({cval} = 3)::BIGINT) AS t3,"
+                    f" sum(({cval} = 4)::BIGINT) AS t4 FROM {src})"
+                )
+                kn5.append(f"dl{k} AS ({_kn5_dlvl(f'coc_l{k}')})")
+            kn5.append(
+                "coc_b AS (SELECT sum((cc = 1)::BIGINT) AS t1,"
+                " sum((cc = 2)::BIGINT) AS t2,"
+                " sum((cc = 3)::BIGINT) AS t3,"
+                " sum((cc = 4)::BIGINT) AS t4,"
+                " count(*) AS btot FROM back)"
+            )
+            kn5.append(f"dlb AS ({_kn5_dlvl('coc_b')})")
+            kn5.append(
+                "gb AS (SELECT d.d1 * c.t1::DOUBLE + d.d2 * c.t2::DOUBLE"
+                " + d.d3 * (c.btot - c.t1 - c.t2)::DOUBLE AS gamma_b"
+                " FROM dlb d CROSS JOIN coc_b c)"
+            )
+        w_parts = ["SELECT w1 AS w FROM back"]
+        for j in range(2, 6):
+            src = "raw5" if j == 5 else f"cont{j}"
+            w_parts += [f"SELECT w{i} FROM {src}" for i in range(1, j + 1)]
+            w_parts += [f"SELECT w{i} FROM ctx{j}" for i in range(1, j)]
+        kn5.append(
+            "words AS (SELECT DISTINCT w FROM ("
+            + " UNION ALL ".join(w_parts)
+            + "))"
         )
-        bow = (
-            "CASE WHEN btot IS NOT NULL THEN"
-            " round(log10(0.75 * bn1f::DOUBLE / btot::DOUBLE), 6)"
-            " ELSE 0.0 END"
-            if k < 5
-            else "NULL::DOUBLE"
+
+        def bow_sql(mass: str, tot: str) -> str:
+            if modified:
+                return (
+                    f"CASE WHEN {tot} IS NOT NULL THEN"
+                    f" (CASE WHEN ({mass}) > 0 THEN"
+                    f" round(log10(({mass}) / {tot}::DOUBLE), 6)"
+                    f" ELSE -99.0 END)"
+                    f" ELSE 0.0 END"
+                )
+            return (
+                f"CASE WHEN {tot} IS NOT NULL THEN"
+                f" round(log10(({mass}) / {tot}::DOUBLE), 6)"
+                f" ELSE 0.0 END"
+            )
+
+        def mass_sql(lvl: str, c1: str, c2: str, c3: str, n1f: str) -> str:
+            if modified:
+                return (
+                    f"(SELECT d1 FROM dl{lvl}) * {c1}::DOUBLE"
+                    f" + (SELECT d2 FROM dl{lvl}) * {c2}::DOUBLE"
+                    f" + (SELECT d3 FROM dl{lvl}) * {c3}::DOUBLE"
+                )
+            return f"0.75 * {n1f}::DOUBLE"
+
+        for k in range(2, 6):
+            if k == 5:
+                ev = (
+                    "SELECT "
+                    + ", ".join(f"w{i} AS g{i}" for i in range(1, 6))
+                    + " FROM raw5"
+                )
+            else:
+                ev = (
+                    "SELECT "
+                    + ", ".join(f"w{i} AS g{i}" for i in range(1, k + 1))
+                    + f" FROM cont{k} UNION SELECT "
+                    + ", ".join(f"w{i}" for i in range(1, k + 1))
+                    + f" FROM ctx{k + 1}"
+                )
+            kn5.append(f"ev{k} AS ({ev})")
+            joins, sel = [], []
+            for j in range(2, k + 1):
+                src, cval = ("raw5", "c") if j == 5 else (f"cont{j}", "cc")
+                on = " AND ".join(
+                    f"c{j}.w{i} = e.g{k - j + i}" for i in range(1, j + 1)
+                )
+                joins.append(f"LEFT JOIN {src} c{j} ON {on}")
+                sel.append(f"c{j}.{cval} AS cc{j}")
+                onx = " AND ".join(
+                    f"x{j}.w{i} = e.g{k - j + i}" for i in range(1, j)
+                )
+                joins.append(f"LEFT JOIN ctx{j} x{j} ON {onx}")
+                sel += [f"x{j}.tot AS tot{j}", f"x{j}.n1f AS n1f{j}"]
+                if modified:
+                    sel += [
+                        f"x{j}.cls1 AS cls1_{j}",
+                        f"x{j}.cls2 AS cls2_{j}",
+                        f"x{j}.cls3p AS cls3p_{j}",
+                    ]
+            joins.append(f"LEFT JOIN back bk ON bk.w1 = e.g{k}")
+            sel.append("bk.cc AS n1back")
+            if k < 5:
+                on = " AND ".join(
+                    f"bx.w{i} = e.g{i}" for i in range(1, k + 1)
+                )
+                joins.append(f"LEFT JOIN ctx{k + 1} bx ON {on}")
+                sel += ["bx.tot AS btot", "bx.n1f AS bn1f"]
+                if modified:
+                    sel += [
+                        "bx.cls1 AS bcls1",
+                        "bx.cls2 AS bcls2",
+                        "bx.cls3p AS bcls3p",
+                    ]
+            gcols = ", ".join(f"e.g{i}" for i in range(1, k + 1))
+            kn5.append(
+                f"s{k}1 AS (SELECT {gcols}, {', '.join(sel)} FROM ev{k} e "
+                + " ".join(joins)
+                + ")"
+            )
+            kn5.append(
+                f"s{k}p1 AS (SELECT *,"
+                f" {_p1_kn5('coalesce(n1back, 0)', modified)}"
+                f" AS p1 FROM s{k}1)"
+            )
+            for j in range(2, k + 1):
+                lvl = str(j)
+                if modified:
+                    dj = _kn5_dsel(f"cc{j}", lvl)
+                    gam = mass_sql(
+                        lvl, f"cls1_{j}", f"cls2_{j}", f"cls3p_{j}",
+                        f"n1f{j}",
+                    )
+                    pj = (
+                        f"CASE WHEN tot{j} IS NOT NULL THEN"
+                        f" greatest(coalesce(cc{j}, 0)::DOUBLE - {dj}, 0.0)"
+                        f" / tot{j}::DOUBLE"
+                        f" + (({gam}) / tot{j}::DOUBLE) * p{j - 1}"
+                        f" ELSE p{j - 1} END"
+                    )
+                else:
+                    pj = (
+                        f"CASE WHEN tot{j} IS NOT NULL THEN"
+                        f" greatest(coalesce(cc{j}, 0)::DOUBLE - 0.75, 0.0)"
+                        f" / tot{j}::DOUBLE"
+                        f" + (0.75 * n1f{j}::DOUBLE / tot{j}::DOUBLE)"
+                        f" * p{j - 1}"
+                        f" ELSE p{j - 1} END"
+                    )
+                kn5.append(
+                    f"s{k}p{j} AS (SELECT *, {pj} AS p{j} FROM s{k}p{j - 1})"
+                )
+            wsel = ", ".join(
+                [f"g{i} AS w{i}" for i in range(1, k + 1)]
+                + [f"NULL::VARCHAR AS w{i}" for i in range(k + 1, 6)]
+            )
+            if k < 5:
+                bow = bow_sql(
+                    mass_sql(str(k + 1), "bcls1", "bcls2", "bcls3p", "bn1f"),
+                    "btot",
+                )
+            else:
+                bow = "NULL::DOUBLE"
+            kn5.append(
+                f'sec{k} AS (SELECT {k} AS "order", {wsel},'
+                f" round(log10(p{k}), 6) AS log10_p, {bow} AS log10_bow"
+                f" FROM s{k}p{k})"
+            )
+        nulls15 = ", ".join(f"NULL::VARCHAR AS w{i}" for i in range(2, 6))
+        ucls = (
+            ", x2.cls1 AS bcls1, x2.cls2 AS bcls2, x2.cls3p AS bcls3p"
+            if modified
+            else ""
         )
         kn5.append(
-            f'sec{k} AS (SELECT {k} AS "order", {wsel},'
-            f" round(log10(p{k}), 6) AS log10_p, {bow} AS log10_bow"
-            f" FROM s{k}p{k})"
+            "u0 AS (SELECT wd.w AS g1, bk.cc AS n1back,"
+            " x2.tot AS btot, x2.n1f AS bn1f" + ucls + " FROM words wd"
+            " LEFT JOIN back bk ON bk.w1 = wd.w"
+            " LEFT JOIN ctx2 x2 ON x2.w1 = wd.w)"
         )
-    nulls15 = ", ".join(f"NULL::VARCHAR AS w{i}" for i in range(2, 6))
-    kn5.append(
-        "u0 AS (SELECT wd.w AS g1, bk.cc AS n1back,"
-        " x2.tot AS btot, x2.n1f AS bn1f FROM words wd"
-        " LEFT JOIN back bk ON bk.w1 = wd.w"
-        " LEFT JOIN ctx2 x2 ON x2.w1 = wd.w)"
-    )
-    kn5.append(
-        f'sec1 AS (SELECT 1 AS "order", g1 AS w1, {nulls15},'
-        f" round(log10({_p1_kn5('coalesce(n1back, 0)')}), 6) AS log10_p,"
-        f" CASE WHEN btot IS NOT NULL THEN"
-        f" round(log10(0.75 * bn1f::DOUBLE / btot::DOUBLE), 6)"
-        f" ELSE 0.0 END AS log10_bow FROM u0)"
-    )
-    kn5.append(
-        f'unkr5 AS (SELECT 1 AS "order", \'<unk>\' AS w1, {nulls15},'
-        f" round(log10({_p1_kn5('0')}), 6) AS log10_p,"
-        f" 0.0 AS log10_bow)"
-    )
-    out["kneser_ney5"] = (
-        "WITH "
-        + ",\n".join(kn5)
-        + "\nSELECT * FROM sec1 UNION ALL SELECT * FROM unkr5"
-        + "".join(
-            f"\nUNION ALL SELECT * FROM sec{k}" for k in range(2, 6)
+        bow1 = bow_sql(
+            mass_sql("2", "bcls1", "bcls2", "bcls3p", "bn1f"), "btot"
         )
-    )
+        kn5.append(
+            f'sec1 AS (SELECT 1 AS "order", g1 AS w1, {nulls15},'
+            f" round(log10({_p1_kn5('coalesce(n1back, 0)', modified)}), 6)"
+            f" AS log10_p, {bow1} AS log10_bow FROM u0)"
+        )
+        kn5.append(
+            f'unkr5 AS (SELECT 1 AS "order", \'<unk>\' AS w1, {nulls15},'
+            f" round(log10({_p1_kn5('0', modified)}), 6) AS log10_p,"
+            f" 0.0 AS log10_bow)"
+        )
+        return (
+            "WITH "
+            + ",\n".join(kn5)
+            + "\nSELECT * FROM sec1 UNION ALL SELECT * FROM unkr5"
+            + "".join(
+                f"\nUNION ALL SELECT * FROM sec{k}" for k in range(2, 6)
+            )
+        )
+
+    out["kneser_ney5"] = _kn5_sql(False)
+    out["kneser_ney5_modified"] = _kn5_sql(True)
 
     # the index-served path is output-identical to the inline scan, so
     # the oracle is literally the same SQL (the dedup_against_index /

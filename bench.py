@@ -264,6 +264,7 @@ HEADLINE = [
     "arpa_score_o5",
     "arpa_score_unk",
     "kneser_ney5",
+    "kneser_ney5_modified",
     "minhash_ingest",
 ]
 

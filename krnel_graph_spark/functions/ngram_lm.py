@@ -189,6 +189,35 @@ def kneser_ney_ngram_train(
         .crossJoin(raw(1).agg((F.count(F.lit(1)) + 1).alias("V")))
         .select("*", F.lit(int(n)).alias("order"))
     )
+
+    # per-level global count-of-counts (types seen exactly k times,
+    # k=1..4) — the Chen & Goodman statistics ``discount="modified"``
+    # estimates per-class D1/D2/D3+ from at rows-build time; one
+    # bounded 1-row frame, the kn3 coc pattern order-generic. ``btot``
+    # rides along so the bottom level's 3+ class count is derivable
+    # from the same collect.
+    def _coc(frame, col, prefix):
+        c = F.col(col)
+        return frame.agg(
+            *[
+                F.sum((c == k).cast("long")).alias(f"{prefix}{k}")
+                for k in (1, 2, 3, 4)
+            ]
+        )
+
+    coc = _coc(top_all, "c", f"l{n}_")
+    for k in range(2, n):
+        coc = coc.crossJoin(_coc(out[f"cont{k}"], "cc", f"l{k}_"))
+    coc = coc.crossJoin(
+        back.agg(
+            *[
+                F.sum((F.col("cc") == k).cast("long")).alias(f"b{k}")
+                for k in (1, 2, 3, 4)
+            ],
+            F.count(F.lit(1)).alias("btot"),
+        )
+    )
+    out["coc"] = coc
     out["_pinned_counts"] = counts
     return out
 
@@ -210,7 +239,9 @@ def _ngram_order(lm: "dict[str, DataFrame]") -> int:
 
 
 def kneser_ney_ngram_arpa_rows(
-    lm: "dict[str, DataFrame]", discount: float = 0.75
+    lm: "dict[str, DataFrame]",
+    discount: "float | str" = 0.75,
+    base_discount: float = 0.75,
 ) -> DataFrame:
     """The order-N artifact as ARPA rows ``(order, w1..wN, log10_p,
     log10_bow)`` — the frame :func:`~krnel_graph_spark.functions.arpa.
@@ -223,42 +254,99 @@ def kneser_ney_ngram_arpa_rows(
     at ``order=3`` the output is row-for-row identical to the kn3
     exporter (pinned in tests/test_ngram_lm.py).
 
+    ``discount="modified"`` bakes Chen & Goodman per-class discounts
+    (D1/D2/D3+ per level, estimated in closed form from the artifact's
+    own per-level count-of-counts, incl. the scalar-context bottom
+    level) into the emitted probabilities and weights — the kn3
+    exporter's contract, order-generic; at ``order=3`` the modified
+    output is likewise row-identical to the kn3 exporter's (pinned).
+    Degenerate levels fall back to ``base_discount``.
+
     Every section is a type-table-bounded frame: section k joins the
     chain of lower-level count tables to evaluate ``P_k`` in closed
     form — ``2k+1`` model-bounded joins, no corpus scan.
     """
-    D = float(discount)
+    from .text import _mkn3_discounts
+
+    modified = discount == "modified"
+    D = float(base_discount) if modified else float(discount)
     if not (0.0 < D < 1.0):
         raise ValueError("discount must be in (0, 1)")
     n = _ngram_order(lm)
+    if modified and "coc" not in lm:
+        raise ValueError(
+            "lm missing frame 'coc' — discount='modified' needs the "
+            "count-of-counts frame kneser_ney_ngram_train emits"
+        )
     scalars = lm["scalars"].select(
         F.col("B").alias("__B"),
         F.col("Vc").alias("__Vc"),
         F.col("V").alias("__V"),
     )
+    if modified:
+        coc_row = lm["coc"].collect()[0]
+        # per-level (D1, D2, D3+), driver-side literals (the kn3
+        # lesson: a column-expression D re-evaluates per subtree)
+        dd = {j: _mkn3_discounts(coc_row, f"l{j}_", D) for j in range(2, n + 1)}
+        d1b, d2b, d3b = _mkn3_discounts(coc_row, "b", D)
+        b1 = float(coc_row["b1"] or 0)
+        b2 = float(coc_row["b2"] or 0)
+        b3p = float(coc_row["btot"] or 0) - b1 - b2
+        gamma_b = d1b * b1 + d2b * b2 + d3b * b3p
 
     def pcont(nb_col):
         nb = F.coalesce(nb_col, F.lit(0)).cast("double")
         Bd = F.col("__B").cast("double")
         unif = F.lit(1.0) / F.col("__V").cast("double")
+        if modified:
+            db = (
+                F.when(nb_col == 1, F.lit(d1b))
+                .when(nb_col == 2, F.lit(d2b))
+                .otherwise(F.lit(d3b))
+            )
+            return F.when(
+                F.col("__B") > 0,
+                F.greatest(nb - db, F.lit(0.0)) / Bd
+                + (F.lit(gamma_b) / Bd) * unif,
+            ).otherwise(unif)
         return F.when(
             F.col("__B") > 0,
             F.greatest(nb - F.lit(D), F.lit(0.0)) / Bd
             + (F.lit(D) * F.col("__Vc").cast("double") / Bd) * unif,
         ).otherwise(unif)
 
+    def gamma_level(j, tot):
+        """Interpolation coefficient of level j over its context's
+        stats columns (suffix-keyed per section)."""
+        if modified:
+            d1, d2, d3 = dd[j]
+            return (
+                F.lit(d1) * F.col(f"cls1_{j}").cast("double")
+                + F.lit(d2) * F.col(f"cls2_{j}").cast("double")
+                + F.lit(d3) * F.col(f"cls3p_{j}").cast("double")
+            ) / tot
+        return F.lit(D) * F.col(f"n1f{j}").cast("double") / tot
+
     def p_level(j):
-        """P_j over a frame carrying cc{j}/tot{j}/n1f{j} (suffix-keyed
-        per section below) and n1back — unseen context falls through
-        with coefficient 1, the kn3 p2_expr shape."""
+        """P_j over a frame carrying cc{j}/tot{j}/n1f{j}/cls*_{j}
+        (suffix-keyed per section below) and n1back — unseen context
+        falls through with coefficient 1, the kn3 p2_expr shape."""
         if j == 1:
             return pcont(F.col("n1back"))
         tot = F.col(f"tot{j}").cast("double")
         cnt = F.coalesce(F.col(f"cc{j}"), F.lit(0)).cast("double")
+        if modified:
+            d1, d2, d3 = dd[j]
+            dj = (
+                F.when(F.col(f"cc{j}") == 1, F.lit(d1))
+                .when(F.col(f"cc{j}") == 2, F.lit(d2))
+                .otherwise(F.lit(d3))
+            )
+        else:
+            dj = F.lit(D)
         core = (
-            F.greatest(cnt - F.lit(D), F.lit(0.0)) / tot
-            + (F.lit(D) * F.col(f"n1f{j}").cast("double") / tot)
-            * p_level(j - 1)
+            F.greatest(cnt - dj, F.lit(0.0)) / tot
+            + gamma_level(j, tot) * p_level(j - 1)
         )
         return F.when(F.col(f"tot{j}").isNotNull(), core).otherwise(
             p_level(j - 1)
@@ -320,6 +408,9 @@ def kneser_ney_ngram_arpa_rows(
                 ],
                 F.col("tot").alias(f"tot{j}"),
                 F.col("n1f").alias(f"n1f{j}"),
+                F.col("cls1").alias(f"cls1_{j}"),
+                F.col("cls2").alias(f"cls2_{j}"),
+                F.col("cls3p").alias(f"cls3p_{j}"),
             )
             base = base.join(ctx, gc[k - j:k - 1], "left")
         base = base.join(
@@ -334,13 +425,23 @@ def kneser_ney_ngram_arpa_rows(
                 *[F.col(f"w{i}").alias(f"g{i}") for i in range(1, k + 1)],
                 F.col("tot").alias("__btot"),
                 F.col("n1f").alias("__bn1f"),
+                F.col("cls1").alias("__bcls1"),
+                F.col("cls2").alias("__bcls2"),
+                F.col("cls3p").alias("__bcls3p"),
             )
             base = base.join(bowctx, gc, "left")
+            if modified:
+                d1, d2, d3 = dd[k + 1]
+                mass = (
+                    F.lit(d1) * F.col("__bcls1").cast("double")
+                    + F.lit(d2) * F.col("__bcls2").cast("double")
+                    + F.lit(d3) * F.col("__bcls3p").cast("double")
+                )
+            else:
+                mass = F.lit(D) * F.col("__bn1f").cast("double")
             bow = F.when(
                 F.col("__btot").isNotNull(),
-                F.lit(D)
-                * F.col("__bn1f").cast("double")
-                / F.col("__btot").cast("double"),
+                mass / F.col("__btot").cast("double"),
             ).otherwise(F.lit(1.0))
         else:
             bow = None
@@ -378,15 +479,22 @@ def kneser_ney_ngram_arpa_rows(
 
 
 def kneser_ney_ngram_export_arpa(
-    lm: "dict[str, DataFrame]", path: str, discount: float = 0.75
+    lm: "dict[str, DataFrame]",
+    path: str,
+    discount: "float | str" = 0.75,
+    base_discount: float = 0.75,
 ) -> None:
     """Write an order-N artifact as a standard ``.arpa`` file any
     KenLM-consuming pipeline reads (the order-generic ``_write_arpa``
-    sink; ``path`` is driver-local — one text file, single-writer)."""
+    sink; ``path`` is driver-local — one text file, single-writer).
+    ``discount="modified"`` bakes the per-class discounts in (an ARPA
+    file is discount-baked by nature — export once per smoothing)."""
     from .arpa import _write_arpa
 
     _write_arpa(
-        kneser_ney_ngram_arpa_rows(lm, discount=discount),
+        kneser_ney_ngram_arpa_rows(
+            lm, discount=discount, base_discount=base_discount
+        ),
         path,
         _ngram_order(lm),
     )

@@ -247,3 +247,153 @@ def test_ngram_train_validation(spark):
         )
     with pytest.raises(ValueError, match="discount"):
         kneser_ney_ngram_arpa_rows(lm, discount=1.5)
+
+
+# --------------------------------------------------------------------- #
+# modified Kneser-Ney, order-generic (r14)                               #
+# --------------------------------------------------------------------- #
+
+
+def _mkn_d(counts, base=0.75):
+    """Chen & Goodman closed-form per-class discounts from a count
+    multiset — independent replica of the engine's _mkn3_discounts."""
+    t = [0.0] * 4
+    for c in counts:
+        if 1 <= c <= 4:
+            t[c - 1] += 1
+    out = []
+    for k in (1, 2, 3):
+        if t[0] > 0 and (k == 1 or t[k - 1] > 0):
+            y = t[0] / (t[0] + 2.0 * t[1])
+            d = k - (k + 1) * y * t[k] / t[k - 1]
+            out.append(max(0.0, min(d, float(k))))
+        else:
+            out.append(base)
+    return out
+
+
+class _PyMKN(_PyKN):
+    """Modified-KN extension of the reference: per-class D1/D2/D3+ at
+    every level (incl. the scalar-context bottom), same count tables."""
+
+    def __init__(self, docs, order, base=0.75):
+        super().__init__(docs, order, D=base)
+        self.dd = {}
+        for k in range(2, order + 1):
+            src = self.raw[order] if k == order else self.cc[k]
+            self.dd[k] = _mkn_d(src.values(), base)
+        self.db = _mkn_d(self.cc[1].values(), base)
+        b = [0.0, 0.0]
+        b3p = 0.0
+        for c in self.cc[1].values():
+            if c == 1:
+                b[0] += 1
+            elif c == 2:
+                b[1] += 1
+            else:
+                b3p += 1
+        self.gamma_b = (
+            self.db[0] * b[0] + self.db[1] * b[1] + self.db[2] * b3p
+        )
+
+    def _d(self, ds, c):
+        return ds[0] if c == 1 else ds[1] if c == 2 else ds[2]
+
+    def p1(self, w):
+        if self.B == 0:
+            return 1.0 / self.V
+        nb = self.cc[1].get((w,), 0)
+        return max(nb - self._d(self.db, nb), 0.0) / self.B + (
+            self.gamma_b / self.B
+        ) * (1.0 / self.V)
+
+    def p(self, k, g):
+        if k == 1:
+            return self.p1(g[-1])
+        ctx = g[:-1]
+        if ctx not in self.tot[k]:
+            return self.p(k - 1, g[1:])
+        src = self.raw[self.n] if k == self.n else self.cc[k]
+        cnt = src.get(g, 0)
+        tot = self.tot[k][ctx]
+        cls = [0.0, 0.0, 0.0]
+        for gg, c in src.items():
+            if gg[:-1] == ctx:
+                cls[0 if c == 1 else 1 if c == 2 else 2] += 1
+        ds = self.dd[k]
+        gamma = ds[0] * cls[0] + ds[1] * cls[1] + ds[2] * cls[2]
+        return max(cnt - self._d(ds, cnt), 0.0) / tot + (
+            gamma / tot
+        ) * self.p(k - 1, g[1:])
+
+
+def test_generic_order3_modified_matches_kn3_exporter(spark):
+    """discount='modified' at order 3 through the generic path is
+    row-for-row the kn3 exporter's modified output — per-class
+    discounts at every level including the bottom continuation."""
+    from krnel_graph_spark.functions.arpa import kneser_ney3_arpa_rows
+    from krnel_graph_spark.functions.ngram_lm import (
+        kneser_ney_ngram_arpa_rows,
+        kneser_ney_ngram_train,
+    )
+    from krnel_graph_spark.functions.text import kneser_ney3_train
+
+    df = _docs_df(spark)
+    want = kneser_ney3_arpa_rows(
+        kneser_ney3_train(df, "text"), discount="modified"
+    )
+    got = kneser_ney_ngram_arpa_rows(
+        kneser_ney_ngram_train(df, "text", order=3), discount="modified"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_order5_modified_matches_python_reference(spark):
+    from krnel_graph_spark.functions.arpa import arpa_score
+    from krnel_graph_spark.functions.ngram_lm import (
+        kneser_ney_ngram_arpa_rows,
+        kneser_ney_ngram_train,
+    )
+
+    df = _docs_df(spark)
+    lm = kneser_ney_ngram_train(df, "text", order=5)
+    rows = kneser_ney_ngram_arpa_rows(lm, discount="modified")
+    ref = _PyMKN([t for _, s in TEXTS if (t := _toks(s))], 5)
+    got = {
+        r.doc_id: r.logprob_sum
+        for r in arpa_score(rows, df, "text", "doc_id").collect()
+    }
+    fixed = {
+        r.doc_id: r.logprob_sum
+        for r in arpa_score(
+            kneser_ney_ngram_arpa_rows(lm), df, "text", "doc_id"
+        ).collect()
+    }
+    differs = 0
+    for i, s in TEXTS:
+        ts = _toks(s)
+        if not ts:
+            continue
+        assert got[i] == pytest.approx(
+            ref.doc(ts), abs=1e-4 * len(ts)
+        ), (i, s)
+        if got[i] != pytest.approx(fixed[i], abs=1e-5):
+            differs += 1
+    # modified is not vacuous on this corpus
+    assert differs > 0
+
+
+def test_modified_requires_coc(spark):
+    from krnel_graph_spark.functions.ngram_lm import (
+        kneser_ney_ngram_arpa_rows,
+        kneser_ney_ngram_train,
+    )
+
+    df = _docs_df(spark)
+    lm = kneser_ney_ngram_train(df, "text", order=4)
+    with pytest.raises(ValueError, match="coc"):
+        kneser_ney_ngram_arpa_rows(
+            {k: v for k, v in lm.items() if k != "coc"},
+            discount="modified",
+        )

@@ -690,6 +690,20 @@ def test_kneser_ney5_sections_are_model_sized(spark, entry):
     assert "InMemoryTableScan" in plan  # the pinned counts/cont/ctx
 
 
+def test_kneser_ney5_modified_same_plan_class(spark, entry):
+    """Modified discounts are baked in as LITERALS (driver-side
+    closed-form from the bounded coc row — the kn3 lesson: a
+    column-expression D re-evaluates per subtree): the plan class is
+    identical to kneser_ney5's, just with class-count columns riding
+    the same ctx joins. No Cartesian product, model-bounded sections,
+    pinned-count reuse."""
+    plan = _plan(spark, entry, "kneser_ney5_modified")
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "InMemoryTableScan" in plan
+
+
 def test_minhash_ingest_lifecycle_shape(spark, entry):
     """save → load → append → dedup keeps the banded-join plan class
     end-to-end: the loaded index is a parquet artifact scan (not a
