@@ -508,6 +508,55 @@ def cmd_arpa_export(args) -> int:
     return 0
 
 
+def cmd_arpa_score(args) -> int:
+    """The consumer side from the shell: perplexity-filter scoring of
+    a parquet corpus against ANY ``.arpa`` backoff model (KenLM-built
+    or this engine's exports — any order). Writes the per-document
+    ``(id, n_tokens, n_oov, logprob_sum)`` frame to parquet and prints
+    a one-line JSON summary. ``--bos/--eos`` apply the KenLM
+    sentence-marker convention; ``--oov-mode unk`` is KenLM-faithful
+    OOV rewriting."""
+    import json as _json
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from .functions.arpa import arpa_load, arpa_score
+    from .runners.spark_runner import get_spark
+
+    spark = get_spark("cli-arpa-score")
+    scored = arpa_score(
+        arpa_load(spark, args.model),
+        spark.read.parquet(args.src),
+        args.text_column,
+        args.id_column,
+        max_order=args.max_order,
+        bos=args.bos,
+        eos=args.eos,
+        oov_mode=args.oov_mode,
+    )
+    scored.write.mode("overwrite").parquet(args.out)
+    s = (
+        spark.read.parquet(args.out)
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum("n_oov").alias("oov"),
+        )
+        .collect()[0]
+    )
+    print(
+        _json.dumps(
+            {
+                "docs": s["docs"],
+                "tokens": int(s["tokens"] or 0),
+                "oov": int(s["oov"] or 0),
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_config(args) -> int:
     """Get or set engine configuration (reference ``cli.py:608-646``).
 
@@ -739,6 +788,33 @@ def build_parser() -> argparse.ArgumentParser:
         help="prune top-order types below this count (order >= 3)",
     )
     p_arpa.set_defaults(fn=cmd_arpa_export)
+
+    p_ascore = sub.add_parser(
+        "arpa-score",
+        help="score a parquet corpus against a .arpa backoff model "
+        "(any order; KenLM-built or engine-exported), write per-doc "
+        "logprobs to parquet",
+    )
+    p_ascore.add_argument("model", help=".arpa file path (driver-local)")
+    p_ascore.add_argument("src", help="parquet dir of the corpus to score")
+    p_ascore.add_argument("text_column")
+    p_ascore.add_argument("id_column")
+    p_ascore.add_argument("out", help="output parquet dir")
+    p_ascore.add_argument("--max-order", type=int, default=None)
+    p_ascore.add_argument(
+        "--bos", action="store_true",
+        help="prepend <s> as context (KenLM convention)",
+    )
+    p_ascore.add_argument(
+        "--eos", action="store_true",
+        help="append and score </s> (KenLM convention)",
+    )
+    p_ascore.add_argument(
+        "--oov-mode", choices=("keep", "unk"), default="keep",
+        help="'unk' rewrites unlisted tokens to <unk> before grams "
+        "are built (KenLM-faithful on external models)",
+    )
+    p_ascore.set_defaults(fn=cmd_arpa_score)
     return parser
 
 

@@ -48,6 +48,8 @@ __all__ = [
     "kneser_ney_ngram_train",
     "kneser_ney_ngram_arpa_rows",
     "kneser_ney_ngram_export_arpa",
+    "kneser_ney_ngram_save",
+    "kneser_ney_ngram_load",
 ]
 
 
@@ -69,8 +71,8 @@ def kneser_ney_ngram_train(
       distinct left extensions in the raw (k+1)-gram type table;
     * ``ctx{k}`` (2 <= k <= N): ``(w1..w{k-1}, tot, n1f, cls1, cls2,
       cls3p)`` — level-k context totals, distinct-continuation type
-      counts, and count-class type counts (carried for a future
-      modified-KN rows builder, same as kn3's nn*/mm* columns);
+      counts, and count-class type counts (the modified-KN rows
+      builder's per-class backoff masses, kn3's nn*/mm* columns);
     * ``back``: ``(w1, cc)`` / ``scalars``: ``(B, Vc, V, order)`` —
       the bottom continuation floor, structurally identical to the
       order-2/3 trainers'.
@@ -498,3 +500,55 @@ def kneser_ney_ngram_export_arpa(
         path,
         _ngram_order(lm),
     )
+
+
+def _frame_keys(n: int) -> "tuple[str, ...]":
+    return (
+        ("top", f"ctx{n}")
+        + tuple(
+            name
+            for k in range(2, n)
+            for name in (f"cont{k}", f"ctx{k}")
+        )
+        + ("back", "scalars", "coc")
+    )
+
+
+def kneser_ney_ngram_save(
+    lm: "dict[str, DataFrame]", path: str, mode: str = "overwrite"
+) -> None:
+    """Persist an order-N artifact (the index save/load family's
+    layout contract): the top lookup table clustered by its leading
+    context word — a context-filtered read prunes to a few parquet row
+    groups via min/max stats — every other frame as plain parquet.
+    Train once, persist, rebuild rows/exports from the loaded frames
+    without re-scanning the corpus."""
+    from .text import _index_save
+
+    _index_save(
+        lm, _frame_keys(_ngram_order(lm)), path, mode,
+        cluster={"top": ("w1",)},
+    )
+
+
+def kneser_ney_ngram_load(spark, path: str) -> dict[str, DataFrame]:
+    """Load a :func:`kneser_ney_ngram_save` artifact — the order is
+    read from the persisted scalars frame first, then the order's full
+    frame set loads with the family's loud shape validation (a
+    truncated snapshot fails HERE, not as a wrong score later)."""
+    from .text import _index_load
+
+    scal = _index_load(spark, ("scalars",), path, "kneser_ney_ngram_load")[
+        "scalars"
+    ]
+    if "order" not in scal.columns:
+        raise ValueError(
+            "kneser_ney_ngram_load: scalars frame carries no 'order' "
+            "column — not a kneser_ney_ngram_save artifact"
+        )
+    n = int(scal.select("order").limit(1).collect()[0][0])
+    if not (3 <= n <= 8):
+        raise ValueError(
+            f"kneser_ney_ngram_load: persisted order {n} outside 3..8"
+        )
+    return _index_load(spark, _frame_keys(n), path, "kneser_ney_ngram_load")

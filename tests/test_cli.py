@@ -425,3 +425,48 @@ def test_cli_arpa_export(tmp_path, capsys):
         main(["arpa-export", src, "text", out5, "--order", "5",
               "--modified"]) == 2
     )
+
+
+def test_cli_arpa_score(tmp_path, capsys):
+    """Export → arpa-score from the shell: the written per-doc frame
+    equals the in-process arpa_score over the loaded model, and the
+    stdout summary is one JSON line."""
+    import json as _json
+
+    from krnel_graph_spark.cli import main
+    from krnel_graph_spark.runners.spark_runner import get_spark
+
+    spark = get_spark("test-cli-arpa-score")
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the dog sat on the log"),
+         (2, "a zebra appears")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    model = str(tmp_path / "m5.arpa")
+    assert main(["arpa-export", src, "text", model, "--order", "5"]) == 0
+    capsys.readouterr()
+
+    out = str(tmp_path / "scored")
+    assert main(
+        ["arpa-score", model, src, "text", "doc_id", out, "--bos", "--eos",
+         "--oov-mode", "unk"]
+    ) == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["docs"] == 3 and summary["out"] == out
+
+    from krnel_graph_spark.functions.arpa import arpa_load, arpa_score
+
+    want = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.logprob_sum)
+        for r in arpa_score(
+            arpa_load(spark, model), spark.read.parquet(src),
+            "text", "doc_id", bos=True, eos=True, oov_mode="unk",
+        ).collect()
+    }
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.logprob_sum)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
+    assert summary["tokens"] == sum(v[0] for v in want.values())

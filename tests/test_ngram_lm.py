@@ -397,3 +397,31 @@ def test_modified_requires_coc(spark):
             {k: v for k, v in lm.items() if k != "coc"},
             discount="modified",
         )
+
+
+def test_ngram_save_load_roundtrip(spark, tmp_path):
+    """Persisted artifact → load → rows is identical to rows off the
+    in-memory artifact (order read back from the scalars frame); a
+    truncated snapshot fails loudly at LOAD."""
+    from krnel_graph_spark.functions.ngram_lm import (
+        kneser_ney_ngram_arpa_rows,
+        kneser_ney_ngram_load,
+        kneser_ney_ngram_save,
+        kneser_ney_ngram_train,
+    )
+
+    df = _docs_df(spark)
+    lm = kneser_ney_ngram_train(df, "text", order=4)
+    path = str(tmp_path / "kn4_idx")
+    kneser_ney_ngram_save(lm, path)
+    back = kneser_ney_ngram_load(spark, path)
+    want = kneser_ney_ngram_arpa_rows(lm, discount="modified")
+    got = kneser_ney_ngram_arpa_rows(back, discount="modified")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    import shutil
+
+    shutil.rmtree(f"{path}/cont3")
+    with pytest.raises(ValueError, match="cont3"):
+        kneser_ney_ngram_load(spark, path)
