@@ -359,22 +359,23 @@ def kneser_ney_ngram_arpa_rows(
         (k+1) contexts (prefix closure), as columns g1..gk."""
         if k == 1:
             # every word ANY listed gram mentions (kn3's `words` union,
-            # order-generic): all positions of top + cont frames, plus
-            # the UNPRUNED ctx keys (a word whose every top-level gram
-            # was min_count-pruned still backs lower grams off) + back
-            parts = [lm["back"].select(F.col("w1").alias("g1"))]
-            for j in range(2, n + 1):
-                src = lm["top"] if j == n else lm[f"cont{j}"]
-                for i in range(1, j + 1):
-                    parts.append(src.select(F.col(f"w{i}").alias("g1")))
-                for i in range(1, j):
-                    parts.append(
-                        lm[f"ctx{j}"].select(F.col(f"w{i}").alias("g1"))
-                    )
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
-            return out.distinct()
+            # order-generic). Set identity that collapses the naive
+            # 19-branch union of all frame positions to TWO branches:
+            # any NON-INITIAL position of any gram is the second word
+            # of some bigram (= back), and any INITIAL position of any
+            # gram is the initial position of its longest extension —
+            # either a raw-N gram (= the UNPRUNED ctx_N keys' w1; a
+            # word whose every top gram was min_count-pruned still
+            # backs lower grams off) or of a shorter gram whose first
+            # word is then non-initial in no frame... which the frames
+            # never list (kn3 semantics: such words fold into <unk>).
+            return (
+                lm["back"].select(F.col("w1").alias("g1"))
+                .unionByName(
+                    lm[f"ctx{n}"].select(F.col("w1").alias("g1"))
+                )
+                .distinct()
+            )
         ev = lm["top"] if k == n else lm[f"cont{k}"]
         out = ev.select(
             *[F.col(f"w{i}").alias(f"g{i}") for i in range(1, k + 1)]
