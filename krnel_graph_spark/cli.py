@@ -452,48 +452,31 @@ def cmd_table_diff(args) -> int:
 
 
 def cmd_arpa_export(args) -> int:
-    """LM portability: train a Kneser-Ney model (order 2-5; 4/5 via
-    the generic trainer) on a parquet corpus and write a standard
-    ``.arpa`` file any KenLM-consuming pipeline reads. ``--modified``
-    bakes Chen-Goodman per-class discounts in (order 3 only);
-    ``--min-count`` prunes the top-order lookup table KenLM-style."""
-    from .functions.arpa import kneser_ney3_export_arpa, kneser_ney_export_arpa
+    """LM portability: train a Kneser-Ney model (order 2-5) on a
+    parquet corpus and write a standard ``.arpa`` file any
+    KenLM-consuming pipeline reads. ``--modified`` bakes Chen-Goodman
+    per-class discounts in; ``--min-count`` prunes the top-order
+    lookup table KenLM-style — both at every order (order 3 keeps the
+    pinned kn3 trainer; 2/4/5 route through the generic trainer, whose
+    order-2/3 outputs are row-identical to the pinned exporters)."""
+    from .functions.arpa import kneser_ney3_export_arpa
     from .runners.spark_runner import get_spark
 
     spark = get_spark("cli-arpa-export")
     df = spark.read.parquet(args.src)
-    if args.order == 2:
-        if args.modified:
-            print("--modified requires --order 3", file=sys.stderr)
-            return 2
-        if args.min_count and args.min_count > 1:
-            # only the order-3 trainer prunes; silently ignoring the
-            # flag would ship an unpruned model the user asked to prune
-            print("--min-count requires --order 3", file=sys.stderr)
-            return 2
-        from .functions.text import kneser_ney_train
-
-        lm = kneser_ney_train(df, args.text_column)
-        kneser_ney_export_arpa(lm, args.out, discount=args.discount)
-    elif args.order == 3:
+    if args.order == 3:
         from .functions.text import kneser_ney3_train
 
-        lm = kneser_ney3_train(
+        lm3 = kneser_ney3_train(
             df, args.text_column, min_count=args.min_count
         )
         kneser_ney3_export_arpa(
-            lm,
+            lm3,
             args.out,
             discount="modified" if args.modified else args.discount,
             base_discount=args.discount,
         )
     else:
-        # orders 4/5: the generic trainer (r14). Modified-KN discounts
-        # are an order-2/3 exporter feature today; refuse loudly rather
-        # than bake a different smoothing than asked.
-        if args.modified:
-            print("--modified supports --order 3 only", file=sys.stderr)
-            return 2
         from .functions.ngram_lm import (
             kneser_ney_ngram_export_arpa,
             kneser_ney_ngram_train,
@@ -503,7 +486,12 @@ def cmd_arpa_export(args) -> int:
             df, args.text_column, order=args.order,
             min_count=args.min_count,
         )
-        kneser_ney_ngram_export_arpa(lm, args.out, discount=args.discount)
+        kneser_ney_ngram_export_arpa(
+            lm,
+            args.out,
+            discount="modified" if args.modified else args.discount,
+            base_discount=args.discount,
+        )
     print(args.out)
     return 0
 
@@ -776,16 +764,16 @@ def build_parser() -> argparse.ArgumentParser:
     p_arpa.add_argument("out", help="output .arpa path (driver-local)")
     p_arpa.add_argument(
         "--order", type=int, choices=(2, 3, 4, 5), default=3,
-        help="n-gram order; 4/5 use the generic trainer (r14)",
+        help="n-gram order; 2/4/5 use the generic trainer (r14)",
     )
     p_arpa.add_argument("--discount", type=float, default=0.75)
     p_arpa.add_argument(
         "--modified", action="store_true",
-        help="Chen-Goodman per-class discounts (order 3)",
+        help="Chen-Goodman per-class discounts (any order)",
     )
     p_arpa.add_argument(
         "--min-count", type=int, default=1,
-        help="prune top-order types below this count (order >= 3)",
+        help="prune top-order types below this count (any order)",
     )
     p_arpa.set_defaults(fn=cmd_arpa_export)
 

@@ -1,4 +1,4 @@
-"""Order-generic interpolated Kneser-Ney training (orders 3-5) — the
+"""Order-generic interpolated Kneser-Ney training (orders 2-8) — the
 trainer side of the order-5 portability story.
 
 r13 made :func:`~krnel_graph_spark.functions.arpa.arpa_score` /
@@ -87,8 +87,8 @@ def kneser_ney_ngram_train(
     """
     from .text import normalize_text, whitespace_tokens
 
-    if order < 3 or order > 8:
-        raise ValueError(f"order must be in 3..8, got {order}")
+    if order < 2 or order > 8:
+        raise ValueError(f"order must be in 2..8, got {order}")
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
     n = order
@@ -568,8 +568,8 @@ def kneser_ney_ngram_load(spark, path: str) -> dict[str, DataFrame]:
             "column — not a kneser_ney_ngram_save artifact"
         )
     n = int(scal.select("order").limit(1).collect()[0][0])
-    if not (3 <= n <= 8):
+    if not (2 <= n <= 8):
         raise ValueError(
-            f"kneser_ney_ngram_load: persisted order {n} outside 3..8"
+            f"kneser_ney_ngram_load: persisted order {n} outside 2..8"
         )
     return _index_load(spark, _frame_keys(n), path, "kneser_ney_ngram_load")

@@ -399,19 +399,15 @@ def test_cli_arpa_export(tmp_path, capsys):
     assert "\\2-grams:" in open(out2, encoding="utf-8").read()
     capsys.readouterr()
 
-    # --modified is an order-3 concept; order 2 refuses loudly
+    # order 2 routes through the generic trainer since r14, so
+    # --modified and --min-count now work at every order
+    out2m = str(tmp_path / "m2m.arpa")
     assert (
-        main(["arpa-export", src, "text", out2, "--order", "2",
-              "--modified"]) == 2
+        main(["arpa-export", src, "text", out2m, "--order", "2",
+              "--modified", "--min-count", "2"]) == 0
     )
-    capsys.readouterr()
-
-    # --min-count pruning is likewise order-3-only: refuse rather than
-    # silently ship an unpruned model
-    assert (
-        main(["arpa-export", src, "text", out2, "--order", "2",
-              "--min-count", "2"]) == 2
-    )
+    t2m = open(out2m, encoding="utf-8").read()
+    assert "\\2-grams:" in t2m and t2m != open(out2, encoding="utf-8").read()
     capsys.readouterr()
 
     # orders 4/5 route to the generic trainer (r14); the file lists
@@ -421,10 +417,13 @@ def test_cli_arpa_export(tmp_path, capsys):
     text5 = open(out5, encoding="utf-8").read()
     assert "\\5-grams:" in text5 and "ngram 5=" in text5
     capsys.readouterr()
+    out5m = str(tmp_path / "m5m.arpa")
     assert (
-        main(["arpa-export", src, "text", out5, "--order", "5",
-              "--modified"]) == 2
+        main(["arpa-export", src, "text", out5m, "--order", "5",
+              "--modified"]) == 0
     )
+    t5m = open(out5m, encoding="utf-8").read()
+    assert "\\5-grams:" in t5m and t5m != text5
 
 
 def test_cli_arpa_score(tmp_path, capsys):

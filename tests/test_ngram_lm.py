@@ -123,7 +123,29 @@ def test_generic_order3_matches_kn3_exporter(spark, min_count):
     assert want.exceptAll(got).count() == 0
 
 
-@pytest.mark.parametrize("order", [4, 5])
+def test_generic_order2_matches_kn2_exporter(spark):
+    """The generic trainer at order 2 is the SAME model as the pinned
+    bigram family: identical ARPA rows (modulo the kn2 exporter's
+    always-null w3 pad column) — the anchor that lets the CLI route
+    order-2 --min-count/--modified through the generic path."""
+    from krnel_graph_spark.functions.arpa import kneser_ney_arpa_rows
+    from krnel_graph_spark.functions.ngram_lm import (
+        kneser_ney_ngram_arpa_rows,
+        kneser_ney_ngram_train,
+    )
+    from krnel_graph_spark.functions.text import kneser_ney_train
+
+    df = _docs_df(spark)
+    want = kneser_ney_arpa_rows(kneser_ney_train(df, "text")).drop("w3")
+    got = kneser_ney_ngram_arpa_rows(
+        kneser_ney_ngram_train(df, "text", order=2)
+    )
+    assert got.columns == want.columns
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+@pytest.mark.parametrize("order", [2, 4, 5])
 def test_order_n_scores_match_python_reference(spark, order):
     """train(order=N) → ARPA rows → arpa_score reproduces an
     independent Python interpolated-KN implementation per document
@@ -233,7 +255,9 @@ def test_ngram_train_validation(spark):
 
     df = _docs_df(spark)
     with pytest.raises(ValueError, match="order"):
-        kneser_ney_ngram_train(df, "text", order=2)
+        kneser_ney_ngram_train(df, "text", order=1)
+    with pytest.raises(ValueError, match="order"):
+        kneser_ney_ngram_train(df, "text", order=9)
     with pytest.raises(ValueError, match="min_count"):
         kneser_ney_ngram_train(df, "text", order=4, min_count=0)
     lm = kneser_ney_ngram_train(df, "text", order=4)
@@ -349,7 +373,8 @@ def test_generic_order3_modified_matches_kn3_exporter(spark):
     assert want.exceptAll(got).count() == 0
 
 
-def test_order5_modified_matches_python_reference(spark):
+@pytest.mark.parametrize("order", [2, 5])
+def test_order_n_modified_matches_python_reference(spark, order):
     from krnel_graph_spark.functions.arpa import arpa_score
     from krnel_graph_spark.functions.ngram_lm import (
         kneser_ney_ngram_arpa_rows,
@@ -357,9 +382,9 @@ def test_order5_modified_matches_python_reference(spark):
     )
 
     df = _docs_df(spark)
-    lm = kneser_ney_ngram_train(df, "text", order=5)
+    lm = kneser_ney_ngram_train(df, "text", order=order)
     rows = kneser_ney_ngram_arpa_rows(lm, discount="modified")
-    ref = _PyMKN([t for _, s in TEXTS if (t := _toks(s))], 5)
+    ref = _PyMKN([t for _, s in TEXTS if (t := _toks(s))], order)
     got = {
         r.doc_id: r.logprob_sum
         for r in arpa_score(rows, df, "text", "doc_id").collect()
