@@ -3916,21 +3916,29 @@ def q_arpa_score_o5(spark, sf_dir):
 
 
 def q_arpa_score_unk(spark, sf_dir):
-    """The KenLM-faithful OOV mode (r14): ``oov_mode="unk"`` rewrites
-    tokens absent from the 1-gram section to ``<unk>`` BEFORE grams
-    are built, so ``<unk>``-containing n-grams can match and
-    ``<unk>``'s own backoff weight applies — the semantics KenLM
-    applies to external models (the default ``"keep"`` mode's
-    documented deviation). Same synthetic order-5 model as
-    arpa_score_o5, no markers; the extra cost is one token explode +
+    """The FULL KenLM-faithful configuration (r14): ``oov_mode="unk"``
+    + ``bos``/``eos`` together — the exact semantics `kenlm.Model
+    .score(text, bos=True, eos=True)` applies to external models.
+    Unlisted tokens rewrite to ``<unk>`` BEFORE grams are built (so
+    ``<unk>``-containing n-grams can match and ``<unk>``'s own backoff
+    weight applies), and the ``<s>``/``</s>`` markers are added AFTER
+    the rewrite (KenLM special-cases them in vocabulary lookup — they
+    are never rewritten even when the model omits them; pinned in
+    tests/test_arpa.py). ``<s>`` is context-only, ``</s>`` is scored:
+    ``n_tokens = len + 1``; ``n_oov`` counts the rewritten CORPUS
+    tokens, markers excluded. Same synthetic order-5 model as
+    arpa_score_o5; the extra cost over it is one token explode +
     model-bounded vocab join + per-doc reassembly (one corpus
-    shuffle). ``n_oov`` counts the rewritten corpus tokens. The oracle
-    replays the rewrite token-for-token, then the same 9-join chain."""
+    shuffle). The oracle replays the rewrite token-for-token, then
+    the marker-augmented 9-join chain. (Until mid-r14 this gate
+    graded the unk mode alone — each mode stays separately pinned
+    against an independent evaluator in tests/test_arpa.py.)"""
     from krnel_graph_spark.functions.arpa import arpa_score
 
     rows = _synthetic_arpa5_rows(spark, sf_dir)
     return arpa_score(
-        rows, _docs(spark, sf_dir), "text", "doc_id", oov_mode="unk"
+        rows, _docs(spark, sf_dir), "text", "doc_id",
+        bos=True, eos=True, oov_mode="unk",
     )
 
 
@@ -9344,11 +9352,13 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
 FROM term GROUP BY doc_id
 """
 
-    # arpa_score_unk: same synthetic model, KenLM-faithful OOV mode —
-    # rewrite unlisted tokens to <unk> token-for-token BEFORE the gram
-    # windows are built (so <unk>-containing grams can match and
-    # <unk>'s bow applies), then the identical 9-join chain. No
-    # markers; n_oov = the rewritten corpus tokens, carried per doc.
+    # arpa_score_unk: same synthetic model, the FULL KenLM-faithful
+    # configuration (oov_mode="unk" + bos/eos): rewrite unlisted
+    # tokens to <unk> token-for-token BEFORE the gram windows are
+    # built (so <unk>-containing grams can match and <unk>'s bow
+    # applies), THEN add the <s>/</s> markers (never rewritten), then
+    # the identical 9-join chain over scored positions s >= 2.
+    # n_oov = the rewritten corpus tokens (markers excluded).
     out["arpa_score_unk"] = f"""WITH tr AS (
   SELECT ['<s>'] || {toks_text} || ['</s>'] AS t FROM documents
   WHERE {norm_text} != '' AND doc_id % 7 = 0),
@@ -9377,14 +9387,14 @@ tokm AS (SELECT tk.doc_id, tk.s,
          FROM tok tk
          LEFT JOIN (SELECT gram FROM m5 WHERE ord = 1) v
                 ON v.gram = tk.w),
-st AS (SELECT doc_id, list(wm ORDER BY s) AS t,
+st AS (SELECT doc_id, ['<s>'] || list(wm ORDER BY s) || ['</s>'] AS t,
               sum(ov)::BIGINT AS n_oov0
        FROM tokm GROUP BY doc_id),
 sp AS (SELECT doc_id, n_oov0,
               {g5},
               {c5}
        FROM (SELECT doc_id, n_oov0, t,
-                    unnest(range(1, len(t) + 1)) AS s FROM st)),
+                    unnest(range(2, len(t) + 1)) AS s FROM st)),
 lk AS (SELECT sp.doc_id, sp.n_oov0, {lk5}
        FROM sp
        {j5}),

@@ -650,6 +650,53 @@ def test_arpa_score_oov_unk_mode_is_kenlm_faithful(spark, tmp_path):
         arpa_score(rows, docs, "text", "doc_id", oov_mode="wat")
 
 
+def test_arpa_score_combined_markers_and_unk(spark, tmp_path):
+    """The FULL KenLM configuration — bos/eos AND oov_mode='unk'
+    together (kenlm.Model.score defaults on an external model). The
+    ordering is the semantics: rewrite first, markers after, so
+    <s>/</s> are NEVER rewritten to <unk> even when the model omits
+    them, and n_oov counts corpus tokens only."""
+    from krnel_graph_spark.functions.arpa import arpa_score
+
+    rows = _load5(spark, tmp_path)
+    docs = spark.createDataFrame(_SCORE_DOCS, "doc_id long, text string")
+    ev = _EvalN(rows.collect(), 5)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.logprob_sum)
+        for r in arpa_score(
+            rows, docs, "text", "doc_id",
+            bos=True, eos=True, oov_mode="unk",
+        ).collect()
+    }
+    for i, t in _SCORE_DOCS:
+        want = ev.doc(_toks(t), bos=True, eos=True, unk_map=True)
+        assert got[i] == pytest.approx(want, abs=1e-9), (i, t)
+        assert got[i][0] == len(_toks(t)) + 1
+
+    # markers survive on a model whose VOCABULARY does not list them:
+    # drop the <s>/</s> 1-gram entries (keeping the higher-order grams
+    # so the model stays order 5 — arpa_score derives its effective
+    # order from the listed sections), so a rewrite-after-markers bug
+    # would map the markers to <unk> and silently match <unk>-grams;
+    # the correct ordering scores them as unlisted surface tokens
+    from pyspark.sql import functions as F
+
+    bare = rows.filter(
+        (F.col("order") > 1) | ~F.col("w1").isin("<s>", "</s>")
+    )
+    ev_bare = _EvalN(bare.collect(), 5)
+    got_bare = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.logprob_sum)
+        for r in arpa_score(
+            bare, docs, "text", "doc_id",
+            bos=True, eos=True, oov_mode="unk",
+        ).collect()
+    }
+    for i, t in _SCORE_DOCS:
+        want = ev_bare.doc(_toks(t), bos=True, eos=True, unk_map=True)
+        assert got_bare[i] == pytest.approx(want, abs=1e-9), (i, t)
+
+
 def test_write_arpa_null_bow_writes_zero(spark, tmp_path):
     """A loaded model whose lower-order grams omitted their bow (legal
     ARPA) re-exports with the explicit 0.0 form instead of raising."""
