@@ -850,34 +850,56 @@ def _ivfpq_train(
     codebooks over a bounded md5-keyed training sample. Everything
     collected is model-sized; the corpus is only scanned by the Lloyd
     passes (``refine_iters`` of them)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .hashing import md5_long
 
-    centroid_rows = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .orderBy(
-            md5_long(
-                F.concat(F.lit(f"ivfpq:{seed}:"), F.col("cid").cast("string"))
-            ),
-            F.col("cid").asc(),
+    # the two bounded sample collects are independent TakeOrdered jobs
+    # over the same corpus — submit them CONCURRENTLY (Spark sessions
+    # are thread-safe for job submission; results are deterministic
+    # either way), so the fit pays max(job1, job2) instead of the sum.
+    # Only the Lloyd refine (needs the raw centroids) serializes after.
+    def _centroids():
+        return (
+            corpus.select(
+                F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+            )
+            .orderBy(
+                md5_long(
+                    F.concat(
+                        F.lit(f"ivfpq:{seed}:"), F.col("cid").cast("string")
+                    )
+                ),
+                F.col("cid").asc(),
+            )
+            .limit(n_cells)
+            .collect()
         )
-        .limit(n_cells)
-        .collect()
-    )
+
+    def _sample():
+        return (
+            corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
+            .orderBy(
+                md5_long(
+                    F.concat(
+                        F.lit(f"ivfpqs:{seed}:"), F.col("i").cast("string")
+                    )
+                ),
+                F.col("i").asc(),
+            )
+            .limit(sample_rows)
+            .collect()
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        cfut = pool.submit(_centroids)
+        sfut = pool.submit(_sample)
+        centroid_rows = cfut.result()
+        sample = sfut.result()
     cmat = np.asarray([r["cv"] for r in centroid_rows], dtype=np.float64)
     if refine_iters > 0:
         cmat = kmeans_refine_centroids(corpus, vec_col, cmat, refine_iters)
 
-    sample = (
-        corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
-        .orderBy(
-            md5_long(
-                F.concat(F.lit(f"ivfpqs:{seed}:"), F.col("i").cast("string"))
-            ),
-            F.col("i").asc(),
-        )
-        .limit(sample_rows)
-        .collect()
-    )
     xs = np.asarray([r["v"] for r in sample], dtype=np.float64)
     d2s = (
         (xs * xs).sum(1)[:, None] - 2 * (xs @ cmat.T) + (cmat * cmat).sum(1)[None, :]
