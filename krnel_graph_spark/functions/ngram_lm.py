@@ -77,13 +77,16 @@ def kneser_ney_ngram_train(
       the bottom continuation floor, structurally identical to the
       order-2/3 trainers'.
 
-    Every returned count frame is persist-pinned (all are type-table-
-    bounded and multi-consumer in the rows builder — ctx_j feeds
-    section j-1's bow plus every section >= j's interpolation chain);
-    ``_pinned_counts`` is the one combined type table they all derive
-    from. Callers running many models in one session can
-    ``unpersist()`` them via the returned frames once the artifact is
-    written out.
+    Persist-pinning (all frames are type-table-bounded and multi-
+    consumer in the rows builder — ctx_j feeds section j-1's bow plus
+    every section >= j's interpolation chain): the pinned frames are
+    ``_pinned_counts`` (the one combined type table), ``_pinned_cont``
+    (ALL continuation levels + the ``back`` floor, reduced in one
+    shuffle), and ``_pinned_ctx`` (all lower ctx levels, one shuffle)
+    — the per-level ``cont{k}``/``ctx{k}``/``back`` entries are narrow
+    filters over them, plus the separately pinned ``ctx{N}``. Callers
+    running many models in one session can ``unpersist()`` via those
+    handles once the artifact is written out.
     """
     from .text import normalize_text, whitespace_tokens
 
@@ -146,8 +149,8 @@ def kneser_ney_ngram_train(
     )
     # every cont/ctx frame is multi-consumer in the ARPA rows builder
     # (ctx_j feeds section j-1's bow plus every section >= j's
-    # interpolation chain — up to N references each): persist-pin them
-    # all; they are type-table-bounded (the MODEL, never the corpus)
+    # interpolation chain — up to N references each) and all are
+    # type-table-bounded (the MODEL, never the corpus)
     out[f"ctx{n}"] = (
         top_all.groupBy(*_wc(n - 1))
         .agg(
@@ -157,19 +160,42 @@ def kneser_ney_ngram_train(
         )
         .persist()
     )
-    # continuation levels: cc_k derives from the RAW (k+1)-gram types
-    for k in range(n - 1, 1, -1):
-        cont = (
-            raw(k + 1)
-            .groupBy(
-                *[F.col(f"w{j + 1}").alias(f"w{j}") for j in range(1, k + 1)]
-            )
-            .agg(F.count(F.lit(1)).alias("cc"))
-            .persist()
+    # continuation levels: cc_k derives from the RAW (k+1)-gram types.
+    # ALL levels reduce in ONE shuffle (the query is stage-count-bound
+    # at model scale, not data-bound): dropping w1 is a uniform left
+    # shift of the word columns whatever k is (trailing nulls stay
+    # null), so the per-level groupBys fuse into a single
+    # (lvl, w1..w{n-1}) aggregation over the pinned type table —
+    # lvl 1 IS the bottom `back` frame, lvl k (2 <= k < n) is cont_k.
+    cont_all = (
+        counts.filter(F.col("k") >= 2)
+        .groupBy(
+            (F.col("k") - 1).alias("lvl"),
+            *[F.col(f"w{i + 1}").alias(f"w{i}") for i in range(1, n)],
         )
-        out[f"cont{k}"] = cont
-        out[f"ctx{k}"] = (
-            cont.groupBy(*_wc(k - 1))
+        .agg(F.count(F.lit(1)).alias("cc"))
+        .persist()
+    )
+    for k in range(2, n):
+        out[f"cont{k}"] = cont_all.filter(F.col("lvl") == k).select(
+            *_wc(k), "cc"
+        )
+    back = cont_all.filter(F.col("lvl") == 1).select("w1", "cc")
+    out["back"] = back
+    # lower ctx levels likewise fuse into one shuffle: a lvl-k cont
+    # row's context is its first k-1 words, i.e. every word column
+    # masked from position lvl on — one (lvl, masked words) groupBy
+    # over the pinned cont_all covers ctx_2..ctx_{n-1}
+    if n > 2:
+        ctx_all = (
+            cont_all.filter(F.col("lvl") >= 2)
+            .groupBy(
+                "lvl",
+                *[
+                    F.when(F.col("lvl") > i, F.col(f"w{i}")).alias(f"w{i}")
+                    for i in range(1, n - 1)
+                ],
+            )
             .agg(
                 F.sum("cc").alias("tot"),
                 F.count(F.lit(1)).alias("n1f"),
@@ -177,13 +203,12 @@ def kneser_ney_ngram_train(
             )
             .persist()
         )
-    back = (
-        raw(2)
-        .groupBy(F.col("w2").alias("w1"))
-        .agg(F.count(F.lit(1)).alias("cc"))
-        .persist()
-    )
-    out["back"] = back
+        out["_pinned_ctx"] = ctx_all
+        for k in range(2, n):
+            out[f"ctx{k}"] = ctx_all.filter(F.col("lvl") == k).select(
+                *_wc(k - 1), "tot", "n1f", "cls1", "cls2", "cls3p"
+            )
+    out["_pinned_cont"] = cont_all
     out["scalars"] = (
         raw(2)
         .agg(F.count(F.lit(1)).alias("B"))
