@@ -2285,117 +2285,53 @@ def kneser_ney3_train(
     * ``back``: ``(w2, n1back)`` / ``scalars``: ``(B, Vc, V)`` — the
       bigram-table continuation floor, shared with the order-2 model.
 
-    Scale shape: the corpus is tokenized by three embarrassingly
-    parallel scans (pair explode, triple explode, vocab count) — token
-    arrays are deliberately NOT cached (corpus-sized); the type tables
-    they reduce to are vocab-bounded, and the two multi-consumer ones
-    (``big``: 3 consumers, ``tri``: 4) are persist-pinned. Callers
-    running many models in one session can ``unpersist()`` them via
-    the returned frames once written out."""
+    Scale shape (since mid-r14): a rename adapter over the order-
+    generic trainer (:func:`~krnel_graph_spark.functions.ngram_lm.
+    kneser_ney_ngram_train` at ``order=3``) — ONE corpus scan explodes
+    every gram order (the dedicated trainer paid three), and all
+    continuation/context levels reduce in one fused shuffle each. The
+    frame VALUES are unchanged (the generic trainer's order-3 output
+    was pinned row-identical to this family's before the swap, and
+    the family's DuckDB count-recursion oracles are implementation-
+    independent); only the pinned handles changed names — release via
+    every ``_pinned_*`` key. The kn3 ARPA exporter remains its own
+    hand-written builder, so the generic-vs-kn3 exporter differential
+    (tests/test_ngram_lm.py) still crosses two implementations."""
+    from .ngram_lm import kneser_ney_ngram_train
 
-    def _toks(df):
-        return (
-            df.filter(normalize_text(F.col(text_col)) != "")
-            .select(whitespace_tokens(F.col(text_col)).alias("__t"))
-            .withColumn("__L", F.size("__t"))
-        )
-
-    if min_count < 1:
-        raise ValueError("min_count must be >= 1")
-    tt = _toks(train)
-    big = (
-        _adjacent_word_pairs(tt, "__t")
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
-        .persist()
-    )
-    back = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n1back"))
-    scalars = (
-        big.agg(F.count(F.lit(1)).alias("B"))
-        .crossJoin(back.agg(F.count(F.lit(1)).alias("Vc")))
-        .crossJoin(
-            tt.select(F.explode("__t").alias("w")).agg(
-                (F.count_distinct("w") + 1).alias("V")
-            )
-        )
-    )
-    tri_all = (
-        _adjacent_word_triples(tt, "__t")
-        .groupBy("u", "v", "w")
-        .agg(F.count(F.lit(1)).alias("c3"))
-        .persist()
-    )
-
-    def _class_counts(cnt, prefix):
-        """Per-group counts of count-CLASSES (how many types occur
-        once / twice / three-plus) — the inputs to modified-KN's
-        per-class backoff weights."""
-        return [
-            F.sum((cnt == 1).cast("long")).alias(f"{prefix}1"),
-            F.sum((cnt == 2).cast("long")).alias(f"{prefix}2"),
-            F.sum((cnt >= 3).cast("long")).alias(f"{prefix}3p"),
-        ]
-
-    tctx = tri_all.groupBy("u", "v").agg(
-        F.sum("c3").alias("c_uv"),
-        F.count(F.lit(1)).alias("n1f_uv"),
-        *_class_counts(F.col("c3"), "nn"),
-    )
-    mid = tri_all.groupBy("v", "w").agg(F.count(F.lit(1)).alias("n1mid"))
-    vstats = mid.groupBy("v").agg(
-        F.sum("n1mid").alias("m_ctx"),
-        F.count(F.lit(1)).alias("n1f_mid"),
-        *_class_counts(F.col("n1mid"), "mm"),
-    )
-    # Global count-of-counts (types seen exactly k times, k=1..4) for
-    # the trigram level and the mid continuation level — the Chen &
-    # Goodman statistics ``discount="modified"`` estimates D1/D2/D3+
-    # from at SCORE time, so the artifact stays discount-free.
-    def _coc(frame, cnt_col, prefix):
-        c = F.col(cnt_col)
-        return frame.agg(
-            *[
-                F.sum((c == k).cast("long")).alias(f"{prefix}{k}")
-                for k in (1, 2, 3, 4)
-            ]
-        )
-
-    # r13: back-level (bottom continuation) count-of-counts + type
-    # total — modified-KN now applies per-class discounts at EVERY
-    # level, including the unigram continuation floor (the r12 verdict's
-    # documented fidelity gap vs Chen & Goodman). btot rides along so
-    # the 3+ class count (btot − b1 − b2) is derivable from the same
-    # bounded 1-row collect.
-    coc = (
-        _coc(tri_all, "c3", "t")
-        .crossJoin(_coc(mid, "n1mid", "m"))
-        .crossJoin(
-            back.agg(
-                *[
-                    F.sum((F.col("n1back") == k).cast("long")).alias(f"b{k}")
-                    for k in (1, 2, 3, 4)
-                ],
-                F.count(F.lit(1)).alias("btot"),
-            )
-        )
-    )
-    tri = (
-        tri_all.filter(F.col("c3") >= F.lit(int(min_count)))
-        if min_count > 1
-        else tri_all
-    )
-    return {
-        "tri": tri,
-        "tctx": tctx,
-        "mid": mid,
-        "vstats": vstats,
-        "back": back,
-        "scalars": scalars,
-        "coc": coc,
-        # handles for callers that want to release the pinned tables
-        "_pinned_big": big,
-        "_pinned_tri": tri_all,
+    g = kneser_ney_ngram_train(train, text_col, order=3, min_count=min_count)
+    out = {
+        "tri": g["top"].select(
+            F.col("w1").alias("u"), F.col("w2").alias("v"),
+            F.col("w3").alias("w"), F.col("c").alias("c3"),
+        ),
+        "tctx": g["ctx3"].select(
+            F.col("w1").alias("u"), F.col("w2").alias("v"),
+            F.col("tot").alias("c_uv"), F.col("n1f").alias("n1f_uv"),
+            F.col("cls1").alias("nn1"), F.col("cls2").alias("nn2"),
+            F.col("cls3p").alias("nn3p"),
+        ),
+        "mid": g["cont2"].select(
+            F.col("w1").alias("v"), F.col("w2").alias("w"),
+            F.col("cc").alias("n1mid"),
+        ),
+        "vstats": g["ctx2"].select(
+            F.col("w1").alias("v"), F.col("tot").alias("m_ctx"),
+            F.col("n1f").alias("n1f_mid"), F.col("cls1").alias("mm1"),
+            F.col("cls2").alias("mm2"), F.col("cls3p").alias("mm3p"),
+        ),
+        "back": g["back"].select(
+            F.col("w1").alias("w2"), F.col("cc").alias("n1back")
+        ),
+        "scalars": g["scalars"].select("B", "Vc", "V"),
+        "coc": g["coc"].select(
+            *[F.col(f"l3_{k}").alias(f"t{k}") for k in (1, 2, 3, 4)],
+            *[F.col(f"l2_{k}").alias(f"m{k}") for k in (1, 2, 3, 4)],
+            "b1", "b2", "b3", "b4", "btot",
+        ),
     }
+    out.update({k: v for k, v in g.items() if k.startswith("_pinned_")})
+    return out
 
 
 def _mkn3_discounts(row, prefix, base):

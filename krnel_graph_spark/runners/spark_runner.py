@@ -1977,8 +1977,9 @@ def kneser_ney3_score_op(
             base_discount=op.discount,
         ).localCheckpoint(eager=True)
     finally:
-        lm["_pinned_big"].unpersist()
-        lm["_pinned_tri"].unpersist()
+        for key in lm:
+            if key.startswith("_pinned_"):
+                lm[key].unpersist()
     out = ds.df.join(scores, ROW_ID, "left")
     return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=ds.dense)
 

@@ -133,8 +133,9 @@ def test_kn3_save_load_scoring_identity(spark, tmp_path):
     )
     base = str(tmp_path / "kn3")
     kneser_ney3_save(lm, base)
-    lm["_pinned_big"].unpersist()
-    lm["_pinned_tri"].unpersist()
+    for key in lm:
+        if key.startswith("_pinned_"):
+            lm[key].unpersist()
     got = sorted(
         map(
             tuple,

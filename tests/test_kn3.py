@@ -261,8 +261,9 @@ def test_kn3_artifact_parquet_roundtrip(spark, tmp_path):
     frames = ("tri", "tctx", "mid", "vstats", "back", "scalars", "coc")
     for key in frames:
         lm[key].write.parquet(str(tmp_path / key))
-    lm["_pinned_big"].unpersist()
-    lm["_pinned_tri"].unpersist()
+    for key in lm:
+        if key.startswith("_pinned_"):
+            lm[key].unpersist()
     reloaded = {key: spark.read.parquet(str(tmp_path / key)) for key in frames}
     rt = sorted(
         map(tuple, kneser_ney3_score(reloaded, df, "text", "doc_id").collect())
