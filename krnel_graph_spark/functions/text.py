@@ -2071,42 +2071,31 @@ def kneser_ney_train(train: DataFrame, text_col: str) -> dict[str, DataFrame]:
 
     The production shape: train once on the reference corpus, persist,
     and :func:`kneser_ney_score` any ingest stream against it — the
-    same split as ``stupid_backoff_train``/``score``. The returned
-    ``big`` frame is persist-pinned (five consumers); callers running
-    many models in one session can ``lm["big"].unpersist()`` once the
-    tables are written out (or ``spark.catalog.clearCache()``)."""
+    same split as ``stupid_backoff_train``/``score``.
 
-    def _toks(df):
-        return (
-            df.filter(normalize_text(F.col(text_col)) != "")
-            .select(whitespace_tokens(F.col(text_col)).alias("__t"))
-            .withColumn("__L", F.size("__t"))
-        )
+    Since mid-r14 a rename adapter over the order-generic trainer at
+    ``order=2`` (the :func:`kneser_ney3_train` move): one corpus scan
+    instead of two, identical frame values (the generic order-2 output
+    was pinned row-identical to this family's exporter before the
+    swap). Release the pinned tables via every ``_pinned_*`` key (or
+    ``spark.catalog.clearCache()``)."""
+    from .ngram_lm import kneser_ney_ngram_train
 
-    tt = _toks(train)
-    big = (
-        _adjacent_word_pairs(tt, "__t")
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
-        # Five consumers (lookup, context, continuation, B, Vcont):
-        # persist-pin the vocab^2-bounded type table so the train
-        # corpus is exploded and shuffled ONCE, not per consumer.
-        .persist()
-    )
-    ctx = big.groupBy("w1").agg(
-        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1fwd")
-    )
-    back = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n1back"))
-    scalars = (
-        big.agg(F.count(F.lit(1)).alias("B"))
-        .crossJoin(back.agg(F.count(F.lit(1)).alias("Vc")))
-        .crossJoin(
-            tt.select(F.explode("__t").alias("w")).agg(
-                (F.count_distinct("w") + 1).alias("V")
-            )
-        )
-    )
-    return {"big": big, "ctx": ctx, "back": back, "scalars": scalars}
+    g = kneser_ney_ngram_train(train, text_col, order=2)
+    out = {
+        "big": g["top"].select(
+            "w1", "w2", F.col("c").alias("c12")
+        ),
+        "ctx": g["ctx2"].select(
+            "w1", F.col("tot").alias("c1"), F.col("n1f").alias("n1fwd")
+        ),
+        "back": g["back"].select(
+            F.col("w1").alias("w2"), F.col("cc").alias("n1back")
+        ),
+        "scalars": g["scalars"].select("B", "Vc", "V"),
+    }
+    out.update({k: v for k, v in g.items() if k.startswith("_pinned_")})
+    return out
 
 
 def kneser_ney_score(

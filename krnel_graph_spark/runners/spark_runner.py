@@ -1943,9 +1943,11 @@ def kneser_ney_score_op(
             op.text_column, ROW_ID, discount=op.discount,
         ).localCheckpoint(eager=True)
     finally:
-        # Release the trainer's pin on the error path too — a failed
+        # Release the trainer's pins on the error path too — a failed
         # checkpoint must not leak a vocab²-sized cached table.
-        lm["big"].unpersist()
+        for key in lm:
+            if key.startswith("_pinned_"):
+                lm[key].unpersist()
     out = ds.df.join(scores, ROW_ID, "left")
     return DatasetPlan(df=out, dataset_uuid=op.uuid, dense=ds.dense)
 
