@@ -3942,6 +3942,26 @@ def q_arpa_score_unk(spark, sf_dir):
     )
 
 
+def q_arpa_filter(spark, sf_dir):
+    """The KenLM ``filter`` tool (mid-r14): vocabulary-filter a
+    backoff model to a target corpus — keep exactly the n-grams whose
+    words all appear in the corpus vocabulary (markers/<unk> always
+    count as in-vocab). Perplexity models are trained on web-scale
+    corpora and served against narrower domains; the filtered model is
+    a fraction of the size and scores corpus-vocabulary text
+    IDENTICALLY (the KenLM guarantee — pinned for every mode combo in
+    tests/test_arpa.py, plus file roundtrip). One corpus scan for the
+    vocabulary, two model-bounded joins; no driver collect. Same
+    synthetic order-5 model as arpa_score_o5, filtered to the
+    doc_id %% 3 == 0 sub-corpus; the oracle replays the model build,
+    splits each gram, and applies the per-word membership test."""
+    from krnel_graph_spark.functions.arpa import arpa_filter
+
+    rows = _synthetic_arpa5_rows(spark, sf_dir)
+    corpus = _docs(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
+    return arpa_filter(rows, corpus, "text")
+
+
 def q_kneser_ney5(spark, sf_dir):
     """Order-5 interpolated Kneser-Ney TRAINING (r14, closing the loop
     the order-5 consumer opened): the generic trainer
@@ -4009,15 +4029,18 @@ def q_bm25_index_search(spark, sf_dir):
 # the full local gate, so its slot goes to older evidence), then the
 # ENTIRE r9 remainder (oldest driver records after the r13 rotation),
 # then the head of the r10 block in COVERAGE.md order.
-# (r15 rotation queue: the r10 remainder — large_orders_q18,
-# disjunct_q19, rich_no_orders_q22, min_cost_supplier_q2, product_profit_q9,
-# important_stock_q11, top_supplier_q15, and the rest of the r10 block
-# in COVERAGE order — then r11 ages back in. Rows-only remains ZERO:
-# 223/223 oracle-backed.)
+# (r15 rotation queue: small_qty_q17 (displaced mid-r14 by
+# arpa_filter's first driver row), then the r10 remainder —
+# large_orders_q18, disjunct_q19, rich_no_orders_q22,
+# min_cost_supplier_q2, product_profit_q9, important_stock_q11,
+# top_supplier_q15, and the rest of the r10 block in COVERAGE order —
+# then r11 ages back in. Rows-only remains ZERO: 225/225
+# oracle-backed.)
 _R14_WINDOW = [
-    # new this round
+    # new this round (arpa_filter landed mid-round and takes the last
+    # r10-block slot; small_qty_q17 moves to the r15 queue head)
     "arpa_score_o5", "arpa_score_unk", "kneser_ney5",
-    "kneser_ney5_modified", "minhash_ingest",
+    "kneser_ney5_modified", "minhash_ingest", "arpa_filter",
     # the r9 remainder: every query whose newest driver record is r9
     "connected_components", "hash_sample", "stratified_sample",
     "shuffle_export", "decontaminate", "repetition_stats",
@@ -4032,7 +4055,7 @@ _R14_WINDOW = [
     "lead_lag", "sql_entry", "dedup_weights", "span_corruption",
     "span_corruption_text", "winnow_fp", "winnow_pairs", "semi_join_q4",
     "volume_q7", "market_share_q8", "returned_topk_q10", "order_dist_q13",
-    "promo_share_q14", "supplier_cnt_q16", "small_qty_q17",
+    "promo_share_q14", "supplier_cnt_q16",
 ]
 
 
@@ -4100,6 +4123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arpa_score": q_arpa_score,
         "arpa_score_o5": q_arpa_score_o5,
         "arpa_score_unk": q_arpa_score_unk,
+        "arpa_filter": q_arpa_filter,
         "kneser_ney5": q_kneser_ney5,
         "kneser_ney5_modified": q_kneser_ney5_modified,
         "audio_features_stub": q_audio_features_stub,
@@ -9405,6 +9429,44 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
        any_value(n_oov0) AS n_oov,
        sum(tm)::DOUBLE AS logprob_sum
 FROM term GROUP BY doc_id
+"""
+
+    # arpa_filter: same synthetic model build, then the KenLM `filter`
+    # membership test — keep a gram iff every one of its words is in
+    # the filter corpus's vocabulary (markers/<unk> always in-vocab).
+    # The gram string is a valid key (tokens never contain spaces).
+    out["arpa_filter"] = f"""WITH tr AS (
+  SELECT ['<s>'] || {toks_text} || ['</s>'] AS t FROM documents
+  WHERE {norm_text} != '' AND doc_id % 7 = 0),
+g AS (SELECT ks.k AS k, array_to_string(t[i : i + ks.k - 1], ' ') AS gram
+      FROM tr, unnest([1, 2, 3, 4, 5]) AS ks(k),
+           unnest(range(1, len(t) - ks.k + 2)) AS pos(i)
+      WHERE len(t) >= ks.k),
+cnt AS (SELECT k, gram, count(*) AS c FROM g GROUP BY 1, 2),
+tot AS (SELECT k, sum(c) AS tot FROM cnt GROUP BY 1),
+m5 AS (SELECT k AS ord, gram,
+              round(log10(c::DOUBLE / tot::DOUBLE), 6) AS lp,
+              CASE WHEN k < 5
+                   THEN round(log10(c::DOUBLE / (c + 1.0)), 6) END AS bw
+       FROM cnt JOIN tot USING (k)
+       WHERE c >= 2 AND gram != '<unk>'
+       UNION ALL SELECT 1, '<unk>', -5.0, 0.0),
+v AS (SELECT DISTINCT w FROM
+        (SELECT unnest({toks_text}) AS w FROM documents
+         WHERE {norm_text} != '' AND doc_id % 3 = 0)
+      UNION SELECT '<s>' UNION SELECT '</s>' UNION SELECT '<unk>'),
+mw AS (SELECT ord, gram, lp, bw, string_split(gram, ' ') AS ws FROM m5),
+bad AS (SELECT DISTINCT gram FROM
+          (SELECT gram, unnest(ws) AS w FROM mw)
+        WHERE w NOT IN (SELECT w FROM v))
+SELECT ord AS "order",
+       ws[1] AS w1,
+       CASE WHEN len(ws) >= 2 THEN ws[2] END AS w2,
+       CASE WHEN len(ws) >= 3 THEN ws[3] END AS w3,
+       CASE WHEN len(ws) >= 4 THEN ws[4] END AS w4,
+       CASE WHEN len(ws) >= 5 THEN ws[5] END AS w5,
+       lp AS log10_p, bw AS log10_bow
+FROM mw WHERE gram NOT IN (SELECT gram FROM bad)
 """
 
     # kneser_ney5(_modified): replay the order-5 generic trainer (raw

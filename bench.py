@@ -263,6 +263,7 @@ HEADLINE = [
     # (save → load → append → dedup) promoted into the gate.
     "arpa_score_o5",
     "arpa_score_unk",
+    "arpa_filter",
     "kneser_ney5",
     "kneser_ney5_modified",
     "minhash_ingest",

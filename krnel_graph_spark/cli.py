@@ -545,6 +545,44 @@ def cmd_arpa_score(args) -> int:
     return 0
 
 
+def cmd_arpa_filter(args) -> int:
+    """The KenLM ``filter`` tool from the shell: vocabulary-filter a
+    ``.arpa`` backoff model to a parquet corpus and write the smaller
+    model back out as ``.arpa`` (scores corpus-vocabulary text
+    identically to the full model — the filter guarantee). Prints a
+    one-line JSON summary with per-order gram counts before/after."""
+    import json as _json
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from .functions.arpa import _write_arpa, arpa_filter, arpa_load
+    from .runners.spark_runner import get_spark
+
+    spark = get_spark("cli-arpa-filter")
+    rows = arpa_load(spark, args.model)
+    small = arpa_filter(
+        rows, spark.read.parquet(args.src), args.text_column
+    ).localCheckpoint(eager=True)
+    counts = {
+        "before": {
+            int(r["order"]): r["n"]
+            for r in rows.groupBy("order").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        },
+        "after": {
+            int(r["order"]): r["n"]
+            for r in small.groupBy("order").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        },
+    }
+    max_order = max(counts["after"])
+    _write_arpa(small, args.out, max_order)
+    print(_json.dumps({"ngrams": counts, "out": args.out}))
+    return 0
+
+
 def cmd_config(args) -> int:
     """Get or set engine configuration (reference ``cli.py:608-646``).
 
@@ -803,6 +841,20 @@ def build_parser() -> argparse.ArgumentParser:
         "are built (KenLM-faithful on external models)",
     )
     p_ascore.set_defaults(fn=cmd_arpa_score)
+
+    p_afilter = sub.add_parser(
+        "arpa-filter",
+        help="vocabulary-filter a .arpa model to a parquet corpus "
+        "(the KenLM `filter` tool): the smaller model scores "
+        "corpus-vocabulary text identically",
+    )
+    p_afilter.add_argument("model", help=".arpa file path (driver-local)")
+    p_afilter.add_argument(
+        "src", help="parquet dir of the corpus defining the vocabulary"
+    )
+    p_afilter.add_argument("text_column")
+    p_afilter.add_argument("out", help="output .arpa path (driver-local)")
+    p_afilter.set_defaults(fn=cmd_arpa_filter)
     return parser
 
 

@@ -51,6 +51,7 @@ __all__ = [
     "kneser_ney3_export_arpa",
     "arpa_load",
     "arpa_score",
+    "arpa_filter",
 ]
 
 # rows per createDataFrame batch in arpa_load (patchable in tests to
@@ -844,4 +845,77 @@ def arpa_score(
             n_oov_agg,
             F.sum("__term").cast("double").alias("logprob_sum"),
         )
+    )
+
+
+def arpa_filter(
+    rows: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    keep: "tuple[str, ...]" = ("<s>", "</s>", "<unk>"),
+) -> DataFrame:
+    """Vocabulary-filter a backoff model to a target corpus — the
+    KenLM ``filter`` tool (``filter union`` mode) re-expressed as two
+    model-bounded joins: keep exactly the n-grams whose words ALL
+    appear in the corpus vocabulary (the ``keep`` markers always
+    count as in-vocabulary, KenLM's special-casing of ``<s>``/
+    ``</s>``/``<unk>``).
+
+    The KenLM filter guarantee holds and is pinned by test: scoring
+    any text drawn from the filter corpus's vocabulary (with or
+    without markers, any ``oov_mode``) against the filtered model is
+    IDENTICAL to scoring it against the full model — every gram or
+    context such a query can digest consists of corpus-vocabulary
+    words, so a row the filter dropped could never have matched.
+    Prefix- and suffix-closure survive filtering for the same reason:
+    a kept gram's sub-grams contain a subset of its words.
+
+    Why it exists: perplexity-filter models are trained on web-scale
+    corpora but SERVED against narrower domains — a filtered model is
+    often 10-100x smaller (the Zipf tail of a web vocabulary is
+    almost all of the n-gram table), which matters when every scoring
+    join ships the model to executors. Filter once, save the frame,
+    serve the small model.
+
+    Scale shape: one corpus scan (token explode -> distinct digests,
+    vocabulary-bounded), then gram-word explode over the MODEL (rows x
+    order words), one left-anti join against the vocabulary to find
+    offending grams, one left-anti join back onto ``rows`` keyed on
+    the gram digest. No driver-side collect anywhere; the output is a
+    plain rows frame for :func:`arpa_score`, ``_write_arpa``, or
+    parquet.
+    """
+    from .text import normalize_text, whitespace_tokens
+
+    # rows feeds TWO consumers (the word explode and the final
+    # anti-join) — a non-eager localCheckpoint materializes an
+    # expensive lineage (e.g. straight from an exporter) once instead
+    # of per branch, the arpa_score convention
+    rows = rows.localCheckpoint(eager=False)
+    wcols = _word_cols(rows)
+    spark = rows.sparkSession
+    vocab = (
+        corpus.filter(normalize_text(F.col(text_col)) != "")
+        .select(F.explode(whitespace_tokens(F.col(text_col))).alias("__w"))
+        .unionByName(
+            spark.createDataFrame([(k,) for k in keep], "__w string")
+        )
+        .select(F.md5("__w").alias("__wd"))
+        .distinct()
+    )
+    gram_digest = F.md5(F.concat_ws(" ", *wcols))
+    offending = (
+        rows.select(
+            gram_digest.alias("__gd"),
+            F.explode(F.array_compact(F.array(*wcols))).alias("__w"),
+        )
+        .select("__gd", F.md5("__w").alias("__wd"))
+        .join(vocab, "__wd", "left_anti")
+        .select("__gd")
+        .distinct()
+    )
+    return (
+        rows.withColumn("__gd", gram_digest)
+        .join(offending, "__gd", "left_anti")
+        .drop("__gd")
     )

@@ -719,3 +719,99 @@ def test_write_arpa_null_bow_writes_zero(spark, tmp_path):
     assert again.filter(
         (again["order"] == 1) & (again["w1"] == "<unk>")
     ).collect()[0]["log10_bow"] == 0.0
+
+
+# --------------------------------------------------------------------- #
+# arpa_filter — the KenLM `filter` tool (r14)                            #
+# --------------------------------------------------------------------- #
+
+
+def test_arpa_filter_drops_out_of_vocab_grams(spark, tmp_path):
+    """Keep exactly the n-grams whose words all appear in the filter
+    corpus's vocabulary; <s>/</s>/<unk> always count as in-vocab."""
+    from krnel_graph_spark.functions.arpa import arpa_filter
+
+    rows = _load5(spark, tmp_path)
+    corpus = spark.createDataFrame(
+        [(0, "a b"), (1, "b a")], "doc_id long, text string"
+    )
+    got = arpa_filter(rows, corpus, "text").collect()
+    kept = {
+        tuple(w for w in (r.w1, r.w2, r.w3, r.w4, r.w5) if w is not None)
+        for r in got
+    }
+    # "c" is out of vocabulary: every gram containing it is gone;
+    # markers and <unk> survive although the corpus never mentions them
+    assert ("a", "b") in kept and ("<s>", "a") in kept
+    assert ("<unk>", "b") in kept and ("<unk>",) in kept
+    assert ("<s>",) in kept and ("</s>",) in kept
+    assert not any("c" in g for g in kept)
+    # subset of the full model, nothing mutated
+    full = {
+        (
+            r.order,
+            r.w1, r.w2, r.w3, r.w4, r.w5,
+            r.log10_p, r.log10_bow,
+        )
+        for r in rows.collect()
+    }
+    assert all(
+        (
+            r.order, r.w1, r.w2, r.w3, r.w4, r.w5, r.log10_p, r.log10_bow,
+        )
+        in full
+        for r in got
+    )
+    # prefix closure survives: every kept k>1 gram's context is kept
+    for g in kept:
+        if len(g) > 1:
+            assert g[:-1] in kept, g
+
+
+def test_arpa_filter_score_identity_on_corpus_vocab(spark, tmp_path):
+    """The KenLM filter guarantee: any text drawn from the filter
+    corpus's vocabulary scores IDENTICALLY against the filtered and
+    the full model — in every mode combination."""
+    from krnel_graph_spark.functions.arpa import arpa_filter, arpa_score
+
+    rows = _load5(spark, tmp_path)
+    corpus = spark.createDataFrame(
+        [(0, "a b c"), (1, "c b")], "doc_id long, text string"
+    )
+    small = arpa_filter(rows, corpus, "text")
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "c a b"), (2, "b"), (3, "a c c b a")],
+        "doc_id long, text string",
+    )
+    for kw in (
+        {},
+        {"bos": True, "eos": True},
+        {"oov_mode": "unk"},
+        {"bos": True, "eos": True, "oov_mode": "unk"},
+    ):
+        want = sorted(
+            map(tuple, arpa_score(rows, docs, "text", "doc_id", **kw).collect())
+        )
+        got = sorted(
+            map(tuple, arpa_score(small, docs, "text", "doc_id", **kw).collect())
+        )
+        assert got == want, kw
+
+
+def test_arpa_filter_roundtrips_through_file(spark, tmp_path):
+    """A filtered frame is a valid standalone model: write_arpa with
+    recomputed header counts, load back, exact row identity."""
+    from krnel_graph_spark.functions.arpa import (
+        _write_arpa,
+        arpa_filter,
+        arpa_load,
+    )
+
+    rows = _load5(spark, tmp_path)
+    corpus = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    small = arpa_filter(rows, corpus, "text")
+    out = tmp_path / "small.arpa"
+    _write_arpa(small, str(out), 5)
+    back = arpa_load(spark, str(out))
+    assert back.exceptAll(small).count() == 0
+    assert small.exceptAll(back).count() == 0

@@ -469,3 +469,59 @@ def test_cli_arpa_score(tmp_path, capsys):
     }
     assert got == want
     assert summary["tokens"] == sum(v[0] for v in want.values())
+
+
+def test_cli_arpa_filter(tmp_path, capsys):
+    """Export → arpa-filter from the shell: the written sub-model
+    drops out-of-vocabulary grams, reports per-order counts, and
+    scores filter-corpus text identically to the full model."""
+    import json as _json
+
+    from krnel_graph_spark.cli import main
+    from krnel_graph_spark.runners.spark_runner import get_spark
+
+    spark = get_spark("test-cli-arpa-filter")
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the dog sat on the log")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    model = str(tmp_path / "m3.arpa")
+    assert main(["arpa-export", src, "text", model, "--order", "3"]) == 0
+    capsys.readouterr()
+
+    sub = str(tmp_path / "sub")
+    spark.createDataFrame(
+        [(0, "the cat sat")], "doc_id long, text string"
+    ).write.parquet(sub)
+    out = str(tmp_path / "small.arpa")
+    assert main(["arpa-filter", model, sub, "text", out]) == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["out"] == out
+    before = summary["ngrams"]["before"]
+    after = summary["ngrams"]["after"]
+    assert sum(after.values()) < sum(before.values())
+
+    from krnel_graph_spark.functions.arpa import arpa_load, arpa_score
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "cat the the sat")],
+        "doc_id long, text string",
+    )
+    want = sorted(
+        map(
+            tuple,
+            arpa_score(
+                arpa_load(spark, model), docs, "text", "doc_id"
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            arpa_score(
+                arpa_load(spark, out), docs, "text", "doc_id"
+            ).collect(),
+        )
+    )
+    assert got == want

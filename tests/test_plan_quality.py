@@ -677,6 +677,18 @@ def test_arpa_score_unk_rewrite_shape(spark, entry):
     assert plan.count("Scan parquet") <= 2
 
 
+def test_arpa_filter_is_two_model_bounded_joins(spark, entry):
+    """arpa_filter: one corpus scan for the vocabulary, a word explode
+    over the (checkpointed) model, and two hash anti-joins — no
+    Cartesian product, no driver-side collect in the plan."""
+    plan = _plan(spark, entry, "arpa_filter")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    # the checkpointed rows frame is the model source on both branches
+    assert "ExistingRDD" in plan
+    assert plan.count("Scan parquet") <= 2
+
+
 def test_kneser_ney5_sections_are_model_sized(spark, entry):
     """The order-5 trainer + ARPA rows builder: every section joins
     type-table-bounded count frames (the MODEL), the 1-row scalars ride

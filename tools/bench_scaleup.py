@@ -580,6 +580,39 @@ def _extra_queries():
             bos=True, eos=True,
         )
 
+    def arpa_filter_x40(s):
+        # mid-r14: the KenLM `filter` tool at x40 — vocabulary-filter
+        # the persisted order-5 model (built by arpa_serve_o5_x40's
+        # warm path) to a 1/3 sub-corpus. Cost = one corpus scan for
+        # the vocabulary + two model-bounded joins; the returned frame
+        # is the smaller servable model.
+        import os as _os
+
+        from pyspark.sql import functions as F  # noqa: N812
+
+        from krnel_graph_spark.functions.arpa import arpa_filter
+
+        docs = s.read.parquet(f"{OUT}/documents.parquet")
+        rows_path = f"{OUT}/__arpa_rows_o5_day0"
+        if not _os.path.isdir(rows_path):
+            from krnel_graph_spark.functions.ngram_lm import (
+                kneser_ney_ngram_arpa_rows,
+                kneser_ney_ngram_train,
+            )
+
+            lm = kneser_ney_ngram_train(
+                docs.filter(F.col("doc_id") % 5 == 0), "text", order=5
+            )
+            kneser_ney_ngram_arpa_rows(lm).write.mode("overwrite").parquet(
+                rows_path
+            )
+            lm["_pinned_counts"].unpersist()
+        return arpa_filter(
+            s.read.parquet(rows_path),
+            docs.filter(F.col("doc_id") % 3 == 0),
+            "text",
+        )
+
     def kneser_ney5_x40(s):
         # r14: order-5 KN TRAINING at x40 — the train-once artifact
         # cost. One corpus scan explodes all five gram orders into the
@@ -603,6 +636,7 @@ def _extra_queries():
         "minhash_ingest_x40": minhash_ingest_x40,
         "arpa_serve_x40": arpa_serve_x40,
         "arpa_serve_o5_x40": arpa_serve_o5_x40,
+        "arpa_filter_x40": arpa_filter_x40,
         "kneser_ney5_x40": kneser_ney5_x40,
         "ann_index_search_x20": ann_index_search_x20,
         "recall_probe_x20": recall_probe_x20,
