@@ -7,7 +7,7 @@ perplexity filters ship order-5 KenLM models); this module lets the
 engine BUILD them too: ``kneser_ney_ngram_train(df, col, order=5)``
 generalizes the :func:`~krnel_graph_spark.functions.text.
 kneser_ney3_train` count-table recursion (its trigram path is the
-template; see text.py:2270), and ``kneser_ney_ngram_arpa_rows``
+template; see text.py:2259), and ``kneser_ney_ngram_arpa_rows``
 generalizes the ARPA encoding in ``functions/arpa.py`` — so scoring,
 file export (``_write_arpa``) and import (``arpa_load``) all reuse the
 order-generic consumer machinery unchanged.
@@ -31,8 +31,9 @@ Model structure (interpolated KN, single score-time discount ``D``):
   the order-2/3 trainers (``B``/``Vc``/``V`` scalars).
 
 Scale shape: ONE corpus scan explodes every gram order at once
-(k=1..N from the same token array — the kn3 trainer pays one scan per
-order); the single ``groupBy(k, w1..wN)`` reduces to a type table that
+(k=1..N from the same token array — the dedicated kn2/kn3 trainers
+paid one scan per order until they became rename adapters over this
+one, mid-r14); the single ``groupBy(k, w1..wN)`` reduces to a type table that
 every later frame derives from, so the persisted pin is one frame, not
 two. All derived frames are type-table-bounded (the MODEL, never the
 corpus); the rows builder is broadcast-scalar + type-table joins with
