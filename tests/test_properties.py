@@ -549,3 +549,63 @@ def test_winnow_fingerprints_matches_python_oracle(spark, texts):
             expect.add((doc_id, j + off, grams[j + off]))
         assert sum(1 for d, _, _ in expect if d == doc_id) <= n_win
     assert got == sorted(expect)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "ee"]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    order=st.integers(2, 5),
+    modified=st.booleans(),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_generic_kn_matches_python_reference_property(
+    spark, docs, order, modified
+):
+    """Random tiny corpora × random order × fixed/modified discount:
+    the full train → ARPA rows → arpa_score path reproduces the
+    independent Python Kneser-Ney references (the test_ngram_lm pins,
+    hypothesis-driven — degenerate corpora included: empty docs,
+    all-identical docs, docs shorter than the order)."""
+    import pytest as _pytest
+
+    from test_ngram_lm import _PyKN, _PyMKN
+
+    from krnel_graph_spark.functions.arpa import arpa_score
+    from krnel_graph_spark.functions.ngram_lm import (
+        kneser_ney_ngram_arpa_rows,
+        kneser_ney_ngram_train,
+    )
+
+    texts = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    lm = kneser_ney_ngram_train(df, "text", order=order)
+    try:
+        rows = kneser_ney_ngram_arpa_rows(
+            lm, discount="modified" if modified else 0.75
+        )
+        cls = _PyMKN if modified else _PyKN
+        ref = cls([t for t in docs if t], order)
+        got = {
+            r.doc_id: (r.n_tokens, r.logprob_sum)
+            for r in arpa_score(rows, df, "text", "doc_id").collect()
+        }
+        for i, t in enumerate(docs):
+            if not t:
+                assert i not in got
+                continue
+            assert got[i][0] == len(t)
+            want = ref.doc(t)
+            assert got[i][1] == _pytest.approx(
+                want, abs=1e-4 * len(t)
+            ), (t, order, modified)
+    finally:
+        for key in lm:
+            if key.startswith("_pinned"):
+                lm[key].unpersist()
