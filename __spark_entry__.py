@@ -4008,6 +4008,32 @@ def q_kneser_ney5_modified(spark, sf_dir):
     return kneser_ney_ngram_arpa_rows(lm, discount="modified")
 
 
+def q_kneser_ney5_pruned(spark, sf_dir):
+    """Per-level listing pruning (mid-r14) — KenLM ``lmplz --prune``'s
+    shape on the order-5 trainer: thresholds (0, 0, 1, 1) drop
+    singleton level-4/5 grams from the LISTINGS while contexts of
+    surviving higher grams stay (top-down kept-set recursion = ARPA
+    prefix closure; unigrams never pruned). Documented min_count-style
+    semantics: stats and backoff weights stay UNPRUNED, so kept rows
+    are bit-identical to the unpruned export and a pruned gram falls
+    through to the already-discounted backoff — never a better score
+    (pinned in tests/test_ngram_lm.py along with an independent Python
+    kept-set recursion and the pruned-file roundtrip). The oracle adds
+    kept-set CTEs + per-section inner joins to the kn5 replay. This is
+    THE lever that makes a web-scale model servable: the Zipf tail of
+    singleton 4/5-grams is most of the table."""
+    from krnel_graph_spark.functions.ngram_lm import (
+        kneser_ney_ngram_arpa_rows,
+        kneser_ney_ngram_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lm = kneser_ney_ngram_train(
+        docs.filter(F.col("doc_id") % 5 == 0), "text", order=5
+    )
+    return kneser_ney_ngram_arpa_rows(lm, prune=(0, 0, 1, 1))
+
+
 def q_bm25_index_search(spark, sf_dir):
     """BM25 served from the persistable index artifact
     (functions/text.py:bm25_index — postings/term_df/stats frames,
@@ -4029,18 +4055,21 @@ def q_bm25_index_search(spark, sf_dir):
 # the full local gate, so its slot goes to older evidence), then the
 # ENTIRE r9 remainder (oldest driver records after the r13 rotation),
 # then the head of the r10 block in COVERAGE.md order.
-# (r15 rotation queue: small_qty_q17 (displaced mid-r14 by
-# arpa_filter's first driver row), then the r10 remainder —
+# (r15 rotation queue: supplier_cnt_q16 and small_qty_q17 (displaced
+# mid-r14 by arpa_filter's and kneser_ney5_pruned's first driver
+# rows), then the r10 remainder —
 # large_orders_q18, disjunct_q19, rich_no_orders_q22,
 # min_cost_supplier_q2, product_profit_q9, important_stock_q11,
 # top_supplier_q15, and the rest of the r10 block in COVERAGE order —
 # then r11 ages back in. Rows-only remains ZERO: 225/225
 # oracle-backed.)
 _R14_WINDOW = [
-    # new this round (arpa_filter landed mid-round and takes the last
-    # r10-block slot; small_qty_q17 moves to the r15 queue head)
+    # new this round (arpa_filter and kneser_ney5_pruned landed
+    # mid-round and take the last two r10-block slots; supplier_cnt_q16
+    # and small_qty_q17 move to the r15 queue head)
     "arpa_score_o5", "arpa_score_unk", "kneser_ney5",
     "kneser_ney5_modified", "minhash_ingest", "arpa_filter",
+    "kneser_ney5_pruned",
     # the r9 remainder: every query whose newest driver record is r9
     "connected_components", "hash_sample", "stratified_sample",
     "shuffle_export", "decontaminate", "repetition_stats",
@@ -4055,7 +4084,7 @@ _R14_WINDOW = [
     "lead_lag", "sql_entry", "dedup_weights", "span_corruption",
     "span_corruption_text", "winnow_fp", "winnow_pairs", "semi_join_q4",
     "volume_q7", "market_share_q8", "returned_topk_q10", "order_dist_q13",
-    "promo_share_q14", "supplier_cnt_q16",
+    "promo_share_q14",
 ]
 
 
@@ -4124,6 +4153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arpa_score_o5": q_arpa_score_o5,
         "arpa_score_unk": q_arpa_score_unk,
         "arpa_filter": q_arpa_filter,
+        "kneser_ney5_pruned": q_kneser_ney5_pruned,
         "kneser_ney5": q_kneser_ney5,
         "kneser_ney5_modified": q_kneser_ney5_modified,
         "audio_features_stub": q_audio_features_stub,
@@ -9521,7 +9551,7 @@ FROM mw WHERE gram NOT IN (SELECT gram FROM bad)
          greatest(0.0, least(3.0 - 4.0 * {y} * {t[4]} / {t[3]}, 3.0))
        ELSE 0.75 END AS d3 FROM {coc}"""
 
-    def _kn5_sql(modified: bool) -> str:
+    def _kn5_sql(modified: bool, prune: "tuple | None" = None) -> str:
         kn5 = [
             f"tt AS (SELECT {toks_text} AS toks FROM documents"
             f" WHERE {norm_text} != '' AND doc_id % 5 = 0)"
@@ -9597,6 +9627,23 @@ FROM mw WHERE gram NOT IN (SELECT gram FROM bad)
             + " UNION ALL ".join(w_parts)
             + "))"
         )
+        if prune:
+            # top-down kept-set recursion: level-k events above their
+            # threshold ∪ prefixes of kept_{k+1} (prefix closure);
+            # UNION dedups, so the per-section inner join never dups
+            for k in range(5, 1, -1):
+                t = prune[k - 2]
+                src, cval = ("raw5", "c") if k == 5 else (f"cont{k}", "cc")
+                keys = ", ".join(f"w{i}" for i in range(1, k + 1))
+                ext = (
+                    f" UNION SELECT {keys} FROM kept{k + 1}"
+                    if k < 5
+                    else ""
+                )
+                kn5.append(
+                    f"kept{k} AS (SELECT {keys} FROM {src}"
+                    f" WHERE {cval} > {t}{ext})"
+                )
 
         def bow_sql(mass: str, tot: str) -> str:
             if modified:
@@ -9720,10 +9767,16 @@ FROM mw WHERE gram NOT IN (SELECT gram FROM bad)
                 )
             else:
                 bow = "NULL::DOUBLE"
+            kj = ""
+            if prune:
+                on = " AND ".join(
+                    f"kp.w{i} = g{i}" for i in range(1, k + 1)
+                )
+                kj = f" JOIN kept{k} kp ON {on}"
             kn5.append(
                 f'sec{k} AS (SELECT {k} AS "order", {wsel},'
                 f" round(log10(p{k}), 6) AS log10_p, {bow} AS log10_bow"
-                f" FROM s{k}p{k})"
+                f" FROM s{k}p{k}{kj})"
             )
         nulls15 = ", ".join(f"NULL::VARCHAR AS w{i}" for i in range(2, 6))
         ucls = (
@@ -9761,6 +9814,7 @@ FROM mw WHERE gram NOT IN (SELECT gram FROM bad)
 
     out["kneser_ney5"] = _kn5_sql(False)
     out["kneser_ney5_modified"] = _kn5_sql(True)
+    out["kneser_ney5_pruned"] = _kn5_sql(False, prune=(0, 0, 1, 1))
 
     # the index-served path is output-identical to the inline scan, so
     # the oracle is literally the same SQL (the dedup_against_index /

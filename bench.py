@@ -266,6 +266,7 @@ HEADLINE = [
     "arpa_filter",
     "kneser_ney5",
     "kneser_ney5_modified",
+    "kneser_ney5_pruned",
     "minhash_ingest",
 ]
 

@@ -458,13 +458,29 @@ def cmd_arpa_export(args) -> int:
     per-class discounts in; ``--min-count`` prunes the top-order
     lookup table KenLM-style — both at every order (order 3 keeps the
     pinned kn3 trainer; 2/4/5 route through the generic trainer, whose
-    order-2/3 outputs are row-identical to the pinned exporters)."""
+    order-2/3 outputs are row-identical to the pinned exporters).
+    ``--prune`` adds per-level listing thresholds (``lmplz --prune``'s
+    shape; any pruned export rides the generic path)."""
     from .functions.arpa import kneser_ney3_export_arpa
     from .runners.spark_runner import get_spark
 
     spark = get_spark("cli-arpa-export")
     df = spark.read.parquet(args.src)
-    if args.order == 3:
+    prune = None
+    if args.prune:
+        try:
+            prune = tuple(int(t) for t in args.prune.split(","))
+        except ValueError:
+            print("--prune wants comma-separated ints", file=sys.stderr)
+            return 2
+        if len(prune) != args.order - 1 or any(t < 0 for t in prune):
+            print(
+                f"--prune wants {args.order - 1} thresholds >= 0 "
+                f"(levels 2..{args.order})",
+                file=sys.stderr,
+            )
+            return 2
+    if args.order == 3 and not prune:
         from .functions.text import kneser_ney3_train
 
         lm3 = kneser_ney3_train(
@@ -477,6 +493,9 @@ def cmd_arpa_export(args) -> int:
             base_discount=args.discount,
         )
     else:
+        # any pruned export rides the generic path (order-3 output is
+        # pinned row-identical to the kn3 exporter's, so the route
+        # only changes when --prune asks for what kn3 doesn't have)
         from .functions.ngram_lm import (
             kneser_ney_ngram_export_arpa,
             kneser_ney_ngram_train,
@@ -491,6 +510,7 @@ def cmd_arpa_export(args) -> int:
             args.out,
             discount="modified" if args.modified else args.discount,
             base_discount=args.discount,
+            prune=prune,
         )
     print(args.out)
     return 0
@@ -812,6 +832,12 @@ def build_parser() -> argparse.ArgumentParser:
     p_arpa.add_argument(
         "--min-count", type=int, default=1,
         help="prune top-order types below this count (any order)",
+    )
+    p_arpa.add_argument(
+        "--prune", default="",
+        help="per-level listing thresholds for levels 2..order, "
+        "comma-separated (lmplz --prune's shape, e.g. '0,0,1,1'); "
+        "stats/backoff weights stay unpruned",
     )
     p_arpa.set_defaults(fn=cmd_arpa_export)
 

@@ -270,6 +270,7 @@ def kneser_ney_ngram_arpa_rows(
     lm: "dict[str, DataFrame]",
     discount: "float | str" = 0.75,
     base_discount: float = 0.75,
+    prune: "tuple[int, ...] | None" = None,
 ) -> DataFrame:
     """The order-N artifact as ARPA rows ``(order, w1..wN, log10_p,
     log10_bow)`` — the frame :func:`~krnel_graph_spark.functions.arpa.
@@ -290,6 +291,21 @@ def kneser_ney_ngram_arpa_rows(
     output is likewise row-identical to the kn3 exporter's (pinned).
     Degenerate levels fall back to ``base_discount``.
 
+    ``prune`` adds PER-LEVEL count-threshold pruning (KenLM ``lmplz
+    --prune``'s shape): a tuple of ``order - 1`` non-negative ints,
+    thresholds for levels ``2..N`` — a level-k gram whose count
+    (raw count at the top, continuation count below) is ``<=`` its
+    threshold is dropped from section k's LISTING, except that
+    contexts of surviving higher-order grams stay (ARPA prefix
+    closure, computed by a top-down kept-set recursion; unigrams are
+    never pruned, KenLM's rule). Semantics deviation, documented like
+    the ``min_count`` one: stats and backoff weights stay UNPRUNED (no
+    lmplz-style renormalization), so kept rows are bit-identical to
+    the unpruned export and a pruned gram falls through to the
+    already-discounted backoff — never a better score (pinned by
+    test). ``min_count`` composes: it pre-prunes the top table at
+    train time, ``prune`` further thins the listings at export time.
+
     Every section is a type-table-bounded frame. Levels CHAIN instead
     of every section re-joining the whole lower-level stat ladder:
     level j's frame (its grams + the full interpolated ``P_j``) joins
@@ -305,6 +321,17 @@ def kneser_ney_ngram_arpa_rows(
     if not (0.0 < D < 1.0):
         raise ValueError("discount must be in (0, 1)")
     n = _ngram_order(lm)
+    if prune is not None:
+        prune = tuple(int(t) for t in prune)
+        if len(prune) != n - 1:
+            raise ValueError(
+                f"prune needs {n - 1} thresholds (levels 2..{n}), "
+                f"got {len(prune)}"
+            )
+        if any(t < 0 for t in prune):
+            raise ValueError("prune thresholds must be >= 0")
+        if not any(prune):
+            prune = None
     if modified and "coc" not in lm:
         raise ValueError(
             "lm missing frame 'coc' — discount='modified' needs the "
@@ -521,9 +548,37 @@ def kneser_ney_ngram_arpa_rows(
     for j in range(1, n + 1):
         prev = level_frame(j, prev).localCheckpoint(eager=False)
         frames[j] = prev
+
+    # per-level pruning: top-down kept-set recursion. kept_k = level-k
+    # events above their threshold ∪ prefixes of kept_{k+1} (prefix
+    # closure); each set is model-bounded and ⊆ the section's own
+    # listing, so the semi-join only ever thins. Values are untouched
+    # — kept rows are bit-identical to the unpruned export.
+    kept: dict[int, DataFrame] = {}
+    if prune is not None:
+        for k in range(n, 1, -1):
+            t = prune[k - 2]
+            src = lm["top"] if k == n else lm[f"cont{k}"]
+            cnt_col = "c" if k == n else "cc"
+            ev = src.filter(F.col(cnt_col) > F.lit(t)).select(
+                *[F.col(f"w{i}") for i in range(1, k + 1)]
+            )
+            if k < n:
+                ev = ev.unionByName(
+                    kept[k + 1].select(
+                        *[F.col(f"w{i}") for i in range(1, k + 1)]
+                    )
+                )
+            kept[k] = ev.distinct()
+
     out = section(1, frames[1]).unionByName(unk)
     for k in range(2, n + 1):
-        out = out.unionByName(section(k, frames[k]))
+        sec = section(k, frames[k])
+        if prune is not None:
+            sec = sec.join(
+                kept[k], [f"w{i}" for i in range(1, k + 1)], "left_semi"
+            )
+        out = out.unionByName(sec)
     return out
 
 
@@ -532,17 +587,22 @@ def kneser_ney_ngram_export_arpa(
     path: str,
     discount: "float | str" = 0.75,
     base_discount: float = 0.75,
+    prune: "tuple[int, ...] | None" = None,
 ) -> None:
     """Write an order-N artifact as a standard ``.arpa`` file any
     KenLM-consuming pipeline reads (the order-generic ``_write_arpa``
     sink; ``path`` is driver-local — one text file, single-writer).
     ``discount="modified"`` bakes the per-class discounts in (an ARPA
-    file is discount-baked by nature — export once per smoothing)."""
+    file is discount-baked by nature — export once per smoothing);
+    ``prune`` thins the listings per level (see
+    :func:`kneser_ney_ngram_arpa_rows` — header counts reflect the
+    pruned sections)."""
     from .arpa import _write_arpa
 
     _write_arpa(
         kneser_ney_ngram_arpa_rows(
-            lm, discount=discount, base_discount=base_discount
+            lm, discount=discount, base_discount=base_discount,
+            prune=prune,
         ),
         path,
         _ngram_order(lm),

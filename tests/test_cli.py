@@ -525,3 +525,49 @@ def test_cli_arpa_filter(tmp_path, capsys):
         )
     )
     assert got == want
+
+
+def test_cli_arpa_export_prune(tmp_path, capsys):
+    """--prune thins the listings per level; bad shapes refuse."""
+    import re
+
+    from krnel_graph_spark.cli import main
+    from krnel_graph_spark.runners.spark_runner import get_spark
+
+    spark = get_spark("test-cli-arpa-prune")
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the dog sat on the log"),
+         (2, "the cat sat on the rug")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    full = str(tmp_path / "full.arpa")
+    assert main(["arpa-export", src, "text", full, "--order", "4"]) == 0
+    capsys.readouterr()
+    pruned = str(tmp_path / "pruned.arpa")
+    assert main(
+        ["arpa-export", src, "text", pruned, "--order", "4",
+         "--prune", "0,1,1"]
+    ) == 0
+    capsys.readouterr()
+
+    def counts(path):
+        return {
+            int(m[1]): int(m[2])
+            for m in re.finditer(
+                r"ngram (\d)=(\d+)", open(path, encoding="utf-8").read()
+            )
+        }
+    cf, cp = counts(full), counts(pruned)
+    assert cp[1] == cf[1]  # unigrams never pruned
+    assert sum(cp.values()) < sum(cf.values())
+
+    assert main(
+        ["arpa-export", src, "text", pruned, "--order", "4",
+         "--prune", "1,2"]
+    ) == 2
+    assert main(
+        ["arpa-export", src, "text", pruned, "--order", "4",
+         "--prune", "a,b,c"]
+    ) == 2

@@ -450,3 +450,149 @@ def test_ngram_save_load_roundtrip(spark, tmp_path):
     shutil.rmtree(f"{path}/cont3")
     with pytest.raises(ValueError, match="cont3"):
         kneser_ney_ngram_load(spark, path)
+
+
+# --------------------------------------------------------------------- #
+# per-level pruning (mid-r14) — KenLM lmplz --prune's shape              #
+# --------------------------------------------------------------------- #
+
+
+def _py_kept_sets(docs, order, prune):
+    """Independent top-down kept-set recursion: level-k events above
+    threshold ∪ prefixes of kept_{k+1}."""
+    raw = {k: Counter() for k in range(1, order + 1)}
+    for t in docs:
+        for k in range(1, order + 1):
+            for i in range(len(t) - k + 1):
+                raw[k][tuple(t[i:i + k])] += 1
+    cc = {}
+    for k in range(2, order):
+        c = Counter()
+        for g in raw[k + 1]:
+            c[g[1:]] += 1
+        cc[k] = c
+    kept = {}
+    for k in range(order, 1, -1):
+        src = raw[order] if k == order else cc[k]
+        s = {g for g, c in src.items() if c > prune[k - 2]}
+        if k < order:
+            s |= {g[:-1] for g in kept[k + 1]}
+        kept[k] = s
+    return kept
+
+
+@pytest.mark.parametrize("order,prune", [
+    (3, (0, 1)),
+    (5, (0, 0, 1, 1)),
+    (5, (1, 1, 1, 1)),
+])
+def test_pruned_rows_are_kept_subset_of_unpruned(spark, order, prune):
+    """prune thins the listings to exactly the kept-set recursion; kept
+    rows are BIT-identical to the unpruned export (stats unpruned, no
+    renormalization — the documented min_count-style semantics), and
+    ARPA prefix closure survives."""
+    from krnel_graph_spark.functions.ngram_lm import (
+        kneser_ney_ngram_arpa_rows,
+        kneser_ney_ngram_train,
+    )
+
+    df = _docs_df(spark)
+    lm = kneser_ney_ngram_train(df, "text", order=order)
+    full = kneser_ney_ngram_arpa_rows(lm).collect()
+    pruned = kneser_ney_ngram_arpa_rows(lm, prune=prune).collect()
+
+    wc = [f"w{i}" for i in range(1, order + 1)]
+
+    def key(r):
+        return (r["order"],) + tuple(r[w] for w in wc)
+
+    full_by_key = {key(r): (r["log10_p"], r["log10_bow"]) for r in full}
+    kept_ref = _py_kept_sets(
+        [t for _, s in TEXTS if (t := _toks(s))], order, prune
+    )
+    listed = {k: set() for k in range(1, order + 1)}
+    for r in pruned:
+        o = r["order"]
+        g = tuple(r[w] for w in wc[:o])
+        listed[o].add(g)
+        # value identity with the unpruned export
+        assert (r["log10_p"], r["log10_bow"]) == full_by_key[key(r)]
+    # section 1 never pruned: identical listing
+    assert listed[1] == {
+        (r["w1"],) for r in full if r["order"] == 1
+    }
+    for k in range(2, order + 1):
+        assert listed[k] == kept_ref[k], k
+        # strictly thinner somewhere when the threshold bites
+        full_k = {
+            tuple(r[w] for w in wc[:k]) for r in full if r["order"] == k
+        }
+        assert listed[k] <= full_k
+    assert any(
+        listed[k] < {
+            tuple(r[w] for w in wc[:k]) for r in full if r["order"] == k
+        }
+        for k in range(2, order + 1)
+    ), "prune thresholds never bit on this corpus"
+    # prefix closure
+    for k in range(2, order + 1):
+        for g in listed[k]:
+            assert g[:-1] in listed[k - 1], g
+
+
+def test_pruned_model_never_scores_better(spark):
+    """A pruned gram falls through to the already-discounted backoff:
+    per-document logprob sums can only go down (kn3's min_count
+    property, per-level-generic)."""
+    from krnel_graph_spark.functions.arpa import arpa_score
+    from krnel_graph_spark.functions.ngram_lm import (
+        kneser_ney_ngram_arpa_rows,
+        kneser_ney_ngram_train,
+    )
+
+    df = _docs_df(spark)
+    lm = kneser_ney_ngram_train(df, "text", order=4)
+    full = {
+        r.doc_id: r.logprob_sum
+        for r in arpa_score(
+            kneser_ney_ngram_arpa_rows(lm), df, "text", "doc_id"
+        ).collect()
+    }
+    pruned = {
+        r.doc_id: r.logprob_sum
+        for r in arpa_score(
+            kneser_ney_ngram_arpa_rows(lm, prune=(1, 1, 1)),
+            df, "text", "doc_id",
+        ).collect()
+    }
+    assert pruned.keys() == full.keys()
+    assert any(pruned[i] < full[i] - 1e-9 for i in full)
+    for i in full:
+        assert pruned[i] <= full[i] + 1e-9, i
+
+
+def test_prune_validation_and_file_roundtrip(spark, tmp_path):
+    from krnel_graph_spark.functions.arpa import arpa_load
+    from krnel_graph_spark.functions.ngram_lm import (
+        kneser_ney_ngram_arpa_rows,
+        kneser_ney_ngram_export_arpa,
+        kneser_ney_ngram_train,
+    )
+
+    df = _docs_df(spark)
+    lm = kneser_ney_ngram_train(df, "text", order=4)
+    with pytest.raises(ValueError, match="thresholds"):
+        kneser_ney_ngram_arpa_rows(lm, prune=(1,))
+    with pytest.raises(ValueError, match=">= 0"):
+        kneser_ney_ngram_arpa_rows(lm, prune=(0, 0, -1))
+    # all-zero prune degenerates to the unpruned export
+    z = kneser_ney_ngram_arpa_rows(lm, prune=(0, 0, 0))
+    f = kneser_ney_ngram_arpa_rows(lm)
+    assert z.exceptAll(f).count() == 0 and f.exceptAll(z).count() == 0
+    # pruned file roundtrip: header counts reflect the pruned sections
+    want = kneser_ney_ngram_arpa_rows(lm, prune=(0, 1, 1))
+    path = str(tmp_path / "p.arpa")
+    kneser_ney_ngram_export_arpa(lm, path, prune=(0, 1, 1))
+    back = arpa_load(spark, path)
+    assert back.exceptAll(want).count() == 0
+    assert want.exceptAll(back).count() == 0

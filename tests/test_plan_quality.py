@@ -689,6 +689,17 @@ def test_arpa_filter_is_two_model_bounded_joins(spark, entry):
     assert plan.count("Scan parquet") <= 2
 
 
+def test_kneser_ney5_pruned_adds_only_semi_joins(spark, entry):
+    """The prune path adds kept-set semi-joins per section on top of
+    the kn5 shape — still no Cartesian product, still corpus-scanned
+    only through the pinned type table."""
+    plan = _plan(spark, entry, "kneser_ney5_pruned")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "InMemoryTableScan" in plan
+    assert "Union" in plan
+
+
 def test_kneser_ney5_sections_are_model_sized(spark, entry):
     """The order-5 trainer + ARPA rows builder: every section joins
     type-table-bounded count frames (the MODEL), the 1-row scalars ride

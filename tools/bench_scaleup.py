@@ -630,6 +630,24 @@ def _extra_queries():
         )
         return kneser_ney_ngram_arpa_rows(lm)
 
+    def kneser_ney5_pruned_x40(s):
+        # mid-r14: per-level pruning at x40 — same train pass as
+        # kneser_ney5_x40 plus the kept-set recursion and section
+        # semi-joins; the return is the SERVABLE pruned table (the
+        # size the Zipf tail argument is about).
+        from pyspark.sql import functions as F  # noqa: N812
+
+        from krnel_graph_spark.functions.ngram_lm import (
+            kneser_ney_ngram_arpa_rows,
+            kneser_ney_ngram_train,
+        )
+
+        docs = s.read.parquet(f"{OUT}/documents.parquet")
+        lm = kneser_ney_ngram_train(
+            docs.filter(F.col("doc_id") % 5 == 0), "text", order=5
+        )
+        return kneser_ney_ngram_arpa_rows(lm, prune=(0, 0, 1, 1))
+
     return {
         "dedup_against_near_x40": dedup_against_near_x40,
         "dedup_against_index_x40": dedup_against_index_x40,
@@ -638,6 +656,7 @@ def _extra_queries():
         "arpa_serve_o5_x40": arpa_serve_o5_x40,
         "arpa_filter_x40": arpa_filter_x40,
         "kneser_ney5_x40": kneser_ney5_x40,
+        "kneser_ney5_pruned_x40": kneser_ney5_pruned_x40,
         "ann_index_search_x20": ann_index_search_x20,
         "recall_probe_x20": recall_probe_x20,
         "ann_retrain_x20": ann_retrain_x20,
