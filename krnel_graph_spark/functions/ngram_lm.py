@@ -58,6 +58,35 @@ def _wc(k: int) -> "list[str]":
     return [f"w{i}" for i in range(1, k + 1)]
 
 
+# gram-string surgery over the canonical `__g` column (space-joined
+# whitespace tokens — non-empty, no embedded spaces, so both are exact
+# word-tuple operations for every gram of >= 2 words); lazy because
+# F.expr needs an active session
+def _drop_first():
+    return F.expr("substring(__g, instr(__g, ' ') + 1)")
+
+
+def _drop_last():
+    return F.expr(
+        "substring(__g, 1, length(__g) - instr(reverse(__g), ' '))"
+    )
+
+
+_CTX_STATS = ("tot", "n1f", "cls1", "cls2", "cls3p")
+
+
+def _coc_top(top_all: DataFrame, n: int) -> DataFrame:
+    """Top-level count-of-counts (types seen exactly k times, k=1..4)
+    — one aggregate pass over the raw N-gram type table."""
+    c = F.col("c")
+    return top_all.agg(
+        *[
+            F.sum((c == k).cast("long")).alias(f"l{n}_{k}")
+            for k in (1, 2, 3, 4)
+        ]
+    )
+
+
 def kneser_ney_ngram_train(
     train: DataFrame, text_col: str, order: int = 5, min_count: int = 1
 ) -> dict[str, DataFrame]:
@@ -100,39 +129,31 @@ def kneser_ney_ngram_train(
         train.filter(normalize_text(F.col(text_col)) != "")
         .select(whitespace_tokens(F.col(text_col)).alias("__t"))
     )
-    # one scan: every gram order k=1..N as a (k, w1..wN) struct
-    struct_fields = {
-        k: ", ".join(
-            [f"{k} AS k"]
-            + [f"__t[i + {j} - 2] AS w{j}" for j in range(1, k + 1)]
-            + [
-                f"CAST(NULL AS STRING) AS w{j}"
-                for j in range(k + 1, n + 1)
-            ]
-        )
-        for k in range(1, n + 1)
-    }
+    # one scan: every gram order k=1..N as a (k, gram-STRING) pair.
+    # r14 opt: the type table is keyed on the space-joined gram string,
+    # not n word columns — whitespace tokens are non-empty and contain
+    # no spaces, so the join is injective and groupBy/join on ONE
+    # string is equivalent to the word-tuple form while shuffling
+    # narrower rows and hashing/comparing one key (the word-column
+    # views below split lazily, model-bounded work).
     gram_arrays = [
         F.expr(
             f"CASE WHEN size(__t) >= {k} THEN"
             f" transform(sequence(1, size(__t) - {k} + 1),"
-            f" i -> struct({struct_fields[k]}))"
-            f" ELSE CAST(array() AS ARRAY<STRUCT<k: INT,"
-            f" {', '.join(f'w{j}: STRING' for j in range(1, n + 1))}>>)"
+            f" i -> struct({k} AS k, concat_ws(' ', slice(__t, i, {k}))"
+            f" AS g))"
+            f" ELSE CAST(array() AS ARRAY<STRUCT<k: INT, g: STRING>>)"
             f" END"
         )
         for k in range(1, n + 1)
     ]
     counts = (
-        tt.select(F.explode(F.flatten(F.array(*gram_arrays))).alias("g"))
-        .select("g.*")
-        .groupBy("k", *_wc(n))
+        tt.select(F.explode(F.flatten(F.array(*gram_arrays))).alias("gg"))
+        .select(F.col("gg.k").alias("k"), F.col("gg.g").alias("__g"))
+        .groupBy("k", "__g")
         .agg(F.count(F.lit(1)).alias("c"))
         .persist()
     )
-
-    def raw(k):
-        return counts.filter(F.col("k") == k).select(*_wc(k), "c")
 
     def _cls(cnt):
         return [
@@ -141,19 +162,29 @@ def kneser_ney_ngram_train(
             F.sum((cnt >= 3).cast("long")).alias("cls3p"),
         ]
 
+    def _wsplit(frame, k, keep):
+        """Word-column view of a gram-string frame: w1..wk + stats."""
+        ws = F.split(F.col("__g"), " ")
+        return frame.select(
+            *[F.get(ws, i).alias(f"w{i + 1}") for i in range(k)],
+            *keep,
+        )
+
     out: dict[str, DataFrame] = {}
-    top_all = raw(n)
-    out["top"] = (
+    top_all = counts.filter(F.col("k") == n).select("__g", "c")
+    out["top"] = _wsplit(
         top_all.filter(F.col("c") >= F.lit(int(min_count)))
         if min_count > 1
-        else top_all
+        else top_all,
+        n,
+        [F.col("c")],
     )
     # every cont/ctx frame is multi-consumer in the ARPA rows builder
     # (ctx_j feeds section j-1's bow plus every section >= j's
     # interpolation chain — up to N references each) and all are
     # type-table-bounded (the MODEL, never the corpus)
-    out[f"ctx{n}"] = (
-        top_all.groupBy(*_wc(n - 1))
+    ctxn_g = (
+        top_all.groupBy(_drop_last().alias("__g"))
         .agg(
             F.sum("c").alias("tot"),
             F.count(F.lit(1)).alias("n1f"),
@@ -161,42 +192,36 @@ def kneser_ney_ngram_train(
         )
         .persist()
     )
+    out[f"ctx{n}"] = _wsplit(
+        ctxn_g, n - 1, [F.col(c) for c in _CTX_STATS]
+    )
+    out["_pinned_ctxn"] = ctxn_g
     # continuation levels: cc_k derives from the RAW (k+1)-gram types.
-    # ALL levels reduce in ONE shuffle (the query is stage-count-bound
-    # at model scale, not data-bound): dropping w1 is a uniform left
-    # shift of the word columns whatever k is (trailing nulls stay
-    # null), so the per-level groupBys fuse into a single
-    # (lvl, w1..w{n-1}) aggregation over the pinned type table —
-    # lvl 1 IS the bottom `back` frame, lvl k (2 <= k < n) is cont_k.
+    # ALL levels reduce in ONE shuffle: dropping the first word is one
+    # string operation whatever k is, so the per-level groupBys fuse
+    # into a single (lvl, suffix-string) aggregation over the pinned
+    # type table — lvl 1 IS the bottom `back` frame, lvl k (2 <= k < n)
+    # is cont_k.
     cont_all = (
         counts.filter(F.col("k") >= 2)
-        .groupBy(
-            (F.col("k") - 1).alias("lvl"),
-            *[F.col(f"w{i + 1}").alias(f"w{i}") for i in range(1, n)],
-        )
+        .groupBy((F.col("k") - 1).alias("lvl"), _drop_first().alias("__g"))
         .agg(F.count(F.lit(1)).alias("cc"))
         .persist()
     )
     for k in range(2, n):
-        out[f"cont{k}"] = cont_all.filter(F.col("lvl") == k).select(
-            *_wc(k), "cc"
+        out[f"cont{k}"] = _wsplit(
+            cont_all.filter(F.col("lvl") == k), k, [F.col("cc")]
         )
-    back = cont_all.filter(F.col("lvl") == 1).select("w1", "cc")
-    out["back"] = back
+    back_g = cont_all.filter(F.col("lvl") == 1).select("__g", "cc")
+    out["back"] = back_g.select(F.col("__g").alias("w1"), "cc")
     # lower ctx levels likewise fuse into one shuffle: a lvl-k cont
-    # row's context is its first k-1 words, i.e. every word column
-    # masked from position lvl on — one (lvl, masked words) groupBy
-    # over the pinned cont_all covers ctx_2..ctx_{n-1}
+    # row's context is its first k-1 words — drop the LAST word of the
+    # suffix string — one (lvl, context-string) groupBy over the pinned
+    # cont_all covers ctx_2..ctx_{n-1}
     if n > 2:
         ctx_all = (
             cont_all.filter(F.col("lvl") >= 2)
-            .groupBy(
-                "lvl",
-                *[
-                    F.when(F.col("lvl") > i, F.col(f"w{i}")).alias(f"w{i}")
-                    for i in range(1, n - 1)
-                ],
-            )
+            .groupBy("lvl", _drop_last().alias("__g"))
             .agg(
                 F.sum("cc").alias("tot"),
                 F.count(F.lit(1)).alias("n1f"),
@@ -206,16 +231,36 @@ def kneser_ney_ngram_train(
         )
         out["_pinned_ctx"] = ctx_all
         for k in range(2, n):
-            out[f"ctx{k}"] = ctx_all.filter(F.col("lvl") == k).select(
-                *_wc(k - 1), "tot", "n1f", "cls1", "cls2", "cls3p"
+            out[f"ctx{k}"] = _wsplit(
+                ctx_all.filter(F.col("lvl") == k),
+                k - 1,
+                [F.col(c) for c in _CTX_STATS],
             )
     out["_pinned_cont"] = cont_all
+    # B (raw bigram types) and V (raw unigram types + 1) come from ONE
+    # conditional-aggregation pass over the pinned type table instead of
+    # two separate count jobs; Vc is one pass over the pinned cont table
+    # (r14 opt: 3 aggregate passes -> 2, same values).
     out["scalars"] = (
-        raw(2)
-        .agg(F.count(F.lit(1)).alias("B"))
-        .crossJoin(back.agg(F.count(F.lit(1)).alias("Vc")))
-        .crossJoin(raw(1).agg((F.count(F.lit(1)) + 1).alias("V")))
-        .select("*", F.lit(int(n)).alias("order"))
+        counts.agg(
+            # coalesce: an EMPTY type table (empty corpus) leaves sum()
+            # NULL where the old count() forms yielded 0 — keep 0/1
+            F.coalesce(
+                F.sum((F.col("k") == 2).cast("long")), F.lit(0)
+            ).alias("B"),
+            (
+                F.coalesce(
+                    F.sum((F.col("k") == 1).cast("long")), F.lit(0)
+                )
+                + 1
+            ).alias("V"),
+        )
+        .crossJoin(
+            cont_all.filter(F.col("lvl") == 1).agg(
+                F.count(F.lit(1)).alias("Vc")
+            )
+        )
+        .select("B", "Vc", "V", F.lit(int(n)).alias("order"))
     )
 
     # per-level global count-of-counts (types seen exactly k times,
@@ -224,27 +269,26 @@ def kneser_ney_ngram_train(
     # bounded 1-row frame, the kn3 coc pattern order-generic. ``btot``
     # rides along so the bottom level's 3+ class count is derivable
     # from the same collect.
-    def _coc(frame, col, prefix):
-        c = F.col(col)
-        return frame.agg(
-            *[
-                F.sum((c == k).cast("long")).alias(f"{prefix}{k}")
-                for k in (1, 2, 3, 4)
-            ]
-        )
-
-    coc = _coc(top_all, "c", f"l{n}_")
-    for k in range(2, n):
-        coc = coc.crossJoin(_coc(out[f"cont{k}"], "cc", f"l{k}_"))
-    coc = coc.crossJoin(
-        back.agg(
-            *[
-                F.sum((F.col("cc") == k).cast("long")).alias(f"b{k}")
-                for k in (1, 2, 3, 4)
-            ],
-            F.count(F.lit(1)).alias("btot"),
-        )
-    )
+    # r14 opt: every lower level (cont_2..cont_{n-1} AND the back floor)
+    # is a filter of the one pinned cont table, so their count-of-counts
+    # fuse into ONE conditional-aggregation pass over it (was one
+    # aggregate job per level + a crossJoin ladder); the top level stays
+    # its own pass over the pinned type table. Level-empty cells come out
+    # 0 instead of NULL — every consumer reads them through `or 0`.
+    lvl, cc = F.col("lvl"), F.col("cc")
+    cont_coc_cols = [
+        F.sum(((lvl == j) & (cc == k)).cast("long")).alias(f"l{j}_{k}")
+        for j in range(2, n)
+        for k in (1, 2, 3, 4)
+    ] + [
+        F.sum(((lvl == 1) & (cc == k)).cast("long")).alias(f"b{k}")
+        for k in (1, 2, 3, 4)
+    ] + [
+        F.coalesce(
+            F.sum((lvl == 1).cast("long")), F.lit(0)
+        ).alias("btot")
+    ]
+    coc = _coc_top(top_all, n).crossJoin(cont_all.agg(*cont_coc_cols))
     out["coc"] = coc
     out["_pinned_counts"] = counts
     return out
@@ -257,7 +301,22 @@ def _ngram_order(lm: "dict[str, DataFrame]") -> int:
                 f"lm missing frame {key!r} — not a kneser_ney_ngram_train "
                 "artifact"
             )
-    n = int(lm["scalars"].select("order").limit(1).collect()[0][0])
+    # The order is the height of the ctx{k} frame ladder — a pure dict
+    # inspection (r14 opt: the old form collect()ed the scalars frame,
+    # one whole Spark job per rows build just to read a structural int;
+    # kneser_ney_ngram_load still validates the ladder against the
+    # PERSISTED order column, so a truncated snapshot fails there).
+    n = 2
+    while f"ctx{n + 1}" in lm:
+        n += 1
+    top_words = [
+        c for c in lm["top"].columns if c.startswith("w") and c[1:].isdigit()
+    ]
+    if len(top_words) != n:
+        raise ValueError(
+            f"lm frame ladder implies order {n} but the top table carries "
+            f"{len(top_words)} word columns — truncated or mixed artifact"
+        )
     for k in range(2, n + 1):
         if f"ctx{k}" not in lm or (k < n and f"cont{k}" not in lm):
             raise ValueError(
@@ -387,69 +446,65 @@ def kneser_ney_ngram_arpa_rows(
             ) / tot
         return F.lit(D) * F.col("__n1f").cast("double") / tot
 
-    def events(k):
-        """The grams listed in section k: level-k events plus level-
-        (k+1) contexts (prefix closure), as columns g1..gk."""
-        if k == 1:
-            # every word ANY listed gram mentions (kn3's `words` union,
-            # order-generic). Set identity that collapses the naive
-            # 19-branch union of all frame positions to TWO branches:
-            # any NON-INITIAL position of any gram is the second word
-            # of some bigram (= back), and any INITIAL position of any
-            # listed gram is an initial position of a raw-N gram (= the
-            # UNPRUNED ctx_N keys' w1; a word whose every top gram was
-            # min_count-pruned still backs lower grams off).
-            return (
-                lm["back"].select(F.col("w1").alias("g1"))
-                .unionByName(
-                    lm[f"ctx{n}"].select(F.col("w1").alias("g1"))
-                )
-                .distinct()
-            )
-        ev = lm["top"] if k == n else lm[f"cont{k}"]
-        out = ev.select(
-            *[F.col(f"w{i}").alias(f"g{i}") for i in range(1, k + 1)]
+    def gkey(frame, k, *keep):
+        """Gram-string key view of a w-column frame — the inverse of
+        the trainer's split views (space-join over whitespace tokens
+        is injective), so every join below is a SINGLE-string equi-
+        join whatever the level (r14 opt: narrower shuffles, one
+        hash/compare per row instead of k)."""
+        return frame.select(
+            F.concat_ws(
+                " ", *[F.col(f"w{i}") for i in range(1, k + 1)]
+            ).alias("__g"),
+            *keep,
         )
-        if k < n:
-            nxt = lm[f"ctx{k + 1}"].select(
-                *[F.col(f"w{i}").alias(f"g{i}") for i in range(1, k + 1)]
-            )
-            out = out.unionByName(nxt)
-        return out.distinct()
 
     def level_frame(j, prev):
-        """``(g1..gj, __p)`` with ``__p`` = the full interpolated
-        ``P_j`` for every gram section j lists. Levels CHAIN: instead
-        of every section re-joining the whole lower-level stat ladder
-        (2k+1 joins per section), level j joins its OWN stats plus the
-        PREVIOUS level frame on the gram's suffix — each ``P_j`` is
-        computed once and reused by section j and level j+1 (the
-        suffix-closure proof in ``events``' docstring guarantees every
-        suffix is listed one level down). Same doubles, same
+        """``(__g, __p)`` with ``__p`` = the full interpolated ``P_j``
+        for every gram section j lists — level-j events plus
+        level-(j+1) contexts (ARPA prefix closure). Levels CHAIN:
+        instead of every section re-joining the whole lower-level stat
+        ladder (2k+1 joins per section), level j joins its OWN stats
+        plus the PREVIOUS level frame on the gram's suffix — each
+        ``P_j`` is computed once and reused by section j and level j+1
+        (every suffix is listed one level down by the closure).
+        r14 opt: the listing used to be a union + distinct + left-join
+        back onto the event counts; both inputs are groupBy outputs
+        (unique keys), so ONE full-outer join produces the identical
+        key set with ``__cc`` riding along — one shuffle and one join
+        fewer per level, and the top level (already the event table
+        itself) drops the listing pass outright. Same doubles, same
         association order as the inline chain — the kn3 row-identity
-        pins hold through this restructuring."""
-        base = events(j)
+        pins hold through this restructuring.
+
+        Section-1 listing identity (kn3's `words` union, order-
+        generic): any NON-INITIAL position of any gram is the second
+        word of some bigram (= back), and any INITIAL position of any
+        listed gram is an initial position of a raw-N gram (= the
+        UNPRUNED ctx_N keys' w1; a word whose every top gram was
+        min_count-pruned still backs lower grams off)."""
         if j == 1:
-            return (
-                base.join(
-                    lm["back"].select(
-                        F.col("w1").alias("g1"), F.col("cc").alias("n1back")
-                    ),
-                    "g1",
-                    "left",
-                )
-                .crossJoin(F.broadcast(scalars))
-                .select("g1", pcont(F.col("n1back")).alias("__p"))
+            initials = (
+                lm[f"ctx{n}"].select(F.col("w1").alias("__g")).distinct()
             )
-        gc = [f"g{i}" for i in range(1, j + 1)]
+            base = lm["back"].select(
+                F.col("w1").alias("__g"), F.col("cc").alias("n1back")
+            ).join(initials, "__g", "full_outer")
+            return (
+                base.crossJoin(F.broadcast(scalars))
+                .select("__g", pcont(F.col("n1back")).alias("__p"))
+            )
         src = lm["top"] if j == n else lm[f"cont{j}"]
         cnt_col = "c" if j == n else "cc"
-        ev = src.select(
-            *[F.col(f"w{i}").alias(f"g{i}") for i in range(1, j + 1)],
-            F.col(cnt_col).alias("__cc"),
-        )
+        ev = gkey(src, j, F.col(cnt_col).alias("__cc"))
+        if j < n:
+            base = ev.join(gkey(lm[f"ctx{j + 1}"], j), "__g", "full_outer")
+        else:
+            base = ev
         ctx = lm[f"ctx{j}"].select(
-            *[F.col(f"w{i}").alias(f"g{i}") for i in range(1, j)],
+            F.concat_ws(
+                " ", *[F.col(f"w{i}") for i in range(1, j)]
+            ).alias("__c"),
             F.col("tot").alias("__tot"),
             F.col("n1f").alias("__n1f"),
             F.col("cls1").alias("__cls1"),
@@ -457,13 +512,13 @@ def kneser_ney_ngram_arpa_rows(
             F.col("cls3p").alias("__cls3p"),
         )
         sfx = prev.select(
-            *[F.col(f"g{i}").alias(f"g{i + 1}") for i in range(1, j)],
-            F.col("__p").alias("__pp"),
+            F.col("__g").alias("__s"), F.col("__p").alias("__pp")
         )
         base = (
-            base.join(ev, gc, "left")
-            .join(ctx, gc[:-1], "left")
-            .join(sfx, gc[1:], "left")
+            base.withColumn("__c", _drop_last())
+            .withColumn("__s", _drop_first())
+            .join(ctx, "__c", "left")
+            .join(sfx, "__s", "left")
         )
         tot = F.col("__tot").cast("double")
         cnt = F.coalesce(F.col("__cc"), F.lit(0)).cast("double")
@@ -483,25 +538,28 @@ def kneser_ney_ngram_arpa_rows(
         pj = F.when(F.col("__tot").isNotNull(), core).otherwise(
             F.col("__pp")
         )
-        return base.select(*gc, pj.alias("__p"))
+        return base.select("__g", pj.alias("__p"))
 
     from .arpa import _log10_bow
 
     def section(k, frame):
-        """Section k's ARPA rows off its level frame: one bow join
-        (gamma_{k+1} from ctx_{k+1}, coefficient 1 when unlisted) and
-        the final round-6 log10 projection."""
-        gc = [f"g{i}" for i in range(1, k + 1)]
+        """Section k's ARPA values off its level frame, still keyed by
+        the gram string (the prune semi-join and the word-column split
+        happen in ``finalize``): one bow join (gamma_{k+1} from
+        ctx_{k+1}, coefficient 1 when unlisted) and the final round-6
+        log10 projection."""
         if k < n:
             bowctx = lm[f"ctx{k + 1}"].select(
-                *[F.col(f"w{i}").alias(f"g{i}") for i in range(1, k + 1)],
+                F.concat_ws(
+                    " ", *[F.col(f"w{i}") for i in range(1, k + 1)]
+                ).alias("__g"),
                 F.col("tot").alias("__btot"),
                 F.col("n1f").alias("__bn1f"),
                 F.col("cls1").alias("__bcls1"),
                 F.col("cls2").alias("__bcls2"),
                 F.col("cls3p").alias("__bcls3p"),
             )
-            frame = frame.join(bowctx, gc, "left")
+            frame = frame.join(bowctx, "__g", "left")
             if modified:
                 d1, d2, d3 = dd[k + 1]
                 mass = (
@@ -518,18 +576,28 @@ def kneser_ney_ngram_arpa_rows(
         else:
             bow = None
         return frame.select(
-            F.lit(k).cast("int").alias("order"),
-            *[F.col(f"g{i}").alias(f"w{i}") for i in range(1, k + 1)],
-            *[
-                F.lit(None).cast("string").alias(f"w{i}")
-                for i in range(k + 1, n + 1)
-            ],
+            "__g",
             F.round(F.log10(F.col("__p")), 6).alias("log10_p"),
             (
                 _log10_bow(bow)
                 if bow is not None
                 else F.lit(None).cast("double")
             ).alias("log10_bow"),
+        )
+
+    def finalize(k, sec):
+        """Split the gram string back into the public w1..wN columns —
+        one model-bounded projection per section."""
+        ws = F.split(F.col("__g"), " ")
+        return sec.select(
+            F.lit(k).cast("int").alias("order"),
+            *[F.get(ws, i).alias(f"w{i + 1}") for i in range(k)],
+            *[
+                F.lit(None).cast("string").alias(f"w{i}")
+                for i in range(k + 1, n + 1)
+            ],
+            "log10_p",
+            "log10_bow",
         )
 
     unk = scalars.select(
@@ -560,31 +628,25 @@ def kneser_ney_ngram_arpa_rows(
             t = prune[k - 2]
             src = lm["top"] if k == n else lm[f"cont{k}"]
             cnt_col = "c" if k == n else "cc"
-            ev = src.filter(F.col(cnt_col) > F.lit(t)).select(
-                *[F.col(f"w{i}") for i in range(1, k + 1)]
-            )
+            ev = gkey(src.filter(F.col(cnt_col) > F.lit(t)), k)
             if k < n:
                 ev = ev.unionByName(
-                    kept[k + 1].select(
-                        *[F.col(f"w{i}") for i in range(1, k + 1)]
-                    )
+                    kept[k + 1].select(_drop_last().alias("__g"))
                 )
             # no distinct(): the left-semi consumer dedups by nature,
             # and each level's set feeds only joins — a distinct here
             # would add one shuffle per level for nothing
             kept[k] = ev
 
-    out = section(1, frames[1]).unionByName(unk)
+    out = finalize(1, section(1, frames[1])).unionByName(unk)
     for k in range(2, n + 1):
         sec = section(k, frames[k])
         if prune is not None:
             # per-section semi join (a single fused join over the
             # unioned sections measured 20% WORSE — the union blocks
             # AQE from broadcasting each section's small kept side)
-            sec = sec.join(
-                kept[k], [f"w{i}" for i in range(1, k + 1)], "left_semi"
-            )
-        out = out.unionByName(sec)
+            sec = sec.join(kept[k], "__g", "left_semi")
+        out = out.unionByName(finalize(k, sec))
     return out
 
 

@@ -117,6 +117,22 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Let AQE coalesce the FINAL stage of persisted frames too
+        # (default false only to keep a cached plan's output
+        # partitioning reusable by downstream joins). This engine's
+        # persists are multi-consumer signature/type tables whose
+        # consumers re-shuffle anyway, so the reuse never applies —
+        # while the default stored every model-bounded cache at the
+        # full shuffle-partition count and every InMemoryTableScan
+        # launched that many tasks (guide §2.2: fewer, larger
+        # partitions). Measured r14: -25% on the order-5 KN family,
+        # -49% kn3_arpa, -30% arpa_score, -16% minhash_pairs, no
+        # regressions (OPTIMIZATION_r14.md); sizes stay byte-adaptive
+        # at scale because AQE's advisory size does the coalescing.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
