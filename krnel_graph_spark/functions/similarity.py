@@ -1149,6 +1149,21 @@ def ann_index(
         F.lit(int(sample_rows)).alias("sample_rows"),
     )
     encoded = _ivfpq_encode(corpus, vec_col, id_col, cmat, books)
+    # Same-object driver memo (r14 opt): the model frame was BUILT from
+    # these exact arrays/params, so consumers holding this very object
+    # (append/search/retrain inside one pipeline) skip the bounded
+    # re-collect job per call. A persisted-then-loaded frame has no
+    # memo and takes the validating collect path — values identical by
+    # construction either way.
+    model._krnel_ivfpq_np = (cmat, books)
+    model._krnel_ivfpq_params = {
+        "n_cells": int(n_cells),
+        "m": int(m),
+        "n_codes": int(n_codes),
+        "seed": int(seed),
+        "refine_iters": int(refine_iters),
+        "sample_rows": int(sample_rows),
+    }
     return model, encoded
 
 
@@ -1156,7 +1171,12 @@ def _model_to_numpy(model: DataFrame, caller: str):
     """Reconstruct an :func:`ann_index` model frame driver-side — a
     bounded collect (|cells| + m*n_codes rows, KB-scale) — validating
     structural consistency against the frame's own recorded build
-    params so a truncated/mixed-snapshot model fails loudly."""
+    params so a truncated/mixed-snapshot model fails loudly. Frames
+    still holding their builder's same-object memo skip the collect
+    (see :func:`ann_index`)."""
+    memo = getattr(model, "_krnel_ivfpq_np", None)
+    if memo is not None:
+        return memo
     mrows = model.select(
         "kind", "i", "j", "vec", "n_cells", "m", "n_codes"
     ).collect()
@@ -1274,17 +1294,19 @@ def ann_index_retrain(
     pass is the unavoidable re-encode (the whole point: the old codes
     are wrong for the new distribution). Run it at the recall_probe
     cadence's failure rate, not per ingest batch."""
-    first = model.select(
-        "n_cells", "m", "n_codes", "seed", "refine_iters",
-        *(
-            ["sample_rows"]
-            if "sample_rows" in model.columns
-            else []
-        ),
-    ).limit(1).collect()
-    if not first:
-        raise ValueError("ann_index_retrain: empty model frame")
-    p = first[0].asDict()
+    p = getattr(model, "_krnel_ivfpq_params", None)
+    if p is None:
+        first = model.select(
+            "n_cells", "m", "n_codes", "seed", "refine_iters",
+            *(
+                ["sample_rows"]
+                if "sample_rows" in model.columns
+                else []
+            ),
+        ).limit(1).collect()
+        if not first:
+            raise ValueError("ann_index_retrain: empty model frame")
+        p = first[0].asDict()
     return ann_index(
         corpus, vec_col, id_col,
         n_cells=int(p["n_cells"]),
