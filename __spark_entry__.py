@@ -2307,11 +2307,22 @@ def q_percentiles(spark, sf_dir):
     """Exact interpolated percentiles per group (Spark ``percentile`` =
     SQL percentile_cont semantics, single sort-based aggregate)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    # r14 opt: ONE percentile buffer evaluating all four points (the
+    # scalar form built and sorted four identical per-group buffers);
+    # same aggregate, same interpolation, identical values.
+    p = F.expr(
+        "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.99D))"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(p.alias("__p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("__p")[0], 4).alias("p25"),
+            F.round(F.col("__p")[1], 4).alias("p50"),
+            F.round(F.col("__p")[2], 4).alias("p75"),
+            F.round(F.col("__p")[3], 4).alias("p99"),
+        )
     )
 
 
