@@ -731,11 +731,16 @@ def arpa_score(
                 F.col("log10_bow").alias(f"__lbow{k}"),
             )
 
+    from .partitioning import ensure_min_partitions
     from .text import normalize_text, whitespace_tokens
 
-    toks = score.filter(normalize_text(F.col(text_col)) != "").select(
-        F.col(id_col), whitespace_tokens(F.col(text_col)).alias("__t")
-    )
+    # the per-position digest projection and the whole broadcast-join
+    # backoff chain inherit the SCAN's partitioning — a single-split
+    # corpus would run the entire score side on one task; round-robin
+    # up to session parallelism first (no-op at scale)
+    toks = ensure_min_partitions(
+        score.filter(normalize_text(F.col(text_col)) != "")
+    ).select(F.col(id_col), whitespace_tokens(F.col(text_col)).alias("__t"))
     extras: list = []
     if oov_mode == "unk":
         vocab = rows.filter(F.col("order") == 1).select(

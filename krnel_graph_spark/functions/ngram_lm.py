@@ -124,9 +124,17 @@ def kneser_ney_ngram_train(
         raise ValueError(f"order must be in 2..8, got {order}")
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
+    from .partitioning import ensure_min_partitions
+
     n = order
+    # the all-orders gram explode is the corpus-heavy projection and
+    # runs on the SCAN's partitioning — a single-split table serializes
+    # it onto one task (r14: measured ~1.2 s single-threaded at sf0.1);
+    # round-robin up to session parallelism first, no-op at scale
     tt = (
-        train.filter(normalize_text(F.col(text_col)) != "")
+        ensure_min_partitions(
+            train.filter(normalize_text(F.col(text_col)) != "")
+        )
         .select(whitespace_tokens(F.col(text_col)).alias("__t"))
     )
     # one scan: every gram order k=1..N as a (k, gram-STRING) pair.
