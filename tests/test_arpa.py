@@ -650,6 +650,31 @@ def test_arpa_score_oov_unk_mode_is_kenlm_faithful(spark, tmp_path):
         arpa_score(rows, docs, "text", "doc_id", oov_mode="wat")
 
 
+def test_arpa_oov_rewrite_join_fallback_identical(spark, tmp_path, monkeypatch):
+    """The OOV rewrite's two implementations — the default map-side
+    broadcast-set pass and the huge-vocab join+reassembly fallback
+    (forced here via SPARK_GRAFT_UNK_VOCAB_BROADCAST_MAX=0) — produce
+    identical rows, markers on and off (r14 optimization guard)."""
+    from krnel_graph_spark.functions.arpa import arpa_score
+
+    rows = _load5(spark, tmp_path)
+    docs = spark.createDataFrame(_SCORE_DOCS, "doc_id long, text string")
+
+    def run():
+        out = {}
+        for bos, eos in ((False, False), (True, True)):
+            for r in arpa_score(
+                rows, docs, "text", "doc_id",
+                bos=bos, eos=eos, oov_mode="unk",
+            ).collect():
+                out[(bos, r.doc_id)] = (r.n_tokens, r.n_oov, r.logprob_sum)
+        return out
+
+    fast = run()
+    monkeypatch.setenv("SPARK_GRAFT_UNK_VOCAB_BROADCAST_MAX", "0")
+    assert run() == fast
+
+
 def test_arpa_score_combined_markers_and_unk(spark, tmp_path):
     """The FULL KenLM configuration — bos/eos AND oov_mode='unk'
     together (kenlm.Model.score defaults on an external model). The
