@@ -79,29 +79,40 @@ def connected_components(
     in the (undirected) edge set; ``component`` is the component's min id,
     so a component's representative labels itself.
 
-    Convergence is detected by an (count, xxhash64-sum) signature of the
-    edge set staying fixed across a full large-star + small-star round —
-    one tiny aggregate per round, no driver-side edge materialization.
+    Convergence is detected by the exact fixpoint property instead of a
+    changed-signature comparison (r14): a small-star output (all edges
+    ``src > dst``) is a fixpoint of both stars iff it is a star forest,
+    i.e. no ``dst`` also appears as a ``src`` — one edge-set-bounded
+    semi-join + aggregate fused into each round's materializing action.
+    The signature formulation needed one extra FULL round (two more
+    edge-set shuffles + a checkpoint) purely to observe that nothing
+    changed; the fixpoint test stops at the converged round itself
+    (measured: the sf0.1 LSH pair graph converges in ONE round — the
+    detection round was half the operator's cost).
     """
     e = _canonical(edges, src, dst).localCheckpoint(eager=False)
-    prev_sig = None
     for _ in range(max_iterations):
-        # Non-eager checkpoints: the round's signature aggregate below is
-        # the ONE action that materializes both star passes — eager would
-        # pay the per-job floor three times per round instead of once.
-        e = _large_star(e).localCheckpoint(eager=False)
-        e = _small_star(e).localCheckpoint(eager=False)
-        sig = tuple(
-            e.agg(
-                F.count(F.lit(1)).alias("n"),
-                # bit_xor, not sum: ANSI mode makes a 64-bit hash sum
-                # overflow-fatal; xor is order-independent and closed.
-                F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
-            ).first()
+        # ONE non-eager checkpoint per round, after the small star: the
+        # large-star frame is single-consumer (the small star), so
+        # checkpointing it too only added a second materialization per
+        # round. The convergence aggregate below is the one action that
+        # materializes the round.
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        internal = (
+            e.select(F.col("src").alias("dst")).distinct()
+            .withColumn("__s", F.lit(1))
         )
-        if sig == prev_sig:
+        row = (
+            e.join(internal, "dst", "left")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("__s").isNotNull().cast("long")), F.lit(0)
+                ).alias("bad")
+            )
+            .first()
+        )
+        if row["bad"] == 0:
             break
-        prev_sig = sig
     # Converged state is a star forest: src > dst = component root. Roots
     # label themselves; nodes with no surviving edge were singletons of
     # the input and also label themselves.
