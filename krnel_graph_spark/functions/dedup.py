@@ -1077,9 +1077,27 @@ def clean_corpus(
     SQL oracle reproducing the filter boundary cannot disagree over a
     float ULP.
     """
+    from .partitioning import plan_size_bytes
     from .text import quality_score
 
-    out = drop_exact_dups(df, text_col, id_col)
+    # The exact-deduped frame feeds THREE text touches downstream (the
+    # signature base, the candidate-verify shingling, and the final
+    # output), and each re-executes the keeper subtree (fingerprint
+    # projection over the full text + groupBy shuffle + semi-join build
+    # side). Pin the KEEPERS id frame — 8 bytes/doc, smaller than the
+    # signature pin the LSH stage already holds — so the fingerprint
+    # aggregation runs once per call, not once per consumer (guide §5:
+    # reuse × recompute-cost justifies the cache). Same size gate as the
+    # signature pin; the text itself is never pinned.
+    keepers = (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    if (sz := plan_size_bytes(df)) is None or sz >= (256 << 10):
+        keepers = keepers.persist(StorageLevel.MEMORY_AND_DISK)
+    out = df.join(keepers, id_col, "left_semi")
     # (exact dups have identical text, hence identical quality — min id IS
     # the quality-tie rule there; keep_by only matters for NEAR dups.)
     out = drop_near_dups(

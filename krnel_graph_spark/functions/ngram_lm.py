@@ -505,8 +505,26 @@ def kneser_ney_ngram_arpa_rows(
         src = lm["top"] if j == n else lm[f"cont{j}"]
         cnt_col = "c" if j == n else "cc"
         ev = gkey(src, j, F.col(cnt_col).alias("__cc"))
+        bow_stats = []
         if j < n:
-            base = ev.join(gkey(lm[f"ctx{j + 1}"], j), "__g", "full_outer")
+            # r14 opt: the listing join and section j's bow join hit the
+            # SAME frame on the SAME key (ctx_{j+1} keyed as a j-gram) —
+            # carry the bow stats through the listing join so the section
+            # becomes a pure projection (one model-bounded join + exchange
+            # fewer per section).
+            bow_stats = [F.col(f"__b{c}") for c in _CTX_STATS]
+            base = ev.join(
+                gkey(
+                    lm[f"ctx{j + 1}"],
+                    j,
+                    *[
+                        F.col(c).alias(f"__b{c}")
+                        for c in _CTX_STATS
+                    ],
+                ),
+                "__g",
+                "full_outer",
+            )
         else:
             base = ev
         ctx = lm[f"ctx{j}"].select(
@@ -546,28 +564,30 @@ def kneser_ney_ngram_arpa_rows(
         pj = F.when(F.col("__tot").isNotNull(), core).otherwise(
             F.col("__pp")
         )
-        return base.select("__g", pj.alias("__p"))
+        return base.select("__g", pj.alias("__p"), *bow_stats)
 
     from .arpa import _log10_bow
 
     def section(k, frame):
         """Section k's ARPA values off its level frame, still keyed by
         the gram string (the prune semi-join and the word-column split
-        happen in ``finalize``): one bow join (gamma_{k+1} from
-        ctx_{k+1}, coefficient 1 when unlisted) and the final round-6
-        log10 projection."""
+        happen in ``finalize``): the bow stats (gamma_{k+1} from
+        ctx_{k+1}, coefficient 1 when unlisted) arrive pre-joined on
+        the level frame for 1 < k < n (the listing join carries them —
+        same frame, same key), so only section 1 still joins; then the
+        final round-6 log10 projection."""
         if k < n:
-            bowctx = lm[f"ctx{k + 1}"].select(
-                F.concat_ws(
-                    " ", *[F.col(f"w{i}") for i in range(1, k + 1)]
-                ).alias("__g"),
-                F.col("tot").alias("__btot"),
-                F.col("n1f").alias("__bn1f"),
-                F.col("cls1").alias("__bcls1"),
-                F.col("cls2").alias("__bcls2"),
-                F.col("cls3p").alias("__bcls3p"),
-            )
-            frame = frame.join(bowctx, "__g", "left")
+            if k == 1:
+                # the level-1 frame is built from back ∪ initials, not
+                # a ctx listing join — the bow stats join stays here
+                bowctx = lm["ctx2"].select(
+                    F.col("w1").alias("__g"),
+                    *[
+                        F.col(c).alias(f"__b{c}")
+                        for c in _CTX_STATS
+                    ],
+                )
+                frame = frame.join(bowctx, "__g", "left")
             if modified:
                 d1, d2, d3 = dd[k + 1]
                 mass = (
