@@ -665,16 +665,18 @@ def test_arpa_score_o5_lookup_shape(spark, entry):
 
 
 def test_arpa_score_unk_rewrite_shape(spark, entry):
-    """oov_mode='unk' pays ONE extra corpus shuffle (token explode →
-    model-bounded vocab join → per-doc reassembly) before the same
+    """oov_mode='unk' rewrites tokens MAP-SIDE (r14): the model-bounded
+    vocabulary broadcasts as a set into one Arrow-batched kernel — no
+    token explode, no per-doc reassembly shuffle — before the same
     9-join chain: no Cartesian product, the checkpointed rows frame
-    (ExistingRDD) is the only model source, and the per-doc token
-    collect is a single aggregate pass."""
+    (ExistingRDD) is the only model source, exactly one Python stage,
+    and the per-doc aggregate is the scorer's own."""
     plan = _plan(spark, entry, "arpa_score_unk")
     assert "CartesianProduct" not in plan
     assert "ExistingRDD" in plan
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
     assert plan.count("Scan parquet") <= 2
+    assert plan.count("ArrowEvalPython") == 1
 
 
 def test_arpa_filter_is_two_model_bounded_joins(spark, entry):
