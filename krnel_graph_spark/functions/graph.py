@@ -482,10 +482,13 @@ def label_propagation(
     ``(node, label)``.
 
     Scale shape: per round, one shuffle joins the label table onto the
-    symmetrized edges on the neighbor endpoint and one two-level
-    partial-aggregated groupBy picks the argmax via
-    ``min(struct(-count, label))`` — edge-count shuffle volume,
-    node-count results, no window over unbounded partitions.
+    symmetrized edges on the neighbor endpoint and ONE partial-
+    aggregated groupBy picks the argmax via ``mode(label,
+    deterministic=true)`` (most frequent value, ties broken by the
+    smallest — the exact relabeling rule, fused into a single
+    aggregate; partial maps are label-count bounded per node) —
+    edge-count shuffle volume, node-count results, no window over
+    unbounded partitions.
     ``localCheckpoint`` per round breaks the O(n_iter) lineage growth
     (same policy as ``pagerank``/``connected_components``)."""
     und = (
@@ -503,21 +506,14 @@ def label_propagation(
         nbr = sym.join(labels, sym.b == labels.node).select(
             F.col("a").alias("n"), "label"
         )
-        cnt = nbr.groupBy("n", "label").agg(F.count(F.lit(1)).alias("c"))
-        # Argmax via min(struct(-count, label)): count DESC then label
-        # ASC for ANY orderable label type — negating the count (always
-        # a long) instead of the label keeps string node ids working
-        # (negating a string raises under ANSI mode / yields NULL off).
+        # Argmax in ONE aggregate: mode(label, deterministic=true) is
+        # count DESC then value ASC for ANY orderable label type — the
+        # exact relabeling rule, replacing the former
+        # groupBy(n,label)+min(struct(-c,label)) two-shuffle ladder.
         best = (
-            cnt.groupBy("n")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("c")).alias("nc"), F.col("label")
-                    )
-                ).alias("m")
-            )
-            .select(F.col("n").alias("node"), F.col("m.label").alias("label"))
+            nbr.groupBy("n")
+            .agg(F.mode("label", True).alias("label"))
+            .select(F.col("n").alias("node"), "label")
         )
         # Every node in `nodes` has >= 1 neighbor by construction (it
         # came from a symmetrized edge), but keep the left-join +
