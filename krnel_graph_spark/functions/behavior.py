@@ -376,10 +376,19 @@ def rrf_fuse(
         raise ValueError("ranked and score_cols must align")
     if len(ranked) < 2:
         raise ValueError("rrf_fuse needs at least 2 ranked lists")
-    slim = [
-        df.select(F.col(id_col), F.col(sc)).localCheckpoint(eager=True)
+    # The per-list eager checkpoints are independent ranker jobs —
+    # materialize them concurrently from driver threads instead of
+    # serially (wall clock = slowest ranker, not the sum).
+    from concurrent.futures import ThreadPoolExecutor
+
+    projs = [
+        df.select(F.col(id_col), F.col(sc))
         for df, sc in zip(ranked, score_cols)
     ]
+    with ThreadPoolExecutor(max_workers=len(projs)) as pool:
+        slim = list(
+            pool.map(lambda d: d.localCheckpoint(eager=True), projs)
+        )
     if max_list_rows is not None:
         for i, df in enumerate(slim):
             if df.limit(max_list_rows + 1).count() > max_list_rows:

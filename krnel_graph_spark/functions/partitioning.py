@@ -257,11 +257,21 @@ def upsert_parquet(
         upserts = updates.filter(
             ~F.coalesce(F.col(delete_col), F.lit(False))
         ).drop(delete_col)
-        n_deleted = tombstones.count()
+        # Tombstone + upsert counts in ONE conditional-aggregate pass
+        # over the delta (they were two separate full-scan count jobs).
+        stat = updates.agg(
+            F.sum(
+                F.coalesce(F.col(delete_col), F.lit(False)).cast("long")
+            ).alias("d"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        n_deleted = int(stat["d"] or 0)
+        n_upserted = int(stat["n"]) - n_deleted
     else:
         tombstones = None
         upserts = updates
         n_deleted = 0
+        n_upserted = None
     if set(upserts.columns) != set(target.columns):
         raise ValueError(
             f"updates columns {sorted(upserts.columns)} != target columns "
@@ -278,7 +288,9 @@ def upsert_parquet(
     out = spark.read.parquet(dst_path)
     return {
         "rows_before": target.count(),
-        "rows_upserted": upserts.count(),
+        "rows_upserted": (
+            upserts.count() if n_upserted is None else n_upserted
+        ),
         "rows_deleted": n_deleted,
         "rows_after": out.count(),
     }
@@ -360,7 +372,20 @@ def layout_report(
         for f in spark.read.parquet(path).inputFiles()
     )
     name = table or path.rstrip("/").rsplit("/", 1)[-1]
-    fdf = spark.createDataFrame([(f,) for f in files], "path string")
+    # Bound the slice count by the FILE count: parallelize cuts a local
+    # list into defaultParallelism pieces, and every empty slice still
+    # pays a Python-worker task in the mapInPandas below (31 empty
+    # tasks per table at sf0.1's one file per table). NOT coalesce():
+    # a coalesced local scan inherits parent locality preferences and
+    # stalls on spark.locality.wait (~4 s/table measured).
+    sc = spark.sparkContext
+    fdf = spark.createDataFrame(
+        sc.parallelize(
+            [(f,) for f in files],
+            max(1, min(len(files), sc.defaultParallelism)),
+        ),
+        "path string",
+    )
 
     def read_footers(it):
         import pyarrow.parquet as pq
