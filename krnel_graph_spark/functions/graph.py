@@ -156,9 +156,13 @@ def pagerank(
     Scale shape: per iteration one shuffle joins ranks to edges on src
     (both sides hash-partitioned on the same key round over round) and
     one partial-aggregated groupBy(dst) sums contributions — edge-count
-    shuffle volume, rank-table-sized results. ``localCheckpoint`` per
-    iteration breaks the lineage (same pitfall note as
-    ``connected_components``).
+    shuffle volume, rank-table-sized results. Nodes with no inbound
+    mass stay in the table via a zero-contribution row unioned into
+    the aggregate input (node-count extra rows in the one shuffle),
+    NOT a second nodes-join after it — one shuffle per round, not two;
+    summing the extra exact-decimal zero cannot move the result.
+    ``localCheckpoint`` per iteration breaks the lineage (same pitfall
+    note as ``connected_components``).
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
@@ -182,26 +186,26 @@ def pagerank(
     rank = nodes.withColumn(
         "rank", F.round(F.lit(1.0) / n_nodes, round_to)
     )
+    zero = nodes.select(
+        F.col("node").alias("dst"),
+        F.lit(0).cast("decimal(38,12)").alias("__c"),
+    )
     for _ in range(n_iter):
-        contrib = (
-            e_od.join(rank, F.col("src") == F.col("node"))
-            .select(
-                F.col("dst"),
-                (F.col("rank") / F.col("__od"))
-                .cast("decimal(38,12)")
-                .alias("__c"),
-            )
-            .groupBy("dst")
-            .agg(F.sum("__c").alias("__s"))
+        contrib = e_od.join(rank, F.col("src") == F.col("node")).select(
+            F.col("dst"),
+            (F.col("rank") / F.col("__od"))
+            .cast("decimal(38,12)")
+            .alias("__c"),
         )
         rank = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            contrib.unionByName(zero)
+            .groupBy("dst")
+            .agg(F.sum("__c").alias("__s"))
             .select(
-                "node",
+                F.col("dst").alias("node"),
                 F.round(
                     F.lit(1.0 - damping) / n_nodes
-                    + F.lit(damping)
-                    * F.coalesce(F.col("__s").cast("double"), F.lit(0.0)),
+                    + F.lit(damping) * F.col("__s").cast("double"),
                     round_to,
                 ).alias("rank"),
             )

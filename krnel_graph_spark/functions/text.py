@@ -1004,19 +1004,21 @@ def dsir_weights(
 
     from pyspark import StorageLevel
 
-    from .partitioning import plan_size_bytes
-
-    doc_counts = grams(train).groupBy(id_col, "b").agg(
-        F.count(F.lit(1)).alias("c")
-    )
     # doc_counts feeds BOTH the global raw table and the final per-doc
     # join; without a pin Spark re-runs the tokenize+shingle explode over
     # the whole train corpus for each consumer (5 corpus scans measured).
     # The persisted frame is (id, bucket, count) — ~20 B/row regardless
     # of document size — the classic feature table a 100-TB DSIR run
-    # would checkpoint anyway. Size-gated like the minhash signature pin.
-    if (sz := plan_size_bytes(train)) is None or sz >= (16 << 20):
-        doc_counts = doc_counts.persist(StorageLevel.MEMORY_AND_DISK)
+    # would checkpoint anyway. Pinned UNCONDITIONALLY (r14): the old
+    # ≥16 MB size gate only ever disabled the pin where the recompute
+    # was still 2 extra corpus explodes — measured 10% slower at sf0.1
+    # and never cheaper (the pin is one ~20 B/row cache write).
+    doc_counts = (
+        grams(train)
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # The two global bucket tables are ≤``buckets`` rows each but are
     # read twice (totals + ratio) — pin them so the target corpus is
     # scanned exactly once.
@@ -1182,6 +1184,10 @@ def corpus_report(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.round(quality_score(text_col), 6).alias("q"),
         lang_id(text_col).alias("pl"),
     )
+    # Gate stays at 16 MB: an r14 interleaved A/B at sf0.1 (0.57 MB
+    # corpus) measured the pin SLOWER (1.37 vs 1.13 s) — the projection
+    # here is scan-cheap and the cache write is a materialization
+    # barrier between two otherwise-concurrent aggregate subtrees.
     if (sz := plan_size_bytes(df)) is None or sz >= (16 << 20):
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
     a = base.agg(
