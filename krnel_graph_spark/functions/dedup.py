@@ -367,6 +367,15 @@ def ngram_jaccard_pairs(
     inverted = base.select(
         "doc", F.size("sh").alias("n"), F.explode("sh").alias("shingle")
     )
+    # Both sides of the co-occurrence self-join rebuild the shingle-UDF
+    # subtree (no ReusedExchange across aliases) — pin the exploded
+    # index so the corpus is shingled once. Same 256 KB gate as the
+    # minhash signature pin; this exact path is small-corpus by
+    # contract (the 100-TB route is minhash_lsh_pairs).
+    from .partitioning import plan_size_bytes
+
+    if (sz := plan_size_bytes(df)) is None or sz >= (256 << 10):
+        inverted = inverted.persist(StorageLevel.MEMORY_AND_DISK)
     l, r = inverted.alias("l"), inverted.alias("r")
     inter = (
         l.join(
@@ -459,6 +468,14 @@ def containment_pairs(
         inverted = base.select(
             "doc", F.size("sh").alias("n"), F.explode("sh").alias("shingle")
         )
+        # Pin the exploded index: the self-join below (and the optional
+        # pair_budget pre-pass) otherwise re-run the shingle UDF per
+        # consumer. Same gate/rationale as ngram_jaccard_pairs
+        # (interleaved A/B at sf0.1: 1.39 vs 1.66 s).
+        from .partitioning import plan_size_bytes
+
+        if (sz := plan_size_bytes(df)) is None or sz >= (256 << 10):
+            inverted = inverted.persist(StorageLevel.MEMORY_AND_DISK)
         if pair_budget is not None:
             bound = (
                 inverted.groupBy("shingle")
