@@ -297,6 +297,13 @@ def hash_band_pairs(
             f"guarantees distance < {bits // band_bits}"
         )
     base = df.select(F.col(id_col).alias("doc"), F.col(hash_col).alias("sh"))
+    # Both aliases of the band self-join rebuild this frame's subtree
+    # (no exchange reuse), re-running the hash PRODUCER twice. Whether
+    # that is worth a pin depends on the producer: decode-kernel
+    # callers (image/audio near-dups) pin their fingerprint frame
+    # before calling (A/B 1.02 vs 1.39 s); the codegen SimHash
+    # expression is cheaper than the cache barrier (A/B 1.34 no-pin vs
+    # 1.51 pinned), so no unconditional pin here.
     # Static per-chunk structs: shiftright takes a PYTHON int bit count
     # (a Column shift amount fails analysis), and the chunk count is a
     # compile-time constant anyway.
