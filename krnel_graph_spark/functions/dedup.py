@@ -1039,6 +1039,15 @@ def winnow_pairs(
     fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w).select(
         F.col(id_col).alias("doc"), "fp"
     ).distinct()
+    # Every consumer below (the optional hot-fingerprint/pair-budget
+    # branches and BOTH aliases of the co-occurrence self-join)
+    # otherwise re-runs the fingerprint scan + distinct shuffle — pin
+    # the (doc, 8-byte fp) frame (r14 interleaved A/B: 1.57 pinned vs
+    # 2.50 s). Same 256 KB gate as the signature pin.
+    from .partitioning import plan_size_bytes
+
+    if (sz := plan_size_bytes(df)) is None or sz >= (256 << 10):
+        fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
     if max_doc_freq is not None:
         hot = (
             fps.groupBy("fp")
@@ -2048,6 +2057,15 @@ def cdc_chunk_dedup(
     chunks = withb.select(
         "doc", F.explode(F.transform(js, chunk)).alias("c")
     ).select("doc", F.col("c.digest").alias("digest"), F.col("c.n_tok").alias("n_tok"))
+    # Two consumers (the digest counts and the join back) otherwise both
+    # re-run the rolling-digest chunking scan — the expensive leg (one
+    # window md5 per token position). Pin the (doc, digest, n_tok)
+    # frame, ~24 B/chunk (r14 interleaved A/B: 1.00 pinned vs 1.21 s).
+    # Same 256 KB gate as the signature pin.
+    from .partitioning import plan_size_bytes
+
+    if (sz := plan_size_bytes(df)) is None or sz >= (256 << 10):
+        chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
     counts = chunks.groupBy("digest").agg(F.count(F.lit(1)).alias("cnt"))
     per_doc = (
         chunks.join(counts, "digest")
