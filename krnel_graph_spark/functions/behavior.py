@@ -473,6 +473,15 @@ def session_cooccurrence(
         )
         .dropDuplicates(["__u", "__s", "__y"])
     )
+    # Both aliases of the pair self-join otherwise re-run the
+    # sessionizing window sort + dedup shuffle over the full event
+    # stream. Locally neutral at sf0.1 (interleaved 0.97 vs 0.96 s
+    # min, ahead mid-distribution); structural at scale — one window
+    # pass instead of two, and the pinned frame is the deduped
+    # (user, session, type) triple set, already reduced.
+    from pyspark import StorageLevel
+
+    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
     l, r = keyed.alias("l"), keyed.alias("r")
     return (
         l.join(

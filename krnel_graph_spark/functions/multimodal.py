@@ -415,6 +415,13 @@ def video_near_dups(
             ]
         ).alias("sig")
     )
+    # The banding self-join below consumes sig on both aliases — pin the
+    # per-video signature table (num_perm longs/video, the minhash
+    # signature-pin rationale) so the frame-set aggregation runs once,
+    # not twice. Noise-bound at sf0.1's 120 videos; structural at scale.
+    from pyspark import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     rows_per_band = num_perm // bands
     band_structs = F.array(
         *[

@@ -148,13 +148,18 @@ def test_image_dups_banded_join_no_cartesian(spark, entry):
 
 def test_video_dups_banded_join_and_checkpointed_frames(spark, entry):
     """Video near-dups: frame hashes are decoded once (eager
-    localCheckpoint -> ExistingRDD scans), candidates come from the LSH
-    band equi-join, and nothing degenerates into a cross product."""
+    localCheckpoint -> ExistingRDD scans), the per-video signature table
+    is pinned (r14: the banding self-join would otherwise aggregate the
+    frame set twice), candidates come from the LSH band equi-join, and
+    nothing degenerates into a cross product."""
     plan = _plan(spark, entry, "video_dups_q")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Scan ExistingRDD") >= 1  # checkpointed frame set
-    assert _exchanges(plan) <= 5
+    assert "InMemoryTableScan" in plan  # pinned signature table
+    # 6, not 5: the signature pin's cached subtree prints its own
+    # aggregate Exchange under the InMemoryRelation definition.
+    assert _exchanges(plan) <= 6
 
 
 def test_k_core_rounds_are_checkpointed(spark, entry):
