@@ -849,7 +849,13 @@ def bpe_encode(
     from .partitioning import ensure_min_partitions
 
     base = ensure_min_partitions(df).select(
-        F.col(id_col), encode(F.col(text_col)).alias("__p")
+        # asNondeterministic: posexplode's Generate pushes its implicit
+        # size()>0 filter below the projection, duplicating the encode
+        # kernel (two ArrowEvalPython nodes — the corpus BPE-encoded
+        # twice; guide §4.4 pattern, same fix as the sketch kernels).
+        # The kernel is pure, so results are unchanged.
+        F.col(id_col),
+        encode.asNondeterministic()(F.col(text_col)).alias("__p"),
     )
     return base.select(
         F.col(id_col),
