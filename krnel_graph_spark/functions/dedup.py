@@ -1183,7 +1183,16 @@ def minhash_index(
     re-writing or appending the parquet) — signatures are per-document,
     so no re-computation over days 1..N−1 ever happens, and a
     mixed-param union fails at use via the param-column check."""
-    sc = minhash_sig_count_udf(num_perm, shingle_k)(F.col(text_col))
+    # asNondeterministic: consumers filter on the kernel's own n_sh
+    # output (dedup_against's banded() prunes blank docs), and Catalyst
+    # otherwise pushes that filter below the projection while keeping
+    # the projection's copy — the signature kernel then runs TWICE over
+    # every indexed corpus (guide §4.4; measured as doubled sig_count
+    # ArrowEvalPython nodes in the minhash_append plan). Pure kernel,
+    # results unchanged.
+    sc = minhash_sig_count_udf(num_perm, shingle_k).asNondeterministic()(
+        F.col(text_col)
+    )
     return (
         ensure_min_partitions(df)
         .select(F.col(id_col), sc.alias("__sc"))

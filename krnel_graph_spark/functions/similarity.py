@@ -398,7 +398,11 @@ def ivf_topk(
             idx = np.argsort(np.round(d2, 6), axis=1, kind="stable")[:, :n]
             return pd.Series(list(idx.astype("int32")))
 
-        return assign
+        # asNondeterministic: the nprobe explode's Generate pushes its
+        # implicit size()>0 guard below the projection, running the
+        # assignment kernel twice over the query side (guide §4.4, same
+        # fix as bpe_encode). Pure kernel, results unchanged.
+        return assign.asNondeterministic()
 
     c = _with_norm(
         ensure_min_partitions(corpus).select(
