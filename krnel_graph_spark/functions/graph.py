@@ -442,16 +442,26 @@ def degree_assortativity(
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
     ed = e.join(da, "a").join(db, "b")
-    sym = ed.select(
-        F.col("da").alias("x"), F.col("db").alias("y")
-    ).unionAll(ed.select(F.col("db").alias("x"), F.col("da").alias("y")))
-    m = sym.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    # Newman's both-directions moments in ONE pass over the decorated
+    # edge list instead of a self-union that doubled the whole join tree:
+    # over sym = ed ∪ swap(ed) the sums are exact integer mirror-images —
+    # n = 2·cnt, sx = sy = Σda+Σdb, sxy = 2·Σda·db, sxx = syy = Σda²+Σdb²
+    # — so every moment below is the SAME integer the union form summed
+    # (bit-identical double math downstream).
+    m = ed.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("da").alias("sa"),
+        F.sum("db").alias("sb"),
+        F.sum(F.col("da") * F.col("db")).alias("sab"),
+        F.sum(F.col("da") * F.col("da")).alias("saa"),
+        F.sum(F.col("db") * F.col("db")).alias("sbb"),
+    ).select(
+        (F.col("cnt") * 2).alias("n"),
+        (F.col("sa") + F.col("sb")).alias("sx"),
+        (F.col("sa") + F.col("sb")).alias("sy"),
+        (F.col("sab") * 2).alias("sxy"),
+        (F.col("saa") + F.col("sbb")).alias("sxx"),
+        (F.col("saa") + F.col("sbb")).alias("syy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     num = (n * F.col("sxy") - sx * sy).cast("double")
