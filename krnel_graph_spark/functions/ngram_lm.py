@@ -187,23 +187,6 @@ def kneser_ney_ngram_train(
         n,
         [F.col("c")],
     )
-    # every cont/ctx frame is multi-consumer in the ARPA rows builder
-    # (ctx_j feeds section j-1's bow plus every section >= j's
-    # interpolation chain — up to N references each) and all are
-    # type-table-bounded (the MODEL, never the corpus)
-    ctxn_g = (
-        top_all.groupBy(_drop_last().alias("__g"))
-        .agg(
-            F.sum("c").alias("tot"),
-            F.count(F.lit(1)).alias("n1f"),
-            *_cls(F.col("c")),
-        )
-        .persist()
-    )
-    out[f"ctx{n}"] = _wsplit(
-        ctxn_g, n - 1, [F.col(c) for c in _CTX_STATS]
-    )
-    out["_pinned_ctxn"] = ctxn_g
     # continuation levels: cc_k derives from the RAW (k+1)-gram types.
     # ALL levels reduce in ONE shuffle: dropping the first word is one
     # string operation whatever k is, so the per-level groupBys fuse
@@ -222,6 +205,32 @@ def kneser_ney_ngram_train(
         )
     back_g = cont_all.filter(F.col("lvl") == 1).select("__g", "cc")
     out["back"] = back_g.select(F.col("__g").alias("w1"), "cc")
+    # every cont/ctx frame is multi-consumer in the ARPA rows builder
+    # (ctx_j feeds section j-1's bow plus every section >= j's
+    # interpolation chain — up to N references each) and all are
+    # type-table-bounded (the MODEL, never the corpus).
+    # r14 stage-5 NOTE: folding ctx_N into the lvl-keyed ctx aggregation
+    # (union top_all into cont_all's groupBy — one shuffle instead of
+    # two) was implemented and measured NEUTRAL-to-WORSE in interleaved
+    # same-session A/Bs (kneser_ney5 6.56→6.94, kneser_ney 1.63→1.77,
+    # others ±2%): the two aggregations already run as parallel map
+    # stages over the same pinned type table, while the fused form
+    # serializes them behind one wider exchange. Kept the two-shuffle
+    # form — outputs were proven multiset-identical, so this is purely
+    # a performance call.
+    ctxn_g = (
+        top_all.groupBy(_drop_last().alias("__g"))
+        .agg(
+            F.sum("c").alias("tot"),
+            F.count(F.lit(1)).alias("n1f"),
+            *_cls(F.col("c")),
+        )
+        .persist()
+    )
+    out[f"ctx{n}"] = _wsplit(
+        ctxn_g, n - 1, [F.col(c) for c in _CTX_STATS]
+    )
+    out["_pinned_ctxn"] = ctxn_g
     # lower ctx levels likewise fuse into one shuffle: a lvl-k cont
     # row's context is its first k-1 words — drop the LAST word of the
     # suffix string — one (lvl, context-string) groupBy over the pinned
@@ -663,8 +672,14 @@ def kneser_ney_ngram_arpa_rows(
                 )
             # no distinct(): the left-semi consumer dedups by nature,
             # and each level's set feeds only joins — a distinct here
-            # would add one shuffle per level for nothing
-            kept[k] = ev
+            # would add one shuffle per level for nothing.
+            # r14 stage-5: every kept_k below the top has TWO consumers
+            # (section k's semi-join AND kept_{k-1}'s union leg), so an
+            # un-checkpointed chain re-derives kept_{k+1}'s whole union
+            # tree per consumer — kept_N recomputed n-1 times; a
+            # non-eager localCheckpoint materializes each model-bounded
+            # set once.
+            kept[k] = ev.localCheckpoint(eager=False) if k > 2 else ev
 
     out = finalize(1, section(1, frames[1])).unionByName(unk)
     for k in range(2, n + 1):
