@@ -10,14 +10,18 @@ round's bench record parsed as null):
     {"metric": "headline_queries_total", "value": <raw run total sec>,
      "unit": "sec", "sf": ..., "n_queries": N, "canary_sec": <job-floor>,
      "canary_series": [...], "floor_total_sec": <merged floor total>,
-     "queries_file": "BENCH_local.json"}
+     "queries_file": "BENCH_local.json",
+     "canary_norm_total": <value x floor_canary/canary — box-state
+      normalized total, r15>, "per_query_file": "BENCH_run.json"}
 
 File protocol (structural floor guard — two consecutive rounds lost their
 headline artifact to a loaded end-of-round run overwriting the committed
 floor raw, so the raw run NEVER touches the floor file directly):
 
 - ``BENCH_run.json``   — this run's RAW payload (per-query map + canary
-  series), overwritten every run.
+  series), overwritten every run. (``--full-sweep`` writes
+  ``BENCH_sweep_run.json`` / min-merges ``BENCH_sweep.json`` the same
+  way since r15.)
 - ``BENCH_local.json`` — the committed FLOOR: element-wise min of every run
   ever merged. bench.py itself performs the merge (``min_merge``), so a
   loaded run can only fail to improve the floor, never inflate it. Queries
@@ -416,7 +420,26 @@ def main() -> None:
     run = dict(payload, queries=timings)
     root = Path(__file__).resolve().parent
     if full_sweep:
-        (root / "BENCH_sweep.json").write_text(json.dumps(run, indent=1) + "\n")
+        # r15: the sweep gets the SAME raw/floor split as the headline
+        # bench (r14 had to discard a loaded sweep refresh by hand —
+        # min-of-1 snapshots had no merge protocol): raw run ->
+        # BENCH_sweep_run.json, BENCH_sweep.json becomes the min-merged
+        # floor. The first merge against the pre-protocol snapshot is a
+        # plain element-wise min, so the committed floor only improves.
+        (root / "BENCH_sweep_run.json").write_text(
+            json.dumps(run, indent=1) + "\n"
+        )
+        floor_path = root / "BENCH_sweep.json"
+        floor = None
+        if floor_path.exists():
+            try:
+                floor = json.loads(floor_path.read_text())
+            except (json.JSONDecodeError, OSError):
+                floor = None
+        merged = min_merge(floor, run)
+        floor_path.write_text(json.dumps(merged, indent=1) + "\n")
+        payload["floor_total_sec"] = merged["value"]
+        payload["floor_canary_sec"] = merged["canary_sec"]
     else:
         # Raw run -> BENCH_run.json; floor file only ever min-merged.
         (root / "BENCH_run.json").write_text(json.dumps(run, indent=1) + "\n")
@@ -435,6 +458,24 @@ def main() -> None:
         floor_path.write_text(json.dumps(merged, indent=1) + "\n")
         payload["floor_total_sec"] = merged["value"]
         payload["floor_canary_sec"] = merged["canary_sec"]
+    # r15 (verdict item 1): make round-over-round adjudication self-serve
+    # from the one-line JSON alone — additions only, existing keys and
+    # their meanings untouched.
+    # canary_norm_total rescales this run's raw total by the box-state
+    # ratio the canary measured (floor canary / this run's canary): two
+    # rounds' normalized totals compare like-for-like even when one run
+    # landed on a loaded box. per_query_file names the raw per-query map
+    # (never on stdout — it would overflow the driver's 2,000-char tail).
+    if payload.get("canary_sec"):
+        payload["canary_norm_total"] = round(
+            payload["value"]
+            * payload.get("floor_canary_sec", payload["canary_sec"])
+            / payload["canary_sec"],
+            3,
+        )
+    payload["per_query_file"] = (
+        "BENCH_sweep_run.json" if full_sweep else "BENCH_run.json"
+    )
     print(json.dumps(run), file=sys.stderr)
     # The compact line must be LAST on stdout and must fit the driver's
     # 2,000-char tail capture.

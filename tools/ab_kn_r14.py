@@ -46,6 +46,22 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    # r15 guard (ADVICE): the two toggles were stripped from
+    # functions/ngram_lm.py after the r14 stage-5 verdicts, so OLD and
+    # NEW arms now build identical plans — refuse to produce meaningless
+    # A/B numbers instead of silently measuring noise.
+    src = (
+        Path(__file__).resolve().parent.parent
+        / "krnel_graph_spark/functions/ngram_lm.py"
+    ).read_text()
+    if not any(t in src for t in ("SPARK_GRAFT_KN_CTX_FUSE", "SPARK_GRAFT_KN_KEPT_CKPT")):
+        sys.exit(
+            "ab_kn_r14: the SPARK_GRAFT_KN_CTX_FUSE/SPARK_GRAFT_KN_KEPT_CKPT "
+            "toggles were stripped after r14 stage-5 — this harness is "
+            "committed as methodology evidence only; both arms would build "
+            "identical plans. See OPTIMIZATION_r14.md stage 5."
+        )
+
     import __spark_entry__ as entry
     from krnel_graph_spark.runners.spark_runner import get_spark
 
