@@ -94,6 +94,30 @@ from .store import ResultStore
 _FILE_ORD_SHIFT = 40  # multi-file scans: row_id = file_ordinal << 40 | row_index
 
 
+def _default_shuffle_partitions(cpus: str) -> Optional[str]:
+    """Initial shuffle-partition count (r15, pre-coalesce — AQE's
+    parallelism-first coalescing adapts the FINAL count per query):
+
+    * local mode: ``max(32, cores)`` — tied to the session's core count
+      instead of the former magic 32, so a bigger local box is no longer
+      ceilinged; identical to the old value at the driver's 32- and
+      8-core bench configs by construction. Deriving ``2 x cores``
+      instead was measured and REJECTED: interleaved at local[32]/sf0.1
+      it cost +20% arpa_score_o5, +18% stupid_backoff_fixed, +8%
+      connected_components with no win beyond noise
+      (OPTIMIZATION_r15.md).
+    * real cluster (``SPARK_MASTER``/``MASTER`` set): return None — do
+      NOT pin a single-box constant; the submit-time conf or Spark's own
+      default governs, and ``SPARK_SHUFFLE_PARTITIONS`` overrides. At
+      100 TB size it so post-AQE partitions land in the 100 MB-1 GB
+      range (guide §2.2), e.g. ~2 x total executor cores.
+    """
+    if os.environ.get("SPARK_MASTER") or os.environ.get("MASTER"):
+        return None
+    n = int(cpus) if cpus.isdigit() else (os.cpu_count() or 32)
+    return str(max(32, n))
+
+
 def get_spark(
     app_name: str = "krnel-graph-spark",
     shuffle_partitions: Optional[int] = None,
@@ -136,11 +160,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config(
-            "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or os.environ.get("SPARK_SHUFFLE_PARTITIONS", 32)),
-        )
     )
+    parts = (
+        str(shuffle_partitions)
+        if shuffle_partitions
+        else os.environ.get("SPARK_SHUFFLE_PARTITIONS")
+        or _default_shuffle_partitions(cpus)
+    )
+    if parts is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", parts)
     if not os.environ.get("SPARK_MASTER") and not os.environ.get("MASTER"):
         builder = builder.master(f"local[{cpus}]")
     return builder.getOrCreate()
