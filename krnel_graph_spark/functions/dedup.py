@@ -382,7 +382,11 @@ def ngram_jaccard_pairs(
     from .partitioning import plan_size_bytes
 
     if (sz := plan_size_bytes(df)) is None or sz >= (256 << 10):
-        inverted = inverted.persist(StorageLevel.MEMORY_AND_DISK)
+        # non-eager localCheckpoint (r15; was persist) — containment's
+        # same-shape pin measured 1.21->1.06 interleaved; this path is
+        # small-corpus by contract, so ckpt's executor-loss tradeoff
+        # costs a query retry at worst.
+        inverted = inverted.localCheckpoint(eager=False)
     l, r = inverted.alias("l"), inverted.alias("r")
     inter = (
         l.join(
@@ -482,7 +486,9 @@ def containment_pairs(
         from .partitioning import plan_size_bytes
 
         if (sz := plan_size_bytes(df)) is None or sz >= (256 << 10):
-            inverted = inverted.persist(StorageLevel.MEMORY_AND_DISK)
+            # r15: non-eager localCheckpoint (was persist) — interleaved
+            # containment 1.21->1.06 s; small-corpus-by-contract path.
+            inverted = inverted.localCheckpoint(eager=False)
         if pair_budget is not None:
             bound = (
                 inverted.groupBy("shingle")
@@ -564,7 +570,9 @@ def containment_pairs(
             shingle_set_udf(shingle_k).asNondeterministic()(F.col(text_col)).alias("sh"),
         )
         .filter(F.size("sh") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # r15: non-eager localCheckpoint (was persist) — part of the
+        # containment 1.21->1.06 s interleaved win; bounded candidate set.
+        .localCheckpoint(eager=False)
     )
     verified = cand.join(
         shingle_sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")),
@@ -2074,7 +2082,10 @@ def cdc_chunk_dedup(
     from .partitioning import plan_size_bytes
 
     if (sz := plan_size_bytes(df)) is None or sz >= (256 << 10):
-        chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
+        # non-eager localCheckpoint (r15; was persist): interleaved
+        # cdc_dedup 1.36->1.20 s. The chunk frame is lineage-cheap (one
+        # codegen scan), so an executor-loss recompute is one retry.
+        chunks = chunks.localCheckpoint(eager=False)
     counts = chunks.groupBy("digest").agg(F.count(F.lit(1)).alias("cnt"))
     per_doc = (
         chunks.join(counts, "digest")

@@ -1435,6 +1435,46 @@ def _sb_tokens(df: DataFrame, text_col: str, *extra) -> DataFrame:
     return df.select(*extra, t.alias("__t"))
 
 
+def _sb_fused_grams(train: DataFrame, text_col: str) -> DataFrame:
+    """The UN-pinned fused (level, key, count) gram table — all three
+    levels in one tokenize pass + one partial-aggregated shuffle.
+    Factored out of :func:`stupid_backoff_train` so plan pins can
+    assert on the real pre-checkpoint construction (pushed train
+    filters, digest keys)."""
+    tr = _sb_tokens(train, text_col)
+
+    def gram_keys(n):
+        # md5 digests of the n-grams, in expression space (level ≥ 2).
+        return F.when(
+            F.size("__t") < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__t") - n),
+                lambda i: F.md5(F.array_join(F.slice("__t", i + 1, n), " ")),
+            )
+        )
+
+    def tag(arr, lvl):
+        return F.transform(
+            arr, lambda k: F.struct(F.lit(lvl).alias("l"), k.alias("k"))
+        )
+
+    return (
+        tr.select(
+            F.explode(
+                F.concat(
+                    tag(F.col("__t"), 1),
+                    tag(gram_keys(2), 2),
+                    tag(gram_keys(3), 3),
+                )
+            ).alias("g")
+        )
+        .select(F.col("g.l").alias("l"), F.col("g.k").alias("k"))
+        .groupBy("l", "k")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def stupid_backoff_train(
     train: DataFrame, text_col: str
 ) -> dict[str, DataFrame]:
@@ -1459,40 +1499,19 @@ def stupid_backoff_train(
     count) model artifact a production run would persist to parquet —
     vocabulary/gram-type-bounded, never corpus-sized.
     """
-    from pyspark import StorageLevel
-
-    tr = _sb_tokens(train, text_col)
-
-    def gram_keys(n):
-        # md5 digests of the n-grams, in expression space (level ≥ 2).
-        return F.when(
-            F.size("__t") < n, F.array().cast("array<string>")
-        ).otherwise(
-            F.transform(
-                F.sequence(F.lit(0), F.size("__t") - n),
-                lambda i: F.md5(F.array_join(F.slice("__t", i + 1, n), " ")),
-            )
-        )
-
-    def tag(arr, lvl):
-        return F.transform(
-            arr, lambda k: F.struct(F.lit(lvl).alias("l"), k.alias("k"))
-        )
-
     fused = (
-        tr.select(
-            F.explode(
-                F.concat(
-                    tag(F.col("__t"), 1),
-                    tag(gram_keys(2), 2),
-                    tag(gram_keys(3), 3),
-                )
-            ).alias("g")
-        )
-        .select(F.col("g.l").alias("l"), F.col("g.k").alias("k"))
-        .groupBy("l", "k")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        _sb_fused_grams(train, text_col)
+        # non-eager localCheckpoint (r15; was persist): same
+        # materialize-once pin, but consumers read a plain RDD and the
+        # truncated lineage shrinks every AQE replan. Interleaved
+        # min-of-3 at sf0.1: stupid_backoff_fixed 2.05->1.70,
+        # perplexity_buckets_fixed 1.88->1.69. Model-artifact frame:
+        # losing a block costs a query retry, never a wrong result.
+        # (The pin also hides the train-side pushed filter from the
+        # FINAL printed plan — tests/test_plan_quality.py pins that
+        # pushdown on _sb_fused_grams' own plan, the real
+        # construction path.)
+        .localCheckpoint(eager=False)
     )
     uni = fused.filter(F.col("l") == 1).select(
         F.col("k").alias("w"), F.col("c").alias("c1")

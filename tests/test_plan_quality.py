@@ -530,13 +530,31 @@ def test_stupid_backoff_fixed_filters_train_side_only(spark, entry):
     """Frozen-LM scoring: the train predicate reaches the gram-table
     scans as a pushed filter while the scored-position side scans the
     full corpus — and the whole pipeline stays digest-join-shaped (no
-    window, no Python)."""
+    window, no Python). Since r15 the pinned gram table is a non-eager
+    localCheckpoint, so the train subtree no longer PRINTS in the final
+    plan (it executes behind a Scan ExistingRDD); the pushdown is
+    pinned on the real pre-checkpoint construction instead."""
     plan = _plan(spark, entry, "stupid_backoff_fixed")
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # at least one scan carries the doc_id % 5 train filter, pushed
     assert re.search(r"PushedFilters: \[[^\]]*\]", plan)
-    assert "% 5" in plan
+    # gram tables arrive as the materialized-once pin, not a re-derived
+    # train subtree per consumer
+    assert "Scan ExistingRDD" in plan
+    # the train predicate pushes into the gram-table construction itself
+    from pyspark.sql import functions as F
+
+    from krnel_graph_spark.functions.text import _sb_fused_grams
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    fused_plan = (
+        _sb_fused_grams(docs.filter(F.col("doc_id") % 5 == 0), "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "% 5" in fused_plan
+    assert re.search(r"PushedFilters: \[[^\]]*doc_id[^\]]*\]", fused_plan)
 
 
 def test_remove_dup_windows_no_token_shuffle(spark, entry):
@@ -703,7 +721,9 @@ def test_kneser_ney5_pruned_adds_only_semi_joins(spark, entry):
     plan = _plan(spark, entry, "kneser_ney5_pruned")
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
-    assert "InMemoryTableScan" in plan
+    # r15: the pinned tables/level frames are non-eager localCheckpoints
+    # — sections read materialized-once RDDs, not cache scans
+    assert "Scan ExistingRDD" in plan
     assert "Union" in plan
 
 
@@ -712,12 +732,13 @@ def test_kneser_ney5_sections_are_model_sized(spark, entry):
     type-table-bounded count frames (the MODEL), the 1-row scalars ride
     a broadcast, the five sections (+ <unk>) union, and the corpus
     appears only through the single combined gram explode feeding the
-    persist-pinned counts table (InMemoryTableScan reuse)."""
+    checkpoint-pinned counts table (materialized-once RDD reuse,
+    r15 — was a persist/InMemoryTableScan pin)."""
     plan = _plan(spark, entry, "kneser_ney5")
     assert "CartesianProduct" not in plan
     assert "Union" in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalars frame
-    assert "InMemoryTableScan" in plan  # the pinned counts/cont/ctx
+    assert "Scan ExistingRDD" in plan  # the pinned counts/cont/ctx
 
 
 def test_kneser_ney5_modified_same_plan_class(spark, entry):
@@ -731,7 +752,7 @@ def test_kneser_ney5_modified_same_plan_class(spark, entry):
     assert "CartesianProduct" not in plan
     assert "Union" in plan
     assert "BroadcastNestedLoopJoin" in plan
-    assert "InMemoryTableScan" in plan
+    assert "Scan ExistingRDD" in plan  # ckpt-pinned tables (r15)
 
 
 def test_minhash_ingest_lifecycle_shape(spark, entry):
